@@ -1,0 +1,599 @@
+"""DamFrame: the dplyr-verb surface of the engine, Spark-first.
+
+Every verb is a thin, *lazy* wrapper that builds a Catalyst logical plan via
+the PySpark DataFrame API — there is no custom execution machinery. The
+reference (SciNim/Datamancer) evaluates each verb eagerly over in-memory
+tensors; here each verb only extends the plan, and Catalyst handles pushdown,
+pruning, join selection and codegen (SURVEY.md §4: every reference
+optimization is a Catalyst builtin).
+
+Verb parity map (reference = /root/reference/src/datamancer):
+  filter        dataframe.nim:1360-1385
+  select        dataframe.nim:1403-1443
+  drop          dataframe.nim:876-884
+  rename        dataframe.nim:1821-1847
+  relocate      dataframe.nim:1476-1527
+  mutate        dataframe.nim:1674-1775
+  transmute     dataframe.nim:1777-1819
+  arrange       dataframe.nim:1604-1657
+  head/tail     dataframe.nim:2197-2203
+  unique        dataframe.nim:2370-2422
+  set_diff      dataframe.nim:2140-2195
+  bind_rows     dataframe.nim:926-1040
+  inner_join    dataframe.nim:1885-1992
+  group_by      dataframe.nim:2007-2035
+  summarize     dataframe.nim:2037-2101
+  count         dataframe.nim:2103-2138
+  gather        dataframe.nim:2205-2259
+  spread        dataframe.nim:2261-2345
+  drop_null     dataframe.nim:2424-2465
+  drop_nan      dataframe.nim:2467-2493
+  shuffle       dataframe.nim:2497-2511
+  random_head   dataframe.nim:2513-2521
+  masked assign dataframe.nim:344-370
+
+Row-order policy (SURVEY.md §7 "hard parts" #1): Spark frames are unordered;
+order-sensitive verbs (head/tail/slice, lag/lead, first-occurrence unique)
+take an explicit ``order_by`` column list instead of relying on implicit
+order. ``with_row_id`` provides an explicit ordering column when the source
+has none. This is deliberate API divergence: implicit order does not exist
+on a 1000-executor cluster, so the engine makes it explicit and cheap
+(zipWithIndex-free: ``row_number`` over a real key, or
+``monotonically_increasing_id`` when only uniqueness matters).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _to_col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+class DamFrame:
+    """Immutable dataframe handle: wraps a pyspark DataFrame + group keys.
+
+    Grouping is lazy metadata exactly as in the reference
+    (``df_types.nim:13-18``: ``dfGrouped`` just records keys): ``group_by``
+    returns a new DamFrame whose subsequent ``summarize`` / ``mutate`` /
+    ``filter`` interpret aggregate expressions per-group. No data moves
+    until an action.
+    """
+
+    def __init__(self, df: DataFrame, group_keys: tuple[str, ...] = ()):
+        self._df = df
+        self._group_keys = tuple(group_keys)
+
+    # -- plumbing ---------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        """The underlying pyspark DataFrame (escape hatch)."""
+        return self._df
+
+    @property
+    def group_keys(self) -> tuple[str, ...]:
+        return self._group_keys
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    def _wrap(self, df: DataFrame, keep_groups: bool = True) -> DamFrame:
+        return DamFrame(df, self._group_keys if keep_groups else ())
+
+    def __repr__(self) -> str:  # pragma: no cover
+        g = f" grouped by {list(self._group_keys)}" if self._group_keys else ""
+        return f"DamFrame[{', '.join(self._df.columns)}]{g}"
+
+    # -- actions ----------------------------------------------------------
+
+    def collect(self):
+        return self._df.collect()
+
+    def count_rows(self) -> int:
+        return self._df.count()
+
+    def show(self, n: int = 20, truncate: bool = True) -> None:  # pragma: no cover
+        self._df.show(n, truncate)
+
+    def to_pandas(self):
+        return self._df.toPandas()
+
+    def explain(self, mode: str = "formatted") -> None:  # pragma: no cover
+        self._df.explain(mode)
+
+    # -- row id / ordering helper ----------------------------------------
+
+    def with_row_id(self, name: str = "_row_id") -> DamFrame:
+        """Attach a unique, *partition-ordered* id.
+
+        ``monotonically_increasing_id`` is embarrassingly parallel (no
+        shuffle, no driver round-trip) and preserves within-partition order;
+        ids are unique but not dense. Use a real sort key when dense ranks
+        are needed (``row_number`` — one shuffle).
+        """
+        return self._wrap(self._df.withColumn(name, F.monotonically_increasing_id()))
+
+    # -- projection / mutation verbs --------------------------------------
+
+    def select(self, *cols: ColumnOrName) -> DamFrame:
+        """Keep columns in argument order (ref select keeps group keys;
+        we do too by prepending missing keys)."""
+        names = [c if isinstance(c, str) else None for c in cols]
+        out = list(cols)
+        for k in reversed(self._group_keys):
+            if k not in names:
+                out.insert(0, k)
+        return self._wrap(self._df.select(*[_to_col(c) for c in out]))
+
+    def drop(self, *cols: str) -> DamFrame:
+        return self._wrap(self._df.drop(*cols))
+
+    def rename(self, **mapping: str) -> DamFrame:
+        """``rename(new=old)`` — keyword is the new name, value the old,
+        mirroring the reference's ``f{"new" <- "old"}``."""
+        df = self._df
+        for new, old in mapping.items():
+            df = df.withColumnRenamed(old, new)
+        keys = tuple(
+            next((new for new, old in mapping.items() if old == k), k)
+            for k in self._group_keys
+        )
+        return DamFrame(df, keys)
+
+    def relocate(
+        self,
+        *cols: str,
+        before: str | None = None,
+        after: str | None = None,
+    ) -> DamFrame:
+        """Reorder columns (ref dataframe.nim:1476-1527). Pure projection —
+        zero cost in the plan."""
+        rest = [c for c in self._df.columns if c not in cols]
+        moving = list(cols)
+        if before is None and after is None:
+            new_order = moving + rest
+        else:
+            anchor = before if before is not None else after
+            idx = rest.index(anchor) + (0 if before is not None else 1)
+            new_order = rest[:idx] + moving + rest[idx:]
+        return self._wrap(self._df.select(*new_order))
+
+    def mutate(self, **exprs: Column) -> DamFrame:
+        """Add/overwrite columns. Aggregate expressions are auto-windowed:
+        on a grouped frame ``mutate(m=F.mean("x"))`` broadcasts the
+        per-group mean to every row (the reference's fkScalar-broadcast,
+        dataframe.nim:1674-1775) via ``Window.partitionBy(keys)`` — a
+        single shuffle, no applyInPandas."""
+        df = self._df
+        win = (
+            Window.partitionBy(*self._group_keys)
+            if self._group_keys
+            else Window.partitionBy()
+        )
+        for name, expr in exprs.items():
+            df = df.withColumn(name, _windowize(expr, win))
+        return self._wrap(df)
+
+    def transmute(self, **exprs: Column) -> DamFrame:
+        """mutate then keep only the produced columns (+ group keys)."""
+        return self.mutate(**exprs).select(*exprs.keys())
+
+    def masked_assign(self, col: str, cond: Column, value) -> DamFrame:
+        """``df[f{cond}, "col"] = val`` (ref dataframe.nim:344-370)."""
+        lit = value if isinstance(value, Column) else F.lit(value)
+        return self._wrap(
+            self._df.withColumn(col, F.when(cond, lit).otherwise(F.col(col)))
+        )
+
+    # -- filter -----------------------------------------------------------
+
+    def filter(self, *conds: Column) -> DamFrame:
+        """Keep rows where all conditions hold. On a grouped frame,
+        aggregate conditions (the reference's reducing ``<<`` filter,
+        dataframe.nim:1321-1358) are evaluated per group via a window and
+        keep/drop whole groups — distributed, no per-group loop."""
+        win = (
+            Window.partitionBy(*self._group_keys)
+            if self._group_keys
+            else Window.partitionBy()
+        )
+        combined = functools.reduce(
+            lambda a, b: a & b, (_windowize(c, win) for c in conds)
+        )
+        return self._wrap(self._df.filter(combined))
+
+    # -- sorting / limits / sampling --------------------------------------
+
+    def arrange(self, *by: ColumnOrName, ascending: bool = True) -> DamFrame:
+        """Multi-key sort (ref dataframe.nim:1604-1657: single global
+        direction). Pass Column objects (``F.col("x").desc()``) for per-key
+        direction — a superset of the reference. Total sort = range
+        partitioning; Spark samples boundaries, so it scales."""
+        cols = [
+            (F.col(c).asc() if ascending else F.col(c).desc())
+            if isinstance(c, str)
+            else c
+            for c in by
+        ]
+        return self._wrap(self._df.orderBy(*cols))
+
+    def head(self, n: int, order_by: Sequence[ColumnOrName] | None = None) -> DamFrame:
+        """First n rows. Give ``order_by`` for a deterministic result —
+        Spark plans TakeOrderedAndProject (per-partition top-n + merge,
+        no full sort shuffle)."""
+        df = self._df
+        if order_by:
+            df = df.orderBy(*[_to_col(c) for c in order_by])
+        return self._wrap(df.limit(n), keep_groups=False)
+
+    def tail(self, n: int, order_by: Sequence[str]) -> DamFrame:
+        """Last n rows under ``order_by`` — implemented as reversed
+        top-n (TakeOrderedAndProject), then restored order."""
+        rev = self._df.orderBy(*[F.col(c).desc() for c in order_by]).limit(n)
+        return self._wrap(rev.orderBy(*order_by), keep_groups=False)
+
+    def slice_rows(self, start: int, stop: int, order_by: Sequence[str]) -> DamFrame:
+        """Inclusive positional slice ``df[a..b]`` (ref dataframe.nim:211-221)
+        under an explicit order. row_number needs a total order: single
+        window over a global sort — fine for interactive slicing, not a
+        bulk-path primitive (document: use filters at scale)."""
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return self._wrap(
+            self._df.withColumn("_rn", F.row_number().over(w) - 1)
+            .filter((F.col("_rn") >= start) & (F.col("_rn") <= stop))
+            .drop("_rn"),
+            keep_groups=False,
+        )
+
+    def shuffle(self, seed: int | None = None) -> DamFrame:
+        """Random permutation (ref dataframe.nim:2497-2511)."""
+        return self._wrap(self._df.orderBy(F.rand(seed)))
+
+    def random_head(self, n: int, seed: int | None = None) -> DamFrame:
+        return self._wrap(self._df.orderBy(F.rand(seed)).limit(n), keep_groups=False)
+
+    def sample(self, fraction: float, seed: int | None = None) -> DamFrame:
+        """Scale path for random subsets: no sort, no shuffle."""
+        return self._wrap(self._df.sample(fraction=fraction, seed=seed))
+
+    # -- grouping / aggregation -------------------------------------------
+
+    def group_by(self, *keys: str, add: bool = False) -> DamFrame:
+        new_keys = (self._group_keys + keys) if add else keys
+        return DamFrame(self._df, tuple(dict.fromkeys(new_keys)))
+
+    def ungroup(self) -> DamFrame:
+        return DamFrame(self._df, ())
+
+    def summarize(self, **aggs: Column) -> DamFrame:
+        """Reducing formulas (ref ``<<``): one row per group, keys become
+        columns; ungrouped → single row. Catalyst plans partial (map-side)
+        + final hash aggregation — the scalable replacement for the
+        reference's sort-and-scan grouping (dataframe.nim:2073-2101)."""
+        exprs = [v.alias(k) for k, v in aggs.items()]
+        if self._group_keys:
+            out = self._df.groupBy(*self._group_keys).agg(*exprs)
+        else:
+            out = self._df.agg(*exprs)
+        return DamFrame(out, ())
+
+    summarise = summarize
+
+    def count(self, *cols: str, name: str = "n") -> DamFrame:
+        """group_by(cols) + per-group count (ref dataframe.nim:2103-2138)."""
+        keys = cols or self._group_keys
+        if keys:
+            return DamFrame(
+                self._df.groupBy(*keys).agg(F.count(F.lit(1)).alias(name)), ()
+            )
+        return DamFrame(self._df.agg(F.count(F.lit(1)).alias(name)), ())
+
+    # -- joins ------------------------------------------------------------
+
+    def inner_join(
+        self,
+        other: DamFrame | DataFrame,
+        by: str | Sequence[str],
+        common: str = "rename",
+        broadcast_right: bool = False,
+    ) -> DamFrame:
+        return self._join(other, by, "inner", common, broadcast_right)
+
+    def left_join(self, other, by, common="rename", broadcast_right=False) -> DamFrame:
+        return self._join(other, by, "left", common, broadcast_right)
+
+    def right_join(self, other, by, common="rename", broadcast_right=False) -> DamFrame:
+        return self._join(other, by, "right", common, broadcast_right)
+
+    def full_join(self, other, by, common="rename") -> DamFrame:
+        return self._join(other, by, "full", common, False)
+
+    def semi_join(self, other, by, broadcast_right=False) -> DamFrame:
+        return self._join(other, by, "left_semi", "left", broadcast_right)
+
+    def anti_join(self, other, by, broadcast_right=False) -> DamFrame:
+        return self._join(other, by, "left_anti", "left", broadcast_right)
+
+    def cross_join(self, other) -> DamFrame:
+        o = other.df if isinstance(other, DamFrame) else other
+        return DamFrame(self._df.crossJoin(o), ())
+
+    def _join(
+        self,
+        other: DamFrame | DataFrame,
+        by: str | Sequence[str],
+        how: str,
+        common: str,
+        broadcast_right: bool,
+    ) -> DamFrame:
+        """Equi-join with the reference's common-column policies
+        (CommonColumnMerge, dataframe.nim:1857-1883): 'rename' suffixes
+        clashing non-key columns _left/_right, 'left' keeps the left copy,
+        'drop' drops both. The reference only has single-key inner join
+        implemented as sort-merge with a hash prefilter
+        (dataframe.nim:1885-1992); Catalyst chooses broadcast-hash /
+        shuffled-hash / SMJ per stats + AQE, which subsumes that. Pass
+        ``broadcast_right=True`` to force a broadcast hint for known-small
+        dimension tables."""
+        right = other.df if isinstance(other, DamFrame) else other
+        keys = [by] if isinstance(by, str) else list(by)
+        left = self._df
+        clashes = [
+            c for c in left.columns if c in right.columns and c not in keys
+        ]
+        if common == "rename":
+            for c in clashes:
+                left = left.withColumnRenamed(c, f"{c}_left")
+                right = right.withColumnRenamed(c, f"{c}_right")
+        elif common == "left":
+            right = right.drop(*clashes)
+        elif common == "drop":
+            left = left.drop(*clashes)
+            right = right.drop(*clashes)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown common-column policy: {common}")
+        if broadcast_right:
+            right = F.broadcast(right)
+        return DamFrame(left.join(right, on=keys, how=how), ())
+
+    # -- set / stacking ----------------------------------------------------
+
+    def bind_rows(self, *others: DamFrame | DataFrame, id: str | None = None) -> DamFrame:
+        """Vertical concat with column union; missing columns null-filled
+        (ref dataframe.nim:926-1040). ``id`` adds a provenance column with
+        the input's ordinal as string. unionByName is plan-only — O(1)."""
+        frames = [self._df] + [
+            o.df if isinstance(o, DamFrame) else o for o in others
+        ]
+        if id is not None:
+            frames = [f.withColumn(id, F.lit(str(i))) for i, f in enumerate(frames)]
+        out = functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+        return DamFrame(out, ())
+
+    def concat(self, other: DamFrame | DataFrame) -> DamFrame:
+        """``add`` in the reference (dataframe.nim:1042-1082): concat
+        requiring identical column sets."""
+        o = other.df if isinstance(other, DamFrame) else other
+        if set(o.columns) != set(self._df.columns):
+            raise ValueError(
+                f"concat requires identical columns: {self._df.columns} vs {o.columns}"
+            )
+        return DamFrame(self._df.unionByName(o), ())
+
+    def set_diff(self, other: DamFrame | DataFrame, symmetric: bool = False) -> DamFrame:
+        """Row-wise set difference (ref dataframe.nim:2140-2195).
+        exceptAll = multiset semantics, matching the reference's row-hash
+        approach."""
+        o = other.df if isinstance(other, DamFrame) else other
+        if symmetric:
+            o2 = o.select(*self._df.columns)
+            return DamFrame(
+                self._df.exceptAll(o2).unionByName(o2.exceptAll(self._df)), ()
+            )
+        return DamFrame(self._df.exceptAll(o.select(*self._df.columns)), ())
+
+    def intersect_rows(self, other: DamFrame | DataFrame) -> DamFrame:
+        o = other.df if isinstance(other, DamFrame) else other
+        return DamFrame(self._df.intersectAll(o.select(*self._df.columns)), ())
+
+    def unique(
+        self,
+        *cols: str,
+        keep_all: bool = True,
+        order_by: Sequence[str] | None = None,
+    ) -> DamFrame:
+        """Distinct rows, optionally keyed on a subset (ref
+        dataframe.nim:2370-2422 keeps the *first* occurrence). Without
+        ``order_by``: dropDuplicates (arbitrary representative — cheapest,
+        one shuffle). With ``order_by``: deterministic first-occurrence via
+        min_by-style window, still one shuffle."""
+        if not cols:
+            return self._wrap(self._df.distinct(), keep_groups=False)
+        if not keep_all:
+            return self._wrap(
+                self._df.select(*cols).distinct(), keep_groups=False
+            )
+        if order_by is None:
+            return self._wrap(self._df.dropDuplicates(list(cols)), keep_groups=False)
+        w = Window.partitionBy(*cols).orderBy(*[F.col(c) for c in order_by])
+        return self._wrap(
+            self._df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"),
+            keep_groups=False,
+        )
+
+    # -- reshaping ---------------------------------------------------------
+
+    def gather(
+        self,
+        cols: Sequence[str],
+        key: str = "key",
+        value: str = "value",
+        drop_nulls: bool = False,
+    ) -> DamFrame:
+        """Wide→long melt (ref dataframe.nim:2205-2259). Spark's native
+        ``unpivot`` — plan-only expansion, no shuffle. Gathered columns are
+        cast to their common type by Spark, mirroring the reference's
+        ``withCombinedType``."""
+        ids = [c for c in self._df.columns if c not in cols]
+        out = self._df.unpivot(ids, list(cols), key, value)
+        if drop_nulls:
+            out = out.filter(F.col(value).isNotNull())
+        return DamFrame(out, ())
+
+    def spread(
+        self,
+        names_from: str,
+        values_from: str,
+        fill=None,
+    ) -> DamFrame:
+        """Long→wide pivot (ref dataframe.nim:2261-2345):
+        groupBy(rest).pivot(names).agg(first(values)). At scale, pass the
+        distinct pivot values via ``pivot(values=...)`` upstream if known to
+        skip the distinct-collect job; here we let Spark collect them (it
+        caps at spark.sql.pivotMaxValues)."""
+        rest = [
+            c for c in self._df.columns if c not in (names_from, values_from)
+        ]
+        out = (
+            self._df.groupBy(*rest)
+            .pivot(names_from)
+            .agg(F.first(values_from))
+        )
+        if fill is not None:
+            pivoted = [c for c in out.columns if c not in rest]
+            out = out.fillna(fill, subset=pivoted)
+        return DamFrame(out, ())
+
+    # -- missing data ------------------------------------------------------
+
+    def drop_null(self, *cols: str) -> DamFrame:
+        """Drop rows with NULL in cols (ref dataframe.nim:2424-2465)."""
+        return self._wrap(self._df.dropna(subset=list(cols) if cols else None))
+
+    def drop_nan(self, *cols: str) -> DamFrame:
+        """Drop rows with float NaN (ref dataframe.nim:2467-2493).
+        NaN != NULL in Spark, same as the reference's distinction."""
+        targets = list(cols) if cols else [
+            f.name
+            for f in self._df.schema.fields
+            if f.dataType.typeName() in ("double", "float")
+        ]
+        cond = functools.reduce(
+            lambda a, b: a & b, (~F.isnan(F.col(c)) for c in targets)
+        )
+        return self._wrap(self._df.filter(cond))
+
+    def fill_null(self, value, *cols: str) -> DamFrame:
+        return self._wrap(self._df.fillna(value, subset=list(cols) if cols else None))
+
+    # -- window / positional ----------------------------------------------
+
+    def lag(
+        self,
+        col: str,
+        n: int = 1,
+        default=None,
+        order_by: Sequence[str] = (),
+        out: str | None = None,
+    ) -> DamFrame:
+        """Shift down by n (ref column.nim:1177-1194). Partitioned by the
+        group keys when grouped — so the window shuffle is bounded per
+        group, not a single-partition global sort."""
+        w = self._window(order_by)
+        return self._wrap(
+            self._df.withColumn(out or f"{col}_lag{n}", F.lag(col, n, default).over(w))
+        )
+
+    def lead(
+        self,
+        col: str,
+        n: int = 1,
+        default=None,
+        order_by: Sequence[str] = (),
+        out: str | None = None,
+    ) -> DamFrame:
+        """Shift up by n (ref column.nim:1196-1213)."""
+        w = self._window(order_by)
+        return self._wrap(
+            self._df.withColumn(out or f"{col}_lead{n}", F.lead(col, n, default).over(w))
+        )
+
+    def _window(self, order_by: Sequence[str]):
+        if not order_by:
+            raise ValueError(
+                "order-sensitive op on an unordered distributed frame: pass order_by"
+            )
+        w = (
+            Window.partitionBy(*self._group_keys)
+            if self._group_keys
+            else Window.partitionBy()
+        )
+        return w.orderBy(*[F.col(c) for c in order_by])
+
+
+def _windowize(expr: Column, win) -> Column:
+    """If ``expr`` contains unresolved aggregate functions (mean/sum/...)
+    destined for a row-level context, wrap them in ``over(win)`` — the
+    engine's analog of the reference's loop-invariant lifting of whole-column
+    reductions inside row formulas (formulaExp.nim:400-485). Detection is
+    plan-text based: cheap and robust for the supported surface."""
+    # A Column built from F.mean(...) etc. stringifies with the aggregate at
+    # the root or inside; Catalyst would reject it in withColumn/filter.
+    # We only auto-window when the expression is a bare aggregate call;
+    # composite expressions should use explicit .over().
+    try:
+        expr_str = str(expr._jc)  # noqa: SLF001
+    except Exception:  # pragma: no cover
+        return expr
+    aggs = (
+        "avg(", "sum(", "min(", "max(", "count(", "stddev", "variance",
+        "var_samp", "var_pop", "stddev_samp", "stddev_pop", "mean(",
+    )
+    lowered = expr_str.lower()
+    if any(lowered.startswith(a) or f" {a}" in lowered for a in aggs) and "over" not in lowered:
+        try:
+            return expr.over(win)
+        except Exception:  # not actually an aggregate — use as-is
+            return expr
+    return expr
+
+
+def to_df(data: dict[str, Iterable], spark=None) -> DamFrame:
+    """Construct a DamFrame from a dict of columns (ref toDf/seqsToDf,
+    dataframe.nim:559-639). Ragged inputs follow the reference: length-1
+    columns broadcast as constants, shorter columns padded with NULL
+    (extendShortColumns, dataframe.nim:409-419)."""
+    from .session import get_spark
+
+    spark = spark or get_spark()
+    cols = {k: list(v) for k, v in data.items()}
+    n = max((len(v) for v in cols.values()), default=0)
+    for k, v in cols.items():
+        if len(v) == 1 and n > 1:
+            cols[k] = v * n
+        elif len(v) < n:
+            cols[k] = v + [None] * (n - len(v))
+    rows = list(zip(*cols.values())) if cols else []
+    pdf = None
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(dict(zip(cols.keys(), zip(*rows))) if rows else cols)
+    except Exception:  # pragma: no cover
+        pass
+    if pdf is not None:
+        return DamFrame(spark.createDataFrame(pdf))
+    return DamFrame(spark.createDataFrame(rows, schema=list(cols.keys())))

@@ -1,0 +1,148 @@
+"""Sources / sinks (SURVEY.md §2.1).
+
+The reference's readCsv (io.nim:686-784) is an mmap'd single-pass parser
+with sample-based type inference and mid-parse promotion; Spark's
+distributed CSV reader with ``inferSchema`` is the scale-correct
+equivalent (splittable, vectorized, permissive mode ≈ promote-to-object).
+HDF5 serialization (serialize.nim:8-52) maps to parquet — the columnar
+format Spark pushes filters and column pruning into.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+
+from .frame import DamFrame
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    skip_lines: int = 0,
+    max_lines: int | None = None,
+    col_names: Sequence[str] | None = None,
+    quote: str = '"',
+    comment: str | None = "#",
+    infer_schema: bool = True,
+) -> DamFrame:
+    """Distributed CSV scan mapping readCsv's surface (io.nim:686-784):
+    ``sep``/``quote``/``header``/``skipLines``/``maxLines``/``colNames``,
+    ``#``-comment headers. URLs are fetched driver-side then parallel-read
+    (the reference fetches URLs too, io.nim:700-720)."""
+    if path.startswith(("http://", "https://")):
+        import tempfile
+        import urllib.request
+
+        fd, local = tempfile.mkstemp(suffix=".csv")
+        os.close(fd)
+        urllib.request.urlretrieve(path, local)  # noqa: S310
+        path = local
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("quote", quote)
+        .option("inferSchema", infer_schema)
+        .option("mode", "PERMISSIVE")  # promote-don't-fail, like the reference
+        .option("nanValue", "NaN")
+        .option("positiveInf", "Inf")
+        .option("negativeInf", "-Inf")
+    )
+    if comment:
+        reader = reader.option("comment", comment)
+    if skip_lines:
+        # Spark has no skipRows for CSV; emulate via RDD-free text slice:
+        # read as text, drop first N lines by zip index, re-parse.
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        txt = spark.read.text(path)
+        w = Window.orderBy(F.monotonically_increasing_id())
+        txt = (
+            txt.withColumn("_i", F.row_number().over(w))
+            .filter(F.col("_i") > skip_lines)
+            .drop("_i")
+        )
+        df = reader.csv(txt.rdd.map(lambda r: r[0]))
+    else:
+        df = reader.csv(path)
+    if col_names:
+        df = df.toDF(*col_names)
+    if max_lines is not None:
+        df = df.limit(max_lines)
+    return DamFrame(df)
+
+
+def write_csv(frame: DamFrame, path: str, sep: str = ",", header: bool = True) -> None:
+    """writeCsv (io.nim:807-826) → distributed CSV write (a directory of
+    part files at scale; coalesce(1) deliberately NOT default)."""
+    frame.df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DamFrame:
+    """Columnar (de)serialization — replaces toH5/fromH5 (serialize.nim)."""
+    return DamFrame(spark.read.parquet(path))
+
+
+def write_parquet(
+    frame: DamFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    bucket_by: tuple[int, Sequence[str]] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Parquet sink with the two scale levers: ``partition_by`` for
+    partition-pruned scans, ``bucket_by`` (requires ``table_name``) for
+    shuffle-free co-located joins on the bucket keys."""
+    w = frame.df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucketBy requires a table_name (saveAsTable)")
+        w.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
+        return
+    w.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None) -> dict[str, DamFrame]:
+    """Load the driver's TPC-H-ish parquet tables from an sf directory."""
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    out: dict[str, DamFrame] = {}
+    for n in names:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+            # TIMESTAMP(NANOS) parquet columns arrive as long ns-since-epoch
+            # (session.py nanosAsLong); normalize to microsecond timestamps,
+            # the precision DuckDB/Spark agree on. Integer division keeps
+            # exactness (doubles can't hold ns epochs > 2^53).
+            if n == "events" and isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            out[n] = df
+    return {k: DamFrame(v) for k, v in out.items()}
+
+
+def to_html(frame: DamFrame, n: int = 100) -> str:
+    """toHtml (io.nim:866-917) — driver-side nicety over a bounded sample."""
+    return frame.df.limit(n).toPandas().to_html()
+
+
+def to_org_table(frame: DamFrame, n: int = 100) -> str:
+    """toOrgTable (io.nim:919-939)."""
+    pdf = frame.df.limit(n).toPandas()
+    head = "| " + " | ".join(map(str, pdf.columns)) + " |"
+    sep = "|" + "|".join("---" for _ in pdf.columns) + "|"
+    rows = ["| " + " | ".join(str(v) for v in r) + " |" for r in pdf.itertuples(index=False)]
+    return "\n".join([head, sep, *rows])

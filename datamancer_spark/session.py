@@ -1,0 +1,71 @@
+"""SparkSession bootstrap for datamancer_spark.
+
+Defaults are tuned for correctness-reproducibility (UTC, ANSI off to match
+the reference's permissive semantics) and scale (AQE on, skew-join handling
+on). On a real cluster the same config applies; only ``master`` and the
+shuffle-partition count change (set ``spark.sql.shuffle.partitions`` to
+~2-3x total cores, or leave AQE's coalescing to shrink it).
+
+Reference: Datamancer is a single-process eager library with no session
+concept (``/root/reference/src/datamancer/dataframe.nim``); this module is
+the Spark-first replacement for "just import and go".
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Adaptive execution: runtime re-planning, partition coalescing and
+    # skew-join splitting — essential at 100 TB, harmless at sf0.001.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas interchange (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamps across Spark and the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Reference semantics are permissive (promote, never fail): keep ANSI
+    # off so casts return NULL instead of raising, matching Datamancer's
+    # promote-on-conflict model (SURVEY.md §1.3).
+    "spark.sql.ansi.enabled": "false",
+    # Broadcast threshold: generous — dimension tables (region/nation/
+    # customer/supplier/part at TPC-H ratios) should always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Spark has no nanosecond timestamp type; read TIMESTAMP(NANOS) parquet
+    # columns as long (ns since epoch) and convert at the API layer
+    # (io.load_tables) to microsecond timestamps — DuckDB's precision.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "datamancer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so tests and bench share one entry point. On a cluster,
+    pass ``master=None`` with a pre-configured spark-submit and only the
+    engine defaults are layered on.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
