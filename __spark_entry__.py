@@ -1,38 +1,1064 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+beyond-reference LLM-pipeline operator per BASELINE.json), implemented
+through the ``datamancer_spark`` engine; ``oracle_sql()`` holds the DuckDB
+twin. Column names and rounding are aligned pairwise (sums → 2 decimals,
+means/ratios → 4, similarities → 6) so the driver's order-insensitive
+value-hash is stable across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datamancer_spark import load_tables
+from datamancer_spark.frame import DamFrame
+from datamancer_spark.functions import text as T
+from datamancer_spark.functions import vector as V
+from datamancer_spark.functions.rounding import prnd
+from datamancer_spark.operators import dedup as D
+from datamancer_spark.operators import similarity as S
+
+SF1 = "/root/testdata/sf0.001"
+
+
+def _expand_prnd(sql: str) -> str:
+    """Expand ``prnd(expr, n)`` placeholders in oracle SQL into the
+    engine-portable rounding form ``floor((expr)·10ⁿ + 0.5)/10ⁿ`` (see
+    datamancer_spark.functions.rounding: Spark HALF_UP vs DuckDB
+    half-even diverge on exact halfway values)."""
+    while "prnd(" in sql:
+        i = sql.index("prnd(")
+        j = i + len("prnd(")
+        depth, comma = 0, None
+        while True:
+            ch = sql[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                comma = j
+            j += 1
+        expr = sql[i + len("prnd(") : comma]
+        n = int(sql[comma + 1 : j].strip())
+        scale = float(10**n)
+        sql = sql[:i] + f"floor(({expr}) * {scale} + 0.5) / {scale}" + sql[j + 1 :]
+    return sql
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DamFrame]:
+    return load_tables(spark, sf_dir, names or None)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish headline queries
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter → grouped agg (ref filter dataframe.nim:1360 +
+    group_by/summarize dataframe.nim:2007-2101)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .group_by("l_returnflag", "l_linestatus")
+        .summarize(
+            sum_qty=prnd(F.sum("l_quantity"), 2),
+            sum_base_price=prnd(F.sum("l_extendedprice"), 2),
+            sum_disc_price=prnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ),
+            avg_qty=prnd(F.avg("l_quantity"), 4),
+            avg_price=prnd(F.avg("l_extendedprice"), 4),
+            avg_disc=prnd(F.avg("l_discount"), 4),
+            count_order=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join → grouped agg → deterministic top-10 (joins
+    dataframe.nim:1885; head dataframe.nim:2197)."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    res = (
+        cust.rename(o_custkey="c_custkey")
+        .inner_join(t["orders"], by="o_custkey", broadcast_right=False)
+        .inner_join(
+            t["lineitem"].rename(o_orderkey="l_orderkey"), by="o_orderkey"
+        )
+        .group_by("o_orderkey", "o_orderdate", "o_orderpriority")
+        .summarize(
+            revenue=prnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            )
+        )
+        .arrange(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .head(10)
+    )
+    return res.df
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join across all dims → per-nation revenue (multi-join fold,
+    ref dataframe.nim:1994-2005)."""
+    t = _t(spark, sf_dir, "nation", "customer", "supplier", "orders", "lineitem")
+    joined = (
+        t["lineitem"]
+        .inner_join(t["orders"].rename(l_orderkey="o_orderkey"), by="l_orderkey")
+        .inner_join(t["customer"].rename(o_custkey="c_custkey"), by="o_custkey")
+        .inner_join(
+            t["nation"].rename(c_nationkey="n_nationkey"),
+            by="c_nationkey",
+            broadcast_right=True,
+        )
+        .inner_join(
+            t["supplier"].rename(l_suppkey="s_suppkey"),
+            by="l_suppkey",
+            broadcast_right=True,
+        )
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        joined.group_by("n_name")
+        .summarize(
+            revenue=prnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            )
+        )
+        .df
+    )
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushdown-friendly filter + ungrouped reduce (ref summarize
+    ungrouped → 1 row, dataframe.nim:2037-2101)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_quantity") < 24)
+        )
+        .summarize(
+            revenue=prnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2),
+            n=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row verbs (SURVEY §2.2-2.3)
+# ---------------------------------------------------------------------------
+
+
+def filter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter + select + rename-during-select (dataframe.nim:1403-1443)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .df
+    )
+
+
+def mutate_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutate: arithmetic + conditional formula (dataframe.nim:1674-1775;
+    if/else formulas formula.nim:1073-1078)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.mutate(
+            disc_price=prnd(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2),
+            charge=prnd(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                2,
+            ),
+            heavy=F.when(F.col("l_quantity") > 25, F.lit("Y")).otherwise(F.lit("N")),
+        )
+        .select("l_orderkey", "l_linenumber", "disc_price", "charge", "heavy")
+        .df
+    )
+
+
+def transmute_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transmute with the math-function surface (SURVEY §2.10: abs, ln,
+    exp, sqrt, pow, round)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.transmute(
+            l_orderkey=F.col("l_orderkey"),
+            l_linenumber=F.col("l_linenumber"),
+            log_price=prnd(F.log(F.col("l_extendedprice")), 4),
+            sqrt_qty=prnd(F.sqrt(F.col("l_quantity")), 4),
+            qty_sq=prnd(F.pow(F.col("l_quantity"), F.lit(2)), 2),
+            abs_margin=prnd(F.abs(F.col("l_discount") - F.col("l_tax")), 4),
+        )
+        .df
+    )
+
+
+def masked_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """masked assign df[cond, col] = val (dataframe.nim:344-370)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.masked_assign("value", F.col("event_type") == "error", 0.0)
+        .select("event_id", "event_type", "value")
+        .df
+    )
+
+
+def arrange_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrange multi-key + head (dataframe.nim:1604-1657, 2197)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.arrange(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .head(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .df
+    )
+
+
+def tail_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tail under explicit order (dataframe.nim:2197-2203)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .tail(20, order_by=["o_orderkey"])
+        .df
+    )
+
+
+def slice_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """positional slice df[a..b] under explicit order
+    (dataframe.nim:211-221)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.select("event_id", "user_id", "value")
+        .slice_rows(100, 149, order_by=["event_id"])
+        .df
+    )
+
+
+def unique_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-occurrence unique on a key subset (dataframe.nim:2370-2422:
+    keeps first; we make 'first' explicit via order_by)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.unique("o_custkey", order_by=["o_orderdate", "o_orderkey"])
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .df
+    )
+
+
+def distinct_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique over full projection (dataframe.nim:2347-2368)."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return c.select("c_mktsegment", "c_nationkey").unique().df
+
+
+# ---------------------------------------------------------------------------
+# Grouping / aggregation (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def count_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(df, cols, name) (dataframe.nim:2103-2138)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return ev.count("event_type", name="n").df
+
+
+def summarize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the reducing-formula agg surface: mean/sum/min/max/var/stddev
+    (testDf.nim:1211-1279)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.group_by("l_returnflag")
+        .summarize(
+            mean_qty=prnd(F.mean("l_quantity"), 4),
+            sum_qty=prnd(F.sum("l_quantity"), 2),
+            min_qty=F.min("l_quantity"),
+            max_qty=F.max("l_quantity"),
+            var_qty=prnd(F.var_samp("l_quantity"), 4),
+            sd_qty=prnd(F.stddev_samp("l_quantity"), 4),
+        )
+        .df
+    )
+
+
+def grouped_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouped mutate with whole-group reduction broadcast
+    (dataframe.nim:1674-1775 fkScalar; our window lifting)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.group_by("l_returnflag")
+        .mutate(grp_avg_qty=prnd(F.avg("l_quantity"), 4))
+        .ungroup()
+        .filter(F.col("l_quantity") > F.col("grp_avg_qty") * 1.8)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "grp_avg_qty")
+        .df
+    )
+
+
+def grouped_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouped filter with reducing predicate — keeps/drops whole groups
+    (dataframe.nim:1360-1385 reducing << case)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.group_by("o_custkey")
+        .filter(F.count(F.lit(1)) >= 15)
+        .ungroup()
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .df
+    )
+
+
+def rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup subtotals (beyond-reference grouping sets, SURVEY §2.5)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.rollup(
+        "o_orderstatus",
+        "o_orderpriority",
+        n=F.count(F.lit(1)),
+        total=prnd(F.sum("o_totalprice"), 2),
+    ).df
+
+
+def cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube over two dims (beyond-reference)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return ev.cube(
+        "event_type",
+        "user_id",
+        n=F.count(F.lit(1)),
+        avg_value=prnd(F.avg("value"), 4),
+    ).df
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4) + sets (§2.6)
+# ---------------------------------------------------------------------------
+
+
+def inner_join_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """single-key equi inner join (dataframe.nim:1885-1992)."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"]
+        .rename(c_custkey="o_custkey")
+        .inner_join(t["customer"], by="c_custkey", broadcast_right=True)
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice", "c_acctbal")
+        .df
+    )
+
+
+def left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left join + null fill (beyond-reference join type; fill_null maps
+    drop_null family, dataframe.nim:2424-2465)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["orders"]
+        .group_by("o_custkey")
+        .summarize(n_orders=F.count(F.lit(1)), spend=prnd(F.sum("o_totalprice"), 2))
+    )
+    return (
+        t["customer"]
+        .rename(o_custkey="c_custkey")
+        .left_join(per_cust, by="o_custkey")
+        .fill_null(0, "n_orders")
+        .fill_null(0.0, "spend")
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "c_name", "n_orders", "spend"
+        )
+        .df
+    )
+
+
+def semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semi join (beyond-reference; Spark-native left_semi)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 400000).rename(
+        c_custkey="o_custkey"
+    )
+    return (
+        t["customer"].semi_join(big, by="c_custkey").select("c_custkey", "c_name").df
+    )
+
+
+def anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anti join: customers with no orders (beyond-reference)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .anti_join(t["orders"].rename(c_custkey="o_custkey"), by="c_custkey")
+        .select("c_custkey", "c_name")
+        .df
+    )
+
+
+def bind_rows_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bind_rows: column union, null fill, provenance id
+    (dataframe.nim:926-1040)."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].transmute(
+        id=F.col("c_custkey"), name=F.col("c_name"), bal=F.col("c_acctbal")
+    )
+    s = t["supplier"].transmute(
+        id=F.col("s_suppkey"),
+        name=F.col("s_name"),
+        nationkey=F.col("s_nationkey").cast("int"),
+    )
+    return c.bind_rows(s, id="src").df
+
+
+def set_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """setDiff multiset semantics (dataframe.nim:2140-2195 → exceptAll)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    all_rows = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    finished = all_rows.filter(F.col("o_orderstatus") == "F")
+    return all_rows.set_diff(finished).df
+
+
+def intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect (absent in reference, SURVEY §2.6 — Spark native)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_custkey").unique()
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").unique()
+    return a.intersect_rows(b).df
+
+
+# ---------------------------------------------------------------------------
+# Reshaping (SURVEY §2.7) + windows (§2.9)
+# ---------------------------------------------------------------------------
+
+
+def gather_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gather wide→long (dataframe.nim:2205-2259 → unpivot)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .gather(["l_quantity", "l_discount", "l_tax"], key="measure", value="val")
+        .df
+    )
+
+
+def spread_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spread long→wide (dataframe.nim:2261-2345 → pivot). Pivot values
+    passed explicitly: skips Spark's distinct-collect pre-job (the
+    scale-correct form when categories are known)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    out = (
+        ev.df.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(prnd(F.avg("value"), 4))
+        .fillna(0.0)
+    )
+    return out
+
+
+def lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user over event time (column.nim:1177-1213), keyed
+    windows so the shuffle partitions by user, never one global sort."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.group_by("user_id")
+        .lag("value", 1, order_by=["ts", "event_id"], out="prev_value")
+        .lead("value", 1, order_by=["ts", "event_id"], out="next_value")
+        .ungroup()
+        .select("event_id", "user_id", "value", "prev_value", "next_value")
+        .df
+    )
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ranking windows (beyond lag/lead — absent in reference §2.9)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.mutate(rn=F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star)
+# ---------------------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    txt = F.col("text")
+    return (
+        doc.transmute(
+            doc_id=F.col("doc_id"),
+            n_tokens=T.token_count(txt),
+            n_chars_m=T.char_count(txt),
+            n_punct=T.punct_count(txt),
+            awl=prnd(T.avg_word_length(txt), 4),
+        )
+        .df
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        doc.transmute(
+            doc_id=F.col("doc_id"),
+            quality=prnd(T.quality_score(F.col("text")), 4),
+        )
+        .df
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        doc.transmute(
+            doc_id=F.col("doc_id"),
+            lang_label=F.col("lang"),
+            guess=T.lang_guess(F.col("text")),
+        )
+        .df
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return doc.transmute(doc_id=F.col("doc_id"), fp=T.fingerprint(F.col("text"))).df
+
+
+# ---------------------------------------------------------------------------
+# Dedup + similarity (north star)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return D.exact_dedup(doc.df)
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return D.minhash_lsh_pairs(doc.df, num_hashes=16, bands=4, shingle_n=3)
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return D.ngram_jaccard_pairs(doc.df, shingle_n=3, threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return D.simhash_pairs(doc.df, max_hamming=3, bands=4)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return D.embedding_dedup_pairs(emb.df, threshold=0.35)
+
+
+def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return S.knn_bruteforce(emb, queries_df, k=5)
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return S.knn_lsh(emb, queries_df, k=5, num_planes=4)
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        emb.transmute(
+            vec_id=F.col("vec_id"),
+            label=F.col("label"),
+            nrm=prnd(V.norm(F.col("embedding")), 6),
+            dim=F.size(F.col("embedding")),
+        )
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-style pricing summary at sf0.001."""
+    return q1_pricing_summary(spark, SF1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_revenue_delta": q6_revenue_delta,
+        "filter_select": filter_select,
+        "mutate_arith": mutate_arith,
+        "transmute_math": transmute_math,
+        "masked_assign": masked_assign,
+        "arrange_head": arrange_head,
+        "tail_sorted": tail_sorted,
+        "slice_rows": slice_rows,
+        "unique_first": unique_first,
+        "distinct_proj": distinct_proj,
+        "count_by": count_by,
+        "summarize_stats": summarize_stats,
+        "grouped_mutate": grouped_mutate,
+        "grouped_filter": grouped_filter,
+        "rollup_status": rollup_status,
+        "cube_status": cube_status,
+        "inner_join_rename": inner_join_rename,
+        "left_join_coalesce": left_join_coalesce,
+        "semi_join": semi_join_q,
+        "anti_join": anti_join_q,
+        "bind_rows_union": bind_rows_union,
+        "set_diff": set_diff_q,
+        "intersect": intersect_q,
+        "gather_melt": gather_melt,
+        "spread_pivot": spread_pivot,
+        "lag_lead_events": lag_lead_events,
+        "window_rank": window_rank,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "knn_brute": knn_brute,
+        "knn_lsh": knn_lsh,
+        "embedding_stats": embedding_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB twins. Shared SQL fragments:
+
+_LANG_SCORE = """
+    (len(' '||lower(text)||' ') - len(replace(' '||lower(text)||' ', ' {w} ', ''))) // {n}
+"""
+
+
+def _lang_score_sql(lang: str) -> str:
+    from datamancer_spark.functions.text import LANG_MARKERS
+
+    parts = [
+        f"(len(' '||lower(text)||' ') - len(replace(' '||lower(text)||' ', ' {w} ', ''))) // {len(w) + 2}"
+        for w in LANG_MARKERS[lang]
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+_SHINGLES_CTE = """
+docs AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) - 2 <= 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS shingles
+  FROM docs
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               prnd(sum(l_quantity), 2) AS sum_qty,
+               prnd(sum(l_extendedprice), 2) AS sum_base_price,
+               prnd(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               prnd(avg(l_quantity), 4) AS avg_qty,
+               prnd(avg(l_extendedprice), 4) AS avg_price,
+               prnd(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sql["q3_shipping_priority"] = """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               prnd(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """
+
+    sql["q5_nation_revenue"] = """
+        SELECT n_name,
+               prnd(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey = c_nationkey
+        GROUP BY n_name
+    """
+
+    sql["q6_revenue_delta"] = """
+        SELECT prnd(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_quantity < 24
+    """
+
+    sql["filter_select"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_extendedprice AS price
+        FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """
+
+    sql["mutate_arith"] = """
+        SELECT l_orderkey, l_linenumber,
+               prnd(l_extendedprice * (1 - l_discount), 2) AS disc_price,
+               prnd(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+               CASE WHEN l_quantity > 25 THEN 'Y' ELSE 'N' END AS heavy
+        FROM lineitem
+    """
+
+    sql["transmute_math"] = """
+        SELECT l_orderkey, l_linenumber,
+               prnd(ln(l_extendedprice), 4) AS log_price,
+               prnd(sqrt(l_quantity), 4) AS sqrt_qty,
+               prnd(pow(l_quantity, 2), 2) AS qty_sq,
+               prnd(abs(l_discount - l_tax), 4) AS abs_margin
+        FROM lineitem
+    """
+
+    sql["masked_assign"] = """
+        SELECT event_id, event_type,
+               CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS value
+        FROM events
+    """
+
+    sql["arrange_head"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+    """
+
+    sql["tail_sorted"] = """
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_orderkey DESC LIMIT 20
+    """
+
+    sql["slice_rows"] = """
+        SELECT event_id, user_id, value FROM (
+          SELECT event_id, user_id, value,
+                 row_number() OVER (ORDER BY event_id) - 1 AS rn
+          FROM events) t
+        WHERE rn BETWEEN 100 AND 149
+    """
+
+    sql["unique_first"] = """
+        SELECT o_custkey, o_orderkey, o_orderdate FROM (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn = 1
+    """
+
+    sql["distinct_proj"] = """
+        SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """
+
+    sql["count_by"] = """
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """
+
+    sql["summarize_stats"] = """
+        SELECT l_returnflag,
+               prnd(avg(l_quantity), 4) AS mean_qty,
+               prnd(sum(l_quantity), 2) AS sum_qty,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               prnd(var_samp(l_quantity), 4) AS var_qty,
+               prnd(stddev_samp(l_quantity), 4) AS sd_qty
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["grouped_mutate"] = """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, grp_avg_qty
+        FROM (
+          SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                 prnd(avg(l_quantity) OVER (PARTITION BY l_returnflag), 4)
+                   AS grp_avg_qty
+          FROM lineitem) t
+        WHERE l_quantity > grp_avg_qty * 1.8
+    """
+
+    sql["grouped_filter"] = """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 count(*) OVER (PARTITION BY o_custkey) AS cnt
+          FROM orders) t
+        WHERE cnt >= 15
+    """
+
+    sql["rollup_status"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               prnd(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+    sql["cube_status"] = """
+        SELECT event_type, user_id, count(*) AS n, prnd(avg(value), 4) AS avg_value
+        FROM events GROUP BY CUBE (event_type, user_id)
+    """
+
+    sql["inner_join_rename"] = """
+        SELECT o_orderkey, c_custkey, c_name, o_totalprice, c_acctbal
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+
+    sql["left_join_coalesce"] = """
+        SELECT c_custkey, c_name,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(spend, 0.0) AS spend
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, count(*) AS n_orders,
+                 prnd(sum(o_totalprice), 2) AS spend
+          FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+    """
+
+    sql["semi_join"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """
+
+    sql["anti_join"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+    sql["bind_rows_union"] = """
+        SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal, '0' AS src
+        FROM customer
+        UNION ALL BY NAME
+        SELECT s_suppkey AS id, s_name AS name,
+               CAST(s_nationkey AS INTEGER) AS nationkey, '1' AS src
+        FROM supplier
+    """
+
+    sql["set_diff"] = """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        EXCEPT ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F'
+    """
+
+    sql["intersect"] = """
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+        INTERSECT ALL
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """
+
+    sql["gather_melt"] = """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """
+
+    sql["spread_pivot"] = """
+        SELECT user_id,
+               coalesce(prnd(avg(CASE WHEN event_type = 'click' THEN value END), 4), 0.0) AS click,
+               coalesce(prnd(avg(CASE WHEN event_type = 'error' THEN value END), 4), 0.0) AS error,
+               coalesce(prnd(avg(CASE WHEN event_type = 'purchase' THEN value END), 4), 0.0) AS purchase,
+               coalesce(prnd(avg(CASE WHEN event_type = 'signup' THEN value END), 4), 0.0) AS signup,
+               coalesce(prnd(avg(CASE WHEN event_type = 'view' THEN value END), 4), 0.0) AS view
+        FROM events GROUP BY user_id
+    """
+
+    sql["lag_lead_events"] = """
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER w AS prev_value,
+               lead(value, 1) OVER w AS next_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sql["window_rank"] = """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) t
+        WHERE rn <= 3
+    """
+
+    sql["text_stats"] = """
+        SELECT doc_id,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               len(text) AS n_chars_m,
+               len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g'))
+                 AS n_punct,
+               prnd(len(regexp_replace(text, '\\s+', '', 'g'))
+                     / greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4)
+                 AS awl
+        FROM documents
+    """
+
+    ntok = ("CASE WHEN len(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    npunct = "len(text) - len(regexp_replace(text, '[.,!?;:''\"()\\[\\]{}-]', '', 'g'))"
+    awl = (f"(len(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest({ntok}, 1))")
+    sql["text_quality"] = f"""
+        SELECT doc_id, prnd((
+            (CASE WHEN {ntok} >= 5 AND {ntok} <= 100000 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN {awl} >= 2.0 AND {awl} <= 12.0 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN ({npunct}) * 1.0 / greatest(len(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                       / greatest(len(text), 1) <= 0.3 THEN 1.0 ELSE 0.0 END)
+          ) / 4.0, 4) AS quality
+        FROM documents
+    """
+
+    s_en = _lang_score_sql("en")
+    s_de = _lang_score_sql("de")
+    s_fr = _lang_score_sql("fr")
+    s_es = _lang_score_sql("es")
+    best = f"greatest({s_en}, {s_de}, {s_fr}, {s_es})"
+    sql["text_langid"] = f"""
+        SELECT doc_id, lang AS lang_label,
+               CASE WHEN {best} > 0 AND {s_en} = {best} THEN 'en'
+                    WHEN {best} > 0 AND {s_de} = {best} THEN 'de'
+                    WHEN {best} > 0 AND {s_fr} = {best} THEN 'fr'
+                    WHEN {best} > 0 AND {s_es} = {best} THEN 'es'
+                    ELSE 'und' END AS guess
+        FROM documents
+    """
+
+    sql["text_fingerprint"] = """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """
+
+    sql["dedup_exact"] = """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """
+
+    sql["dedup_minhash"] = f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, 15),
+                   k -> list_min(list_transform(shingles,
+                          s -> CAST('0x' || substr(md5(k::VARCHAR || s), 1, 15) AS BIGINT))))
+                   AS sig
+          FROM sh
+        ),
+        banded AS (
+          SELECT doc_id, b.band AS band,
+                 md5(array_to_string(list_transform(generate_series(1, 4),
+                       r -> sig[(b.band * 4) + r]::VARCHAR), ',')) AS bhash
+          FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    """
+
+    sql["dedup_jaccard"] = f"""
+        WITH {_SHINGLES_CTE},
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               prnd(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    """
+
+    sql["dedup_embedding"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               prnd(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE prnd(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """
+
+    sql["knn_brute"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 prnd(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])), 6) AS cos
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 5
+    """
+
+    sql["embedding_stats"] = """
+        SELECT vec_id, label,
+               prnd(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6) AS nrm,
+               len(embedding) AS dim
+        FROM embeddings
+    """
+
+    # dedup_simhash, knn_lsh: Pandas-UDF / LSH internals — rows-only check.
+    return {k: _expand_prnd(v) for k, v in sql.items()}

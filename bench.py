@@ -1,0 +1,76 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully via the noop sink (no driver materialization —
+measures the distributed plan, not collect bandwidth).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_revenue_delta",
+    "mutate_arith",
+    "summarize_stats",
+    "grouped_mutate",
+    "inner_join_rename",
+    "window_rank",
+    "gather_melt",
+    "spread_pivot",
+    "unique_first",
+    "text_quality",
+    "text_langid",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_jaccard",
+    "dedup_embedding",
+    "knn_brute",
+    "knn_lsh",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from datamancer_spark import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="datamancer-bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers once (not timed)
+    qs["q6_revenue_delta"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -168,19 +168,24 @@ class DamFrame:
         return self._wrap(self._df.select(*new_order))
 
     def mutate(self, **exprs: Column) -> DamFrame:
-        """Add/overwrite columns. Aggregate expressions are auto-windowed:
-        on a grouped frame ``mutate(m=F.mean("x"))`` broadcasts the
-        per-group mean to every row (the reference's fkScalar-broadcast,
-        dataframe.nim:1674-1775) via ``Window.partitionBy(keys)`` — a
-        single shuffle, no applyInPandas."""
+        """Add/overwrite columns. Row-level expressions go straight to
+        ``withColumn``; reducing expressions (the reference's fkScalar
+        broadcast, dataframe.nim:1674-1775) are detected by Catalyst's own
+        analyzer (AnalysisException on the row path) and rewritten as
+        hash-aggregate + equi-join back on the group keys — partial
+        map-side aggregation plus a (usually broadcast) join, which beats
+        a window sort at scale. Ungrouped reductions broadcast via a
+        1-row cross join (Catalyst folds it to a broadcast nested loop)."""
         df = self._df
-        win = (
-            Window.partitionBy(*self._group_keys)
-            if self._group_keys
-            else Window.partitionBy()
-        )
         for name, expr in exprs.items():
-            df = df.withColumn(name, _windowize(expr, win))
+            try:
+                df = df.withColumn(name, expr)
+            except Exception:
+                if self._group_keys:
+                    agg = df.groupBy(*self._group_keys).agg(expr.alias(name))
+                    df = df.join(agg, on=list(self._group_keys), how="left")
+                else:
+                    df = df.crossJoin(df.agg(expr.alias(name)))
         return self._wrap(df)
 
     def transmute(self, **exprs: Column) -> DamFrame:
@@ -197,19 +202,34 @@ class DamFrame:
     # -- filter -----------------------------------------------------------
 
     def filter(self, *conds: Column) -> DamFrame:
-        """Keep rows where all conditions hold. On a grouped frame,
-        aggregate conditions (the reference's reducing ``<<`` filter,
-        dataframe.nim:1321-1358) are evaluated per group via a window and
-        keep/drop whole groups — distributed, no per-group loop."""
-        win = (
-            Window.partitionBy(*self._group_keys)
-            if self._group_keys
-            else Window.partitionBy()
-        )
-        combined = functools.reduce(
-            lambda a, b: a & b, (_windowize(c, win) for c in conds)
-        )
-        return self._wrap(self._df.filter(combined))
+        """Keep rows where all conditions hold. Reducing conditions (the
+        reference's ``<<`` filter, dataframe.nim:1321-1358) keep or drop
+        whole groups: detected via Catalyst's analyzer, then rewritten as
+        groupBy(keys).agg(pred) → semi-join — one partial-aggregated
+        shuffle, no per-group Python. Ungrouped reducing predicates keep
+        all rows or none (cross join against the 0/1-row agg result)."""
+        df = self._df
+        for cond in conds:
+            try:
+                df = df.filter(cond)
+            except Exception:
+                keys = list(self._group_keys)
+                if keys:
+                    keep = (
+                        df.groupBy(*keys)
+                        .agg(cond.alias("_keep"))
+                        .filter(F.col("_keep"))
+                        .select(*keys)
+                    )
+                    df = df.join(keep, on=keys, how="left_semi")
+                else:
+                    gate = (
+                        df.agg(cond.alias("_keep"))
+                        .filter(F.col("_keep"))
+                        .select(F.lit(1).alias("_gate"))
+                    )
+                    df = df.crossJoin(gate).drop("_gate")
+        return self._wrap(df)
 
     # -- sorting / limits / sampling --------------------------------------
 
@@ -287,6 +307,18 @@ class DamFrame:
         return DamFrame(out, ())
 
     summarise = summarize
+
+    def rollup(self, *keys: str, **aggs: Column) -> DamFrame:
+        """Hierarchical subtotals (beyond-reference: SURVEY.md §2.5 notes
+        the reference has no grouping sets). NULL marks the rolled-up
+        levels, as in SQL ROLLUP."""
+        exprs = [v.alias(k) for k, v in aggs.items()]
+        return DamFrame(self._df.rollup(*keys).agg(*exprs), ())
+
+    def cube(self, *keys: str, **aggs: Column) -> DamFrame:
+        """All grouping-set combinations (beyond-reference)."""
+        exprs = [v.alias(k) for k, v in aggs.items()]
+        return DamFrame(self._df.cube(*keys).agg(*exprs), ())
 
     def count(self, *cols: str, name: str = "n") -> DamFrame:
         """group_by(cols) + per-group count (ref dataframe.nim:2103-2138)."""
@@ -544,33 +576,6 @@ class DamFrame:
         return w.orderBy(*[F.col(c) for c in order_by])
 
 
-def _windowize(expr: Column, win) -> Column:
-    """If ``expr`` contains unresolved aggregate functions (mean/sum/...)
-    destined for a row-level context, wrap them in ``over(win)`` — the
-    engine's analog of the reference's loop-invariant lifting of whole-column
-    reductions inside row formulas (formulaExp.nim:400-485). Detection is
-    plan-text based: cheap and robust for the supported surface."""
-    # A Column built from F.mean(...) etc. stringifies with the aggregate at
-    # the root or inside; Catalyst would reject it in withColumn/filter.
-    # We only auto-window when the expression is a bare aggregate call;
-    # composite expressions should use explicit .over().
-    try:
-        expr_str = str(expr._jc)  # noqa: SLF001
-    except Exception:  # pragma: no cover
-        return expr
-    aggs = (
-        "avg(", "sum(", "min(", "max(", "count(", "stddev", "variance",
-        "var_samp", "var_pop", "stddev_samp", "stddev_pop", "mean(",
-    )
-    lowered = expr_str.lower()
-    if any(lowered.startswith(a) or f" {a}" in lowered for a in aggs) and "over" not in lowered:
-        try:
-            return expr.over(win)
-        except Exception:  # not actually an aggregate — use as-is
-            return expr
-    return expr
-
-
 def to_df(data: dict[str, Iterable], spark=None) -> DamFrame:
     """Construct a DamFrame from a dict of columns (ref toDf/seqsToDf,
     dataframe.nim:559-639). Ragged inputs follow the reference: length-1
@@ -586,14 +591,8 @@ def to_df(data: dict[str, Iterable], spark=None) -> DamFrame:
             cols[k] = v * n
         elif len(v) < n:
             cols[k] = v + [None] * (n - len(v))
+    # Rows built directly (not via pandas): pandas treats NaN as its missing
+    # marker, which would silently turn explicit float NaN into SQL NULL.
+    # The reference keeps NaN and VNull distinct (SURVEY.md §1.3); so do we.
     rows = list(zip(*cols.values())) if cols else []
-    pdf = None
-    try:
-        import pandas as pd
-
-        pdf = pd.DataFrame(dict(zip(cols.keys(), zip(*rows))) if rows else cols)
-    except Exception:  # pragma: no cover
-        pass
-    if pdf is not None:
-        return DamFrame(spark.createDataFrame(pdf))
     return DamFrame(spark.createDataFrame(rows, schema=list(cols.keys())))

@@ -1,0 +1,116 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All hot-path functions are pure Catalyst Column expressions (JVM-side,
+whole-stage codegen — no Python in the loop), so they vectorize and scale
+to 100 TB document corpora. Each has an exact ANSI/DuckDB-SQL twin used by
+the differential oracle (__spark_entry__.oracle_sql).
+
+Beyond-reference surface: the Datamancer reference has no text operators
+(SURVEY.md §2.12); these follow the BASELINE.json north star (LLM-data-
+pipeline operators as first-class components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Punctuation class shared verbatim with the DuckDB oracle — keep explicit
+# (no [[:punct:]]) so both regex engines agree.
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+
+# Tiny per-language stopword marker sets for the n-gram language heuristic.
+# Deterministic and SQL-replicable (space-padded substring counting).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "es", "los"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count. ``split(trim(x), '\\s+')`` — identical
+    semantics to DuckDB ``len(regexp_split_to_array(trim(x), '\\s+'))``."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_count(text: Column) -> Column:
+    """Count of punctuation chars = len - len(with punctuation removed)."""
+    return F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+
+
+def digit_ratio(text: Column) -> Column:
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+    ) / F.greatest(F.length(text), F.lit(1))
+
+
+def avg_word_length(text: Column) -> Column:
+    """Mean token length: chars-without-whitespace / token count."""
+    stripped = F.length(F.regexp_replace(text, r"\s+", ""))
+    return stripped / F.greatest(token_count(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality in [0,1]: length band + punctuation
+    sanity + word-shape sanity. Mirrors Gopher/C4-style rule filters
+    (published heuristics), expressed as one Catalyst expression."""
+    n_tok = token_count(text)
+    awl = avg_word_length(text)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    word_ok = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(
+        punct_count(text) / F.greatest(F.length(text), F.lit(1)) <= 0.2, 1.0
+    ).otherwise(0.0)
+    digit_ok = F.when(digit_ratio(text) <= 0.3, 1.0).otherwise(0.0)
+    return (len_ok + word_ok + punct_ok + digit_ok) / F.lit(4.0)
+
+
+def marker_hits(text: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whitespace-delimited token, via
+    pad-and-count-replacements: exactly replicable in SQL with
+    ``(len(padded) - len(replace(padded, ' w ', ''))) / (len(w)+2)``.
+    Overlapping occurrences ('the the') undercount identically in both
+    engines — acceptable for a scoring heuristic."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Sum of marker-token hits for one language."""
+    score = F.lit(0).cast("long")
+    for w in LANG_MARKERS[lang]:
+        score = score + marker_hits(text, w)
+    return score
+
+
+def lang_guess(text: Column) -> Column:
+    """Argmax language over marker scores; 'und' (undetermined) when all
+    zero. Ties break by fixed language order — mirrored in the oracle's
+    CASE chain."""
+    scores = {lang: lang_score(text, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed CASE chain so earlier langs win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of lowercased,
+    whitespace-collapsed text. md5 is identical across Spark and DuckDB,
+    so exact-dedup results are engine-portable (unlike murmur ``F.hash``)."""
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(canon)

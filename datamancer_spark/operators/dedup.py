@@ -1,0 +1,339 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes (100 TB corpus, 1000 executors):
+- Everything is expressed relationally (explode → shuffle-on-key → agg);
+  no driver-side collections, no per-row Python except SimHash (Arrow
+  Pandas UDF, the documented slow path).
+- The portable 60-bit hash (md5 prefix → BIGINT) is used instead of
+  ``F.hash`` (murmur) so every stage is replicable in the DuckDB oracle —
+  same cost class (one md5 per shingle) and engine-portable.
+- MinHash/LSH follows Broder's scheme as used by web-scale dedup
+  pipelines: k signatures → b bands of r rows; a candidate pair must share
+  one full band (bucket join), then exact Jaccard verifies. Shuffle volume
+  is O(docs × b), not O(docs²).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import prnd
+
+from ..functions.text import fingerprint
+
+# -- portable hashing --------------------------------------------------------
+
+
+def portable_hash(col: Column, seed: int = 0) -> Column:
+    """Deterministic 60-bit positive hash, identical in Spark and DuckDB:
+    BIGINT of the first 15 hex digits of md5(seed || value).
+    DuckDB twin: CAST('0x' || substr(md5(seed || v), 1, 15) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens (shared canonicalization)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+    Catalyst higher-order funcs only (transform over an index sequence) —
+    no UDF. DuckDB twin uses list_transform + generate_series."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup on the canonical fingerprint: one row per
+    distinct normalized text, keeping the smallest id (deterministic) and
+    the duplicate count. Single shuffle on a 32-hex key; at 100 TB the
+    md5 evaluates next to the scan, and only (fp, id) columns shuffle
+    thanks to column pruning."""
+    return (
+        df.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus itself: rows whose id is the keeper.
+    Implemented as a min_by-free double-agg + semi join so the text column
+    is scanned once and never shuffled."""
+    keepers = exact_dedup(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(F.broadcast(keepers) if _small(keepers) else keepers, id_col, "left_semi")
+
+
+def _small(df: DataFrame) -> bool:
+    # Keeper-id sets are one long per distinct doc; broadcast below ~10M docs.
+    # We cannot know the count without a job, so leave the decision to AQE:
+    return False
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — sigᵢ = min over shingles of
+    portable_hash(shingle, seed=i). All Catalyst expressions; k md5s per
+    shingle. The reference has no equivalent (SURVEY.md §2.12)."""
+    sh = word_shingles(F.col(text_col), shingle_n).alias("sh")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, i=i: portable_hash(s, i))
+            )
+            for i in range(num_hashes)
+        ]
+    ).alias("sig")
+    return df.select(F.col(id_col), sh).select(F.col(id_col), sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Plan shape: docs → signatures → explode b band-keys → shuffle on
+    (band, band_hash) via self-join → distinct pairs. Band buckets are the
+    only join key, so the shuffle is O(docs·b); no quadratic stage. Skewed
+    buckets (boilerplate-heavy corpora) are handled by AQE skew-join
+    splitting (enabled in session defaults)."""
+    rows = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bhash") == F.col(f"b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via an inverted shingle index:
+    explode distinct shingles → self-join on shingle → count shared →
+    |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+
+    Fully relational (GROUP BY + JOIN), so DuckDB-checkable. At scale the
+    inverted index is the standard text-similarity-join plan; extremely
+    common shingles should be pruned upstream (df.filter on doc frequency)
+    — exposed as a follow-up knob, not silently applied."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", prnd("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """Charikar SimHash over whitespace tokens: per-bit majority vote of
+    token hashes → one {bits}-bit signature per doc.
+
+    Implemented as an Arrow-batched Pandas UDF (the documented slow path):
+    per-bit vote over variable-length token sets doesn't fit Catalyst
+    higher-order funcs without a 64-way expression blow-up. numpy does the
+    bit unpacking vectorized per batch; rows never leave the executor."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _simhash(texts: "pd.Series") -> "pd.Series":
+        import hashlib
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = set((t or "").lower().split())
+            if not toks:
+                continue
+            votes = np.zeros(bits, dtype=np.int64)
+            for tok in toks:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
+                )
+                tok_bits = (h >> np.arange(bits, dtype=np.uint64)) & 1
+                votes += 2 * tok_bits.astype(np.int64) - 1
+            sig = np.uint64(0)
+            for bpos in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using the
+    standard bit-block LSH: split the 64-bit signature into ``bands``
+    blocks; any pair within distance b-1 of b blocks shares ≥1 exact block
+    (pigeonhole). Join on (block_idx, block_value) — linear shuffle."""
+    sh = simhash(df, text_col, id_col)
+    width = 64 // bands
+    blocked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# -- embedding near-dup ------------------------------------------------------
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Baseline plan: normalize once, self-join (id_a < id_b), dot product.
+    O(n²) pairs — correct at any SF but quadratic; the scale path is
+    LSH-bucketing by hyperplane sign bits (see similarity.random_hyperplane
+    _buckets) which turns it into the same banded-join shape as MinHash."""
+    from ..functions.vector import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", prnd(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,191 @@
+"""Golden-value unit tests for the DamFrame verb layer, mirroring the
+reference's inline-expected-tensor style (testDf.nim, SURVEY.md §5) on tiny
+literal frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamancer_spark import to_df
+from tests.conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def mini(spark):
+    # mirrors the shape of testDf.nim's small fixtures
+    return to_df(
+        {
+            "x": [1, 2, 3, 4, 5, 6],
+            "y": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+            "g": ["a", "a", "b", "b", "b", "c"],
+        },
+        spark,
+    )
+
+
+def test_filter(mini):
+    out = mini.filter(F.col("x") > 3)
+    assert rows_set(out.df) == [(4, 40.0, "b"), (5, 50.0, "b"), (6, 60.0, "c")]
+
+
+def test_filter_reducing_keeps_all_or_none(mini):
+    # reference: reducing (<<) filter keeps/drops the whole frame
+    # (dataframe.nim:1360-1385)
+    assert mini.filter(F.mean("x") > 3).count_rows() == 6
+    assert mini.filter(F.mean("x") > 100).count_rows() == 0
+
+
+def test_select_and_rename(mini):
+    out = mini.select("x", F.col("y").alias("z"))
+    assert out.columns == ["x", "z"]
+    out2 = mini.rename(new_x="x")
+    assert "new_x" in out2.columns and "x" not in out2.columns
+
+
+def test_relocate(mini):
+    assert mini.relocate("g").columns == ["g", "x", "y"]
+    assert mini.relocate("g", after="x").columns == ["x", "g", "y"]
+    assert mini.relocate("y", before="x").columns == ["y", "x", "g"]
+
+
+def test_mutate_row_and_scalar(mini):
+    out = mini.mutate(z=F.col("x") * 2)
+    assert [r["z"] for r in out.arrange("x").collect()] == [2, 4, 6, 8, 10, 12]
+    # scalar broadcast (fkScalar, dataframe.nim:1674-1775)
+    out2 = mini.mutate(m=F.mean("y"))
+    assert all(r["m"] == 35.0 for r in out2.collect())
+
+
+def test_grouped_mutate_broadcast(mini):
+    out = mini.group_by("g").mutate(gm=F.mean("x")).arrange("x")
+    got = [(r["g"], r["gm"]) for r in out.collect()]
+    assert got == [
+        ("a", 1.5), ("a", 1.5), ("b", 4.0), ("b", 4.0), ("b", 4.0), ("c", 6.0)
+    ]
+
+
+def test_transmute(mini):
+    out = mini.transmute(dbl=F.col("x") * 2)
+    assert out.columns == ["dbl"]
+
+
+def test_grouped_transmute_keeps_keys(mini):
+    out = mini.group_by("g").transmute(dbl=F.col("x") * 2)
+    assert set(out.columns) == {"g", "dbl"}
+
+
+def test_masked_assign(mini):
+    out = mini.masked_assign("y", F.col("x") > 4, 0.0).arrange("x")
+    assert [r["y"] for r in out.collect()] == [10.0, 20.0, 30.0, 40.0, 0.0, 0.0]
+
+
+def test_arrange_desc(mini):
+    out = mini.arrange("x", ascending=False)
+    assert [r["x"] for r in out.collect()] == [6, 5, 4, 3, 2, 1]
+
+
+def test_head_tail_slice(mini):
+    assert [r["x"] for r in mini.head(2, order_by=["x"]).collect()] == [1, 2]
+    assert [r["x"] for r in mini.tail(2, order_by=["x"]).collect()] == [5, 6]
+    assert [r["x"] for r in mini.slice_rows(1, 3, order_by=["x"]).collect()] == [2, 3, 4]
+
+
+def test_summarize_grouped(mini):
+    out = mini.group_by("g").summarize(n=F.count(F.lit(1)), s=F.sum("x"))
+    assert rows_set(out.df) == [("a", 2, 3), ("b", 3, 12), ("c", 1, 6)]
+
+
+def test_summarize_ungrouped_one_row(mini):
+    out = mini.summarize(s=F.sum("x"))
+    assert rows_set(out.df) == [(21,)]
+
+
+def test_count(mini):
+    assert rows_set(mini.count("g").df) == [("a", 2), ("b", 3), ("c", 1)]
+
+
+def test_grouped_filter_reducing(mini):
+    # keep only groups with >= 2 rows (whole-group semantics)
+    out = mini.group_by("g").filter(F.count(F.lit(1)) >= 2)
+    assert sorted({r["g"] for r in out.collect()}) == ["a", "b"]
+
+
+def test_unique_first_occurrence(mini):
+    # first-occurrence semantics via explicit order (dataframe.nim:2370-2422)
+    out = mini.unique("g", order_by=["x"])
+    assert rows_set(out.select("g", "x").df) == [("a", 1), ("b", 3), ("c", 6)]
+
+
+def test_bind_rows_null_fill(spark):
+    a = to_df({"x": [1, 2], "y": ["p", "q"]}, spark)
+    b = to_df({"x": [3], "z": [9.5]}, spark)
+    out = a.bind_rows(b, id="src")
+    rows = rows_set(out.select("x", "y", "src", "z").df)
+    assert rows == [(1, "p", "0", None), (2, "q", "0", None), (3, None, "1", 9.5)]
+
+
+def test_concat_requires_same_columns(spark):
+    a = to_df({"x": [1]}, spark)
+    b = to_df({"q": [2]}, spark)
+    with pytest.raises(ValueError):
+        a.concat(b)
+
+
+def test_set_diff_multiset(spark):
+    a = to_df({"x": [1, 1, 2, 3]}, spark)
+    b = to_df({"x": [1, 3]}, spark)
+    # exceptAll: one copy of 1 survives (multiset semantics,
+    # dataframe.nim:2140-2195 row-hash behavior)
+    assert rows_set(a.set_diff(b).df) == [(1,), (2,)]
+
+
+def test_set_diff_symmetric(spark):
+    a = to_df({"x": [1, 2]}, spark)
+    b = to_df({"x": [2, 3]}, spark)
+    assert rows_set(a.set_diff(b, symmetric=True).df) == [(1,), (3,)]
+
+
+def test_gather_spread_roundtrip(spark):
+    wide = to_df({"id": [1, 2], "a": [10.0, 30.0], "b": [20.0, 40.0]}, spark)
+    long = wide.gather(["a", "b"], key="k", value="v")
+    assert long.count_rows() == 4
+    back = long.spread("k", "v")
+    assert rows_set(back.df) == [(1, 10.0, 20.0), (2, 30.0, 40.0)]
+
+
+def test_lag_lead(mini):
+    out = mini.lag("y", 1, order_by=["x"], out="prev").arrange("x")
+    assert [r["prev"] for r in out.collect()] == [None, 10.0, 20.0, 30.0, 40.0, 50.0]
+    out2 = mini.group_by("g").lead("y", 1, order_by=["x"], out="nxt").arrange("x")
+    assert [r["nxt"] for r in out2.collect()] == [20.0, None, 40.0, 50.0, None, None]
+
+
+def test_lag_requires_order(mini):
+    with pytest.raises(ValueError):
+        mini.lag("y")
+
+
+def test_drop_null_and_nan(spark):
+    d = to_df({"x": [1.0, float("nan"), 3.0], "y": [1, 2, 3]}, spark)
+    assert d.drop_nan("x").count_rows() == 2
+    e = to_df({"x": [1, None, 3]}, spark)
+    assert e.drop_null("x").count_rows() == 2
+
+
+def test_to_df_ragged_padding(spark):
+    # len-1 → constant column; shorter → null-padded (dataframe.nim:409-419)
+    d = to_df({"a": [1, 2, 3], "c": [7]}, spark)
+    rows = rows_set(d.df)
+    assert rows == [(1, 7), (2, 7), (3, 7)]
+
+
+def test_shuffle_is_permutation(mini):
+    out = mini.shuffle(seed=42)
+    assert sorted(r["x"] for r in out.collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_rollup_and_cube(mini):
+    r = mini.rollup("g", n=F.count(F.lit(1)))
+    # 3 groups + 1 grand total
+    assert r.count_rows() == 4
+    c = mini.cube("g", n=F.count(F.lit(1)))
+    assert c.count_rows() == 4

@@ -1,0 +1,150 @@
+"""Tests for the beyond-reference operators: text analysis, dedup,
+similarity — semantic checks on controlled inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog"),         # near dup
+        (3, "completely different content about spark engines"),
+        (4, "der hund und die katze ist das haus"),                  # de markers
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(spark, docs):
+    from datamancer_spark.functions.text import token_count
+
+    out = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    assert out[0] == 9 and out[3] == 6 and out[5] == 0
+
+
+def test_lang_guess(spark, docs):
+    from datamancer_spark.functions.text import lang_guess
+
+    out = {
+        r["doc_id"]: r["g"]
+        for r in docs.select("doc_id", lang_guess(F.col("text")).alias("g")).collect()
+    }
+    assert out[0] == "en" and out[4] == "de" and out[5] == "und"
+
+
+def test_fingerprint_whitespace_case_invariant(spark):
+    from datamancer_spark.functions.text import fingerprint
+
+    d = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["id", "t"]
+    )
+    fps = [r["fp"] for r in d.select(fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_exact_dedup(spark, docs):
+    from datamancer_spark.operators.dedup import exact_dedup, exact_dedup_keep
+
+    agg = exact_dedup(docs)
+    dup_group = [r for r in agg.collect() if r["n_dups"] == 2]
+    assert len(dup_group) == 1 and dup_group[0]["keep_id"] == 0
+    kept = exact_dedup_keep(docs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 2, 3, 4, 5]
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    from datamancer_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs.filter(F.col("text") != "")).collect()
+    }
+    assert (0, 1) in pairs          # exact dup always collides
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_exact_values(spark):
+    from datamancer_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], ["doc_id", "text"]
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(d).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_simhash_identical_and_near(spark, docs):
+    from datamancer_spark.operators.dedup import simhash_pairs
+
+    # bands=16 (4-bit blocks): pigeonhole guarantees any pair with
+    # hamming <= 15 shares a block, so candidate generation can't miss
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            docs.filter(F.col("text") != ""), max_hamming=10, bands=16
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 0   # identical text → distance 0
+    assert (0, 2) in pairs          # near dup (measured hamming 8)
+    assert (0, 3) not in pairs      # unrelated (hamming 27) filtered
+
+
+def test_vector_functions(spark):
+    from datamancer_spark.functions.vector import cosine, dot, l2_distance, norm
+
+    d = spark.createDataFrame(
+        [(1, [3.0, 4.0], [3.0, 4.0]), (2, [1.0, 0.0], [0.0, 1.0])],
+        ["id", "a", "b"],
+    )
+    rows = {
+        r["id"]: r
+        for r in d.select(
+            "id",
+            dot(F.col("a"), F.col("b")).alias("d"),
+            norm(F.col("a")).alias("n"),
+            cosine(F.col("a"), F.col("b")).alias("c"),
+            l2_distance(F.col("a"), F.col("b")).alias("l2"),
+        ).collect()
+    }
+    assert rows[1]["d"] == 25.0 and rows[1]["n"] == 5.0 and rows[1]["c"] == 1.0
+    assert rows[2]["d"] == 0.0 and rows[2]["c"] == 0.0
+    assert abs(rows[2]["l2"] - 2**0.5) < 1e-12
+
+
+def test_knn_bruteforce_self_excluded_and_ranked(spark):
+    from datamancer_spark.operators.similarity import knn_bruteforce
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.05]),
+    ]
+    d = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = knn_bruteforce(d, d.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(3, 1), (1, 2)]
+
+
+def test_knn_lsh_subset_of_brute(spark, sf_dir):
+    from datamancer_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    brute = knn_bruteforce(emb, q, k=50)
+    approx = knn_lsh(emb, q, k=50, num_planes=2)
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # LSH returns a subset of candidates; overlap with exact top-50 must be
+    # substantial at 2 planes (bucket ~ 1/4 of corpus)
+    assert len(aset) > 0
+    assert len(aset & bset) / max(len(aset), 1) > 0.2
