@@ -989,15 +989,24 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1
     """
 
+    from datamancer_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    sig_items = ",\n                 ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_coeffs(16)
+    )
     sql["dedup_minhash"] = f"""
         WITH {_SHINGLES_CTE},
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(shingles,
+                   s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+          FROM sh
+        ),
         sig AS (
           SELECT doc_id,
-                 list_transform(generate_series(0, 15),
-                   k -> list_min(list_transform(shingles,
-                          s -> CAST('0x' || substr(md5(k::VARCHAR || s), 1, 15) AS BIGINT))))
-                   AS sig
-          FROM sh
+                 [{sig_items}] AS sig
+          FROM hashed
         ),
         banded AS (
           SELECT doc_id, b.band AS band,
@@ -1012,7 +1021,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dedup_jaccard"] = f"""
         WITH {_SHINGLES_CTE},
-        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        ex AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS s
+               FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
         sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -27,6 +27,18 @@ from ..functions.rounding import prnd
 
 from ..functions.text import fingerprint
 
+def spread_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism before
+    compute-heavy per-row work. Necessary whenever the source is few
+    unsplittable files (single-row-group parquet reads as ONE partition —
+    all expression work would run on one core regardless of cluster
+    size). One small shuffle buys full-width execution; skip via n=0."""
+    if n == 0:
+        return df
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 # -- portable hashing --------------------------------------------------------
 
 
@@ -70,9 +82,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     md5 evaluates next to the scan, and only (fp, id) columns shuffle
     thanks to column pruning."""
     return (
-        df.select(
-            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
-        )
+        spread_partitions(df)
+        .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -100,6 +111,24 @@ def _small(df: DataFrame) -> bool:
 # -- MinHash + LSH -----------------------------------------------------------
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-rehash coefficients (aᵢ, bᵢ) — shared with the
+    DuckDB oracle SQL, which inlines the same values."""
+    return [
+        (((i * 2654435761) % (MINHASH_PRIME - 1)) | 1, (i * 40503 + 17) % MINHASH_PRIME)
+        for i in range(num_hashes)
+    ]
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit hash: BIGINT of the first 8 hex digits of md5.
+    DuckDB twin: CAST('0x' || substr(md5(v), 1, 8) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -107,19 +136,30 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — sigᵢ = min over shingles of
-    portable_hash(shingle, seed=i). All Catalyst expressions; k md5s per
-    shingle. The reference has no equivalent (SURVEY.md §2.12)."""
-    sh = word_shingles(F.col(text_col), shingle_n).alias("sh")
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda s, i=i: portable_hash(s, i))
-            )
-            for i in range(num_hashes)
-        ]
-    ).alias("sig")
-    return df.select(F.col(id_col), sh).select(F.col(id_col), sig)
+    """(id, sig: array<long>[num_hashes]) — Broder MinHash with the
+    one-hash trick: each shingle is md5'd ONCE (the expensive op), then k
+    affine rehashes (aᵢ·h + bᵢ) mod p derive the k permutations — k cheap
+    integer ops instead of k md5s per shingle. All Catalyst expressions;
+    engine-portable (same constants inlined in the oracle SQL).
+    The reference has no equivalent (SURVEY.md §2.12)."""
+    coeffs = minhash_coeffs(num_hashes)
+    # Relational formulation: explode shingles → one md5 per shingle →
+    # k min-aggregates. groupBy+min runs in whole-stage codegen with
+    # map-side partial aggregation (vs interpreted array-lambda folds),
+    # and the shuffle carries only (id, h) pairs.
+    exploded = spread_partitions(df).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select(F.col(id_col), hash32(F.col("s")).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -189,14 +229,18 @@ def ngram_jaccard_pairs(
     explode distinct shingles → self-join on shingle → count shared →
     |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
 
-    Fully relational (GROUP BY + JOIN), so DuckDB-checkable. At scale the
-    inverted index is the standard text-similarity-join plan; extremely
-    common shingles should be pruned upstream (df.filter on doc frequency)
-    — exposed as a follow-up knob, not silently applied."""
-    sh = df.select(
+    Fully relational (GROUP BY + JOIN), so DuckDB-checkable. The join key
+    is the portable 32-bit shingle hash, not the shingle string — 8-byte
+    shuffle keys instead of ~30-char strings (hash collisions fold two
+    shingles together identically in both engines, so differential
+    equality holds). At scale the inverted index is the standard
+    text-similarity-join plan; extremely common shingles should be pruned
+    upstream (df.filter on doc frequency) — exposed as a follow-up knob,
+    not silently applied."""
+    sh = spread_partitions(df).select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select(F.col(id_col), hash32(F.col("s")).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -259,7 +303,7 @@ def simhash(
             out[i] = np.int64(sig)
         return pd.Series(out)
 
-    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    return spread_partitions(df).select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 
 
 def simhash_pairs(
@@ -320,20 +364,78 @@ def embedding_dedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    Baseline plan: normalize once, self-join (id_a < id_b), dot product.
-    O(n²) pairs — correct at any SF but quadratic; the scale path is
-    LSH-bucketing by hyperplane sign bits (see similarity.random_hyperplane
-    _buckets) which turns it into the same banded-join shape as MinHash."""
-    from ..functions.vector import cosine
+    Block-pair matrix-multiply plan: vectors are hashed into ``num_blocks``
+    blocks; each of the B·(B+1)/2 block pairs is one ``applyInPandas``
+    group that computes an (nᵢ × nⱼ) cosine matrix with numpy/BLAS and
+    emits only pairs over threshold. Arrow moves each vector ×B times
+    (not ×n as a pair-row join would), and the O(n²·d) flops run in BLAS
+    instead of per-pair interpreted expressions — ~100× over the
+    expression-tree formulation. Exact (no candidate loss); the sub-
+    quadratic scale path for 100 TB is LSH prefiltering
+    (similarity.hyperplane_bits) feeding this verifier within buckets."""
+    import pyarrow  # noqa: F401 — fail early if Arrow is unavailable
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", prnd(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    n_b = num_blocks
+    blk = (F.abs(F.hash(F.col(id_col))) % n_b).alias("blk")
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), blk)
+
+    # tiny driver-side list of block pairs (ba <= bb), crossed with data
+    # via two equi-joins on block id — no O(n^2) row join anywhere.
+    spark = df.sparkSession
+    pairs = [(a, b) for a in range(n_b) for b in range(n_b) if a <= b]
+    pair_df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], ["pid", "ba", "bb"]
+    )
+    left = pair_df.join(vecs, F.col("ba") == F.col("blk")).select(
+        "pid", "ba", "bb", F.col("vid").alias("id"), F.col("v").alias("vec"),
+        F.lit(0).alias("side"),
+    )
+    right = pair_df.join(vecs, F.col("bb") == F.col("blk")).select(
+        "pid", "ba", "bb", F.col("vid").alias("id"), F.col("v").alias("vec"),
+        F.lit(1).alias("side"),
+    )
+    both = left.unionByName(right)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def block_cos(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        same = pdf["ba"].iat[0] == pdf["bb"].iat[0]
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = pdf[pdf["side"] == 1]
+        if a_rows.empty or b_rows.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        A = np.vstack(a_rows["vec"].to_numpy()).astype(np.float64)
+        B = np.vstack(b_rows["vec"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        sims = A @ B.T
+        # portable rounding (see functions.rounding)
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6
+        ids_a = a_rows["id"].to_numpy()
+        ids_b = b_rows["id"].to_numpy()
+        ii, jj = np.nonzero(sims >= thr)
+        id_a, id_b, cs = ids_a[ii], ids_b[jj], sims[ii, jj]
+        keep = id_a < id_b if same else np.ones(len(id_a), dtype=bool)
+        lo = np.minimum(id_a, id_b)[keep] if not same else id_a[keep]
+        hi = np.maximum(id_a, id_b)[keep] if not same else id_b[keep]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cs[keep]})
+
+    return both.groupBy("pid").applyInPandas(block_cos, out_schema)

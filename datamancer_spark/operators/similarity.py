@@ -33,20 +33,66 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (excluding self).
 
-    Output: (query_id, neighbor_id, cos, rank). The query side is
-    broadcast — the corpus never shuffles; ranking windows partition by
-    query id so the sort is per-query top-k, not global."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    Output: (query_id, neighbor_id, cos, rank). Plan: the query matrix is
+    collected once (bounded, documented) and broadcast to executors; the
+    corpus streams through ``mapInPandas`` where numpy/BLAS computes the
+    (batch × queries) similarity block and keeps each query's local top-k
+    under the *final* total order (rounded cos desc, id asc) — so the
+    global window merge over (#batches · nq · k) rows is exact. The
+    corpus is scanned once and never shuffled; only top-k candidates move."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", prnd(cosine(F.col("qv"), F.col("cv")), 6))
-        .select("query_id", "neighbor_id", "cos")
-    )
+    kk = int(k)
+
+    def score_partition(batches):
+        qids_l, Q_l = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            cids = pdf[id_col].to_numpy().astype(np.int64)
+            sims = C @ Q_l.T                       # (nc, nq)
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6  # portable rounding
+            outs = []
+            for j in range(len(qids_l)):
+                col = sims[:, j]
+                mask = cids != qids_l[j]           # exclude self
+                ids_m, col_m = cids[mask], col[mask]
+                order = np.lexsort((ids_m, -col_m))[:kk]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids_l[j],
+                            "neighbor_id": ids_m[order],
+                            "cos": col_m[order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    # No repartition here: a real corpus arrives in many partitions already,
+    # and for small corpora the per-worker Arrow overhead of spreading
+    # outweighs the BLAS work (measured 0.5s → 3.5s at sf0.1).
+    scored = corpus.select(id_col, vec_col).mapInPandas(score_partition, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
