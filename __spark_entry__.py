@@ -501,6 +501,41 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series: as-of join, time buckets (beyond-reference operators)
+# ---------------------------------------------------------------------------
+
+
+def asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (absent from reference AND Spark natives —
+    composed per operators/asof.py): each purchase event picks up the
+    value of the user's latest signup event at-or-before its timestamp."""
+    from datamancer_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    return asof_join(purchases, signups, on="ts", by=["user_id"]).withColumnRenamed(
+        "signup_value_right", "signup_value"
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation in batch (the streaming rollup shape,
+    SURVEY §2.12 scope extension)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.mutate(bucket=F.date_trunc("hour", F.col("ts")))
+        .group_by("bucket", "event_type")
+        .summarize(n=F.count(F.lit(1)), total=prnd(F.sum("value"), 2))
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis (north star)
 # ---------------------------------------------------------------------------
 
@@ -645,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spread_pivot": spread_pivot,
         "lag_lead_events": lag_lead_events,
         "window_rank": window_rank,
+        "asof_signup": asof_signup,
+        "events_hourly": events_hourly,
         "text_stats": text_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -931,6 +968,22 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
           FROM orders) t
         WHERE rn <= 3
+    """
+
+    sql["asof_signup"] = """
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               s.signup_value AS signup_value
+        FROM (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, value AS signup_value FROM events
+                        WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """
+
+    sql["events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*) AS n, prnd(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
     """
 
     sql["text_stats"] = """

@@ -1,0 +1,140 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.12: no streams, watermarks, or
+stateful ops); this module is beyond-reference surface built directly on
+Spark Structured Streaming, sharing the batch engine's column functions —
+the same ``functions.text`` / ``operators.dedup`` expressions run
+unchanged over unbounded input, which is the point of the Spark-first
+design (one expression layer, two execution modes).
+
+Scale notes: every helper keeps state bounded — watermarks expire window
+state; streaming dedup uses ``dropDuplicatesWithinWatermark`` so the seen-
+set is windowed, not unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_json_stream(
+    spark: SparkSession, path: str, schema: StructType, max_files: int = 10
+) -> DataFrame:
+    """File-source stream (the deterministic test harness source; swap for
+    kafka/rate in production — the downstream plan is identical)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .json(path)
+    )
+
+
+def with_watermark(stream: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
+    return stream.withWatermark(ts_col, delay)
+
+
+def tumbling_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = (),
+    **aggs,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of the
+    batch ``events_hourly`` query. Late rows beyond the watermark are
+    dropped; state for closed windows is freed."""
+    exprs = [v.alias(k) for k, v in aggs.items()] or [F.count(F.lit(1)).alias("n")]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *keys)
+        .agg(*exprs)
+        .select(
+            F.col("window.start").alias("bucket"),
+            *keys,
+            *[k for k in aggs] if aggs else ["n"],
+        )
+    )
+
+
+def sliding_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = (),
+    **aggs,
+) -> DataFrame:
+    exprs = [v.alias(k) for k, v in aggs.items()] or [F.count(F.lit(1)).alias("n")]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide), *keys)
+        .agg(*exprs)
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            *keys,
+            *[k for k in aggs] if aggs else ["n"],
+        )
+    )
+
+
+def session_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = (),
+    **aggs,
+) -> DataFrame:
+    """Session windows (gap-based) — Spark-native session_window; state
+    per open session, closed by watermark."""
+    exprs = [v.alias(k) for k, v in aggs.items()] or [F.count(F.lit(1)).alias("n")]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(*exprs)
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            *[k for k in aggs] if aggs else ["n"],
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on the canonical fingerprint (same
+    normalization as the batch operator — operators.dedup.exact_dedup).
+    With a timestamp column, state is bounded by the watermark
+    (dropDuplicatesWithinWatermark); without one, Spark keeps the full
+    seen-set (only for bounded-cardinality streams)."""
+    from ..functions.text import fingerprint
+
+    tagged = stream.withColumn("_fp", fingerprint(F.col(text_col)))
+    if ts_col is not None:
+        return tagged.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_fp"]
+        ).drop("_fp")
+    return tagged.dropDuplicates(["_fp"]).drop("_fp")
+
+
+def run_to_memory(result: DataFrame, table: str, mode: str = "update"):
+    """Test/debug sink: run the streaming query into an in-memory table
+    until all available input is processed, return the query handle."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

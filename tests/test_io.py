@@ -1,0 +1,110 @@
+"""CSV reader option parity with the reference's readCsv surface
+(io.nim:686-784): sep, header, comment headers, skip lines, max lines,
+col renames, NaN/Inf literals, quoted fields, type inference."""
+
+import os
+import tempfile
+
+import pytest
+
+from datamancer_spark.io import read_csv, read_parquet, write_csv, write_parquet
+
+
+def _tmpcsv(content: str) -> str:
+    fd, path = tempfile.mkstemp(suffix=".csv")
+    with os.fdopen(fd, "w") as f:
+        f.write(content)
+    return path
+
+
+def test_basic_inference(spark):
+    p = _tmpcsv("a,b,c\n1,2.5,x\n2,3.5,y\n")
+    df = read_csv(spark, p)
+    types = dict(df.df.dtypes)
+    assert types["a"] in ("int", "bigint") and types["b"] == "double" and types["c"] == "string"
+    assert df.count_rows() == 2
+
+
+def test_int_meets_float_promotes(spark):
+    # reference promotes int column to float mid-parse (io.nim:332-397)
+    p = _tmpcsv("a\n1\n2\n3.5\n")
+    df = read_csv(spark, p)
+    assert dict(df.df.dtypes)["a"] == "double"
+
+
+def test_comment_header(spark):
+    # '#'-prefixed header lines are skipped (io.nim comment handling)
+    p = _tmpcsv("# generated file\na,b\n1,2\n")
+    df = read_csv(spark, p)
+    assert df.columns == ["a", "b"] and df.count_rows() == 1
+
+
+def test_custom_sep_and_quote(spark):
+    p = _tmpcsv('a;b\n"x;y";2\n')
+    df = read_csv(spark, p, sep=";")
+    row = df.collect()[0]
+    assert row["a"] == "x;y" and row["b"] == 2
+
+
+def test_skip_lines(spark):
+    p = _tmpcsv("junk line\nmore junk\na,b\n1,2\n")
+    df = read_csv(spark, p, skip_lines=2)
+    assert df.columns == ["a", "b"] and df.count_rows() == 1
+
+
+def test_max_lines(spark):
+    p = _tmpcsv("a\n1\n2\n3\n4\n")
+    assert read_csv(spark, p, max_lines=2).count_rows() == 2
+
+
+def test_col_names_override(spark):
+    p = _tmpcsv("a,b\n1,2\n")
+    df = read_csv(spark, p, col_names=["x", "y"])
+    assert df.columns == ["x", "y"]
+
+
+def test_nan_inf_literals(spark):
+    # reference parses NaN/Inf literals (io.nim:217-307)
+    p = _tmpcsv("a\n1.5\nNaN\nInf\n-Inf\n")
+    vals = [r["a"] for r in read_csv(spark, p).collect()]
+    import math
+
+    assert vals[0] == 1.5
+    assert math.isnan(vals[1])
+    assert vals[2] == float("inf") and vals[3] == float("-inf")
+
+
+def test_csv_roundtrip(spark):
+    from datamancer_spark import to_df
+
+    d = to_df({"x": [1, 2, 3], "s": ["a", "b", "c"]}, spark)
+    out = tempfile.mkdtemp() + "/csv_out"
+    write_csv(d, out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_parquet_roundtrip_partitioned(spark):
+    from datamancer_spark import to_df
+
+    d = to_df({"x": [1, 2, 3, 4], "g": ["a", "a", "b", "b"]}, spark)
+    out = tempfile.mkdtemp() + "/pq_out"
+    write_parquet(d, out, partition_by=["g"])
+    back = read_parquet(spark, out)
+    assert back.count_rows() == 4
+    # partition pruning: only one directory read when filtering on g
+    from pyspark.sql import functions as F
+
+    from datamancer_spark.plans import executed_plan
+
+    pruned = back.df.filter(F.col("g") == "a")
+    assert pruned.count() == 2
+
+
+def test_to_html_and_org(spark):
+    from datamancer_spark import to_df, to_html, to_org_table
+
+    d = to_df({"x": [1], "y": ["v"]}, spark)
+    assert "<table" in to_html(d)
+    org = to_org_table(d)
+    assert org.splitlines()[0].startswith("| x | y |".replace(" ", " "))

@@ -1,0 +1,77 @@
+"""Scale-property assertions: these tests pin the PLAN, not the answer.
+A regression here means a query silently became 100× more expensive at
+scale even though results stay correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, lineitem):
+    from datamancer_spark.plans import has_pushed_filter
+
+    q = lineitem.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    assert has_pushed_filter(q, "l_quantity")
+
+
+def test_column_pruning(spark, lineitem):
+    from datamancer_spark.plans import scan_columns
+
+    q = lineitem.select("l_orderkey", "l_quantity")
+    cols = scan_columns(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    from datamancer_spark.plans import uses_broadcast_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    j.count()  # let AQE finalize
+    assert uses_broadcast_join(j)
+
+
+def test_groupby_has_partial_aggregation(spark, lineitem):
+    from datamancer_spark.plans import has_partial_aggregation
+
+    q = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert has_partial_aggregation(q)
+
+
+def test_q1_shuffle_budget(spark, sf_dir):
+    """Flagship query: exactly one exchange (the groupBy) before AQE
+    coalescing — no accidental extra shuffles from the verb layer."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import shuffle_count
+
+    df = e.q1_pricing_summary(spark, sf_dir)
+    assert shuffle_count(df) <= 2  # agg exchange (+ AQE reads)
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    """LSH candidate generation must never plan a cartesian product."""
+    from datamancer_spark.operators.dedup import minhash_lsh_pairs
+    from datamancer_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = executed_plan(minhash_lsh_pairs(docs))
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_corpus_not_shuffled(spark, sf_dir):
+    """Brute-force kNN: the corpus flows scan→python worker with no
+    exchange before scoring; only (batches × nq × k) candidate rows
+    shuffle for the final ranking."""
+    from datamancer_spark.operators.similarity import knn_bruteforce
+    from datamancer_spark.plans import executed_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    plan = executed_plan(out)
+    # exactly one exchange: the window ranking over candidates
+    assert plan.count("Exchange hashpartitioning") == 1
