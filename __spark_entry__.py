@@ -214,6 +214,24 @@ def transmute_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression surface (SURVEY §2.10: & concat, $ to-string,
+    plus case/substring/length natives)."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return (
+        c.transmute(
+            c_custkey=F.col("c_custkey"),
+            label=F.concat(
+                F.upper(F.col("c_mktsegment")), F.lit("#"), F.col("c_custkey").cast("string")
+            ),
+            name_len=F.length(F.col("c_name")),
+            seg3=F.substring(F.col("c_mktsegment"), 1, 3),
+            bal_str=F.concat(F.lit("$"), prnd(F.col("c_acctbal"), 2).cast("string")),
+        )
+        .df
+    )
+
+
 def masked_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """masked assign df[cond, col] = val (dataframe.nim:344-370)."""
     ev = _t(spark, sf_dir, "events")["events"]
@@ -657,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_select": filter_select,
         "mutate_arith": mutate_arith,
         "transmute_math": transmute_math,
+        "string_ops": string_ops,
         "masked_assign": masked_assign,
         "arrange_head": arrange_head,
         "tail_sorted": tail_sorted,
@@ -802,6 +821,15 @@ def oracle_sql() -> dict[str, str]:
                prnd(pow(l_quantity, 2), 2) AS qty_sq,
                prnd(abs(l_discount - l_tax), 4) AS abs_margin
         FROM lineitem
+    """
+
+    sql["string_ops"] = """
+        SELECT c_custkey,
+               upper(c_mktsegment) || '#' || c_custkey::VARCHAR AS label,
+               len(c_name) AS name_len,
+               substr(c_mktsegment, 1, 3) AS seg3,
+               '$' || (prnd(c_acctbal, 2))::VARCHAR AS bal_str
+        FROM customer
     """
 
     sql["masked_assign"] = """

@@ -4,11 +4,23 @@ data-processing capabilities of SciNim/Datamancer (reference at
 DataFrame/Catalyst plans, not a port of the reference's eager tensor engine.
 """
 
-from .frame import DamFrame, to_df
+from .frame import (
+    DamFrame,
+    add_row,
+    col_max,
+    col_min,
+    evaluate,
+    frames_equal,
+    groups_iter,
+    reduce_formula,
+    to_df,
+)
 from .io import (
     load_tables,
+    parse_csv_string,
     read_csv,
     read_parquet,
+    str_tab_to_df,
     to_html,
     to_org_table,
     write_csv,
@@ -18,10 +30,19 @@ from .session import get_spark
 
 __all__ = [
     "DamFrame",
+    "add_row",
+    "col_max",
+    "col_min",
+    "evaluate",
+    "frames_equal",
     "get_spark",
+    "groups_iter",
     "load_tables",
+    "parse_csv_string",
     "read_csv",
     "read_parquet",
+    "reduce_formula",
+    "str_tab_to_df",
     "to_df",
     "to_html",
     "to_org_table",

@@ -531,6 +531,22 @@ class DamFrame:
     def fill_null(self, value, *cols: str) -> DamFrame:
         return self._wrap(self._df.fillna(value, subset=list(cols) if cols else None))
 
+    def cast_column(self, col: str, dtype: str, strict: bool = False) -> DamFrame:
+        """toNativeColumn analog (ref column.nim:1039-1080): re-type a
+        column. Non-strict (default) yields NULL on failed casts — the
+        reference's tolerant path; strict raises if any value fails."""
+        out = self._wrap(self._df.withColumn(col, F.col(col).cast(dtype)))
+        if strict:
+            bad = out.df.filter(F.col(col).isNull() & self._df[col].isNotNull())
+            if not bad.isEmpty():
+                raise ValueError(f"cast_column('{col}', '{dtype}'): some values failed")
+        return out
+
+    def __getitem__(self, key: str) -> Column:
+        """Column access sugar: ``df["x"]`` → Column (ref df[k],
+        dataframe.nim:153-170)."""
+        return self._df[key]
+
     # -- window / positional ----------------------------------------------
 
     def lag(
@@ -574,6 +590,82 @@ class DamFrame:
             else Window.partitionBy()
         )
         return w.orderBy(*[F.col(c) for c in order_by])
+
+
+def evaluate(expr: Column, frame: DamFrame) -> DataFrame:
+    """Run a row-formula standalone → one-column frame (ref evaluate,
+    dataframe.nim:2523-2545)."""
+    return frame.df.select(expr)
+
+
+def reduce_formula(expr: Column, frame: DamFrame):
+    """Run a reducing formula standalone → scalar (ref reduce,
+    dataframe.nim:2547-2571). Driver-side by definition."""
+    return frame.df.agg(expr).collect()[0][0]
+
+
+def col_min(frame: DamFrame, col: str, ignore_inf: bool = True):
+    """Column min, Inf-ignoring by default (ref colMin,
+    dataframe.nim:886-904)."""
+    c = F.col(col)
+    df = frame.df
+    if ignore_inf:
+        df = df.filter(~F.isnan(c) & (c != F.lit(float("inf"))) & (c != F.lit(float("-inf"))))
+    return df.agg(F.min(c)).collect()[0][0]
+
+
+def col_max(frame: DamFrame, col: str, ignore_inf: bool = True):
+    """Column max, Inf-ignoring by default (ref colMax,
+    dataframe.nim:906-924)."""
+    c = F.col(col)
+    df = frame.df
+    if ignore_inf:
+        df = df.filter(~F.isnan(c) & (c != F.lit(float("inf"))) & (c != F.lit(float("-inf"))))
+    return df.agg(F.max(c)).collect()[0][0]
+
+
+def frames_equal(a: DamFrame | DataFrame, b: DamFrame | DataFrame) -> bool:
+    """Multiset row equality (ref equal, dataframe.nim:385-405) — both
+    exceptAll directions empty. Test-harness utility; two jobs."""
+    da = a.df if isinstance(a, DamFrame) else a
+    db = b.df if isinstance(b, DamFrame) else b
+    if set(da.columns) != set(db.columns):
+        return False
+    db = db.select(*da.columns)
+    return da.exceptAll(db).isEmpty() and db.exceptAll(da).isEmpty()
+
+
+def add_row(frame: DamFrame, **values) -> DamFrame:
+    """Append one literal row (ref add single row, dataframe.nim:762-821
+    — discouraged at scale in both engines; plan-only union here)."""
+    row = frame.df.sparkSession.createDataFrame(
+        [tuple(values.get(c) for c in frame.columns)], schema=frame.df.schema
+    )
+    return DamFrame(frame.df.unionByName(row), frame.group_keys)
+
+
+def groups_iter(frame: DamFrame, max_groups: int = 10000):
+    """Driver-side (labels, sub-frame) iterator over a grouped frame —
+    the reference's ``groups`` iterator (dataframe.nim:1178-1240).
+    DISTRIBUTED ANTI-PATTERN by design: each sub-frame is a filtered
+    plan, so touching every group launches one job per group. Capped at
+    ``max_groups``; for per-group computation use summarize / window /
+    applyInPandas instead. Provided for API parity and small interactive
+    frames only."""
+    keys = frame.group_keys
+    if not keys:
+        raise ValueError("groups_iter requires a grouped frame")
+    distinct = frame.df.select(*keys).distinct().orderBy(*keys).limit(max_groups).collect()
+    for row in distinct:
+        labels = tuple(row[k] for k in keys)
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            (
+                F.col(k).isNull() if row[k] is None else (F.col(k) == F.lit(row[k]))
+                for k in keys
+            ),
+        )
+        yield labels, DamFrame(frame.df.filter(cond))
 
 
 def to_df(data: dict[str, Iterable], spark=None) -> DamFrame:

@@ -77,6 +77,45 @@ def read_csv(
     return DamFrame(df)
 
 
+def parse_csv_string(
+    spark: SparkSession, content: str, sep: str = ",", header: bool = True
+) -> DamFrame:
+    """CSV from an in-memory string (ref parseCsvString, io.nim:623-668).
+    Driver-side by definition (the string lives on the driver); parsed by
+    the same distributed reader via a one-element dataset."""
+    from pyspark.sql import Row
+
+    lines = [line for line in content.splitlines() if line]
+    ds = spark.createDataFrame([Row(value=line) for line in lines])
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("inferSchema", True)
+    )
+    return DamFrame(reader.csv(ds.rdd.map(lambda r: r.value)))
+
+
+def str_tab_to_df(spark: SparkSession, table: dict[str, list[str]]) -> DamFrame:
+    """Table-of-strings → typed frame (ref strTabToDf,
+    dataframe.nim:421-493): per column, try int → float → leave string,
+    replicating the reference's parse ladder."""
+    from pyspark.sql import functions as F
+
+    from .frame import to_df
+
+    frame = to_df({k: [str(v) for v in vs] for k, vs in table.items()}, spark)
+    df = frame.df
+    for c in df.columns:
+        # int rung gated by regex: Spark's lenient cast truncates "1.5"→1
+        is_int = F.col(c).rlike(r"^-?\d+$")
+        as_dbl = F.col(c).cast("double")
+        if df.filter(~is_int & F.col(c).isNotNull()).isEmpty():
+            df = df.withColumn(c, F.col(c).cast("long"))
+        elif df.filter(as_dbl.isNull() & F.col(c).isNotNull()).isEmpty():
+            df = df.withColumn(c, as_dbl)
+    return DamFrame(df)
+
+
 def write_csv(frame: DamFrame, path: str, sep: str = ",", header: bool = True) -> None:
     """writeCsv (io.nim:807-826) → distributed CSV write (a directory of
     part files at scale; coalesce(1) deliberately NOT default)."""

@@ -1,0 +1,85 @@
+"""Utility/introspection surface (SURVEY §2.11) + io constructors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamancer_spark import (
+    add_row,
+    col_max,
+    col_min,
+    evaluate,
+    frames_equal,
+    groups_iter,
+    parse_csv_string,
+    reduce_formula,
+    str_tab_to_df,
+    to_df,
+)
+from tests.conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def mini(spark):
+    return to_df({"x": [1, 2, 3], "g": ["a", "a", "b"]}, spark)
+
+
+def test_evaluate_and_reduce(spark, mini):
+    out = evaluate(F.col("x") * 10, mini)
+    assert sorted(r[0] for r in out.collect()) == [10, 20, 30]
+    assert reduce_formula(F.sum("x"), mini) == 6
+
+
+def test_col_min_max_inf_ignoring(spark):
+    d = to_df({"x": [1.0, float("inf"), -5.0, float("-inf")]}, spark)
+    assert col_min(d, "x") == -5.0
+    assert col_max(d, "x") == 1.0
+    assert col_max(d, "x", ignore_inf=False) == float("inf")
+
+
+def test_frames_equal(spark, mini):
+    reordered = mini.arrange("x", ascending=False).select("g", "x")
+    assert frames_equal(mini, reordered)
+    assert not frames_equal(mini, mini.filter(F.col("x") > 1))
+
+
+def test_add_row(spark, mini):
+    out = add_row(mini, x=9, g="z")
+    assert out.count_rows() == 4
+    assert ("z",) in {(r["g"],) for r in out.collect()}
+
+
+def test_groups_iter(spark, mini):
+    got = {}
+    for labels, sub in groups_iter(mini.group_by("g")):
+        got[labels] = sorted(r["x"] for r in sub.collect())
+    assert got == {("a",): [1, 2], ("b",): [3]}
+
+
+def test_groups_iter_requires_grouping(mini):
+    with pytest.raises(ValueError):
+        next(groups_iter(mini))
+
+
+def test_cast_column(spark):
+    d = to_df({"x": ["1", "2", "oops"]}, spark)
+    out = d.cast_column("x", "long")
+    assert [r["x"] for r in out.arrange("x").collect()] == [None, 1, 2]
+    with pytest.raises(ValueError):
+        d.cast_column("x", "long", strict=True)
+
+
+def test_getitem_column(mini):
+    assert rows_set(mini.select(mini["x"] * 2).df) == [(2,), (4,), (6,)]
+
+
+def test_parse_csv_string(spark):
+    frame = parse_csv_string(spark, "a,b\n1,x\n2,y\n")
+    assert rows_set(frame.df) == [(1, "x"), (2, "y")]
+
+
+def test_str_tab_to_df_parse_ladder(spark):
+    frame = str_tab_to_df(
+        spark, {"i": ["1", "2"], "f": ["1.5", "2"], "s": ["a", "b"]}
+    )
+    types = dict(frame.df.dtypes)
+    assert types == {"i": "bigint", "f": "double", "s": "string"}
