@@ -559,7 +559,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = _t(spark, sf_dir, "documents")["documents"]
+    doc = _t(spark, sf_dir, "documents")["documents"].spread_partitions()
     txt = F.col("text")
     return (
         doc.transmute(
@@ -574,7 +574,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = _t(spark, sf_dir, "documents")["documents"]
+    doc = _t(spark, sf_dir, "documents")["documents"].spread_partitions()
     return (
         doc.transmute(
             doc_id=F.col("doc_id"),
@@ -585,7 +585,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = _t(spark, sf_dir, "documents")["documents"]
+    doc = _t(spark, sf_dir, "documents")["documents"].spread_partitions()
     return (
         doc.transmute(
             doc_id=F.col("doc_id"),
@@ -641,6 +641,14 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
     queries_df = emb.filter(F.col("vec_id") < 10)
     return S.knn_lsh(emb, queries_df, k=5, num_planes=4)
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN (KMeans codebook — rows-only check: the
+    learned clustering has no SQL twin)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return S.knn_ivf(emb, queries_df, k=5, num_centroids=8, nprobe=3)
 
 
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "knn_brute": knn_brute,
         "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
         "embedding_stats": embedding_stats,
     }
 

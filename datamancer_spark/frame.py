@@ -112,6 +112,14 @@ class DamFrame:
 
     # -- row id / ordering helper ----------------------------------------
 
+    def spread_partitions(self, n: int | None = None) -> DamFrame:
+        """Round-robin repartition to cluster parallelism before
+        compute-heavy per-row work — needed when the source is few
+        unsplittable files (a single-row-group parquet scans as ONE
+        partition, serializing all expression work on one core)."""
+        n = n or self._df.sparkSession.sparkContext.defaultParallelism
+        return self._wrap(self._df.repartition(n))
+
     def with_row_id(self, name: str = "_row_id") -> DamFrame:
         """Attach a unique, *partition-ordered* id.
 

@@ -150,6 +150,68 @@ def hyperplane_bits(
     return df.withColumn(out, bucket.cast("long"))
 
 
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: a KMeans codebook partitions
+    the corpus into posting lists; each query probes its ``nprobe``
+    nearest centroids and scores only those lists.
+
+    This is the scale path for ANN over big corpora: the expensive stage
+    is a centroid-bucketed equi-join (shuffle on a small int key), and
+    recall/cost trades with ``nprobe``/``num_centroids`` (rule of thumb:
+    √n centroids, probe 5-10%). Training uses Spark MLlib KMeans on the
+    corpus (sample upstream for huge corpora); centroids live driver-side
+    (num_centroids × dim doubles — tiny)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    )
+    model = KMeans(k=num_centroids, seed=seed, featuresCol="_feat").fit(feat)
+    assigned = model.transform(feat).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("prediction").alias("centroid"),
+    )
+
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:nprobe]:
+            probe_rows.append((int(r[0]), int(c)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, ["query_id", "centroid"])
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).join(probes, "query_id")
+
+    scored = (
+        assigned.join(F.broadcast(qside), "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", prnd(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

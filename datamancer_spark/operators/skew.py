@@ -1,0 +1,68 @@
+"""Skew-handling aggregation: explicit salting for hot keys.
+
+AQE's skew-join splitting (on in session defaults) covers joins; heavily
+skewed *aggregations* on low-cardinality hot keys can still bottleneck a
+single reducer when a key's partial states are large (e.g. collect-style
+or high-cardinality distinct states). ``salted_agg`` makes the classic
+two-stage rewrite explicit: stage 1 aggregates on (keys, salt) — spreading
+one hot key over ``salt_buckets`` reducers — stage 2 combines partials on
+the true keys. Only algebraic aggregates (decomposable into partial +
+combine) are supported; that's exactly the set for which the rewrite is
+lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# aggregate name -> (stage1 partial fn, stage2 combine fn)
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs``: {out_name: (agg_fn_name, column)} with agg_fn_name in
+    sum/count/min/max/avg. avg decomposes to (sum, count) internally.
+
+    Example::
+
+        salted_agg(events, ["event_type"],
+                   {"n": ("count", "event_id"), "total": ("sum", "value")})
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+
+    partials: list[Column] = []
+    finals: list[Column] = []
+    for out, (fn, col) in aggs.items():
+        if fn == "avg":
+            partials += [
+                F.sum(col).alias(f"_{out}_s"),
+                F.count(col).alias(f"_{out}_c"),
+            ]
+            finals.append(
+                (F.sum(f"_{out}_s") / F.sum(f"_{out}_c")).alias(out)
+            )
+        elif fn in _ALGEBRAIC:
+            p, c = _ALGEBRAIC[fn]
+            partials.append(p(col).alias(f"_{out}"))
+            finals.append(c(f"_{out}").alias(out))
+        else:
+            raise ValueError(
+                f"{fn!r} is not algebraic; salting would be lossy. "
+                "Use a plain groupBy (AQE) or a sketch."
+            )
+
+    stage1 = salted.groupBy(*keys, "_salt").agg(*partials)
+    return stage1.groupBy(*keys).agg(*finals)

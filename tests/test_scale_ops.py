@@ -1,0 +1,75 @@
+"""IVF kNN and salted aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_knn_ivf_quality_vs_brute(spark, sf_dir):
+    from datamancer_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, q, k=10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(emb, q, k=10, num_centroids=8, nprobe=4).collect()
+    }
+    assert len(ivf) > 0
+    # probing half the centroids must recover a solid share of exact top-10
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_knn_ivf_rank_contract(spark, sf_dir):
+    from datamancer_spark.operators.similarity import knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_ivf(emb, emb.filter(F.col("vec_id") == 0), k=3, num_centroids=4, nprobe=4)
+    rows = out.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert all(r["neighbor_id"] != 0 for r in rows)
+    # ranks ordered by descending similarity
+    assert rows[0]["cos"] >= rows[1]["cos"] >= rows[2]["cos"]
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from datamancer_spark.operators.skew import salted_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {
+        r["event_type"]: (r["n"], round(r["total"], 6), round(r["avg_v"], 6), r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.sum("value").alias("total"),
+            F.avg("value").alias("avg_v"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], round(r["total"], 6), round(r["avg_v"], 6), r["mx"])
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": ("count", "event_id"),
+                "total": ("sum", "value"),
+                "avg_v": ("avg", "value"),
+                "mx": ("max", "value"),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
+    from datamancer_spark.operators.skew import salted_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        salted_agg(ev, ["event_type"], {"m": ("median", "value")})
