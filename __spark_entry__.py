@@ -553,6 +553,23 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (two stacked windows, one shuffle —
+    operators/sessions.py; streaming twin is session_agg)."""
+    from datamancer_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    out = session_stats(ev, "ts", ["user_id"], gap_seconds=1800, value_col="value")
+    return out.select(
+        "user_id",
+        "session_idx",
+        "session_start",
+        "session_end",
+        "n_events",
+        prnd(F.col("total_value"), 2).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (north star)
 # ---------------------------------------------------------------------------
@@ -709,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": window_rank,
         "asof_signup": asof_signup,
         "events_hourly": events_hourly,
+        "sessionize_events": sessionize_events,
         "text_stats": text_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -1015,6 +1033,29 @@ def oracle_sql() -> dict[str, str]:
         ASOF LEFT JOIN (SELECT user_id, ts, value AS signup_value FROM events
                         WHERE event_type = 'signup') s
           ON p.user_id = s.user_id AND p.ts >= s.ts
+    """
+
+    sql["sessionize_events"] = """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR (CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                   AS session_idx
+          FROM flagged
+        )
+        SELECT user_id, session_idx,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, prnd(sum(value), 2) AS total_value
+        FROM sess GROUP BY 1, 2
     """
 
     sql["events_hourly"] = """

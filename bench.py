@@ -28,12 +28,17 @@ HEADLINE = [
     "unique_first",
     "text_quality",
     "text_langid",
+    "asof_signup",
+    "sessionize_events",
+    "events_hourly",
     "dedup_exact",
     "dedup_minhash",
     "dedup_jaccard",
+    "dedup_simhash",
     "dedup_embedding",
     "knn_brute",
     "knn_lsh",
+    "knn_ivf",
 ]
 
 

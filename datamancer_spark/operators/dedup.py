@@ -285,6 +285,21 @@ def simhash(
     def _simhash(texts: "pd.Series") -> "pd.Series":
         import hashlib
 
+        # token → ±1 bit-vote vector, memoized per batch: corpora vocab
+        # repeats heavily, so each distinct token hashes once per batch
+        vote_cache: dict[str, "np.ndarray"] = {}
+        shifts = np.arange(bits, dtype=np.uint64)
+
+        def votes_for(tok: str) -> "np.ndarray":
+            v = vote_cache.get(tok)
+            if v is None:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
+                )
+                v = (2 * ((np.uint64(h) >> shifts) & 1).astype(np.int64) - 1)
+                vote_cache[tok] = v
+            return v
+
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             toks = set((t or "").lower().split())
@@ -292,11 +307,7 @@ def simhash(
                 continue
             votes = np.zeros(bits, dtype=np.int64)
             for tok in toks:
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
-                )
-                tok_bits = (h >> np.arange(bits, dtype=np.uint64)) & 1
-                votes += 2 * tok_bits.astype(np.int64) - 1
+                votes += votes_for(tok)
             sig = np.uint64(0)
             for bpos in np.nonzero(votes > 0)[0]:
                 sig |= np.uint64(1) << np.uint64(bpos)
