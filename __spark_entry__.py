@@ -553,6 +553,93 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (beyond-reference agg surface; Spark percentile
+    and DuckDB quantile_cont share linear interpolation)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.group_by("l_returnflag")
+        .summarize(
+            p50=prnd(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4),
+            p90=prnd(F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 4),
+            p99=prnd(F.percentile(F.col("l_extendedprice"), F.lit(0.99)), 4),
+        )
+        .df
+    )
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction over the events.props column (array/map/json
+    surface — absent from the reference, SURVEY §2.12)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.transmute(
+            event_id=F.col("event_id"),
+            k=F.get_json_object(F.col("props"), "$.k").cast("long"),
+        )
+        .df
+    )
+
+
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (absent from the reference — dates are
+    strings/ints there, SURVEY §1.2)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.transmute(
+            o_orderkey=F.col("o_orderkey"),
+            yr=F.year("o_orderdate"),
+            mo=F.month("o_orderdate"),
+            dy=F.dayofmonth("o_orderdate"),
+            plus30=F.date_add(F.col("o_orderdate").cast("date"), 30),
+        )
+        .df
+    )
+
+
+def regex_extract_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction surface over documents."""
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        doc.transmute(
+            doc_id=F.col("doc_id"),
+            first_word=F.regexp_extract(F.col("text"), r"^(\w+)", 1),
+            has_spark=F.when(F.col("text").rlike("spark"), 1).otherwise(0),
+        )
+        .df
+    )
+
+
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas) computing per-group
+    z-scores — the arbitrary-per-group-logic escape hatch, differentially
+    checked against a pure-SQL window formulation (proves the Python path
+    is numerically exact, ddof=1 both sides)."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")["events"]
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        sd = v.std(ddof=1)
+        mean = v.mean()
+        z = (v - mean) / sd if sd and sd == sd else v * 0.0
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": (z * 1e4 + 0.5).apply(lambda x: __import__("math").floor(x)) / 1e4,
+            }
+        )
+        return out
+
+    return (
+        ev.group_by("event_type")
+        .apply_by_group(zscore, "event_id long, event_type string, z double")
+        .df
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (two stacked windows, one shuffle —
     operators/sessions.py; streaming twin is session_agg)."""
@@ -727,6 +814,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_signup": asof_signup,
         "events_hourly": events_hourly,
         "sessionize_events": sessionize_events,
+        "quantiles_by_group": quantiles_by_group,
+        "json_extract_props": json_extract_props,
+        "date_parts": date_parts,
+        "regex_extract_doc": regex_extract_doc,
+        "grouped_zscore": grouped_zscore,
         "text_stats": text_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -1033,6 +1125,42 @@ def oracle_sql() -> dict[str, str]:
         ASOF LEFT JOIN (SELECT user_id, ts, value AS signup_value FROM events
                         WHERE event_type = 'signup') s
           ON p.user_id = s.user_id AND p.ts >= s.ts
+    """
+
+    sql["quantiles_by_group"] = """
+        SELECT l_returnflag,
+               prnd(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               prnd(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               prnd(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["json_extract_props"] = """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """
+
+    sql["date_parts"] = """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(day(o_orderdate) AS INT) AS dy,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30
+        FROM orders
+    """
+
+    sql["regex_extract_doc"] = """
+        SELECT doc_id,
+               coalesce(regexp_extract(text, '^(\\w+)', 1), '') AS first_word,
+               CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END AS has_spark
+        FROM documents
+    """
+
+    sql["grouped_zscore"] = """
+        SELECT event_id, event_type,
+               prnd((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
     """
 
     sql["sessionize_events"] = """

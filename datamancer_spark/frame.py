@@ -316,6 +316,18 @@ class DamFrame:
 
     summarise = summarize
 
+    def apply_by_group(self, fn, schema) -> DamFrame:
+        """Arbitrary per-group logic as an Arrow grouped-map Pandas UDF —
+        the engine's analog of the reference's full ``formula:`` block
+        with custom accumulators (formulaExp.nim:790-841). The escape
+        hatch when expressions/windows can't say it; each group must fit
+        in one executor's memory (documented contract of applyInPandas)."""
+        if not self._group_keys:
+            raise ValueError("apply_by_group requires a grouped frame")
+        return DamFrame(
+            self._df.groupBy(*self._group_keys).applyInPandas(fn, schema), ()
+        )
+
     def rollup(self, *keys: str, **aggs: Column) -> DamFrame:
         """Hierarchical subtotals (beyond-reference: SURVEY.md §2.5 notes
         the reference has no grouping sets). NULL marks the rolled-up

@@ -1,0 +1,90 @@
+"""Property-based verb laws (hypothesis): algebraic identities that must
+hold for any frame, not just golden fixtures. Small generated frames —
+the laws, not the scale, are under test here."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _frame(spark, rows):
+    from datamancer_spark import DamFrame
+
+    return DamFrame(spark.createDataFrame(rows, ["x", "g", "v"]))
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_filter_conjunction(spark, rows):
+    d = _frame(spark, rows)
+    lhs = d.filter(F.col("x") > 0).filter(F.col("v") > 0)
+    rhs = d.filter((F.col("x") > 0) & (F.col("v") > 0))
+    assert rows_set(lhs.df) == rows_set(rhs.df)
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_set_diff_intersect_partition(spark, rows):
+    """A = (A \\ B) ⊎ (A ∩ B) under multiset semantics."""
+    d = _frame(spark, rows)
+    b = d.filter(F.col("x") % 2 == 0)
+    recombined = d.set_diff(b).bind_rows(d.intersect_rows(b))
+    assert rows_set(recombined.df) == rows_set(d.df)
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_gather_preserves_mass(spark, rows):
+    d = _frame(spark, rows)
+    long = d.gather(["x", "v"], key="k", value="val")
+    assert long.count_rows() == 2 * d.count_rows()
+    # sum is preserved per measure
+    orig = d.df.agg(F.sum("x").alias("sx")).collect()[0]["sx"]
+    melted = (
+        long.df.filter(F.col("k") == "x").agg(F.sum("val").alias("s")).collect()[0]["s"]
+    )
+    assert abs((orig or 0) - (melted or 0)) < 1e-6
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_summarize_count_equals_rows(spark, rows):
+    d = _frame(spark, rows)
+    per_group = d.group_by("g").summarize(n=F.count(F.lit(1)))
+    total = sum(r["n"] for r in per_group.collect())
+    assert total == d.count_rows()
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_arrange_is_permutation(spark, rows):
+    d = _frame(spark, rows)
+    assert rows_set(d.arrange("x", "v").df) == rows_set(d.df)
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_unique_idempotent(spark, rows):
+    d = _frame(spark, rows)
+    once = d.unique()
+    twice = once.unique()
+    assert rows_set(once.df) == rows_set(twice.df)
