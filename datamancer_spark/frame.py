@@ -201,11 +201,26 @@ class DamFrame:
         return self.mutate(**exprs).select(*exprs.keys())
 
     def masked_assign(self, col: str, cond: Column, value) -> DamFrame:
-        """``df[f{cond}, "col"] = val`` (ref dataframe.nim:344-370)."""
+        """``df[f{cond}, "col"] = val`` (ref dataframe.nim:344-370).
+
+        Promote-on-conflict (ref column.nim:794-844: a mismatched assign
+        rewrites the column rather than failing): int column + float value
+        → double; otherwise incompatible → both cast to string (the
+        engine's colObject stand-in, SURVEY.md §7)."""
         lit = value if isinstance(value, Column) else F.lit(value)
-        return self._wrap(
-            self._df.withColumn(col, F.when(cond, lit).otherwise(F.col(col)))
-        )
+        try:
+            return self._wrap(
+                self._df.withColumn(col, F.when(cond, lit).otherwise(F.col(col)))
+            )
+        except Exception:
+            return self._wrap(
+                self._df.withColumn(
+                    col,
+                    F.when(cond, lit.cast("string")).otherwise(
+                        F.col(col).cast("string")
+                    ),
+                )
+            )
 
     # -- filter -----------------------------------------------------------
 
@@ -422,10 +437,16 @@ class DamFrame:
     def bind_rows(self, *others: DamFrame | DataFrame, id: str | None = None) -> DamFrame:
         """Vertical concat with column union; missing columns null-filled
         (ref dataframe.nim:926-1040). ``id`` adds a provenance column with
-        the input's ordinal as string. unionByName is plan-only — O(1)."""
+        the input's ordinal as string. unionByName is plan-only — O(1).
+
+        Type promotion follows the reference (combinedColKind,
+        column.nim:507-522): a column typed differently across inputs is
+        promoted — numeric pair → double, anything else → string (our
+        stand-in for colObject, SURVEY.md §7)."""
         frames = [self._df] + [
             o.df if isinstance(o, DamFrame) else o for o in others
         ]
+        frames = _promote_for_union(frames)
         if id is not None:
             frames = [f.withColumn(id, F.lit(str(i))) for i, f in enumerate(frames)]
         out = functools.reduce(
@@ -610,6 +631,35 @@ class DamFrame:
             else Window.partitionBy()
         )
         return w.orderBy(*[F.col(c) for c in order_by])
+
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def _promote_for_union(frames: list[DataFrame]) -> list[DataFrame]:
+    """Reference type-promotion for vertical concat (column.nim:507-522):
+    per shared column name, if dtypes differ → double when all numeric,
+    else string."""
+    from collections import defaultdict
+
+    dtypes: dict[str, set[str]] = defaultdict(set)
+    for f in frames:
+        for name, dt in f.dtypes:
+            dtypes[name].add(dt.split("(")[0])
+    target: dict[str, str] = {}
+    for name, kinds in dtypes.items():
+        if len(kinds) <= 1:
+            continue
+        target[name] = "double" if kinds <= _NUMERIC else "string"
+    if not target:
+        return frames
+    out = []
+    for f in frames:
+        for name, t in target.items():
+            if name in f.columns:
+                f = f.withColumn(name, F.col(name).cast(t))
+        out.append(f)
+    return out
 
 
 def evaluate(expr: Column, frame: DamFrame) -> DataFrame:

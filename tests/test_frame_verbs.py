@@ -189,3 +189,31 @@ def test_rollup_and_cube(mini):
     assert r.count_rows() == 4
     c = mini.cube("g", n=F.count(F.lit(1)))
     assert c.count_rows() == 4
+
+
+def test_bind_rows_type_promotion_numeric(spark):
+    # int + float columns combine to double (combinedColKind,
+    # column.nim:507-522)
+    a = to_df({"x": [1, 2]}, spark)
+    b = to_df({"x": [3.5]}, spark)
+    out = a.bind_rows(b)
+    assert dict(out.df.dtypes)["x"] == "double"
+    assert sorted(r["x"] for r in out.collect()) == [1.0, 2.0, 3.5]
+
+
+def test_bind_rows_type_promotion_object(spark):
+    # incompatible kinds promote to string (the colObject stand-in)
+    a = to_df({"x": [1, 2]}, spark)
+    b = to_df({"x": ["hello"]}, spark)
+    out = a.bind_rows(b)
+    assert dict(out.df.dtypes)["x"] == "string"
+    assert sorted(r["x"] for r in out.collect()) == ["1", "2", "hello"]
+
+
+def test_masked_assign_promotes_on_conflict(spark):
+    # assigning a string into an int column rewrites the column as string
+    # (column.nim:794-844) instead of failing
+    d = to_df({"x": [1, 2, 3]}, spark)
+    out = d.masked_assign("x", F.col("x") > 2, "big")
+    assert dict(out.df.dtypes)["x"] == "string"
+    assert sorted(r["x"] for r in out.collect()) == ["1", "2", "big"]
