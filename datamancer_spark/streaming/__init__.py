@@ -127,6 +127,62 @@ def streaming_dedup(
     return tagged.dropDuplicates(["_fp"]).drop("_fp")
 
 
+def stateful_running_totals(
+    stream: DataFrame,
+    key: str = "user",
+    value_col: str = "value",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum) carried across micro-batches in GroupState —
+    the escape hatch for operators Spark's built-in stateful ops can't
+    express (arbitrary accumulators, custom eviction).
+
+    State per key is two numbers — bounded by key cardinality, the same
+    budget as a streaming aggregation. Emits one row per key per batch
+    with the post-batch totals."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("n_events", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(key_tuple, pdfs, state: "GroupState"):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        import pandas as pd
+
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n], "total": [s]})
+
+    return (
+        stream.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=getattr(GroupStateTimeout, timeout),
+        )
+    )
+
+
 def run_to_memory(result: DataFrame, table: str, mode: str = "update"):
     """Test/debug sink: run the streaming query into an in-memory table
     until all available input is processed, return the query handle."""

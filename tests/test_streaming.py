@@ -93,3 +93,36 @@ def test_session_agg(spark, stream_dir):
         assert sorted(rows) == [("u1", 2), ("u2", 1)]
     finally:
         q.stop()
+
+
+def test_stateful_running_totals_across_batches(spark):
+    """State must persist across micro-batches: feed two files with
+    maxFilesPerTrigger=1 so they arrive in separate triggers."""
+    import tempfile
+
+    from datamancer_spark.streaming import (
+        read_json_stream,
+        run_to_memory,
+        stateful_running_totals,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_batch(d, "b0.json", [
+            {"ts": "2024-01-01T00:00:00", "user": "u1", "text": "t", "value": 1.0},
+            {"ts": "2024-01-01T00:01:00", "user": "u1", "text": "t", "value": 2.0},
+        ])
+        _write_batch(d, "b1.json", [
+            {"ts": "2024-01-01T00:02:00", "user": "u1", "text": "t", "value": 4.0},
+        ])
+        stream = read_json_stream(spark, d, SCHEMA, max_files=1)
+        res = stateful_running_totals(stream, key="user", value_col="value")
+        q = run_to_memory(res, "state_t", mode="update")
+        try:
+            rows = spark.sql("SELECT * FROM state_t").collect()
+            # one emission per batch; the final one must carry totals over
+            # BOTH batches (proves GroupState persisted)
+            finals = max((r["n_events"], r["total"]) for r in rows)
+            assert finals == (3, 7.0)
+            assert len(rows) >= 2
+        finally:
+            q.stop()
