@@ -640,6 +640,38 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def argmax_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max aggregation (max_by / DuckDB arg_max): each user's
+    highest-value event."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.group_by("user_id")
+        .summarize(
+            # struct ordering = (value, event_id) so max-value ties break
+            # deterministically on event_id in both engines
+            best_event=F.max_by("event_id", F.struct(F.col("value"), F.col("event_id"))),
+            best_value=F.max("value"),
+        )
+        .df
+    )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-count sketch (HLL++). Rows-only vs oracle —
+    HLL implementations differ across engines by construction; the
+    accuracy contract (<5% error vs exact) is pinned in
+    tests/test_scale_ops.py instead."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.group_by("l_returnflag")
+        .summarize(
+            approx_parts=F.approx_count_distinct("l_partkey"),
+            approx_orders=F.approx_count_distinct("l_orderkey"),
+        )
+        .df
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (two stacked windows, one shuffle —
     operators/sessions.py; streaming twin is session_agg)."""
@@ -815,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "sessionize_events": sessionize_events,
         "quantiles_by_group": quantiles_by_group,
+        "argmax_per_user": argmax_per_user,
+        "approx_distinct": approx_distinct,
         "json_extract_props": json_extract_props,
         "date_parts": date_parts,
         "regex_extract_doc": regex_extract_doc,
@@ -1133,6 +1167,15 @@ def oracle_sql() -> dict[str, str]:
                prnd(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
                prnd(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["argmax_per_user"] = """
+        SELECT user_id, event_id AS best_event, value AS best_value FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1
     """
 
     sql["json_extract_props"] = """

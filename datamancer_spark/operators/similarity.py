@@ -220,12 +220,14 @@ def knn_lsh(
     id_col: str = "vec_id",
     num_planes: int = 8,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's hyperplane
     bucket. Recall tunes with ``num_planes`` (fewer planes → bigger
-    buckets → higher recall, more compute). The bucket join shuffles on a
-    single long key — the 100 TB plan shape; multi-probe (flipping one
-    bit) is the standard recall upgrade, staged as follow-up."""
+    buckets → higher recall, more compute) and ``multiprobe`` (also probe
+    buckets within Hamming distance 1, i.e. each single bit flipped —
+    the standard recall upgrade at ~(1+num_planes)× candidate cost).
+    The bucket join shuffles on a single long key — the 100 TB shape."""
     cb = hyperplane_bits(corpus, vec_col, num_planes, seed).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -234,11 +236,22 @@ def knn_lsh(
     qb = hyperplane_bits(queries, vec_col, num_planes, seed).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
+    if multiprobe:
+        # expand each query to its bucket + every 1-bit-flip neighbor
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(num_planes)
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", prnd(cosine(F.col("qv"), F.col("cv")), 6))
         .select("query_id", "neighbor_id", "cos")
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

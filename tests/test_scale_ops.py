@@ -73,3 +73,37 @@ def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     with pytest.raises(ValueError):
         salted_agg(ev, ["event_type"], {"m": ("median", "value")})
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """HLL sketch must stay within 5% of exact (the accuracy contract
+    substituting for a cross-engine oracle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = li.agg(F.approx_count_distinct("l_partkey").alias("a")).collect()[0]["a"]
+    exact = li.agg(F.count_distinct("l_partkey").alias("e")).collect()[0]["e"]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_multiprobe_lsh_improves_recall(spark, sf_dir):
+    from datamancer_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, q, k=10).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(emb, q, k=10, num_planes=6).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(emb, q, k=10, num_planes=6, multiprobe=1).collect()
+    }
+    r_single = len(single & brute) / len(brute)
+    r_multi = len(multi & brute) / len(brute)
+    assert r_multi >= r_single
+    # uniform-random embeddings are LSH's worst case (no cluster
+    # structure); multi-probe still must deliver a real recall floor
+    assert r_multi > 0.15

@@ -126,3 +126,21 @@ def test_stateful_running_totals_across_batches(spark):
             assert len(rows) >= 2
         finally:
             q.stop()
+
+
+def test_incremental_parquet_sink(spark, stream_dir):
+    import tempfile
+
+    from datamancer_spark.streaming import read_json_stream, write_incremental_parquet
+
+    out = tempfile.mkdtemp() + "/inc_out"
+    ckpt = tempfile.mkdtemp() + "/ckpt"
+    stream = read_json_stream(spark, stream_dir, SCHEMA)
+    q = write_incremental_parquet(stream, out, ckpt, dedupe_keys=("text",))
+    try:
+        q.processAllAvailable()
+        back = spark.read.parquet(out)
+        # 3 input rows, two share text "hello world" -> batch-deduped to 2
+        assert back.count() == 2
+    finally:
+        q.stop()
