@@ -737,6 +737,28 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.transmute(doc_id=F.col("doc_id"), fp=T.fingerprint(F.col("text"))).df
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning composition: quality gate → exact-dedup
+    keepers → per-language stats. The shape of a real training-data prep
+    job, exercised as ONE Catalyst plan (filter pushdown through the
+    dedup semi-join; single shuffle per rendezvous)."""
+    doc = _t(spark, sf_dir, "documents")["documents"].spread_partitions()
+    quality = doc.mutate(q=T.quality_score(F.col("text"))).filter(F.col("q") >= 0.75)
+    keepers = DamFrame(
+        D.exact_dedup(quality.df).select(F.col("keep_id").alias("doc_id"))
+    )
+    cleaned = quality.semi_join(keepers, by="doc_id")
+    return (
+        cleaned.group_by("lang")
+        .summarize(
+            n_docs=F.count(F.lit(1)),
+            avg_tokens=prnd(F.avg(T.token_count(F.col("text"))), 4),
+            total_chars=F.sum("n_chars"),
+        )
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup + similarity (north star)
 # ---------------------------------------------------------------------------
@@ -857,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_jaccard": dedup_jaccard,
@@ -1262,6 +1285,31 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(len(text), 1) <= 0.3 THEN 1.0 ELSE 0.0 END)
           ) / 4.0, 4) AS quality
         FROM documents
+    """
+
+    quality_expr = f"""(
+            (CASE WHEN {ntok} >= 5 AND {ntok} <= 100000 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN {awl} >= 2.0 AND {awl} <= 12.0 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN ({npunct}) * 1.0 / greatest(len(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                       / greatest(len(text), 1) <= 0.3 THEN 1.0 ELSE 0.0 END)
+          ) / 4.0"""
+    sql["pipeline_clean_corpus"] = f"""
+        WITH q AS (
+          SELECT * FROM documents WHERE {quality_expr} >= 0.75
+        ),
+        keep AS (
+          SELECT min(doc_id) AS doc_id FROM (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM q) t
+          GROUP BY fp
+        )
+        SELECT lang, count(*) AS n_docs,
+               prnd(avg({ntok}), 4) AS avg_tokens,
+               sum(n_chars) AS total_chars
+        FROM q WHERE doc_id IN (SELECT doc_id FROM keep)
+        GROUP BY lang
     """
 
     s_en = _lang_score_sql("en")

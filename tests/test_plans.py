@@ -75,3 +75,35 @@ def test_knn_corpus_not_shuffled(spark, sf_dir):
     plan = executed_plan(out)
     # exactly one exchange: the window ranking over candidates
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key -> SortMergeJoin with ZERO
+    exchanges: the co-located join that makes repeated 100 TB joins
+    affordable."""
+    from datamancer_spark.io import write_parquet
+    from datamancer_spark import DamFrame
+    from datamancer_spark.plans import executed_plan
+
+    orders = DamFrame(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    li = DamFrame(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    write_parquet(orders, str(tmp_path / "o"), bucket_by=(8, ["o_orderkey"]),
+                  table_name="bk_orders")
+    write_parquet(li, str(tmp_path / "l"), bucket_by=(8, ["l_orderkey"]),
+                  table_name="bk_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at sf-test sizes broadcast would win and bypass bucketing; force
+        # the shuffle-join path to pin what bucketing buys at real scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("bk_orders")
+        b = spark.table("bk_lineitem")
+        j = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = executed_plan(j)
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
