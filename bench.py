@@ -28,6 +28,12 @@ HEADLINE = [
     "unique_first",
     "text_quality",
     "text_langid",
+    "string_ops",
+    "quantiles_by_group",
+    "argmax_per_user",
+    "json_extract_props",
+    "grouped_zscore",
+    "pipeline_clean_corpus",
     "asof_signup",
     "sessionize_events",
     "events_hourly",

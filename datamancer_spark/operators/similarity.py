@@ -102,52 +102,59 @@ def knn_bruteforce(
     )
 
 
+def plane_matrix(num_planes: int, dim: int, seed: int = 42):
+    """Deterministic hyperplane matrix (num_planes × dim), md5-derived:
+    component[p][j] = md5(seed_p_j) first 8 hex as int / 2^31 - 1 ∈ [-1,1).
+    Computed once on the driver (tiny) and broadcast — no per-row hashing."""
+    import hashlib
+
+    import numpy as np
+
+    M = np.empty((num_planes, dim), dtype=np.float64)
+    for p in range(num_planes):
+        for j in range(dim):
+            h = int(hashlib.md5(f"{seed}_{p}_{j}".encode()).hexdigest()[:8], 16)
+            M[p, j] = h / float(2**31) - 1.0
+    return M
+
+
 def hyperplane_bits(
     df: DataFrame,
     vec_col: str = "embedding",
     num_planes: int = 8,
     seed: int = 42,
     out: str = "bucket",
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-bit LSH bucket id from ``num_planes`` deterministic random
-    hyperplanes. Plane p's component j = portable md5-derived value in
-    [-1, 1): centered uniform — standard for sign-random-projection.
-    Everything is a Catalyst expression evaluated corpus-side."""
-    dim_col = F.size(F.col(vec_col))
+    hyperplanes: bucket = Σ 2^p·[vec·plane_p ≥ 0]. The plane matrix is
+    driver-derived and broadcast; bucket assignment is one numpy matrix
+    multiply per Arrow batch (was: per-row md5 expressions — 512k
+    interpreted hashes for a 2k×64 corpus)."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    def plane_component(p: int):
-        # component_j = (md5(seed,p,j) first 8 hex as int) / 2^31 - 1.0
-        return lambda j: (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("_", F.lit(seed), F.lit(p), j.cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(2**31))
-            - F.lit(1.0)
-        )
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+    M = plane_matrix(num_planes, dim, seed)
+    bc = df.sparkSession.sparkContext.broadcast(M)
+    in_cols = df.columns
+    out_schema = StructType(df.schema.fields + [StructField(out, LongType())])
 
-    bits = []
-    for p in range(num_planes):
-        comp = plane_component(p)
-        dotp = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(F.sequence(F.lit(0), dim_col - 1), comp),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dotp >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return df.withColumn(out, bucket.cast("long"))
+    def assign(batches):
+        Mt = bc.value.T  # (dim, planes)
+        weights = (1 << np.arange(Mt.shape[1], dtype=np.int64))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            buckets = ((V @ Mt) >= 0).astype(np.int64) @ weights
+            res = pdf.copy()
+            res[out] = buckets
+            yield res
+
+    return df.select(*in_cols).mapInPandas(assign, out_schema)
 
 
 def knn_ivf(
