@@ -672,6 +672,62 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window with an explicit frame spec (rows between 2
+    preceding and current) — beyond-reference (§2.9: no frame specs)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        ev.mutate(roll_avg=prnd(F.avg("value").over(w), 4))
+        .select("event_id", "user_id", "value", "roll_avg")
+        .df
+    )
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.mutate(
+            quartile=F.ntile(4).over(w),
+            pr=prnd(F.percent_rank().over(w), 6),
+            cd=prnd(F.cume_dist().over(w), 6),
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "quartile", "pr", "cd")
+        .df
+    )
+
+
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over embeddings (element access, slicing,
+    size — absent from the reference, SURVEY §2.12)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        emb.transmute(
+            vec_id=F.col("vec_id"),
+            dim=F.size("embedding"),
+            first_v=prnd(F.element_at("embedding", 1).cast("double"), 6),
+            last_v=prnd(F.element_at("embedding", -1).cast("double"), 6),
+            head_sum=prnd(
+                F.aggregate(
+                    F.slice("embedding", 1, 8),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
+                6,
+            ),
+        )
+        .df
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (two stacked windows, one shuffle —
     operators/sessions.py; streaming twin is session_agg)."""
@@ -735,6 +791,26 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")["documents"]
     return doc.transmute(doc_id=F.col("doc_id"), fp=T.fingerprint(F.col("text"))).df
+
+
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (beyond-reference: the reference has no SQL
+    parser, SURVEY §2.12; Spark gives it free): frames registered as
+    views, query expressed in SQL with a correlated subquery."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    t["orders"].as_view("v_orders")
+    t["customer"].as_view("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_big_spenders
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+        GROUP BY c_mktsegment
+        """
+    )
 
 
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,6 +946,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "quantiles_by_group": quantiles_by_group,
         "argmax_per_user": argmax_per_user,
+        "rolling_mean": rolling_mean,
+        "window_distribution": window_distribution,
+        "array_ops": array_ops,
         "approx_distinct": approx_distinct,
         "json_extract_props": json_extract_props,
         "date_parts": date_parts,
@@ -879,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "sql_interface": sql_interface,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -1285,6 +1365,43 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(len(text), 1) <= 0.3 THEN 1.0 ELSE 0.0 END)
           ) / 4.0, 4) AS quality
         FROM documents
+    """
+
+    sql["rolling_mean"] = """
+        SELECT event_id, user_id, value,
+               prnd(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                 AS roll_avg
+        FROM events
+    """
+
+    sql["window_distribution"] = """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               ntile(4) OVER w AS quartile,
+               prnd(percent_rank() OVER w, 6) AS pr,
+               prnd(cume_dist() OVER w, 6) AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """
+
+    sql["array_ops"] = """
+        SELECT vec_id,
+               len(embedding) AS dim,
+               prnd(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+               prnd(CAST(embedding[-1] AS DOUBLE), 6) AS last_v,
+               prnd(list_sum(list_transform(list_slice(embedding, 1, 8),
+                                            x -> CAST(x AS DOUBLE))), 6) AS head_sum
+        FROM embeddings
+    """
+
+    sql["sql_interface"] = """
+        SELECT c_mktsegment, count(*) AS n_big_spenders
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+        GROUP BY c_mktsegment
     """
 
     quality_expr = f"""(

@@ -110,6 +110,12 @@ class DamFrame:
     def explain(self, mode: str = "formatted") -> None:  # pragma: no cover
         self._df.explain(mode)
 
+    def as_view(self, name: str) -> DamFrame:
+        """Register for ``spark.sql`` — the SQL entry point the reference
+        lacks entirely (SURVEY §2.12: "No SQL parser"); free on Spark."""
+        self._df.createOrReplaceTempView(name)
+        return self
+
     # -- row id / ordering helper ----------------------------------------
 
     def spread_partitions(self, n: int | None = None) -> DamFrame:
