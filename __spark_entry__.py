@@ -850,6 +850,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(doc.df, num_hashes=16, bands=4, shingle_n=3)
 
 
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship near-dup operator: LSH candidates verified by exact
+    Jaccard (operators/dedup.py minhash_dedup_verified)."""
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return D.minhash_dedup_verified(doc.df, threshold=0.5)
+
+
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")["documents"]
     return D.ngram_jaccard_pairs(doc.df, shingle_n=3, threshold=0.5)
@@ -962,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
+        "dedup_minhash_verified": dedup_minhash_verified,
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
@@ -1484,6 +1492,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    """
+
+    sql["dedup_minhash_verified"] = f"""
+        WITH {_SHINGLES_CTE},
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(shingles,
+                   s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id, [{sig_items}] AS sig FROM hashed
+        ),
+        banded AS (
+          SELECT doc_id, b.band AS band,
+                 md5(array_to_string(list_transform(generate_series(1, 4),
+                       r -> sig[(b.band * 4) + r]::VARCHAR), ',')) AS bhash
+          FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        ),
+        involved AS (
+          SELECT id_a AS doc_id FROM cands
+          UNION SELECT id_b AS doc_id FROM cands
+        ),
+        ex AS (
+          SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS s
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u
+          WHERE doc_id IN (SELECT doc_id FROM involved)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               prnd(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+        WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
     """
 
     sql["dedup_jaccard"] = f"""

@@ -218,12 +218,41 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup_verified(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup composition: MinHash-LSH candidate pairs,
+    then exact n-gram Jaccard computed ONLY among candidate documents and
+    kept only for candidate pairs ≥ threshold.
+
+    Scale shape: LSH bounds the candidate set (linear shuffle); the
+    quadratic-ish exact verification runs on the (usually tiny) candidate
+    subgraph — docs outside any candidate pair are semi-joined away
+    before their shingles ever explode."""
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    involved = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    subset = df.join(involved, id_col, "left_semi")
+    exact = ngram_jaccard_pairs(subset, text_col, id_col, shingle_n, threshold)
+    return exact.join(cands, ["id_a", "id_b"], "left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via an inverted shingle index:
     explode distinct shingles → self-join on shingle → count shared →
@@ -241,6 +270,19 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
     ).select(F.col(id_col), hash32(F.col("s")).alias("sh"))
+    if max_doc_freq is not None:
+        # Recall/cost knob: drop boilerplate shingles present in more than
+        # max_doc_freq docs BEFORE the pair join (they contribute huge
+        # join fan-out but little similarity signal). LOSSY: jaccard is
+        # then computed over the pruned shingle sets — document choice,
+        # don't silently default.
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

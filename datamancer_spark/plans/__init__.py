@@ -18,15 +18,17 @@ def optimized_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
 
 
-def formatted(df: DataFrame) -> str:
-    return df._jdf.queryExecution().explainString(  # noqa: SLF001
-        df._jdf.queryExecution().explainString.__class__ and _mode(df)
-    )
-
-
-def _mode(df: DataFrame):  # pragma: no cover - helper for formatted()
-    jvm = df.sparkSession._jvm  # noqa: SLF001
-    return jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+def has_partition_filter(df: DataFrame, fragment: str | None = None) -> bool:
+    """True if the scan prunes partitions (PartitionFilters non-empty).
+    At 100 TB, a date filter that doesn't appear here scans every
+    partition directory."""
+    plan = executed_plan(df)
+    marker = "PartitionFilters: ["
+    for seg in plan.split(marker)[1:]:
+        inner = seg.split("]", 1)[0]
+        if inner.strip() and (fragment is None or fragment in inner):
+            return True
+    return False
 
 
 def has_pushed_filter(df: DataFrame, fragment: str | None = None) -> bool:

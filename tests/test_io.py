@@ -92,12 +92,14 @@ def test_parquet_roundtrip_partitioned(spark):
     write_parquet(d, out, partition_by=["g"])
     back = read_parquet(spark, out)
     assert back.count_rows() == 4
-    # partition pruning: only one directory read when filtering on g
+    # partition pruning must reach the scan (PartitionFilters), so only
+    # the g=a directory is read
     from pyspark.sql import functions as F
 
-    from datamancer_spark.plans import executed_plan
+    from datamancer_spark.plans import has_partition_filter
 
     pruned = back.df.filter(F.col("g") == "a")
+    assert has_partition_filter(pruned, "g")
     assert pruned.count() == 2
 
 

@@ -148,3 +148,43 @@ def test_knn_lsh_subset_of_brute(spark, sf_dir):
     # substantial at 2 planes (bucket ~ 1/4 of corpus)
     assert len(aset) > 0
     assert len(aset & bset) / max(len(aset), 1) > 0.2
+
+
+def test_minhash_verified_composition(spark, docs):
+    """Verified pairs are a subset of LSH candidates AND meet the exact
+    jaccard threshold."""
+    from datamancer_spark.operators.dedup import (
+        minhash_dedup_verified,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    d = docs.filter(F.col("text") != "")
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup_verified(d, threshold=0.4).collect()
+    }
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(d).collect()}
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(d, threshold=0.4).collect()
+    }
+    assert set(verified) <= cands
+    assert all(j >= 0.4 for j in verified.values())
+    # the exact-dup pair must survive the full composition
+    assert (0, 1) in verified and verified[(0, 1)] == 1.0
+    # and every verified value agrees with the standalone exact operator
+    for pair, j in verified.items():
+        assert exact[pair] == j
+
+
+def test_jaccard_doc_freq_pruning(spark, docs):
+    from datamancer_spark.operators.dedup import ngram_jaccard_pairs
+    from pyspark.sql import functions as F
+
+    d = docs.filter(F.col("text") != "")
+    full = ngram_jaccard_pairs(d, threshold=0.1)
+    pruned = ngram_jaccard_pairs(d, threshold=0.1, max_doc_freq=1)
+    # pruning only removes candidate mass, never adds
+    assert pruned.count() <= full.count()
