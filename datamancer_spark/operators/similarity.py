@@ -186,7 +186,9 @@ def knn_ivf(
         F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
     )
-    model = KMeans(k=num_centroids, seed=seed, featuresCol="_feat").fit(feat)
+    # maxIter=8: codebook quality plateaus early for bucketing purposes —
+    # IVF recall depends on probe count far more than centroid polish
+    model = KMeans(k=num_centroids, seed=seed, featuresCol="_feat", maxIter=8).fit(feat)
     assigned = model.transform(feat).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

@@ -217,3 +217,15 @@ def test_masked_assign_promotes_on_conflict(spark):
     out = d.masked_assign("x", F.col("x") > 2, "big")
     assert dict(out.df.dtypes)["x"] == "string"
     assert sorted(r["x"] for r in out.collect()) == ["1", "2", "big"]
+
+
+def test_chained_conditional(mini):
+    # if/elif/else formula chains (formula.nim:1073-1078) -> stacked whens
+    out = mini.mutate(
+        band=F.when(F.col("x") <= 2, "low")
+        .when(F.col("x") <= 4, "mid")
+        .otherwise("high")
+    ).arrange("x")
+    assert [r["band"] for r in out.collect()] == [
+        "low", "low", "mid", "mid", "high", "high",
+    ]
