@@ -158,6 +158,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = 
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    from .session import ensure_session_defaults
+
+    # Defensive: the caller's session may not be ours (the verification
+    # driver builds its own); these confs are required for correct reads.
+    ensure_session_defaults(spark)
+
     out: dict[str, DamFrame] = {}
     for n in names:
         p = os.path.join(sf_dir, f"{n}.parquet")

@@ -41,6 +41,35 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+# The subset of _DEFAULTS that is session-settable at runtime. Applied
+# defensively to externally-created sessions (e.g. the verification
+# driver's) so engine queries behave identically regardless of who built
+# the SparkSession: without nanosAsLong a vanilla session cannot even
+# read TIMESTAMP(NANOS) parquet, and a non-UTC timezone would skew every
+# timestamp comparison against the DuckDB oracle.
+_RUNTIME_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the engine's runtime-settable defaults to an
+    existing session (no-op for sessions built by get_spark)."""
+    for k, v in _RUNTIME_DEFAULTS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on this build — builder-only
+            pass
+    return spark
+
+
 def get_spark(
     app_name: str = "datamancer-spark",
     master: str | None = None,
