@@ -982,11 +982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # DuckDB twins. Shared SQL fragments:
 
-_LANG_SCORE = """
-    (len(' '||lower(text)||' ') - len(replace(' '||lower(text)||' ', ' {w} ', ''))) // {n}
-"""
-
-
 def _lang_score_sql(lang: str) -> str:
     from datamancer_spark.functions.text import LANG_MARKERS
 

@@ -88,6 +88,12 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = builder.master(master)
+    # local[n] runs executors inside the driver JVM, whose DEFAULT heap is
+    # 1g — 32 concurrent tasks on 1g spills/OOMs long before the machine's
+    # RAM matters. Builder-time only (ignored for already-running JVMs).
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    ).config("spark.driver.maxResultSize", "4g")
     conf = dict(_DEFAULTS)
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")

@@ -1,0 +1,139 @@
+"""Empirical scaling study → SCALING.md.
+
+Synthesizes 4× and 16× copies of the sf0.1 documents/events corpora
+(ids offset per copy, text salted so near-dup structure stays realistic
+rather than exploding LSH buckets with exact clones) and measures how
+the scale-critical operators grow. The point: verify the measured
+growth matches the plan-shape prediction (≈linear for hash/agg/LSH
+pipelines) before anyone trusts these operators at 1000×.
+
+Usage: python tools/scale_check.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth(spark, base_dir: str, out_dir: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from datamancer_spark import load_tables
+
+    tables = load_tables(spark, base_dir, ["documents", "events"])
+    doc = tables["documents"].df
+    n_docs = doc.count()
+    copies_df = spark.range(copies).withColumnRenamed("id", "copy")
+    big_docs = (
+        doc.crossJoin(copies_df)
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * n_docs)
+        # salt ~each copy's text so copies are near-dups, not exact clones
+        .withColumn(
+            "text",
+            F.when(F.col("copy") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" copyword"), F.col("copy").cast("string"))
+            ),
+        )
+        .drop("copy")
+    )
+    big_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    ev = tables["events"].df  # ts already normalized to µs timestamps
+    n_ev = ev.count()
+    big_ev = (
+        ev.crossJoin(copies_df)
+        .withColumn("event_id", F.col("event_id") + F.col("copy") * n_ev)
+        .withColumn("user_id", F.col("user_id") + F.col("copy") * 1000)
+        .drop("copy")
+    )
+    big_ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+
+def main() -> None:
+    from datamancer_spark import get_spark
+    from datamancer_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from datamancer_spark.operators.sessions import session_stats
+    from datamancer_spark.functions.text import quality_score
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="scale-check")
+    base = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="scale_")
+
+    dirs = {1: base}
+    for c in (4, 16):
+        out = f"{tmp}/x{c}"
+        synth(spark, base, out, c)
+        dirs[c] = out
+
+    from datamancer_spark import load_tables
+
+    def run(tag, fn):
+        times = {}
+        for c, d in dirs.items():
+            t = load_tables(spark, d, ["documents", "events"])
+            doc, ev = t["documents"].df, t["events"].df
+            t0 = time.time()
+            fn(doc, ev).write.format("noop").mode("overwrite").save()
+            times[c] = round(time.time() - t0, 2)
+        return tag, times
+
+    results = [
+        run("exact_dedup", lambda doc, ev: exact_dedup(doc)),
+        run("minhash_lsh_pairs", lambda doc, ev: minhash_lsh_pairs(doc)),
+        run("simhash_pairs", lambda doc, ev: simhash_pairs(doc, max_hamming=3)),
+        run(
+            "text_quality",
+            lambda doc, ev: doc.repartition(32).select(
+                "doc_id", quality_score(F.col("text")).alias("q")
+            ),
+        ),
+        run(
+            "sessionize",
+            lambda doc, ev: session_stats(ev, "ts", ["user_id"], 1800, "value"),
+        ),
+    ]
+
+    lines = [
+        "# SCALING — measured operator growth (synthesized 4x/16x of sf0.1)",
+        "",
+        "Copies are near-duplicates (salted text, offset ids), so dedup",
+        "candidate structure stays realistic. Ideal hash/agg/LSH pipelines",
+        "grow ~linearly in input size; a super-linear jump flags a stage",
+        "that would not survive 1000x. Times include fixed Spark overhead",
+        "(~0.3-0.5 s/job), so small inputs overstate the exponent floor.",
+        "",
+        "| operator | 1x (s) | 4x (s) | 16x (s) | 16x/1x ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for tag, times in results:
+        ratio = round(times[16] / times[1], 1) if times[1] else float("nan")
+        lines.append(
+            f"| {tag} | {times[1]} | {times[4]} | {times[16]} | {ratio}x |"
+        )
+    lines += [
+        "",
+        "Interpretation: a ratio ≤ ~16 at 16x data is at-or-below linear",
+        "(fixed overheads amortize); candidate-pair operators may exceed it",
+        "if duplicate density rises with corpus size (it does here by",
+        "construction — every doc gains 15 near-copies).",
+    ]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALING.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote SCALING.md")
+    for tag, times in results:
+        print(tag, times)
+
+
+if __name__ == "__main__":
+    main()
