@@ -88,3 +88,14 @@ def test_unique_idempotent(spark, rows):
     once = d.unique()
     twice = once.unique()
     assert rows_set(once.df) == rows_set(twice.df)
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_semi_anti_partition(spark, rows):
+    """semi(A,B) ⊎ anti(A,B) = A for any key set."""
+    d = _frame(spark, rows)
+    b = d.filter(F.col("v") > 0)
+    semi = d.semi_join(b, by="x")
+    anti = d.anti_join(b, by="x")
+    assert rows_set(semi.bind_rows(anti).df) == rows_set(d.df)

@@ -144,3 +144,57 @@ def test_incremental_parquet_sink(spark, stream_dir):
         assert back.count() == 2
     finally:
         q.stop()
+
+
+def test_stream_batch_parity(spark):
+    """The streaming tumbling aggregation must produce exactly the batch
+    hourly rollup on the same data — the one-expression-layer guarantee."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datamancer_spark import load_tables
+    from datamancer_spark.streaming import read_json_stream, run_to_memory, tumbling_agg
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"].df
+    batch = {
+        (str(r["bucket"]), r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+            "value",
+        ).coalesce(1).write.mode("overwrite").json(d + "/js")
+        from pyspark.sql.types import (
+            DoubleType, StringType, StructField, StructType, TimestampType,
+        )
+
+        schema = StructType(
+            [
+                StructField("ts", TimestampType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+            ]
+        )
+        stream = read_json_stream(spark, d + "/js", schema)
+        res = tumbling_agg(
+            stream, "ts", window="1 hour", watermark="0 seconds",
+            keys=("event_type",),
+            n=F.count(F.lit(1)), total=F.sum("value"),
+        )
+        q = run_to_memory(res, "parity_t")
+        try:
+            streamed = {
+                (str(r["bucket"]), r["event_type"]): (r["n"], round(r["total"], 6))
+                for r in spark.sql("SELECT * FROM parity_t").collect()
+            }
+        finally:
+            q.stop()
+    assert streamed == batch
