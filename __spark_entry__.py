@@ -840,6 +840,15 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (operators/tfidf.py — relational
+    term scoring with broadcast idf join)."""
+    from datamancer_spark.operators.tfidf import tfidf
+
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return tfidf(doc.df, top_k=3)
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")["documents"]
     return D.exact_dedup(doc.df)
@@ -965,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "tfidf_top_terms": tfidf_top_terms,
         "sql_interface": sql_interface,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "dedup_exact": dedup_exact,
@@ -1451,6 +1461,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents
+    """
+
+    sql["tfidf_top_terms"] = """
+        WITH tc AS (
+          SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM documents) u
+          WHERE len(term) > 0
+          GROUP BY doc_id, term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        idf AS (
+          SELECT term, ln((n.n_docs + 1.0) / (count(DISTINCT doc_id) + 1)) + 1.0 AS idf
+          FROM tc, n GROUP BY term, n.n_docs
+        )
+        SELECT doc_id, term, tf, tfidf FROM (
+          SELECT tc.doc_id, tc.term, tc.tf,
+                 prnd(tc.tf * idf.idf, 6) AS tfidf,
+                 row_number() OVER (PARTITION BY tc.doc_id
+                                    ORDER BY prnd(tc.tf * idf.idf, 6) DESC,
+                                             tc.term ASC) AS rk
+          FROM tc JOIN idf USING (term)) t
+        WHERE rk <= 3
     """
 
     sql["dedup_exact"] = """

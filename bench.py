@@ -34,6 +34,7 @@ HEADLINE = [
     "json_extract_props",
     "grouped_zscore",
     "pipeline_clean_corpus",
+    "tfidf_top_terms",
     "asof_signup",
     "sessionize_events",
     "events_hourly",

@@ -93,19 +93,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """The deduplicated corpus itself: rows whose id is the keeper.
-    Implemented as a min_by-free double-agg + semi join so the text column
-    is scanned once and never shuffled."""
+    """The deduplicated corpus itself: rows whose id is the keeper —
+    semi join against the keeper-id set (one long per distinct doc; AQE
+    converts it to a broadcast join when the set is small)."""
     keepers = exact_dedup(df, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    return df.join(F.broadcast(keepers) if _small(keepers) else keepers, id_col, "left_semi")
-
-
-def _small(df: DataFrame) -> bool:
-    # Keeper-id sets are one long per distinct doc; broadcast below ~10M docs.
-    # We cannot know the count without a job, so leave the decision to AQE:
-    return False
+    return df.join(keepers, id_col, "left_semi")
 
 
 # -- MinHash + LSH -----------------------------------------------------------

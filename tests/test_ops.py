@@ -188,3 +188,27 @@ def test_jaccard_doc_freq_pruning(spark, docs):
     pruned = ngram_jaccard_pairs(d, threshold=0.1, max_doc_freq=1)
     # pruning only removes candidate mass, never adds
     assert pruned.count() <= full.count()
+
+
+def test_tfidf_semantics(spark):
+    """A term appearing in every doc gets minimal idf; a unique term
+    dominates its doc's ranking."""
+    from datamancer_spark.operators.tfidf import bm25, tfidf
+
+    # equal tf per term, so the idf difference decides the ranking
+    d = spark.createDataFrame(
+        [
+            (1, "common unique1"),
+            (2, "common unique2"),
+            (3, "common filler words"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = tfidf(d, top_k=1)
+    best = {r["doc_id"]: r["term"] for r in top.collect()}
+    assert best[1] == "unique1" and best[2] == "unique2"
+    # bm25: unique term outranks the ubiquitous one within a doc
+    scores = {
+        (r["doc_id"], r["term"]): r["bm25"] for r in bm25(d).collect()
+    }
+    assert scores[(1, "unique1")] > scores[(1, "common")]
