@@ -840,6 +840,28 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based 80/10/10 split over documents — split
+    sizes + per-split char checksums (operators/sampling.py; stable
+    across engines/partitionings, unlike rand-based splits)."""
+    from datamancer_spark.operators.sampling import hash_split
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    labeled = hash_split(doc, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (operators/sampling.py)."""
+    from datamancer_spark.operators.sampling import histogram
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return histogram(li.df, "l_extendedprice", 0.0, 100000.0, 20)
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 TF-IDF terms (operators/tfidf.py — relational
     term scoring with broadcast idf join)."""
@@ -975,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "tfidf_top_terms": tfidf_top_terms,
+        "train_test_split": train_test_split,
+        "price_histogram": price_histogram,
         "sql_interface": sql_interface,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "dedup_exact": dedup_exact,
@@ -1461,6 +1485,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents
+    """
+
+    sql["train_test_split"] = """
+        SELECT split, count(*) AS n, sum(n_chars) AS total_chars FROM (
+          SELECT CASE
+                   WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+                        % 1000000 < 800000 THEN 'train'
+                   WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+                        % 1000000 < 900000 THEN 'val'
+                   ELSE 'test' END AS split,
+                 n_chars
+          FROM documents) t
+        GROUP BY split
+    """
+
+    # DuckDB 1.0 has no width_bucket; replicate Spark's formula verbatim:
+    # floor((v - lo) / ((hi - lo) / n)) + 1, clamped to 0 / n+1 outside.
+    sql["price_histogram"] = """
+        SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                    WHEN l_extendedprice >= 100000.0 THEN 21
+                    ELSE CAST(floor((l_extendedprice - 0.0)
+                                    / ((100000.0 - 0.0) / 20)) AS BIGINT) + 1
+               END AS bucket,
+               count(*) AS n
+        FROM lineitem GROUP BY bucket
     """
 
     sql["tfidf_top_terms"] = """

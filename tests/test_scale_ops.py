@@ -107,3 +107,32 @@ def test_multiprobe_lsh_improves_recall(spark, sf_dir):
     # uniform-random embeddings are LSH's worst case (no cluster
     # structure); multi-probe still must deliver a real recall floor
     assert r_multi > 0.15
+
+
+def test_hash_split_stability_and_fractions(spark, sf_dir):
+    from datamancer_spark.operators.sampling import hash_split
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = hash_split(li, "l_orderkey", {"train": 0.8, "test": 0.2})
+    b = hash_split(li.repartition(7), "l_orderkey", {"train": 0.8, "test": 0.2})
+    ca = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cb = {r["split"]: r["n"] for r in b.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # identical regardless of partitioning (rand-based splits are not)
+    assert ca == cb
+    total = sum(ca.values())
+    assert abs(ca["train"] / total - 0.8) < 0.05
+    # same key always lands in the same split
+    splits_per_key = (
+        a.groupBy("l_orderkey").agg(F.count_distinct("split").alias("k")).agg(F.max("k")).collect()[0][0]
+    )
+    assert splits_per_key == 1
+
+
+def test_hash_split_rejects_bad_fractions(spark, sf_dir):
+    from datamancer_spark.operators.sampling import hash_split
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(li, "l_orderkey", {"a": 0.5, "b": 0.2})
