@@ -384,7 +384,7 @@ def simhash_pairs(
         ).alias("b"),
     ).select(id_col, "simhash", "b.blk", "b.val")
     a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -398,9 +398,12 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+        # hamming filter BEFORE the distinct: rejected candidates never
+        # enter the dedup shuffle (multi-block collisions only exist for
+        # pairs that pass anyway, so results are identical)
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 # -- embedding near-dup ------------------------------------------------------
