@@ -570,6 +570,8 @@ class DamFrame:
             for f in self._df.schema.fields
             if f.dataType.typeName() in ("double", "float")
         ]
+        if not targets:  # no float columns → nothing can be NaN
+            return self
         cond = functools.reduce(
             lambda a, b: a & b, (~F.isnan(F.col(c)) for c in targets)
         )

@@ -229,3 +229,8 @@ def test_chained_conditional(mini):
     assert [r["band"] for r in out.collect()] == [
         "low", "low", "mid", "mid", "high", "high",
     ]
+
+
+def test_drop_nan_no_float_columns_is_noop(spark):
+    d = to_df({"x": [1, 2], "s": ["a", "b"]}, spark)
+    assert d.drop_nan().count_rows() == 2
