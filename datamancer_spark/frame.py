@@ -140,13 +140,15 @@ class DamFrame:
 
     def select(self, *cols: ColumnOrName) -> DamFrame:
         """Keep columns in argument order (ref select keeps group keys;
-        we do too by prepending missing keys)."""
-        names = [c if isinstance(c, str) else None for c in cols]
-        out = list(cols)
-        for k in reversed(self._group_keys):
-            if k not in names:
-                out.insert(0, k)
-        return self._wrap(self._df.select(*[_to_col(c) for c in out]))
+        we do too by prepending missing keys). Key presence is checked on
+        the analyzed result so aliased Column args count."""
+        out = self._df.select(*[_to_col(c) for c in cols])
+        missing = [k for k in self._group_keys if k not in out.columns]
+        if missing:
+            out = self._df.select(
+                *[F.col(k) for k in missing], *[_to_col(c) for c in cols]
+            )
+        return self._wrap(out)
 
     def drop(self, *cols: str) -> DamFrame:
         return self._wrap(self._df.drop(*cols))
@@ -177,6 +179,10 @@ class DamFrame:
             new_order = moving + rest
         else:
             anchor = before if before is not None else after
+            if anchor in cols:
+                raise ValueError(
+                    f"relocate anchor {anchor!r} cannot be one of the moved columns"
+                )
             idx = rest.index(anchor) + (0 if before is not None else 1)
             new_order = rest[:idx] + moving + rest[idx:]
         return self._wrap(self._df.select(*new_order))

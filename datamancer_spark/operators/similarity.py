@@ -204,6 +204,10 @@ def knn_ivf(
         for c in np.argsort(d)[:nprobe]:
             probe_rows.append((int(r[0]), int(c)))
     spark = corpus.sparkSession
+    if not probe_rows:  # empty query set → empty result with the contract schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
     probes = spark.createDataFrame(probe_rows, ["query_id", "centroid"])
     qside = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")

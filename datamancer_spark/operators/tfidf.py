@@ -82,6 +82,8 @@ def bm25(
     n_docs = df.count()
     dl = tc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    if avgdl is None:  # empty corpus → empty result via the joins below
+        avgdl = 1.0
     idf = doc_freq(tc, id_col).withColumn(
         "idf",
         F.log(

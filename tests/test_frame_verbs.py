@@ -234,3 +234,14 @@ def test_chained_conditional(mini):
 def test_drop_nan_no_float_columns_is_noop(spark):
     d = to_df({"x": [1, 2], "s": ["a", "b"]}, spark)
     assert d.drop_nan().count_rows() == 2
+
+
+def test_select_grouped_with_aliased_key(mini):
+    # a Column arg that yields the group key must not duplicate it
+    out = mini.group_by("g").select(F.col("g"), F.col("x").alias("xx"))
+    assert out.columns == ["g", "xx"]
+
+
+def test_relocate_anchor_in_moved_raises(mini):
+    with pytest.raises(ValueError):
+        mini.relocate("g", "x", after="x")

@@ -136,3 +136,19 @@ def test_hash_split_rejects_bad_fractions(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         hash_split(li, "l_orderkey", {"a": 0.5, "b": 0.2})
+
+
+def test_knn_ivf_empty_queries(spark, sf_dir):
+    from datamancer_spark.operators.similarity import knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_ivf(emb, emb.filter(F.col("vec_id") < 0), k=3, num_centroids=4)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+
+
+def test_bm25_empty_corpus(spark):
+    from datamancer_spark.operators.tfidf import bm25
+
+    d = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25(d).count() == 0
