@@ -888,6 +888,22 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_verified(doc.df, threshold=0.5)
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup removal: verified pairs → connected components →
+    keep min id per cluster (operators/components.py). Rows-only check:
+    the component step is iterative (driver-looped log-rounds), the
+    contract's documented non-SQL-expressible case."""
+    from datamancer_spark.operators.components import dedup_keep_canonical
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    pairs = D.minhash_dedup_verified(doc, threshold=0.5)
+    kept = dedup_keep_canonical(doc, pairs)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")["documents"]
     return D.ngram_jaccard_pairs(doc.df, shingle_n=3, threshold=0.5)
@@ -1004,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_canonical": dedup_canonical,
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,

@@ -1,0 +1,101 @@
+"""Connected components over near-duplicate pair graphs.
+
+The post-dedup step every pipeline needs: candidate/verified PAIRS say
+"a ~ b", but keeping one doc per duplicate GROUP requires the transitive
+closure — connected components. Implemented as large-/small-star-free
+min-label propagation: each iteration joins the current labels across
+edges and keeps the per-node minimum neighbor label; converges in
+O(diameter) rounds (≤ O(log n) for the short chains dedup graphs have).
+
+Scale notes: every iteration is one shuffle on node id; the edge list
+never grows, and a pointer-jumping step (comp := comp(comp)) gives
+O(log diameter) rounds. The driver loop holds only a convergence check
+(one count per round) and a hard cap — iterative algorithms can't be a
+single Catalyst plan, so this is the documented exception to "no
+driver-side loops": log-many rounds of fully distributed work, not
+per-row driver logic. localCheckpoint truncates lineage each round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) — component = min node id reachable.
+
+    ``pairs`` is an undirected edge list; isolated nodes don't appear
+    (join your full id set afterwards with fill = own id)."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    # start: every node labeled with min(itself, direct neighbors)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
+        .select(F.col("u").alias("node"), "comp")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # 1) neighbor propagation: min over neighbors u of comp(u)
+        prop = (
+            edges.join(labels, edges.u == labels.node)
+            .select(F.col("v").alias("node"), F.col("comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        stepped = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                "comp"
+            ),
+            F.col("comp").alias("_old"),
+        )
+        # 2) pointer jumping: comp(node) := min(comp(node), comp(comp(node)))
+        # — path doubling turns O(diameter) convergence into O(log diameter)
+        l2 = stepped.select(F.col("node").alias("pnode"), F.col("comp").alias("pcomp"))
+        merged = stepped.join(
+            l2, stepped.comp == l2.pnode, "left"
+        ).select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))).alias(
+                "new_comp"
+            ),
+            F.col("_old"),
+        )
+        changed = merged.filter(F.col("new_comp") < F.col("_old")).limit(1).count()
+        labels = merged.select(
+            "node", F.col("new_comp").alias("comp")
+        ).localCheckpoint(eager=True)  # truncate lineage each round
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full near-dup removal: pairs → components → keep the minimum id
+    per component (plus all docs never paired). The canonical end-to-end
+    composition after minhash_dedup_verified."""
+    comp = connected_components(pairs, src, dst)
+    keep_of_group = comp.groupBy("component").agg(F.min("node").alias("keep"))
+    losers = (
+        comp.join(keep_of_group, "component")
+        .filter(F.col("node") != F.col("keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

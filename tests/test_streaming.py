@@ -198,3 +198,20 @@ def test_stream_batch_parity(spark):
         finally:
             q.stop()
     assert streamed == batch
+
+
+def test_sliding_agg(spark, stream_dir):
+    from datamancer_spark.streaming import read_json_stream, run_to_memory, sliding_agg
+    from pyspark.sql import functions as F
+
+    stream = read_json_stream(spark, stream_dir, SCHEMA)
+    res = sliding_agg(stream, "ts", window="1 hour", slide="30 minutes",
+                      keys=("user",), n=F.count(F.lit(1)))
+    q = run_to_memory(res, "slide_t")
+    try:
+        rows = spark.sql("SELECT * FROM slide_t").collect()
+        # u1's 00:05 event falls in windows [23:30,00:30) and [00:00,01:00)
+        u1 = [r for r in rows if r["user"] == "u1"]
+        assert len(u1) >= 2
+    finally:
+        q.stop()
