@@ -35,6 +35,13 @@ HEADLINE = [
     "grouped_zscore",
     "pipeline_clean_corpus",
     "tfidf_top_terms",
+    "train_test_split",
+    "price_histogram",
+    "rolling_mean",
+    "window_distribution",
+    "array_ops",
+    "sql_interface",
+    "dedup_minhash_verified",
     "asof_signup",
     "sessionize_events",
     "events_hourly",

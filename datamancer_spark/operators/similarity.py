@@ -174,28 +174,60 @@ def knn_ivf(
     This is the scale path for ANN over big corpora: the expensive stage
     is a centroid-bucketed equi-join (shuffle on a small int key), and
     recall/cost trades with ``nprobe``/``num_centroids`` (rule of thumb:
-    √n centroids, probe 5-10%). Training uses Spark MLlib KMeans on the
-    corpus (sample upstream for huge corpora); centroids live driver-side
-    (num_centroids × dim doubles — tiny)."""
+    √n centroids, probe 5-10%). The codebook is trained with Lloyd's
+    iterations on a bounded driver-side SAMPLE (the standard IVF recipe —
+    codebooks need thousands of examples, not the corpus) and broadcast;
+    corpus assignment is one numpy argmin per Arrow batch."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    feat = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    # --- train codebook on a bounded sample (deterministic) ---
+    sample_rows = (
+        corpus.select(vec_col)
+        .orderBy(F.abs(F.hash(F.col(id_col))))  # seedless deterministic sample
+        .limit(max(2000, 50 * num_centroids))
+        .collect()
     )
-    # maxIter=8: codebook quality plateaus early for bucketing purposes —
-    # IVF recall depends on probe count far more than centroid polish
-    model = KMeans(k=num_centroids, seed=seed, featuresCol="_feat", maxIter=8).fit(feat)
-    assigned = model.transform(feat).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.col("prediction").alias("centroid"),
+    X = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    for _ in range(8):  # Lloyd's — codebook quality plateaus early
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign_idx = d2.argmin(axis=1)
+        for c in range(len(centers)):
+            members = X[assign_idx == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+
+    bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
+    assign_schema = StructType(
+        [
+            StructField("neighbor_id", LongType()),
+            StructField("centroid", LongType()),
+        ]
     )
 
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    def assign_batches(batches):
+        C = bc_centers.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy().astype(np.int64),
+                    "centroid": d2.argmin(axis=1).astype(np.int64),
+                }
+            )
+
+    assignments = corpus.select(id_col, vec_col).mapInPandas(
+        assign_batches, assign_schema
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(assignments, "neighbor_id")
     q_rows = queries.select(id_col, vec_col).collect()
     probe_rows = []
     for r in q_rows:
