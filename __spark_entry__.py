@@ -777,12 +777,25 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scores materialized as columns first: each marker-count expression
+    # evaluates once, instead of being re-expanded inside every CASE
+    # branch of the argmax (same result, ~half the string work)
     doc = _t(spark, sf_dir, "documents")["documents"].spread_partitions()
+    scored = doc.mutate(
+        **{f"_s_{lang}": T.lang_score(F.col("text"), lang) for lang in T.LANG_MARKERS}
+    )
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in T.LANG_MARKERS])
+    guess = F.lit("und")
+    for lang in reversed(list(T.LANG_MARKERS)):
+        guess = F.when((best > 0) & (F.col(f"_s_{lang}") == best), F.lit(lang)).otherwise(
+            guess
+        )
     return (
-        doc.transmute(
+        scored.mutate(guess=guess)
+        .transmute(
             doc_id=F.col("doc_id"),
             lang_label=F.col("lang"),
-            guess=T.lang_guess(F.col("text")),
+            guess=F.col("guess"),
         )
         .df
     )

@@ -67,8 +67,15 @@ def main() -> None:
     spark = get_spark(app_name="datamancer-bench")
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footers once (not timed)
+    # warm the JVM, parquet footers, AND the Python/Arrow worker pool
+    # once (not timed) so per-query numbers measure operators, not
+    # first-call worker spin-up
     qs["q6_revenue_delta"](spark, sf_dir).count()
+    import pandas as _pd
+
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
