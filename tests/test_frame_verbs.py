@@ -245,3 +245,30 @@ def test_select_grouped_with_aliased_key(mini):
 def test_relocate_anchor_in_moved_raises(mini):
     with pytest.raises(ValueError):
         mini.relocate("g", "x", after="x")
+
+
+def test_with_row_id_unique(mini):
+    out = mini.with_row_id()
+    ids = [r["_row_id"] for r in out.collect()]
+    assert len(set(ids)) == len(ids)
+
+
+def test_sample_bounded(mini):
+    out = mini.sample(0.5, seed=7)
+    assert 0 <= out.count_rows() <= 6
+
+
+def test_spread_partitions_preserves_rows(mini):
+    out = mini.spread_partitions(4)
+    assert out.count_rows() == 6
+    assert out.df.rdd.getNumPartitions() == 4
+
+
+def test_as_view_registers(mini, spark):
+    mini.as_view("mini_view")
+    assert spark.sql("SELECT count(*) AS n FROM mini_view").collect()[0]["n"] == 6
+
+
+def test_random_head(mini):
+    out = mini.random_head(3, seed=1)
+    assert out.count_rows() == 3
