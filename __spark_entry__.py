@@ -867,6 +867,38 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (hash-threshold sampleBy):
+    50% of clicks, 100% of purchases, 10% of everything else."""
+    from datamancer_spark.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    kept = stratified_sample(
+        ev, "event_type", {"click": 0.5, "purchase": 1.0}, "event_id",
+        default_fraction=0.1,
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), prnd(F.sum("value"), 2).alias("total")
+    )
+
+
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag winsorization of extended price at [p05, p95]
+    (operators/sampling.winsorize — exact window percentiles)."""
+    from datamancer_spark.operators.sampling import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"].df
+    clipped = winsorize(
+        li, "l_extendedprice", keys=["l_returnflag"], lo_q=0.05, hi_q=0.95,
+        out="clipped",
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        prnd(F.avg("clipped"), 4).alias("avg_clipped"),
+        prnd(F.min("clipped"), 4).alias("min_clipped"),
+        prnd(F.max("clipped"), 4).alias("max_clipped"),
+    )
+
+
 def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram via width_bucket (operators/sampling.py)."""
     from datamancer_spark.operators.sampling import histogram
@@ -1027,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "tfidf_top_terms": tfidf_top_terms,
         "train_test_split": train_test_split,
+        "stratified_sample_counts": stratified_sample_counts,
+        "winsorize_prices": winsorize_prices,
         "price_histogram": price_histogram,
         "sql_interface": sql_interface,
         "pipeline_clean_corpus": pipeline_clean_corpus,
@@ -1528,6 +1562,33 @@ def oracle_sql() -> dict[str, str]:
                  n_chars
           FROM documents) t
         GROUP BY split
+    """
+
+    sql["stratified_sample_counts"] = """
+        SELECT event_type, count(*) AS n, prnd(sum(value), 2) AS total
+        FROM events
+        WHERE CAST('0x' || substr(md5(event_id::VARCHAR), 1, 8) AS BIGINT) % 1000000
+              < CASE event_type
+                  WHEN 'click' THEN 500000
+                  WHEN 'purchase' THEN 1000000
+                  ELSE 100000 END
+        GROUP BY event_type
+    """
+
+    sql["winsorize_prices"] = """
+        SELECT l_returnflag,
+               prnd(avg(clipped), 4) AS avg_clipped,
+               prnd(min(clipped), 4) AS min_clipped,
+               prnd(max(clipped), 4) AS max_clipped
+        FROM (
+          SELECT l_returnflag,
+                 least(greatest(l_extendedprice,
+                                quantile_cont(l_extendedprice, 0.05)
+                                  OVER (PARTITION BY l_returnflag)),
+                       quantile_cont(l_extendedprice, 0.95)
+                         OVER (PARTITION BY l_returnflag)) AS clipped
+          FROM lineitem) t
+        GROUP BY l_returnflag
     """
 
     # DuckDB 1.0 has no width_bucket; replicate Spark's formula verbatim:

@@ -47,6 +47,45 @@ def hash_split(
     return df.withColumn(out, expr.otherwise(F.lit(last)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its stable
+    bucket falls under the stratum's fraction — the reproducible
+    ``sampleBy`` (same key always in/out, engine-portable, no RNG)."""
+    bucket = split_bucket(F.col(key_col), 1_000_000)
+    thr = F.lit(int(round(default_fraction * 1_000_000)))
+    expr = thr
+    for stratum, frac in fractions.items():
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(frac * 1_000_000)))
+        ).otherwise(expr)
+    return df.filter(bucket < expr)
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    keys: list[str] | None = None,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out: str | None = None,
+) -> DataFrame:
+    """Clip ``col`` to its [lo_q, hi_q] quantiles (per group when ``keys``
+    given) — the standard outlier-taming step before training-statistics.
+    Exact percentiles via a window aggregate: one shuffle on the keys."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*(keys or []))
+    lo = F.percentile(F.col(col), F.lit(lo_q)).over(w)
+    hi = F.percentile(F.col(col), F.lit(hi_q)).over(w)
+    return df.withColumn(out or col, F.least(F.greatest(F.col(col), lo), hi))
+
+
 def histogram(
     df: DataFrame,
     col: str,

@@ -215,3 +215,63 @@ def test_sliding_agg(spark, stream_dir):
         assert len(u1) >= 2
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark):
+    """Watermarked stream-stream join: purchases joined to the same
+    user's clicks within the preceding 30 minutes."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datamancer_spark.streaming import read_json_stream
+
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        clicks = [
+            {"ts": "2024-01-01T00:00:00", "user": "u1", "text": "c1", "value": 1.0},
+            {"ts": "2024-01-01T01:00:00", "user": "u1", "text": "c2", "value": 2.0},
+        ]
+        purchases = [
+            {"ts": "2024-01-01T00:10:00", "user": "u1", "text": "p1", "value": 9.0},
+            {"ts": "2024-01-01T02:00:00", "user": "u1", "text": "p2", "value": 8.0},
+        ]
+        with open(d1 + "/c.json", "w") as f:
+            f.writelines(_json.dumps(r) + "\n" for r in clicks)
+        with open(d2 + "/p.json", "w") as f:
+            f.writelines(_json.dumps(r) + "\n" for r in purchases)
+
+        cs = (
+            read_json_stream(spark, d1, SCHEMA)
+            .withWatermark("ts", "1 hour")
+            .select(F.col("user").alias("c_user"), F.col("ts").alias("c_ts"),
+                    F.col("text").alias("click_id"))
+        )
+        ps = (
+            read_json_stream(spark, d2, SCHEMA)
+            .withWatermark("ts", "1 hour")
+            .select("user", F.col("ts").alias("p_ts"), F.col("text").alias("purchase_id"))
+        )
+        joined = ps.join(
+            cs,
+            (F.col("user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_t")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            pairs = {
+                (r["purchase_id"], r["click_id"])
+                for r in spark.sql("SELECT * FROM ssj_t").collect()
+            }
+            # p1 (00:10) matches c1 (00:00, 10 min earlier); p2 (02:00)
+            # matches nothing (c2 is 60 min earlier > 30-minute bound)
+            assert pairs == {("p1", "c1")}
+        finally:
+            q.stop()
