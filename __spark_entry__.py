@@ -757,6 +757,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.transmute(
             doc_id=F.col("doc_id"),
             n_tokens=T.token_count(txt),
+            n_bpe=T.bpe_token_count(txt),
             n_chars_m=T.char_count(txt),
             n_punct=T.punct_count(txt),
             awl=prnd(T.avg_word_length(txt), 4),
@@ -1443,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CASE WHEN len(trim(text)) = 0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
                len(text) AS n_chars_m,
                len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g'))
                  AS n_punct,

@@ -41,6 +41,19 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+# GPT-2-style coarse token classes (ASCII approximation shared verbatim
+# with the DuckDB oracle): letter runs, digit runs, single non-space
+# symbols. A real BPE vocab refines these splits; the class pattern is
+# the engine-portable upper bound used for budget estimation.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count of letter-run/digit-run/symbol
+    matches. DuckDB twin: len(regexp_extract_all(text, pattern))."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def punct_count(text: Column) -> Column:
     """Count of punctuation chars = len - len(with punctuation removed)."""
     return F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))

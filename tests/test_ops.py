@@ -212,3 +212,14 @@ def test_tfidf_semantics(spark):
         (r["doc_id"], r["term"]): r["bm25"] for r in bm25(d).collect()
     }
     assert scores[(1, "unique1")] > scores[(1, "common")]
+
+
+def test_bpe_token_count(spark):
+    from datamancer_spark.functions.text import bpe_token_count
+
+    d = spark.createDataFrame(
+        [(1, "hello world42!"), (2, "a,b"), (3, "")], ["id", "t"]
+    )
+    out = {r["id"]: r["n"] for r in d.select("id", bpe_token_count(F.col("t")).alias("n")).collect()}
+    # hello | world | 42 | !  -> 4 ;  a | , | b -> 3 ; "" -> 0
+    assert out == {1: 4, 2: 3, 3: 0}
