@@ -43,42 +43,35 @@ def asof_join(
     lcols = [c for c in left.columns]
 
     l_tag = left.withColumn("_side", F.lit(1))
+    # Payload carried as ONE struct: the whole right ROW propagates
+    # atomically (per-column carries would skip legitimate NULL values
+    # and could stitch fields from different right rows), and a struct of
+    # NULL fields is itself non-null, so last(ignorenulls) only skips the
+    # left rows' missing struct, never a right row's NULL payload.
     r_tag = right.select(
         *by,
         F.col(on),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("_rpay"),
     ).withColumn("_side", F.lit(0))
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     # Within each key, order by (ts, side): side 0 (right) sorts before
     # side 1 (left) at equal ts so ties are inclusive (right row at the
     # same instant is visible to the left row).
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = {
-            f"{c}{suffix}": F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-            for c in payload
-        }
-    else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).desc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = {
-            f"{c}{suffix}": F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-            for c in payload
-        }
-
-    out = merged
-    for name, expr in carried.items():
-        out = out.withColumn(name, expr)
+    order = (
+        [F.col(on).asc(), F.col("_side").asc()]
+        if direction == "backward"
+        else [F.col(on).desc(), F.col("_side").asc()]
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = merged.withColumn("_carried", F.last(F.col("_rpay"), ignorenulls=True).over(w))
     return out.filter(F.col("_side") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in payload]
+        *lcols,
+        *[F.col(f"_carried.{c}").alias(f"{c}{suffix}") for c in payload],
     )
 
 

@@ -72,10 +72,12 @@ def connected_components(
             ),
             F.col("_old"),
         )
+        # checkpoint FIRST, then count on the materialized frame — the
+        # two round joins execute once, not once for the count and again
+        # for the checkpoint
+        merged = merged.localCheckpoint(eager=True)
         changed = merged.filter(F.col("new_comp") < F.col("_old")).limit(1).count()
-        labels = merged.select(
-            "node", F.col("new_comp").alias("comp")
-        ).localCheckpoint(eager=True)  # truncate lineage each round
+        labels = merged.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("comp").alias("component"))

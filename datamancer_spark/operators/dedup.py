@@ -171,6 +171,11 @@ def minhash_lsh_pairs(
     only join key, so the shuffle is O(docs·b); no quadratic stage. Skewed
     buckets (boilerplate-heavy corpora) are handled by AQE skew-join
     splitting (enabled in session defaults)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
+            "the b-bands-of-r-rows scheme requires b*r = k"
+        )
     rows = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(

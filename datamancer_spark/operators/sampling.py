@@ -77,13 +77,29 @@ def winsorize(
 ) -> DataFrame:
     """Clip ``col`` to its [lo_q, hi_q] quantiles (per group when ``keys``
     given) — the standard outlier-taming step before training-statistics.
-    Exact percentiles via a window aggregate: one shuffle on the keys."""
+    Keyed: exact percentiles via a window aggregate (one shuffle on the
+    keys). Keyless: percentiles via a global agg broadcast back with a
+    1-row cross join — a keyless window would collapse the whole dataset
+    onto one reducer."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*(keys or []))
-    lo = F.percentile(F.col(col), F.lit(lo_q)).over(w)
-    hi = F.percentile(F.col(col), F.lit(hi_q)).over(w)
-    return df.withColumn(out or col, F.least(F.greatest(F.col(col), lo), hi))
+    if keys:
+        w = Window.partitionBy(*keys)
+        lo = F.percentile(F.col(col), F.lit(lo_q)).over(w)
+        hi = F.percentile(F.col(col), F.lit(hi_q)).over(w)
+        return df.withColumn(out or col, F.least(F.greatest(F.col(col), lo), hi))
+    bounds = df.agg(
+        F.percentile(F.col(col), F.lit(lo_q)).alias("_lo"),
+        F.percentile(F.col(col), F.lit(hi_q)).alias("_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out or col,
+            F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )
 
 
 def histogram(

@@ -77,8 +77,11 @@ def bm25(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """(id, term, bm25) — Okapi BM25 per term/doc."""
-    tc = term_counts(df, text_col, id_col)
+    """(id, term, bm25) — Okapi BM25 per term/doc. The term-count table
+    (the expensive tokenize+shuffle stage) is materialized once via
+    localCheckpoint: it feeds the avgdl job, the doc-length join, and the
+    doc-frequency aggregation — uncached it would execute three times."""
+    tc = term_counts(df, text_col, id_col).localCheckpoint(eager=True)
     n_docs = df.count()
     dl = tc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]

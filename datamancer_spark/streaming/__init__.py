@@ -150,9 +150,11 @@ def stateful_running_totals(
         StructType,
     )
 
+    # key field keeps the STREAM's actual key type (hardcoding StringType
+    # would break long/int-keyed streams at Arrow conversion)
     out_schema = StructType(
         [
-            StructField(key, StringType()),
+            StructField(key, stream.schema[key].dataType),
             StructField("n_events", LongType()),
             StructField("total", DoubleType()),
         ]
@@ -188,23 +190,25 @@ def write_incremental_parquet(
     path: str,
     checkpoint: str,
     partition_by: tuple[str, ...] = (),
-    mode: str = "append",
     dedupe_keys: tuple[str, ...] = (),
 ):
-    """foreachBatch parquet sink with optional within-batch key dedupe —
-    the standard pattern for idempotent incremental loads: the checkpoint
-    guarantees each micro-batch lands exactly once even across restarts
-    (batch id is recorded before commit), and ``dedupe_keys`` collapses
+    """foreachBatch parquet sink, idempotent under micro-batch REPLAY:
+    each batch writes (mode=overwrite) into its own ``_batch_id=N``
+    partition directory, so a batch re-run after a crash-before-
+    checkpoint-commit overwrites its previous output instead of
+    double-appending. Readers of ``path`` see ``_batch_id`` as an extra
+    partition column (drop it downstream). ``dedupe_keys`` collapses
     duplicate keys inside a batch before the write."""
+    import os as _os
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df
         if dedupe_keys:
             out = out.dropDuplicates(list(dedupe_keys))
-        w = out.write.mode(mode)
+        w = out.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        w.parquet(_os.path.join(path, f"_batch_id={batch_id}"))
 
     return (
         result.writeStream.foreachBatch(sink)

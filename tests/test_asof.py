@@ -68,3 +68,18 @@ def test_range_join_left_keeps_unmatched(spark):
     intervals = spark.createDataFrame([("B", 0, 3, "short")], ["k", "lo", "hi", "tag"])
     out = range_join(points, intervals, "t", "lo", "hi", by=["k"], how="left")
     assert rows_set(out.select("k", "t", "tag")) == [("B", 5, None)]
+
+
+def test_asof_null_payload_and_row_integrity(spark):
+    """The latest right row must arrive ATOMICALLY: its NULL fields are
+    real values, not gaps to fill from older rows."""
+    from datamancer_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", 1, 5.0, 6.0), ("A", 2, None, 7.0)],
+        ["sym", "t", "bid", "ask"],
+    )
+    trades = spark.createDataFrame([("A", 3, 100.0)], ["sym", "t", "price"])
+    out = asof_join(trades, quotes, on="t", by=["sym"]).collect()[0]
+    # latest quote (t=2) carried whole: bid is ITS NULL, not t=1's 5.0
+    assert out["bid_right"] is None and out["ask_right"] == 7.0

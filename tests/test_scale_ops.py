@@ -152,3 +152,52 @@ def test_bm25_empty_corpus(spark):
 
     d = spark.createDataFrame([], "doc_id long, text string")
     assert bm25(d).count() == 0
+
+
+def test_minhash_rejects_indivisible_bands(spark, sf_dir):
+    from datamancer_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+
+
+def test_winsorize_keyless_no_global_window(spark, sf_dir):
+    from datamancer_spark.operators.sampling import winsorize
+    from datamancer_spark.plans import executed_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = winsorize(li, "l_extendedprice", lo_q=0.1, hi_q=0.9)
+    assert "Window" not in executed_plan(out)
+    mn, mx = out.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    raw_mn, raw_mx = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    assert mn > raw_mn and mx < raw_mx
+
+
+def test_stateful_long_key(spark):
+    """stateful_running_totals with a non-string key type."""
+    import json, tempfile
+
+    from datamancer_spark.streaming import (
+        read_json_stream, run_to_memory, stateful_running_totals,
+    )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("uid", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    with tempfile.TemporaryDirectory() as d:
+        with open(d + "/b.json", "w") as f:
+            f.write(json.dumps({"ts": "2024-01-01T00:00:00", "uid": 7, "value": 2.0}) + "\n")
+        stream = read_json_stream(spark, d, schema)
+        res = stateful_running_totals(stream, key="uid", value_col="value")
+        q = run_to_memory(res, "statelong_t", mode="update")
+        try:
+            rows = spark.sql("SELECT * FROM statelong_t").collect()
+            assert rows[0]["uid"] == 7 and rows[0]["total"] == 2.0
+        finally:
+            q.stop()
