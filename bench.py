@@ -50,10 +50,35 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_embedding_bucketed",
     "knn_brute",
     "knn_lsh",
     "knn_ivf",
 ]
+
+
+def _prev_round_timings(here: str) -> tuple[str | None, dict[str, float]]:
+    """Latest BENCH_r{N}.json in the repo root → its per-query timings
+    (the driver wraps the bench stdout under 'parsed')."""
+    import glob
+    import re
+
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None, {}
+    try:
+        with open(best) as f:
+            doc = json.load(f)
+        parsed = doc.get("parsed") or {}
+        if isinstance(parsed, list):
+            parsed = parsed[0] if parsed else {}
+        return os.path.basename(best), dict(parsed.get("queries") or {})
+    except Exception:
+        return os.path.basename(best), {}
 
 
 def main() -> None:
@@ -85,6 +110,12 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # round-over-round discipline: per-query delta vs the latest recorded
+    # BENCH_r{N}.json so regressions are visible in one glance
+    prev_name, prev = _prev_round_timings(os.path.dirname(os.path.abspath(__file__)))
+    delta = {
+        k: round(v - prev[k], 3) for k, v in timings.items() if k in prev
+    }
     print(
         json.dumps(
             {
@@ -93,6 +124,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "prev_bench": prev_name,
+                "delta_vs_prev": delta,
             }
         )
     )

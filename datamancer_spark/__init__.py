@@ -20,9 +20,11 @@ from .io import (
     parse_csv_string,
     read_csv,
     read_parquet,
+    show_browser,
     str_tab_to_df,
     to_html,
     to_org_table,
+    val_tab_to_df,
     write_csv,
     write_parquet,
 )
@@ -42,8 +44,10 @@ __all__ = [
     "read_csv",
     "read_parquet",
     "reduce_formula",
+    "show_browser",
     "str_tab_to_df",
     "to_df",
+    "val_tab_to_df",
     "to_html",
     "to_org_table",
     "write_csv",

@@ -47,6 +47,7 @@ from __future__ import annotations
 import functools
 from collections.abc import Iterable, Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,6 +56,50 @@ ColumnOrName = Column | str
 
 def _to_col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def _error_condition(e: AnalysisException) -> str:
+    """Best-effort error class of an AnalysisException (Spark 4 names it
+    getCondition; older builds getErrorClass), falling back to str(e)."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:
+                continue
+            if cond:
+                return cond
+    return str(e)
+
+
+# Error classes Catalyst raises when an aggregate appears in a row-level
+# context — the ONLY errors that may route into the grouped-reduction
+# rewrites. Anything else (typo'd column, bad type, …) re-raises so the
+# user sees the real AnalysisException, not a confusing secondary failure.
+_REDUCING_ERRORS = ("MISSING_GROUP_BY", "INVALID_WHERE_CONDITION")
+
+
+def _is_reducing_error(e: AnalysisException) -> bool:
+    cond = _error_condition(e)
+    return any(marker in cond for marker in _REDUCING_ERRORS)
+
+
+def _null_safe_key_join(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], how: str
+) -> DataFrame:
+    """Join ``right`` (carrying keys renamed ``_r_<k>``) back to ``left``
+    with null-safe key equality: groupBy treats NULL as a real group, so
+    the join-back must match NULL keys too (a plain equi-join silently
+    drops NULL-keyed groups)."""
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"_r_{k}")) for k in keys],
+    )
+    out = left.join(right, on=cond, how=how)
+    if how != "left_semi":
+        out = out.drop(*[f"_r_{k}" for k in keys])
+    return out
 
 
 class DamFrame:
@@ -155,14 +200,19 @@ class DamFrame:
 
     def rename(self, **mapping: str) -> DamFrame:
         """``rename(new=old)`` — keyword is the new name, value the old,
-        mirroring the reference's ``f{"new" <- "old"}``."""
-        df = self._df
-        for new, old in mapping.items():
-            df = df.withColumnRenamed(old, new)
-        keys = tuple(
-            next((new for new, old in mapping.items() if old == k), k)
-            for k in self._group_keys
+        mirroring the reference's ``f{"new" <- "old"}``. Applied as ONE
+        atomic select so swap/chain mappings (``rename(x="y", y="x")``)
+        resolve against the original names instead of colliding
+        mid-sequence. Unknown old names are ignored (withColumnRenamed
+        compatibility)."""
+        old_to_new = {old: new for new, old in mapping.items()}
+        df = self._df.select(
+            *[
+                F.col(c).alias(old_to_new[c]) if c in old_to_new else F.col(c)
+                for c in self._df.columns
+            ]
         )
+        keys = tuple(old_to_new.get(k, k) for k in self._group_keys)
         return DamFrame(df, keys)
 
     def relocate(
@@ -200,10 +250,18 @@ class DamFrame:
         for name, expr in exprs.items():
             try:
                 df = df.withColumn(name, expr)
-            except Exception:
+            except AnalysisException as e:
+                if not _is_reducing_error(e):
+                    raise
                 if self._group_keys:
-                    agg = df.groupBy(*self._group_keys).agg(expr.alias(name))
-                    df = df.join(agg, on=list(self._group_keys), how="left")
+                    keys = list(self._group_keys)
+                    agg = df.groupBy(*keys).agg(expr.alias(name))
+                    right = agg.select(
+                        *[F.col(k).alias(f"_r_{k}") for k in keys], name
+                    )
+                    if name in df.columns:
+                        df = df.drop(name)
+                    df = _null_safe_key_join(df, right, keys, "left")
                 else:
                     df = df.crossJoin(df.agg(expr.alias(name)))
         return self._wrap(df)
@@ -224,7 +282,11 @@ class DamFrame:
             return self._wrap(
                 self._df.withColumn(col, F.when(cond, lit).otherwise(F.col(col)))
             )
-        except Exception:
+        except AnalysisException as e:
+            # Only genuine type conflicts take the string-promotion path;
+            # everything else (typo'd column, bad expression) re-raises.
+            if "DATATYPE_MISMATCH" not in _error_condition(e):
+                raise
             return self._wrap(
                 self._df.withColumn(
                     col,
@@ -247,16 +309,18 @@ class DamFrame:
         for cond in conds:
             try:
                 df = df.filter(cond)
-            except Exception:
+            except AnalysisException as e:
+                if not _is_reducing_error(e):
+                    raise
                 keys = list(self._group_keys)
                 if keys:
                     keep = (
                         df.groupBy(*keys)
                         .agg(cond.alias("_keep"))
                         .filter(F.col("_keep"))
-                        .select(*keys)
+                        .select(*[F.col(k).alias(f"_r_{k}") for k in keys])
                     )
-                    df = df.join(keep, on=keys, how="left_semi")
+                    df = _null_safe_key_join(df, keep, keys, "left_semi")
                 else:
                     gate = (
                         df.agg(cond.alias("_keep"))

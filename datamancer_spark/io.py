@@ -116,6 +116,48 @@ def str_tab_to_df(spark: SparkSession, table: dict[str, list[str]]) -> DamFrame:
     return DamFrame(df)
 
 
+def val_tab_to_df(spark: SparkSession, table: dict[str, list]) -> DamFrame:
+    """Mixed-Value table → typed frame (ref valTabToDf,
+    dataframe.nim:421-493 — the Value-variant twin of strTabToDf): per
+    column, the narrowest Spark type covering the observed Python values —
+    bool → boolean, ints → long, ints+floats → double, anything else →
+    string (the reference's VObject promotion ladder). Ragged columns pad
+    with NULL, matching ``to_df``'s seqsToDf semantics."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def target(vs):
+        kinds = {type(v) for v in vs if v is not None}
+        if kinds <= {bool}:
+            return BooleanType(), lambda v: v
+        if kinds <= {bool, int}:
+            return LongType(), lambda v: None if v is None else int(v)
+        if kinds <= {bool, int, float}:
+            return DoubleType(), lambda v: None if v is None else float(v)
+        return StringType(), lambda v: None if v is None else str(v)
+
+    cols = list(table)
+    n = max((len(v) for v in table.values()), default=0)
+    fields, convs = [], {}
+    for c in cols:
+        t, conv = target(table[c])
+        fields.append(StructField(c, t))
+        convs[c] = conv
+    rows = [
+        tuple(
+            convs[c](table[c][i]) if i < len(table[c]) else None for c in cols
+        )
+        for i in range(n)
+    ]
+    return DamFrame(spark.createDataFrame(rows, StructType(fields)))
+
+
 def write_csv(frame: DamFrame, path: str, sep: str = ",", header: bool = True) -> None:
     """writeCsv (io.nim:807-826) → distributed CSV write (a directory of
     part files at scale; coalesce(1) deliberately NOT default)."""
@@ -182,6 +224,26 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = 
 def to_html(frame: DamFrame, n: int = 100) -> str:
     """toHtml (io.nim:866-917) — driver-side nicety over a bounded sample."""
     return frame.df.limit(n).toPandas().to_html()
+
+
+def show_browser(frame: DamFrame, n: int = 100) -> str:
+    """showBrowser (io.nim:866-917): render ``to_html`` to a temp file and
+    open it in the system browser. Headless-safe: the open step is
+    best-effort (webbrowser returns False without a display); always
+    returns the written file path."""
+    import tempfile
+    import webbrowser
+
+    html = to_html(frame, n)
+    fd, path = tempfile.mkstemp(suffix=".html", prefix="damframe_")
+    os.close(fd)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(html)
+    try:
+        webbrowser.open(f"file://{path}")
+    except Exception:
+        pass
+    return path
 
 
 def to_org_table(frame: DamFrame, n: int = 100) -> str:

@@ -233,8 +233,16 @@ def minhash_dedup_verified(
     Scale shape: LSH bounds the candidate set (linear shuffle); the
     quadratic-ish exact verification runs on the (usually tiny) candidate
     subgraph — docs outside any candidate pair are semi-joined away
-    before their shingles ever explode."""
-    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    before their shingles ever explode.
+
+    The candidate set feeds FOUR downstream consumers (both legs of the
+    ``involved`` union, the subset semi-join, and the final pair
+    semi-join); localCheckpoint materializes the signature+banding
+    pipeline once instead of re-executing it per consumer (same pattern
+    as bm25's term-count checkpoint — was 22 parquet scans/plan)."""
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    ).localCheckpoint(eager=True)
     involved = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
@@ -442,7 +450,10 @@ def embedding_dedup_pairs(
     )
 
     n_b = num_blocks
-    blk = (F.abs(F.hash(F.col(id_col))) % n_b).alias("blk")
+    # pmod, not abs(hash)%n: hash() == Int.MinValue would make abs wrap
+    # negative (ANSI off), the remainder stay negative, and that vector
+    # silently join no block pair — its near-dup pairs would be missed.
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_b)).alias("blk")
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), blk)
 
     # tiny driver-side list of block pairs (ba <= bb), crossed with data
@@ -494,3 +505,72 @@ def embedding_dedup_pairs(
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cs[keep]})
 
     return both.groupBy("pid").applyInPandas(block_cos, out_schema)
+
+
+def embedding_dedup_bucketed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    num_planes: int = 6,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: hyperplane-LSH bucket prefilter →
+    exact cosine verification ONLY within buckets.
+
+    This is the 100 TB scale path that ``embedding_dedup_pairs`` (exact
+    all-pairs) cannot be: the only shuffle is a groupBy on the bucket id,
+    and the O(n²·d) BLAS kernel runs per bucket (n = bucket size, not
+    corpus size). ``multiprobe=1`` additionally probes every 1-bit-flip
+    bucket, so any pair within Hamming distance 1 of each other's
+    signatures still collides — the standard recall upgrade at
+    (1+num_planes)× shuffle volume. Approximate by construction: a pair
+    whose signatures differ by >multiprobe bits is missed (recall rises
+    with cos: at cos ≥ 0.9 the per-plane agreement is ~0.9). Recall vs
+    the exact operator is pinned in tests/test_scale_ops.py."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .similarity import hyperplane_bits
+
+    b = hyperplane_bits(
+        df.select(id_col, vec_col), vec_col, num_planes, seed, out="bucket"
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+        )
+        b = b.withColumn("bucket", F.explode(probes))
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def bucket_cos(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        sims = V @ V.T
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6  # portable rounding
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        ii, jj = np.nonzero(sims >= thr)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame(
+            {"id_a": ids[ii][keep], "id_b": ids[jj][keep], "cos": sims[ii, jj][keep]}
+        )
+
+    # distinct: with multiprobe a pair can collide in several probed
+    # buckets; cos is rounded identically everywhere so the dedup is exact
+    return b.groupBy("bucket").applyInPandas(bucket_cos, out_schema).distinct()

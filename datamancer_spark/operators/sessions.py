@@ -8,6 +8,12 @@ Both windows share the same (partition, order) spec, so Catalyst plans a
 single shuffle + sort; at 100 TB this is one exchange on the session key
 (user), which is the lower bound for any per-user computation. The
 streaming twin is ``streaming.session_agg`` (Spark session_window).
+
+Gap comparison happens at native timestamp precision (microseconds via
+``unix_micros``), not whole seconds — a 1800.5 s gap with
+``gap_seconds=1800`` correctly opens a new session. ``order_by`` adds
+deterministic tie-break columns so equal-timestamp rows order stably
+(required for bit-identical cross-engine output).
 """
 
 from __future__ import annotations
@@ -22,18 +28,21 @@ def sessionize(
     df: DataFrame,
     ts_col: str,
     keys: Sequence[str],
-    gap_seconds: int = 1800,
+    gap_seconds: float = 1800,
     out: str = "session_idx",
+    order_by: Sequence[str] = (),
 ) -> DataFrame:
     """Attach a dense 0-based session index per key group."""
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
     prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap_us = int(gap_seconds * 1_000_000)
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_seconds),
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
         1,
     ).otherwise(0)
-    running = Window.partitionBy(*keys).orderBy(F.col(ts_col)).rowsBetween(
+    running = Window.partitionBy(*keys).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(out, F.sum(new_session).over(running) - 1)
@@ -43,16 +52,28 @@ def session_stats(
     df: DataFrame,
     ts_col: str,
     keys: Sequence[str],
-    gap_seconds: int = 1800,
+    gap_seconds: float = 1800,
     value_col: str | None = None,
+    order_by: Sequence[str] = (),
+    exact_cents: bool = False,
 ) -> DataFrame:
-    """Per-session rollup: bounds, event count, optional value sum."""
-    s = sessionize(df, ts_col, keys, gap_seconds)
+    """Per-session rollup: bounds, event count, optional value sum.
+
+    ``exact_cents=True`` sums ``value_col`` as integer cents
+    (``floor(v*100 + 0.5)`` per row, BIGINT accumulate, divide by 100 at
+    the end) — bit-stable across engines and partial-aggregation orders,
+    unlike a float sum whose addend order Spark does not guarantee.
+    """
+    s = sessionize(df, ts_col, keys, gap_seconds, order_by=order_by)
     aggs = [
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     ]
     if value_col:
-        aggs.append(F.sum(value_col).alias("total_value"))
+        if exact_cents:
+            cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+            aggs.append((F.sum(cents) / F.lit(100.0)).alias("total_value"))
+        else:
+            aggs.append(F.sum(value_col).alias("total_value"))
     return s.groupBy(*keys, "session_idx").agg(*aggs)

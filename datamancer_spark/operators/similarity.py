@@ -166,6 +166,8 @@ def knn_ivf(
     num_centroids: int = 16,
     nprobe: int = 2,
     seed: int = 42,
+    sample_fraction: float = 1.0,
+    codebook=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate kNN: a KMeans codebook partitions
     the corpus into posting lists; each query probes its ``nprobe``
@@ -177,28 +179,41 @@ def knn_ivf(
     √n centroids, probe 5-10%). The codebook is trained with Lloyd's
     iterations on a bounded driver-side SAMPLE (the standard IVF recipe —
     codebooks need thousands of examples, not the corpus) and broadcast;
-    corpus assignment is one numpy argmin per Arrow batch."""
+    corpus assignment is one numpy argmin per Arrow batch.
+
+    Sampling is ``df.sample(sample_fraction, seed)`` + limit — a filtered
+    scan with per-partition early stop, NOT a full-corpus TakeOrdered (at
+    100 TB set sample_fraction so fraction·corpus ≳ the 2000-row target,
+    e.g. 1e-5). Pass ``codebook`` (array num_centroids × dim) to skip
+    training entirely — the production path where the codebook is trained
+    once offline and reused across query batches."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    # --- train codebook on a bounded sample (deterministic) ---
-    sample_rows = (
-        corpus.select(vec_col)
-        .orderBy(F.abs(F.hash(F.col(id_col))))  # seedless deterministic sample
-        .limit(max(2000, 50 * num_centroids))
-        .collect()
-    )
-    X = np.array([r[0] for r in sample_rows], dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    centers = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
-    for _ in range(8):  # Lloyd's — codebook quality plateaus early
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign_idx = d2.argmin(axis=1)
-        for c in range(len(centers)):
-            members = X[assign_idx == c]
-            if len(members):
-                centers[c] = members.mean(axis=0)
+    if codebook is not None:
+        centers = np.asarray(codebook, dtype=np.float64)
+    else:
+        # --- train codebook on a bounded seeded sample ---
+        target = max(2000, 50 * num_centroids)
+        sampled = corpus.select(vec_col)
+        if sample_fraction < 1.0:
+            sampled = sampled.sample(fraction=sample_fraction, seed=seed)
+        sample_rows = sampled.limit(target).collect()
+        if len(sample_rows) < num_centroids:  # tiny corpus / too-thin sample
+            sample_rows = corpus.select(vec_col).limit(target).collect()
+        X = np.array([r[0] for r in sample_rows], dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        centers = X[
+            rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)
+        ]
+        for _ in range(8):  # Lloyd's — codebook quality plateaus early
+            d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign_idx = d2.argmin(axis=1)
+            for c in range(len(centers)):
+                members = X[assign_idx == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
 
     bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
     assign_schema = StructType(

@@ -13,6 +13,7 @@ the Spark-first replacement for "just import and go".
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
@@ -61,12 +62,26 @@ _RUNTIME_DEFAULTS: dict[str, str] = {
 
 def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     """Idempotently apply the engine's runtime-settable defaults to an
-    existing session (no-op for sessions built by get_spark)."""
+    existing session (no-op for sessions built by get_spark).
+
+    Confs that cannot be set at runtime (static on this build) are
+    logged with their current value instead of silently skipped, so a
+    divergent external session is diagnosable from the logs."""
     for k, v in _RUNTIME_DEFAULTS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # static conf on this build — builder-only
-            pass
+            current = None
+            try:
+                current = spark.conf.get(k, None)
+            except Exception:
+                pass
+            if current != v:
+                logging.getLogger(__name__).warning(
+                    "datamancer_spark: could not apply session default %s=%s "
+                    "(static conf; current value: %s)",
+                    k, v, current,
+                )
     return spark
 
 
