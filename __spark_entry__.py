@@ -958,9 +958,10 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup removal: verified pairs → connected components →
-    keep min id per cluster (operators/components.py). Rows-only check:
-    the component step is iterative (driver-looped log-rounds), the
-    contract's documented non-SQL-expressible case."""
+    keep min id per cluster (operators/components.py). The distributed
+    side is iterative pointer jumping; the oracle replicates the RESULT
+    with a recursive-CTE transitive closure over the same verified
+    pairs — value-level check despite the iterative engine."""
     from datamancer_spark.operators.components import dedup_keep_canonical
 
     doc = _t(spark, sf_dir, "documents")["documents"].df
@@ -1013,11 +1014,21 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate kNN (KMeans codebook — rows-only check: the
-    learned clustering has no SQL twin)."""
+    """IVF approximate kNN exercising the PRODUCTION path: a precomputed
+    codebook (here a deterministic md5-derived matrix; offline-trained
+    KMeans in real use) is broadcast, so the query is fully
+    SQL-replicable — the oracle inlines the same 8 centroids and
+    replicates argmin assignment + 3-probe + per-list cosine ranking.
+    The trained-codebook path (seeded-sample Lloyd's) is covered by
+    tests/test_scale_ops.py recall tests."""
+    import numpy as np
+
     emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return S.knn_ivf(emb, queries_df, k=5, num_centroids=8, nprobe=3)
+    codebook = np.asarray(S.plane_matrix(8, 64, seed=7))
+    return S.knn_ivf(
+        emb, queries_df, k=5, num_centroids=8, nprobe=3, codebook=codebook
+    )
 
 
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,8 +1738,10 @@ def oracle_sql() -> dict[str, str]:
           ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
     """
 
-    sql["dedup_minhash_verified"] = f"""
-        WITH {_SHINGLES_CTE},
+    # CTE chain shared by dedup_minhash_verified and dedup_canonical:
+    # signatures → bands → candidates → exact jaccard on the candidate
+    # subgraph, ending in `verified(id_a, id_b, jacc)`.
+    _verified_ctes = f"""{_SHINGLES_CTE},
         hashed AS (
           SELECT doc_id,
                  list_transform(shingles,
@@ -1763,14 +1776,84 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2
+        ),
+        verified AS (
+          SELECT i.id_a, i.id_b,
+                 prnd(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jacc
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+          WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+        )"""
+
+    sql["dedup_minhash_verified"] = f"""
+        WITH {_verified_ctes}
+        SELECT id_a, id_b, jacc AS jaccard FROM verified
+    """
+
+    # Canonical near-dup removal twin: transitive closure of the verified
+    # pair graph via a recursive CTE (the oracle-scale equivalent of the
+    # engine's distributed pointer-jumping components); keep the minimum
+    # id per component plus every untouched doc.
+    sql["dedup_canonical"] = f"""
+        WITH RECURSIVE {_verified_ctes},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        drops AS (
+          SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a
         )
-        SELECT i.id_a, i.id_b,
-               prnd(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.id_a
-        JOIN sizes sb ON sb.doc_id = i.id_b
-        JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
-        WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        GROUP BY lang
+    """
+
+    # SimHash twin: per-bit majority vote over md5-derived 64-bit token
+    # hashes, replicated bit-for-bit in SQL (UBIGINT arithmetic); the
+    # bit-block LSH join is 'share >=1 of 4 16-bit blocks', and pairs
+    # filter on Hamming <= 3 exactly as the engine does.
+    simhash_bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(hl, h -> "
+        f"CAST((h >> {b}) & 1 AS BIGINT) * 2 - 1)) > 0 "
+        f"THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        for b in range(64)
+    )
+    sql["dedup_simhash"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> len(x) > 0)) AS tk
+          FROM documents
+        ),
+        hs AS (
+          SELECT doc_id,
+                 list_transform(tk,
+                   t -> CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)) AS hl
+          FROM toks
+        ),
+        sig AS (
+          SELECT doc_id, ({simhash_bits}) AS sh FROM hs
+        ),
+        blocked AS (
+          SELECT doc_id, sh, b.blk AS blk,
+                 CAST((sh >> (b.blk * 16)) & 65535 AS BIGINT) AS val
+          FROM sig, (SELECT unnest(generate_series(0, 3)) AS blk) b
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """
 
     sql["dedup_jaccard"] = f"""
@@ -1803,13 +1886,16 @@ def oracle_sql() -> dict[str, str]:
     # multiprobe=1 collision == signature Hamming distance <= 2.
     from datamancer_spark.operators.similarity import plane_matrix
 
-    M = plane_matrix(4, 64, seed=42)
-    bucket_terms = " + ".join(
-        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
-        + ", ".join(repr(x) for x in M[p])
-        + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(4)
-    )
+    def _bucket_terms(num_planes: int, seed: int = 42) -> str:
+        M = plane_matrix(num_planes, 64, seed=seed)
+        return " + ".join(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+            + ", ".join(repr(x) for x in M[p])
+            + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+
+    bucket_terms = _bucket_terms(4)
     sql["dedup_embedding_bucketed"] = f"""
         WITH bk AS (
           SELECT vec_id, embedding, ({bucket_terms}) AS bucket FROM embeddings
@@ -1848,6 +1934,76 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 5
     """
 
+    # LSH kNN twin: same inlined 4-plane bucket constants; no multiprobe
+    # in the query entry, so candidates = exact bucket equality.
+    sql["knn_lsh"] = f"""
+        WITH bk AS (
+          SELECT vec_id, embedding, ({bucket_terms}) AS bucket FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+              FROM bk WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 prnd(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])), 6) AS cos
+          FROM bk c JOIN q USING (bucket)
+          WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 5
+    """
+
+    # IVF kNN twin: the 8 precomputed centroids are inlined as VALUES;
+    # assignment = argmin euclidean (ties broken by centroid id, same as
+    # numpy argmin/argsort), probes = 3 nearest centroids per query.
+    cent_rows = ",\n               ".join(
+        f"({c}, [" + ", ".join(repr(x) for x in plane_matrix(8, 64, seed=7)[c]) + "])"
+        for c in range(8)
+    )
+    sql["knn_ivf"] = f"""
+        WITH cents(cid, cv) AS (
+          VALUES {cent_rows}
+        ),
+        asn AS (
+          SELECT vec_id, embedding, cid AS centroid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c) t
+          WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, cid AS centroid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < 10) t
+          WHERE rn <= 3
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 prnd(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(a.embedding AS DOUBLE[])), 6) AS cos
+          FROM probes p
+          JOIN asn a ON a.centroid = p.centroid
+          JOIN embeddings q ON q.vec_id = p.query_id
+          WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 5
+    """
+
     sql["embedding_stats"] = """
         SELECT vec_id, label,
                prnd(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1856,5 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings
     """
 
-    # dedup_simhash, knn_lsh: Pandas-UDF / LSH internals — rows-only check.
+    # Every queries() entry has a value-level oracle: approximate ops use
+    # deterministic md5-derived constants inlined above (LSH planes, IVF
+    # centroids, SimHash bit math) so even they hash-compare exactly.
     return {k: _expand_prnd(v) for k, v in sql.items()}
