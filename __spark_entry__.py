@@ -555,14 +555,21 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (beyond-reference agg surface; Spark percentile
-    and DuckDB quantile_cont share linear interpolation)."""
+    and DuckDB quantile_cont share linear interpolation). One
+    array-argument percentile aggregate instead of three scalar ones:
+    the per-group value buffer is built once, not three times."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    ps = F.percentile(
+        F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
     return (
         li.group_by("l_returnflag")
-        .summarize(
-            p50=prnd(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4),
-            p90=prnd(F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 4),
-            p99=prnd(F.percentile(F.col("l_extendedprice"), F.lit(0.99)), 4),
+        .summarize(_ps=ps)
+        .transmute(
+            l_returnflag=F.col("l_returnflag"),
+            p50=prnd(F.col("_ps")[0], 4),
+            p90=prnd(F.col("_ps")[1], 4),
+            p99=prnd(F.col("_ps")[2], 4),
         )
         .df
     )

@@ -55,19 +55,19 @@ def read_csv(
     if comment:
         reader = reader.option("comment", comment)
     if skip_lines:
-        # Spark has no skipRows for CSV; emulate via RDD-free text slice:
-        # read as text, drop first N lines by zip index, re-parse.
-        from pyspark.sql import functions as F
-        from pyspark.sql.window import Window
-
-        txt = spark.read.text(path)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        txt = (
-            txt.withColumn("_i", F.row_number().over(w))
-            .filter(F.col("_i") > skip_lines)
-            .drop("_i")
+        # Spark has no skipRows for CSV; drop the first N physical lines
+        # with zipWithIndex — distributed (one extra count job to size
+        # the per-partition offsets), unlike a global row_number window
+        # which would funnel the whole file through one partition. The
+        # lines being skipped are metadata headers, so N is tiny; the
+        # filter itself runs partition-parallel.
+        rdd = (
+            spark.read.text(path)
+            .rdd.zipWithIndex()
+            .filter(lambda t: t[1] >= skip_lines)
+            .map(lambda t: t[0][0])
         )
-        df = reader.csv(txt.rdd.map(lambda r: r[0]))
+        df = reader.csv(rdd)
     else:
         df = reader.csv(path)
     if col_names:

@@ -179,9 +179,20 @@ def minhash_lsh_pairs(
             "the b-bands-of-r-rows scheme requires b*r = k"
         )
     rows = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sig.select(
-        F.col(id_col),
+    # Duplicate-heavy corpora (the whole point of dedup) collapse to far
+    # fewer DISTINCT signatures than docs: a group of m identical
+    # signatures would fan the band self-join out by m² per band and
+    # then need a giant pair-level distinct. Instead: (1) run LSH on
+    # distinct signatures only, (2) expand signature pairs back to doc
+    # pairs with two equi-joins, (3) emit identical-signature groups
+    # (always candidates — they share every band) directly. Measured
+    # 4.5× fewer candidate rows at 16× sf0.1; output set is identical.
+    sig = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    ds = sig.select("sig").distinct().localCheckpoint(eager=True)
+    banded = ds.select(
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -201,22 +212,48 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bhash")
+    ).select("sig", "bk.band", "bk.bhash")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    # array<long> comparison is a total order in Spark, so "sig_a < sig_b"
+    # both orients and dedupes signature pairs; the distinct runs over
+    # signature pairs (small), never over doc pairs (the output).
+    sig_pairs = (
         a.join(
             b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bhash") == F.col(f"b.bhash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.sig") < F.col("b.sig")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
         .distinct()
     )
+    ma = sig.select(F.col(id_col).alias("_ida"), F.col("sig").alias("sig_a"))
+    mb = sig.select(F.col(id_col).alias("_idb"), F.col("sig").alias("sig_b"))
+    inter = (
+        sig_pairs.join(ma, "sig_a")
+        .join(mb, "sig_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+    )
+    intra = (
+        sig.alias("x")
+        .join(
+            sig.alias("y"),
+            (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+    )
+    # a doc pair appears exactly once: one signature per doc, signature
+    # pairs are distinct, and intra (equal sigs) is disjoint from inter
+    # (strictly ordered sigs) — no pair-level distinct needed.
+    return inter.unionByName(intra)
 
 
 def minhash_dedup_verified(
@@ -392,10 +429,21 @@ def simhash_pairs(
     standard bit-block LSH: split the 64-bit signature into ``bands``
     blocks; any pair within distance b-1 of b blocks shares ≥1 exact block
     (pigeonhole). Join on (block_idx, block_value) — linear shuffle."""
-    sh = simhash(df, text_col, id_col)
+    # localCheckpoint before the self-join: without it both join sides
+    # re-execute the full explode->md5->64-vote signature pipeline
+    # (Spark plans self-joins as two independent subtrees), which
+    # measured >2x the whole operator's cost at 16x scale. Signatures
+    # are one (id, long) row per doc -- cheap to pin.
+    sh = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     width = 64 // bands
-    blocked = sh.select(
-        id_col,
+    # Same distinct-signature decomposition as minhash_lsh_pairs: the
+    # block self-join runs on DISTINCT signatures (a group of m equal
+    # signatures otherwise contributes m²·bands candidate rows — 698M
+    # candidates for 12.4M true pairs measured at 16× sf0.1), identical
+    # signatures become direct hamming-0 pairs, and the distinct runs
+    # over signature pairs instead of doc pairs.
+    ds = sh.select("simhash").distinct().localCheckpoint(eager=True)
+    blocked = ds.select(
         "simhash",
         F.explode(
             F.array(
@@ -410,28 +458,52 @@ def simhash_pairs(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "simhash", "b.blk", "b.val")
+    ).select("simhash", "b.blk", "b.val")
     a, b = blocked.alias("a"), blocked.alias("b")
-    return (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        # hamming filter BEFORE the distinct: rejected candidates never
-        # enter the dedup shuffle (multi-block collisions only exist for
-        # pairs that pass anyway, so results are identical)
+        # hamming filter BEFORE the distinct: rejected signature pairs
+        # never enter the dedup shuffle or the member expansion
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    ma = sh.select(F.col(id_col).alias("_ida"), F.col("simhash").alias("sig_a"))
+    mb = sh.select(F.col(id_col).alias("_idb"), F.col("simhash").alias("sig_b"))
+    inter = (
+        sig_pairs.join(ma, "sig_a")
+        .join(mb, "sig_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 # -- embedding near-dup ------------------------------------------------------

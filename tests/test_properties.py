@@ -99,3 +99,52 @@ def test_semi_anti_partition(spark, rows):
     semi = d.semi_join(b, by="x")
     anti = d.anti_join(b, by="x")
     assert rows_set(semi.bind_rows(anti).df) == rows_set(d.df)
+
+
+GAPS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user id
+        st.integers(min_value=0, max_value=10_000_000), # offset ms
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(events=GAPS)
+@SETTINGS
+def test_sessionize_matches_python_reference(spark, events):
+    """Session indices must equal a sequential single-machine reference
+    (sorted per user, gap > threshold opens a session) for ANY event
+    layout — including sub-second gaps and duplicate timestamps."""
+    import datetime
+
+    from datamancer_spark.operators.sessions import sessionize
+
+    gap_s = 600
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (uid, base + datetime.timedelta(milliseconds=ms), i)
+        for i, (uid, ms) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(
+            df, "ts", ["user_id"], gap_seconds=gap_s, order_by=["event_id"]
+        ).collect()
+    }
+
+    expect = {}
+    by_user: dict[int, list] = {}
+    for uid, ts, eid in rows:
+        by_user.setdefault(uid, []).append((ts, eid))
+    for uid, evs in by_user.items():
+        evs.sort()
+        idx, prev = -1, None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                idx += 1
+            expect[eid] = idx
+            prev = ts
+    assert got == expect

@@ -53,6 +53,26 @@ def synth(spark, base_dir: str, out_dir: str, copies: int) -> None:
     )
     big_ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
+    emb = load_tables(spark, base_dir, ["embeddings"])["embeddings"].df
+    n_emb = emb.count()
+    big_emb = (
+        emb.crossJoin(copies_df)
+        .withColumn("vec_id", F.col("vec_id") + F.col("copy") * n_emb)
+        # tiny per-copy scale jitter: copies stay near-dups (cosine is
+        # scale-invariant for pure scaling, so also nudge one component)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x + F.when(i == 0, F.col("copy") * F.lit(0.01)).otherwise(0.0)
+                ).cast("float"),
+            ),
+        )
+        .drop("copy")
+    )
+    big_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
 
 def main() -> None:
     from datamancer_spark import get_spark
@@ -80,26 +100,34 @@ def main() -> None:
     def run(tag, fn):
         times = {}
         for c, d in dirs.items():
-            t = load_tables(spark, d, ["documents", "events"])
-            doc, ev = t["documents"].df, t["events"].df
+            t = load_tables(spark, d, ["documents", "events", "embeddings"])
+            doc, ev, emb = t["documents"].df, t["events"].df, t["embeddings"].df
             t0 = time.time()
-            fn(doc, ev).write.format("noop").mode("overwrite").save()
+            fn(doc, ev, emb).write.format("noop").mode("overwrite").save()
             times[c] = round(time.time() - t0, 2)
         return tag, times
 
+    from datamancer_spark.operators.dedup import embedding_dedup_bucketed
+
     results = [
-        run("exact_dedup", lambda doc, ev: exact_dedup(doc)),
-        run("minhash_lsh_pairs", lambda doc, ev: minhash_lsh_pairs(doc)),
-        run("simhash_pairs", lambda doc, ev: simhash_pairs(doc, max_hamming=3)),
+        run("exact_dedup", lambda doc, ev, emb: exact_dedup(doc)),
+        run("minhash_lsh_pairs", lambda doc, ev, emb: minhash_lsh_pairs(doc)),
+        run("simhash_pairs", lambda doc, ev, emb: simhash_pairs(doc, max_hamming=3)),
         run(
             "text_quality",
-            lambda doc, ev: doc.repartition(32).select(
+            lambda doc, ev, emb: doc.repartition(32).select(
                 "doc_id", quality_score(F.col("text")).alias("q")
             ),
         ),
         run(
             "sessionize",
-            lambda doc, ev: session_stats(ev, "ts", ["user_id"], 1800, "value"),
+            lambda doc, ev, emb: session_stats(ev, "ts", ["user_id"], 1800, "value"),
+        ),
+        run(
+            "embedding_dedup_bucketed",
+            lambda doc, ev, emb: embedding_dedup_bucketed(
+                emb, threshold=0.9, num_planes=8, multiprobe=1
+            ),
         ),
     ]
 
