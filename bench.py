@@ -54,6 +54,11 @@ HEADLINE = [
     "knn_brute",
     "knn_lsh",
     "knn_ivf",
+    # round-2 additions (delta_vs_prev only covers keys both rounds share)
+    "repetition_quality",
+    "line_dedup",
+    "contamination_screen",
+    "mixture_resample_langs",
 ]
 
 

@@ -1,0 +1,331 @@
+"""Corpus-quality operators for LLM training-data pipelines.
+
+Beyond-reference surface (the reference is a general dataframe engine;
+these are the corpus-curation operations a 100 TB text pipeline runs
+between ingestion and tokenization):
+
+- ``repetition_stats`` — Gopher/MassiveText-style repetition signals
+  (duplicate-word fraction, duplicate n-gram fraction, top n-gram
+  coverage) used to drop auto-generated / boilerplate pages.
+- ``line_dedup_global`` — C4-style cross-document line deduplication:
+  every line keeps exactly its first occurrence corpus-wide.
+- ``contamination_check`` — benchmark-contamination screen: fraction of
+  a document's shingles that appear anywhere in an eval/benchmark set.
+- ``mixture_resample`` — deterministic hash-based downsampling to a
+  target domain/language mixture (the "data mixture" step before
+  training), no RNG, reproducible across engines and runs.
+
+Scale design: everything is relational (explode → shuffle-on-key →
+agg/window → join). No Python, no collects, no cartesian stages. The
+only skew-sensitive spot is the per-line window in ``line_dedup_global``
+(a corpus-dominant boilerplate line forms one large group); its window
+is keyed by the line hash so AQE skew handling applies, and empty lines
+are dropped before the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import prnd
+from .dedup import hash32, spread_partitions, tokens, word_shingles
+
+
+def word_ngrams(text, n: int):
+    """All word n-grams (NON-distinct, order preserved) as array<string>.
+    Docs shorter than n words yield a single whole-doc gram — mirrors
+    word_shingles' short-doc rule but keeps duplicates, which is the
+    whole point for repetition measurement."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+    top_n: int = 2,
+) -> DataFrame:
+    """Per-document repetition signals (Gopher §A1.1-flavored):
+
+    - ``n_words`` — token count.
+    - ``dup_word_frac`` — fraction of token instances that are repeats
+      of an earlier token (1 - distinct/total).
+    - ``dup_ngram_frac`` — fraction of ``ngram_n``-gram instances whose
+      gram occurs more than once in the document.
+    - ``top_ngram_cov`` — max over ``top_n``-grams of
+      count(gram)·len(gram) / len(normalized text): character coverage
+      of the single most-covering repeated gram (deterministic — a max
+      over products, no argmax tie-breaking).
+
+    One explode per gram size; per-doc aggregation is partial-agg
+    friendly (counts/sums/maxes), so the shuffle carries (doc, gram)
+    pre-aggregated rows. High values ⇒ boilerplate/generated text."""
+    d = spread_partitions(df).select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+        word_ngrams(F.col(text_col), ngram_n).alias("_ngs"),
+        word_ngrams(F.col(text_col), top_n).alias("_tgs"),
+    )
+    base = d.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_words"),
+        F.size(F.array_distinct("_toks")).alias("_n_distinct"),
+        # normalized text length: tokens re-joined by single spaces, so
+        # the coverage denominator is identical in both engines
+        F.length(F.concat_ws(" ", F.col("_toks"))).alias("_n_chars"),
+    )
+    ng = (
+        d.select(F.col(id_col), F.explode("_ngs").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("_ng_total"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "_ng_dup"
+            ),
+        )
+    )
+    tg = (
+        d.select(F.col(id_col), F.explode("_tgs").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("c") * F.length("g")).alias("_top_cov"))
+    )
+    return (
+        base.join(ng, id_col)
+        .join(tg, id_col)
+        .select(
+            F.col(id_col),
+            "n_words",
+            prnd(
+                (F.col("n_words") - F.col("_n_distinct"))
+                / F.col("n_words"),
+                6,
+            ).alias("dup_word_frac"),
+            prnd(F.col("_ng_dup") / F.col("_ng_total"), 6).alias(
+                "dup_ngram_frac"
+            ),
+            prnd(F.col("_top_cov") / F.col("_n_chars"), 6).alias(
+                "top_ngram_cov"
+            ),
+        )
+    )
+
+
+def line_dedup_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """C4-style global line dedup: split every document on ``delimiter``,
+    keep exactly the FIRST corpus-wide occurrence of each distinct line
+    (first = smallest (doc id, position)), and reassemble documents from
+    their surviving lines in original order. Documents whose lines all
+    lose become empty strings (kept, so the corpus row set is stable).
+
+    Plan: posexplode → per-line-hash window (rank by (id, pos)) → winner
+    filter → per-doc ordered re-aggregation → left join back. Two
+    shuffles (line hash, doc id) + one broadcast-able join; the window
+    group for a given line is its occurrence list, so corpus-dominant
+    boilerplate lines form the only big groups (AQE skew splitting
+    applies). Empty/whitespace-only lines are dropped outright, as in
+    C4's cleanup."""
+    lines = (
+        spread_partitions(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+                "pos", "line"
+            ),
+        )
+        .filter(F.length(F.trim(F.col("line"))) > 0)
+    )
+    w = Window.partitionBy(hash32(F.col("line")), F.col("line")).orderBy(
+        F.col(id_col), F.col("pos")
+    )
+    keep = lines.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    rebuilt = keep.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            delimiter,
+        ).alias("clean_text")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .fillna({"clean_text": ""})
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination screen: for every corpus document, the
+    fraction of its distinct word ``shingle_n``-grams that appear in ANY
+    benchmark document. The standard pre-training hygiene check (e.g.
+    GPT-3 §C / PaLM-style 'n-gram overlap with eval sets').
+
+    Plan: benchmark shingles → distinct hash set (tiny vs the corpus —
+    broadcast-able); corpus shingles left-semi-counted against it via
+    one equi-join on the 32-bit shingle hash. Per-doc output:
+    (n_shingles, n_contaminated, contamination). Exact overlap — no
+    sampling; the corpus side streams through one explode+join, never
+    collecting."""
+    def shingled(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+        ).select(F.col(id_col), hash32(F.col("s")).alias("sh"))
+
+    bench = shingled(benchmark).select("sh").distinct()
+    corp = shingled(spread_partitions(corpus))
+    hits = (
+        corp.join(bench, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    totals = corp.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .fillna({"n_contaminated": 0})
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_contaminated",
+            prnd(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+    num_shards: int = 32,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing — assign documents to fixed token-budget bins
+    (the pre-tokenization step that concatenates short documents into
+    full context windows). Greedy sequential fill in deterministic
+    (shard, id) order: each document lands in the bin its running token
+    total falls into; a document that crosses a bin boundary opens the
+    next bin (bins may overrun by at most one document — the standard
+    greedy-packing rule; oversized docs get bins of their own).
+
+    Scale shape: packing order is per-SHARD (md5-bucketed by id,
+    ``num_shards`` ≈ writer parallelism), so the running total is a
+    window cumsum partitioned by shard — never a global single-partition
+    sort, which is the classic scale killer here. Real pipelines pack
+    per output shard anyway; global bin ids are (shard, bin_in_shard).
+    Token counts default to whitespace tokens; pass ``token_col`` for
+    precomputed real tokenizer counts."""
+    n_tok = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0))
+    ).cast("long")
+    d = spread_partitions(df).select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (hash32(F.col(id_col).cast("string")) % num_shards).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("_cum", F.sum("n_tokens").over(w))
+    # the bin a doc STARTS in: floor((cum - n_tokens) / capacity) —
+    # greedy fill-then-spill; an exactly-full bin hands the next doc to
+    # the following bin
+    return cum.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(capacity))
+        .cast("long")
+        .alias("bin"),
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic downsampling to a target category mixture — the
+    'data mixture' step that balances languages/domains before training.
+
+    Given target ``weights`` (need not sum to 1; normalized internally),
+    the largest total T is found such that every category k can supply
+    w_k·T rows, then each category keeps rate r_k = w_k·T/n_k of its
+    rows. Row selection is a pure hash test — md5(seed‖id) bucket below
+    floor(r_k·1e6 + ½) of 1e6 — so the sample is reproducible across
+    runs, engines, and cluster layouts; no RNG, no sort.
+
+    Fully relational: per-key counts (one partial-agg shuffle on the
+    category key) → global min over n_k/w_k (single tiny agg) → rates
+    broadcast back onto the corpus → one filter. Keys absent from
+    ``weights`` are dropped (weight 0)."""
+    spark = df.sparkSession
+    total_w = float(sum(weights.values()))
+    wdf = spark.createDataFrame(
+        [(k, float(v) / total_w) for k, v in weights.items()],
+        f"{key_col} string, _w double",
+    )
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .join(F.broadcast(wdf), key_col)
+        .filter(F.col("_w") > 0)
+    )
+    # feasible total: T = min_k n_k / w_k  (category k contributes w_k·T)
+    t = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_t"))
+    rates = counts.crossJoin(F.broadcast(t)).select(
+        key_col,
+        F.floor(
+            (F.col("_w") * F.col("_t") / F.col("_n")) * 1e6 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    bucket = (
+        hash32(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
+        % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(rates), key_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -1,0 +1,192 @@
+"""Corpus-quality operators (operators/quality.py): repetition stats,
+global line dedup, contamination screen, mixture resampling.
+
+The driver contract exercises these on the synthetic documents table
+(tests/oracle_harness.py); these tests pin the semantics the flat
+corpus can't show — multi-line documents, hand-computed fractions,
+mixture feasibility."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamancer_spark.operators.quality import (
+    contamination_check,
+    line_dedup_global,
+    mixture_resample,
+    pack_sequences,
+    repetition_stats,
+)
+
+
+def by_id(df, key="doc_id"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        # "a a a b": 4 words, 2 distinct -> dup_word_frac 0.5;
+        # trigrams "a a a","a a b" unique -> dup_ngram_frac 0;
+        # bigrams "a a"x2,"a b" -> top cov = 2*len("a a")=6 over
+        # len("a a a b")=7
+        df = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+        r = by_id(repetition_stats(df))[1]
+        assert r["n_words"] == 4
+        assert r["dup_word_frac"] == pytest.approx(0.5)
+        assert r["dup_ngram_frac"] == 0.0
+        assert r["top_ngram_cov"] == pytest.approx(6 / 7, abs=1e-6)
+
+    def test_repeated_block(self, spark):
+        # "x y z x y z": every trigram instance ("x y z" x2, "y z x",
+        # "z x y") -> 2 of 4 instances are dups
+        df = spark.createDataFrame([(1, "x y z x y z")], "doc_id long, text string")
+        r = by_id(repetition_stats(df))[1]
+        assert r["dup_word_frac"] == pytest.approx(0.5)
+        assert r["dup_ngram_frac"] == pytest.approx(0.5)
+
+    def test_short_doc_whole_gram(self, spark):
+        # 2 words < n=3: one whole-doc gram, no dups
+        df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+        r = by_id(repetition_stats(df))[1]
+        assert r["n_words"] == 2
+        assert r["dup_ngram_frac"] == 0.0
+
+
+class TestLineDedupGlobal:
+    def test_first_occurrence_wins(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "keep me\nshared line\nunique one"),
+                (2, "shared line\nonly in two"),
+                (3, "shared line"),
+            ],
+            "doc_id long, text string",
+        )
+        out = by_id(line_dedup_global(df))
+        assert out[1]["clean_text"] == "keep me\nshared line\nunique one"
+        assert out[2]["clean_text"] == "only in two"
+        assert out[3]["clean_text"] == ""  # lost its only line
+
+    def test_within_doc_dups_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same\nsame\nsame\nother")], "doc_id long, text string"
+        )
+        out = by_id(line_dedup_global(df))
+        assert out[1]["clean_text"] == "same\nother"
+
+    def test_blank_lines_dropped_and_row_set_stable(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\n\n  \nb"), (2, "   ")], "doc_id long, text string"
+        )
+        out = by_id(line_dedup_global(df))
+        assert out[1]["clean_text"] == "a\nb"
+        assert out[2]["clean_text"] == ""
+        assert set(out) == {1, 2}
+
+
+class TestContaminationCheck:
+    def test_extremes(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),  # == benchmark doc
+                (2, "totally different words here now"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+        out = by_id(contamination_check(corpus, bench, shingle_n=3))
+        assert out[1]["contamination"] == 1.0
+        assert out[2]["contamination"] == 0.0
+        assert out[2]["n_contaminated"] == 0
+
+    def test_partial_overlap(self, spark):
+        # doc shares exactly its first trigram with the benchmark
+        corpus = spark.createDataFrame(
+            [(1, "a b c zz yy xx")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(100, "a b c")], "doc_id long, text string"
+        )
+        r = by_id(contamination_check(corpus, bench, shingle_n=3))[1]
+        assert r["n_shingles"] == 4
+        assert r["n_contaminated"] == 1
+        assert r["contamination"] == pytest.approx(0.25)
+
+
+class TestPackSequences:
+    def test_greedy_fill_single_shard(self, spark):
+        # capacity 10, docs (in id order) of 6, 6, 3, 12, 2 tokens:
+        # cum-before = 0, 6, 12, 15, 27 -> bins 0, 0, 1, 1, 2
+        rows = [
+            (1, "w " * 6),
+            (2, "w " * 6),
+            (3, "w " * 3),
+            (4, "w " * 12),
+            (5, "w " * 2),
+        ]
+        df = spark.createDataFrame(
+            [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               pack_sequences(df, capacity=10, num_shards=1).collect()}
+        assert [out[i]["bin"] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 1, 2]
+        assert out[4]["n_tokens"] == 12  # oversized doc handled whole
+
+    def test_bins_respect_start_boundaries(self, spark):
+        # every bin's token span starts at a multiple of capacity: the
+        # max start offset within a bin is < capacity ahead of its base
+        df = spark.createDataFrame(
+            [(i, "tok " * (i % 7 + 1)) for i in range(100)],
+            "doc_id long, text string",
+        )
+        out = pack_sequences(df, capacity=16, num_shards=4)
+        w_ok = out.groupBy("shard", "bin").agg(
+            F.sum("n_tokens").alias("filled")
+        )
+        # greedy rule: a bin never starts a doc at/after its end boundary,
+        # so filled < capacity + max_doc_tokens
+        assert w_ok.filter(F.col("filled") >= 16 + 7).count() == 0
+
+    def test_deterministic_and_complete(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a b c d e") for i in range(50)], "doc_id long, text string"
+        )
+        a = sorted(tuple(r) for r in pack_sequences(df, capacity=8).collect())
+        b = sorted(tuple(r) for r in pack_sequences(df, capacity=8).collect())
+        assert a == b
+        assert len(a) == 50  # every doc assigned exactly once
+
+
+class TestMixtureResample:
+    def _corpus(self, spark):
+        rows = [(i, "en" if i < 600 else ("de" if i < 800 else "xx"))
+                for i in range(1000)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_mixture_hits_targets(self, spark):
+        df = self._corpus(spark)
+        out = mixture_resample(df, "lang", {"en": 0.5, "de": 0.5}, seed=1)
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # de is the binding category (200 rows at weight .5 -> T=400):
+        # de keeps everything, en downsamples to ~200
+        assert counts["de"] == 200
+        assert counts["en"] == pytest.approx(200, rel=0.15)
+        assert "xx" not in counts  # unweighted keys dropped
+
+    def test_deterministic(self, spark):
+        df = self._corpus(spark)
+        w = {"en": 0.7, "de": 0.3}
+        a = sorted(r["doc_id"] for r in mixture_resample(df, "lang", w).collect())
+        b = sorted(r["doc_id"] for r in mixture_resample(df, "lang", w).collect())
+        assert a == b and len(a) > 0
+
+    def test_subset_of_input(self, spark):
+        df = self._corpus(spark)
+        out = mixture_resample(df, "lang", {"en": 0.9, "de": 0.1}, seed=3)
+        ids = {r["doc_id"] for r in out.collect()}
+        all_ids = {r["doc_id"] for r in df.collect()}
+        assert ids <= all_ids
