@@ -67,60 +67,92 @@ def repetition_stats(
       of the single most-covering repeated gram (deterministic — a max
       over products, no argmax tie-breaking).
 
-    One explode per gram size; per-doc aggregation is partial-agg
-    friendly (counts/sums/maxes), so the shuffle carries (doc, gram)
-    pre-aggregated rows. High values ⇒ boilerplate/generated text."""
+    Every statistic is a function of ONE document, so the whole operator
+    is a single narrow projection — ZERO shuffles, no explode, no joins;
+    at 100 TB it runs embarrassingly parallel inside the parquet scan
+    stage. Per-gram counts come from sorting the gram array once per row
+    (O(g log g), JVM-side):
+
+    - an instance belongs to a duplicated gram iff it equals a sorted
+      neighbor, so ``dup`` = count of positions with a matching neighbor;
+    - the most-covering gram is a max over run-length·len(gram) carried
+      through one ``aggregate`` fold with a struct accumulator.
+
+    High values ⇒ boilerplate/generated text."""
+
+    def _sorted_neighbor_dup_count(sorted_arr):
+        n = F.size(sorted_arr)
+        return F.size(
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (
+                    (i > 1)
+                    & (
+                        F.element_at(sorted_arr, i)
+                        == F.element_at(sorted_arr, i - 1)
+                    )
+                )
+                | (
+                    (i < n)
+                    & (
+                        F.element_at(sorted_arr, i)
+                        == F.element_at(sorted_arr, i + 1)
+                    )
+                ),
+            )
+        )
+
+    def _max_run_coverage(sorted_arr):
+        # fold: (prev gram, current run length, best run·len so far)
+        return F.aggregate(
+            sorted_arr,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    (
+                        F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                            F.lit(1)
+                        )
+                    )
+                    * F.length(x),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
     d = spread_partitions(df).select(
         F.col(id_col),
         tokens(F.col(text_col)).alias("_toks"),
-        word_ngrams(F.col(text_col), ngram_n).alias("_ngs"),
-        word_ngrams(F.col(text_col), top_n).alias("_tgs"),
+        F.array_sort(word_ngrams(F.col(text_col), ngram_n)).alias("_ngs"),
+        F.array_sort(word_ngrams(F.col(text_col), top_n)).alias("_tgs"),
     )
-    base = d.select(
+    return d.select(
         F.col(id_col),
         F.size("_toks").cast("long").alias("n_words"),
-        F.size(F.array_distinct("_toks")).alias("_n_distinct"),
-        # normalized text length: tokens re-joined by single spaces, so
-        # the coverage denominator is identical in both engines
-        F.length(F.concat_ws(" ", F.col("_toks"))).alias("_n_chars"),
-    )
-    ng = (
-        d.select(F.col(id_col), F.explode("_ngs").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("_ng_total"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
-                "_ng_dup"
-            ),
-        )
-    )
-    tg = (
-        d.select(F.col(id_col), F.explode("_tgs").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max(F.col("c") * F.length("g")).alias("_top_cov"))
-    )
-    return (
-        base.join(ng, id_col)
-        .join(tg, id_col)
-        .select(
-            F.col(id_col),
-            "n_words",
-            prnd(
-                (F.col("n_words") - F.col("_n_distinct"))
-                / F.col("n_words"),
-                6,
-            ).alias("dup_word_frac"),
-            prnd(F.col("_ng_dup") / F.col("_ng_total"), 6).alias(
-                "dup_ngram_frac"
-            ),
-            prnd(F.col("_top_cov") / F.col("_n_chars"), 6).alias(
-                "top_ngram_cov"
-            ),
-        )
+        prnd(
+            (F.size("_toks") - F.size(F.array_distinct("_toks")))
+            / F.size("_toks"),
+            6,
+        ).alias("dup_word_frac"),
+        prnd(
+            _sorted_neighbor_dup_count(F.col("_ngs")) / F.size("_ngs"), 6
+        ).alias("dup_ngram_frac"),
+        # normalized-text denominator: tokens re-joined by single spaces,
+        # identical in both engines
+        prnd(
+            _max_run_coverage(F.col("_tgs"))
+            / F.length(F.concat_ws(" ", F.col("_toks"))),
+            6,
+        ).alias("top_ngram_cov"),
     )
 
 
