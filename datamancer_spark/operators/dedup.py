@@ -361,61 +361,62 @@ def simhash(
     """Charikar SimHash over whitespace tokens: per-bit majority vote of
     64-bit md5-derived token hashes → one 64-bit signature per doc.
 
-    Fully relational (no Python on the hot path, unlike the round-1
-    Arrow-UDF version): explode distinct tokens → one md5 per token →
-    64 codegen'd SUM aggregates (the ±1 votes) in a single partial-
-    aggregated shuffle on doc id — the same plan family as the MinHash
-    signature builder. The 64-bit token hash is carried as two 32-bit
-    halves (hi/lo of the first 16 md5 hex digits) because a lone
-    unsigned-64 doesn't fit a Spark LONG; bit b's vote reads from the
-    appropriate half. Bit 63's weight is the sign bit — adding
-    shiftleft(1,63) wraps to the correct two's-complement pattern, so
+    Fully per-row — a signature depends on one document only, so the
+    operator is a narrow projection with ZERO shuffles beyond the
+    spread_partitions round-robin (the explode→groupBy(doc)→join-back
+    formulation paid two shuffles for per-doc state that fits in a
+    64-int array). Per row: distinct tokens → one md5 each (carried as
+    two 32-bit halves, hi/lo of the first 16 hex digits, since a lone
+    unsigned-64 doesn't fit a Spark LONG) → one ``aggregate`` fold
+    maintaining 64 vote counters (``zip_with`` +getbit ±1) → unrolled
+    64-term bit assembly. Bit 63's weight is the sign bit — adding the
+    min-long literal wraps to the correct two's-complement pattern, so
     signatures remain bit-identical to the DuckDB UBIGINT twin and to
-    the round-1 UDF output."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
-            )
-        ).alias("tok"),
+    the explode-formulation output (equivalence measured, 0 mismatches
+    at sf0.1). Empty docs fold zero tokens → all counters 0 → signature
+    0 (the empty-doc rule), no join-back needed."""
+    toks_arr = F.array_distinct(
+        F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
     )
-    hashed = toks.select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("hi"),
-        F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10)
-        .cast("long")
-        .alias("lo"),
+    hs = F.transform(
+        toks_arr,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hi"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+            .cast("long")
+            .alias("lo"),
+        ),
     )
-    votes = [
-        F.sum(
-            (
-                F.shiftrightunsigned(
-                    F.col("lo") if b < 32 else F.col("hi"), b % 32
-                ).bitwiseAND(F.lit(1))
+    counters = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, b: c
+            + (
+                F.getbit(
+                    F.when(b < 32, x["lo"]).otherwise(x["hi"]), b % 32
+                ).cast("int")
                 * 2
                 - 1
-            )
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
-    per_doc = hashed.groupBy(id_col).agg(*votes)
+            ),
+        ),
+    )
     sig = None
     for b in range(64):
-        term = F.when(
-            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
+        bitval = (
+            F.lit(-(1 << 63)).cast("long")
+            if b == 63
+            else F.lit(1 << b).cast("long")
+        )
+        term = F.when(F.element_at(counters, b + 1) > 0, bitval).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = term if sig is None else sig + term
-    # docs with zero tokens never reach the groupBy (explode drops them);
-    # a left join restores them with signature 0 (the empty-doc rule)
-    sigs = per_doc.select(F.col(id_col), sig.alias("simhash"))
-    return (
-        df.select(F.col(id_col))
-        .join(sigs, id_col, "left")
-        .fillna({"simhash": 0})
-    )
+    return spread_partitions(df).select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(
