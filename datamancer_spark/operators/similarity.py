@@ -216,13 +216,17 @@ def knn_ivf(
                     centers[c] = members.mean(axis=0)
 
     bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
+    vec_field = corpus.schema[vec_col].dataType
     assign_schema = StructType(
         [
             StructField("neighbor_id", LongType()),
+            StructField("cv", vec_field),
             StructField("centroid", LongType()),
         ]
     )
 
+    # the vector rides through the Arrow batch, so assignment is a pure
+    # map — no corpus⋈corpus join-back shuffle to re-attach vectors
     def assign_batches(batches):
         C = bc_centers.value
         for pdf in batches:
@@ -233,16 +237,14 @@ def knn_ivf(
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf[id_col].to_numpy().astype(np.int64),
+                    "cv": pdf[vec_col],
                     "centroid": d2.argmin(axis=1).astype(np.int64),
                 }
             )
 
-    assignments = corpus.select(id_col, vec_col).mapInPandas(
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
         assign_batches, assign_schema
     )
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).join(assignments, "neighbor_id")
     q_rows = queries.select(id_col, vec_col).collect()
     probe_rows = []
     for r in q_rows:
