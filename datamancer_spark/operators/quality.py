@@ -222,30 +222,31 @@ def contamination_check(
     GPT-3 §C / PaLM-style 'n-gram overlap with eval sets').
 
     Plan: benchmark shingles → distinct hash set (tiny vs the corpus —
-    broadcast-able); corpus shingles left-semi-counted against it via
-    one equi-join on the 32-bit shingle hash. Per-doc output:
-    (n_shingles, n_contaminated, contamination). Exact overlap — no
-    sampling; the corpus side streams through one explode+join, never
-    collecting."""
+    broadcast-able); corpus shingles LEFT-joined against it (distinct
+    right side, so no fan-out) with a hit marker, then ONE groupBy
+    counts total and hit shingles together — the corpus is exploded and
+    scanned exactly once. Per-doc output: (n_shingles, n_contaminated,
+    contamination). Exact overlap — no sampling, no collecting."""
     def shingled(d: DataFrame) -> DataFrame:
         return d.select(
             F.col(id_col),
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
         ).select(F.col(id_col), hash32(F.col("s")).alias("sh"))
 
-    bench = shingled(benchmark).select("sh").distinct()
+    bench = (
+        shingled(benchmark)
+        .select("sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     corp = shingled(spread_partitions(corpus))
-    hits = (
-        corp.join(bench, "sh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
-    )
-    totals = corp.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles")
-    )
     return (
-        totals.join(hits, id_col, "left")
-        .fillna({"n_contaminated": 0})
+        corp.join(bench, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
+        )
         .select(
             F.col(id_col),
             "n_shingles",
@@ -342,9 +343,13 @@ def mixture_resample(
         .join(F.broadcast(wdf), key_col)
         .filter(F.col("_w") > 0)
     )
-    # feasible total: T = min_k n_k / w_k  (category k contributes w_k·T)
-    t = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_t"))
-    rates = counts.crossJoin(F.broadcast(t)).select(
+    # feasible total: T = min_k n_k / w_k (category k contributes w_k·T),
+    # attached via a global window over the tiny per-category frame —
+    # one lineage, so the corpus is scanned twice total (counts + final
+    # filter), not three times as a separate agg + crossJoin would
+    rates = counts.withColumn(
+        "_t", F.min(F.col("_n") / F.col("_w")).over(Window.partitionBy())
+    ).select(
         key_col,
         F.floor(
             (F.col("_w") * F.col("_t") / F.col("_n")) * 1e6 + F.lit(0.5)
