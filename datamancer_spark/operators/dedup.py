@@ -311,11 +311,26 @@ def ngram_jaccard_pairs(
     equality holds). At scale the inverted index is the standard
     text-similarity-join plan; extremely common shingles should be pruned
     upstream (df.filter on doc frequency) — exposed as a follow-up knob,
-    not silently applied."""
-    sh = spread_partitions(df).select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
-    ).select(F.col(id_col), hash32(F.col("s")).alias("sh"))
+    not silently applied.
+
+    The (id, hashed-shingle-array) frame is built ONCE per row and
+    localCheckpointed: it feeds both self-join legs (Spark plans
+    self-joins as independent subtrees — without pinning, tokenization +
+    shingling + md5 re-execute per leg), and set sizes come narrowly
+    from ``F.size`` on the array instead of a separate explode+groupBy
+    pass."""
+    arr = (
+        spread_partitions(df)
+        .select(
+            F.col(id_col),
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n),
+                lambda s: hash32(s),
+            ).alias("_shs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh = arr.select(F.col(id_col), F.explode("_shs").alias("sh"))
     if max_doc_freq is not None:
         # Recall/cost knob: drop boilerplate shingles present in more than
         # max_doc_freq docs BEFORE the pair join (they contribute huge
@@ -329,7 +344,12 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(rare, "sh", "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        # LOSSY path: sizes must reflect the PRUNED shingle sets
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = arr.select(
+            F.col(id_col), F.size("_shs").cast("long").alias("sz")
+        )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
