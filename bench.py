@@ -63,27 +63,30 @@ HEADLINE = [
 
 
 def _prev_round_timings(here: str) -> tuple[str | None, dict[str, float]]:
-    """Latest BENCH_r{N}.json in the repo root → its per-query timings
-    (the driver wraps the bench stdout under 'parsed')."""
+    """Latest BENCH_r{N}.json in the repo root that actually carries
+    per-query timings (the driver wraps the bench stdout under 'parsed';
+    a crashed round records parsed=null and is skipped — e.g. BENCH_r02)."""
     import glob
     import re
 
-    best, best_n = None, -1
+    cands = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = p, int(m.group(1))
-    if best is None:
-        return None, {}
-    try:
-        with open(best) as f:
-            doc = json.load(f)
-        parsed = doc.get("parsed") or {}
-        if isinstance(parsed, list):
-            parsed = parsed[0] if parsed else {}
-        return os.path.basename(best), dict(parsed.get("queries") or {})
-    except Exception:
-        return os.path.basename(best), {}
+        if m:
+            cands.append((int(m.group(1)), p))
+    for _, p in sorted(cands, reverse=True):
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+            parsed = doc.get("parsed") or {}
+            if isinstance(parsed, list):
+                parsed = parsed[0] if parsed else {}
+            queries = dict(parsed.get("queries") or {})
+        except Exception:
+            continue
+        if queries:
+            return os.path.basename(p), queries
+    return None, {}
 
 
 def main() -> None:
@@ -100,26 +103,39 @@ def main() -> None:
     # warm the JVM, parquet footers, AND the Python/Arrow worker pool
     # once (not timed) so per-query numbers measure operators, not
     # first-call worker spin-up
-    qs["q6_revenue_delta"](spark, sf_dir).count()
-    import pandas as _pd
-
-    spark.range(64).repartition(8).mapInPandas(
-        lambda it: (pdf for pdf in it), "id long"
-    ).count()
+    try:
+        qs["q6_revenue_delta"](spark, sf_dir).count()
+        spark.range(64).repartition(8).mapInPandas(
+            lambda it: (pdf for pdf in it), "id long"
+        ).count()
+    except Exception as e:  # warmup is best-effort; never kill the bench
+        print(f"bench: warmup failed: {e!r}", file=sys.stderr)
 
     # best-of-2 per query: the first execution of a plan pays one-off JIT /
     # codegen / Arrow-worker costs that are not operator cost (measured up
     # to 3x inflation on the Pandas-UDF tier); the min is the steady-state
-    # number a warmed cluster would see
+    # number a warmed cluster would see.
+    # Failures are ISOLATED per query: one broken query records an error
+    # entry but the bench still emits its JSON line for every other query
+    # (a round-2 sessionize type error previously zeroed the entire bench).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
+        fn = qs.get(name)
+        if fn is None:
+            errors[name] = "missing from queries()"
+            continue
         best = float("inf")
         for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            try:
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            except Exception as e:
+                errors[name] = repr(e)[:500]
+                break
+        if best != float("inf"):
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # round-over-round discipline: per-query delta vs the latest recorded
@@ -135,6 +151,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
                 "prev_bench": prev_name,
                 "delta_vs_prev": delta,

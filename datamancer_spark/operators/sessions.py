@@ -10,10 +10,14 @@ single shuffle + sort; at 100 TB this is one exchange on the session key
 streaming twin is ``streaming.session_agg`` (Spark session_window).
 
 Gap comparison happens at native timestamp precision (microseconds via
-``unix_micros``), not whole seconds — a 1800.5 s gap with
-``gap_seconds=1800`` correctly opens a new session. ``order_by`` adds
-deterministic tie-break columns so equal-timestamp rows order stably
-(required for bit-identical cross-engine output).
+``timestamp_diff``), not whole seconds — a 1800.5 s gap with
+``gap_seconds=1800`` correctly opens a new session. ``timestamp_diff``
+accepts both TIMESTAMP and TIMESTAMP_NTZ inputs (parquet written with
+isAdjustedToUTC=false arrives as NTZ under Spark's default
+inferTimestampNTZ) and is timezone-independent, unlike ``unix_micros``
+which rejects NTZ outright. ``order_by`` adds deterministic tie-break
+columns so equal-timestamp rows order stably (required for
+bit-identical cross-engine output).
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ def sessionize(
     gap_us = int(gap_seconds * 1_000_000)
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col)) > gap_us),
         1,
     ).otherwise(0)
     running = Window.partitionBy(*keys).orderBy(*order_cols).rowsBetween(
