@@ -1121,6 +1121,54 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(doc, capacity=512, num_shards=32)
 
 
+def token_topk_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary heads (operators/quality.py token_topk):
+    top-10 tokens per lang, deterministic (count desc, token asc) rank.
+    The rank window runs over the vocabulary-sized count frame, never
+    the corpus."""
+    from datamancer_spark.operators.quality import token_topk
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return token_topk(doc, group_col="lang", text_col="text", k=10)
+
+
+def budget_select_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget curation (operators/quality.py
+    budget_select): per language, highest-n_chars documents first until
+    a 2k-token budget fills (deterministic ties by doc_id; greedy
+    overrun by at most one doc). The cumsum window partitions by lang —
+    no global sort."""
+    from datamancer_spark.operators.quality import budget_select
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return budget_select(
+        doc, token_budget=2_000, score_col="n_chars", group_col="lang"
+    )
+
+
+def length_filter_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile length trim (operators/quality.py
+    length_outlier_filter): keep docs inside the lang's [p5, p95]
+    n_chars band. Bounds computed once per lang (tiny agg), broadcast
+    back; the corpus never shuffles."""
+    from datamancer_spark.operators.quality import length_outlier_filter
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return length_outlier_filter(
+        doc, len_col="n_chars", group_col="lang", lo=0.05, hi=0.95
+    ).select("doc_id", "lang", "n_chars")
+
+
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (operators/quality.py
+    dup_cluster_sizes): cluster-size → cluster-count over exact-dedup
+    fingerprint groups; the dedup-threshold diagnostic."""
+    from datamancer_spark.operators.quality import dup_cluster_sizes
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return dup_cluster_sizes(doc)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1145,12 +1193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_revenue_delta": q6_revenue_delta,
-        # -- §2 core verbs (9)
-        "filter_select": filter_select,
+        # -- §2 core verbs (5; filter_select/arrange_head/unique_first/
+        # -- count_by moved past the window in round 3 — each is
+        # -- driver-green in BOTH rounds 1 and 2 and a thin variant of a
+        # -- windowed query (grouped_filter, q3's top-10, distinct_proj,
+        # -- summarize_stats), freeing slots for the curation tier)
         "mutate_arith": mutate_arith,
-        "arrange_head": arrange_head,
-        "unique_first": unique_first,
-        "count_by": count_by,
         "summarize_stats": summarize_stats,
         "grouped_mutate": grouped_mutate,
         "grouped_filter": grouped_filter,
@@ -1167,12 +1215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_ops": array_ops,
         # -- escape hatch (1)
         "grouped_zscore": grouped_zscore,
-        # -- corpus quality / curation north star (5)
+        # -- corpus quality / curation north star (9)
         "repetition_quality": repetition_quality,
         "line_dedup": line_dedup,
         "contamination_screen": contamination_screen,
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
+        "token_topk_lang": token_topk_lang,
+        "budget_select_langs": budget_select_langs,
+        "length_filter_langs": length_filter_langs,
+        "dup_cluster_histogram": dup_cluster_histogram,
         # -- text analysis north star (5)
         "text_stats": text_stats,
         "text_quality": text_quality,
@@ -1206,6 +1258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- result, rollup/cube twins, bind_rows, and the boolean
         # ---- HLL contract), all round-1 driver-green or
         # ---- locally-verified, still in the local harness
+        "filter_select": filter_select,
+        "arrange_head": arrange_head,
+        "unique_first": unique_first,
+        "count_by": count_by,
         "anti_join": anti_join_q,
         "left_join_coalesce": left_join_coalesce,
         "bind_rows_union": bind_rows_union,
@@ -2244,6 +2300,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, shard, n_tokens,
                CAST(floor((cum - n_tokens) * 1.0 / 512) AS BIGINT) AS bin
         FROM c
+    """
+
+    sql["token_topk_lang"] = """
+        WITH toks AS (
+          SELECT lang,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> len(x) > 0)) AS token
+          FROM documents
+        ),
+        c AS (
+          SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY lang, token
+        ),
+        r AS (
+          SELECT lang, token, n,
+                 CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY n DESC, token ASC
+                 ) AS BIGINT) AS "rank"
+          FROM c
+        )
+        SELECT lang, token, n, "rank" FROM r WHERE "rank" <= 10
+    """
+
+    sql["budget_select_langs"] = """
+        WITH d AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum
+          FROM d
+        )
+        SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        FROM c WHERE cum - n_tokens < 2000
+    """
+
+    sql["length_filter_langs"] = """
+        WITH b AS (
+          SELECT lang,
+                 prnd(quantile_cont(n_chars, 0.05), 6) AS lo,
+                 prnd(quantile_cont(n_chars, 0.95), 6) AS hi
+          FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN b USING (lang)
+        WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """
+
+    sql["dup_cluster_histogram"] = """
+        WITH fp AS (
+          SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+          FROM documents
+        ),
+        c AS (
+          SELECT f, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM fp GROUP BY f
+        )
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM c GROUP BY cluster_size
     """
 
     # Every queries() entry has a value-level oracle: approximate ops use

@@ -59,6 +59,11 @@ HEADLINE = [
     "line_dedup",
     "contamination_screen",
     "mixture_resample_langs",
+    # round-3 additions
+    "token_topk_lang",
+    "budget_select_langs",
+    "length_filter_langs",
+    "dup_cluster_histogram",
 ]
 
 

@@ -14,6 +14,14 @@ between ingestion and tokenization):
 - ``mixture_resample`` — deterministic hash-based downsampling to a
   target domain/language mixture (the "data mixture" step before
   training), no RNG, reproducible across engines and runs.
+- ``token_topk`` — per-category vocabulary heads (top-k tokens), the
+  standard corpus-inspection / stopword-discovery sweep.
+- ``budget_select`` — greedy token-budget curation: highest-scoring
+  documents first until a per-group token budget is filled.
+- ``length_outlier_filter`` — per-group percentile length trim (drop
+  the truncated/boilerplate tails outside [p_lo, p_hi]).
+- ``dup_cluster_sizes`` — duplicate-cluster size histogram, the
+  summary view over exact-dedup groups used to pick dedup thresholds.
 
 Scale design: everything is relational (explode → shuffle-on-key →
 agg/window → join). No Python, no collects, no cartesian stages. The
@@ -30,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import prnd
+from ..functions.text import fingerprint
 from .dedup import hash32, spread_partitions, tokens, word_shingles
 
 
@@ -365,4 +374,142 @@ def mixture_resample(
         df.join(F.broadcast(rates), key_col)
         .filter(bucket < F.col("_thr"))
         .drop("_thr")
+    )
+
+
+def token_topk(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most frequent tokens per category — the vocabulary-head
+    sweep used for stopword discovery, tokenizer sanity checks, and
+    per-language corpus inspection.
+
+    Plan: explode tokens → (group, token) count with map-side partial
+    aggregation (the only corpus-sized shuffle, and it moves pre-reduced
+    (group, token, n) triples, not rows) → per-group window rank over
+    the DISTINCT-token frame, which is vocabulary-sized — millions of
+    rows at 100 TB, not trillions — so the rank window is cheap.
+    Deterministic tie-break: (count desc, token asc)."""
+    toks = (
+        spread_partitions(df)
+        .select(
+            F.col(group_col),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    counts = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return counts.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def budget_select(
+    df: DataFrame,
+    token_budget: int,
+    score_col: str,
+    group_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Greedy token-budget curation: take the highest-``score_col``
+    documents first (ties broken by id — fully deterministic) until the
+    per-group token budget is filled. The standard "best N tokens"
+    selection step between quality scoring and training. A document is
+    kept iff the budget is not yet exhausted when it starts, so the
+    selection may overrun by at most one document (same greedy rule as
+    ``pack_sequences``).
+
+    Scale shape: the running total is a window cumsum partitioned by
+    ``group_col``. With ``group_col=None`` the window is GLOBAL — a
+    single-partition sort that does not scale; at 100 TB always pass a
+    group (language/domain/shard), which is what real mixture budgets
+    do anyway. Token counts default to whitespace tokens; pass
+    ``token_col`` for precomputed tokenizer counts."""
+    n_tok = (
+        F.col(token_col)
+        if token_col
+        else F.size(
+            F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+        )
+    ).cast("long")
+    gcols = [F.col(group_col)] if group_col else []
+    d = spread_partitions(df).select(
+        F.col(id_col),
+        *gcols,
+        F.col(score_col).alias("_score"),
+        n_tok.alias("n_tokens"),
+    )
+    part = Window.partitionBy(*gcols) if group_col else Window.partitionBy()
+    w = part.orderBy(F.col("_score").desc(), F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = d.withColumn("_cum", F.sum("n_tokens").over(w))
+    return cum.filter(
+        F.col("_cum") - F.col("n_tokens") < F.lit(int(token_budget))
+    ).select(
+        F.col(id_col),
+        *gcols,
+        "n_tokens",
+        F.col("_cum").alias("cum_tokens"),
+    )
+
+
+def length_outlier_filter(
+    df: DataFrame,
+    len_col: str = "n_chars",
+    group_col: str = "lang",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile length trim: keep rows whose ``len_col``
+    lies inside the group's [``lo``, ``hi``] exact interpolated
+    percentiles — drops truncated fragments and boilerplate monsters
+    per language/domain rather than with one global threshold.
+
+    Plan: one partial-agg shuffle computes the per-group bounds (groups
+    = languages/domains, a tiny frame), broadcast back onto the corpus,
+    one filter — the corpus itself never shuffles. Bounds are rounded
+    to 6 decimals (prnd) so the keep/drop decision is bit-identical
+    across engines (Spark ``percentile`` and DuckDB ``quantile_cont``
+    both use linear interpolation)."""
+    bounds = df.groupBy(group_col).agg(
+        prnd(F.percentile(F.col(len_col), F.lit(float(lo))), 6).alias("_lo"),
+        prnd(F.percentile(F.col(len_col), F.lit(float(hi))), 6).alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .filter(
+            (F.col(len_col) >= F.col("_lo")) & (F.col(len_col) <= F.col("_hi"))
+        )
+        .drop("_lo", "_hi")
+    )
+
+
+def dup_cluster_sizes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster size histogram: how many exact-duplicate
+    clusters exist at each multiplicity — the first diagnostic anyone
+    runs before choosing dedup thresholds ("is the corpus 2% exact-dup
+    or 40%?"). Two agg shuffles, each smaller than the last (corpus →
+    distinct fingerprints → distinct sizes); the md5 fingerprint
+    evaluates next to the scan with only (fp) shuffling."""
+    clusters = (
+        spread_partitions(df)
+        .select(fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
     )

@@ -190,3 +190,130 @@ class TestMixtureResample:
         ids = {r["doc_id"] for r in out.collect()}
         all_ids = {r["doc_id"] for r in df.collect()}
         assert ids <= all_ids
+
+
+class TestTokenTopk:
+    def test_counts_and_ranks(self, spark):
+        from datamancer_spark.operators.quality import token_topk
+
+        df = spark.createDataFrame(
+            [
+                (1, "en", "the cat the dog"),
+                (2, "en", "the bird"),
+                (3, "de", "der der die"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        out = {
+            (r["lang"], r["token"]): (r["n"], r["rank"])
+            for r in token_topk(df, k=2).collect()
+        }
+        # en: the x3 rank 1; bird/cat/dog tie at 1 -> token asc: bird
+        assert out[("en", "the")] == (3, 1)
+        assert out[("en", "bird")] == (1, 2)
+        assert ("en", "cat") not in out
+        # de: der x2 rank 1, die rank 2
+        assert out[("de", "der")] == (2, 1)
+        assert out[("de", "die")] == (1, 2)
+
+    def test_k_bounds_rows(self, spark):
+        from datamancer_spark.operators.quality import token_topk
+
+        df = spark.createDataFrame(
+            [(i, "en", f"tok{i} tok{i % 3}") for i in range(20)],
+            "doc_id long, lang string, text string",
+        )
+        assert token_topk(df, k=5).count() == 5
+
+
+class TestBudgetSelect:
+    def _corpus(self, spark):
+        # per doc: 4 tokens; scores descend with id so selection order
+        # is id asc; budget 10 -> docs 1,2 (8 tokens) + doc 3 starts at
+        # 8 < 10 -> kept (greedy overrun), doc 4 starts at 12 -> dropped
+        rows = [(i, "en", 100 - i, "a b c d") for i in range(1, 6)]
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, score long, text string"
+        )
+
+    def test_greedy_overrun_boundary(self, spark):
+        from datamancer_spark.operators.quality import budget_select
+
+        out = budget_select(
+            self._corpus(spark), token_budget=10, score_col="score",
+            group_col="lang",
+        )
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [1, 2, 3]
+
+    def test_exact_fill_no_overrun(self, spark):
+        from datamancer_spark.operators.quality import budget_select
+
+        # budget 8 is exactly 2 docs; doc 3 starts at 8 (not < 8) -> out
+        out = budget_select(
+            self._corpus(spark), token_budget=8, score_col="score",
+            group_col="lang",
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+    def test_per_group_budgets(self, spark):
+        from datamancer_spark.operators.quality import budget_select
+
+        rows = [(1, "en", 9, "a b"), (2, "en", 8, "a b"),
+                (3, "de", 7, "a b"), (4, "de", 6, "a b")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, score long, text string"
+        )
+        out = budget_select(df, token_budget=3, score_col="score",
+                            group_col="lang")
+        # each lang independently: first doc (2 tokens) + second starts
+        # at 2 < 3 -> kept
+        assert out.count() == 4
+
+    def test_score_ordering_wins(self, spark):
+        from datamancer_spark.operators.quality import budget_select
+
+        rows = [(1, "en", 1, "a b c d e f"), (2, "en", 9, "a b")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, score long, text string"
+        )
+        out = budget_select(df, token_budget=2, score_col="score",
+                            group_col="lang")
+        # doc 2 scores higher -> consumes the budget first
+        assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+class TestLengthOutlierFilter:
+    def test_trims_tails_per_group(self, spark):
+        from datamancer_spark.operators.quality import length_outlier_filter
+
+        rows = [(i, "en", i) for i in range(1, 101)] + [(200, "de", 1000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+        out = length_outlier_filter(df, lo=0.05, hi=0.95)
+        en = [r["n_chars"] for r in out.filter(F.col("lang") == "en").collect()]
+        # p5 of 1..100 = 5.95, p95 = 95.05 -> keep 6..95
+        assert min(en) == 6 and max(en) == 95
+        # singleton group: p5 == p95 == the value -> survives
+        assert out.filter(F.col("lang") == "de").count() == 1
+
+    def test_keeps_schema(self, spark):
+        from datamancer_spark.operators.quality import length_outlier_filter
+
+        df = spark.createDataFrame(
+            [(1, "en", 10, "x")], "doc_id long, lang string, n_chars long, text string"
+        )
+        out = length_outlier_filter(df)
+        assert set(out.columns) == {"doc_id", "lang", "n_chars", "text"}
+
+
+class TestDupClusterSizes:
+    def test_histogram(self, spark):
+        from datamancer_spark.operators.quality import dup_cluster_sizes
+
+        # "a b" x3 (whitespace variants collapse), "c" x2, "d" x1
+        rows = [(1, "a b"), (2, " a  b "), (3, "A B"),
+                (4, "c"), (5, "c"), (6, "d")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["cluster_size"]: r["n_clusters"]
+               for r in dup_cluster_sizes(df).collect()}
+        assert out == {3: 1, 2: 1, 1: 1}
