@@ -141,6 +141,19 @@ def main() -> None:
                 break
         if best != float("inf"):
             timings[name] = round(best, 3)
+        # drop leftover localCheckpoint/persist blocks (the minhash tier
+        # eagerly checkpoints its signature frames) so earlier queries'
+        # storage doesn't squeeze later queries' execution memory and GC
+        try:
+            it = (
+                spark.sparkContext._jsc.getPersistentRDDs()
+                .values()
+                .iterator()
+            )
+            while it.hasNext():
+                it.next().unpersist(False)
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 3)
     # round-over-round discipline: per-query delta vs the latest recorded

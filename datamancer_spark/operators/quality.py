@@ -336,45 +336,47 @@ def mixture_resample(
     floor(r_k·1e6 + ½) of 1e6 — so the sample is reproducible across
     runs, engines, and cluster layouts; no RNG, no sort.
 
-    Fully relational: per-key counts (one partial-agg shuffle on the
-    category key) → global min over n_k/w_k (single tiny agg) → rates
-    broadcast back onto the corpus → one filter. Keys absent from
-    ``weights`` are dropped (weight 0)."""
-    spark = df.sparkSession
+    Plan: ONE distributed pass computes per-category counts (partial-agg
+    shuffle on the category key); the count frame — bounded by the
+    user-supplied ``weights`` dict, i.e. #categories rows — is collected
+    and the keep thresholds are inlined as a literal map lookup, so the
+    survivor filter is a second scan with zero joins and zero extra
+    stages. The previous fully-relational form (window-min over the
+    count frame + broadcast join) produced a 4-deep chain of tiny AQE
+    stages whose fixed per-stage latency dominated the operator; the
+    bounded driver-side rate computation is both faster and the plan
+    you would want at 100 TB (the corpus is only ever scanned, never
+    joined). Threshold arithmetic is plain IEEE doubles in the same
+    operation order as the DuckDB oracle, so results stay bit-identical.
+    Keys absent from ``weights`` are dropped (weight 0)."""
+    import math
+
     total_w = float(sum(weights.values()))
-    wdf = spark.createDataFrame(
-        [(k, float(v) / total_w) for k, v in weights.items()],
-        f"{key_col} string, _w double",
-    )
-    counts = (
-        df.groupBy(key_col)
+    norm = {k: float(v) / total_w for k, v in weights.items() if v > 0}
+    counts = {
+        r[key_col]: r["_n"]
+        for r in df.groupBy(key_col)
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-        .join(F.broadcast(wdf), key_col)
-        .filter(F.col("_w") > 0)
-    )
-    # feasible total: T = min_k n_k / w_k (category k contributes w_k·T),
-    # attached via a global window over the tiny per-category frame —
-    # one lineage, so the corpus is scanned twice total (counts + final
-    # filter), not three times as a separate agg + crossJoin would
-    rates = counts.withColumn(
-        "_t", F.min(F.col("_n") / F.col("_w")).over(Window.partitionBy())
-    ).select(
-        key_col,
-        F.floor(
-            (F.col("_w") * F.col("_t") / F.col("_n")) * 1e6 + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("_thr"),
+        .collect()
+        if r[key_col] in norm
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    # feasible total: T = min_k n_k / w_k (category k contributes w_k·T)
+    t = min(n / norm[k] for k, n in counts.items())
+    thr = {
+        k: int(math.floor((norm[k] * t / n) * 1e6 + 0.5))
+        for k, n in counts.items()
+    }
+    thr_map = F.create_map(
+        *[F.lit(x) for k, v in sorted(thr.items()) for x in (k, v)]
     )
     bucket = (
         hash32(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
         % 1_000_000
     )
-    return (
-        df.join(F.broadcast(rates), key_col)
-        .filter(bucket < F.col("_thr"))
-        .drop("_thr")
-    )
+    # absent keys -> NULL threshold -> comparison is NULL -> dropped
+    return df.filter(bucket < thr_map[F.col(key_col)])
 
 
 def token_topk(

@@ -39,6 +39,13 @@ _DEFAULTS: dict[str, str] = {
     # columns as long (ns since epoch) and convert at the API layer
     # (io.load_tables) to microsecond timestamps — DuckDB's precision.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Headless default: the UI's AppStatusListener retains state for every
+    # job/stage, and over a long batch session (the bench runs ~1000 AQE
+    # jobs) its bookkeeping measurably inflates per-job latency on tiny
+    # stages. No interactive UI exists in this environment; override via
+    # extra_conf for debugging. Builder-time only (static conf).
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
