@@ -1,0 +1,169 @@
+"""Text scrubbing for LLM training pipelines: PII redaction and URL
+hygiene.
+
+Beyond-reference surface (the reference is a general dataframe engine;
+these are the scrub/normalize steps a 100 TB text pipeline runs before
+training). Everything is JVM-side ``regexp_replace`` /
+``regexp_extract_all`` Catalyst expressions — zero Python in the data
+path, so the whole module runs inside whole-stage codegen next to the
+scan: no shuffle, no UDF worker, embarrassingly parallel.
+
+The synthetic test corpus contains no PII, so these operators carry
+unit tests with crafted inputs (tests/test_scrub.py) rather than
+driver-contract queries; the Spark-side plumbing (expression shapes,
+column contracts) is identical either way.
+
+Patterns are intentionally conservative (precision over recall): a
+training pipeline prefers leaving an ambiguous token alone to mangling
+prose. Each pattern is RE2-compatible (no backrefs/lookahead) so the
+same regexes port to DuckDB/Trino/Hyperscan prefilters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# -- PII patterns (RE2-safe: no lookarounds, no backreferences) -------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# international-ish phone numbers: optional +CC, separators, 9-14 digits
+# total; anchored on word edges to avoid eating ids embedded in prose
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,14}[0-9]"
+IPV4_RE = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+)
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+# 13-16 digit runs with optional single spaces/dashes between groups —
+# the shape of PAN numbers; validation (Luhn) is out of scope for a
+# regex pass and handled downstream if needed
+CCN_RE = r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,4}\b"
+
+DEFAULT_PII = {
+    "email": (EMAIL_RE, "<EMAIL>"),
+    "ssn": (SSN_RE, "<SSN>"),
+    "ccn": (CCN_RE, "<CCN>"),
+    "ipv4": (IPV4_RE, "<IP>"),
+    "phone": (PHONE_RE, "<PHONE>"),
+}
+# replacement order matters: SSN/CCN before the greedier phone pattern,
+# so a dashed SSN is tagged <SSN>, not half-eaten as a phone number
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    patterns: dict[str, tuple[str, str]] | None = None,
+    count_cols: bool = True,
+) -> DataFrame:
+    """Redact PII spans in ``text_col``, replacing each with a typed
+    placeholder token (``<EMAIL>``, ``<PHONE>``, ...). Adds
+    ``{out_col}`` (default: overwrite ``text_col``) and, when
+    ``count_cols``, one ``n_{kind}`` BIGINT column per pattern with the
+    number of spans redacted — the per-document audit trail quality
+    filters key on ("drop docs with >k emails").
+
+    One narrow projection: k ``regexp_count`` + k chained
+    ``regexp_replace`` expressions, all codegen'd next to the scan.
+    Patterns apply in dict order (see DEFAULT_PII ordering note); each
+    count is evaluated on the text AFTER the earlier patterns ran, so
+    ``n_{kind}`` is exactly the number of spans that pattern redacted
+    (an SSN consumed by the ssn pattern is not also counted as a
+    phone)."""
+    pats = patterns if patterns is not None else DEFAULT_PII
+    out = out_col or text_col
+    cols = [c for c in df.columns if c != out]
+    proj: list[Column] = [F.col(c) for c in cols]
+    counts: list[Column] = []
+    red = F.col(text_col)
+    for kind, (rx, token) in pats.items():
+        if count_cols:
+            counts.append(
+                F.regexp_count(red, F.lit(rx)).cast("long").alias(f"n_{kind}")
+            )
+        red = F.regexp_replace(red, rx, token)
+    proj += counts
+    proj.append(red.alias(out))
+    return df.select(*proj)
+
+
+# -- URLs -------------------------------------------------------------------
+
+URL_RE = r"https?://[^\s<>\"')\]]+"
+
+
+def extract_urls(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per URL occurrence: (id, url, host). Host extraction is
+    a pure regexp (scheme-stripped, first path/port separator ends the
+    host, lowercased) — no Python, no java.net parsing."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)).alias(
+            "url"
+        ),
+    )
+    host = F.lower(
+        F.regexp_extract(F.col("url"), r"^https?://([^/:?#]+)", 1)
+    )
+    return urls.withColumn("host", host)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL form for dedup keys: lowercase scheme+host, strip
+    fragment, strip common tracking params (utm_*, fbclid, gclid),
+    drop a trailing ``/`` on bare paths. Conservative: the query-string
+    scrub removes only the known-tracking keys, preserving semantic
+    params."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    # lowercase scheme+host only (path case is significant)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^(https?://[^/]*)", 1)),
+        F.regexp_extract(u, r"^https?://[^/]*(.*)$", 1),
+    )
+    # tracking params, wherever they sit in the query string
+    scrubbed = F.regexp_replace(
+        u, r"[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*", ""
+    )
+    # removing a LEADING "?track=x" strands the next param as "p&id=7";
+    # re-anchor the first "&" to "?" — but only when the scrub actually
+    # removed something and no "?" survived, so path-"&" urls without
+    # tracking params are never touched
+    fixed = F.regexp_replace(scrubbed, r"^([^?&]*)&", "$1?")
+    u = F.when(
+        (scrubbed != u) & (~scrubbed.contains("?")), fixed
+    ).otherwise(scrubbed)
+    u = F.regexp_replace(u, r"\?$", "")
+    return F.regexp_replace(u, r"^(https?://[^/?]+)/$", r"$1")
+
+
+def url_dedup_key(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document canonical-URL dedup keys: (id, url_norm) pairs,
+    distinct per doc — the join key for URL-level dedup between crawl
+    snapshots. Composition: extract → normalize → per-doc distinct."""
+    return (
+        extract_urls(df, text_col, id_col)
+        .select(F.col(id_col), normalize_url(F.col("url")).alias("url_norm"))
+        .distinct()
+    )
+
+
+def host_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide (host, n_urls, n_docs) — the domain-mix report used
+    for crawl curation (cap over-represented hosts, spot link farms).
+    One explode + one partial-agg shuffle on host."""
+    return (
+        extract_urls(df, text_col, id_col)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""PII redaction + URL hygiene (operators/scrub.py).
+
+The synthetic corpus has no PII/URLs, so these tests craft inputs and
+pin exact redaction/normalization behavior (precision-over-recall
+patterns, replacement ordering, count audit columns)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datamancer_spark.operators.scrub import (
+    extract_urls,
+    host_counts,
+    normalize_url,
+    redact_pii,
+    url_dedup_key,
+)
+
+
+def one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+class TestRedactPii:
+    def test_email_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a@b.com and c.d+x@e.org now")], "doc_id long, text string"
+        )
+        r = one(redact_pii(df))
+        assert r["text"] == "mail <EMAIL> and <EMAIL> now"
+        assert r["n_email"] == 2 and r["n_phone"] == 0
+
+    def test_ssn_beats_phone(self, spark):
+        # dashed SSN shape must tag as <SSN>, not get eaten by the
+        # greedier phone pattern (dict ordering pins this)
+        df = spark.createDataFrame(
+            [(1, "ssn 123-45-6789 ok")], "doc_id long, text string"
+        )
+        r = one(redact_pii(df))
+        assert r["text"] == "ssn <SSN> ok"
+        assert r["n_ssn"] == 1
+
+    def test_phone_and_ipv4(self, spark):
+        df = spark.createDataFrame(
+            [(1, "call +1 (555) 123-4567 from 10.0.0.1")],
+            "doc_id long, text string",
+        )
+        r = one(redact_pii(df))
+        assert "<PHONE>" in r["text"] and "<IP>" in r["text"]
+        assert r["n_phone"] == 1 and r["n_ipv4"] == 1
+
+    def test_ccn(self, spark):
+        df = spark.createDataFrame(
+            [(1, "pan 4111 1111 1111 1111 end")], "doc_id long, text string"
+        )
+        r = one(redact_pii(df))
+        assert r["text"] == "pan <CCN> end"
+
+    def test_clean_text_untouched(self, spark):
+        txt = "no pii here, just words and 42 numbers"
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        r = one(redact_pii(df))
+        assert r["text"] == txt
+        assert r["n_email"] == r["n_phone"] == r["n_ipv4"] == 0
+
+    def test_out_col_preserves_original(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x a@b.com y")], "doc_id long, text string"
+        )
+        r = one(redact_pii(df, out_col="clean"))
+        assert r["text"] == "x a@b.com y" and r["clean"] == "x <EMAIL> y"
+
+    def test_no_python_in_plan(self, spark):
+        df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
+
+
+class TestUrls:
+    def test_extract_and_host(self, spark):
+        df = spark.createDataFrame(
+            [(1, "see https://Ex.COM/a and http://b.org:8080/c?q=1.")],
+            "doc_id long, text string",
+        )
+        rows = {r["url"]: r["host"] for r in extract_urls(df).collect()}
+        assert rows["https://Ex.COM/a"] == "ex.com"
+        assert rows["http://b.org:8080/c?q=1."] == "b.org"
+
+    def test_normalize(self, spark):
+        cases = [
+            ("https://EX.com/Path#frag", "https://ex.com/Path"),
+            ("https://ex.com/p?utm_source=x&id=7", "https://ex.com/p?id=7"),
+            ("https://ex.com/p?id=7&gclid=abc", "https://ex.com/p?id=7"),
+            ("https://ex.com/p?utm_campaign=x", "https://ex.com/p"),
+            ("https://ex.com/", "https://ex.com"),
+            ("https://ex.com/a/b", "https://ex.com/a/b"),
+        ]
+        df = spark.createDataFrame(cases, "url string, want string")
+        out = df.select(normalize_url(F.col("url")).alias("got"), "want")
+        for r in out.collect():
+            assert r["got"] == r["want"], (r["got"], r["want"])
+
+    def test_url_dedup_key_distinct_per_doc(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://a.com/x?utm_source=s https://a.com/x#f")],
+            "doc_id long, text string",
+        )
+        rows = url_dedup_key(df).collect()
+        assert len(rows) == 1 and rows[0]["url_norm"] == "https://a.com/x"
+
+    def test_host_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.com/1 https://a.com/2"),
+                (2, "https://a.com/3 https://b.com/1"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["host"]: (r["n_urls"], r["n_docs"]) for r in host_counts(df).collect()}
+        assert out["a.com"] == (3, 2) and out["b.com"] == (1, 1)
