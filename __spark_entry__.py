@@ -1169,6 +1169,23 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_cluster_sizes(doc)
 
 
+_SEEN_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (operators/dedup.py
+    dedup_against): treat sources src0-src4 as the already-ingested
+    history, clean the remaining sources against it — self-dedup within
+    the new snapshot (min-id keeper), then one fingerprint anti join
+    against the history's DISTINCT fingerprint set."""
+    from datamancer_spark.operators.dedup import dedup_against
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    seen = doc.filter(F.col("source").isin(*_SEEN_SOURCES))
+    new = doc.filter(~F.col("source").isin(*_SEEN_SOURCES))
+    return dedup_against(new, seen).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1284,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": json_extract_props,
         "date_parts": date_parts,
         "regex_extract_doc": regex_extract_doc,
+        "dedup_incremental": dedup_incremental,
     }
 
 
@@ -2354,6 +2372,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d JOIN b USING (lang)
         WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """
+
+    _seen = ", ".join(f"'{s}'" for s in _SEEN_SOURCES)
+    sql["dedup_incremental"] = f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents WHERE source NOT IN ({_seen})
+        ),
+        keepers AS (
+          SELECT fp, min(doc_id) AS keep_id FROM base GROUP BY fp
+        ),
+        selfd AS (
+          SELECT b.doc_id, b.source, b.fp
+          FROM base b JOIN keepers k
+            ON b.fp = k.fp AND b.doc_id = k.keep_id
+        ),
+        seen AS (
+          SELECT DISTINCT
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents WHERE source IN ({_seen})
+        )
+        SELECT s.doc_id, s.source
+        FROM selfd s ANTI JOIN seen ON s.fp = seen.fp
     """
 
     sql["dup_cluster_histogram"] = """

@@ -104,6 +104,36 @@ def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return df.join(keepers, id_col, "left_semi")
 
 
+def dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    self_dedup: bool = True,
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: rows of ``new`` whose text does
+    NOT already appear in ``seen`` — the standard step when each crawl
+    snapshot is cleaned against everything previously ingested, without
+    re-deduplicating the full history.
+
+    Plan: one anti join on the md5 fingerprint. The ``seen`` side
+    reduces to its DISTINCT fingerprints first (one 16-byte value per
+    distinct historical doc — at 100 TB this is the persisted dedup
+    index, re-read as a fingerprint column, not the corpus itself), so
+    the shuffle moves fingerprints only. ``self_dedup=True`` also
+    collapses duplicates WITHIN the new snapshot (smallest id wins),
+    keeping the composition idempotent across snapshots."""
+    base = exact_dedup_keep(new, text_col, id_col) if self_dedup else new
+    seen_fp = (
+        seen.select(fingerprint(F.col(text_col)).alias("_fp")).distinct()
+    )
+    return (
+        base.withColumn("_fp", fingerprint(F.col(text_col)))
+        .join(seen_fp, "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 

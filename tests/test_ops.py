@@ -223,3 +223,28 @@ def test_bpe_token_count(spark):
     out = {r["id"]: r["n"] for r in d.select("id", bpe_token_count(F.col("t")).alias("n")).collect()}
     # hello | world | 42 | !  -> 4 ;  a | , | b -> 3 ; "" -> 0
     assert out == {1: 4, 2: 3, 3: 0}
+
+
+def test_dedup_against_incremental(spark):
+    from datamancer_spark.operators.dedup import dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, "old doc one"), (2, "old doc two")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "old doc one"),      # already in history -> dropped
+            (11, "OLD  DOC  TWO"),    # fingerprint-equal to history -> dropped
+            (12, "fresh doc"),        # genuinely new -> kept
+            (13, "fresh doc"),        # intra-snapshot dup -> self-dedup keeps 12
+            (14, "another fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    ids = sorted(r["doc_id"] for r in dedup_against(new, seen).collect())
+    assert ids == [12, 14]
+    # self_dedup=False keeps intra-snapshot dups, still drops history hits
+    ids2 = sorted(
+        r["doc_id"] for r in dedup_against(new, seen, self_dedup=False).collect()
+    )
+    assert ids2 == [12, 13, 14]
