@@ -157,6 +157,111 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-flavored EXISTS + grouped count: orders with at least
+    one lineitem shipped >90 days after the order date, counted per
+    priority. The EXISTS is a left-semi join (no fan-out, no distinct);
+    the orders side then partial-aggregates to 5 rows."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    late = (
+        t["lineitem"].df.select(F.col("l_orderkey").alias("o_orderkey"), "l_shipdate")
+    )
+    o = t["orders"].df
+    hits = o.join(
+        late.join(
+            o.select("o_orderkey", "o_orderdate"), "o_orderkey"
+        )
+        .filter(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+        )
+        .select("o_orderkey")
+        .distinct(),
+        "o_orderkey",
+        "left_semi",
+    )
+    return (
+        hits.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+    )
+
+
+def q10_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-flavored: revenue lost to returned items per customer,
+    deterministic top 20. Star join with the customer side broadcast;
+    top-20 is TakeOrderedAndProject, never a global sort."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    res = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .inner_join(t["orders"].rename(l_orderkey="o_orderkey"), by="l_orderkey")
+        .inner_join(t["customer"].rename(o_custkey="c_custkey"), by="o_custkey")
+        .group_by("o_custkey", "c_name", "c_acctbal")
+        .summarize(
+            revenue=prnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            )
+        )
+        .arrange(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .head(20)
+    )
+    return res.df
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-flavored: fraction of one month's revenue from PROMO
+    parts. Part dimension broadcast onto the filtered lineitem scan;
+    one ungrouped aggregate with a conditional numerator."""
+    t = _t(spark, sf_dir, "part", "lineitem")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.inner_join(t["part"].rename(l_partkey="p_partkey"), by="l_partkey")
+    return (
+        joined.summarize(
+            promo_revenue=prnd(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+            ),
+            total_revenue=prnd(F.sum(rev), 2),
+            promo_share=prnd(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ),
+        )
+        .df
+    )
+
+
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-flavored large-volume orders: orders whose total
+    quantity exceeds 300, with the customer attached. The quantity
+    rollup partial-aggregates before its shuffle; the survivor set is
+    tiny, so both dimension joins broadcast."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .df.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = t["orders"].df
+    c = t["customer"].df
+    return (
+        big.join(o, "o_orderkey")
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            "o_orderdate",
+            prnd(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Row verbs (SURVEY §2.2-2.3)
 # ---------------------------------------------------------------------------
@@ -1302,6 +1407,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": date_parts,
         "regex_extract_doc": regex_extract_doc,
         "dedup_incremental": dedup_incremental,
+        # -- round-3 TPC-H-style breadth (EXISTS, top-k-by-agg,
+        # -- conditional-share, having-filter patterns)
+        "q4_late_shipping": q4_late_shipping,
+        "q10_return_customers": q10_return_customers,
+        "q14_promo_share": q14_promo_share,
+        "q18_big_orders": q18_big_orders,
     }
 
 
@@ -2372,6 +2483,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d JOIN b USING (lang)
         WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """
+
+    sql["q4_late_shipping"] = """
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o.o_orderpriority
+    """
+
+    sql["q10_return_customers"] = """
+        SELECT o.o_custkey, c.c_name, c.c_acctbal,
+               prnd(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY o.o_custkey, c.c_name, c.c_acctbal
+        ORDER BY revenue DESC, o.o_custkey ASC
+        LIMIT 20
+    """
+
+    sql["q14_promo_share"] = """
+        SELECT
+          prnd(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0.0 END), 2) AS promo_revenue,
+          prnd(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+            AS total_revenue,
+          prnd(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0.0 END)
+               / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+            AS promo_share
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= '1996-03-01' AND l.l_shipdate < '1996-04-01'
+    """
+
+    sql["q18_big_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey AS o_orderkey,
+                 CAST(sum(l_quantity) AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+        )
+        SELECT b.o_orderkey, o.o_custkey, c.c_name, o.o_orderdate,
+               prnd(o.o_totalprice, 2) AS o_totalprice, b.total_qty
+        FROM big b
+        JOIN orders o ON b.o_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
     """
 
     _seen = ", ".join(f"'{s}'" for s in _SEEN_SOURCES)

@@ -64,6 +64,11 @@ HEADLINE = [
     "budget_select_langs",
     "length_filter_langs",
     "dup_cluster_histogram",
+    "dedup_incremental",
+    "q4_late_shipping",
+    "q10_return_customers",
+    "q14_promo_share",
+    "q18_big_orders",
 ]
 
 
