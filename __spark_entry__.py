@@ -160,28 +160,21 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q4_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-flavored EXISTS + grouped count: orders with at least
     one lineitem shipped >90 days after the order date, counted per
-    priority. The EXISTS is a left-semi join (no fan-out, no distinct);
-    the orders side then partial-aggregates to 5 rows."""
+    priority. EXISTS-then-count collapses to one join + one
+    count(DISTINCT orderkey) per priority — a hit order is counted
+    once no matter how many late lines it has, with no separate
+    semi-join round trip."""
     t = _t(spark, sf_dir, "orders", "lineitem")
     late = (
         t["lineitem"].df.select(F.col("l_orderkey").alias("o_orderkey"), "l_shipdate")
     )
     o = t["orders"].df
-    hits = o.join(
-        late.join(
-            o.select("o_orderkey", "o_orderdate"), "o_orderkey"
-        )
-        .filter(
-            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
-        )
-        .select("o_orderkey")
-        .distinct(),
-        "o_orderkey",
-        "left_semi",
+    j = o.join(late, "o_orderkey").filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
     )
     return (
-        hits.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+        j.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_orderkey").cast("long").alias("n_late_orders"))
     )
 
 
