@@ -148,7 +148,12 @@ def main() -> None:
             timings[name] = round(best, 3)
         # drop leftover localCheckpoint/persist blocks (the minhash tier
         # eagerly checkpoints its signature frames) so earlier queries'
-        # storage doesn't squeeze later queries' execution memory and GC
+        # storage doesn't squeeze later queries' execution memory, and
+        # periodically force a JVM GC BETWEEN measurements so
+        # ContextCleaner's deferred broadcast/shuffle cleanup pauses land
+        # outside the timed window (its default periodic GC is 30min —
+        # longer than the whole bench; a tighter interval fires MID-query
+        # and was measured to inflate random queries by seconds)
         try:
             it = (
                 spark.sparkContext._jsc.getPersistentRDDs()
@@ -157,6 +162,8 @@ def main() -> None:
             )
             while it.hasNext():
                 it.next().unpersist(False)
+            if len(timings) % 8 == 0:
+                spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
 

@@ -107,3 +107,75 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+
+
+def test_length_filter_corpus_never_shuffles(spark, sf_dir):
+    """Percentile length trim: the bounds agg shuffles its tiny group
+    frame; the corpus side reaches the join scan-direct (broadcast),
+    with no exchange on the corpus lineage."""
+    from datamancer_spark.operators.quality import length_outlier_filter
+    from datamancer_spark.plans import executed_plan, uses_broadcast_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = length_outlier_filter(docs)
+    q.write.format("noop").mode("overwrite").save()
+    assert uses_broadcast_join(q)
+    # exchanges: bounds-agg partials (+AQE reads) and broadcast only —
+    # a sort-merge join would force a corpus-wide exchange+sort
+    assert "SortMergeJoin" not in executed_plan(q)
+
+
+def test_token_topk_window_after_aggregation(spark, sf_dir):
+    """Top-k tokens: the rank window must consume the AGGREGATED
+    (group, token, n) frame — partial aggregation present, and no
+    window over the exploded corpus."""
+    from datamancer_spark.operators.quality import token_topk
+    from datamancer_spark.plans import executed_plan, has_partial_aggregation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = token_topk(docs, k=5)
+    assert has_partial_aggregation(q)
+    plan = executed_plan(q)
+    # exactly one window operator, fed by the hash aggregate
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_budget_select_single_group_exchange(spark, sf_dir):
+    """Budget curation: one cumsum window partitioned by the group key —
+    never a global (empty-partition) window, which would single-thread
+    the corpus."""
+    from datamancer_spark.operators.quality import budget_select
+    from datamancer_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = budget_select(docs, 1000, "n_chars", group_col="lang")
+    plan = executed_plan(q)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_resample_no_joins(spark, sf_dir):
+    """Mixture resampling: after the bounded rate computation the
+    survivor filter must be a pure scan+filter — zero joins, zero
+    window operators in the returned plan."""
+    from datamancer_spark.operators.quality import mixture_resample
+    from datamancer_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = mixture_resample(docs, "lang", {"en": 0.5, "de": 0.5})
+    plan = executed_plan(q)
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_redact_pii_stays_in_codegen(spark, sf_dir):
+    """PII redaction: a narrow projection with no shuffle, no Python
+    worker, no Arrow batches — pure whole-stage-codegen'd regexps."""
+    from datamancer_spark.operators.scrub import redact_pii
+    from datamancer_spark.plans import executed_plan, shuffle_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = redact_pii(docs)
+    plan = executed_plan(q)
+    assert shuffle_count(q) == 0
+    assert "Python" not in plan and "Arrow" not in plan
