@@ -432,6 +432,30 @@ def grouped_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_mutate_150k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ONLY published perf anchor is a grouped
+    mutate/transmute over ~150k groups in <0.5 s single-threaded
+    (changelog.org:481; BASELINE.md). This query reproduces that shape
+    at sf0.1: lineitem grouped by l_orderkey is ~150k groups (~600k
+    rows), each row extended with its group's total and its share of
+    it. The fkScalar rewrite (agg + equi-join back) costs one partial
+    aggregation and one join on the group key — the plan that scales
+    to 150M groups. The share is the documented two-step form: pure
+    reduction first, then a row-level mutate referencing it."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.group_by("l_orderkey")
+        .mutate(order_qty_total=F.sum("l_quantity"))
+        .ungroup()
+        .mutate(
+            order_qty=F.col("order_qty_total").cast("long"),
+            qty_share=prnd(F.col("l_quantity") / F.col("order_qty_total"), 6),
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "order_qty", "qty_share")
+        .df
+    )
+
+
 def grouped_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grouped filter with reducing predicate — keeps/drops whole groups
     (dataframe.nim:1360-1385 reducing << case)."""
@@ -1406,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_return_customers": q10_return_customers,
         "q14_promo_share": q14_promo_share,
         "q18_big_orders": q18_big_orders,
+        "grouped_mutate_150k": grouped_mutate_150k,
     }
 
 
@@ -2476,6 +2501,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d JOIN b USING (lang)
         WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """
+
+    sql["grouped_mutate_150k"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(sum(l_quantity) OVER w AS BIGINT) AS order_qty,
+               prnd(l_quantity / sum(l_quantity) OVER w, 6) AS qty_share
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey)
     """
 
     sql["q4_late_shipping"] = """

@@ -69,6 +69,8 @@ HEADLINE = [
     "q10_return_customers",
     "q14_promo_share",
     "q18_big_orders",
+    # the reference's published perf anchor shape (~150k groups)
+    "grouped_mutate_150k",
 ]
 
 

@@ -255,7 +255,19 @@ class DamFrame:
                     raise
                 if self._group_keys:
                     keys = list(self._group_keys)
-                    agg = df.groupBy(*keys).agg(expr.alias(name))
+                    try:
+                        agg = df.groupBy(*keys).agg(expr.alias(name))
+                    except AnalysisException as e2:
+                        if "MISSING_AGGREGATION" not in _error_condition(e2):
+                            raise
+                        raise ValueError(
+                            f"mutate({name}=...): the expression mixes "
+                            "row-level columns with a whole-group "
+                            "reduction. Split it: first mutate the pure "
+                            "reduction (e.g. total=F.sum(col)), then a "
+                            "second mutate with the row-level expression "
+                            "referencing it."
+                        ) from e2
                     right = agg.select(
                         *[F.col(k).alias(f"_r_{k}") for k in keys], name
                     )

@@ -272,3 +272,28 @@ def test_as_view_registers(mini, spark):
 def test_random_head(mini):
     out = mini.random_head(3, seed=1)
     assert out.count_rows() == 3
+
+
+def test_grouped_mutate_mixed_expression_clear_error(spark):
+    """A mutate expression mixing row-level columns with a whole-group
+    reduction can't take the agg+join rewrite; it must fail with the
+    actionable two-step suggestion, not a raw Spark GROUP BY error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datamancer_spark.frame import DamFrame
+
+    df = DamFrame(
+        spark.createDataFrame([(1, 2.0), (1, 4.0), (2, 6.0)], "k long, v double")
+    )
+    with pytest.raises(ValueError, match="Split it"):
+        df.group_by("k").mutate(share=F.col("v") / F.sum("v"))
+    # the documented two-step form works
+    out = (
+        df.group_by("k")
+        .mutate(total=F.sum("v"))
+        .ungroup()
+        .mutate(share=F.col("v") / F.col("total"))
+    )
+    got = {(r["k"], r["v"]): r["share"] for r in out.collect()}
+    assert got[(1, 2.0)] == 2.0 / 6.0 and got[(2, 6.0)] == 1.0
