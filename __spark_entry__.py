@@ -1291,6 +1291,29 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_cluster_sizes(doc)
 
 
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/retention.py): users bucketed
+    by first-event date (7-day cohorts anchored per user), counted per
+    later period — one user-keyed agg, one join back, one tiny rollup."""
+    from datamancer_spark.operators.retention import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    return cohort_retention(ev, unit_days=7)
+
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/retention.py funnel_steps): first view,
+    first click strictly after it, first purchase strictly after that —
+    sequential-min semantics, k user-keyed shuffles for k steps."""
+    from datamancer_spark.operators.retention import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    return funnel_steps(ev, list(_FUNNEL))
+
+
 _SEEN_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
@@ -1431,6 +1454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": q14_promo_share,
         "q18_big_orders": q18_big_orders,
         "grouped_mutate_150k": grouped_mutate_150k,
+        # -- event analytics (retention/funnel)
+        "cohort_retention_weekly": cohort_retention_weekly,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
     }
 
 
@@ -2501,6 +2527,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d JOIN b USING (lang)
         WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """
+
+    sql["cohort_retention_weekly"] = """
+        WITH first AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS first_date
+          FROM events GROUP BY user_id
+        )
+        SELECT f.first_date AS cohort_start,
+               CAST(floor(date_diff('day', f.first_date, CAST(e.ts AS DATE))
+                          / 7.0) AS BIGINT) AS period_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    """
+
+    sql["funnel_view_click_purchase"] = """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS conv FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS conv
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.conv
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS conv
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.conv
+          GROUP BY e.user_id
+        )
+        SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_idx,
+               CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 'click', CAST(2 AS BIGINT),
+               CAST((SELECT count(*) FROM s2) AS BIGINT)
+        UNION ALL
+        SELECT 'purchase', CAST(3 AS BIGINT),
+               CAST((SELECT count(*) FROM s3) AS BIGINT)
     """
 
     sql["grouped_mutate_150k"] = """

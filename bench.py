@@ -71,6 +71,8 @@ HEADLINE = [
     "q18_big_orders",
     # the reference's published perf anchor shape (~150k groups)
     "grouped_mutate_150k",
+    "cohort_retention_weekly",
+    "funnel_view_click_purchase",
 ]
 
 

@@ -1,0 +1,64 @@
+"""Event analytics (operators/retention.py): cohort retention and
+ordered funnels — crafted inputs pin the strictly-after funnel rule and
+per-user cohort anchoring the flat synthetic log can't distinguish."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from datamancer_spark.operators.retention import cohort_retention, funnel_steps
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, d, h), u, t) for i, (d, h, u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+class TestFunnel:
+    def test_strictly_after_ordering(self, spark):
+        rows = [
+            # user 1: view -> click -> purchase (full conversion)
+            (1, 1, 1, "view"), (1, 2, 1, "click"), (1, 3, 1, "purchase"),
+            # user 2: click BEFORE first view -> click does not count
+            (2, 1, 2, "click"), (2, 2, 2, "view"),
+            # user 3: view then purchase, no click -> stops at step 1
+            (3, 1, 3, "view"), (3, 2, 3, "purchase"),
+            # user 4: never views -> not in funnel at all
+            (4, 1, 4, "purchase"),
+        ]
+        out = {
+            r["step"]: (r["step_idx"], r["n_users"])
+            for r in funnel_steps(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+        }
+        assert out["view"] == (1, 3)
+        assert out["click"] == (2, 1)
+        assert out["purchase"] == (3, 1)
+
+    def test_equal_timestamp_not_after(self, spark):
+        # click at the SAME instant as the view is not strictly after
+        rows = [(1, 1, 1, "view"), (1, 1, 1, "click")]
+        out = {r["step"]: r["n_users"]
+               for r in funnel_steps(_ev(spark, rows), ["view", "click"]).collect()}
+        assert out == {"view": 1, "click": 0}
+
+
+class TestCohortRetention:
+    def test_per_user_anchoring(self, spark):
+        rows = [
+            # user 1 starts Jan 1; active again day 8 (offset 1)
+            (1, 1, 1, "view"), (8, 1, 1, "view"),
+            # user 2 starts Jan 2; active day 2 only (offset 0)
+            (2, 1, 2, "view"),
+            # user 3 starts Jan 1; active days 1 and 20 (offsets 0, 2)
+            (1, 5, 3, "view"), (20, 1, 3, "view"),
+        ]
+        out = {
+            (str(r["cohort_start"]), r["period_offset"]): r["n_users"]
+            for r in cohort_retention(_ev(spark, rows)).collect()
+        }
+        assert out[("2024-01-01", 0)] == 2   # users 1 and 3 at offset 0
+        assert out[("2024-01-01", 1)] == 1   # user 1 back in period 1
+        assert out[("2024-01-01", 2)] == 1   # user 3 back in period 2
+        assert out[("2024-01-02", 0)] == 1   # user 2's own cohort
