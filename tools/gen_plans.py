@@ -37,6 +37,9 @@ COMMENT = {
     "q10_return_customers": "Star join with the customer dimension broadcast; top-20 is TakeOrderedAndProject over the aggregated frame, not a global sort.",
     "q14_promo_share": "Date filter pushed to the lineitem scan; part dimension broadcast; one ungrouped aggregate with a conditional numerator.",
     "q18_big_orders": "Quantity rollup partial-aggregates before its shuffle; the tiny survivor set broadcast-joins to orders and customer.",
+    "grouped_mutate_150k": "fkScalar rewrite: one partial aggregation over ~150k groups + one equi-join back on the group key — the reference's published anchor shape.",
+    "cohort_retention_weekly": "First-event agg keyed by user (the only corpus-sized shuffle), joined back, then a tiny (cohort, offset) rollup.",
+    "funnel_view_click_purchase": "One user-keyed agg + join per funnel step over the type-filtered scan; counts union at the end.",
 }
 
 
