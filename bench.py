@@ -166,7 +166,7 @@ def main() -> None:
             )
             while it.hasNext():
                 it.next().unpersist(False)
-            if len(timings) % 8 == 0:
+            if len(timings) % 4 == 0:
                 spark.sparkContext._jvm.System.gc()
         except Exception:
             pass

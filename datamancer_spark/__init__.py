@@ -19,6 +19,7 @@ from .io import (
     load_tables,
     parse_csv_string,
     read_csv,
+    read_jsonl,
     read_parquet,
     show_browser,
     str_tab_to_df,
@@ -26,6 +27,7 @@ from .io import (
     to_org_table,
     val_tab_to_df,
     write_csv,
+    write_jsonl,
     write_parquet,
 )
 from .session import get_spark
@@ -42,6 +44,7 @@ __all__ = [
     "load_tables",
     "parse_csv_string",
     "read_csv",
+    "read_jsonl",
     "read_parquet",
     "reduce_formula",
     "show_browser",
@@ -51,6 +54,7 @@ __all__ = [
     "to_html",
     "to_org_table",
     "write_csv",
+    "write_jsonl",
     "write_parquet",
 ]
 

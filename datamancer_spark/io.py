@@ -169,6 +169,46 @@ def read_parquet(spark: SparkSession, path: str) -> DamFrame:
     return DamFrame(spark.read.parquet(path))
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    keep_corrupt: bool = False,
+) -> DamFrame:
+    """Newline-delimited JSON source — the de-facto interchange format
+    for text/training corpora (one document object per line). Maps to
+    Spark's native splittable JSON reader: schema inference costs one
+    extra pass, so at scale pass an explicit ``schema`` (DDL string) to
+    make ingestion single-pass with per-field pruning pushed into the
+    scan.
+
+    Malformed lines follow the engine's permissive promote-never-fail
+    model (SURVEY.md §1.3): PERMISSIVE mode nulls unparseable fields;
+    ``keep_corrupt=True`` retains the raw line in ``_corrupt_record``
+    for quarantine pipelines, otherwise corrupt rows are dropped."""
+    from pyspark.sql import functions as F
+
+    r = spark.read.option("mode", "PERMISSIVE")
+    if schema:
+        # the corrupt column must be IN the read schema or PERMISSIVE
+        # mode silently yields an all-null row for a bad line instead
+        # of something filterable
+        s = schema
+        if "_corrupt_record" not in s:
+            s = s + ", _corrupt_record string"
+        r = r.schema(s)
+    df = r.option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+    if not keep_corrupt and "_corrupt_record" in df.columns:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return DamFrame(df)
+
+
+def write_jsonl(frame: DamFrame, path: str) -> None:
+    """JSONL sink — a directory of part files at scale (same rule as
+    write_csv: no implicit coalesce(1))."""
+    frame.df.write.mode("overwrite").json(path)
+
+
 def write_parquet(
     frame: DamFrame,
     path: str,

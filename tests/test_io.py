@@ -110,3 +110,41 @@ def test_to_html_and_org(spark):
     assert "<table" in to_html(d)
     org = to_org_table(d)
     assert org.splitlines()[0].startswith("| x | y |".replace(" ", " "))
+
+
+class TestJsonl:
+    def test_roundtrip_nested(self, spark, tmp_path):
+        from datamancer_spark import read_jsonl, write_jsonl
+        from datamancer_spark.frame import DamFrame
+
+        df = DamFrame(
+            spark.createDataFrame(
+                [(1, "a", {"k": "v"}), (2, "b", {"k": "w"})],
+                "id long, text string, meta map<string,string>",
+            )
+        )
+        p = str(tmp_path / "docs_jsonl")
+        write_jsonl(df, p)
+        back = read_jsonl(spark, p, schema="id long, text string, meta map<string,string>")
+        rows = {r["id"]: (r["text"], dict(r["meta"])) for r in back.collect()}
+        assert rows == {1: ("a", {"k": "v"}), 2: ("b", {"k": "w"})}
+
+    def test_corrupt_lines_dropped_or_kept(self, spark, tmp_path):
+        from datamancer_spark import read_jsonl
+
+        p = tmp_path / "mixed.jsonl"
+        p.write_text('{"id": 1, "text": "ok"}\nnot json at all\n{"id": 2, "text": "fine"}\n')
+        clean = read_jsonl(spark, str(p), schema="id long, text string")
+        assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+        kept = read_jsonl(spark, str(p), schema="id long, text string", keep_corrupt=True)
+        corrupt = [r for r in kept.collect() if r["_corrupt_record"] is not None]
+        assert len(corrupt) == 1 and corrupt[0]["_corrupt_record"] == "not json at all"
+
+    def test_schema_inference_fallback(self, spark, tmp_path):
+        from datamancer_spark import read_jsonl
+
+        p = tmp_path / "infer.jsonl"
+        p.write_text('{"id": 1, "x": 1.5}\n{"id": 2, "x": 2.5}\n')
+        df = read_jsonl(spark, str(p))
+        assert {f.name for f in df.df.schema} == {"id", "x"}
+        assert df.df.count() == 2
