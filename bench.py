@@ -159,17 +159,15 @@ def main() -> None:
         # longer than the whole bench; a tighter interval fires MID-query
         # and was measured to inflate random queries by seconds)
         try:
-            it = (
-                spark.sparkContext._jsc.getPersistentRDDs()
-                .values()
-                .iterator()
-            )
-            while it.hasNext():
-                it.next().unpersist(False)
+            # py4j auto-converts the Java map: iterate the view directly
+            # (a .values().iterator() chain raises AttributeError, which
+            # a bare pass would silently swallow — so log any failure)
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
             if len(timings) % 4 == 0:
                 spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"bench: block cleanup failed: {e!r}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # round-over-round discipline: per-query delta vs the latest recorded
