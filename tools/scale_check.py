@@ -108,6 +108,14 @@ def main() -> None:
         return tag, times
 
     from datamancer_spark.operators.dedup import embedding_dedup_bucketed
+    from datamancer_spark.operators.quality import (
+        budget_select as _budget_select,
+        line_dedup_global as _line_dedup,
+        token_topk as _token_topk,
+    )
+    from datamancer_spark.operators.retention import (
+        cohort_retention as _cohort_retention,
+    )
 
     results = [
         run("exact_dedup", lambda doc, ev, emb: exact_dedup(doc)),
@@ -128,6 +136,18 @@ def main() -> None:
             lambda doc, ev, emb: embedding_dedup_bucketed(
                 emb, threshold=0.9, num_planes=8, multiprobe=1
             ),
+        ),
+        run("token_topk", lambda doc, ev, emb: _token_topk(doc, k=10)),
+        run(
+            "budget_select",
+            lambda doc, ev, emb: _budget_select(
+                doc, 20_000, "n_chars", group_col="lang"
+            ),
+        ),
+        run("line_dedup_global", lambda doc, ev, emb: _line_dedup(doc)),
+        run(
+            "cohort_retention",
+            lambda doc, ev, emb: _cohort_retention(ev, unit_days=7),
         ),
     ]
 
