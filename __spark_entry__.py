@@ -1291,6 +1291,16 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_cluster_sizes(doc)
 
 
+def unigram_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy scoring (operators/quality.py
+    unigram_logprob_score): per-doc mean negative log-prob under the
+    corpus's own unigram distribution — the cheap LM-filter stand-in."""
+    from datamancer_spark.operators.quality import unigram_logprob_score
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return unigram_logprob_score(doc)
+
+
 def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (operators/retention.py): users bucketed
     by first-event date (7-day cohorts anchored per user), counted per
@@ -1457,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- event analytics (retention/funnel)
         "cohort_retention_weekly": cohort_retention_weekly,
         "funnel_view_click_purchase": funnel_view_click_purchase,
+        "unigram_perplexity_proxy": unigram_perplexity_proxy,
     }
 
 
@@ -2527,6 +2538,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d JOIN b USING (lang)
         WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """
+
+    sql["unigram_perplexity_proxy"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> len(x) > 0)) AS tok
+          FROM documents
+        ),
+        vocab AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+        ),
+        total AS (SELECT sum(n) AS t FROM vocab),
+        probs AS (
+          SELECT tok, -ln(n / t.t) AS nlp FROM vocab, total t
+        )
+        SELECT toks.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               prnd(avg(p.nlp), 6) AS avg_neg_logprob
+        FROM toks JOIN probs p USING (tok)
+        GROUP BY toks.doc_id
     """
 
     sql["cohort_retention_weekly"] = """

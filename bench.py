@@ -73,6 +73,7 @@ HEADLINE = [
     "grouped_mutate_150k",
     "cohort_retention_weekly",
     "funnel_view_click_purchase",
+    "unigram_perplexity_proxy",
 ]
 
 

@@ -497,6 +497,49 @@ def length_outlier_filter(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality score: per document, the mean negative
+    log-probability of its tokens under the corpus's own unigram
+    distribution — the classic cheap stand-in for an LM perplexity
+    filter (high score ⇒ rare/garbled vocabulary, low score ⇒ stock
+    boilerplate). Output: (id, n_tokens, avg_neg_logprob).
+
+    Plan: one explode+count builds the unigram table (vocabulary-sized;
+    the single-row grand total broadcasts onto it), which equi-joins
+    back onto the token stream — AQE broadcasts the vocabulary when it
+    fits and falls back to a shuffle join when a web-scale vocabulary
+    doesn't; never forced. Then one per-doc aggregation. Tokenization
+    is recomputed per consumer (cheap narrow op) rather than pinning
+    corpus-sized state."""
+    toks = (
+        spread_partitions(df)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        )
+        .filter(F.length("_tok") > 0)
+    )
+    vocab = toks.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    total = vocab.agg(F.sum("_n").alias("_total"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "_tok", (-F.log(F.col("_n") / F.col("_total"))).alias("_nlp")
+    )
+    return (
+        toks.join(probs, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            prnd(F.avg("_nlp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def dup_cluster_sizes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -317,3 +317,29 @@ class TestDupClusterSizes:
         out = {r["cluster_size"]: r["n_clusters"]
                for r in dup_cluster_sizes(df).collect()}
         assert out == {3: 1, 2: 1, 1: 1}
+
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        from datamancer_spark.operators.quality import unigram_logprob_score
+        import math
+
+        # corpus: "a a b" + "b" -> counts a:2 b:2, total 4; p(a)=p(b)=0.5
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "b")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in unigram_logprob_score(df).collect()}
+        assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
+        want = round(-math.log(0.5), 6)
+        assert abs(out[1]["avg_neg_logprob"] - want) < 1e-6
+        assert abs(out[2]["avg_neg_logprob"] - want) < 1e-6
+
+    def test_rare_tokens_score_higher(self, spark):
+        from datamancer_spark.operators.quality import unigram_logprob_score
+
+        rows = [(i, "common common common") for i in range(9)] + [(99, "rareword")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["avg_neg_logprob"]
+               for r in unigram_logprob_score(df).collect()}
+        assert out[99] > out[0]
