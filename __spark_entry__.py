@@ -1806,7 +1806,10 @@ def oracle_sql() -> dict[str, str]:
     # Bit-stable twin of operators/sessions.py: microsecond gap compare,
     # event_id tie-break in both window orders, and total_value as an
     # exact integer-cents sum (BIGINT) divided once at the end — immune
-    # to float-sum addend order.
+    # to float-sum addend order. session_idx MUST be CAST to BIGINT:
+    # DuckDB's windowed sum(INTEGER) yields HUGEINT, which pandas-path
+    # fetching (fetchdf) coerces to float64 — the driver then hashes
+    # 5.0 vs Spark's 5 (the rounds-1..3 hash_match=false root cause).
     sql["sessionize_events"] = """
         WITH flagged AS (
           SELECT user_id, ts, value, event_id,
@@ -1820,9 +1823,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         sess AS (
           SELECT user_id, ts, value,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                   AS session_idx
+                   AS BIGINT) AS session_idx
           FROM flagged
         )
         SELECT user_id, session_idx,

@@ -55,6 +55,24 @@ def _row_multiset(rows, col_order):
     )
 
 
+# DuckDB types that pandas-path fetching (fetchdf) silently coerces to
+# float64/object — the driver's hasher then sees 5.0 where Spark emits 5.
+# A windowed/plain sum(INTEGER) yields HUGEINT; this was the 3-round
+# sessionize_events hash_match=false root cause. Oracles must CAST these.
+RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT")
+
+
+def risky_oracle_types(con, query):
+    """Return [(col, type)] oracle output columns whose DuckDB type does
+    not survive a pandas fetch bit-identically."""
+    rel = con.sql(query)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(str(t).startswith(r) for r in RISKY_DUCK_TYPES)
+    ]
+
+
 def compare(name, spark_df, duck_rows, duck_cols):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -100,10 +118,14 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             if name in oracles:
+                risky = risky_oracle_types(con, oracles[name])
                 cur = con.execute(oracles[name])
                 duck_cols = [d[0] for d in cur.description]
                 duck_rows = cur.fetchall()
                 ok, issues, ns, nd = compare(name, sdf, duck_rows, duck_cols)
+                if risky:
+                    ok = False
+                    issues.append(f"risky duckdb output types (pandas-coerced): {risky}")
                 dt = time.time() - t0
                 if ok:
                     passed += 1

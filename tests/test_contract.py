@@ -41,3 +41,28 @@ def test_oracle_sql_is_expanded():
     # prnd() placeholders must be expanded to engine-portable floor form
     for name, sql in e.oracle_sql().items():
         assert "prnd(" not in sql, f"{name}: unexpanded prnd()"
+
+
+def test_no_risky_duckdb_output_types():
+    """No oracle may output HUGEINT/DECIMAL/U*INT columns: pandas-path
+    fetching coerces them to float64/object, so a driver that fetches via
+    pandas hashes 5.0 where Spark emits 5 (the sessionize_events
+    rounds-1..3 hash_match=false root cause). DuckDB-only — fast."""
+    import os
+
+    import duckdb
+
+    from tests.oracle_harness import TABLES, risky_oracle_types
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    bad = {}
+    for name, sql in e.oracle_sql().items():
+        flagged = risky_oracle_types(con, sql)
+        if flagged:
+            bad[name] = flagged
+    assert not bad, f"oracles with pandas-coerced output types: {bad}"
