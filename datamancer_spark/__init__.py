@@ -30,7 +30,7 @@ from .io import (
     write_jsonl,
     write_parquet,
 )
-from .session import get_spark
+from .session import get_spark, materialize, set_checkpoint_dir
 
 __all__ = [
     "DamFrame",
@@ -40,6 +40,8 @@ __all__ = [
     "evaluate",
     "frames_equal",
     "get_spark",
+    "materialize",
+    "set_checkpoint_dir",
     "groups_iter",
     "load_tables",
     "parse_csv_string",

@@ -183,24 +183,29 @@ def read_jsonl(
     scan.
 
     Malformed lines follow the engine's permissive promote-never-fail
-    model (SURVEY.md §1.3): PERMISSIVE mode nulls unparseable fields;
-    ``keep_corrupt=True`` retains the raw line in ``_corrupt_record``
-    for quarantine pipelines, otherwise corrupt rows are dropped."""
-    from pyspark.sql import functions as F
-
-    r = spark.read.option("mode", "PERMISSIVE")
+    model (SURVEY.md §1.3): ``keep_corrupt=True`` reads PERMISSIVE and
+    retains the raw line in ``_corrupt_record`` for quarantine
+    pipelines; otherwise corrupt rows are dropped via DROPMALFORMED.
+    The drop path must NOT be a PERMISSIVE read + filter on
+    ``_corrupt_record``: a downstream plan that references only the
+    corrupt column (e.g. a bare ``count()`` after pruning) raises
+    AnalysisException UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN."""
+    if keep_corrupt:
+        r = spark.read.option("mode", "PERMISSIVE")
+        if schema:
+            # the corrupt column must be IN the read schema or PERMISSIVE
+            # mode silently yields an all-null row for a bad line instead
+            # of something filterable
+            s = schema
+            if "_corrupt_record" not in s:
+                s = s + ", _corrupt_record string"
+            r = r.schema(s)
+        df = r.option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+        return DamFrame(df)
+    r = spark.read.option("mode", "DROPMALFORMED")
     if schema:
-        # the corrupt column must be IN the read schema or PERMISSIVE
-        # mode silently yields an all-null row for a bad line instead
-        # of something filterable
-        s = schema
-        if "_corrupt_record" not in s:
-            s = s + ", _corrupt_record string"
-        r = r.schema(s)
-    df = r.option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
-    if not keep_corrupt and "_corrupt_record" in df.columns:
-        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    return DamFrame(df)
+        r = r.schema(schema)
+    return DamFrame(r.json(path))
 
 
 def write_jsonl(frame: DamFrame, path: str) -> None:

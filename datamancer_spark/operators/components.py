@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize
+
 
 def connected_components(
     pairs: DataFrame,
@@ -43,7 +45,7 @@ def connected_components(
         .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
         .select(F.col("u").alias("node"), "comp")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = materialize(labels)
 
     for _ in range(max_iter):
         # 1) neighbor propagation: min over neighbors u of comp(u)
@@ -75,7 +77,7 @@ def connected_components(
         # checkpoint FIRST, then count on the materialized frame — the
         # two round joins execute once, not once for the count and again
         # for the checkpoint
-        merged = merged.localCheckpoint(eager=True)
+        merged = materialize(merged)
         changed = merged.filter(F.col("new_comp") < F.col("_old")).limit(1).count()
         labels = merged.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.rounding import prnd
+from ..session import materialize
 
 from ..functions.text import fingerprint
 
@@ -217,10 +218,14 @@ def minhash_lsh_pairs(
     # pairs with two equi-joins, (3) emit identical-signature groups
     # (always candidates — they share every band) directly. Measured
     # 4.5× fewer candidate rows at 16× sf0.1; output set is identical.
-    sig = minhash_signature(
-        df, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=True)
-    ds = sig.select("sig").distinct().localCheckpoint(eager=True)
+    sig = materialize(
+        minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    )
+    # ds is NOT checkpointed: it derives from the pinned sig with one
+    # cheap distinct whose exchange Catalyst reuses across both
+    # self-join legs (ReusedExchange) — a second eager materialization
+    # only added fixed latency (the r3 +0.48s bench regression).
+    ds = sig.select("sig").distinct()
     banded = ds.select(
         "sig",
         F.explode(
@@ -309,9 +314,9 @@ def minhash_dedup_verified(
     semi-join); localCheckpoint materializes the signature+banding
     pipeline once instead of re-executing it per consumer (same pattern
     as bm25's term-count checkpoint — was 22 parquet scans/plan)."""
-    cands = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n
-    ).localCheckpoint(eager=True)
+    cands = materialize(
+        minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    )
     involved = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
@@ -358,8 +363,8 @@ def ngram_jaccard_pairs(
                 lambda s: hash32(s),
             ).alias("_shs"),
         )
-        .localCheckpoint(eager=True)
     )
+    arr = materialize(arr)
     sh = arr.select(F.col(id_col), F.explode("_shs").alias("sh"))
     if max_doc_freq is not None:
         # Recall/cost knob: drop boilerplate shingles present in more than
@@ -485,7 +490,7 @@ def simhash_pairs(
     # (Spark plans self-joins as two independent subtrees), which
     # measured >2x the whole operator's cost at 16x scale. Signatures
     # are one (id, long) row per doc -- cheap to pin.
-    sh = simhash(df, text_col, id_col).localCheckpoint(eager=True)
+    sh = materialize(simhash(df, text_col, id_col))
     width = 64 // bands
     # Same distinct-signature decomposition as minhash_lsh_pairs: the
     # block self-join runs on DISTINCT signatures (a group of m equal
@@ -493,7 +498,9 @@ def simhash_pairs(
     # candidates for 12.4M true pairs measured at 16× sf0.1), identical
     # signatures become direct hamming-0 pairs, and the distinct runs
     # over signature pairs instead of doc pairs.
-    ds = sh.select("simhash").distinct().localCheckpoint(eager=True)
+    # derives from pinned sh; the distinct's exchange is reused across
+    # both self-join legs — no second eager materialization needed
+    ds = sh.select("simhash").distinct()
     blocked = ds.select(
         "simhash",
         F.explode(

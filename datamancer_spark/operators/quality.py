@@ -353,12 +353,17 @@ def mixture_resample(
 
     total_w = float(sum(weights.values()))
     norm = {k: float(v) / total_w for k, v in weights.items() if v > 0}
+    # membership filter BEFORE the aggregate: the collected frame is then
+    # truly bounded by len(weights), not by corpus key cardinality — a
+    # high-cardinality key (domain, url-host) must not reach the driver
+    if not norm:
+        return df.filter(F.lit(False))
     counts = {
         r[key_col]: r["_n"]
-        for r in df.groupBy(key_col)
+        for r in df.filter(F.col(key_col).isin(list(norm)))
+        .groupBy(key_col)
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
         .collect()
-        if r[key_col] in norm
     }
     if not counts:
         return df.filter(F.lit(False))

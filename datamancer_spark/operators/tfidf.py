@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import prnd
+from ..session import materialize
 from .dedup import spread_partitions, tokens
 
 
@@ -81,7 +82,7 @@ def bm25(
     (the expensive tokenize+shuffle stage) is materialized once via
     localCheckpoint: it feeds the avgdl job, the doc-length join, and the
     doc-frequency aggregation — uncached it would execute three times."""
-    tc = term_counts(df, text_col, id_col).localCheckpoint(eager=True)
+    tc = materialize(term_counts(df, text_col, id_col))
     n_docs = df.count()
     dl = tc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]

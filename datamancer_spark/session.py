@@ -92,6 +92,30 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def materialize(df, eager: bool = True):
+    """Cut lineage on an intermediate the plan reuses (self-join legs,
+    iterative updates): reliable ``checkpoint()`` when a checkpoint dir
+    is configured, else executor-local ``localCheckpoint()``.
+
+    ``localCheckpoint`` pins blocks to executor storage — fastest, and
+    right for single-node/bench runs, but on a real cluster a lost
+    executor kills the job because the blocks are unrecoverable. For
+    fault-tolerant 100 TB runs call ``set_checkpoint_dir(spark, path)``
+    (HDFS/S3) once per session and every engine materialization point
+    upgrades to reliable storage automatically."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def set_checkpoint_dir(spark: SparkSession, path: str) -> None:
+    """Opt into reliable (recomputable-after-executor-loss) checkpoints
+    for all engine materialization points. Pass an HDFS/S3/shared path on
+    a cluster; a local path only makes sense on local[n]."""
+    spark.sparkContext.setCheckpointDir(path)
+
+
 def get_spark(
     app_name: str = "datamancer-spark",
     master: str | None = None,

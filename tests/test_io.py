@@ -136,6 +136,12 @@ class TestJsonl:
         p.write_text('{"id": 1, "text": "ok"}\nnot json at all\n{"id": 2, "text": "fine"}\n')
         clean = read_jsonl(spark, str(p), schema="id long, text string")
         assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+        # count-only plans prune every data column; a PERMISSIVE+filter
+        # implementation then references only _corrupt_record and Spark
+        # raises UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN —
+        # the drop path must be DROPMALFORMED (ADVICE r3)
+        assert clean.df.count() == 2
+        assert "_corrupt_record" not in clean.df.columns
         kept = read_jsonl(spark, str(p), schema="id long, text string", keep_corrupt=True)
         corrupt = [r for r in kept.collect() if r["_corrupt_record"] is not None]
         assert len(corrupt) == 1 and corrupt[0]["_corrupt_record"] == "not json at all"

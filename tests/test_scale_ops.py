@@ -201,3 +201,42 @@ def test_stateful_long_key(spark):
             assert rows[0]["uid"] == 7 and rows[0]["total"] == 2.0
         finally:
             q.stop()
+
+
+def test_materialize_checkpoint_dir_toggle(spark, tmp_path):
+    """set_checkpoint_dir upgrades every engine materialization point
+    from executor-local localCheckpoint (lost-executor = dead job) to
+    reliable storage — the 100 TB fault-tolerance toggle (VERDICT r3)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datamancer_spark import materialize, set_checkpoint_dir
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    # default: no checkpoint dir -> localCheckpoint (no files written)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    local = materialize(df)
+    assert local.count() == 100
+    # lineage is cut: the plan is a scan of the pinned RDD, not range()
+    # (.rdd can't be probed — it wraps a fresh javaToPython RDD)
+    plan = local._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan and "Range" not in plan
+
+    ckdir = str(tmp_path / "ck")
+    set_checkpoint_dir(spark, ckdir)
+    try:
+        reliable = materialize(df)
+        assert reliable.count() == 100
+        # reliable checkpoints write RDD files under the configured dir
+        found = []
+        for root, _dirs, files in os.walk(ckdir):
+            found.extend(files)
+        assert found, "reliable checkpoint wrote no files"
+    finally:
+        # conftest shares one session per module run: reset so later
+        # tests see the default localCheckpoint path (scala setter name
+        # "checkpointDir_$eq" needs getattr — '$' is invalid Python)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
