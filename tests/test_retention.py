@@ -62,3 +62,32 @@ class TestCohortRetention:
         assert out[("2024-01-01", 1)] == 1   # user 1 back in period 1
         assert out[("2024-01-01", 2)] == 1   # user 3 back in period 2
         assert out[("2024-01-02", 0)] == 1   # user 2's own cohort
+
+
+class TestFunnelSinglePass:
+    def test_repeated_step_names(self, spark):
+        # re-engagement funnel: second view strictly after the first
+        rows = [
+            (1, 1, 1, "view"), (1, 2, 1, "view"),        # user 1: converts both
+            (2, 1, 2, "view"),                            # user 2: one view only
+            (3, 1, 3, "view"), (3, 1, 3, "view"),         # user 3: same instant -> no 2nd
+        ]
+        out = {r["step_idx"]: r["n_users"]
+               for r in funnel_steps(_ev(spark, rows), ["view", "view"]).collect()}
+        assert out == {1: 3, 2: 1}
+
+    def test_zero_user_steps_still_emit_rows(self, spark):
+        rows = [(1, 1, 1, "view")]
+        out = {r["step"]: r["n_users"]
+               for r in funnel_steps(_ev(spark, rows), ["view", "click"]).collect()}
+        assert out == {"view": 1, "click": 0}
+
+    def test_single_corpus_shuffle(self, spark):
+        # the r4 rewrite contract: exchange count constant in k (was 11
+        # for 3 steps), and ONE scan of the event input
+        rows = [(1, 1, 1, "view"), (1, 2, 1, "click"), (1, 3, 1, "purchase")]
+        plan = funnel_steps(
+            _ev(spark, rows), ["view", "click", "purchase"]
+        )._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange")
+        assert n_exchanges <= 4, f"expected <=4 exchanges, got {n_exchanges}"
