@@ -27,9 +27,19 @@ from pyspark.sql import functions as F
 # -- PII patterns (RE2-safe: no lookarounds, no backreferences) -------------
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# international-ish phone numbers: optional +CC, separators, 9-14 digits
-# total; anchored on word edges to avoid eating ids embedded in prose
-PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,14}[0-9]"
+# Phone numbers, precision-first: optional +CC then the 3-3-4 shape with
+# at most ONE separator between groups, \b-anchored on both digit edges.
+# The previous free-form class ([0-9()\-. ]{7,14}) had no anchors and a
+# bare space separator, so prose digit runs merged into one match
+# ("years 2010 2011 2012" → a single <PHONE>) and long numeric ids were
+# partially eaten (ADVICE r3). The fixed-shape form cannot span digit
+# groups through prose spaces, and the \b edges mean a digit run longer
+# than the shape never matches a substring of itself. Deliberately
+# missed (conservative by design): spaced international formats like
+# "+44 20 7946 0958" and bare 7-digit locals.
+PHONE_RE = (
+    r"(?:\+[0-9]{1,2}[ .\-]?)?\(?\b[0-9]{3}\)?[ .\-]?[0-9]{3}[ .\-]?[0-9]{4}\b"
+)
 IPV4_RE = (
     r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
     r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
@@ -124,19 +134,17 @@ def normalize_url(url: Column) -> Column:
         F.lower(F.regexp_extract(u, r"^(https?://[^/]*)", 1)),
         F.regexp_extract(u, r"^https?://[^/]*(.*)$", 1),
     )
-    # tracking params, wherever they sit in the query string
-    scrubbed = F.regexp_replace(
-        u, r"[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*", ""
-    )
-    # removing a LEADING "?track=x" strands the next param as "p&id=7";
-    # re-anchor the first "&" to "?" — but only when the scrub actually
-    # removed something and no "?" survived, so path-"&" urls without
-    # tracking params are never touched
-    fixed = F.regexp_replace(scrubbed, r"^([^?&]*)&", "$1?")
-    u = F.when(
-        (scrubbed != u) & (~scrubbed.contains("?")), fixed
-    ).otherwise(scrubbed)
-    u = F.regexp_replace(u, r"\?$", "")
+    # Split at the FIRST '?' before scrubbing, and scrub tracking keys
+    # only inside the query region: the previous whole-URL scrub +
+    # first-'&' re-anchor mangled path-'&' URLs that also carried a
+    # leading tracking param ("https://x.com/a&b?utm_x=1" became
+    # "https://x.com/a?b" — ADVICE r3). A literal '&' in the path can
+    # never be rewritten now because the path never enters the scrub.
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    q = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+    q = F.regexp_replace(q, r"(?:^|&)(?:utm_[a-z]+|fbclid|gclid)=[^&]*", "")
+    q = F.regexp_replace(q, r"^&+", "")  # leading-param removal residue
+    u = F.when(F.length(q) > 0, F.concat(base, F.lit("?"), q)).otherwise(base)
     return F.regexp_replace(u, r"^(https?://[^/?]+)/$", r"$1")
 
 

@@ -24,12 +24,35 @@ from ..functions.rounding import prnd
 from ..functions.vector import cosine
 
 
+# knn_bruteforce / knn_ivf collect the QUERY side to the driver by
+# design (the corpus never moves); this cap makes that contract explicit
+# instead of an implicit driver-OOM at scale. ~1e5 queries × 128-dim
+# float64 ≈ 100 MB — comfortably under driver memory; beyond that, batch
+# the query set or use the fully-relational knn_lsh path.
+DEFAULT_MAX_QUERIES = 100_000
+
+
+def _collect_query_rows(queries: DataFrame, id_col, vec_col, max_queries: int):
+    """Collect the query side, raising (not OOMing) past the cap. The
+    limit(cap+1) bounds what reaches the driver even when the check
+    fails."""
+    rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}: the kNN query "
+            "side is collected+broadcast by design — batch the queries or "
+            "raise max_queries explicitly if the driver can hold them"
+        )
+    return rows
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (excluding self).
 
@@ -46,7 +69,7 @@ def knn_bruteforce(
         DoubleType, LongType, StructField, StructType,
     )
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_query_rows(queries, id_col, vec_col, max_queries)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
@@ -168,6 +191,7 @@ def knn_ivf(
     seed: int = 42,
     sample_fraction: float = 1.0,
     codebook=None,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """IVF (inverted-file) approximate kNN: a KMeans codebook partitions
     the corpus into posting lists; each query probes its ``nprobe``
@@ -245,7 +269,7 @@ def knn_ivf(
     assigned = corpus.select(id_col, vec_col).mapInPandas(
         assign_batches, assign_schema
     )
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_query_rows(queries, id_col, vec_col, max_queries)
     probe_rows = []
     for r in q_rows:
         qv = np.asarray(r[1], dtype=np.float64)

@@ -240,3 +240,21 @@ def test_materialize_checkpoint_dir_toggle(spark, tmp_path):
         # "checkpointDir_$eq" needs getattr — '$' is invalid Python)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
         assert sc.getCheckpointDir() is None
+
+
+def test_knn_query_side_cap(spark, sf_dir):
+    """knn_bruteforce/knn_ivf collect the query side by design; the cap
+    raises a clear error instead of a driver OOM (VERDICT r3 #8), and
+    limit(cap+1) bounds what reaches the driver even on failure."""
+    import pytest
+
+    from datamancer_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(5)
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_bruteforce(emb, queries, k=2, max_queries=3).count()
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_ivf(emb, queries, k=2, max_queries=3).count()
+    # at the cap exactly: fine
+    assert knn_bruteforce(emb, queries, k=2, max_queries=5).count() > 0

@@ -120,3 +120,42 @@ class TestUrls:
         )
         out = {r["host"]: (r["n_urls"], r["n_docs"]) for r in host_counts(df).collect()}
         assert out["a.com"] == (3, 2) and out["b.com"] == (1, 1)
+
+
+class TestAdviceR3Fixes:
+    def test_prose_digit_runs_not_merged_as_phone(self, spark):
+        # ADVICE r3: "years 2010 2011 2012" used to redact as ONE <PHONE>
+        txt = "in the years 2010 2011 2012 revenue grew"
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        r = one(redact_pii(df))
+        assert r["text"] == txt and r["n_phone"] == 0
+
+    def test_long_numeric_id_not_partially_eaten(self, spark):
+        # 11 digits: longer than any phone shape, shorter than the
+        # 13-digit CCN floor (a 13-16 digit bare run IS pan-shaped and
+        # deliberately stays redactable as <CCN>)
+        txt = "order 20112012201 confirmed"
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        r = one(redact_pii(df))
+        assert r["text"] == txt and r["n_phone"] == 0
+
+    def test_dashed_and_dotted_phones_still_redact(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a 212-555-1234 b 212.555.1234 c (212) 555-1234 d")],
+            "doc_id long, text string",
+        )
+        r = one(redact_pii(df))
+        assert r["n_phone"] == 3 and "212" not in r["text"]
+
+    def test_path_ampersand_with_leading_tracking_param(self, spark):
+        # ADVICE r3: scrub+re-anchor used to yield "https://x.com/a?b"
+        cases = [
+            ("https://x.com/a&b?utm_x=1", "https://x.com/a&b"),
+            ("https://x.com/a&b?utm_x=1&id=7", "https://x.com/a&b?id=7"),
+            ("https://x.com/a&b", "https://x.com/a&b"),
+            ("https://x.com/p?utm_a=1&utm_b=2&id=3", "https://x.com/p?id=3"),
+        ]
+        df = spark.createDataFrame(cases, "url string, want string")
+        out = df.select(normalize_url(F.col("url")).alias("got"), "want")
+        for r in out.collect():
+            assert r["got"] == r["want"], (r["got"], r["want"])
