@@ -74,6 +74,114 @@ def synth(spark, base_dir: str, out_dir: str, copies: int) -> None:
     big_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
+def synth_constant_density(spark, base_dir: str, out_dir: str, copies: int) -> None:
+    """16× corpus with the SAME duplicate density as 1× (VERDICT r3 #3).
+
+    The default ``synth`` makes every copy a near-dup of the base doc, so
+    duplicate density RISES with scale (every doc gains copies-1 near
+    neighbours) and candidate-pair operators legitimately grow
+    super-linearly. Here each copy interleaves a copy-specific token
+    every 3rd word: with 3-word shingles virtually every shingle of a
+    copy differs from every other copy's, and a copy's token histogram
+    shifts enough that SimHash signatures diverge by many bits — so
+    cross-copy pairs vanish and the corpus is `copies` independent
+    blocks, each with exactly the base corpus's internal dup structure.
+    Growth beyond ~linear in this mode indicts a STAGE, not the data."""
+    from pyspark.sql import functions as F
+
+    from datamancer_spark import load_tables
+
+    doc = load_tables(spark, base_dir, ["documents"])["documents"].df
+    n_docs = doc.count()
+    copies_df = spark.range(copies).withColumnRenamed("id", "copy")
+    salted = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w, i: F.when(
+                i % 3 == 0,
+                F.concat(
+                    w, F.lit(" uq"), F.col("copy").cast("string"), F.lit("z")
+                ),
+            ).otherwise(w),
+        ),
+    )
+    big = (
+        doc.crossJoin(copies_df)
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * n_docs)
+        .withColumn(
+            "text",
+            F.when(F.col("copy") == 0, F.col("text")).otherwise(salted),
+        )
+        .drop("copy")
+    )
+    big.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def density_study() -> None:
+    """Constant-duplicate-density scaling rows → appended to SCALING.md."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datamancer_spark import get_spark, load_tables
+    from datamancer_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    spark = get_spark(app_name="scale-density")
+    base = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="scale_cd_")
+    dirs = {1: base}
+    for c in (4, 16):
+        out = f"{tmp}/x{c}"
+        synth_constant_density(spark, base, out, c)
+        dirs[c] = out
+
+    def run(tag, fn):
+        times, rows = {}, {}
+        for c, d in dirs.items():
+            doc = load_tables(spark, d, ["documents"])["documents"].df
+            t0 = time.time()
+            n = fn(doc).count()
+            times[c] = round(time.time() - t0, 2)
+            rows[c] = n
+        return tag, times, rows
+
+    results = [
+        run("exact_dedup", lambda doc: exact_dedup(doc)),
+        run("minhash_lsh_pairs", lambda doc: minhash_lsh_pairs(doc)),
+        run("simhash_pairs", lambda doc: simhash_pairs(doc, max_hamming=3)),
+    ]
+
+    lines = [
+        "",
+        "## Constant-duplicate-density variant (VERDICT r3 #3)",
+        "",
+        "Same 4x/16x synthesis, but each copy interleaves a copy-unique",
+        "token every 3rd word: cross-copy shingle/SimHash similarity is",
+        "destroyed, so duplicate DENSITY stays at the base corpus's level",
+        "while volume grows. Candidate-pair counts now grow ~linearly",
+        "(shown), so wall-clock growth beyond ~linear would indict a",
+        "stage, not candidate volume.",
+        "",
+        "| operator | 1x (s) | 4x (s) | 16x (s) | 16x/1x | pairs 1x | pairs 16x |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for tag, times, rows in results:
+        ratio = round(times[16] / times[1], 1) if times[1] else float("nan")
+        lines.append(
+            f"| {tag} | {times[1]} | {times[4]} | {times[16]} | {ratio}x "
+            f"| {rows[1]} | {rows[16]} |"
+        )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALING.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended constant-density section to SCALING.md")
+    for tag, times, rows in results:
+        print(tag, times, rows)
+
+
 def main() -> None:
     from datamancer_spark import get_spark
     from datamancer_spark.operators.dedup import (
@@ -184,4 +292,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--density" in sys.argv:
+        density_study()
+    else:
+        main()
