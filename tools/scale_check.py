@@ -80,13 +80,20 @@ def synth_constant_density(spark, base_dir: str, out_dir: str, copies: int) -> N
     The default ``synth`` makes every copy a near-dup of the base doc, so
     duplicate density RISES with scale (every doc gains copies-1 near
     neighbours) and candidate-pair operators legitimately grow
-    super-linearly. Here each copy interleaves a copy-specific token
-    every 3rd word: with 3-word shingles virtually every shingle of a
-    copy differs from every other copy's, and a copy's token histogram
-    shifts enough that SimHash signatures diverge by many bits — so
-    cross-copy pairs vanish and the corpus is `copies` independent
-    blocks, each with exactly the base corpus's internal dup structure.
-    Growth beyond ~linear in this mode indicts a STAGE, not the data."""
+    super-linearly. Here each copy applies a VOCABULARY ISOMORPHISM —
+    every word gets a copy-specific suffix. Within a copy, shingle sets
+    and token histograms are bijective images of the base corpus's, so
+    every within-copy similarity (Jaccard exactly; SimHash overlap
+    structure) is preserved; across copies, vocabularies are disjoint,
+    so cross-copy similarity is zero. The 16x corpus is therefore 16
+    independent blocks with exactly base duplicate density, and pair
+    counts must grow ~linearly (asserted in the output table). Growth
+    beyond ~linear in this mode indicts a STAGE, not the data.
+
+    (First attempt inserted one SHARED salt token per copy every 3rd
+    word — that pulled previously-dissimilar docs together and simhash
+    pair counts grew 70x at 16x: the salt must not correlate across
+    docs, which the isomorphism guarantees.)"""
     from pyspark.sql import functions as F
 
     from datamancer_spark import load_tables
@@ -98,12 +105,7 @@ def synth_constant_density(spark, base_dir: str, out_dir: str, copies: int) -> N
         " ",
         F.transform(
             F.split(F.col("text"), " "),
-            lambda w, i: F.when(
-                i % 3 == 0,
-                F.concat(
-                    w, F.lit(" uq"), F.col("copy").cast("string"), F.lit("z")
-                ),
-            ).otherwise(w),
+            lambda w: F.concat(w, F.lit("x"), F.col("copy").cast("string")),
         ),
     )
     big = (
@@ -158,12 +160,13 @@ def density_study() -> None:
         "",
         "## Constant-duplicate-density variant (VERDICT r3 #3)",
         "",
-        "Same 4x/16x synthesis, but each copy interleaves a copy-unique",
-        "token every 3rd word: cross-copy shingle/SimHash similarity is",
-        "destroyed, so duplicate DENSITY stays at the base corpus's level",
-        "while volume grows. Candidate-pair counts now grow ~linearly",
-        "(shown), so wall-clock growth beyond ~linear would indict a",
-        "stage, not candidate volume.",
+        "Same 4x/16x volume growth, but each copy applies a per-copy",
+        "VOCABULARY ISOMORPHISM (every word suffixed with the copy id):",
+        "within-copy similarity structure is exactly the base corpus's,",
+        "cross-copy similarity is zero — duplicate DENSITY is constant",
+        "while volume grows. Pair counts (shown) must grow ~linearly;",
+        "wall-clock growth beyond ~linear then indicts a stage, not",
+        "candidate volume.",
         "",
         "| operator | 1x (s) | 4x (s) | 16x (s) | 16x/1x | pairs 1x | pairs 16x |",
         "|---|---|---|---|---|---|---|",
