@@ -177,20 +177,45 @@ def main() -> None:
     delta = {
         k: round(v - prev[k], 3) for k, v in timings.items() if k in prev
     }
-    print(
-        json.dumps(
+    # The driver records (and parses) only the LAST 2000 CHARS of stdout:
+    # round 3's line carried the full delta_vs_prev dict, blew past 2000,
+    # and the driver recorded parsed=null (BENCH_r03.json) even though
+    # rc=0. The stdout line must therefore stay compact: minimal
+    # separators, 2dp timings, no delta section. The verbose record
+    # (3dp, deltas, prev name) goes to BENCH_LOCAL.json instead.
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    if errors:
+        compact["errors"] = errors
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # headroom under the driver's 2000-char tail
+        print(
+            f"bench: WARNING stdout line {len(line)} chars nears the "
+            "driver's 2000-char capture — trim query names/count",
+            file=sys.stderr,
+        )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(
             {
-                "metric": "headline_queries_total_wall",
                 "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "errors": errors,
                 "sf": sf,
                 "prev_bench": prev_name,
                 "delta_vs_prev": delta,
-            }
+            },
+            f,
+            indent=1,
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

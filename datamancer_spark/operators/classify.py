@@ -1,0 +1,83 @@
+"""Model-based quality scoring — the fastText-style hashed linear
+classifier step of LLM data curation (CCNet/RefinedWeb-style "score
+every document with a small model, keep the confident side").
+
+Beyond-reference surface. Spark-first shape: the model is a hashed
+bag-of-words linear classifier, so scoring is a PURE PROJECTION — one
+``F.aggregate`` fold over the token array per document computes
+``sigmoid(mean_t w[h(t) mod D] + b)`` with zero shuffles, zero UDFs,
+zero model objects on executors. Two weight sources:
+
+- ``weights=None`` — deterministic pseudo-weights derived per bucket
+  from md5 (the engine-portable stand-in used by the differential
+  oracle; DuckDB computes the identical expression). This exercises the
+  full scoring plan shape without shipping a real model.
+- ``weights=dict`` — a trained model's ``{bucket: weight}`` map,
+  inlined as a literal array lookup (D ≤ ~64k inlines fine; a real
+  256k-bucket fastText model would broadcast-join a weights table
+  instead — same plan shape, one broadcast).
+
+At 100 TB both variants are embarrassingly parallel scans next to the
+parquet read; the filter (``keep``) pushes into the same stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import prnd
+from .dedup import hash32, tokens
+
+
+def _pseudo_weight(bucket: Column, seed: int) -> Column:
+    """Deterministic weight in [-1, 1] for a hash bucket: the md5-derived
+    integer in [0, 20000] recentred — portable to any engine with md5
+    (DuckDB twin: (CAST('0x'||substr(md5('w'||seed||'_'||bucket),1,8)
+    AS BIGINT) % 20001 - 10000) / 10000.0)."""
+    h = hash32(F.concat(F.lit(f"w{seed}_"), bucket.cast("string")))
+    return (h % 20001 - 10000) / F.lit(10000.0)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    seed: int = 7,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    weights: dict[int, float] | None = None,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Score each document with a hashed bag-of-words linear model.
+
+    Output adds ``{p}score`` (sigmoid of the mean bucket weight + bias,
+    rounded to 6 dp for cross-engine stability) and ``{p}keep``
+    (score ≥ threshold). Empty documents score ``sigmoid(bias)``.
+    """
+    p = out_prefix
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    bucket = lambda t: hash32(t) % dim  # noqa: E731
+    if weights is None:
+        wsum = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc + _pseudo_weight(bucket(t), seed),
+        )
+    else:
+        # literal array lookup: w[bucket] — element_at is 1-based
+        warr = F.array(
+            *[F.lit(float(weights.get(i, 0.0))) for i in range(dim)]
+        )
+        wsum = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc + F.element_at(warr, (bucket(t) + 1).cast("int")),
+        )
+    mean_w = wsum / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    logit = mean_w + F.lit(float(bias))
+    score = prnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return df.withColumn(f"{p}score", score).withColumn(
+        f"{p}keep", F.col(f"{p}score") >= F.lit(float(threshold))
+    )
