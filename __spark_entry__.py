@@ -1342,6 +1342,64 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: model scoring, domain capping, time-grid ops
+# ---------------------------------------------------------------------------
+
+
+def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classify.py): a hashed
+    bag-of-words linear classifier scored as a pure projection — one
+    F.aggregate fold per doc, zero shuffles, zero UDFs. Weights here are
+    the deterministic md5-derived stand-in so DuckDB can compute the
+    bit-identical twin; a trained model swaps in via the weights= arg
+    with the same plan shape."""
+    from datamancer_spark.operators.classify import hashed_linear_score
+
+    doc = _t(spark, sf_dir, "documents")["documents"].spread_partitions()
+    return hashed_linear_score(doc.df, dim=1024, seed=7).select(
+        "doc_id", "score", "keep"
+    )
+
+
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (operators/sampling.py cap_per_key): keep at most
+    10 docs per source by deterministic md5 order — the crawl-curation
+    step that stops over-represented domains from dominating the
+    mixture. One key-partitioned window, no global sort."""
+    from datamancer_spark.operators.sampling import cap_per_key
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return cap_per_key(doc, "source", 10, "doc_id").select("doc_id", "source")
+
+
+def trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time trailing window (operators/timeseries.py): per event,
+    the 1-hour trailing sum/count of value for its user via a native
+    RANGE frame — one window sort per user, no self-join (the naive
+    interval self-join is quadratic per key). Cents-exact sum for
+    cross-engine bit stability."""
+    from datamancer_spark.operators.timeseries import trailing_window
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    return trailing_window(
+        ev, "ts", ["user_id"], "value", window_seconds=3600, exact_cents=True
+    ).select("event_id", "user_id", "trailing_sum", "trailing_n")
+
+
+def resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resample + forward fill (operators/timeseries.py):
+    each user's value on an hourly grid spanning their observed range,
+    last observation carried across empty buckets. Grid generated
+    executor-side (sequence+explode per key) — never a driver loop."""
+    from datamancer_spark.operators.timeseries import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    return resample_ffill(
+        ev, "ts", ["user_id"], "value", every="1 hour", agg="last"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -1374,17 +1432,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_stats": summarize_stats,
         "grouped_mutate": grouped_mutate,
         "grouped_filter": grouped_filter,
-        # -- joins + sets (2)
+        # -- joins (1; semi_join moved out r4 — driver-green r1-r3, thin
+        # -- variant of inner_join; slot freed for the r4 tier)
         "inner_join_rename": inner_join_rename,
-        "semi_join": semi_join_q,
-        # -- reshape + windows + time (7)
+        # -- reshape + windows + time (6; array_ops moved out r4)
         "gather_melt": gather_melt,
         "spread_pivot": spread_pivot,
         "lag_lead_events": lag_lead_events,
         "asof_signup": asof_signup,
         "sessionize_events": sessionize_events,
         "quantiles_by_group": quantiles_by_group,
-        "array_ops": array_ops,
+        # -- r4 tier: model scoring, domain capping, time-grid (4)
+        "classifier_score": classifier_score,
+        "cap_per_source": cap_per_source,
+        "trailing_hour_value": trailing_hour_value,
+        "resample_user_hourly": resample_user_hourly,
         # -- escape hatch (1)
         "grouped_zscore": grouped_zscore,
         # -- corpus quality / curation north star (9)
@@ -1397,16 +1459,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select_langs": budget_select_langs,
         "length_filter_langs": length_filter_langs,
         "dup_cluster_histogram": dup_cluster_histogram,
-        # -- text analysis north star (5)
+        # -- text analysis north star (4; text_fingerprint moved out r4)
         "text_stats": text_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
-        "text_fingerprint": text_fingerprint,
         "tfidf_top_terms": tfidf_top_terms,
-        # -- sampling / split north star (4)
+        # -- sampling / split north star (3; winsorize_prices moved out
+        # -- r4 — driver-green r3, price_histogram covers the family)
         "train_test_split": train_test_split,
         "stratified_sample_counts": stratified_sample_counts,
-        "winsorize_prices": winsorize_prices,
         "price_histogram": price_histogram,
         # -- SQL + end-to-end pipeline (2)
         "sql_interface": sql_interface,
@@ -1434,6 +1495,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrange_head": arrange_head,
         "unique_first": unique_first,
         "count_by": count_by,
+        # -- round-4 demotions (driver-green r1-r3, thin family variants)
+        "semi_join": semi_join_q,
+        "array_ops": array_ops,
+        "text_fingerprint": text_fingerprint,
+        "winsorize_prices": winsorize_prices,
         "anti_join": anti_join_q,
         "left_join_coalesce": left_join_coalesce,
         "bind_rows_union": bind_rows_union,
@@ -1839,6 +1905,90 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('hour', ts) AS bucket, event_type,
                count(*) AS n, prnd(sum(value), 2) AS total
         FROM events GROUP BY 1, 2
+    """
+
+    # Bit-identical twin of operators/classify.py hashed_linear_score:
+    # same token order (list fold ≡ Spark aggregate fold, identical IEEE
+    # addend sequence), same md5-derived bucket weights, prnd(6) after
+    # the only transcendental (exp).
+    sql["classifier_score"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> len(t) > 0) AS tk
+          FROM documents
+        ), scored AS (
+          SELECT doc_id,
+                 coalesce(list_sum(list_transform(tk, t ->
+                   ((CAST('0x' || substr(md5('w7_' || CAST(
+                        CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024
+                      AS VARCHAR)), 1, 8) AS BIGINT) % 20001) - 10000)
+                   / 10000.0)), 0.0) AS wsum,
+                 greatest(len(tk), 1) AS n
+          FROM toks
+        )
+        SELECT doc_id,
+               prnd(1.0 / (1.0 + exp(-(wsum / n))), 6) AS score,
+               prnd(1.0 / (1.0 + exp(-(wsum / n))), 6) >= 0.5 AS keep
+        FROM scored
+    """
+
+    sql["cap_per_source"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('0_' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= 10
+    """
+
+    # RANGE frame over integer epoch seconds; cents-exact sum (HUGEINT
+    # window sum / 100.0 lands as DOUBLE — pandas-safe).
+    sql["trailing_hour_value"] = """
+        SELECT event_id, user_id,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w / 100.0
+                 AS trailing_sum,
+               CAST(count(*) OVER w AS BIGINT) AS trailing_n
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id
+          ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                             CAST(ts AS TIMESTAMP))
+          RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """
+
+    # Twin of operators/timeseries.py resample_ffill: last-in-bucket by
+    # (ts, value) max, per-user hourly grid via generate_series, forward
+    # fill with IGNORE NULLS. value is a raw passthrough — no rounding
+    # needed.
+    sql["resample_user_hourly"] = """
+        WITH b AS (
+          SELECT user_id, date_trunc('hour', ts) AS bucket, ts, value
+          FROM events
+        ), last_per AS (
+          SELECT user_id, bucket, value FROM (
+            SELECT user_id, bucket, value,
+                   row_number() OVER (PARTITION BY user_id, bucket
+                                      ORDER BY ts DESC, value DESC) AS rn
+            FROM b
+          ) WHERE rn = 1
+        ), bounds AS (
+          SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+          FROM b GROUP BY 1
+        ), grid AS (
+          SELECT user_id,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds
+        )
+        SELECT g.user_id, g.bucket,
+               last_value(l.value IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM grid g
+        LEFT JOIN last_per l
+          ON g.user_id = l.user_id AND g.bucket = l.bucket
     """
 
     sql["text_stats"] = """

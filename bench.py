@@ -74,6 +74,11 @@ HEADLINE = [
     "cohort_retention_weekly",
     "funnel_view_click_purchase",
     "unigram_perplexity_proxy",
+    # round-4 additions
+    "classifier_score",
+    "cap_per_source",
+    "trailing_hour_value",
+    "resample_user_hourly",
 ]
 
 

@@ -121,3 +121,40 @@ def histogram(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_rows: int,
+    id_col: str,
+    seed: int = 0,
+    out: str | None = None,
+) -> DataFrame:
+    """Deterministic per-key row cap — the "domain capping" curation
+    step (keep at most N docs per source/host so over-crawled domains
+    can't dominate the mixture).
+
+    Rows within a key are ranked by the portable md5 order of
+    (seed, id) — a stable, engine-reproducible shuffle — and rows ranked
+    past ``max_rows`` are dropped. One hash-partitioned window per key
+    (no global sort); at 100 TB the shuffle is the unavoidable one-pass
+    group-by-key, and AQE skew-split handles mega-domains. ``out``
+    optionally keeps the 1-based rank column for auditability.
+
+    DuckDB twin: row_number() OVER (PARTITION BY key ORDER BY
+    md5(seed || '_' || id), id) <= max_rows.
+    """
+    if max_rows < 1:
+        raise ValueError(f"cap_per_key: max_rows must be >= 1, got {max_rows}")
+    from pyspark.sql import Window
+
+    order_key = F.md5(
+        F.concat(F.lit(f"{seed}_"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(key_col).orderBy(order_key, F.col(id_col))
+    ranked = df.withColumn("_cap_rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("_cap_rn") <= max_rows)
+    if out:
+        return kept.withColumnRenamed("_cap_rn", out)
+    return kept.drop("_cap_rn")

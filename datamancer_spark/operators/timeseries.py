@@ -1,0 +1,131 @@
+"""Time-series grid operators: fixed-grid resampling with
+forward-fill, and event-time RANGE-frame trailing windows.
+
+Beyond-reference surface (the reference has no time-grid tooling; any
+telemetry/metrics pipeline needs both). Spark-first shapes:
+
+- ``resample_ffill``: per key, one agg for the grid bounds, the grid
+  generated executor-side with ``sequence``+``explode`` (never a
+  driver loop), a left join of per-bucket last values, then one
+  ``last(ignorenulls)`` window — two key-partitioned shuffles total,
+  and grid size is bounded per key, so the plan survives arbitrarily
+  many keys.
+- ``trailing_window``: Spark's native RANGE frame over epoch seconds —
+  a single window sort per key, no self-join (the naive "join events
+  within the interval" form is quadratic per key).
+
+Timestamp handling: both operators accept TIMESTAMP and TIMESTAMP_NTZ
+(the driver's parquet is NTZ); epoch seconds come from
+``timestamp_diff`` against a type-matched epoch literal, which is
+timezone-independent — ``unix_timestamp`` is not NTZ-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _epoch_seconds(df: DataFrame, ts_col: str) -> F.Column:
+    """Seconds since 1970-01-01 00:00:00 for TIMESTAMP or TIMESTAMP_NTZ,
+    timezone-independent (wall-clock arithmetic)."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+    else:
+        epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    return F.timestamp_diff("SECOND", epoch, F.col(ts_col))
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    every: str = "1 hour",
+    agg: str = "last",
+) -> DataFrame:
+    """Resample ``value_col`` onto a fixed per-key time grid, carrying
+    the last observation forward across empty buckets.
+
+    Per key: buckets span ``date_trunc`` of the key's min..max event
+    time at ``every`` spacing (``every`` must be a unit date_trunc
+    understands: '1 hour', '1 day', ...). Within-bucket reduction is
+    ``agg`` ('last' by event order = last-observation semantics, or
+    'mean'/'max'/'min'/'sum'). Output: keys + ``bucket`` +
+    ``{value_col}`` (forward-filled; leading buckets before the first
+    observation are NULL only if the first bucket is empty, which
+    cannot happen since bounds come from observed events).
+    """
+    unit = every.split()[-1].rstrip("s")  # '1 hour' -> 'hour'
+    step = F.expr(f"interval {every}")
+    bucketed = df.withColumn("_b", F.date_trunc(unit, F.col(ts_col)))
+    if agg == "last":
+        # deterministic "last in bucket": max event time wins; ties on
+        # equal timestamps resolved by max value (stable cross-engine)
+        per_bucket = (
+            bucketed.groupBy(*keys, "_b")
+            .agg(F.max(F.struct(F.col(ts_col), F.col(value_col))).alias("_s"))
+            .select(*keys, "_b", F.col(f"_s.{value_col}").alias("_v"))
+        )
+    else:
+        fn = {"mean": F.avg, "max": F.max, "min": F.min, "sum": F.sum}[agg]
+        per_bucket = bucketed.groupBy(*keys, "_b").agg(
+            fn(value_col).alias("_v")
+        )
+    bounds = bucketed.groupBy(*keys).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket"),
+    )
+    joined = grid.join(
+        per_bucket.withColumnRenamed("_b", "bucket"), [*keys, "bucket"], "left"
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        "bucket",
+        F.last("_v", ignorenulls=True).over(w).alias(value_col),
+    )
+
+
+def trailing_window(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    window_seconds: int = 3600,
+    exact_cents: bool = False,
+) -> DataFrame:
+    """Event-time trailing aggregate: for every event, the sum and count
+    of ``value_col`` over the key's events in the preceding
+    ``window_seconds`` (inclusive of the current row and its timestamp
+    peers — RANGE frame semantics).
+
+    One window sort per key over epoch seconds; no self-join.
+    ``exact_cents`` sums integer cents (bit-stable across engines and
+    evaluation orders — sliding-sum implementations differ in addend
+    order between engines)."""
+    sec = _epoch_seconds(df, ts_col).alias("_sec")
+    base = df.select(*df.columns, sec)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_sec")
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    if exact_cents:
+        cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+        trail_sum = (F.sum(cents).over(w) / F.lit(100.0)).alias("trailing_sum")
+    else:
+        trail_sum = F.sum(value_col).over(w).alias("trailing_sum")
+    return base.select(
+        *df.columns,
+        trail_sum,
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
+    ).drop("_sec")

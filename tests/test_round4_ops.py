@@ -1,0 +1,175 @@
+"""Round-4 operators: hashed linear classifier scoring, per-key domain
+capping, and the time-grid pair (RANGE trailing window, forward-fill
+resample) — crafted inputs pinning the semantics the flat synthetic
+corpus can't distinguish, plus plan-shape guards."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestHashedLinearScore:
+    def test_zero_shuffle_projection(self, spark, sf_dir):
+        from datamancer_spark.operators.classify import hashed_linear_score
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = hashed_linear_score(doc)
+        p = _plan(out)
+        assert "Exchange" not in p, "scoring must be a pure projection"
+        assert "Python" not in p and "Arrow" not in p
+
+    def test_deterministic_and_bounded(self, spark, sf_dir):
+        from datamancer_spark.operators.classify import hashed_linear_score
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        a = {r["doc_id"]: r["score"] for r in hashed_linear_score(doc).collect()}
+        b = {r["doc_id"]: r["score"] for r in hashed_linear_score(doc).collect()}
+        assert a == b
+        assert all(0.0 <= s <= 1.0 for s in a.values())
+
+    def test_empty_doc_scores_bias(self, spark):
+        from datamancer_spark.operators.classify import hashed_linear_score
+
+        d = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+        rows = {r["doc_id"]: (r["score"], r["keep"])
+                for r in hashed_linear_score(d).collect()}
+        # zero tokens -> logit = bias = 0 -> sigmoid 0.5, keep at >= 0.5
+        assert rows == {1: (0.5, True), 2: (0.5, True)}
+
+    def test_explicit_weights_override(self, spark):
+        from datamancer_spark.operators.classify import hashed_linear_score
+        from datamancer_spark.operators.dedup import hash32
+
+        d = spark.createDataFrame([(1, "good good good")], "doc_id long, text string")
+        bucket = d.select((hash32(F.lit("good")) % 16).alias("b")).collect()[0]["b"]
+        hi = {int(bucket): 5.0}
+        lo = {int(bucket): -5.0}
+        s_hi = hashed_linear_score(d, dim=16, weights=hi).collect()[0]
+        s_lo = hashed_linear_score(d, dim=16, weights=lo).collect()[0]
+        assert s_hi["score"] > 0.99 and s_hi["keep"]
+        assert s_lo["score"] < 0.01 and not s_lo["keep"]
+
+
+class TestCapPerKey:
+    def test_cap_and_determinism(self, spark, sf_dir):
+        from datamancer_spark.operators.sampling import cap_per_key
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        capped = cap_per_key(doc, "source", 3, "doc_id")
+        per = {r["source"]: r["n"] for r in
+               capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per and all(n <= 3 for n in per.values())
+        # same rows regardless of partitioning
+        a = {r["doc_id"] for r in capped.collect()}
+        b = {r["doc_id"] for r in
+             cap_per_key(doc.repartition(7), "source", 3, "doc_id").collect()}
+        assert a == b
+
+    def test_under_cap_keys_untouched(self, spark):
+        from datamancer_spark.operators.sampling import cap_per_key
+
+        d = spark.createDataFrame(
+            [(i, "only") for i in range(2)], "doc_id long, source string"
+        )
+        assert cap_per_key(d, "source", 10, "doc_id").count() == 2
+
+    def test_rank_column_and_bad_cap(self, spark):
+        from datamancer_spark.operators.sampling import cap_per_key
+
+        d = spark.createDataFrame(
+            [(i, "s") for i in range(5)], "doc_id long, source string"
+        )
+        ranked = cap_per_key(d, "source", 3, "doc_id", out="rank")
+        assert sorted(r["rank"] for r in ranked.collect()) == [1, 2, 3]
+        with pytest.raises(ValueError):
+            cap_per_key(d, "source", 0, "doc_id")
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, h, m), u, float(v)) for i, (h, m, u, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+
+
+class TestTrailingWindow:
+    def test_window_bounds_inclusive(self, spark):
+        from datamancer_spark.operators.timeseries import trailing_window
+
+        # user 1: events at 00:00, 00:30, 01:00 — the 1h window at 01:00
+        # includes 00:30 and 01:00 but NOT 00:00 (3600s back, exclusive
+        # of the instant exactly one hour earlier: range is 3599 back)
+        rows = [(0, 0, 1, 10), (0, 30, 1, 20), (1, 0, 1, 30)]
+        out = {r["event_id"]: (r["trailing_sum"], r["trailing_n"])
+               for r in trailing_window(
+                   _ev(spark, rows), "ts", ["user_id"], "value"
+               ).collect()}
+        assert out[0] == (10.0, 1)
+        assert out[1] == (30.0, 2)
+        assert out[2] == (50.0, 2)
+
+    def test_equal_timestamps_are_peers(self, spark):
+        from datamancer_spark.operators.timeseries import trailing_window
+
+        rows = [(0, 0, 1, 1), (0, 0, 1, 2)]
+        out = [r["trailing_sum"] for r in trailing_window(
+            _ev(spark, rows), "ts", ["user_id"], "value").collect()]
+        # RANGE frame: both rows see both peers
+        assert out == [3.0, 3.0]
+
+    def test_no_self_join_in_plan(self, spark, sf_dir):
+        from datamancer_spark.operators.timeseries import trailing_window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        p = _plan(trailing_window(ev, "ts", ["user_id"], "value"))
+        assert "Join" not in p, "trailing window must not self-join"
+
+
+class TestResampleFfill:
+    def test_gap_filled_forward(self, spark):
+        from datamancer_spark.operators.timeseries import resample_ffill
+
+        # user 1: values at hour 0 and hour 3 -> hours 1,2 carry hour 0's
+        rows = [(0, 0, 1, 5), (3, 0, 1, 9)]
+        out = resample_ffill(
+            _ev(spark, rows), "ts", ["user_id"], "value", "1 hour", "last"
+        )
+        vals = [r["value"] for r in out.orderBy("bucket").collect()]
+        assert vals == [5.0, 5.0, 5.0, 9.0]
+
+    def test_last_in_bucket_wins(self, spark):
+        from datamancer_spark.operators.timeseries import resample_ffill
+
+        rows = [(0, 10, 1, 5), (0, 50, 1, 7)]  # same hour, later wins
+        out = resample_ffill(
+            _ev(spark, rows), "ts", ["user_id"], "value", "1 hour", "last"
+        ).collect()
+        assert len(out) == 1 and out[0]["value"] == 7.0
+
+    def test_mean_agg(self, spark):
+        from datamancer_spark.operators.timeseries import resample_ffill
+
+        rows = [(0, 10, 1, 4), (0, 50, 1, 8)]
+        out = resample_ffill(
+            _ev(spark, rows), "ts", ["user_id"], "value", "1 hour", "mean"
+        ).collect()
+        assert out[0]["value"] == 6.0
+
+    def test_per_user_grid_bounds(self, spark):
+        from datamancer_spark.operators.timeseries import resample_ffill
+
+        # user 2's grid must not extend to user 1's range
+        rows = [(0, 0, 1, 1), (5, 0, 1, 2), (2, 0, 2, 3)]
+        out = resample_ffill(
+            _ev(spark, rows), "ts", ["user_id"], "value", "1 hour", "last"
+        )
+        per_user = {r["user_id"]: r["n"] for r in
+                    out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per_user == {1: 6, 2: 1}
