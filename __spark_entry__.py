@@ -1341,6 +1341,20 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new, seen).select("doc_id", "source")
 
 
+def dedup_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR-duplicate dedup (operators/dedup.py
+    fuzzy_dedup_against): the fuzzy twin of dedup_incremental — new
+    sources are LSH-screened against the src0-src4 history's MinHash
+    signatures, band candidates confirmed by exact n-gram Jaccard ≥ 0.5,
+    and confirmed near-dups of history docs are dropped."""
+    from datamancer_spark.operators.dedup import fuzzy_dedup_against
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    seen = doc.filter(F.col("source").isin(*_SEEN_SOURCES))
+    new = doc.filter(~F.col("source").isin(*_SEEN_SOURCES))
+    return fuzzy_dedup_against(new, seen).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: model scoring, domain capping, time-grid ops
 # ---------------------------------------------------------------------------
@@ -1437,7 +1451,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inner_join_rename": inner_join_rename,
         # -- reshape + windows + time (6; array_ops moved out r4)
         "gather_melt": gather_melt,
-        "spread_pivot": spread_pivot,
         "lag_lead_events": lag_lead_events,
         "asof_signup": asof_signup,
         "sessionize_events": sessionize_events,
@@ -1476,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_fuzzy_incremental": dedup_fuzzy_incremental,
         "dedup_canonical": dedup_canonical,
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
@@ -1491,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- result, rollup/cube twins, bind_rows, and the boolean
         # ---- HLL contract), all round-1 driver-green or
         # ---- locally-verified, still in the local harness
+        "spread_pivot": spread_pivot,
         "filter_select": filter_select,
         "arrange_head": arrange_head,
         "unique_first": unique_first,
@@ -2837,6 +2852,62 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT s.doc_id, s.source
         FROM selfd s ANTI JOIN seen ON s.fp = seen.fp
+    """
+
+    # Fuzzy twin: MinHash band match vs history + exact-Jaccard confirm.
+    # Signatures/bands use the same inlined constants as dedup_minhash.
+    sql["dedup_fuzzy_incremental"] = f"""
+        WITH {_SHINGLES_CTE},
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(shingles,
+                   s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id, [{sig_items}] AS sig FROM hashed
+        ),
+        side AS (
+          SELECT doc_id,
+                 CASE WHEN source IN ({_seen}) THEN 1 ELSE 0 END AS is_seen
+          FROM documents
+        ),
+        banded AS (
+          SELECT s.doc_id, sd.is_seen, b.band AS band,
+                 md5(array_to_string(list_transform(generate_series(1, 4),
+                       r -> sig[(b.band * 4) + r]::VARCHAR), ',')) AS bhash
+          FROM sig s JOIN side sd USING (doc_id),
+               (SELECT unnest(generate_series(0, 3)) AS band) b
+        ),
+        cands AS (
+          SELECT DISTINCT n.doc_id AS nid, s.doc_id AS sid
+          FROM banded n JOIN banded s
+            ON n.band = s.band AND n.bhash = s.bhash
+          WHERE n.is_seen = 0 AND s.is_seen = 1
+        ),
+        ex AS (
+          SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u
+          WHERE doc_id IN (SELECT nid FROM cands UNION SELECT sid FROM cands)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+        inter AS (
+          SELECT c.nid, c.sid, count(*) AS inter
+          FROM cands c
+          JOIN ex a ON a.doc_id = c.nid
+          JOIN ex b ON b.doc_id = c.sid AND a.h = b.h
+          GROUP BY 1, 2
+        ),
+        flagged AS (
+          SELECT DISTINCT i.nid FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.nid
+          JOIN sizes sb ON sb.doc_id = i.sid
+          WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d
+        JOIN side sd ON sd.doc_id = d.doc_id AND sd.is_seen = 0
+        WHERE d.doc_id NOT IN (SELECT nid FROM flagged)
     """
 
     sql["dup_cluster_histogram"] = """

@@ -226,28 +226,7 @@ def minhash_lsh_pairs(
     # self-join legs (ReusedExchange) — a second eager materialization
     # only added fixed latency (the r3 +0.48s bench regression).
     ds = sig.select("sig").distinct()
-    banded = ds.select(
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("sig", "bk.band", "bk.bhash")
+    banded = _band_keys(ds, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     # array<long> comparison is a total order in Spark, so "sig_a < sig_b"
@@ -325,6 +304,144 @@ def minhash_dedup_verified(
     subset = df.join(involved, id_col, "left_semi")
     exact = ngram_jaccard_pairs(subset, text_col, id_col, shingle_n, threshold)
     return exact.join(cands, ["id_a", "id_b"], "left_semi")
+
+
+def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a (…, sig: array<long>) frame into b LSH band keys:
+    (…, band, bhash). bhash is the md5 of the band's r signature slots —
+    identical construction on both corpora sides and in the DuckDB
+    oracle, so band equality is engine-portable."""
+    rows = num_hashes // bands
+    return sig.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select(*sig.columns, F.col("_bk.band"), F.col("_bk.bhash"))
+
+
+def fuzzy_dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Cross-snapshot NEAR-duplicate dedup: rows of ``new`` that are not
+    near-duplicates of anything already in ``seen`` — the fuzzy twin of
+    ``dedup_against`` (which only removes byte-identical text). This is
+    the standard crawl-refresh step: each snapshot is LSH-screened
+    against the accumulated corpus, never re-deduplicating the history.
+
+    Plan shape (100 TB): MinHash signatures per side — at scale the
+    ``seen`` side is the persisted signature index (one 16-slot array
+    per historical doc), re-read as columns, not recomputed from text.
+    Both sides reduce to DISTINCT signatures before banding, so the
+    (band, bhash) equi-join moves O(distinct_sigs × b) rows; identical
+    signatures across corpora match through every band, so no special
+    equality leg is needed (unlike the self-join case, which must orient
+    pairs). With ``verify=True`` the band candidates are then confirmed
+    by exact n-gram Jaccard computed ONLY on candidate docs (semi-join
+    shrink on both corpora before any shingle explodes); band-only mode
+    (``verify=False``) is the cheap high-recall screen.
+
+    Returns the surviving rows of ``new`` (all original columns)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    sig_new = materialize(
+        minhash_signature(new, text_col, id_col, num_hashes, shingle_n)
+    )
+    sig_seen = minhash_signature(seen, text_col, id_col, num_hashes, shingle_n)
+    bn = _band_keys(sig_new.select("sig").distinct(), num_hashes, bands)
+    bs = _band_keys(
+        sig_seen.select("sig").distinct(), num_hashes, bands
+    ).withColumnRenamed("sig", "sig_seen")
+    # candidate signature pairs (new sig, seen sig) via band buckets
+    sig_cands = (
+        bn.join(
+            bs,
+            (bn["band"] == bs["band"]) & (bn["bhash"] == bs["bhash"]),
+        )
+        .select("sig", "sig_seen")
+        .distinct()
+    )
+    if not verify:
+        flagged_sigs = sig_cands.select("sig").distinct()
+        flagged = sig_new.join(flagged_sigs, "sig", "left_semi").select(id_col)
+        return new.join(flagged, id_col, "left_anti")
+    # expand signature candidates back to (new_id, seen_id) doc pairs
+    cands = materialize(
+        sig_cands.join(sig_new, "sig")
+        .select(F.col(id_col).alias("_nid"), "sig_seen")
+        .join(
+            sig_seen.withColumnRenamed("sig", "sig_seen").withColumnRenamed(
+                id_col, "_sid"
+            ),
+            "sig_seen",
+        )
+        .select("_nid", "_sid")
+    )
+    # exact Jaccard, only over candidate docs on each side
+    def _shingle_rows(df: DataFrame, out_id: str) -> DataFrame:
+        arr = df.select(
+            F.col(id_col).alias(out_id),
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n), lambda s: hash32(s)
+            ).alias("_shs"),
+        )
+        return materialize(arr)
+
+    arr_n = _shingle_rows(
+        new.join(cands.select(F.col("_nid").alias(id_col)).distinct(), id_col, "left_semi"),
+        "_nid",
+    )
+    arr_s = _shingle_rows(
+        seen.join(cands.select(F.col("_sid").alias(id_col)).distinct(), id_col, "left_semi"),
+        "_sid",
+    )
+    ex_n = arr_n.select("_nid", F.explode("_shs").alias("sh"))
+    ex_s = arr_s.select("_sid", F.explode("_shs").alias("sh"))
+    inter = (
+        ex_n.join(ex_s, "sh")
+        .groupBy("_nid", "_sid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cands, ["_nid", "_sid"], "left_semi")
+    )
+    sz_n = arr_n.select("_nid", F.size("_shs").cast("long").alias("sz_n"))
+    sz_s = arr_s.select("_sid", F.size("_shs").cast("long").alias("sz_s"))
+    flagged = (
+        inter.join(sz_n, "_nid")
+        .join(sz_s, "_sid")
+        .filter(
+            F.col("inter") / (F.col("sz_n") + F.col("sz_s") - F.col("inter"))
+            >= threshold
+        )
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    return new.join(flagged, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

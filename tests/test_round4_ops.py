@@ -173,3 +173,63 @@ class TestResampleFfill:
         per_user = {r["user_id"]: r["n"] for r in
                     out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
         assert per_user == {1: 6, 2: 1}
+
+
+class TestFuzzyDedupAgainst:
+    """Cross-snapshot near-dup dedup (fuzzy_dedup_against): crafted
+    corpora pin the cross-corpus semantics — near-dup of history is
+    dropped, exact dup of history is dropped, unrelated and
+    below-threshold docs survive, and history is never emitted."""
+
+    BASE = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow near the old mill")
+
+    def _corpora(self, spark):
+        near = self.BASE.replace("lazy dog", "sleepy dog")  # ~0.8 jaccard
+        far = "completely different subject matter entirely: " + \
+              "astronomy telescopes orbit planets stars galaxies " + \
+              "nebulae comets asteroids meteors moons eclipses"
+        seen = spark.createDataFrame(
+            [(1, self.BASE), (2, "archived special report " * 5)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, near), (11, self.BASE), (12, far)],
+            "doc_id long, text string",
+        )
+        return new, seen
+
+    def test_near_and_exact_dups_of_history_dropped(self, spark):
+        from datamancer_spark.operators.dedup import fuzzy_dedup_against
+
+        new, seen = self._corpora(spark)
+        ids = {r["doc_id"] for r in fuzzy_dedup_against(new, seen).collect()}
+        assert ids == {12}
+
+    def test_band_only_screen_is_superset_filter(self, spark):
+        from datamancer_spark.operators.dedup import fuzzy_dedup_against
+
+        new, seen = self._corpora(spark)
+        verified = {r["doc_id"]
+                    for r in fuzzy_dedup_against(new, seen).collect()}
+        band_only = {r["doc_id"]
+                     for r in fuzzy_dedup_against(new, seen, verify=False).collect()}
+        # band-only drops at least everything the verified path drops
+        assert band_only <= verified
+        assert 12 in band_only
+
+    def test_empty_seen_keeps_all(self, spark):
+        from datamancer_spark.operators.dedup import fuzzy_dedup_against
+
+        new, _ = self._corpora(spark)
+        seen = spark.createDataFrame([], "doc_id long, text string")
+        assert fuzzy_dedup_against(new, seen).count() == new.count()
+
+    def test_no_cartesian_in_plan(self, spark, sf_dir):
+        from datamancer_spark.operators.dedup import fuzzy_dedup_against
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        seen = doc.filter(F.col("source").isin("src0", "src1"))
+        new = doc.filter(~F.col("source").isin("src0", "src1"))
+        p = _plan(fuzzy_dedup_against(new, seen))
+        assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
