@@ -1413,6 +1413,68 @@ def resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/quality.py chunk_documents):
+    split each document into overlapping 32-token windows with stride
+    24 — the long-document preparation step before tokenization or
+    embedding. Pure narrow projection: zero shuffles, no UDF."""
+    from datamancer_spark.operators.quality import chunk_documents
+
+    doc = _t(spark, sf_dir, "documents")["documents"].spread_partitions()
+    return chunk_documents(doc.df, chunk_tokens=32, stride=24)
+
+
+def weighted_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample): 20 docs per language drawn proportional to doc
+    length via deterministic Efraimidis–Spirakis exponential priorities
+    (md5-uniform, no RNG state) — reproducible across runs, engines,
+    and partitionings. One keyed window shuffle."""
+    from datamancer_spark.operators.sampling import weighted_sample
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return weighted_sample(
+        doc, "n_chars", 20, group_cols=["lang"]
+    ).select("doc_id", "lang", "n_chars")
+
+
+def purchase_followup_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/timeseries.py interval_join):
+    per purchase, how many of the SAME user's view events land in the
+    hour after it ((ts, ts+1h] — 'right' closed). The non-equi interval
+    condition executes as an equi-join on (user, time-bin) + exact
+    filter, never a broadcast-nested-loop."""
+    from datamancer_spark.operators.timeseries import interval_join
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_start"),
+            (F.col("ts") + F.expr("interval 1 hour")).alias("p_end"),
+        )
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts")
+    )
+    joined = interval_join(
+        views,
+        purchases,
+        left_ts="ts",
+        start_col="p_start",
+        end_col="p_end",
+        keys=["user_id"],
+        bucket_seconds=3600,
+        closed="right",
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1450,11 +1512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- variant of inner_join; slot freed for the r4 tier)
         "inner_join_rename": inner_join_rename,
         # -- reshape + windows + time (6; array_ops moved out r4)
-        "gather_melt": gather_melt,
         "lag_lead_events": lag_lead_events,
         "asof_signup": asof_signup,
         "sessionize_events": sessionize_events,
         "quantiles_by_group": quantiles_by_group,
+        "purchase_followup_views": purchase_followup_views,
         # -- r4 tier: model scoring, domain capping, time-grid (4)
         "classifier_score": classifier_score,
         "cap_per_source": cap_per_source,
@@ -1468,12 +1530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_screen": contamination_screen,
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
+        "chunk_sliding_windows": chunk_sliding_windows,
         "token_topk_lang": token_topk_lang,
         "budget_select_langs": budget_select_langs,
         "length_filter_langs": length_filter_langs,
         "dup_cluster_histogram": dup_cluster_histogram,
         # -- text analysis north star (4; text_fingerprint moved out r4)
-        "text_stats": text_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "tfidf_top_terms": tfidf_top_terms,
@@ -1481,9 +1543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r4 — driver-green r3, price_histogram covers the family)
         "train_test_split": train_test_split,
         "stratified_sample_counts": stratified_sample_counts,
+        "weighted_sample_langs": weighted_sample_langs,
         "price_histogram": price_histogram,
         # -- SQL + end-to-end pipeline (2)
-        "sql_interface": sql_interface,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         # -- dedup north star (8)
         "dedup_exact": dedup_exact,
@@ -1506,6 +1568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- HLL contract), all round-1 driver-green or
         # ---- locally-verified, still in the local harness
         "spread_pivot": spread_pivot,
+        "gather_melt": gather_melt,
+        "text_stats": text_stats,
+        "sql_interface": sql_interface,
         "filter_select": filter_select,
         "arrange_head": arrange_head,
         "unique_first": unique_first,
@@ -2908,6 +2973,59 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN side sd ON sd.doc_id = d.doc_id AND sd.is_seen = 0
         WHERE d.doc_id NOT IN (SELECT nid FROM flagged)
+    """
+
+    sql["chunk_sliding_windows"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> len(t) > 0) AS toks
+          FROM documents
+        ),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        c AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0,
+                   CASE WHEN n > 32 THEN (n - 32 + 23) // 24 ELSE 0 END))
+                 AS chunk_idx
+          FROM n
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
+               CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(
+                 list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32),
+                 ' ') AS chunk_text
+        FROM c
+    """
+
+    sql["weighted_sample_langs"] = """
+        WITH w AS (
+          SELECT doc_id, lang, n_chars,
+                 -ln((CAST('0x' || substr(md5('0_' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 1) / 4294967297.0) / n_chars AS pri
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        ),
+        r AS (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+          FROM w
+        )
+        SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+    """
+
+    sql["purchase_followup_views"] = """
+        WITH p AS (
+          SELECT event_id AS purchase_id, user_id, ts AS p_start,
+                 ts + INTERVAL 1 HOUR AS p_end
+          FROM events WHERE event_type = 'purchase'
+        ),
+        v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        SELECT p.purchase_id, p.user_id, count(*) AS n_views
+        FROM p JOIN v ON v.user_id = p.user_id
+                     AND v.ts > p.p_start AND v.ts <= p.p_end
+        GROUP BY 1, 2
     """
 
     sql["dup_cluster_histogram"] = """

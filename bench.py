@@ -79,6 +79,10 @@ HEADLINE = [
     "cap_per_source",
     "trailing_hour_value",
     "resample_user_hourly",
+    "dedup_fuzzy_incremental",
+    "chunk_sliding_windows",
+    "weighted_sample_langs",
+    "purchase_followup_views",
 ]
 
 

@@ -319,6 +319,66 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window document chunking — split each document into
+    overlapping fixed-size token windows (window ``chunk_tokens``, step
+    ``stride``; overlap = chunk_tokens − stride), the standard
+    long-document preparation step before tokenization/embedding.
+
+    Chunk k starts at token k·stride; a new chunk opens only while the
+    previous chunk did not already reach the end of the document, so
+    short documents yield exactly one chunk and no chunk is a suffix of
+    its predecessor: n_chunks = 1 + max(0, ⌈(n − chunk_tokens)/stride⌉).
+
+    Scale shape: a pure narrow projection (split → sequence →
+    posexplode → slice) — zero shuffles, no UDF; output size is
+    n_tokens/stride rows per doc, partition-local. Emits (id, chunk_idx,
+    chunk_start, n_chunk_tokens, chunk_text)."""
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got stride={stride}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    d = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    # integer ceil((n - C) / S) without float division: (n - C + S - 1) div S
+    extra = F.when(
+        F.col("_n") > chunk_tokens,
+        (F.col("_n") - chunk_tokens + stride - 1).cast("long") / stride,
+    ).otherwise(F.lit(0))
+    n_chunks = (F.lit(1) + F.floor(extra)).cast("int")
+    return d.select(
+        F.col(id_col),
+        "_toks",
+        "_n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("long").alias("chunk_start"),
+        F.least(
+            F.lit(chunk_tokens),
+            F.col("_n") - F.col("chunk_idx") * stride,
+        )
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(
+                F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     key_col: str,

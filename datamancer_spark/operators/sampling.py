@@ -158,3 +158,57 @@ def cap_per_key(
     if out:
         return kept.withColumnRenamed("_cap_rn", out)
     return kept.drop("_cap_rn")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — k rows (per
+    group, if ``group_cols``) drawn with probability proportional to
+    ``weight_col``, reproducible across runs/engines/partitionings.
+
+    Uses the Efraimidis–Spirakis exponential-priority scheme (A-ES, as
+    in reservoir weighted sampling): each row gets priority
+    −ln(u)/w with u a deterministic md5-uniform of (seed, id); the k
+    SMALLEST priorities are exactly a weight-proportional sample without
+    replacement. Rows with NULL or non-positive weight are excluded.
+
+    Scale shape: one keyed window (or a global TakeOrdered top-k when
+    ungrouped — never a global sort of the corpus). No RNG state: the
+    'randomness' is the md5 stream, so resuming/retrying a 100 TB job
+    cannot double-sample rows.
+
+    DuckDB twin: row_number() OVER (PARTITION BY g ORDER BY
+    -ln((CAST('0x'||substr(md5(seed||'_'||id),1,8) AS BIGINT)+1)/4294967297.0)
+    / w, id) <= k."""
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    u = (
+        hash32(F.concat(F.lit(f"{seed}_"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(4294967297.0)  # (h+1)/(2^32+1) ∈ (0, 1)
+    pri = -F.log(u) / F.col(weight_col)
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_pri", pri)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("_pri"), F.col(id_col)
+        )
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_pri", "_rn")
+        )
+    # ungrouped: top-k by smallest priority → TakeOrderedAndProject,
+    # no single-partition window
+    return (
+        base.orderBy(F.col("_pri"), F.col(id_col)).limit(k).drop("_pri")
+    )

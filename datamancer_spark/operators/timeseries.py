@@ -129,3 +129,76 @@ def trailing_window(
         trail_sum,
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
     ).drop("_sec")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+    closed: str = "both",
+) -> DataFrame:
+    """Point-in-interval join: each ``left`` row pairs with every
+    ``right`` interval [start_col, end_col] that contains its
+    ``left_ts`` (optionally also matching on equi-``keys``).
+
+    Scale shape — the naive form is a non-equi theta join, which Spark
+    can only execute as a broadcast-nested-loop / cartesian (quadratic,
+    a 100 TB killer). Instead both sides are mapped onto coarse time
+    bins of ``bucket_seconds``: a point has exactly one bin, an interval
+    explodes into the bins it covers (bounded: choose bucket_seconds ≈
+    typical interval length), and the join becomes an EQUI-join on
+    (keys…, bin) followed by the exact containment filter. Each
+    (point, interval) match is produced exactly once — the point's
+    single bin appears once in the interval's bin list — so no distinct
+    pass is needed.
+
+    ``closed``: which bounds contain — 'both' ([start, end]), 'left'
+    ([start, end)), 'right' ((start, end]), 'neither' ((start, end)).
+
+    Columns from both sides are kept (prefix clashes are the caller's
+    responsibility, as with any join)."""
+    try:
+        lo_strict, hi_strict = {
+            "both": (False, False),
+            "left": (False, True),
+            "right": (True, False),
+            "neither": (True, True),
+        }[closed]
+    except KeyError:
+        raise ValueError(f"interval_join: bad closed={closed!r}")
+    keys = keys or []
+    lsec = _epoch_seconds(left, left_ts)
+    l = left.withColumn("_bin", F.floor(lsec / bucket_seconds))
+    s0 = _epoch_seconds(right, start_col)
+    s1 = _epoch_seconds(right, end_col)
+    # degenerate intervals (end < start) match nothing; drop them before
+    # binning — F.sequence would otherwise count DOWN and emit bins the
+    # containment filter then has to discard
+    right = right.filter(F.col(end_col) >= F.col(start_col))
+    r = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(s0 / bucket_seconds), F.floor(s1 / bucket_seconds)
+            )
+        ),
+    )
+    lo = (
+        F.col(left_ts) > F.col(start_col)
+        if lo_strict
+        else F.col(left_ts) >= F.col(start_col)
+    )
+    hi = (
+        F.col(left_ts) < F.col(end_col)
+        if hi_strict
+        else F.col(left_ts) <= F.col(end_col)
+    )
+    return (
+        l.join(r, [*keys, "_bin"])
+        .filter(lo & hi)
+        .drop("_bin")
+    )

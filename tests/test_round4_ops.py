@@ -233,3 +233,179 @@ class TestFuzzyDedupAgainst:
         new = doc.filter(~F.col("source").isin("src0", "src1"))
         p = _plan(fuzzy_dedup_against(new, seen))
         assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+
+
+class TestChunkDocuments:
+    def test_exact_windows(self, spark):
+        from datamancer_spark.operators.quality import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(d, chunk_tokens=4, stride=3).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # ceil((10-4)/3)=2 extra -> 3 chunks at starts 0,3,6
+        assert [r["chunk_start"] for r in rows] == [0, 3, 6]
+        assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert rows[2]["chunk_text"] == "t6 t7 t8 t9"
+        assert rows[2]["n_chunk_tokens"] == 4
+
+    def test_short_doc_single_chunk(self, spark):
+        from datamancer_spark.operators.quality import chunk_documents
+
+        d = spark.createDataFrame([(1, "a b"), (2, "")], "doc_id long, text string")
+        rows = {(r["doc_id"], r["chunk_idx"]): r
+                for r in chunk_documents(d, chunk_tokens=4, stride=3).collect()}
+        assert set(rows) == {(1, 0), (2, 0)}
+        assert rows[(1, 0)]["n_chunk_tokens"] == 2
+        assert rows[(2, 0)]["n_chunk_tokens"] == 0
+
+    def test_no_suffix_only_trailing_chunk(self, spark):
+        from datamancer_spark.operators.quality import chunk_documents
+
+        # 5 tokens, window 4, stride 3: chunk 1 (start 3) adds token 4
+        # -> 2 chunks; 4 tokens -> window covers all -> exactly 1
+        d = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d")], "doc_id long, text string"
+        )
+        n = {r["doc_id"]: r["n"] for r in (
+            chunk_documents(d, chunk_tokens=4, stride=3)
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect())}
+        assert n == {1: 2, 2: 1}
+
+    def test_zero_shuffle(self, spark, sf_dir):
+        from datamancer_spark.operators.quality import chunk_documents
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        p = _plan(chunk_documents(doc))
+        assert "Exchange" not in p and "Python" not in p
+
+    def test_bad_args(self, spark):
+        from datamancer_spark.operators.quality import chunk_documents
+
+        d = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(d, chunk_tokens=4, stride=5)
+        with pytest.raises(ValueError):
+            chunk_documents(d, chunk_tokens=0, stride=0)
+
+
+class TestWeightedSample:
+    def test_weight_proportional_inclusion(self, spark):
+        from datamancer_spark.operators.sampling import weighted_sample
+
+        # 1 heavy doc (w=1000) among 200 light (w=1): across 40 seeds the
+        # heavy doc must be picked far more often than any light doc
+        rows = [(i, 1000.0 if i == 0 else 1.0) for i in range(201)]
+        d = spark.createDataFrame(rows, "doc_id long, w double")
+        heavy = sum(
+            1 for s in range(40)
+            if any(r["doc_id"] == 0
+                   for r in weighted_sample(d, "w", 5, seed=s).collect())
+        )
+        assert heavy >= 35  # ~5 draws x w=1000 vs total ~1200 -> near-certain
+
+    def test_without_replacement_and_k(self, spark):
+        from datamancer_spark.operators.sampling import weighted_sample
+
+        d = spark.createDataFrame(
+            [(i, "g", 1.0) for i in range(30)], "doc_id long, g string, w double"
+        )
+        out = weighted_sample(d, "w", 10, group_cols=["g"]).collect()
+        ids = [r["doc_id"] for r in out]
+        assert len(ids) == 10 and len(set(ids)) == 10
+
+    def test_deterministic(self, spark):
+        from datamancer_spark.operators.sampling import weighted_sample
+
+        d = spark.createDataFrame(
+            [(i, float(i + 1)) for i in range(50)], "doc_id long, w double"
+        )
+        a = {r["doc_id"] for r in weighted_sample(d, "w", 7).collect()}
+        b = {r["doc_id"] for r in weighted_sample(d, "w", 7).collect()}
+        assert a == b and len(a) == 7
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from datamancer_spark.operators.sampling import weighted_sample
+
+        d = spark.createDataFrame(
+            [(1, 0.0), (2, -1.0), (3, None), (4, 2.0)], "doc_id long, w double"
+        )
+        out = {r["doc_id"] for r in weighted_sample(d, "w", 10).collect()}
+        assert out == {4}
+
+
+class TestIntervalJoin:
+    def _frames(self, spark):
+        from datetime import datetime
+
+        pts = spark.createDataFrame(
+            [(1, 1, datetime(2024, 1, 1, 10, 30)),
+             (2, 1, datetime(2024, 1, 1, 12, 0)),
+             (3, 2, datetime(2024, 1, 1, 10, 30))],
+            "pid long, user_id long, ts timestamp",
+        )
+        iv = spark.createDataFrame(
+            [(100, 1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 11, 0)),
+             (200, 2, datetime(2024, 1, 1, 11, 0), datetime(2024, 1, 1, 12, 0))],
+            "iid long, user_id long, s timestamp, e timestamp",
+        )
+        return pts, iv
+
+    def test_containment_and_keys(self, spark):
+        from datamancer_spark.operators.timeseries import interval_join
+
+        pts, iv = self._frames(spark)
+        out = {(r["pid"], r["iid"]) for r in interval_join(
+            pts, iv, "ts", "s", "e", keys=["user_id"]).collect()}
+        # pid 1 in iv 100 (same user); pid 3 same time but user 2, iv 200
+        # starts 11:00 -> no match; pid 2 at 12:00 not in user 1 interval
+        assert out == {(1, 100)}
+
+    def test_closed_bounds(self, spark):
+        from datamancer_spark.operators.timeseries import interval_join
+        from datetime import datetime
+
+        pts = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 10, 0)), (2, datetime(2024, 1, 1, 11, 0))],
+            "pid long, ts timestamp",
+        )
+        iv = spark.createDataFrame(
+            [(9, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 11, 0))],
+            "iid long, s timestamp, e timestamp",
+        )
+        def pairs(closed):
+            return {r["pid"] for r in interval_join(
+                pts, iv, "ts", "s", "e", closed=closed).collect()}
+        assert pairs("both") == {1, 2}
+        assert pairs("left") == {1}
+        assert pairs("right") == {2}
+        assert pairs("neither") == set()
+
+    def test_multi_bucket_interval(self, spark):
+        from datamancer_spark.operators.timeseries import interval_join
+        from datetime import datetime
+
+        # 5-hour interval spans many 1h bins; each contained point
+        # matches exactly once (no duplicate rows from bin explode)
+        pts = spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, 10 + i)) for i in range(5)],
+            "pid long, ts timestamp",
+        )
+        iv = spark.createDataFrame(
+            [(9, datetime(2024, 1, 1, 10), datetime(2024, 1, 1, 15))],
+            "iid long, s timestamp, e timestamp",
+        )
+        out = [r["pid"] for r in interval_join(pts, iv, "ts", "s", "e").collect()]
+        assert sorted(out) == [0, 1, 2, 3, 4]
+
+    def test_no_nested_loop_join(self, spark, sf_dir):
+        from datamancer_spark.operators.timeseries import interval_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        iv = ev.limit(100).select(
+            "user_id", F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("interval 1 hour")).alias("e"))
+        p = _plan(interval_join(ev, iv, "ts", "s", "e", keys=["user_id"]))
+        assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
