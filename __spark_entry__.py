@@ -1413,6 +1413,34 @@ def resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring (operators/quality.py
+    bigram_logprob_score): per doc, mean −log(0.7·P(w₂|w₁) + 0.3·P(w₂))
+    under the corpus's own counts — the context-aware step up from
+    unigram_perplexity_proxy."""
+    from datamancer_spark.operators.quality import bigram_logprob_score
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return bigram_logprob_score(doc)
+
+
+def score_calibration_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table (operators/classify.py calibration_table):
+    decile-bucket the hashed-classifier score against an is-English
+    proxy label — the reliability-diagram input for picking a keep
+    threshold. One tiny partial-aggregated shuffle."""
+    from datamancer_spark.operators.classify import (
+        calibration_table,
+        hashed_linear_score,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    scored = hashed_linear_score(doc, dim=1024, seed=7).withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return calibration_table(scored, "score", "is_en", buckets=10)
+
+
 def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (operators/quality.py chunk_documents):
     split each document into overlapping 32-token windows with stride
@@ -1614,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_weekly": cohort_retention_weekly,
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "unigram_perplexity_proxy": unigram_perplexity_proxy,
+        "bigram_perplexity_proxy": bigram_perplexity_proxy,
+        "score_calibration_en": score_calibration_en,
     }
 
 
@@ -2973,6 +3003,73 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN side sd ON sd.doc_id = d.doc_id AND sd.is_seen = 0
         WHERE d.doc_id NOT IN (SELECT nid FROM flagged)
+    """
+
+    sql["bigram_perplexity_proxy"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> len(x) > 0) AS toks
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(2, len(toks)),
+                          i -> {'w1': toks[i-1], 'w2': toks[i]})) AS p
+            FROM t WHERE len(toks) >= 2) u
+        ),
+        un AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(toks) AS w FROM t) u GROUP BY w
+        ),
+        tot AS (SELECT sum(n) AS total FROM un),
+        bc AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
+          FROM b GROUP BY 1, 2
+        ),
+        ctx AS (SELECT w1, sum(nb) AS nc FROM bc GROUP BY 1),
+        scored AS (
+          SELECT b.doc_id,
+                 -ln(0.7 * (bc.nb / nc) + 0.3 * (un.n / total)) AS nlp
+          FROM b
+          JOIN bc USING (w1, w2)
+          JOIN ctx USING (w1)
+          JOIN un ON un.w = b.w2, tot
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               prnd(avg(nlp), 6) AS avg_neg_logprob
+        FROM scored GROUP BY doc_id
+    """
+
+    sql["score_calibration_en"] = """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> len(t) > 0) AS tk
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, lang,
+                 coalesce(list_sum(list_transform(tk, t ->
+                   ((CAST('0x' || substr(md5('w7_' || CAST(
+                        CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024
+                      AS VARCHAR)), 1, 8) AS BIGINT) % 20001) - 10000)
+                   / 10000.0)), 0.0) AS wsum,
+                 greatest(len(tk), 1) AS n
+          FROM toks
+        ), s AS (
+          SELECT prnd(1.0 / (1.0 + exp(-(wsum / n))), 6) AS score,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM scored
+        )
+        SELECT CASE WHEN score < 0.0 THEN 0
+                    WHEN score >= 1.0 THEN 11
+                    ELSE CAST(floor(score / 0.1) AS BIGINT) + 1
+               END AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               prnd(avg(score), 6) AS mean_score,
+               prnd(avg(y), 6) AS positive_rate
+        FROM s GROUP BY bucket
     """
 
     sql["chunk_sliding_windows"] = """

@@ -83,6 +83,8 @@ HEADLINE = [
     "chunk_sliding_windows",
     "weighted_sample_langs",
     "purchase_followup_views",
+    "bigram_perplexity_proxy",
+    "score_calibration_en",
 ]
 
 

@@ -20,6 +20,7 @@ from .io import (
     parse_csv_string,
     read_csv,
     read_jsonl,
+    read_orc,
     read_parquet,
     show_browser,
     str_tab_to_df,
@@ -28,6 +29,7 @@ from .io import (
     val_tab_to_df,
     write_csv,
     write_jsonl,
+    write_orc,
     write_parquet,
 )
 from .session import get_spark, materialize, set_checkpoint_dir
@@ -47,6 +49,7 @@ __all__ = [
     "parse_csv_string",
     "read_csv",
     "read_jsonl",
+    "read_orc",
     "read_parquet",
     "reduce_formula",
     "show_browser",
@@ -57,6 +60,7 @@ __all__ = [
     "to_org_table",
     "write_csv",
     "write_jsonl",
+    "write_orc",
     "write_parquet",
 ]
 

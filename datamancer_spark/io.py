@@ -214,6 +214,27 @@ def write_jsonl(frame: DamFrame, path: str) -> None:
     frame.df.write.mode("overwrite").json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DamFrame:
+    """ORC source (Spark-native vectorized reader) — same columnar role
+    as parquet for warehouses standardized on ORC; predicate pushdown
+    and column pruning apply identically."""
+    return DamFrame(spark.read.orc(path))
+
+
+def write_orc(
+    frame: DamFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink with partition pruning via ``partition_by`` (same scale
+    rule as write_parquet; bucketing-to-table works through
+    write_parquet's saveAsTable path if needed)."""
+    w = frame.df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_parquet(
     frame: DamFrame,
     path: str,

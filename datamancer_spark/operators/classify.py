@@ -81,3 +81,36 @@ def hashed_linear_score(
     return df.withColumn(f"{p}score", score).withColumn(
         f"{p}keep", F.col(f"{p}score") >= F.lit(float(threshold))
     )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Score-calibration table: bucket a [0,1] classifier score into
+    ``buckets`` equal-width bins and report, per bin, the row count,
+    mean score, and observed positive rate of ``label_col`` (boolean or
+    0/1) — the standard reliability-diagram input for deciding a keep
+    threshold (well-calibrated ⇒ mean score ≈ positive rate per bin).
+
+    One partial-aggregated shuffle over at most ``buckets``+2 groups
+    (width_bucket edge bins 0 and buckets+1 catch out-of-range scores).
+    Output: (bucket, n, mean_score, positive_rate)."""
+    lab = F.col(label_col).cast("int").cast("double")
+    return (
+        df.select(
+            F.width_bucket(
+                F.col(score_col), F.lit(0.0), F.lit(1.0), F.lit(buckets)
+            ).alias("bucket"),
+            F.col(score_col).alias("_s"),
+            lab.alias("_y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            prnd(F.avg("_s"), 6).alias("mean_score"),
+            prnd(F.avg("_y"), 6).alias("positive_rate"),
+        )
+    )

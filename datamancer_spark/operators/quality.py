@@ -605,6 +605,72 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated-bigram perplexity proxy: per document, the mean
+    negative log-probability of its token bigrams under the corpus's
+    own interpolated LM, P = λ·P(w₂|w₁) + (1−λ)·P(w₂) — one step up
+    from ``unigram_logprob_score`` (context-aware: penalizes unusual
+    token ORDER, not just unusual vocabulary). Documents with fewer
+    than two tokens have no bigrams and are absent from the output.
+    Output: (id, n_bigrams, avg_neg_logprob).
+
+    Plan: bigram pairs come from a narrow array transform (no window,
+    no self-join); the bigram/context/unigram count tables are
+    vocabulary-sized aggregates that AQE broadcasts back onto the pair
+    stream when they fit; one per-doc aggregation ends the plan."""
+    toks_arr = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    d = spread_partitions(df).select(
+        F.col(id_col), toks_arr.alias("_toks")
+    )
+    # F.sequence counts DOWN when start > stop — guard short docs
+    idx = F.when(
+        F.size("_toks") >= 2, F.sequence(F.lit(2), F.size("_toks"))
+    ).otherwise(F.array().cast("array<int>"))
+    bg = d.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("_toks", i - 1).alias("w1"),
+                    F.element_at("_toks", i).alias("w2"),
+                ),
+            )
+        ).alias("_p"),
+    ).select(F.col(id_col), F.col("_p.w1"), F.col("_p.w2"))
+    uni = d.select(F.explode("_toks").alias("_tok"))
+    un = uni.groupBy("_tok").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    total = un.agg(F.sum("_n").alias("_total"))
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_nb")
+    )
+    ctx = bc.groupBy("w1").agg(F.sum("_nb").alias("_nc"))
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(un.withColumnRenamed("_tok", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    F.lit(lam) * (F.col("_nb") / F.col("_nc"))
+                    + F.lit(1.0 - lam) * (F.col("_n") / F.col("_total"))
+                )
+            ).alias("_nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        prnd(F.avg("_nlp"), 6).alias("avg_neg_logprob"),
+    )
+
+
 def dup_cluster_sizes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

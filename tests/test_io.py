@@ -154,3 +154,36 @@ class TestJsonl:
         df = read_jsonl(spark, str(p))
         assert {f.name for f in df.df.schema} == {"id", "x"}
         assert df.df.count() == 2
+
+
+class TestOrc:
+    def test_roundtrip_and_partitioning(self, spark, tmp_path):
+        from datamancer_spark import read_orc, write_orc
+        from datamancer_spark.frame import DamFrame
+
+        df = DamFrame(
+            spark.createDataFrame(
+                [(1, "a", "en"), (2, "b", "de"), (3, "c", "en")],
+                "id long, text string, lang string",
+            )
+        )
+        p = str(tmp_path / "docs_orc")
+        write_orc(df, p, partition_by=["lang"])
+        back = read_orc(spark, p)
+        assert {r["id"] for r in back.collect()} == {1, 2, 3}
+        # partition pruning: lang filter must not appear as a data filter
+        import os
+        assert any(d.startswith("lang=") for d in os.listdir(p))
+
+    def test_pushdown_in_plan(self, spark, tmp_path):
+        from datamancer_spark import read_orc, write_orc
+        from datamancer_spark.frame import DamFrame
+
+        df = DamFrame(spark.range(100).withColumnRenamed("id", "v"))
+        p = str(tmp_path / "nums_orc")
+        write_orc(df, p)
+        plan = (
+            read_orc(spark, p).df.filter("v > 50").select("v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PushedFilters: [IsNotNull(v), GreaterThan(v,50)]" in plan

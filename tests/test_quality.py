@@ -343,3 +343,49 @@ class TestUnigramLogprob:
         out = {r["doc_id"]: r["avg_neg_logprob"]
                for r in unigram_logprob_score(df).collect()}
         assert out[99] > out[0]
+
+
+class TestBigramLogprob:
+    def test_hand_computed(self, spark):
+        from datamancer_spark.operators.quality import bigram_logprob_score
+        import math
+
+        # corpus: doc1 "a b a b", doc2 "a b"
+        # unigrams: a:3 b:3 total 6 -> P(a)=P(b)=0.5
+        # bigrams: (a,b):3, (b,a):1 ; ctx a:3, b:1
+        # P(b|a)=1.0, P(a|b)=1.0
+        d = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in bigram_logprob_score(d).collect()}
+        nlp_ab = -math.log(0.7 * 1.0 + 0.3 * 0.5)  # every bigram same here
+        assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 1
+        assert abs(out[1]["avg_neg_logprob"] - round(nlp_ab, 6)) < 1e-6
+        assert abs(out[2]["avg_neg_logprob"] - round(nlp_ab, 6)) < 1e-6
+
+    def test_short_docs_absent(self, spark):
+        from datamancer_spark.operators.quality import bigram_logprob_score
+
+        d = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "two tokens")], "doc_id long, text string"
+        )
+        ids = {r["doc_id"] for r in bigram_logprob_score(d).collect()}
+        assert ids == {3}
+
+
+class TestCalibrationTable:
+    def test_buckets_and_rates(self, spark):
+        from datamancer_spark.operators.classify import calibration_table
+
+        rows = [
+            (0.05, 0), (0.08, 0),          # bucket 1, rate 0
+            (0.55, 1), (0.52, 0),          # bucket 6, rate 0.5
+            (0.95, 1), (0.99, 1), (1.0, 1) # 0.95/0.99 -> 10; 1.0 -> 11
+        ]
+        d = spark.createDataFrame(rows, "score double, y int")
+        out = {r["bucket"]: r for r in calibration_table(d, "score", "y").collect()}
+        assert out[1]["n"] == 2 and out[1]["positive_rate"] == 0.0
+        assert out[6]["n"] == 2 and out[6]["positive_rate"] == 0.5
+        assert out[10]["n"] == 2 and out[10]["positive_rate"] == 1.0
+        assert out[11]["n"] == 1  # score exactly 1.0 lands in the overflow bin
+        assert abs(out[6]["mean_score"] - 0.535) < 1e-6
