@@ -3019,26 +3019,27 @@ def oracle_sql() -> dict[str, str]:
                           i -> {'w1': toks[i-1], 'w2': toks[i]})) AS p
             FROM t WHERE len(toks) >= 2) u
         ),
+        g AS (
+          SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+          FROM b GROUP BY 1, 2, 3
+        ),
         un AS (
           SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
             SELECT unnest(toks) AS w FROM t) u GROUP BY w
         ),
         tot AS (SELECT sum(n) AS total FROM un),
-        bc AS (
-          SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
-          FROM b GROUP BY 1, 2
-        ),
+        bc AS (SELECT w1, w2, sum(m) AS nb FROM g GROUP BY 1, 2),
         ctx AS (SELECT w1, sum(nb) AS nc FROM bc GROUP BY 1),
         scored AS (
-          SELECT b.doc_id,
+          SELECT g.doc_id, g.m,
                  -ln(0.7 * (bc.nb / nc) + 0.3 * (un.n / total)) AS nlp
-          FROM b
+          FROM g
           JOIN bc USING (w1, w2)
           JOIN ctx USING (w1)
-          JOIN un ON un.w = b.w2, tot
+          JOIN un ON un.w = g.w2, tot
         )
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-               prnd(avg(nlp), 6) AS avg_neg_logprob
+        SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+               prnd(sum(m * nlp) / sum(m), 6) AS avg_neg_logprob
         FROM scored GROUP BY doc_id
     """
 

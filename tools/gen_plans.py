@@ -39,7 +39,17 @@ COMMENT = {
     "q18_big_orders": "Quantity rollup partial-aggregates before its shuffle; the tiny survivor set broadcast-joins to orders and customer.",
     "grouped_mutate_150k": "fkScalar rewrite: one partial aggregation over ~150k groups + one equi-join back on the group key — the reference's published anchor shape.",
     "cohort_retention_weekly": "First-event agg keyed by user (the only corpus-sized shuffle), joined back, then a tiny (cohort, offset) rollup.",
-    "funnel_view_click_purchase": "One user-keyed agg + join per funnel step over the type-filtered scan; counts union at the end.",
+    "funnel_view_click_purchase": "r4 single-pass rewrite (was 11 exchanges / 6 scans): one type-filtered scan, one user-keyed collect_list shuffle, then a per-user `F.aggregate` fold computes every step's conversion time in a k-slot array — exchange count constant in the number of steps; guarded by test_retention.py::test_single_corpus_shuffle.",
+    "classifier_score": "Pure projection: one F.aggregate fold per doc computes the hashed bag-of-words logit inside whole-stage codegen; the single exchange is the bench harness's spread_partitions round-robin, not the operator (zero-shuffle pinned by test_round4_ops.py).",
+    "cap_per_source": "One key-partitioned window (row_number over md5 order) then filter — the minimal per-key cap plan; AQE skew-split covers mega-domains.",
+    "trailing_hour_value": "Native RANGE frame over integer epoch seconds: one window sort per user, no interval self-join (guarded by test: \"Join\" not in plan).",
+    "resample_user_hourly": "Bounds agg (user-keyed) -> grid via sequence+explode executor-side -> broadcast join of per-bucket last values -> one ffill window sharing the user partitioning. Grid size bounded per key; no driver loops.",
+    "dedup_fuzzy_incremental": "ONE signature pass over the tagged union of snapshot+history (single materialization both sides filter); band keys on DISTINCT signatures per side; (band,bhash) equi-join yields candidate pairs; exact Jaccard runs only on semi-join-shrunk candidate docs; survivors come from one anti join. No cartesian (plan-pinned).",
+    "chunk_sliding_windows": "Zero-shuffle narrow projection: split -> sequence -> explode -> slice; output is ~tokens/stride rows per doc, all partition-local (pinned: no Exchange, no Python).",
+    "weighted_sample_langs": "One lang-keyed window ranking md5-derived exponential priorities (A-ES weighted sampling); no global sort, no RNG state to lose on retry.",
+    "purchase_followup_views": "Non-equi interval containment executed as an equi-join on (user, hour-bin) + exact filter — never a broadcast-nested-loop (plan-pinned); one agg shuffle for per-purchase counts.",
+    "bigram_perplexity_proxy": "Bigram pairs from a narrow array transform (no window, no self-join) reduced to per-doc pair multiplicities; corpus bigram/context tables derive from that reduction. Pair pass deliberately un-checkpointed: consumers re-run the cheap narrow scan (measured ~5x faster than pinning the corpus-sized pair stream); scans stay columnar-pruned.",
+    "score_calibration_en": "Classifier scoring stays a zero-shuffle projection; the calibration rollup is one partial-aggregated shuffle over at most 12 groups.",
 }
 
 
