@@ -294,8 +294,104 @@ def main() -> None:
         print(tag, times)
 
 
+def r4_study() -> None:
+    """Round-4 operator scaling rows → appended to SCALING.md.
+
+    Documents use the constant-density vocabulary isomorphism (so the
+    fuzzy cross-snapshot dedup's candidate volume grows linearly by
+    construction); events use id-offset copies (distinct users per
+    copy, so interval-join fan-out per user is constant)."""
+    from pyspark.sql import functions as F
+
+    from datamancer_spark import get_spark, load_tables
+    from datamancer_spark.operators.dedup import fuzzy_dedup_against
+    from datamancer_spark.operators.quality import (
+        bigram_logprob_score,
+        chunk_documents,
+    )
+    from datamancer_spark.operators.sampling import weighted_sample
+    from datamancer_spark.operators.timeseries import interval_join
+
+    spark = get_spark(app_name="scale-r4")
+    base = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="scale_r4_")
+    dirs = {1: base}
+    copies_of = {}
+    for c in (4, 16):
+        out = f"{tmp}/x{c}"
+        synth_constant_density(spark, base, out, c)
+        # events: id-offset copies, users disjoint per copy
+        ev = load_tables(spark, base, ["events"])["events"].df
+        n_ev = ev.count()
+        copies_df = spark.range(c).withColumnRenamed("id", "copy")
+        big_ev = (
+            ev.crossJoin(copies_df)
+            .withColumn("event_id", F.col("event_id") + F.col("copy") * n_ev)
+            .withColumn("user_id", F.col("user_id") + F.col("copy") * 1000)
+            .drop("copy")
+        )
+        big_ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+        dirs[c] = out
+        copies_of[c] = c
+
+    SEEN = ("src0", "src1", "src2", "src3", "src4")
+
+    def run(tag, fn, needs=("documents",)):
+        times = {}
+        for c, d in dirs.items():
+            t = load_tables(spark, d, list(needs))
+            t0 = time.time()
+            out = fn(*[t[n].df for n in needs])
+            out.write.format("noop").mode("overwrite").save()
+            times[c] = round(time.time() - t0, 2)
+        return tag, times
+
+    def _fuzzy(doc):
+        seen = doc.filter(F.col("source").isin(*SEEN))
+        new = doc.filter(~F.col("source").isin(*SEEN))
+        return fuzzy_dedup_against(new, seen)
+
+    def _ijoin(ev):
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("interval 1 hour")).alias("e"))
+        v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+        return interval_join(v, p, "ts", "s", "e", keys=["user_id"],
+                             closed="right").groupBy("pid").count()
+
+    results = [
+        run("fuzzy_dedup_against", _fuzzy),
+        run("chunk_documents", lambda d: chunk_documents(d, chunk_tokens=32, stride=24)),
+        run("weighted_sample", lambda d: weighted_sample(d, "n_chars", 20, ["lang"])),
+        run("bigram_logprob_score", lambda d: bigram_logprob_score(d)),
+        run("interval_join", _ijoin, needs=("events",)),
+    ]
+
+    lines = [
+        "",
+        "## Round-4 operators (constant-density docs / disjoint-user events)",
+        "",
+        "| operator | 1x (s) | 4x (s) | 16x (s) | 16x/1x |",
+        "|---|---|---|---|---|",
+    ]
+    for tag, times in results:
+        ratio = round(times[16] / times[1], 1) if times[1] else float("nan")
+        lines.append(
+            f"| {tag} | {times[1]} | {times[4]} | {times[16]} | {ratio}x |"
+        )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALING.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended round-4 section to SCALING.md")
+    for tag, times in results:
+        print(tag, times)
+
+
 if __name__ == "__main__":
     if "--density" in sys.argv:
         density_study()
+    elif "--r4" in sys.argv:
+        r4_study()
     else:
         main()
