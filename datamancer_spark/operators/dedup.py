@@ -462,6 +462,118 @@ def fuzzy_dedup_against(
     return new.join(flagged, id_col, "left_anti")
 
 
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Build the persisted fuzzy-dedup index for a corpus: one row per
+    doc with everything cross-snapshot probing needs — (id, sig:
+    array<long>, shs: array<long> hashed shingles, sz) — so the next
+    snapshot can be screened WITHOUT re-reading or re-tokenizing the
+    history (``fuzzy_dedup_against`` recomputes the seen side each run;
+    at 100 TB you build this once per ingest and append).
+
+    Plan: a ZERO-SHUFFLE projection — the shingle array is hashed once
+    per row and each signature slot is an ``array_min`` over the k-th
+    affine rehash of that array (bit-identical to the relational
+    ``minhash_signature``, which derives the same minima via
+    explode+groupBy; equivalence pinned by test). Write it with
+    ``write_parquet(..., partition_by=...)`` like any frame."""
+    coeffs = minhash_coeffs(num_hashes)
+    shs = F.transform(
+        word_shingles(F.col(text_col), shingle_n), lambda s: hash32(s)
+    )
+    d = df.select(F.col(id_col), shs.alias("shs"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shs"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
+                )
+            )
+            for a, b in coeffs
+        ]
+    )
+    return d.select(
+        F.col(id_col),
+        sig.alias("sig"),
+        F.col("shs"),
+        F.size("shs").cast("long").alias("sz"),
+    )
+
+
+def fuzzy_dedup_against_index(
+    new: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``fuzzy_dedup_against`` probing a PREBUILT history index (from
+    ``build_minhash_index``) instead of the history corpus: the history
+    text never loads, its shingles never recompute — band candidates
+    come from the index's signatures, exact-Jaccard verification from
+    the index's stored shingle arrays. Output and semantics are
+    identical to ``fuzzy_dedup_against(new, seen)`` when ``index =
+    build_minhash_index(seen)`` (pinned by test)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    ni = materialize(
+        build_minhash_index(new, text_col, id_col, num_hashes, shingle_n)
+    )
+    bn = _band_keys(ni.select("sig").distinct(), num_hashes, bands)
+    bs = _band_keys(
+        index.select("sig").distinct(), num_hashes, bands
+    ).withColumnRenamed("sig", "sig_seen")
+    sig_cands = (
+        bn.join(
+            bs, (bn["band"] == bs["band"]) & (bn["bhash"] == bs["bhash"])
+        )
+        .select("sig", "sig_seen")
+        .distinct()
+    )
+    cands = materialize(
+        sig_cands.join(ni.select(F.col(id_col).alias("_nid"), "sig"), "sig")
+        .join(
+            index.select(F.col(id_col).alias("_sid"), F.col("sig").alias("sig_seen")),
+            "sig_seen",
+        )
+        .select("_nid", "_sid")
+    )
+    arr_n = ni.join(
+        cands.select(F.col("_nid").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("_nid"), "shs", F.col("sz").alias("sz_n"))
+    arr_s = index.join(
+        cands.select(F.col("_sid").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("_sid"), "shs", F.col("sz").alias("sz_s"))
+    ex_n = arr_n.select("_nid", "sz_n", F.explode("shs").alias("sh"))
+    ex_s = arr_s.select("_sid", "sz_s", F.explode("shs").alias("sh"))
+    inter = (
+        ex_n.join(ex_s, "sh")
+        .groupBy("_nid", "_sid", "sz_n", "sz_s")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cands, ["_nid", "_sid"], "left_semi")
+    )
+    flagged = (
+        inter.filter(
+            F.col("inter") / (F.col("sz_n") + F.col("sz_s") - F.col("inter"))
+            >= threshold
+        )
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    return new.join(flagged, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

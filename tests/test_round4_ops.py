@@ -409,3 +409,47 @@ class TestIntervalJoin:
             (F.col("ts") + F.expr("interval 1 hour")).alias("e"))
         p = _plan(interval_join(ev, iv, "ts", "s", "e", keys=["user_id"]))
         assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+
+
+class TestMinhashIndexLifecycle:
+    """build_minhash_index + fuzzy_dedup_against_index: the persisted
+    dedup-index path must be a zero-shuffle build and produce exactly
+    the direct fuzzy_dedup_against output when probed."""
+
+    def test_index_build_zero_shuffle(self, spark, sf_dir):
+        from datamancer_spark.operators.dedup import build_minhash_index
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        p = _plan(build_minhash_index(doc))
+        assert "Exchange" not in p and "Python" not in p
+
+    def test_signatures_match_relational_path(self, spark, sf_dir):
+        from datamancer_spark.operators.dedup import (
+            build_minhash_index,
+            minhash_signature,
+        )
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+        a = {r["doc_id"]: r["sig"] for r in build_minhash_index(doc).collect()}
+        b = {r["doc_id"]: r["sig"] for r in minhash_signature(doc).collect()}
+        assert a == b
+
+    def test_probe_equals_direct(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+        from datamancer_spark.operators.dedup import (
+            build_minhash_index,
+            fuzzy_dedup_against,
+            fuzzy_dedup_against_index,
+        )
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        seen = doc.filter(F.col("source").isin("src0", "src1", "src2"))
+        new = doc.filter(~F.col("source").isin("src0", "src1", "src2"))
+        # persist + reload the index, as the real lifecycle would
+        ipath = str(tmp_path / "mh_index")
+        build_minhash_index(seen).write.mode("overwrite").parquet(ipath)
+        index = spark.read.parquet(ipath)
+        direct = {r["doc_id"] for r in fuzzy_dedup_against(new, seen).collect()}
+        probed = {r["doc_id"]
+                  for r in fuzzy_dedup_against_index(new, index).collect()}
+        assert probed == direct
