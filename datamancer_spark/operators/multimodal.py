@@ -6,12 +6,19 @@ extraction as pure Catalyst expressions over the bytes (magic sniffing,
 sizes), and decode/feature stages as Arrow-batched ``mapInPandas``
 pipelines.
 
-The actual codec step is STUBBED in this environment (no PIL/ffmpeg in
-the container): ``decode_images`` raises ``NotImplementedError`` unless
-``allow_fake=True``, which substitutes a deterministic md5-derived fake
-decode so the Spark-side plumbing — schema, batch iteration, partition
-shape, output contract — is real and testable end-to-end. Swapping in a
-real codec changes only the marked inner function.
+Two tiers:
+
+- **Header metadata — REAL.** Container headers are plain bytes, so
+  ``image_dimensions`` (PNG/GIF/BMP in pure Catalyst, JPEG via a
+  stdlib marker walk) and ``wav_metadata`` (canonical RIFF layout in
+  pure Catalyst) parse actual on-disk formats with no codec library.
+- **Pixel/sample decode — STUBBED** in this environment (no PIL/ffmpeg
+  in the container): ``decode_images`` raises ``NotImplementedError``
+  unless ``allow_fake=True``, which substitutes a deterministic
+  md5-derived fake decode so the Spark-side plumbing — schema, batch
+  iteration, partition shape, output contract — is real and testable
+  end-to-end. Swapping in a real codec changes only the marked inner
+  function.
 
 Scale notes: binary payloads never shuffle — every stage here is
 narrow (mapInPandas over the scan); only extracted features (small
@@ -241,3 +248,199 @@ def audio_features(
             yield pd.DataFrame(rows)
 
     return df.select("path", bin_col).mapInPandas(batches, AUDIO_SCHEMA)
+
+
+# -- REAL header metadata (no codec libraries needed) ------------------------
+#
+# Pixel/sample DECODE needs PIL/ffmpeg (absent here, stubbed above) — but
+# container HEADERS are plain bytes. These parsers are real, not stubs:
+# PNG/GIF/BMP dimensions and canonical WAV metadata are pure Catalyst
+# expressions (substring on binary + hex + conv, evaluated JVM-side next
+# to the scan); JPEG needs a marker walk (variable-length segments), done
+# with the stdlib only in an Arrow-batched mapInPandas.
+
+
+def _be_u32(b: F.Column, pos: int) -> F.Column:
+    """Big-endian uint32 at 1-based byte offset ``pos`` of a binary col."""
+    return F.conv(F.hex(F.substring(b, pos, 4)), 16, 10).cast("long")
+
+
+def _le_u32(b: F.Column, pos: int) -> F.Column:
+    """Little-endian uint32: byte-swap via per-byte hex concat."""
+    return F.conv(
+        F.concat(*[F.hex(F.substring(b, pos + i, 1)) for i in (3, 2, 1, 0)]),
+        16,
+        10,
+    ).cast("long")
+
+
+def _le_u16(b: F.Column, pos: int) -> F.Column:
+    return F.conv(
+        F.concat(F.hex(F.substring(b, pos + 1, 1)), F.hex(F.substring(b, pos, 1))),
+        16,
+        10,
+    ).cast("long")
+
+
+def png_dimensions(b: F.Column) -> F.Column:
+    """(width, height) struct from a PNG's IHDR chunk — the IHDR data
+    always starts at byte 17 (8 sig + 4 len + 4 type). NULL if not PNG."""
+    return F.when(
+        F.hex(F.substring(b, 1, 4)) == F.lit(b"\x89PNG".hex().upper()),
+        F.struct(
+            _be_u32(b, 17).alias("width"), _be_u32(b, 21).alias("height")
+        ),
+    )
+
+
+def gif_dimensions(b: F.Column) -> F.Column:
+    """(width, height) from a GIF logical screen descriptor (LE u16 at
+    bytes 7-10). NULL if not GIF."""
+    return F.when(
+        F.substring(b, 1, 4).cast("string") == "GIF8",
+        F.struct(
+            _le_u16(b, 7).alias("width"), _le_u16(b, 9).alias("height")
+        ),
+    )
+
+
+def bmp_dimensions(b: F.Column) -> F.Column:
+    """(width, height) from a BITMAPINFOHEADER (LE i32 at bytes 19-26).
+    NULL if not BMP."""
+    return F.when(
+        F.substring(b, 1, 2).cast("string") == "BM",
+        F.struct(
+            _le_u32(b, 19).alias("width"), _le_u32(b, 23).alias("height")
+        ),
+    )
+
+
+JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xCF + 1)
+) - {0xC4, 0xC8, 0xCC}  # SOFn, excluding DHT/JPG/DAC
+
+
+def _jpeg_dims(blob: bytes) -> tuple[int, int] | None:
+    """Walk JPEG segments to the first SOFn frame header (stdlib only).
+    Height/width are big-endian u16 at offsets 3/5 of the SOF payload."""
+    if len(blob) < 4 or blob[0] != 0xFF or blob[1] != 0xD8:
+        return None
+    i = 2
+    n = len(blob)
+    while i + 4 <= n:
+        if blob[i] != 0xFF:
+            i += 1  # padding/garbage: resync
+            continue
+        marker = blob[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers have no length field
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = (blob[i + 2] << 8) | blob[i + 3]
+        if marker in JPEG_SOF_MARKERS:
+            if i + 9 > n:
+                return None
+            h = (blob[i + 5] << 8) | blob[i + 6]
+            w = (blob[i + 7] << 8) | blob[i + 8]
+            return (w, h)
+        i += 2 + seg_len
+    return None
+
+
+IMAGE_DIMS_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def image_dimensions(df: DataFrame, bin_col: str = "content") -> DataFrame:
+    """REAL image dimensions from container headers — no codec library.
+
+    PNG/GIF/BMP parse as pure Catalyst expressions (JVM-side, next to
+    the scan, zero Python); JPEG requires a variable-length marker walk,
+    so JPEG rows — and only JPEG rows — route through an Arrow-batched
+    stdlib parser. Output: (path, kind, width, height); width/height
+    NULL when the container is unrecognized or truncated.
+
+    Scale shape: the Catalyst branch is a narrow projection; the JPEG
+    branch is mapInPandas over a filtered scan — payload bytes never
+    shuffle, and the union is of two narrow legs."""
+    b = F.col(bin_col)
+    kind = sniff_kind(b)
+    base = df.select("path", b.alias("_b"), kind.alias("kind"))
+    catalyst = (
+        base.filter(~F.col("kind").eqNullSafe("image/jpeg"))
+        .select(
+            "path",
+            "kind",
+            F.coalesce(
+                png_dimensions(F.col("_b")),
+                gif_dimensions(F.col("_b")),
+                bmp_dimensions(F.col("_b")),
+            ).alias("_d"),
+        )
+        .select(
+            "path",
+            "kind",
+            F.col("_d.width").alias("width"),
+            F.col("_d.height").alias("height"),
+        )
+    )
+
+    def jpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"path": [], "kind": [], "width": [], "height": []}
+            for path, blob in zip(pdf["path"], pdf["_b"]):
+                dims = _jpeg_dims(bytes(blob))
+                rows["path"].append(path)
+                rows["kind"].append("image/jpeg")
+                rows["width"].append(dims[0] if dims else None)
+                rows["height"].append(dims[1] if dims else None)
+            yield pd.DataFrame(rows)
+
+    jpeg = base.filter(F.col("kind") == "image/jpeg").mapInPandas(
+        jpeg_batches, IMAGE_DIMS_SCHEMA
+    )
+    return catalyst.unionByName(jpeg)
+
+
+def wav_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:
+    """REAL WAV (RIFF) metadata from the canonical header layout —
+    pure Catalyst, no audio library: channels (LE u16 @ byte 23),
+    sample_rate (LE u32 @ 25), bits_per_sample (LE u16 @ 35), and
+    duration from the data-chunk size when the layout is canonical
+    (fmt chunk of length 16 at byte 13, data chunk directly after —
+    the layout every standard PCM writer emits). Non-canonical or
+    non-WAV rows yield NULLs rather than wrong numbers: the 'WAVE'
+    tag, fmt length, and 'data' tag are all checked."""
+    b = F.col(bin_col)
+    is_riff_wave = (
+        (F.substring(b, 1, 4).cast("string") == "RIFF")
+        & (F.substring(b, 9, 4).cast("string") == "WAVE")
+        & (F.substring(b, 13, 4).cast("string") == "fmt ")
+        & (_le_u32(b, 17) == 16)  # canonical PCM fmt chunk
+        & (F.substring(b, 37, 4).cast("string") == "data")
+    )
+    channels = _le_u16(b, 23)
+    rate = _le_u32(b, 25)
+    bits = _le_u16(b, 35)
+    data_size = _le_u32(b, 41)
+    bytes_per_s = rate * channels * (bits / F.lit(8.0))
+    return df.select(
+        "path",
+        F.when(is_riff_wave, channels).alias("channels"),
+        F.when(is_riff_wave, rate).alias("sample_rate"),
+        F.when(is_riff_wave, bits).alias("bits_per_sample"),
+        F.when(
+            is_riff_wave & (bytes_per_s > 0),
+            F.round(data_size / bytes_per_s, 6),
+        ).alias("duration_s"),
+    )
