@@ -148,3 +148,91 @@ def test_sessionize_matches_python_reference(spark, events):
             expect[eid] = idx
             prev = ts
     assert got == expect
+
+
+# --- round-4 operator laws ---------------------------------------------------
+
+TEXTS = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=TEXTS, chunk=st.integers(2, 6), stride=st.integers(1, 6))
+@SETTINGS
+def test_chunk_documents_covers_every_token(spark, texts, chunk, stride):
+    """Chunking laws for any doc set and window/stride: (1) chunk count
+    matches the closed form; (2) concatenating chunk 0 and each chunk's
+    tail beyond the overlap reconstructs the token stream exactly."""
+    if stride > chunk:
+        stride = chunk
+    from datamancer_spark.operators.quality import chunk_documents
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(d, chunk_tokens=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in rows:
+        toks = [w for w in t.lower().strip().split() if w]
+        n = len(toks)
+        expected = 1 + max(0, -(-(n - chunk) // stride)) if n > chunk else 1
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert len(chunks) == expected
+        # reconstruction: chunk k contributes tokens [k*stride+overlapped:]
+        rebuilt = []
+        for k, c in enumerate(chunks):
+            ctoks = c["chunk_text"].split() if c["chunk_text"] else []
+            skip = 0 if k == 0 else len(rebuilt) - k * stride
+            rebuilt.extend(ctoks[skip:])
+        assert rebuilt == toks
+
+
+@given(
+    weights=st.lists(st.floats(0.1, 100, allow_nan=False), min_size=1, max_size=20),
+    k=st.integers(1, 8),
+)
+@SETTINGS
+def test_weighted_sample_is_subset_of_size_min_k_n(spark, weights, k):
+    from datamancer_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    d = spark.createDataFrame(rows, "doc_id long, w double")
+    out = [r["doc_id"] for r in weighted_sample(d, "w", k).collect()]
+    assert len(out) == min(k, len(rows))
+    assert len(set(out)) == len(out)
+    assert set(out) <= {i for i, _ in rows}
+
+
+@given(
+    pts=st.lists(st.integers(0, 500), min_size=1, max_size=15),
+    ivs=st.lists(st.tuples(st.integers(0, 500), st.integers(0, 120)),
+                 min_size=1, max_size=8),
+    bucket=st.sampled_from([7, 60, 3600]),
+)
+@SETTINGS
+def test_interval_join_matches_naive(spark, pts, ivs, bucket):
+    """For any points/intervals and any bucket size, the binned
+    equi-join must produce exactly the naive O(n*m) containment set."""
+    from datetime import datetime, timedelta
+    from datamancer_spark.operators.timeseries import interval_join
+
+    base = datetime(2024, 1, 1)
+    p_rows = [(i, base + timedelta(seconds=s)) for i, s in enumerate(pts)]
+    iv_rows = [
+        (j, base + timedelta(seconds=s), base + timedelta(seconds=s + d))
+        for j, (s, d) in enumerate(ivs)
+    ]
+    pdf = spark.createDataFrame(p_rows, "pid long, ts timestamp")
+    ivdf = spark.createDataFrame(iv_rows, "iid long, s timestamp, e timestamp")
+    got = {(r["pid"], r["iid"]) for r in interval_join(
+        pdf, ivdf, "ts", "s", "e", bucket_seconds=bucket).collect()}
+    want = {
+        (i, j)
+        for i, t in p_rows
+        for j, s, e in iv_rows
+        if s <= t <= e
+    }
+    assert got == want
