@@ -1160,6 +1160,33 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semantic_dedup): IVF-cluster the embeddings with the deterministic
+    md5 codebook (same 8 centroids the knn_ivf oracle inlines), then
+    drop any vector whose cluster holds an earlier vector with cosine
+    ≥ 0.35 — the predecessor-pair rule, fully relational so DuckDB
+    replicates it exactly. Quadratic work is bounded to within-cluster
+    pairs, never the corpus."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    codebook = np.asarray(S.plane_matrix(8, 64, seed=7))
+    return S.semantic_dedup(emb, codebook, threshold=0.35).select("vec_id")
+
+
+def ivf_cluster_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-tightness profile over the IVF partition (operators/
+    similarity.py ivf_cluster_profile): per centroid, member count and
+    mean member→centroid cosine — the inspection view used to pick
+    semantic-dedup thresholds. One assignment map + one tiny rollup."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    codebook = np.asarray(S.plane_matrix(8, 64, seed=7))
+    return S.ivf_cluster_profile(emb, codebook)
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     return (
@@ -1565,14 +1592,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_histogram": dup_cluster_histogram,
         # -- text analysis north star (4; text_fingerprint moved out r4)
         "text_quality": text_quality,
-        "text_langid": text_langid,
         "tfidf_top_terms": tfidf_top_terms,
         # -- sampling / split north star (3; winsorize_prices moved out
         # -- r4 — driver-green r3, price_histogram covers the family)
         "train_test_split": train_test_split,
         "stratified_sample_counts": stratified_sample_counts,
         "weighted_sample_langs": weighted_sample_langs,
-        "price_histogram": price_histogram,
         # -- SQL + end-to-end pipeline (2)
         "pipeline_clean_corpus": pipeline_clean_corpus,
         # -- dedup north star (8)
@@ -1585,10 +1610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_bucketed": dedup_embedding_bucketed,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         # -- similarity search north star (4) — position 50 ends here
         "knn_brute": knn_brute,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
+        "ivf_cluster_profile": ivf_cluster_profile_q,
         "embedding_stats": embedding_stats,
         # ---- beyond the driver's 50-entry check window: redundant
         # ---- surface demos (plus round-2 demotions: anti_join's 0-row
@@ -1598,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spread_pivot": spread_pivot,
         "gather_melt": gather_melt,
         "text_stats": text_stats,
+        "text_langid": text_langid,
+        "price_histogram": price_histogram,
         "sql_interface": sql_interface,
         "filter_select": filter_select,
         "arrange_head": arrange_head,
@@ -2590,6 +2619,45 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored) t
         WHERE rank <= 5
+    """
+
+    # Shared IVF assignment CTE (same 8 inlined centroids as knn_ivf):
+    # nearest centroid by L2, ties to the lowest centroid id.
+    _ivf_asn = f"""cents(cid, cv) AS (
+          VALUES {cent_rows}
+        ),
+        asn AS (
+          SELECT vec_id, embedding, cid AS centroid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c) t
+          WHERE rn = 1
+        )"""
+
+    sql["semantic_dedup_embeddings"] = f"""
+        WITH {_ivf_asn},
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM asn a JOIN asn b
+            ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+          WHERE prnd(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 6)
+                >= 0.35
+        )
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+    sql["ivf_cluster_profile"] = f"""
+        WITH {_ivf_asn}
+        SELECT a.centroid, CAST(count(*) AS BIGINT) AS n,
+               prnd(avg(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                c.cv)), 6) AS mean_cos
+        FROM asn a JOIN cents c ON c.cid = a.centroid
+        GROUP BY a.centroid
     """
 
     sql["embedding_stats"] = """

@@ -85,6 +85,8 @@ HEADLINE = [
     "purchase_followup_views",
     "bigram_perplexity_proxy",
     "score_calibration_en",
+    "semantic_dedup_embeddings",
+    "ivf_cluster_profile",
 ]
 
 

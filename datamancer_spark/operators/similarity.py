@@ -346,3 +346,134 @@ def knn_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# -- IVF cluster analytics / semantic dedup ----------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    codebook,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest codebook centroid
+    (squared-L2 argmin; ties break to the lowest centroid id, matching
+    numpy argmin and the oracle's row_number order). One Arrow-batched
+    map over the scan — the vector rides through the batch, so there is
+    NO join-back shuffle. Output: (id, vec, centroid)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    centers = np.asarray(codebook, dtype=np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast(centers)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(vec_col, corpus.schema[vec_col].dataType),
+            StructField("centroid", LongType()),
+        ]
+    )
+
+    def batches(it):
+        C = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().astype(np.int64),
+                    vec_col: pdf[vec_col],
+                    "centroid": d2.argmin(axis=1).astype(np.int64),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(batches, schema)
+
+
+def ivf_cluster_profile(
+    corpus: DataFrame,
+    codebook,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster corpus profile over an IVF partition: member count
+    and mean cosine of members to their centroid (cluster tightness) —
+    the inspection view behind SemDeDup-style curation (tight clusters ⇒
+    semantic near-duplicates; loose ⇒ topical diversity).
+
+    Plan: one assignment map + a broadcast join to the (tiny) centroid
+    table + one partial-aggregated shuffle over num_centroids groups."""
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(codebook)],
+        f"centroid long, _cv array<double>",
+    )
+    assigned = ivf_assign(corpus, codebook, vec_col, id_col)
+    return (
+        assigned.join(F.broadcast(cents), "centroid")
+        .select(
+            "centroid",
+            cosine(F.col(vec_col), F.col("_cv")).alias("_cos"),
+        )
+        .groupBy("centroid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            prnd(F.avg("_cos"), 6).alias("mean_cos"),
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    codebook,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop a vector when an
+    earlier (smaller-id) vector in the SAME IVF cluster has cosine ≥
+    ``threshold``. Returns surviving corpus rows (all columns).
+
+    This is the predecessor-pair rule — i is dropped iff ∃ j<i in its
+    cluster with cos(i,j) ≥ threshold — which is order-deterministic and
+    fully relational (no sequential greedy state), so the DuckDB oracle
+    replicates it exactly. It drops a superset of the greedy-keeper
+    variant's drops within each similarity clique, which is the safe
+    direction for dedup.
+
+    Plan: assignment map (no shuffle) → ONE shuffle grouping each
+    cluster → per-cluster BLAS kernel (normalized Gram matrix, the same
+    portable floor-rounding as ``embedding_dedup_pairs``) emitting
+    dropped ids → anti join. The quadratic term is bounded to
+    within-cluster pairs — size ``num_centroids`` so clusters fit a
+    task's memory (m² matrix per cluster); the relational per-pair
+    Catalyst-fold variant measured ~10× slower at 5k vectors because
+    each 64-dim cosine re-evaluates as an interpreted expression per
+    pair, while the kernel is one matmul per cluster. Only (id, vec,
+    centroid) ever shuffles, never the corpus's other columns."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    assigned = ivf_assign(corpus, codebook, vec_col, id_col)
+    out_schema = StructType([StructField(id_col, LongType())])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids)  # predecessor rule is id-ordered
+        ids = ids[order]
+        V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)[order]
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1.0  # zero vectors: cos undefined -> never similar
+        Vn = V / n
+        sims = Vn @ Vn.T
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6  # portable prnd(…, 6)
+        hit = np.triu(sims >= threshold, k=1)  # [j, i] with j < i
+        return pd.DataFrame({id_col: ids[hit.any(axis=0)]})
+
+    dropped = assigned.groupBy("centroid").applyInPandas(kernel, out_schema)
+    return corpus.join(dropped, id_col, "left_anti")

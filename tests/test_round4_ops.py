@@ -453,3 +453,44 @@ class TestMinhashIndexLifecycle:
         probed = {r["doc_id"]
                   for r in fuzzy_dedup_against_index(new, index).collect()}
         assert probed == direct
+
+
+class TestSemanticDedup:
+    def _codebook(self):
+        import numpy as np
+        return np.array([[1.0, 0.0], [0.0, 1.0]])
+
+    def test_predecessor_rule(self, spark):
+        from datamancer_spark.operators.similarity import semantic_dedup
+
+        # cluster x-axis: 1 and 2 nearly parallel (cos ~1) -> 2 dropped;
+        # cluster y-axis: 3 alone survives; 4 orthogonal-ish to 1 in the
+        # x cluster? (0.9, 0.44): cos(1,4)=0.9 -> dropped at thr 0.8
+        rows = [
+            (1, [1.0, 0.0]), (2, [0.99, 0.14]),
+            (3, [0.0, 1.0]), (4, [0.9, 0.44]),
+        ]
+        d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept = {r["vec_id"] for r in
+                semantic_dedup(d, self._codebook(), threshold=0.8).collect()}
+        assert kept == {1, 3}
+
+    def test_cross_cluster_pairs_never_compared(self, spark):
+        from datamancer_spark.operators.similarity import semantic_dedup
+
+        # identical vectors but forced into different clusters survive
+        rows = [(1, [1.0, 0.04]), (2, [0.04, 1.0])]
+        d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept = {r["vec_id"] for r in
+                semantic_dedup(d, self._codebook(), threshold=0.0).collect()}
+        assert kept == {1, 2}
+
+    def test_cluster_profile(self, spark):
+        from datamancer_spark.operators.similarity import ivf_cluster_profile
+
+        rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+        d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["centroid"]: r for r in
+               ivf_cluster_profile(d, self._codebook()).collect()}
+        assert out[0]["n"] == 2 and out[1]["n"] == 1
+        assert out[0]["mean_cos"] == 1.0 and out[1]["mean_cos"] == 1.0

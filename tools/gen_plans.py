@@ -50,6 +50,8 @@ COMMENT = {
     "purchase_followup_views": "Non-equi interval containment executed as an equi-join on (user, hour-bin) + exact filter — never a broadcast-nested-loop (plan-pinned); one agg shuffle for per-purchase counts.",
     "bigram_perplexity_proxy": "Bigram pairs from a narrow array transform (no window, no self-join) reduced to per-doc pair multiplicities; corpus bigram/context tables derive from that reduction. Pair pass deliberately un-checkpointed: consumers re-run the cheap narrow scan (measured ~5x faster than pinning the corpus-sized pair stream); scans stay columnar-pruned.",
     "score_calibration_en": "Classifier scoring stays a zero-shuffle projection; the calibration rollup is one partial-aggregated shuffle over at most 12 groups.",
+    "semantic_dedup_embeddings": "IVF assignment map (vector rides the Arrow batch, no join-back) -> one cluster-keyed shuffle -> per-cluster BLAS Gram kernel emits dropped ids -> anti join. Quadratic work bounded to within-cluster pairs; the per-pair Catalyst-fold variant measured ~10x slower.",
+    "ivf_cluster_profile": "Assignment map + broadcast join to the tiny centroid table + one partial-aggregated rollup over num_centroids groups.",
 }
 
 
