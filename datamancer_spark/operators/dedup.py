@@ -462,6 +462,54 @@ def fuzzy_dedup_against(
     return new.join(flagged, id_col, "left_anti")
 
 
+def sig_from_shingle_hashes(shs: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as a per-row expression over a hashed-shingle
+    array: slot k = array_min of the k-th affine rehash. Bit-identical
+    to the relational ``minhash_signature`` (same coefficients), but
+    zero-shuffle — usable in streaming projections and index builds."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shs,
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
+                )
+            )
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    )
+
+
+def band_hash_columns(
+    sig: Column, num_hashes: int = 16, bands: int = 4
+) -> list[Column]:
+    """The b LSH band hashes of a signature as SEPARATE columns (md5 of
+    each band's r slots — same construction as ``_band_keys``, which
+    explodes them to rows instead). Column form suits streaming plans,
+    where per-doc aggregation over exploded band rows would need state."""
+    rows = num_hashes // bands
+    return [
+        F.md5(
+            F.concat_ws(
+                ",", *[sig[b * rows + r].cast("string") for r in range(rows)]
+            )
+        ).alias(f"bhash_{b}")
+        for b in range(bands)
+    ]
+
+
+def minhash_band_index(
+    index: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Collapse a ``build_minhash_index`` frame to its DISTINCT
+    (band, bhash) keys — the compact membership structure a streaming
+    screen joins against (one row per occupied band bucket, not per
+    doc)."""
+    return _band_keys(
+        index.select("sig").distinct(), num_hashes, bands
+    ).select("band", "bhash").distinct()
+
+
 def build_minhash_index(
     df: DataFrame,
     text_col: str = "text",
@@ -482,22 +530,11 @@ def build_minhash_index(
     ``minhash_signature``, which derives the same minima via
     explode+groupBy; equivalence pinned by test). Write it with
     ``write_parquet(..., partition_by=...)`` like any frame."""
-    coeffs = minhash_coeffs(num_hashes)
     shs = F.transform(
         word_shingles(F.col(text_col), shingle_n), lambda s: hash32(s)
     )
     d = df.select(F.col(id_col), shs.alias("shs"))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("shs"),
-                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
-                )
-            )
-            for a, b in coeffs
-        ]
-    )
+    sig = sig_from_shingle_hashes(F.col("shs"), num_hashes)
     return d.select(
         F.col(id_col),
         sig.alias("sig"),

@@ -228,3 +228,61 @@ def run_to_memory(result: DataFrame, table: str, mode: str = "update"):
     )
     q.processAllAvailable()
     return q
+
+
+def streaming_fuzzy_screen(
+    stream: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming near-duplicate screen against a PERSISTED history
+    index: drop stream documents that share any MinHash LSH band with
+    the accumulated corpus (``band_index`` = the static distinct
+    (band, bhash) frame from ``operators.dedup.minhash_band_index``).
+
+    This is the band-only high-recall screen — the right split for
+    streaming: per-row signature + band hashes are a pure projection
+    (zero state), membership is b stream-static LEFT joins against the
+    band buckets, and a row survives iff every band misses. Exact
+    Jaccard verification (which needs candidate aggregation state)
+    belongs in the periodic batch compaction, where
+    ``fuzzy_dedup_against_index`` runs it for free.
+
+    The band columns stay COLUMNS, not exploded rows: exploding on a
+    stream would need a per-doc any-band aggregation (watermark +
+    state); column-wise joins keep the plan stateless. Static side per
+    band is one row per occupied bucket — at 100 TB this is the
+    (re-broadcastable) index tier, refreshed on compaction."""
+    from ..operators.dedup import (
+        hash32,
+        band_hash_columns,
+        sig_from_shingle_hashes,
+        word_shingles,
+    )
+
+    shs = F.transform(
+        word_shingles(F.col(text_col), shingle_n), lambda s: hash32(s)
+    )
+    sig = sig_from_shingle_hashes(shs, num_hashes)
+    out = stream.withColumns(
+        {
+            f"bhash_{b}": c
+            for b, c in enumerate(band_hash_columns(sig, num_hashes, bands))
+        }
+    )
+    hit_cols = []
+    for b in range(bands):
+        static_b = band_index.filter(F.col("band") == b).select(
+            F.col("bhash").alias(f"_ib{b}"), F.lit(1).alias(f"_hit{b}")
+        )
+        out = out.join(
+            static_b, out[f"bhash_{b}"] == static_b[f"_ib{b}"], "left"
+        ).drop(f"_ib{b}")
+        hit_cols.append(f"_hit{b}")
+    survivors = out.filter(
+        F.coalesce(*[F.col(h) for h in hit_cols]).isNull()
+    )
+    return survivors.drop(*hit_cols, *[f"bhash_{b}" for b in range(bands)])

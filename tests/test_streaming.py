@@ -276,3 +276,49 @@ def test_stream_stream_interval_join(spark):
             assert pairs == {("p1", "c1")}
         finally:
             q.stop()
+
+
+def test_streaming_fuzzy_screen(spark, tmp_path):
+    """Stream docs are screened against a persisted MinHash band index:
+    exact and near duplicates of history drop in-flight, novel docs
+    survive; the streaming plan is stateless (no aggregation state)."""
+    from datamancer_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_band_index,
+    )
+    from datamancer_spark.streaming import streaming_fuzzy_screen
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow near the old mill")
+    near = base.replace("lazy dog", "sleepy dog")
+    novel = ("astronomy telescopes orbit planets stars galaxies nebulae "
+             "comets asteroids meteors moons eclipses observatories")
+    history = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    bidx = minhash_band_index(build_minhash_index(history))
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_batch(d, "b0.json", [
+        {"ts": "2024-01-01T00:00:00", "user": "u", "text": base, "value": 1.0},
+        {"ts": "2024-01-01T00:01:00", "user": "u", "text": near, "value": 2.0},
+        {"ts": "2024-01-01T00:02:00", "user": "u", "text": novel, "value": 3.0},
+    ])
+    stream = (
+        spark.readStream.schema(SCHEMA).json(d)
+    )
+    out = streaming_fuzzy_screen(stream, bidx)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fuzzy_screen")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT text FROM fuzzy_screen").collect()
+    finally:
+        q.stop()
+    texts = {r["text"] for r in rows}
+    assert texts == {novel}
