@@ -543,6 +543,25 @@ def build_minhash_index(
     )
 
 
+def append_minhash_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Index compaction step: the history index plus the rows for a
+    just-ingested snapshot (typically the SURVIVORS of
+    ``fuzzy_dedup_against_index`` — screen first, then append, so the
+    index never accumulates near-duplicates). Pure union of two
+    zero-shuffle projections; write the result back as the next
+    snapshot's index."""
+    return index.unionByName(
+        build_minhash_index(new_docs, text_col, id_col, num_hashes, shingle_n)
+    )
+
+
 def fuzzy_dedup_against_index(
     new: DataFrame,
     index: DataFrame,

@@ -454,6 +454,25 @@ class TestMinhashIndexLifecycle:
                   for r in fuzzy_dedup_against_index(new, index).collect()}
         assert probed == direct
 
+    def test_append_then_reprobe_is_idempotent(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from datamancer_spark.operators.dedup import (
+            append_minhash_index,
+            build_minhash_index,
+            fuzzy_dedup_against_index,
+        )
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        seen = doc.filter(F.col("source").isin("src0", "src1", "src2"))
+        new = doc.filter(~F.col("source").isin("src0", "src1", "src2"))
+        index = build_minhash_index(seen)
+        survivors = fuzzy_dedup_against_index(new, index)
+        grown = append_minhash_index(index, survivors)
+        assert grown.count() == index.count() + survivors.count()
+        # re-probing the same snapshot against the grown index removes
+        # every row: each survivor now matches its own index entry
+        assert fuzzy_dedup_against_index(new, grown).count() == 0
+
 
 class TestSemanticDedup:
     def _codebook(self):
