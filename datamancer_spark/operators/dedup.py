@@ -196,6 +196,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -203,13 +204,16 @@ def minhash_lsh_pairs(
     (band, band_hash) via self-join → distinct pairs. Band buckets are the
     only join key, so the shuffle is O(docs·b); no quadratic stage. Skewed
     buckets (boilerplate-heavy corpora) are handled by AQE skew-join
-    splitting (enabled in session defaults)."""
+    splitting (enabled in session defaults).
+
+    ``sig``: optionally pass a precomputed, already-materialized
+    (id, sig) frame (e.g. a slice of ``build_minhash_index``) so a
+    composition that also needs shingles computes them once."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
             "the b-bands-of-r-rows scheme requires b*r = k"
         )
-    rows = num_hashes // bands
     # Duplicate-heavy corpora (the whole point of dedup) collapse to far
     # fewer DISTINCT signatures than docs: a group of m identical
     # signatures would fan the band self-join out by m² per band and
@@ -218,9 +222,10 @@ def minhash_lsh_pairs(
     # pairs with two equi-joins, (3) emit identical-signature groups
     # (always candidates — they share every band) directly. Measured
     # 4.5× fewer candidate rows at 16× sf0.1; output set is identical.
-    sig = materialize(
-        minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    )
+    if sig is None:
+        sig = materialize(
+            minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+        )
     # ds is NOT checkpointed: it derives from the pinned sig with one
     # cheap distinct whose exchange Catalyst reuses across both
     # self-join legs (ReusedExchange) — a second eager materialization
@@ -292,7 +297,15 @@ def minhash_dedup_verified(
     ``involved`` union, the subset semi-join, and the final pair
     semi-join); localCheckpoint materializes the signature+banding
     pipeline once instead of re-executing it per consumer (same pattern
-    as bm25's term-count checkpoint — was 22 parquet scans/plan)."""
+    as bm25's term-count checkpoint — was 22 parquet scans/plan).
+
+    A one-pass variant (signatures AND shingles from
+    ``build_minhash_index``'s projection, checkpointed once) was
+    measured 2.2× SLOWER at sf0.1: the 16 per-row array_min folds are
+    interpreted expressions, while the relational signature's min
+    aggregates run in whole-stage codegen — the shingle re-pass over
+    the (small) candidate subset is cheaper than losing codegen on the
+    full corpus."""
     cands = materialize(
         minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
     )
@@ -529,7 +542,14 @@ def build_minhash_index(
     affine rehash of that array (bit-identical to the relational
     ``minhash_signature``, which derives the same minima via
     explode+groupBy; equivalence pinned by test). Write it with
-    ``write_parquet(..., partition_by=...)`` like any frame."""
+    ``write_parquet(..., partition_by=...)`` like any frame.
+
+    Cost note (measured at sf0.1): the per-row folds are interpreted
+    expressions, ~3× more CPU than the relational signature's
+    codegen'd min aggregates — the projection buys ZERO exchanges, the
+    right trade for an index-build write job (scan→project→write, no
+    shuffle at any size); for compute-bound in-job signature use, prefer
+    ``minhash_signature``."""
     shs = F.transform(
         word_shingles(F.col(text_col), shingle_n), lambda s: hash32(s)
     )
