@@ -154,11 +154,23 @@ def main() -> None:
             errors[name] = "missing from queries()"
             continue
         best = float("inf")
-        for _ in range(2):
+        runs = []
+        for attempt in range(3):
+            # best-of-2 normally; a third run only when the first two
+            # disagree by >2x (host-level noise was measured to inflate
+            # random queries 2-4x in single runs — one extra sample
+            # recovers the steady-state number without tripling bench
+            # time across the board)
+            if attempt == 2 and (
+                len(runs) < 2 or max(runs) <= 2 * min(runs)
+            ):
+                break
             try:
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+                dt = time.time() - t0
+                runs.append(dt)
+                best = min(best, dt)
             except Exception as e:
                 errors[name] = repr(e)[:500]
                 break
