@@ -1440,6 +1440,18 @@ def resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-health diagnosis (operators/skew.py key_skew_profile):
+    the 10 heaviest sources with row share and cumulative share — the
+    pre-join check that decides salting vs broadcast vs AQE headroom.
+    The window runs over the key-cardinality count frame, never the
+    corpus."""
+    from datamancer_spark.operators.skew import key_skew_profile
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return key_skew_profile(doc, "source", top_k=10)
+
+
 def bigram_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM scoring (operators/quality.py
     bigram_logprob_score): per doc, mean −log(0.7·P(w₂|w₁) + 0.3·P(w₂))
@@ -1673,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_perplexity_proxy": unigram_perplexity_proxy,
         "bigram_perplexity_proxy": bigram_perplexity_proxy,
         "score_calibration_en": score_calibration_en,
+        "source_skew_profile": source_skew_profile,
     }
 
 
@@ -3071,6 +3084,28 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN side sd ON sd.doc_id = d.doc_id AND sd.is_seen = 0
         WHERE d.doc_id NOT IN (SELECT nid FROM flagged)
+    """
+
+    sql["source_skew_profile"] = """
+        WITH c AS (
+          SELECT source AS key, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source
+        ),
+        t AS (SELECT sum(n) AS total FROM c),
+        r AS (
+          SELECT key, n,
+                 row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+          FROM c
+        ),
+        s AS (SELECT key, n, rank, total FROM r, t WHERE rank <= 10)
+        SELECT key, n,
+               prnd(n * 1.0 / total, 6) AS share,
+               prnd(sum(n * 1.0 / total) OVER (
+                 ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cum_share,
+               CAST(rank AS INTEGER) AS rank
+        FROM s
     """
 
     sql["bigram_perplexity_proxy"] = """

@@ -66,3 +66,48 @@ def salted_agg(
 
     stage1 = salted.groupBy(*keys, "_salt").agg(*partials)
     return stage1.groupBy(*keys).agg(*finals)
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Shuffle-health diagnosis for a prospective join/aggregation key:
+    the ``top_k`` heaviest keys with each key's row count, share of all
+    rows, and cumulative share — the numbers that decide whether a key
+    needs salting, AQE skew-split headroom, or a broadcast instead.
+    (Rule of thumb: max share ≳ a few × 1/shuffle-partitions means one
+    reducer owns the key.)
+
+    Plan: one partial-aggregated count per key, then a rank/cumsum
+    window over the KEY-CARDINALITY-sized count frame (not the corpus);
+    the single-partition window is bounded by top_k-ish cardinality
+    concerns only in the count frame, which is the unavoidable summary.
+    Output: (key, n, share, cum_share, rank)."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+    cum = Window.orderBy(F.col("rank")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    from ..functions.rounding import prnd
+
+    return ranked.select(
+        "key",
+        "n",
+        prnd(F.col("n") / F.col("_total"), 6).alias("share"),
+        prnd(F.sum(F.col("n") / F.col("_total")).over(cum), 6).alias(
+            "cum_share"
+        ),
+        "rank",
+    )

@@ -258,3 +258,24 @@ def test_knn_query_side_cap(spark, sf_dir):
         knn_ivf(emb, queries, k=2, max_queries=3).count()
     # at the cap exactly: fine
     assert knn_bruteforce(emb, queries, k=2, max_queries=5).count() > 0
+
+
+class TestKeySkewProfile:
+    def test_shares_and_ranks(self, spark):
+        from datamancer_spark.operators.skew import key_skew_profile
+
+        rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+        d = spark.createDataFrame(rows, "k string")
+        out = {r["rank"]: r for r in key_skew_profile(d, "k", top_k=2).collect()}
+        assert len(out) == 2
+        assert out[1]["key"] == "a" and out[1]["n"] == 6
+        assert abs(out[1]["share"] - 0.6) < 1e-9
+        assert out[2]["key"] == "b"
+        assert abs(out[2]["cum_share"] - 0.9) < 1e-9
+
+    def test_tie_break_by_key(self, spark):
+        from datamancer_spark.operators.skew import key_skew_profile
+
+        d = spark.createDataFrame([("b",), ("a",)], "k string")
+        out = [r["key"] for r in key_skew_profile(d, "k").collect()]
+        assert out == ["a", "b"]
