@@ -114,3 +114,72 @@ def calibration_table(
             prnd(F.avg("_y"), 6).alias("positive_rate"),
         )
     )
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    max_iter: int = 30,
+    reg_param: float = 0.0,
+    sample_rows: int = 100_000,
+    seed: int = 7,
+) -> tuple[dict[int, float], float]:
+    """Train the hashed bag-of-words quality classifier IN Spark and
+    return ``(weights, bias)`` ready for ``hashed_linear_score`` — the
+    full CCNet-style loop: weak labels (a lang flag, a source flag, a
+    benchmark-overlap bit) → logistic regression → zero-shuffle corpus
+    scoring with the trained model.
+
+    Features are term frequencies over the SAME md5 buckets the scorer
+    folds over (``hash32(token) % dim``, counts normalized by document
+    token count), so the trained logit ``Σ_b w_b·tf_b + b0`` equals the
+    scorer's mean-per-token weight + bias EXACTLY — weights transfer
+    with no re-featurization.
+
+    Training runs on a bounded sample (``sample_rows``, like the IVF
+    codebook: models need thousands of examples, not the corpus); the
+    bucket ids are computed JVM-side, and only the sampled (buckets,
+    label) rows cross into Python to become ml SparseVectors. Scoring
+    the full corpus afterwards stays a pure projection."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    prepped = (
+        df.select(
+            F.transform(toks, lambda t: (hash32(t) % dim).cast("int")).alias(
+                "_buckets"
+            ),
+            F.col(label_col).cast("int").cast("double").alias("_label"),
+        )
+        .filter(F.col("_label").isNotNull())
+        .limit(sample_rows)
+    )
+
+    def to_vec(row):
+        from collections import Counter
+
+        c = Counter(row["_buckets"])
+        n = max(1, sum(c.values()))
+        idx = sorted(c)
+        return (
+            Vectors.sparse(dim, idx, [c[i] / n for i in idx]),
+            float(row["_label"]),
+        )
+
+    spark = df.sparkSession
+    train = spark.createDataFrame(
+        prepped.rdd.map(to_vec), ["features", "label"]
+    )
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=False
+    )
+    model = lr.fit(train)
+    w = model.coefficients
+    weights = {int(i): float(w[int(i)]) for i in w.indices} if hasattr(
+        w, "indices"
+    ) else {i: float(v) for i, v in enumerate(w) if v != 0.0}
+    return weights, float(model.intercept)

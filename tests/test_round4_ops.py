@@ -513,3 +513,44 @@ class TestSemanticDedup:
                ivf_cluster_profile(d, self._codebook()).collect()}
         assert out[0]["n"] == 2 and out[1]["n"] == 1
         assert out[0]["mean_cos"] == 1.0 and out[1]["mean_cos"] == 1.0
+
+
+class TestTrainHashedClassifier:
+    def test_train_then_score_separates_heldout(self, spark):
+        from datamancer_spark.operators.classify import (
+            hashed_linear_score,
+            train_hashed_classifier,
+        )
+
+        good = "excellent wonderful great insightful thorough rigorous"
+        bad = "spam junk garbage clickbait scam lottery"
+        rows = []
+        for i in range(60):
+            rows.append((i, f"{good} document number {i}", 1))
+            rows.append((1000 + i, f"{bad} page number {i}", 0))
+        d = spark.createDataFrame(rows, "doc_id long, text string, y int")
+        w, b = train_hashed_classifier(d, "y", dim=256)
+        held = spark.createDataFrame(
+            [(1, "a truly excellent insightful piece"),
+             (2, "lottery scam junk offer")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["score"], r["keep"]) for r in
+               hashed_linear_score(held, dim=256, weights=w, bias=b).collect()}
+        assert out[1][0] > 0.7 and out[1][1]
+        assert out[2][0] < 0.3 and not out[2][1]
+
+    def test_scoring_plan_stays_zero_shuffle_with_trained_weights(self, spark):
+        from datamancer_spark.operators.classify import (
+            hashed_linear_score,
+            train_hashed_classifier,
+        )
+
+        d = spark.createDataFrame(
+            [(i, "alpha beta" if i % 2 else "gamma delta", i % 2)
+             for i in range(20)],
+            "doc_id long, text string, y int",
+        )
+        w, b = train_hashed_classifier(d, "y", dim=64, max_iter=5)
+        p = _plan(hashed_linear_score(d, dim=64, weights=w, bias=b))
+        assert "Exchange" not in p and "Python" not in p
