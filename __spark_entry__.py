@@ -1440,6 +1440,17 @@ def resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health summary (operators/quality.py
+    corpus_health): docs, exact-dup fraction, mean tokens, mean
+    heuristic quality, language-mix entropy — the post-ingest log line.
+    One narrow pass + two one-row aggregates; nothing collected."""
+    from datamancer_spark.operators.quality import corpus_health
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return corpus_health(doc)
+
+
 def source_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-health diagnosis (operators/skew.py key_skew_profile):
     the 10 heaviest sources with row share and cumulative share — the
@@ -1686,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_perplexity_proxy": bigram_perplexity_proxy,
         "score_calibration_en": score_calibration_en,
         "source_skew_profile": source_skew_profile,
+        "corpus_health_report": corpus_health_report,
     }
 
 
@@ -2171,6 +2183,41 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(len(text), 1) <= 0.3 THEN 1.0 ELSE 0.0 END)
           ) / 4.0, 4) AS quality
         FROM documents
+    """
+
+    _quality_expr = f"""(
+            (CASE WHEN {ntok} >= 5 AND {ntok} <= 100000 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN {awl} >= 2.0 AND {awl} <= 12.0 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN ({npunct}) * 1.0 / greatest(len(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                       / greatest(len(text), 1) <= 0.3 THEN 1.0 ELSE 0.0 END)
+          ) / 4.0"""
+
+    sql["corpus_health_report"] = f"""
+        WITH d AS (
+          SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                 {ntok} AS nt,
+                 {_quality_expr} AS q,
+                 lang
+          FROM documents
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+                 avg(nt) AS mt, avg(q) AS mq
+          FROM d
+        ),
+        l AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY lang),
+        e AS (
+          SELECT -sum((c * 1.0 / t) * ln(c * 1.0 / t)) AS ent
+          FROM l, (SELECT sum(c) AS t FROM l)
+        )
+        SELECT n_docs, n_distinct,
+               prnd(1.0 - n_distinct * 1.0 / n_docs, 6) AS dup_frac,
+               prnd(mt, 6) AS mean_tokens,
+               prnd(mq, 6) AS mean_quality,
+               prnd(ent, 6) AS lang_entropy
+        FROM m, e
     """
 
     sql["rolling_mean"] = """

@@ -703,3 +703,52 @@ def dup_cluster_sizes(
     return clusters.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters")
     )
+
+
+def corpus_health(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-row corpus health report — the summary a curation pipeline
+    logs after every ingest: document count, exact-duplicate count and
+    fraction (canonical fingerprints), mean token count, mean heuristic
+    quality, and language-mix entropy (nats; 0 = monolingual).
+
+    Plan: one narrow pass computes per-doc fingerprint/tokens/quality,
+    feeding (a) a single global aggregate (count + distinct-fingerprint
+    + means) and (b) a language rollup whose ≤#langs rows reduce to the
+    entropy scalar; the two one-row frames cross-join. Nothing
+    corpus-sized is ever collected."""
+    from ..functions.text import quality_score, token_count
+
+    d = df.select(
+        fingerprint(F.col(text_col)).alias("_fp"),
+        token_count(F.col(text_col)).alias("_nt"),
+        quality_score(F.col(text_col)).alias("_q"),
+        F.col(lang_col).alias("_lang"),
+    )
+    main = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("_fp").cast("long").alias("n_distinct"),
+        F.avg("_nt").alias("_mt"),
+        F.avg("_q").alias("_mq"),
+    )
+    lc = d.groupBy("_lang").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    tot = lc.agg(F.sum("_c").alias("_t"))
+    ent = (
+        lc.crossJoin(F.broadcast(tot))
+        .select((F.col("_c") / F.col("_t")).alias("_p"))
+        .agg((-F.sum(F.col("_p") * F.log("_p"))).alias("_ent"))
+    )
+    return main.crossJoin(ent).select(
+        "n_docs",
+        "n_distinct",
+        prnd(F.lit(1.0) - F.col("n_distinct") / F.col("n_docs"), 6).alias(
+            "dup_frac"
+        ),
+        prnd(F.col("_mt"), 6).alias("mean_tokens"),
+        prnd(F.col("_mq"), 6).alias("mean_quality"),
+        prnd(F.col("_ent"), 6).alias("lang_entropy"),
+    )

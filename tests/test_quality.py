@@ -389,3 +389,32 @@ class TestCalibrationTable:
         assert out[10]["n"] == 2 and out[10]["positive_rate"] == 1.0
         assert out[11]["n"] == 1  # score exactly 1.0 lands in the overflow bin
         assert abs(out[6]["mean_score"] - 0.535) < 1e-6
+
+
+class TestCorpusHealth:
+    def test_hand_computed(self, spark):
+        import math
+        from datamancer_spark.operators.quality import corpus_health
+
+        text_ok = "this sentence has plenty of normal readable words here"
+        rows = [
+            (1, text_ok, "en"),
+            (2, text_ok, "en"),            # exact dup of 1
+            (3, "short", "de"),            # fails length band
+            (4, "another reasonable sentence with enough word shapes", "en"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        r = corpus_health(d).collect()[0]
+        assert r["n_docs"] == 4 and r["n_distinct"] == 3
+        assert abs(r["dup_frac"] - 0.25) < 1e-9
+        # lang mix: en 3/4, de 1/4
+        ent = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        assert abs(r["lang_entropy"] - round(ent, 6)) < 1e-6
+        assert 0.0 <= r["mean_quality"] <= 1.0
+
+    def test_single_row_and_no_collect(self, spark, sf_dir):
+        from datamancer_spark.operators.quality import corpus_health
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = corpus_health(doc)
+        assert out.count() == 1
