@@ -87,6 +87,8 @@ HEADLINE = [
     "score_calibration_en",
     "semantic_dedup_embeddings",
     "ivf_cluster_profile",
+    "source_skew_profile",
+    "corpus_health_report",
 ]
 
 
