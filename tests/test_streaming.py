@@ -322,3 +322,50 @@ def test_streaming_fuzzy_screen(spark, tmp_path):
         q.stop()
     texts = {r["text"] for r in rows}
     assert texts == {novel}
+
+
+def test_streaming_curation_pipeline_composes(spark, tmp_path):
+    """The batch curation tier composes unchanged on a stream: heuristic
+    quality score + hashed classifier score (both pure projections) and
+    the fuzzy history screen run in ONE stateless streaming query."""
+    from datamancer_spark.functions.text import quality_score
+    from datamancer_spark.operators.classify import hashed_linear_score
+    from datamancer_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_band_index,
+    )
+    from datamancer_spark.streaming import streaming_fuzzy_screen
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow near the old mill")
+    novel = ("astronomy telescopes orbit planets stars galaxies nebulae "
+             "comets asteroids meteors moons eclipses observatories")
+    history = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    bidx = minhash_band_index(build_minhash_index(history))
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_batch(d, "b0.json", [
+        {"ts": "2024-01-01T00:00:00", "user": "u", "text": base, "value": 1.0},
+        {"ts": "2024-01-01T00:01:00", "user": "u", "text": novel, "value": 2.0},
+        {"ts": "2024-01-01T00:02:00", "user": "u", "text": "x", "value": 3.0},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(d)
+    screened = streaming_fuzzy_screen(stream, bidx)
+    curated = hashed_linear_score(
+        screened.withColumn("q", quality_score(F.col("text"))), dim=64
+    ).filter(F.col("q") >= 0.75)
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT text, q, score FROM curated_stream").collect()
+    finally:
+        q.stop()
+    # base drops at the fuzzy screen; "x" (2/4 heuristics) at the 0.75 gate
+    assert [r["text"] for r in rows] == [novel]
+    assert 0.0 <= rows[0]["score"] <= 1.0
