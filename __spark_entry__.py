@@ -1440,6 +1440,30 @@ def resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators/skew.py salted_agg):
+    per-type event count + cents-exact value total computed via
+    (keys, salt) partials then a combine on the true keys — the
+    explicit hot-key rewrite, differentially equal to the plain
+    GROUP BY (integer cents make the sum order-insensitive)."""
+    from datamancer_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")["events"].df.withColumn(
+        "_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n": ("count", "event_id"), "cents": ("sum", "_cents")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        prnd(F.col("cents") / 100.0, 2).alias("total_value"),
+    )
+
+
 def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health summary (operators/quality.py
     corpus_health): docs, exact-dup fraction, mean tokens, mean
@@ -1698,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration_en": score_calibration_en,
         "source_skew_profile": source_skew_profile,
         "corpus_health_report": corpus_health_report,
+        "salted_events_rollup": salted_events_rollup,
     }
 
 
@@ -3131,6 +3156,14 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN side sd ON sd.doc_id = d.doc_id AND sd.is_seen = 0
         WHERE d.doc_id NOT IN (SELECT nid FROM flagged)
+    """
+
+    sql["salted_events_rollup"] = """
+        SELECT event_type,
+               CAST(count(event_id) AS BIGINT) AS n,
+               prnd(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+                 AS total_value
+        FROM events GROUP BY event_type
     """
 
     sql["source_skew_profile"] = """
