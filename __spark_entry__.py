@@ -1440,6 +1440,22 @@ def resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free hashing-trick text embeddings (operators/similarity.py
+    hashed_embedding): ±1 md5-bucket sums, L2-normalized — closes the
+    text → vector → ANN loop entirely in-engine. One explode + one
+    groupBy with 64 codegen'd conditional sums."""
+    from datamancer_spark.operators.similarity import hashed_embedding
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    out = hashed_embedding(doc, dim=64)
+    rounded = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+    )
+    return out.select("doc_id", rounded.alias("embedding"))
+
+
 def salted_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation (operators/skew.py salted_agg):
     per-type event count + cents-exact value total computed via
@@ -1723,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_skew_profile": source_skew_profile,
         "corpus_health_report": corpus_health_report,
         "salted_events_rollup": salted_events_rollup,
+        "text_hash_embedding": text_hash_embedding,
     }
 
 
@@ -3156,6 +3173,33 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN side sd ON sd.doc_id = d.doc_id AND sd.is_seen = 0
         WHERE d.doc_id NOT IN (SELECT nid FROM flagged)
+    """
+
+    _embcols = ",\n                 ".join(
+        f"sum(CASE WHEN h % 64 = {j} THEN "
+        f"(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) "
+        f"ELSE 0.0 END) AS e{j}"
+        for j in range(64)
+    )
+    _normsum = " + ".join(f"e{j}*e{j}" for j in range(64))
+    _embitems = ", ".join(
+        f"prnd(CASE WHEN nrm = 0 THEN 0.0 ELSE e{j} / nrm END, 6)"
+        for j in range(64)
+    )
+    sql["text_hash_embedding"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> len(x) > 0) AS toks
+          FROM documents
+        ),
+        u AS (
+          SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t) q
+        ),
+        g AS (SELECT doc_id, {_embcols} FROM u GROUP BY doc_id),
+        n AS (SELECT *, sqrt({_normsum}) AS nrm FROM g)
+        SELECT doc_id, [{_embitems}] AS embedding FROM n
     """
 
     sql["salted_events_rollup"] = """

@@ -477,3 +477,52 @@ def semantic_dedup(
 
     dropped = assigned.groupBy("centroid").applyInPandas(kernel, out_schema)
     return corpus.join(dropped, id_col, "left_anti")
+
+
+def hashed_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """Model-free text embeddings via the feature-hashing trick: each
+    token adds ±1 to one of ``dim`` buckets (bucket and sign both from
+    the portable md5 hash), then the vector is L2-normalized — the
+    classic hashing-trick sentence representation that needs no model
+    download, is deterministic across engines, and feeds every ANN /
+    semantic-dedup operator in this package (text → vector → IVF
+    entirely in-engine).
+
+    Plan: explode tokens → ONE groupBy(id) with ``dim`` codegen'd
+    conditional-sum aggregates (the same relational shape SimHash uses;
+    per-row interpreted array folds measured ~3× slower on the MinHash
+    tier) → arrayization + norm as a narrow projection. Documents with
+    zero tokens are absent from the output (no token rows to group).
+
+    Components are integers pre-normalization, so normalized values are
+    bit-identical across engines up to the shared sqrt/divide."""
+    from ..operators.dedup import hash32, tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    ex = df.select(
+        F.col(id_col), F.explode(toks).alias("_tok")
+    ).select(F.col(id_col), hash32(F.col("_tok")).alias("_h"))
+    bucket = F.col("_h") % dim
+    sign = F.when((F.floor(F.col("_h") / dim) % 2) == 0, 1.0).otherwise(-1.0)
+    g = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(bucket == j, sign).otherwise(0.0)).alias(f"_e{j}")
+            for j in range(dim)
+        ]
+    )
+    emb = F.array(*[F.col(f"_e{j}") for j in range(dim)])
+    if not normalize:
+        return g.select(F.col(id_col), emb.alias("embedding"))
+    nrm = F.sqrt(
+        F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit = F.transform(
+        emb, lambda x: F.when(nrm == 0, 0.0).otherwise(x / nrm)
+    )
+    return g.select(F.col(id_col), unit.alias("embedding"))

@@ -554,3 +554,55 @@ class TestTrainHashedClassifier:
         w, b = train_hashed_classifier(d, "y", dim=64, max_iter=5)
         p = _plan(hashed_linear_score(d, dim=64, weights=w, bias=b))
         assert "Exchange" not in p and "Python" not in p
+
+
+class TestHashedEmbedding:
+    def test_unit_norm_and_determinism(self, spark):
+        import math
+        from datamancer_spark.operators.similarity import hashed_embedding
+
+        d = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha alpha alpha")],
+            "doc_id long, text string",
+        )
+        a = {r["doc_id"]: r["embedding"]
+             for r in hashed_embedding(d, dim=16).collect()}
+        b = {r["doc_id"]: r["embedding"]
+             for r in hashed_embedding(d, dim=16).collect()}
+        assert a == b
+        for v in a.values():
+            assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+    def test_repeated_token_scales_component(self, spark):
+        from datamancer_spark.operators.similarity import hashed_embedding
+
+        d = spark.createDataFrame([(1, "alpha alpha alpha")],
+                                  "doc_id long, text string")
+        v = hashed_embedding(d, dim=16, normalize=False).collect()[0]["embedding"]
+        nz = [x for x in v if x != 0.0]
+        assert len(nz) == 1 and abs(abs(nz[0]) - 3.0) < 1e-9
+
+    def test_feeds_ann_end_to_end(self, spark):
+        from datamancer_spark.operators.similarity import (
+            hashed_embedding,
+            knn_bruteforce,
+        )
+
+        rows = [
+            (1, "machine learning systems research papers"),
+            (2, "machine learning systems research articles"),
+            (3, "gardening tomatoes compost watering cans"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        emb = hashed_embedding(d, dim=32).withColumnRenamed("doc_id", "vec_id")
+        q = emb.filter(F.col("vec_id") == 1)
+        top = knn_bruteforce(emb, q, k=1).collect()[0]
+        assert top["neighbor_id"] == 2  # near-paraphrase beats gardening
+
+    def test_empty_docs_absent(self, spark):
+        from datamancer_spark.operators.similarity import hashed_embedding
+
+        d = spark.createDataFrame([(1, "words here"), (2, "  ")],
+                                  "doc_id long, text string")
+        ids = {r["doc_id"] for r in hashed_embedding(d).collect()}
+        assert ids == {1}
