@@ -1456,6 +1456,28 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", rounded.alias("embedding"))
 
 
+def dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup of RAW TEXT with zero model artifacts: hashing-
+    trick embeddings (hashed_embedding) → IVF clusters (the same md5
+    codebook) → predecessor-pair cosine rule (semantic_dedup). The
+    whole text→vector→cluster→dedup pipeline runs in-engine and is
+    value-checked against a DuckDB replica end to end."""
+    import numpy as np
+
+    from datamancer_spark.operators.similarity import (
+        hashed_embedding,
+        semantic_dedup,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    emb = hashed_embedding(doc, dim=64)
+    codebook = np.asarray(S.plane_matrix(8, 64, seed=7))
+    kept = semantic_dedup(
+        emb, codebook, threshold=0.95, vec_col="embedding", id_col="doc_id"
+    )
+    return kept.select("doc_id")
+
+
 def salted_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation (operators/skew.py salted_agg):
     per-type event count + cents-exact value total computed via
@@ -1740,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health_report": corpus_health_report,
         "salted_events_rollup": salted_events_rollup,
         "text_hash_embedding": text_hash_embedding,
+        "dedup_semantic_text": dedup_semantic_text,
     }
 
 
@@ -3200,6 +3223,50 @@ def oracle_sql() -> dict[str, str]:
         g AS (SELECT doc_id, {_embcols} FROM u GROUP BY doc_id),
         n AS (SELECT *, sqrt({_normsum}) AS nrm FROM g)
         SELECT doc_id, [{_embitems}] AS embedding FROM n
+    """
+
+    # text→vector→cluster→dedup replica: same embedding CTEs (unrounded
+    # components) + the knn_ivf centroids + the predecessor-pair rule.
+    _embraw = ", ".join(
+        f"CASE WHEN nrm = 0 THEN 0.0 ELSE e{j} / nrm END" for j in range(64)
+    )
+    sql["dedup_semantic_text"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> len(x) > 0) AS toks
+          FROM documents
+        ),
+        u AS (
+          SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t) q
+        ),
+        g AS (SELECT doc_id, {_embcols} FROM u GROUP BY doc_id),
+        n AS (SELECT *, sqrt({_normsum}) AS nrm FROM g),
+        emb AS (SELECT doc_id, [{_embraw}] AS v FROM n),
+        cents(cid, cv) AS (
+          VALUES {cent_rows}
+        ),
+        asn AS (
+          SELECT doc_id, v, cid AS centroid FROM (
+            SELECT e.doc_id, e.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.doc_id
+                     ORDER BY list_distance(CAST(e.v AS DOUBLE[]), c.cv) ASC,
+                              c.cid ASC) AS rn
+            FROM emb e CROSS JOIN cents c) q
+          WHERE rn = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT b.doc_id
+          FROM asn a JOIN asn b
+            ON a.centroid = b.centroid AND a.doc_id < b.doc_id
+          WHERE prnd(list_cosine_similarity(CAST(a.v AS DOUBLE[]),
+                                             CAST(b.v AS DOUBLE[])), 6)
+                >= 0.95
+        )
+        SELECT doc_id FROM emb
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     """
 
     sql["salted_events_rollup"] = """

@@ -606,3 +606,28 @@ class TestHashedEmbedding:
                                   "doc_id long, text string")
         ids = {r["doc_id"] for r in hashed_embedding(d).collect()}
         assert ids == {1}
+
+    def test_semantic_text_dedup_composition(self, spark):
+        import numpy as np
+        from datamancer_spark.operators.similarity import (
+            hashed_embedding,
+            plane_matrix,
+            semantic_dedup,
+        )
+
+        base = ("machine learning systems research papers about training "
+                "large models on distributed clusters with parquet data")
+        near = base.replace("papers", "articles")
+        far = ("gardening tomatoes compost watering cans soil seeds "
+               "sunlight pruning harvest baskets greenhouse beds")
+        d = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], "doc_id long, text string"
+        )
+        emb = hashed_embedding(d, dim=64)
+        kept = semantic_dedup(
+            emb, np.asarray(plane_matrix(4, 64, seed=7)),
+            threshold=0.8, id_col="doc_id",
+        )
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert 1 in ids and 3 in ids
+        assert 2 not in ids  # near-paraphrase of an earlier doc drops
