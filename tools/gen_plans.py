@@ -52,6 +52,11 @@ COMMENT = {
     "score_calibration_en": "Classifier scoring stays a zero-shuffle projection; the calibration rollup is one partial-aggregated shuffle over at most 12 groups.",
     "semantic_dedup_embeddings": "IVF assignment map (vector rides the Arrow batch, no join-back) -> one cluster-keyed shuffle -> per-cluster BLAS Gram kernel emits dropped ids -> anti join. Quadratic work bounded to within-cluster pairs; the per-pair Catalyst-fold variant measured ~10x slower.",
     "ivf_cluster_profile": "Assignment map + broadcast join to the tiny centroid table + one partial-aggregated rollup over num_centroids groups.",
+    "source_skew_profile": "One partial-aggregated count per key; the rank/cumsum window runs over the key-cardinality count frame, never the corpus.",
+    "corpus_health_report": "One narrow per-doc pass (fingerprint/tokens/quality) feeding a global aggregate + a language rollup reduced to the entropy scalar; two one-row frames cross-join. Nothing collected.",
+    "salted_events_rollup": "Two-stage hot-key rewrite: partials on (keys, salt) spread one hot key over 16 reducers, combine on the true keys — differentially equal to the plain GROUP BY (integer cents).",
+    "text_hash_embedding": "Explode tokens -> ONE groupBy with 64 codegen'd conditional sums (the SimHash relational shape) -> arrayize + normalize as a narrow projection.",
+    "dedup_semantic_text": "Hash-embedding groupBy -> IVF assignment map -> cluster-keyed BLAS kernel -> anti join: the full text-to-semantic-dedup pipeline; quadratic work bounded to within-cluster pairs.",
 }
 
 
