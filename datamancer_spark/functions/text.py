@@ -31,7 +31,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def token_count(text: Column) -> Column:
     """Whitespace token count. ``split(trim(x), '\\s+')`` — identical
-    semantics to DuckDB ``len(regexp_split_to_array(trim(x), '\\s+'))``."""
+    semantics to DuckDB ``len(regexp_split_to_array(trim(x), '\\s+'))``.
+    NULL counts as 0 tokens (not size-of-NULL's −1)."""
+    text = F.coalesce(text, F.lit(""))
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(text), r"\s+"))
     )
@@ -124,6 +126,10 @@ def lang_guess(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: md5 of lowercased,
     whitespace-collapsed text. md5 is identical across Spark and DuckDB,
-    so exact-dedup results are engine-portable (unlike murmur ``F.hash``)."""
-    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    so exact-dedup results are engine-portable (unlike murmur ``F.hash``).
+    NULL text fingerprints as the empty string's md5 (md5(NULL) = NULL
+    would silently vanish from COUNT DISTINCT and anti-joins)."""
+    canon = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " "
+    )
     return F.md5(canon)

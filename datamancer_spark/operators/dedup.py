@@ -55,8 +55,11 @@ def portable_hash(col: Column, seed: int = 0) -> Column:
 
 
 def tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens (shared canonicalization)."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    """Lowercased whitespace tokens (shared canonicalization).
+    NULL text tokenizes as empty — real corpora carry NULLs, and
+    ``F.size(NULL)`` = −1 would otherwise poison every downstream
+    count/chunk/score (identical results for non-NULL input)."""
+    return F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

@@ -631,3 +631,48 @@ class TestHashedEmbedding:
         ids = {r["doc_id"] for r in kept.collect()}
         assert 1 in ids and 3 in ids
         assert 2 not in ids  # near-paraphrase of an earlier doc drops
+
+
+class TestNullTextRobustness:
+    """Real corpora carry NULL text; the shared canonicalizers
+    (tokens/fingerprint/token_count) treat NULL as empty so size-of-NULL
+    (-1) and md5(NULL) (vanishes from COUNT DISTINCT / anti-joins) can't
+    poison any downstream operator."""
+
+    def _d(self, spark):
+        return spark.createDataFrame(
+            [(1, "some actual words here"), (2, None)],
+            "doc_id long, text string",
+        )
+
+    def test_chunking_emits_empty_chunk(self, spark):
+        from datamancer_spark.operators.quality import chunk_documents
+
+        rows = {r["doc_id"]: r for r in chunk_documents(self._d(spark)).collect()}
+        assert rows[2]["n_chunk_tokens"] == 0 and rows[2]["chunk_text"] == ""
+
+    def test_classifier_scores_null_as_empty(self, spark):
+        from datamancer_spark.operators.classify import hashed_linear_score
+
+        rows = {r["doc_id"]: r["score"]
+                for r in hashed_linear_score(self._d(spark)).collect()}
+        assert rows[2] == 0.5  # sigmoid(bias=0), same as an empty doc
+
+    def test_corpus_health_counts_null_distinctly(self, spark):
+        from pyspark.sql import functions as F
+        from datamancer_spark.operators.quality import corpus_health
+
+        d = self._d(spark).withColumn("lang", F.lit("en"))
+        r = corpus_health(d).collect()[0]
+        assert r["n_docs"] == 2 and r["n_distinct"] == 2
+        assert r["dup_frac"] == 0.0 and r["mean_tokens"] == 2.0
+
+    def test_fuzzy_dedup_passes_null_through(self, spark):
+        from datamancer_spark.operators.dedup import fuzzy_dedup_against
+
+        seen = spark.createDataFrame(
+            [(9, "unrelated history doc")], "doc_id long, text string"
+        )
+        ids = {r["doc_id"]
+               for r in fuzzy_dedup_against(self._d(spark), seen).collect()}
+        assert ids == {1, 2}
