@@ -391,6 +391,9 @@ def ivf_assign(
 
     centers = np.asarray(codebook, dtype=np.float64)
     bc = corpus.sparkSession.sparkContext.broadcast(centers)
+    # rows without a vector cannot be assigned — excluded, not silently
+    # argmin'd over NaN distances (which lands them all in centroid 0)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     schema = StructType(
         [
             StructField(id_col, LongType()),

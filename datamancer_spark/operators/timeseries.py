@@ -121,13 +121,18 @@ def trailing_window(
     )
     if exact_cents:
         cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
-        trail_sum = (F.sum(cents).over(w) / F.lit(100.0)).alias("trailing_sum")
+        trail_sum = F.sum(cents).over(w) / F.lit(100.0)
     else:
-        trail_sum = F.sum(value_col).over(w).alias("trailing_sum")
+        trail_sum = F.sum(value_col).over(w)
+    # a row without an event time has no trailing window: its stats are
+    # NULL (the RANGE frame would otherwise count it against itself)
+    has_ts = F.col(ts_col).isNotNull()
     return base.select(
         *df.columns,
-        trail_sum,
-        F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
+        F.when(has_ts, trail_sum).alias("trailing_sum"),
+        F.when(has_ts, F.count(F.lit(1)).over(w).cast("long")).alias(
+            "trailing_n"
+        ),
     ).drop("_sec")
 
 

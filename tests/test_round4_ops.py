@@ -676,3 +676,26 @@ class TestNullTextRobustness:
         ids = {r["doc_id"]
                for r in fuzzy_dedup_against(self._d(spark), seen).collect()}
         assert ids == {1, 2}
+
+    def test_null_embedding_rows_excluded_from_assignment(self, spark):
+        import numpy as np
+        from datamancer_spark.operators.similarity import ivf_assign
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+        )
+        out = ivf_assign(emb, np.array([[1.0, 0.0], [0.0, 1.0]]))
+        assert [r["vec_id"] for r in out.collect()] == [1]
+
+    def test_null_ts_rows_get_null_trailing_stats(self, spark):
+        from datetime import datetime
+        from datamancer_spark.operators.timeseries import trailing_window
+
+        ev = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 10), 1, 1.0), (2, None, 1, 2.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        rows = {r["event_id"]: (r["trailing_sum"], r["trailing_n"])
+                for r in trailing_window(ev, "ts", ["user_id"], "value").collect()}
+        assert rows[1] == (1.0, 1)
+        assert rows[2] == (None, None)
