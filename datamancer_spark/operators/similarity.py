@@ -115,7 +115,12 @@ def knn_bruteforce(
     # No repartition here: a real corpus arrives in many partitions already,
     # and for small corpora the per-worker Arrow overhead of spreading
     # outweighs the BLAS work (measured 0.5s → 3.5s at sf0.1).
-    scored = corpus.select(id_col, vec_col).mapInPandas(score_partition, out_schema)
+    # Vector-less rows can't score (NaN rows would break the BLAS block).
+    scored = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(score_partition, out_schema)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -177,7 +182,11 @@ def hyperplane_bits(
             res[out] = buckets
             yield res
 
-    return df.select(*in_cols).mapInPandas(assign, out_schema)
+    return (
+        df.select(*in_cols)
+        .filter(F.col(vec_col).isNotNull())  # no vector -> no bucket
+        .mapInPandas(assign, out_schema)
+    )
 
 
 def train_codebook(

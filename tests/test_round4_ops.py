@@ -699,3 +699,19 @@ class TestNullTextRobustness:
                 for r in trailing_window(ev, "ts", ["user_id"], "value").collect()}
         assert rows[1] == (1.0, 1)
         assert rows[2] == (None, None)
+
+    def test_null_vectors_excluded_from_knn_and_lsh(self, spark):
+        from datamancer_spark.operators.similarity import (
+            hyperplane_bits,
+            knn_bruteforce,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None)],
+            "vec_id long, embedding array<double>",
+        )
+        q = emb.filter("vec_id = 1")
+        got = knn_bruteforce(emb, q, k=5).collect()
+        assert {r["neighbor_id"] for r in got} == {2}
+        buckets = hyperplane_bits(emb, num_planes=4, dim=2)
+        assert {r["vec_id"] for r in buckets.collect()} == {1, 2}
