@@ -279,3 +279,27 @@ class TestKeySkewProfile:
         d = spark.createDataFrame([("b",), ("a",)], "k string")
         out = [r["key"] for r in key_skew_profile(d, "k").collect()]
         assert out == ["a", "b"]
+
+
+class TestTrainCodebook:
+    def test_separates_modes_and_balances(self, spark):
+        import numpy as np
+        from datamancer_spark.operators.similarity import (
+            ivf_assign,
+            train_codebook,
+        )
+
+        # two well-separated gaussian-ish blobs, deterministic offsets
+        rows = []
+        for i in range(200):
+            base = [5.0, 5.0] if i % 2 == 0 else [-5.0, -5.0]
+            rows.append((i, [base[0] + (i % 7) * 0.01, base[1] - (i % 5) * 0.01]))
+        d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cb = train_codebook(d, num_centroids=2, seed=3)
+        counts = {}
+        for r in ivf_assign(d, cb).collect():
+            counts[r["centroid"]] = counts.get(r["centroid"], 0) + 1
+        # trained centroids must split the modes ~evenly (the property a
+        # random codebook lacks — see SCALING.md's 34x row)
+        assert len(counts) == 2
+        assert min(counts.values()) >= 80
