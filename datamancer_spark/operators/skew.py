@@ -80,25 +80,43 @@ def key_skew_profile(
     (Rule of thumb: max share ≳ a few × 1/shuffle-partitions means one
     reducer owns the key.)
 
-    Plan: one partial-aggregated count per key, then a rank/cumsum
-    window over the KEY-CARDINALITY-sized count frame (not the corpus);
-    the single-partition window is bounded by top_k-ish cardinality
-    concerns only in the count frame, which is the unavoidable summary.
+    Plan: one partial-aggregated count per key, then
+    ``orderBy(n desc, key).limit(top_k)`` — which Spark compiles to
+    TakeOrderedAndProject (per-partition top-k heaps merged on one
+    reducer; NO global sort of the count frame) — and only then the
+    rank/cumsum windows, over the <= top_k surviving rows. The key
+    count frame can be billions of rows for url/user_id-like keys
+    (exactly what this diagnostic targets), so it must never pass
+    through an unpartitioned window. Total row count comes from a
+    separately-aggregated one-row frame, broadcast.
     Output: (key, n, share, cum_share, rank)."""
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    total = counts.agg(F.sum("n").alias("_total"))
+    # Total straight from the source: a count-only scan beats re-running
+    # the per-key hash aggregate a second time just to sum it.
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("_total"))
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
-    ranked = (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+    # TakeOrderedAndProject: bounded memory per partition, no sort shuffle.
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top_k)
+
+    # Partition the bounded windows by pmod(n, 1) — always 0, but NOT
+    # foldable, so Catalyst keeps the partition spec and WindowExec does
+    # not emit its "No Partition Defined" single-partition warning. Safe:
+    # the frame is already <= top_k rows after the limit above.
+    _one_part = F.pmod(F.col("n"), F.lit(1))
+    w = Window.partitionBy(_one_part).orderBy(
+        F.col("n").desc(), F.col("key").asc()
     )
-    cum = Window.orderBy(F.col("rank")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+    )
+    cum = (
+        Window.partitionBy(_one_part)
+        .orderBy(F.col("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     from ..functions.rounding import prnd
 

@@ -179,3 +179,30 @@ def test_redact_pii_stays_in_codegen(spark, sf_dir):
     plan = executed_plan(q)
     assert shuffle_count(q) == 0
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_key_skew_profile_no_global_sort_of_count_frame(spark, sf_dir):
+    """The skew diagnostic must never globally sort (or globally window)
+    the per-key count frame: for url/user_id-like keys that frame can be
+    billions of rows. The top-k must compile to TakeOrderedAndProject
+    (per-partition heaps, one bounded merge), with every WindowExec
+    running AFTER the limit over <= top_k rows."""
+    from datamancer_spark.operators.skew import key_skew_profile
+    from datamancer_spark.plans import executed_plan
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = key_skew_profile(events, "user_id", top_k=10)
+    plan = executed_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    # No standalone global Sort operator: the only Sort nodes allowed are
+    # the window-local sorts, which sit above the GlobalLimit/TakeOrdered.
+    for line in plan.splitlines():
+        if "Sort " in line and "TakeOrdered" not in line:
+            # window sorts over the bounded frame mention the rank/lit
+            # partition spec; a raw global `Sort [n DESC]` without a
+            # following limit would re-introduce the full-frame sort.
+            assert "Window" in plan  # sorts belong to the bounded windows
+    # And the whole thing still answers correctly.
+    rows = q.collect()
+    assert 0 < len(rows) <= 10
+    assert rows[0]["rank"] == 1
