@@ -1631,87 +1631,96 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Contract queries, ORDERED BY PRIORITY: the correctness driver
-    checks the first 50 entries in dict order, so the north-star tier
-    (dedup/kNN/sampling/pipeline) and one representative per §2 operator
-    family sit in the window; trivially-redundant surface demos (each a
-    thin variant of a windowed query, all driver-green in round 1) sit
-    after position 50 and remain covered by the local oracle harness
-    (tests/oracle_harness.py) + pytest."""
+    """Contract queries, ORDERED BY DRIVER-VERIFICATION PRIORITY: the
+    correctness driver checks the FIRST 50 entries in dict order, so the
+    window carries (a) the north-star tier, pinned every round, and
+    (b) every query with fewer than two recorded driver-green rounds —
+    rotating the window until the whole catalog is at least twice
+    driver-proven. Queries past position 50 are all >= 2-round
+    driver-green (or next in the rotation queue) and remain covered by
+    the local oracle harness (tests/oracle_harness.py) + pytest; the
+    packed-window invariant is machine-enforced by
+    tests/test_contract.py::test_rotation_policy_window_is_packed."""
     return {
-        # -- headline TPC-H-ish (4)
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q6_revenue_delta": q6_revenue_delta,
-        # -- §2 core verbs (5; filter_select/arrange_head/unique_first/
-        # -- count_by moved past the window in round 3 — each is
-        # -- driver-green in BOTH rounds 1 and 2 and a thin variant of a
-        # -- windowed query (grouped_filter, q3's top-10, distinct_proj,
-        # -- summarize_stats), freeing slots for the curation tier)
-        "mutate_arith": mutate_arith,
-        "summarize_stats": summarize_stats,
-        "grouped_mutate": grouped_mutate,
-        "grouped_filter": grouped_filter,
-        # -- joins (1; semi_join moved out r4 — driver-green r1-r3, thin
-        # -- variant of inner_join; slot freed for the r4 tier)
-        "inner_join_rename": inner_join_rename,
-        # -- reshape + windows + time (6; array_ops moved out r4)
-        "lag_lead_events": lag_lead_events,
-        "asof_signup": asof_signup,
+        # ---- driver window (50): north-star tier, pinned (16)
         "sessionize_events": sessionize_events,
-        "quantiles_by_group": quantiles_by_group,
-        "purchase_followup_views": purchase_followup_views,
-        # -- r4 tier: model scoring, domain capping, time-grid (4)
-        "classifier_score": classifier_score,
-        "cap_per_source": cap_per_source,
-        "trailing_hour_value": trailing_hour_value,
-        "resample_user_hourly": resample_user_hourly,
-        # -- escape hatch (1)
-        "grouped_zscore": grouped_zscore,
-        # -- corpus quality / curation north star (9)
-        "repetition_quality": repetition_quality,
-        "line_dedup": line_dedup,
-        "contamination_screen": contamination_screen,
-        "mixture_resample_langs": mixture_resample_langs,
-        "pack_sequences_bins": pack_sequences_bins,
-        "chunk_sliding_windows": chunk_sliding_windows,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_embedding_bucketed": dedup_embedding_bucketed,
+        "knn_brute": knn_brute,
+        "knn_ivf": knn_ivf,
+        "embedding_stats": embedding_stats,
         "token_topk_lang": token_topk_lang,
         "budget_select_langs": budget_select_langs,
         "length_filter_langs": length_filter_langs,
         "dup_cluster_histogram": dup_cluster_histogram,
-        # -- text analysis north star (4; text_fingerprint moved out r4)
+        "mixture_resample_langs": mixture_resample_langs,
+        "pack_sequences_bins": pack_sequences_bins,
+        "train_test_split": train_test_split,
+        # -- first driver check: r2-r4 additions never yet in the window (16)
+        "dedup_incremental": dedup_incremental,
+        "q4_late_shipping": q4_late_shipping,
+        "q10_return_customers": q10_return_customers,
+        "q14_promo_share": q14_promo_share,
+        "q18_big_orders": q18_big_orders,
+        "grouped_mutate_150k": grouped_mutate_150k,
+        "cohort_retention_weekly": cohort_retention_weekly,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "unigram_perplexity_proxy": unigram_perplexity_proxy,
+        "bigram_perplexity_proxy": bigram_perplexity_proxy,
+        "score_calibration_en": score_calibration_en,
+        "source_skew_profile": source_skew_profile,
+        "corpus_health_report": corpus_health_report,
+        "salted_events_rollup": salted_events_rollup,
+        "text_hash_embedding": text_hash_embedding,
+        "dedup_semantic_text": dedup_semantic_text,
+        # -- second driver check: once-green queries accruing their 2nd round (18)
+        "purchase_followup_views": purchase_followup_views,
+        "classifier_score": classifier_score,
+        "cap_per_source": cap_per_source,
+        "trailing_hour_value": trailing_hour_value,
+        "resample_user_hourly": resample_user_hourly,
+        "chunk_sliding_windows": chunk_sliding_windows,
+        "weighted_sample_langs": weighted_sample_langs,
+        "dedup_fuzzy_incremental": dedup_fuzzy_incremental,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "ivf_cluster_profile": ivf_cluster_profile_q,
+        "anti_join": anti_join_q,
+        "left_join_coalesce": left_join_coalesce,
+        "bind_rows_union": bind_rows_union,
+        "rollup_status": rollup_status,
+        "approx_distinct": approx_distinct,
+        "transmute_math": transmute_math,
+        "string_ops": string_ops,
+        "masked_assign": masked_assign,
+        # ---- past the driver's 50-entry window: >= 2-round driver-green
+        # ---- (or queued for a later rotation); all stay in the local harness
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_revenue_delta": q6_revenue_delta,
+        "mutate_arith": mutate_arith,
+        "summarize_stats": summarize_stats,
+        "grouped_mutate": grouped_mutate,
+        "grouped_filter": grouped_filter,
+        "inner_join_rename": inner_join_rename,
+        "lag_lead_events": lag_lead_events,
+        "asof_signup": asof_signup,
+        "quantiles_by_group": quantiles_by_group,
+        "grouped_zscore": grouped_zscore,
+        "repetition_quality": repetition_quality,
+        "line_dedup": line_dedup,
+        "contamination_screen": contamination_screen,
         "text_quality": text_quality,
         "tfidf_top_terms": tfidf_top_terms,
-        # -- sampling / split north star (3; winsorize_prices moved out
-        # -- r4 — driver-green r3, price_histogram covers the family)
-        "train_test_split": train_test_split,
         "stratified_sample_counts": stratified_sample_counts,
-        "weighted_sample_langs": weighted_sample_langs,
-        # -- SQL + end-to-end pipeline (2)
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        # -- dedup north star (8)
-        "dedup_exact": dedup_exact,
-        "dedup_minhash": dedup_minhash,
-        "dedup_minhash_verified": dedup_minhash_verified,
-        "dedup_fuzzy_incremental": dedup_fuzzy_incremental,
         "dedup_canonical": dedup_canonical,
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
-        "dedup_embedding_bucketed": dedup_embedding_bucketed,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        # -- similarity search north star (4) — position 50 ends here
-        "knn_brute": knn_brute,
         "knn_lsh": knn_lsh,
-        "knn_ivf": knn_ivf,
-        "ivf_cluster_profile": ivf_cluster_profile_q,
-        "embedding_stats": embedding_stats,
-        # ---- beyond the driver's 50-entry check window: redundant
-        # ---- surface demos (plus round-2 demotions: anti_join's 0-row
-        # ---- result, rollup/cube twins, bind_rows, and the boolean
-        # ---- HLL contract), all round-1 driver-green or
-        # ---- locally-verified, still in the local harness
         "spread_pivot": spread_pivot,
         "gather_melt": gather_melt,
         "text_stats": text_stats,
@@ -1722,19 +1731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrange_head": arrange_head,
         "unique_first": unique_first,
         "count_by": count_by,
-        # -- round-4 demotions (driver-green r1-r3, thin family variants)
         "semi_join": semi_join_q,
         "array_ops": array_ops,
         "text_fingerprint": text_fingerprint,
         "winsorize_prices": winsorize_prices,
-        "anti_join": anti_join_q,
-        "left_join_coalesce": left_join_coalesce,
-        "bind_rows_union": bind_rows_union,
-        "rollup_status": rollup_status,
-        "approx_distinct": approx_distinct,
-        "transmute_math": transmute_math,
-        "string_ops": string_ops,
-        "masked_assign": masked_assign,
         "tail_sorted": tail_sorted,
         "slice_rows": slice_rows,
         "distinct_proj": distinct_proj,
@@ -1749,25 +1749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": json_extract_props,
         "date_parts": date_parts,
         "regex_extract_doc": regex_extract_doc,
-        "dedup_incremental": dedup_incremental,
-        # -- round-3 TPC-H-style breadth (EXISTS, top-k-by-agg,
-        # -- conditional-share, having-filter patterns)
-        "q4_late_shipping": q4_late_shipping,
-        "q10_return_customers": q10_return_customers,
-        "q14_promo_share": q14_promo_share,
-        "q18_big_orders": q18_big_orders,
-        "grouped_mutate_150k": grouped_mutate_150k,
-        # -- event analytics (retention/funnel)
-        "cohort_retention_weekly": cohort_retention_weekly,
-        "funnel_view_click_purchase": funnel_view_click_purchase,
-        "unigram_perplexity_proxy": unigram_perplexity_proxy,
-        "bigram_perplexity_proxy": bigram_perplexity_proxy,
-        "score_calibration_en": score_calibration_en,
-        "source_skew_profile": source_skew_profile,
-        "corpus_health_report": corpus_health_report,
-        "salted_events_rollup": salted_events_rollup,
-        "text_hash_embedding": text_hash_embedding,
-        "dedup_semantic_text": dedup_semantic_text,
     }
 
 
@@ -1785,7 +1766,7 @@ def _lang_score_sql(lang: str) -> str:
 
 _SHINGLES_CTE = """
 docs AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS toks
   FROM documents
 ),
 sh AS (
@@ -2148,7 +2129,7 @@ def oracle_sql() -> dict[str, str]:
     sql["classifier_score"] = """
         WITH toks AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                              t -> len(t) > 0) AS tk
           FROM documents
         ), scored AS (
@@ -2227,21 +2208,21 @@ def oracle_sql() -> dict[str, str]:
 
     sql["text_stats"] = """
         SELECT doc_id,
-               CASE WHEN len(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
                len(text) AS n_chars_m,
                len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g'))
                  AS n_punct,
                prnd(len(regexp_replace(text, '\\s+', '', 'g'))
-                     / greatest(CASE WHEN len(trim(text)) = 0 THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4)
+                     / greatest(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END, 1), 4)
                  AS awl
         FROM documents
     """
 
-    ntok = ("CASE WHEN len(trim(text)) = 0 THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    ntok = ("CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END")
     npunct = "len(text) - len(regexp_replace(text, '[.,!?;:''\"()\\[\\]{}-]', '', 'g'))"
     awl = (f"(len(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest({ntok}, 1))")
     sql["text_quality"] = f"""
@@ -2265,7 +2246,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["corpus_health_report"] = f"""
         WITH d AS (
-          SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+          SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp,
                  {ntok} AS nt,
                  {_quality_expr} AS q,
                  lang
@@ -2341,7 +2322,7 @@ def oracle_sql() -> dict[str, str]:
         keep AS (
           SELECT min(doc_id) AS doc_id FROM (
             SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                   md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
             FROM q) t
           GROUP BY fp
         )
@@ -2369,7 +2350,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["text_fingerprint"] = """
         SELECT doc_id,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+               md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
         FROM documents
     """
 
@@ -2429,7 +2410,7 @@ def oracle_sql() -> dict[str, str]:
     sql["tfidf_top_terms"] = """
         WITH tc AS (
           SELECT doc_id, term, count(*) AS tf FROM (
-            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+')) AS term
             FROM documents) u
           WHERE len(term) > 0
           GROUP BY doc_id, term
@@ -2450,7 +2431,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_exact"] = """
-        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp,
                min(doc_id) AS keep_id, count(*) AS n_dups
         FROM documents GROUP BY 1
     """
@@ -2802,7 +2783,7 @@ def oracle_sql() -> dict[str, str]:
     # counts + one final division each, so they hash-compare exactly.
     sql["repetition_quality"] = """
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+          SELECT doc_id, regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS tk
           FROM documents
         ),
         base AS (
@@ -2929,7 +2910,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
           SELECT doc_id,
                  CAST(len(list_filter(
-                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                       AS BIGINT) % 32 AS shard
@@ -2951,7 +2932,7 @@ def oracle_sql() -> dict[str, str]:
         WITH toks AS (
           SELECT lang,
                  unnest(list_filter(
-                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                    x -> len(x) > 0)) AS token
           FROM documents
         ),
@@ -2973,7 +2954,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
           SELECT doc_id, lang, n_chars,
                  CAST(len(list_filter(
-                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                    x -> len(x) > 0)) AS BIGINT) AS n_tokens
           FROM documents
         ),
@@ -3005,7 +2986,7 @@ def oracle_sql() -> dict[str, str]:
         WITH toks AS (
           SELECT doc_id,
                  unnest(list_filter(
-                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                    x -> len(x) > 0)) AS tok
           FROM documents
         ),
@@ -3127,7 +3108,7 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_incremental"] = f"""
         WITH base AS (
           SELECT doc_id, source,
-                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                 md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
           FROM documents WHERE source NOT IN ({_seen})
         ),
         keepers AS (
@@ -3140,7 +3121,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         seen AS (
           SELECT DISTINCT
-                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                 md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
           FROM documents WHERE source IN ({_seen})
         )
         SELECT s.doc_id, s.source
@@ -3217,7 +3198,7 @@ def oracle_sql() -> dict[str, str]:
     sql["text_hash_embedding"] = f"""
         WITH t AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                              x -> len(x) > 0) AS toks
           FROM documents
         ),
@@ -3238,7 +3219,7 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_semantic_text"] = f"""
         WITH t AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                              x -> len(x) > 0) AS toks
           FROM documents
         ),
@@ -3307,7 +3288,7 @@ def oracle_sql() -> dict[str, str]:
     sql["bigram_perplexity_proxy"] = """
         WITH t AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                              x -> len(x) > 0) AS toks
           FROM documents
         ),
@@ -3345,7 +3326,7 @@ def oracle_sql() -> dict[str, str]:
     sql["score_calibration_en"] = """
         WITH toks AS (
           SELECT doc_id, lang,
-                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                              t -> len(t) > 0) AS tk
           FROM documents
         ), scored AS (
@@ -3375,7 +3356,7 @@ def oracle_sql() -> dict[str, str]:
     sql["chunk_sliding_windows"] = """
         WITH d AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                              t -> len(t) > 0) AS toks
           FROM documents
         ),
@@ -3427,7 +3408,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dup_cluster_histogram"] = """
         WITH fp AS (
-          SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+          SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS f
           FROM documents
         ),
         c AS (

@@ -128,7 +128,12 @@ def fingerprint(text: Column) -> Column:
     whitespace-collapsed text. md5 is identical across Spark and DuckDB,
     so exact-dedup results are engine-portable (unlike murmur ``F.hash``).
     NULL text fingerprints as the empty string's md5 (md5(NULL) = NULL
-    would silently vanish from COUNT DISTINCT and anti-joins)."""
+    would silently vanish from COUNT DISTINCT and anti-joins). NOTE this
+    deliberately CONFLATES NULL docs with empty-string docs: they share
+    a fingerprint and exact-dedup to one keeper. Pre-filter NULL text
+    upstream if that distinction matters. Every oracle twin mirrors the
+    coalesce (``trim(coalesce(text, ''))``) so the differential check
+    holds on corpora that do contain NULLs."""
     canon = F.regexp_replace(
         F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " "
     )

@@ -148,15 +148,26 @@ def train_hashed_classifier(
     from pyspark.ml.linalg import Vectors
 
     toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    # A bare .limit(sample_rows) is a partition-order PREFIX — on a
+    # source- or time-sorted corpus the training set could be a single
+    # domain/class. Order by a seeded md5 of the doc id instead: a
+    # deterministic uniform shuffle, and orderBy+limit compiles to
+    # TakeOrderedAndProject (bounded per-partition heaps, no global
+    # sort shuffle).
     prepped = (
         df.select(
             F.transform(toks, lambda t: (hash32(t) % dim).cast("int")).alias(
                 "_buckets"
             ),
             F.col(label_col).cast("int").cast("double").alias("_label"),
+            F.md5(
+                F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))
+            ).alias("_shuf"),
         )
         .filter(F.col("_label").isNotNull())
+        .orderBy("_shuf")
         .limit(sample_rows)
+        .drop("_shuf")
     )
 
     def to_vec(row):

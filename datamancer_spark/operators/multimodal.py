@@ -306,11 +306,17 @@ def gif_dimensions(b: F.Column) -> F.Column:
 
 def bmp_dimensions(b: F.Column) -> F.Column:
     """(width, height) from a BITMAPINFOHEADER (LE i32 at bytes 19-26).
-    NULL if not BMP."""
+    NULL if not BMP. biHeight is SIGNED — top-down BMPs store a negative
+    height, so sign-extend the 32-bit value and report its magnitude
+    (a raw unsigned read would claim heights near 4.29e9)."""
+    raw_h = _le_u32(b, 23)
+    signed_h = F.when(
+        raw_h > F.lit((1 << 31) - 1), raw_h - F.lit(1 << 32)
+    ).otherwise(raw_h)
     return F.when(
         F.substring(b, 1, 2).cast("string") == "BM",
         F.struct(
-            _le_u32(b, 19).alias("width"), _le_u32(b, 23).alias("height")
+            _le_u32(b, 19).alias("width"), F.abs(signed_h).alias("height")
         ),
     )
 

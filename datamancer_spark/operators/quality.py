@@ -43,12 +43,13 @@ from ..session import materialize
 from .dedup import hash32, spread_partitions, tokens, word_shingles
 
 
-def word_ngrams(text, n: int):
-    """All word n-grams (NON-distinct, order preserved) as array<string>.
-    Docs shorter than n words yield a single whole-doc gram — mirrors
-    word_shingles' short-doc rule but keeps duplicates, which is the
-    whole point for repetition measurement."""
-    toks = tokens(text)
+def ngrams_from_tokens(toks, n: int):
+    """All word n-grams (NON-distinct, order preserved) from a
+    PRE-TOKENIZED array column. Docs shorter than n words yield a single
+    whole-doc gram — mirrors word_shingles' short-doc rule but keeps
+    duplicates, which is the whole point for repetition measurement.
+    Pass an attribute reference, not a tokens(text) tree: the lambda
+    re-evaluates its input per gram (see dedup.shingles_from_tokens)."""
     k = F.size(toks) - (n - 1)
     return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
@@ -56,6 +57,13 @@ def word_ngrams(text, n: int):
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+
+
+def word_ngrams(text, n: int):
+    """All word n-grams straight from a text column (tokenizes inline —
+    prefer ngrams_from_tokens over a projected token column on hot
+    paths)."""
+    return ngrams_from_tokens(tokens(text), n)
 
 
 def repetition_stats(
@@ -140,10 +148,12 @@ def repetition_stats(
         )
 
     d = spread_partitions(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        tokens(F.col(text_col)).alias("_toks"),
-        F.array_sort(word_ngrams(F.col(text_col), ngram_n)).alias("_ngs"),
-        F.array_sort(word_ngrams(F.col(text_col), top_n)).alias("_tgs"),
+        "_toks",
+        F.array_sort(ngrams_from_tokens(F.col("_toks"), ngram_n)).alias("_ngs"),
+        F.array_sort(ngrams_from_tokens(F.col("_toks"), top_n)).alias("_tgs"),
     )
     return d.select(
         F.col(id_col),
@@ -238,9 +248,13 @@ def contamination_check(
     scanned exactly once. Per-doc output: (n_shingles, n_contaminated,
     contamination). Exact overlap — no sampling, no collecting."""
     def shingled(d: DataFrame) -> DataFrame:
+        from .dedup import shingles_from_tokens
+
         return d.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        ).select(
             F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+            F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("s"),
         ).select(F.col(id_col), hash32(F.col("s")).alias("sh"))
 
     bench = (

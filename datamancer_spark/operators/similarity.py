@@ -208,12 +208,15 @@ def train_codebook(
     import numpy as np
 
     target = max(2000, 50 * num_centroids)
-    sampled = corpus.select(vec_col)
+    # NULL vectors must never reach np.array (object-array -> Lloyd's
+    # crash), matching ivf_assign/knn_bruteforce's guards.
+    vecs = corpus.select(vec_col).filter(F.col(vec_col).isNotNull())
+    sampled = vecs
     if sample_fraction < 1.0:
         sampled = sampled.sample(fraction=sample_fraction, seed=seed)
     sample_rows = sampled.limit(target).collect()
     if len(sample_rows) < num_centroids:  # tiny corpus / too-thin sample
-        sample_rows = corpus.select(vec_col).limit(target).collect()
+        sample_rows = vecs.limit(target).collect()
     X = np.array([r[0] for r in sample_rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     centers = X[

@@ -66,3 +66,51 @@ def test_no_risky_duckdb_output_types():
         if flagged:
             bad[name] = flagged
     assert not bad, f"oracles with pandas-coerced output types: {bad}"
+
+
+def _driver_green_rounds() -> dict[str, int]:
+    """Per-query count of triple-green (rows+schema+hash, no err)
+    appearances across all committed CORRECTNESS_r*.json driver records."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    records = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    assert records, "no driver correctness records committed"
+    green: dict[str, int] = {}
+    for path in records:
+        for name, res in json.load(open(path)).items():
+            if (
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+                and not res.get("err")
+            ):
+                green[name] = green.get(name, 0) + 1
+    return green
+
+
+def test_rotation_policy_window_is_packed():
+    """Enforced rotation invariant (r4 verdict #4): driver-green is the
+    only fully-adversarial signal, so a query with fewer than two
+    driver-green rounds may sit OUTSIDE the 50-entry window only while
+    every non-north-star window slot is spent on another under-proven
+    query (the window is packed — nobody waits behind an
+    already-proven occupant). Once the catalog is 2x-proven this is
+    vacuous; until then it forces the window to keep rotating through
+    the unproven tail instead of parking it."""
+    green = _driver_green_rounds()
+    allq = list(e.queries().keys())
+    window, outside = allq[:50], allq[50:]
+    unproven_outside = [q for q in outside if green.get(q, 0) < 2]
+    if unproven_outside:
+        slack = [
+            q
+            for q in window
+            if q not in NORTH_STAR and green.get(q, 0) >= 2
+        ]
+        assert not slack, (
+            f"window slots wasted on already-proven {slack} while "
+            f"{unproven_outside} wait outside unproven"
+        )

@@ -174,3 +174,20 @@ class TestRealHeaderParsers:
         df = spark.createDataFrame([("a.wav", wav)], "path string, content binary")
         plan = wav_metadata(df)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Arrow" not in plan
+
+
+class TestTopDownBmp:
+    def test_negative_height_reports_magnitude(self, spark):
+        """biHeight is SIGNED: top-down BMPs store -height. The parser
+        must sign-extend and report the magnitude, not ~4.29e9."""
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from datamancer_spark.operators.multimodal import bmp_dimensions
+
+        td = b"BM" + b"\x00" * 12 + struct.pack("<IIi", 40, 800, -600)
+        df = spark.createDataFrame([("t.bmp", td)], "path string, content binary")
+        row = df.select(bmp_dimensions(F.col("content")).alias("d")).collect()[0]
+        assert row["d"]["width"] == 800
+        assert row["d"]["height"] == 600
