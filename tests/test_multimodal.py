@@ -60,12 +60,19 @@ def test_decode_images_stub_contract(spark, media_dir):
     assert all(64 <= r["width"] < 576 for r in rows)
 
 
-def test_decode_images_requires_codec_or_fake(spark, media_dir):
+def test_decode_images_null_for_undecodable(spark, media_dir):
+    """Without PIL and without fake, non-PNG blobs yield NULL metrics by
+    default (a 100 TB job must not die on one bad blob) and raise only
+    under on_unsupported='error'."""
     from datamancer_spark.operators.multimodal import decode_images, read_binary_dir
 
-    src = read_binary_dir(spark, media_dir)
-    with pytest.raises(NotImplementedError):
-        decode_images(src)  # no PIL in this container, no fake requested
+    src = read_binary_dir(spark, media_dir, glob="b.jpg")
+    rows = decode_images(src).collect()
+    assert len(rows) == 1 and rows[0]["width"] is None
+    with pytest.raises(Exception, match="non-PNG decode requires PIL"):
+        decode_images(src, on_unsupported="error").collect()
+    with pytest.raises(ValueError, match="on_unsupported"):
+        decode_images(src, on_unsupported="panic")
 
 
 def test_sample_frames_bounded(spark, media_dir):
@@ -191,3 +198,129 @@ class TestTopDownBmp:
         row = df.select(bmp_dimensions(F.col("content")).alias("d")).collect()[0]
         assert row["d"]["width"] == 800
         assert row["d"]["height"] == 600
+
+
+def _encode_png(px, ctype, filters, palette=None):
+    """Minimal reference PNG encoder for round-trip tests: applies the
+    given filter type per scanline (forward direction of spec §9) and
+    wraps IHDR/PLTE/IDAT/IEND with real CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    nch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * nch).astype(np.int32)
+    stride = w * nch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        if f == 0:
+            enc = line % 256
+        elif f == 1:
+            left = np.concatenate([np.zeros(nch, np.int32), line[:-nch]])
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(nch, np.int32), line[:-nch]])
+            enc = (line - ((left + prev) >> 1)) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(nch, np.int32), line[:-nch]])
+            ul = np.concatenate([np.zeros(nch, np.int32), prev[:-nch]])
+            pa = np.abs(prev - ul)
+            pb = np.abs(left - ul)
+            pc = np.abs(left + prev - 2 * ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (line - pred) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    def chunk(typ, data):
+        c = struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        return struct.pack(">I", len(data)) + typ + data + c
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    body += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    body += chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+class TestRealPngDecode:
+    """png_decode_pixels inverts every spec filter for every color type —
+    round-tripped against an independent forward encoder."""
+
+    @pytest.mark.parametrize(
+        "ctype,nch", [(0, 1), (2, 3), (4, 2), (6, 4)]
+    )
+    def test_roundtrip_all_filters(self, ctype, nch):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_pixels
+
+        rng = np.random.default_rng(ctype)
+        px = rng.integers(0, 256, size=(13, 9, nch), dtype=np.uint8)
+        blob = _encode_png(px, ctype, filters=[0, 1, 2, 3, 4])
+        got = png_decode_pixels(blob)
+        assert got is not None
+        w, h, ch, mean = got
+        assert (w, h, ch) == (9, 13, nch)
+        color = px[:, :, :-1] if ctype in (4, 6) else px
+        assert mean == pytest.approx(float(color.mean()) / 255.0, abs=2e-6)
+
+    def test_palette_expands_through_plte(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_pixels
+
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(7, 5), dtype=np.uint8)
+        blob = _encode_png(idx, 3, filters=[0, 2, 4], palette=pal)
+        got = png_decode_pixels(blob)
+        assert got is not None
+        assert got[:3] == (5, 7, 3)
+        assert got[3] == pytest.approx(float(pal[idx.reshape(-1)].mean()) / 255.0, abs=2e-6)
+
+    def test_malformed_and_unsupported_return_none(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_pixels
+
+        assert png_decode_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64) is None
+        assert png_decode_pixels(b"not a png at all") is None
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        blob = bytearray(_encode_png(px, 2, filters=[0]))
+        blob[24] = 16  # bit depth 16: unsupported -> None, not crash
+        assert png_decode_pixels(bytes(blob)) is None
+
+    def test_decode_images_real_png_no_fake(self, spark, tmp_path):
+        """The verdict's done-criterion: a real PNG fixture decodes to
+        pixel stats through the Spark operator WITHOUT allow_fake."""
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            decode_images,
+            read_binary_dir,
+        )
+
+        px = np.full((10, 20, 3), 100, dtype=np.uint8)
+        px[:, :, 0] = 200  # mean = (200+100+100)/3 = 133.33../255
+        (tmp_path / "real.png").write_bytes(
+            _encode_png(px, 2, filters=[0, 1, 2, 3, 4])
+        )
+        out = decode_images(read_binary_dir(spark, str(tmp_path))).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["width"], r["height"], r["channels"]) == (20, 10, 3)
+        assert r["mean_intensity"] == pytest.approx(
+            (400 / 3) / 255.0, abs=2e-6
+        )
