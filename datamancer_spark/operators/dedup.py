@@ -223,6 +223,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     sig: DataFrame | None = None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -234,7 +235,20 @@ def minhash_lsh_pairs(
 
     ``sig``: optionally pass a precomputed, already-materialized
     (id, sig) frame (e.g. a slice of ``build_minhash_index``) so a
-    composition that also needs shingles computes them once."""
+    composition that also needs shingles computes them once.
+
+    ``max_band_freq``: hot-band guard. A boilerplate family of m
+    DISTINCT signatures that agree on one band contributes m²/2
+    candidate pairs from that single bucket — AQE's skew split keeps the
+    tasks balanced, but the m² output rows are irreducible as long as
+    the band participates. Setting ``max_band_freq=N`` drops band
+    buckets shared by more than N distinct signatures before the
+    self-join (an anti join on the small hot-bucket list). LOSSY by
+    design, like ngram_jaccard_pairs' ``max_doc_freq``: pairs whose
+    ONLY shared band was dropped are missed (identical-signature groups
+    are still always emitted via the intra leg). Measured at 16× sf0.1
+    with a synthesized 1500-doc boilerplate family: see SCALING.md
+    hot-band rows."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
@@ -258,6 +272,14 @@ def minhash_lsh_pairs(
     # only added fixed latency (the r3 +0.48s bench regression).
     ds = sig.select("sig").distinct()
     banded = _band_keys(ds, num_hashes, bands)
+    if max_band_freq is not None:
+        hot = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_freq)
+            .select("band", "bhash")
+        )
+        banded = banded.join(hot, ["band", "bhash"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     # array<long> comparison is a total order in Spark, so "sig_a < sig_b"

@@ -303,3 +303,40 @@ class TestTrainCodebook:
         # random codebook lacks — see SCALING.md's 34x row)
         assert len(counts) == 2
         assert min(counts.values()) >= 80
+
+
+class TestHotBandCap:
+    def test_cap_drops_hot_band_keeps_intra(self, spark):
+        """max_band_freq prunes band buckets shared by >N distinct
+        signatures (the m^2 hot-band source) while identical-signature
+        duplicates still pair via the intra leg."""
+        from pyspark.sql import functions as F
+
+        from datamancer_spark.operators.dedup import minhash_lsh_pairs
+
+        boiler = " ".join(f"w{i}" for i in range(60))
+        fam = [(i, f"{boiler} tail{i} x{i} y{i} z{i}") for i in range(12)]
+        exact = [(100, "totally different exact dup"), (101, "totally different exact dup")]
+        other = [(200 + i, f"unrelated {i} " + " ".join(f"u{i}{j}" for j in range(20))) for i in range(5)]
+        df = spark.createDataFrame(fam + exact + other, "doc_id long, text string")
+
+        uncapped = minhash_lsh_pairs(df).count()
+        capped_pairs = minhash_lsh_pairs(df, max_band_freq=3)
+        capped = capped_pairs.count()
+        # the boilerplate family's cross pairs dominate uncapped output
+        assert uncapped > capped
+        # exact duplicates (identical signature) always survive the cap
+        assert capped_pairs.filter(
+            (F.col("id_a") == 100) & (F.col("id_b") == 101)
+        ).count() == 1
+
+    def test_cap_none_is_default_identity(self, spark):
+        from datamancer_spark.operators.dedup import minhash_lsh_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+        )
+        assert (
+            minhash_lsh_pairs(df).count()
+            == minhash_lsh_pairs(df, max_band_freq=None).count()
+        )
