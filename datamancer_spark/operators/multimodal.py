@@ -337,26 +337,88 @@ AUDIO_SCHEMA = StructType(
 )
 
 
+def wav_decode_samples(blob: bytes, envelope_bins: int = 8):
+    """Pure-stdlib PCM WAV decode: walks the RIFF chunk list, reads the
+    fmt descriptor, and decodes integer PCM samples (8/16/32-bit) with
+    numpy. Returns ``(duration_s, sample_rate, loudness)`` where
+    loudness is an ``envelope_bins``-segment RMS envelope normalized to
+    [0, 1] (mono-mixed). ``None`` for non-WAV / compressed (non-PCM) /
+    malformed input — callers treat that as undecodable."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, ln = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        body = blob[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _brate, _balign, bits = fmt
+    if audio_fmt != 1 or channels == 0 or rate == 0:  # integer PCM only
+        return None
+    dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    if dt is None:
+        return None
+    width = bits // 8
+    usable = len(data) - (len(data) % (width * channels))
+    if usable <= 0:
+        return None
+    x = np.frombuffer(data[:usable], dtype=dt).astype(np.float64)
+    if bits == 8:  # 8-bit WAV is unsigned, centered at 128
+        x = x - 128.0
+    x /= float(2 ** (bits - 1) if bits > 8 else 128)
+    mono = x.reshape(-1, channels).mean(axis=1)
+    n = len(mono)
+    duration = n / rate
+    edges = np.linspace(0, n, envelope_bins + 1, dtype=np.int64)
+    env = [
+        round(float(np.sqrt(np.mean(mono[a:b] ** 2))), 6) if b > a else 0.0
+        for a, b in zip(edges[:-1], edges[1:])
+    ]
+    return (round(duration, 6), int(rate), env)
+
+
 def audio_features(
-    df: DataFrame, bin_col: str = "content", allow_fake: bool = False
+    df: DataFrame,
+    bin_col: str = "content",
+    allow_fake: bool = False,
+    envelope_bins: int = 8,
 ) -> DataFrame:
-    """Per-clip audio features (duration, rate, loudness envelope).
-    Codec stubbed; contract real."""
-    if not allow_fake:
-        raise NotImplementedError(
-            "audio decode requires soundfile/librosa (not in this "
-            "environment); pass allow_fake=True for the deterministic stub"
-        )
+    """Per-clip audio features (duration, sample rate, RMS loudness
+    envelope). Canonical integer-PCM WAV decodes FOR REAL with the
+    stdlib + numpy (``wav_decode_samples``); compressed formats
+    (mp3/ogg/flac) would need codec libraries absent here — those rows
+    come back NULL, or md5-derived fakes under ``allow_fake=True``.
+    Arrow-batched mapInPandas; the plumbing is identical for a real
+    codec plug-in."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"path": [], "duration_s": [], "sample_rate": [], "loudness": []}
             for path, blob in zip(pdf["path"], pdf[bin_col]):
-                d = hashlib.md5(bytes(blob)).digest()
+                blob = bytes(blob)
+                decoded = wav_decode_samples(blob, envelope_bins)
+                if decoded is not None:
+                    dur, rate, env = decoded
+                elif allow_fake:
+                    d = hashlib.md5(blob).digest()
+                    dur = round(1 + d[0] / 8.0, 3)
+                    rate = 16000
+                    env = [round(b / 255.0, 4) for b in d[:envelope_bins]]
+                else:
+                    dur = rate = env = None
                 rows["path"].append(path)
-                rows["duration_s"].append(round(1 + d[0] / 8.0, 3))
-                rows["sample_rate"].append(16000)
-                rows["loudness"].append([round(b / 255.0, 4) for b in d[:8]])
+                rows["duration_s"].append(dur)
+                rows["sample_rate"].append(rate)
+                rows["loudness"].append(env)
             yield pd.DataFrame(rows)
 
     return df.select("path", bin_col).mapInPandas(batches, AUDIO_SCHEMA)

@@ -324,3 +324,73 @@ class TestRealPngDecode:
         assert r["mean_intensity"] == pytest.approx(
             (400 / 3) / 255.0, abs=2e-6
         )
+
+
+class TestRealWavDecode:
+    @staticmethod
+    def _wav(rate=8000, seconds=0.5, bits=16, channels=1, amp=0.5, freq=440.0):
+        import struct
+
+        import numpy as np
+
+        n = int(rate * seconds)
+        t = np.arange(n) / rate
+        x = amp * np.sin(2 * np.pi * freq * t)
+        if bits == 16:
+            pcm = (x * 32767).astype(np.int16)
+        elif bits == 8:
+            pcm = ((x * 127) + 128).astype(np.uint8)
+        else:
+            pcm = (x * (2**31 - 1)).astype(np.int32)
+        if channels == 2:
+            pcm = np.repeat(pcm, 2)
+        data = pcm.tobytes()
+        width = bits // 8
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                       rate * width * channels, width * channels, bits)
+               + b"data" + struct.pack("<I", len(data)))
+        return hdr + data
+
+    @pytest.mark.parametrize("bits,channels", [(16, 1), (16, 2), (8, 1), (32, 1)])
+    def test_sine_rms_envelope(self, bits, channels):
+        from datamancer_spark.operators.multimodal import wav_decode_samples
+
+        blob = self._wav(bits=bits, channels=channels, amp=0.5)
+        got = wav_decode_samples(blob)
+        assert got is not None
+        dur, rate, env = got
+        assert rate == 8000 and dur == pytest.approx(0.5, abs=1e-6)
+        assert len(env) == 8
+        # constant-amplitude sine: every RMS segment ~ A/sqrt(2) = 0.3536
+        for v in env:
+            assert v == pytest.approx(0.5 / 2**0.5, abs=0.02)
+
+    def test_non_pcm_and_garbage_return_none(self):
+        import struct
+
+        from datamancer_spark.operators.multimodal import wav_decode_samples
+
+        blob = bytearray(self._wav())
+        struct.pack_into("<H", blob, 20, 3)  # IEEE-float format tag
+        assert wav_decode_samples(bytes(blob)) is None
+        assert wav_decode_samples(b"\xff\xd8 not audio" * 10) is None
+
+    def test_audio_features_real_wav_no_fake(self, spark, tmp_path):
+        from datamancer_spark.operators.multimodal import (
+            audio_features,
+            read_binary_dir,
+        )
+
+        (tmp_path / "tone.wav").write_bytes(self._wav(amp=0.25))
+        (tmp_path / "junk.mp3").write_bytes(b"ID3 not decodable here")
+        out = {
+            os.path.basename(r["path"]): r
+            for r in audio_features(read_binary_dir(spark, str(tmp_path))).collect()
+        }
+        tone = out["tone.wav"]
+        assert tone["sample_rate"] == 8000
+        assert tone["duration_s"] == pytest.approx(0.5, abs=1e-6)
+        assert tone["loudness"][0] == pytest.approx(0.25 / 2**0.5, abs=0.01)
+        junk = out["junk.mp3"]
+        assert junk["sample_rate"] is None and junk["loudness"] is None
