@@ -1620,6 +1620,30 @@ def purchase_followup_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection (operators/quality.py
+    duplicate_span_stats): hashed rolling 6-token windows, a window is
+    duplicated when its token sequence appears in >= 2 distinct docs —
+    the Spark-shaped stand-in for suffix-array exact substring dedup.
+    Aggregated per source so the result is a compact, stable contract."""
+    from datamancer_spark.operators.quality import duplicate_span_stats
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    per_doc = duplicate_span_stats(doc, window=6, min_docs=2)
+    return (
+        per_doc.join(doc.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_windows").cast("long").alias("windows"),
+            F.sum("n_dup_windows").cast("long").alias("dup_windows"),
+            F.count(F.when(F.col("dup_span_frac") > 0, 1))
+            .cast("long")
+            .alias("docs_with_dups"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1749,6 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": json_extract_props,
         "date_parts": date_parts,
         "regex_extract_doc": regex_extract_doc,
+        # -- round-5 additions (queued for a future driver window)
+        "duplicate_spans": duplicate_spans,
     }
 
 
@@ -3422,4 +3448,36 @@ def oracle_sql() -> dict[str, str]:
     # Every queries() entry has a value-level oracle: approximate ops use
     # deterministic md5-derived constants inlined above (LSH planes, IVF
     # centroids, SimHash bit math) so even they hash-compare exactly.
+    sql["duplicate_spans"] = """
+        WITH t AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                             x -> len(x) > 0) AS toks
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, greatest(len(toks) - 5, 0) AS n_windows, toks
+          FROM t
+        ),
+        wh AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, n_windows),
+                        s -> CAST('0x' || substr(md5(array_to_string(toks[s:s+5], ' ')), 1, 8) AS BIGINT))) AS h
+          FROM c WHERE n_windows > 0
+        ),
+        hot AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        dup AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+          FROM wh WHERE h IN (SELECT h FROM hot) GROUP BY doc_id
+        )
+        SELECT c.source,
+               CAST(sum(c.n_windows) AS BIGINT) AS windows,
+               CAST(sum(coalesce(d.nd, 0)) AS BIGINT) AS dup_windows,
+               CAST(count(CASE WHEN coalesce(d.nd, 0) > 0 THEN 1 END) AS BIGINT)
+                 AS docs_with_dups
+        FROM c LEFT JOIN dup d USING (doc_id)
+        GROUP BY c.source
+        ORDER BY c.source
+    """
+
     return {k: _expand_prnd(v) for k, v in sql.items()}

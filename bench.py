@@ -89,6 +89,8 @@ HEADLINE = [
     "ivf_cluster_profile",
     "source_skew_profile",
     "corpus_health_report",
+    # round-5 additions
+    "duplicate_spans",
 ]
 
 

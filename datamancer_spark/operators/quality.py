@@ -766,3 +766,83 @@ def corpus_health(
         prnd(F.col("_mq"), 6).alias("mean_quality"),
         prnd(F.col("_ent"), 6).alias("lang_entropy"),
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the hashed-window
+    approximation of exact substring deduplication (the observation
+    behind suffix-array dedup in "Deduplicating Training Data Makes
+    Language Models Better": training corpora repeat long verbatim
+    spans — licenses, boilerplate, quotes — that doc-level and even
+    near-dup passes miss). A ``window``-token span is *duplicated* when
+    its token sequence appears in >= ``min_docs`` distinct documents.
+
+    Per doc: (n_windows, n_dup_windows, dup_span_frac). Docs shorter
+    than ``window`` tokens have zero windows and a 0.0 fraction.
+
+    Scale shape (the Spark-friendly equivalent of a suffix array):
+    tokenize once per row -> explode one rolling window hash per token
+    position (linear in corpus tokens, the same cost class as the
+    shingle paths) -> partial-aggregated count of DISTINCT docs per
+    window hash -> semi join flags hot windows. The heavy frames only
+    ever carry (id, 8-byte hash); the hot-hash list is usually tiny and
+    broadcastable. No quadratic stage, no driver state. Reference has
+    no equivalent (SURVEY.md SS2.12 extension tier)."""
+    base = (
+        spread_partitions(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_t0"))
+        .select(
+            F.col(id_col),
+            F.filter(F.col("_t0"), lambda t: F.length(t) > 0).alias("_toks"),
+        )
+    )
+    counts = base.select(
+        F.col(id_col),
+        F.greatest(
+            F.size("_toks") - (window - 1), F.lit(0)
+        ).cast("long").alias("n_windows"),
+        F.col("_toks"),
+    )
+    wh = counts.filter(F.col("n_windows") > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_windows").cast("int")),
+                lambda s: hash32(F.concat_ws(" ", F.slice(F.col("_toks"), s, window))),
+            )
+        ).alias("_wh"),
+    )
+    hot = (
+        wh.groupBy("_wh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_wh")
+    )
+    dup = (
+        wh.join(hot, "_wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_windows"))
+    )
+    return (
+        counts.select(id_col, "n_windows")
+        .join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            prnd(
+                F.when(F.col("n_windows") > 0,
+                       F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                       / F.col("n_windows")).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -418,3 +418,44 @@ class TestCorpusHealth:
         doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
         out = corpus_health(doc)
         assert out.count() == 1
+
+
+class TestDuplicateSpans:
+    def test_hand_computed_counts(self, spark):
+        from datamancer_spark.operators.quality import duplicate_span_stats
+
+        shared = "the quick brown fox jumps over"
+        docs = [
+            (1, f"{shared} the lazy dog"),      # 9 tokens
+            (2, f"intro words {shared} outro"), # 9 tokens
+            (3, "completely unrelated text here now"),  # 5 tokens
+            (4, "tiny"),                         # < window -> 0 windows
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in duplicate_span_stats(df, window=4, min_docs=2).collect()}
+        # doc1: 6 windows, shared 6-token span gives 3 identical 4-grams in both docs
+        assert out[1]["n_windows"] == 6 and out[1]["n_dup_windows"] == 3
+        assert out[2]["n_windows"] == 6 and out[2]["n_dup_windows"] == 3
+        assert out[1]["dup_span_frac"] == 0.5
+        assert out[3]["n_dup_windows"] == 0
+        assert out[4]["n_windows"] == 0 and out[4]["dup_span_frac"] == 0.0
+
+    def test_within_doc_repeat_not_cross_doc(self, spark):
+        """A span repeated WITHIN one doc does not count: min_docs is a
+        distinct-document threshold."""
+        from datamancer_spark.operators.quality import duplicate_span_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b c d a b c d"), (2, "x y z w v u t s")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in duplicate_span_stats(df, window=4).collect()}
+        assert out[1]["n_dup_windows"] == 0
+
+    def test_no_python_no_cartesian(self, spark, sf_dir):
+        from datamancer_spark.operators.quality import duplicate_span_stats
+        from datamancer_spark.plans import executed_plan
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = executed_plan(duplicate_span_stats(doc, window=6))
+        assert "Python" not in plan and "Cartesian" not in plan
