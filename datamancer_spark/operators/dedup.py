@@ -192,18 +192,16 @@ def minhash_signature(
     # k min-aggregates. groupBy+min runs in whole-stage codegen with
     # map-side partial aggregation (vs interpreted array-lambda folds),
     # and the shuffle carries only (id, h) pairs.
-    # Tokenize ONCE per row into a column; shingle from the attribute
-    # (see shingles_from_tokens — inlining the tokens tree re-evaluates
-    # it per shingle inside the transform lambda).
-    exploded = (
-        spread_partitions(df)
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("s"),
-        )
-        .select(F.col(id_col), hash32(F.col("s")).alias("h"))
-    )
+    # NOTE: deliberately the INLINE word_shingles form. The tokens-hoist
+    # that wins on the transform-based paths (ngram_jaccard 2.11s→1.29s)
+    # measured ~20% SLOWER here (0.83s vs 0.67s at sf0.1, best-of-4):
+    # under an explode generator the extra projection costs more than
+    # the lambda re-evaluation saves. Measured, not assumed — re-measure
+    # before "unifying" this with the other call sites.
+    exploded = spread_partitions(df).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select(F.col(id_col), hash32(F.col("s")).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{i}")
         for i, (a, b) in enumerate(coeffs)
