@@ -12,13 +12,15 @@ Two tiers:
   ``image_dimensions`` (PNG/GIF/BMP in pure Catalyst, JPEG via a
   stdlib marker walk) and ``wav_metadata`` (canonical RIFF layout in
   pure Catalyst) parse actual on-disk formats with no codec library.
-- **Pixel/sample decode — STUBBED** in this environment (no PIL/ffmpeg
-  in the container): ``decode_images`` raises ``NotImplementedError``
-  unless ``allow_fake=True``, which substitutes a deterministic
-  md5-derived fake decode so the Spark-side plumbing — schema, batch
-  iteration, partition shape, output contract — is real and testable
-  end-to-end. Swapping in a real codec changes only the marked inner
-  function.
+- **Pixel/sample decode — REAL for the container-only formats, stubbed
+  where a codec is unavoidable.** PNG pixels (stdlib zlib + filter
+  inversion), canonical PCM WAV samples, and animated-GIF frames
+  (stdlib LZW) decode for real; JPEG/video/compressed-audio DECODE
+  needs PIL/ffmpeg (absent here) — those rows yield NULLs, or a
+  deterministic md5-derived fake under ``allow_fake=True`` so the
+  Spark-side plumbing — schema, batch iteration, partition shape,
+  output contract — stays testable end-to-end. Swapping in a real
+  codec changes only the marked inner function.
 
 Scale notes: binary payloads never shuffle — every stage here is
 narrow (mapInPandas over the scan); only extracted features (small
@@ -300,21 +302,37 @@ def sample_frames(
     max_frames: int = 8,
     allow_fake: bool = False,
 ) -> DataFrame:
-    """Sample every-Nth frame from video blobs → one row per frame.
-    Codec stubbed (no ffmpeg here): fake frames are md5-chained slices,
-    preserving the real contract (explode-shaped output, bounded by
-    max_frames so one giant video cannot blow up a task)."""
-    if not allow_fake:
-        raise NotImplementedError(
-            "video decode requires ffmpeg bindings (not in this environment); "
-            "pass allow_fake=True for the deterministic stub"
-        )
+    """Sample every-Nth frame from animation/video blobs → one row per
+    frame (explode-shaped output, bounded by max_frames so one giant
+    clip cannot blow up a task). Animated GIF decodes FOR REAL with the
+    stdlib LZW decoder (``gif_decode_frames``; frame_bytes is the RGB24
+    canvas after compositing); true video (mp4/webm) needs ffmpeg
+    (absent here) — those rows are dropped, or get md5-chained fake
+    frames under ``allow_fake=True``."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"path": [], "frame_idx": [], "frame_bytes": []}
             for path, blob in zip(pdf["path"], pdf[bin_col]):
                 blob = bytes(blob)
+                if blob[:4] == b"GIF8":
+                    # decode sequentially (compositing needs every frame)
+                    # but EMIT only every-Nth, capped at max_frames
+                    emitted = 0
+                    for idx, w, h, rgb in gif_decode_frames(
+                        blob, max_frames=every_n * max_frames
+                    ):
+                        if idx % every_n:
+                            continue
+                        rows["path"].append(path)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_bytes"].append(rgb)
+                        emitted += 1
+                        if emitted >= max_frames:
+                            break
+                    continue
+                if not allow_fake:
+                    continue  # undecodable without ffmpeg: drop the row
                 n_fake_frames = max(1, len(blob) // max(every_n, 1))
                 for i in range(min(n_fake_frames, max_frames)):
                     rows["path"].append(path)
@@ -624,3 +642,141 @@ def wav_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:
             F.round(data_size / bytes_per_s, 6),
         ).alias("duration_s"),
     )
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int):
+    """GIF-variant LZW decode (little-endian bit packing, CLEAR/END
+    codes, 12-bit max code width). Returns index bytes or None."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    table = list(base)
+    prev = None
+    out = bytearray()
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + width <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode_frames(blob: bytes, max_frames: int = 64):
+    """Pure-stdlib animated-GIF decode: walks the GIF87a/89a block
+    stream, LZW-decodes each image descriptor, handles local/global
+    color tables, interlacing, frame offsets, transparency, and
+    disposal-to-background, compositing every frame onto the logical
+    canvas. Yields ``(frame_idx, width, height, rgb_bytes)`` with
+    rgb_bytes the full RGB24 canvas after that frame. Returns
+    immediately (no yield) for non-GIF/corrupt input."""
+    import struct
+
+    if len(blob) < 13 or blob[:4] != b"GIF8":
+        return
+    w, h = struct.unpack("<HH", blob[6:10])
+    flags, bg_idx = blob[10], blob[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    canvas = bytearray(
+        (gct[3 * bg_idx : 3 * bg_idx + 3] if gct and 3 * bg_idx + 3 <= len(gct) else b"\x00\x00\x00")
+        * (w * h)
+    )
+    transparent, disposal = None, 0
+    frame_idx = 0
+    try:
+        while pos < len(blob) and frame_idx < max_frames:
+            b0 = blob[pos]
+            if b0 == 0x3B:  # trailer
+                return
+            if b0 == 0x21:  # extension
+                label = blob[pos + 1]
+                pos += 2
+                if label == 0xF9 and blob[pos] >= 4:  # graphic control
+                    packed = blob[pos + 1]
+                    disposal = (packed >> 2) & 7
+                    transparent = blob[pos + 4] if packed & 1 else None
+                while blob[pos]:  # skip sub-blocks
+                    pos += 1 + blob[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:  # unknown block: bail rather than misparse
+                return
+            fx, fy, fw, fh = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+            fflags = blob[pos + 9]
+            pos += 10
+            table = gct
+            if fflags & 0x80:
+                n = 2 << (fflags & 7)
+                table = blob[pos : pos + 3 * n]
+                pos += 3 * n
+            if table is None:
+                return
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos]:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idxs = _gif_lzw_decode(min_code, bytes(data), fw * fh)
+            if idxs is None:
+                return
+            if fflags & 0x40:  # interlaced: reorder rows
+                rows = [idxs[r * fw : (r + 1) * fw] for r in range(fh)]
+                ordered: list[bytes | None] = [None] * fh
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for r in range(start, fh, step):
+                        ordered[r] = rows[src]
+                        src += 1
+                idxs = b"".join(ordered)  # type: ignore[arg-type]
+            for r in range(fh):
+                cy = fy + r
+                if cy >= h:
+                    break
+                for c in range(fw):
+                    cx = fx + c
+                    if cx >= w:
+                        break
+                    pi = idxs[r * fw + c]
+                    if pi == transparent or 3 * pi + 3 > len(table):
+                        continue
+                    off = 3 * (cy * w + cx)
+                    canvas[off : off + 3] = table[3 * pi : 3 * pi + 3]
+            yield (frame_idx, w, h, bytes(canvas))
+            frame_idx += 1
+            if disposal == 2 and gct is not None:  # restore to background
+                canvas = bytearray(
+                    gct[3 * bg_idx : 3 * bg_idx + 3] * (w * h)
+                )
+    except (IndexError, struct.error):
+        return

@@ -394,3 +394,173 @@ class TestRealWavDecode:
         assert tone["loudness"][0] == pytest.approx(0.25 / 2**0.5, abs=0.01)
         junk = out["junk.mp3"]
         assert junk["sample_rate"] is None and junk["loudness"] is None
+
+
+def _lzw_encode(min_code_size, data):
+    """Reference GIF-LZW encoder (giflib width convention: encoder widens
+    when next_code exceeds 2^width AFTER assigning; the decoder widens at
+    table size == 2^width, one assignment earlier, compensating its
+    one-entry lag). Returns the packed little-endian code bytes."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes = [(clear, width)]
+    prev = b""
+    for byte in bytes(data):
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        codes.append((table[prev], width))
+        if next_code <= 4095:
+            table[cur] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        prev = bytes([byte])
+    if prev:
+        codes.append((table[prev], width))
+    codes.append((end, width))
+    acc = bitpos = 0
+    out = bytearray()
+    for code, w in codes:
+        acc |= code << bitpos
+        bitpos += w
+        while bitpos >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            bitpos -= 8
+    if bitpos:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _encode_gif(frames, palette, w, h, min_code_size=None, interlace_frame=None):
+    """Minimal GIF89a writer for round-trip tests: global palette, one
+    image descriptor per frame (full-canvas), real LZW data in 255-byte
+    sub-blocks."""
+    import struct
+
+    bits = max(1, (len(palette) - 1).bit_length())
+    mcs = min_code_size or max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag+size, bg=0, aspect
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * (3 * ((1 << bits) - len(palette)))
+    out += pal
+    for fi, fr in enumerate(frames):
+        data = bytes(fr)
+        if interlace_frame == fi:
+            rows = [data[r * w : (r + 1) * w] for r in range(h)]
+            order = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                order += list(range(start, h, step))
+            data = b"".join(rows[r] for r in order)
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace_frame == fi else 0])
+        out += bytes([mcs])
+        enc = _lzw_encode(mcs, data)
+        for i in range(0, len(enc), 255):
+            blk = enc[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+class TestRealGifDecode:
+    PAL4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+    def test_single_frame_roundtrip(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import gif_decode_frames
+
+        rng = np.random.default_rng(1)
+        idx = rng.integers(0, 4, size=(11, 7), dtype=np.uint8)
+        blob = _encode_gif([idx.tobytes()], self.PAL4, 7, 11)
+        frames = list(gif_decode_frames(blob))
+        assert len(frames) == 1
+        fi, w, h, rgb = frames[0]
+        assert (fi, w, h) == (0, 7, 11)
+        expect = np.array(self.PAL4, dtype=np.uint8)[idx.reshape(-1)].tobytes()
+        assert rgb == expect
+
+    def test_width_growth_roundtrip(self):
+        """Enough distinct 2-pixel patterns to push the LZW dictionary
+        across several code-width boundaries (the classic off-by-one)."""
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import gif_decode_frames
+
+        rng = np.random.default_rng(2)
+        pal = [(i, 255 - i, i ^ 0x55) for i in range(128)]
+        idx = rng.integers(0, 128, size=(64, 64), dtype=np.uint8)
+        blob = _encode_gif([idx.tobytes()], pal, 64, 64)
+        frames = list(gif_decode_frames(blob))
+        assert len(frames) == 1
+        _, w, h, rgb = frames[0]
+        expect = np.array(pal, dtype=np.uint8)[idx.reshape(-1)].tobytes()
+        assert rgb == expect
+
+    def test_interlaced_frame(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import gif_decode_frames
+
+        rng = np.random.default_rng(3)
+        idx = rng.integers(0, 4, size=(16, 5), dtype=np.uint8)
+        blob = _encode_gif([idx.tobytes()], self.PAL4, 5, 16, interlace_frame=0)
+        _, w, h, rgb = next(iter(gif_decode_frames(blob)))
+        expect = np.array(self.PAL4, dtype=np.uint8)[idx.reshape(-1)].tobytes()
+        assert rgb == expect
+
+    def test_animation_composites(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import gif_decode_frames
+
+        f0 = np.zeros((4, 4), dtype=np.uint8)
+        f1 = np.full((4, 4), 2, dtype=np.uint8)
+        blob = _encode_gif([f0.tobytes(), f1.tobytes()], self.PAL4, 4, 4)
+        frames = list(gif_decode_frames(blob))
+        assert [f[0] for f in frames] == [0, 1]
+        assert frames[0][3] == bytes(self.PAL4[0]) * 16
+        assert frames[1][3] == bytes(self.PAL4[2]) * 16
+
+    def test_garbage_yields_nothing(self):
+        from datamancer_spark.operators.multimodal import gif_decode_frames
+
+        assert list(gif_decode_frames(b"GIF8 garbage")) == []
+        assert list(gif_decode_frames(b"\x00" * 50)) == []
+
+    def test_sample_frames_real_gif_no_fake(self, spark, tmp_path):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            read_binary_dir,
+            sample_frames,
+        )
+
+        rng = np.random.default_rng(5)
+        frames = [
+            rng.integers(0, 4, size=(6, 6), dtype=np.uint8).tobytes()
+            for _ in range(5)
+        ]
+        (tmp_path / "anim.gif").write_bytes(
+            _encode_gif(frames, self.PAL4, 6, 6)
+        )
+        (tmp_path / "clip.mp4").write_bytes(b"\x00\x00\x00\x18ftypmp42 junk")
+        out = sample_frames(
+            read_binary_dir(spark, str(tmp_path)), every_n=2, max_frames=2
+        ).collect()
+        # mp4 dropped (no ffmpeg, no fake); GIF frames 0 and 2 emitted
+        import os as _os
+
+        assert all(_os.path.basename(r["path"]) == "anim.gif" for r in out)
+        assert sorted(r["frame_idx"] for r in out) == [0, 2]
+        assert all(len(r["frame_bytes"]) == 6 * 6 * 3 for r in out)
