@@ -255,6 +255,162 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-flavored cross-nation trade volume: revenue by
+    (supplier nation, customer nation, ship year) for trades where the
+    two nations differ. The two nation legs broadcast (25 rows); the
+    order/customer joins shuffle on their keys; revenue partial-aggs
+    before the final group shuffle."""
+    t = _t(spark, sf_dir, "supplier", "nation", "customer", "orders", "lineitem")
+    n1 = t["nation"].df.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = t["nation"].df.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    j = (
+        t["lineitem"].df
+        .join(
+            F.broadcast(t["supplier"].df.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            t["orders"].df.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t["customer"].df.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), "s_nationkey")
+        .join(F.broadcast(n2), "c_nationkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    # cent-exact integer summation: per-line round then sum, so the
+    # result is independent of float accumulation order (engine-portable)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(prnd(F.sum(cents) / 100.0, 2).alias("revenue"))
+
+
+def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-flavored customer order-count distribution: how many
+    customers placed exactly k orders (k=0 via the left join). Two
+    partial-aggregated shuffles; the second runs over at most
+    max-orders-per-customer rows."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"].df.select("c_custkey")
+        .join(
+            t["orders"].df.select(
+                F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-flavored top supplier: revenue per supplier over one
+    quarter, returning the max-revenue supplier(s). The max comes from a
+    one-row aggregate broadcast back onto the per-supplier rollup — no
+    window over the full rollup and no second scan of lineitem. Revenue
+    is compared on cent-exact integers (floats only leave as display)."""
+    t = _t(spark, sf_dir, "supplier", "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    rev = (
+        t["lineitem"].df
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.sum(cents).alias("_cents"))
+    )
+    top = rev.agg(F.max("_cents").alias("_top"))
+    return (
+        rev.join(F.broadcast(top), F.col("_cents") == F.col("_top"))
+        .join(t["supplier"].df.select("s_suppkey", "s_name"), "s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            prnd(F.col("_cents") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-flavored disjunctive predicate revenue: three
+    brand/size/quantity windows OR'd together (adapted to this schema's
+    columns — no container attribute). The part dimension broadcasts;
+    the disjunction stays inside whole-stage codegen on the joined
+    scan; output is a single row."""
+    t = _t(spark, sf_dir, "part", "lineitem")
+    j = t["lineitem"].df.join(
+        F.broadcast(t["part"].df.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        prnd(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-flavored sales-opportunity scan (adapted: no phone
+    country codes in this schema): customers with above-average positive
+    account balance and NO order since 2001-01-01, counted per market
+    segment with their aggregate balance. The average is a one-row
+    aggregate broadcast into the filter; recent purchasers leave via a
+    left anti join on the distinct recent-customer set."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    c = t["customer"].df
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    recent = (
+        t["orders"].df
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            prnd(
+                F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long"))
+                / 100.0,
+                2,
+            ).alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Row verbs (SURVEY §2.2-2.3)
 # ---------------------------------------------------------------------------
@@ -1775,6 +1931,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract_doc": regex_extract_doc,
         # -- round-5 additions (queued for a future driver window)
         "duplicate_spans": duplicate_spans,
+        "q7_nation_volume": q7_nation_volume,
+        "q13_order_count_dist": q13_order_count_dist,
+        "q15_top_supplier": q15_top_supplier,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_dormant_customers": q22_dormant_customers,
     }
 
 
@@ -3478,6 +3639,71 @@ def oracle_sql() -> dict[str, str]:
         FROM c LEFT JOIN dup d USING (doc_id)
         GROUP BY c.source
         ORDER BY c.source
+    """
+
+    sql["q7_nation_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               prnd(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """
+
+    sql["q13_order_count_dist"] = """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """
+
+    sql["q15_top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1
+        )
+        SELECT r.s_suppkey, s.s_name, prnd(r.cents / 100.0, 2) AS total_revenue
+        FROM rev r JOIN supplier s USING (s_suppkey)
+        WHERE r.cents = (SELECT max(cents) FROM rev)
+    """
+
+    sql["q19_discounted_revenue"] = """
+        SELECT prnd(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """
+
+    sql["q22_dormant_customers"] = """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+               prnd(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                    / 100.0, 2) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_mktsegment
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}
