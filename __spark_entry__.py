@@ -377,6 +377,16 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law vocabulary fit (operators/quality.py zipf_fit): OLS
+    slope/R2 of ln(freq) on ln(rank) over the top-300 tokens - the
+    corpus-health signal for generated/boilerplate drift."""
+    from datamancer_spark.operators.quality import zipf_fit
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return zipf_fit(doc, top_k=300)
+
+
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q22-flavored sales-opportunity scan (adapted: no phone
     country codes in this schema): customers with above-average positive
@@ -1936,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q19_discounted_revenue": q19_discounted_revenue,
         "q22_dormant_customers": q22_dormant_customers,
+        "zipf_corpus_fit": zipf_corpus_fit,
     }
 
 
@@ -3704,6 +3715,34 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= TIMESTAMP '2001-01-01')
         GROUP BY c_mktsegment
+    """
+
+    sql["zipf_corpus_fit"] = """
+        WITH f AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS n
+          FROM (
+            SELECT unnest(list_filter(
+              regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+              t -> len(t) > 0)) AS tok
+            FROM documents) u
+          GROUP BY tok
+        ),
+        top AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS r
+          FROM f ORDER BY n DESC, tok ASC LIMIT 300
+        ),
+        xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM top),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy
+          FROM xy
+        )
+        SELECT n_terms,
+               prnd((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 6) AS zipf_slope,
+               prnd(((n_terms*sxy - sx*sy) * (n_terms*sxy - sx*sy))
+                    / ((n_terms*sxx - sx*sx) * (n_terms*syy - sy*sy)), 6) AS zipf_r2
+        FROM s
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

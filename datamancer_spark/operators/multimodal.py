@@ -780,3 +780,51 @@ def gif_decode_frames(blob: bytes, max_frames: int = 64):
                 )
     except (IndexError, struct.error):
         return
+
+
+FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("motion", DoubleType()),
+    ]
+)
+
+
+def frame_features(
+    df: DataFrame,
+    bin_col: str = "content",
+    max_frames: int = 64,
+) -> DataFrame:
+    """Per-frame features over REAL decoded animation frames (GIF via
+    the stdlib LZW decoder): mean RGB intensity in [0,1] and ``motion``
+    — mean absolute per-pixel difference vs the previous frame (0 for
+    the first frame; the standard cheap scene-change / static-clip
+    signal used to pick representative frames before an expensive
+    captioning or embedding stage). Non-GIF rows are skipped (no
+    codec); Arrow-batched mapInPandas, one task per partition of
+    blobs — features, not pixels, are what shuffles downstream."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"path": [], "frame_idx": [], "mean_intensity": [], "motion": []}
+            for path, blob in zip(pdf["path"], pdf[bin_col]):
+                prev = None
+                for idx, w, h, rgb in gif_decode_frames(
+                    bytes(blob), max_frames=max_frames
+                ):
+                    arr = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64)
+                    rows["path"].append(path)
+                    rows["frame_idx"].append(idx)
+                    rows["mean_intensity"].append(round(float(arr.mean()) / 255.0, 6))
+                    rows["motion"].append(
+                        0.0
+                        if prev is None
+                        else round(float(np.abs(arr - prev).mean()) / 255.0, 6)
+                    )
+                    prev = arr
+            yield pd.DataFrame(rows)
+
+    return df.select("path", bin_col).mapInPandas(batches, FRAME_FEATURES_SCHEMA)

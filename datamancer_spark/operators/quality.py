@@ -846,3 +846,57 @@ def duplicate_span_stats(
             ).alias("dup_span_frac"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) for the ``top_k`` most frequent tokens
+    (natural text sits near -1; generated/boilerplate corpora drift).
+    One-row output: (n_terms, zipf_slope, zipf_r2).
+
+    Scale shape: token counts partial-aggregate to a vocabulary-sized
+    frame; the rank comes from ``orderBy(freq desc, token).limit(top_k)``
+    — TakeOrderedAndProject, never a global sort of the vocabulary (the
+    same bounded-top-k discipline as key_skew_profile) — and the OLS
+    sums reduce the <= top_k survivors to one row. Fitting on the head
+    is the standard practice anyway: the tail is where Zipf's law
+    breaks down and where hapax noise lives."""
+    from pyspark.sql.window import Window
+
+    freqs = (
+        spread_partitions(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .filter(F.length("_tok") > 0)
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    top = freqs.orderBy(F.col("_n").desc(), F.col("_tok").asc()).limit(top_k)
+    w = Window.partitionBy(F.pmod(F.col("_n"), F.lit(1))).orderBy(
+        F.col("_n").desc(), F.col("_tok").asc()
+    )
+    ranked = top.withColumn("_rank", F.row_number().over(w)).select(
+        F.log(F.col("_rank").cast("double")).alias("_x"),
+        F.log(F.col("_n").cast("double")).alias("_y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return agg.select(
+        "n_terms",
+        prnd(cov / varx, 6).alias("zipf_slope"),
+        prnd((cov * cov) / (varx * vary), 6).alias("zipf_r2"),
+    )

@@ -564,3 +564,29 @@ class TestRealGifDecode:
         assert all(_os.path.basename(r["path"]) == "anim.gif" for r in out)
         assert sorted(r["frame_idx"] for r in out) == [0, 2]
         assert all(len(r["frame_bytes"]) == 6 * 6 * 3 for r in out)
+
+
+class TestFrameFeatures:
+    def test_intensity_and_motion(self, spark, tmp_path):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            frame_features,
+            read_binary_dir,
+        )
+
+        pal = [(0, 0, 0), (255, 255, 255), (128, 128, 128), (64, 64, 64)]
+        f0 = np.zeros((4, 4), dtype=np.uint8)          # all black
+        f1 = np.ones((4, 4), dtype=np.uint8)           # all white
+        f2 = np.ones((4, 4), dtype=np.uint8)           # unchanged
+        (tmp_path / "m.gif").write_bytes(
+            _encode_gif([f0.tobytes(), f1.tobytes(), f2.tobytes()], pal, 4, 4)
+        )
+        out = sorted(
+            frame_features(read_binary_dir(spark, str(tmp_path))).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [r["frame_idx"] for r in out] == [0, 1, 2]
+        assert out[0]["mean_intensity"] == 0.0 and out[0]["motion"] == 0.0
+        assert out[1]["mean_intensity"] == 1.0 and out[1]["motion"] == 1.0
+        assert out[2]["motion"] == 0.0  # static frame

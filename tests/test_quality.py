@@ -459,3 +459,32 @@ class TestDuplicateSpans:
         doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
         plan = executed_plan(duplicate_span_stats(doc, window=6))
         assert "Python" not in plan and "Cartesian" not in plan
+
+
+class TestZipfFit:
+    def test_synthetic_zipfian_slope(self, spark):
+        """A corpus manufactured with freq(rank) = C/rank must fit a
+        slope of ~-1 with r2 ~1."""
+        from datamancer_spark.operators.quality import zipf_fit
+
+        words = []
+        for r in range(1, 41):
+            words += [f"w{r:03d}"] * (1200 // r)
+        docs = [
+            (i, " ".join(words[i * 50 : (i + 1) * 50]))
+            for i in range((len(words) + 49) // 50)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        row = zipf_fit(df, top_k=40).collect()[0]
+        assert row["n_terms"] == 40
+        assert abs(row["zipf_slope"] + 1.0) < 0.05
+        assert row["zipf_r2"] > 0.99
+
+    def test_vocab_never_globally_sorted(self, spark, sf_dir):
+        from datamancer_spark.operators.quality import zipf_fit
+        from datamancer_spark.plans import executed_plan
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = executed_plan(zipf_fit(doc, top_k=100))
+        assert "TakeOrderedAndProject" in plan
+        assert "rangepartitioning" not in plan
