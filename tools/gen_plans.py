@@ -52,11 +52,18 @@ COMMENT = {
     "score_calibration_en": "Classifier scoring stays a zero-shuffle projection; the calibration rollup is one partial-aggregated shuffle over at most 12 groups.",
     "semantic_dedup_embeddings": "IVF assignment map (vector rides the Arrow batch, no join-back) -> one cluster-keyed shuffle -> per-cluster BLAS Gram kernel emits dropped ids -> anti join. Quadratic work bounded to within-cluster pairs; the per-pair Catalyst-fold variant measured ~10x slower.",
     "ivf_cluster_profile": "Assignment map + broadcast join to the tiny centroid table + one partial-aggregated rollup over num_centroids groups.",
-    "source_skew_profile": "One partial-aggregated count per key; the rank/cumsum window runs over the key-cardinality count frame, never the corpus.",
+    "source_skew_profile": "One partial-aggregated count per key; top-k via TakeOrderedAndProject (r5: no global sort / unpartitioned window over the count frame); rank+cumsum over the <= top_k survivors.",
     "corpus_health_report": "One narrow per-doc pass (fingerprint/tokens/quality) feeding a global aggregate + a language rollup reduced to the entropy scalar; two one-row frames cross-join. Nothing collected.",
     "salted_events_rollup": "Two-stage hot-key rewrite: partials on (keys, salt) spread one hot key over 16 reducers, combine on the true keys — differentially equal to the plain GROUP BY (integer cents).",
     "text_hash_embedding": "Explode tokens -> ONE groupBy with 64 codegen'd conditional sums (the SimHash relational shape) -> arrayize + normalize as a narrow projection.",
     "dedup_semantic_text": "Hash-embedding groupBy -> IVF assignment map -> cluster-keyed BLAS kernel -> anti join: the full text-to-semantic-dedup pipeline; quadratic work bounded to within-cluster pairs.",
+    "duplicate_spans": "Tokenize once per row -> explode one rolling 8-byte window hash per token position (linear in corpus tokens) -> distinct-doc count per hash (partial-agg) -> semi-join flags hot windows -> per-source rollup. The suffix-array-class op in relational form; no quadratic stage.",
+    "q7_nation_volume": "Nation legs broadcast (25 rows); order/customer joins shuffle on keys; cent-exact revenue partial-aggregates before the final (nation, nation, year) group shuffle.",
+    "q13_order_count_dist": "Left join -> per-customer count (partial-agg) -> second rollup over <= max-orders-per-customer rows.",
+    "q15_top_supplier": "Quarter filter pushed to the scan; per-supplier cent rollup; the max is a one-row aggregate broadcast back — no window over the rollup, no second lineitem scan.",
+    "q19_discounted_revenue": "Part dimension broadcast; the brand/size/quantity disjunction evaluates in whole-stage codegen on the joined scan; one-row output.",
+    "q22_dormant_customers": "Scalar average broadcast into the filter; recent purchasers leave via a left anti join on a distinct key set; tiny per-segment rollup.",
+    "zipf_corpus_fit": "Vocabulary counts partial-aggregate; top-k is TakeOrderedAndProject (never a global vocab sort); OLS sums reduce <= top_k rows to one.",
 }
 
 
