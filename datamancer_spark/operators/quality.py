@@ -768,6 +768,62 @@ def corpus_health(
     )
 
 
+def _window_hash_base(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """(id, n_windows, _toks) frame shared by the span operators:
+    non-empty tokens projected once per row, window count from the
+    token count."""
+    base = (
+        spread_partitions(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_t0"))
+        .select(
+            F.col(id_col),
+            F.filter(F.col("_t0"), lambda t: F.length(t) > 0).alias("_toks"),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.greatest(
+            F.size("_toks") - (window - 1), F.lit(0)
+        ).cast("long").alias("n_windows"),
+        F.col("_toks"),
+    )
+
+
+def hot_window_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The PERSISTABLE side of duplicated-span detection: the distinct
+    window hashes appearing in >= ``min_docs`` distinct documents — one
+    8-byte ``wh`` column, usually tiny relative to the corpus. Write it
+    as the span index; ``streaming.streaming_span_hits`` probes incoming
+    documents against it statelessly, and a batch semi join flags spans
+    in any later snapshot without re-reading this corpus."""
+    counts = _window_hash_base(df, text_col, id_col, window)
+    wh = counts.filter(F.col("n_windows") > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_windows").cast("int")),
+                lambda s: hash32(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), s, window))
+                ),
+            )
+        ).alias("wh"),
+    )
+    return (
+        wh.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("wh")
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -794,21 +850,7 @@ def duplicate_span_stats(
     ever carry (id, 8-byte hash); the hot-hash list is usually tiny and
     broadcastable. No quadratic stage, no driver state. Reference has
     no equivalent (SURVEY.md SS2.12 extension tier)."""
-    base = (
-        spread_partitions(df)
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("_t0"))
-        .select(
-            F.col(id_col),
-            F.filter(F.col("_t0"), lambda t: F.length(t) > 0).alias("_toks"),
-        )
-    )
-    counts = base.select(
-        F.col(id_col),
-        F.greatest(
-            F.size("_toks") - (window - 1), F.lit(0)
-        ).cast("long").alias("n_windows"),
-        F.col("_toks"),
-    )
+    counts = _window_hash_base(df, text_col, id_col, window)
     wh = counts.filter(F.col("n_windows") > 0).select(
         F.col(id_col),
         F.explode(

@@ -286,3 +286,48 @@ def streaming_fuzzy_screen(
         F.coalesce(*[F.col(h) for h in hit_cols]).isNull()
     )
     return survivors.drop(*hit_cols, *[f"bhash_{b}" for b in range(bands)])
+
+
+def streaming_span_hits(
+    stream: DataFrame,
+    hot_windows: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Streaming duplicated-span probe against a PERSISTED hot-window
+    index (``operators.quality.hot_window_index``): emit one row per
+    (document, window position) whose ``window``-token span is already
+    known boilerplate — the license/quote/template spans arriving in a
+    live crawl.
+
+    Stateless by design, mirroring ``streaming_fuzzy_screen``'s split:
+    the rolling window hashes are a pure per-row projection + explode,
+    and the probe is ONE stream-static inner equi-join against the
+    8-byte hot set (broadcastable index tier). Per-document rollups
+    (span fraction, drop decisions) need aggregation state and belong
+    in the periodic batch compaction, where ``duplicate_span_stats``
+    computes them exactly. Output: (id, span_pos, wh)."""
+    from ..operators.dedup import hash32, tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    k = F.greatest(F.size("_toks") - (window - 1), F.lit(0)).cast("int")
+    exploded = (
+        stream.withColumn("_toks", toks)
+        .withColumn("_k", k)
+        .filter(F.col("_k") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_k")),
+                    lambda s: hash32(
+                        F.concat_ws(" ", F.slice(F.col("_toks"), s, window))
+                    ),
+                )
+            ).alias("span_pos", "wh"),
+        )
+    )
+    return exploded.join(hot_windows.select("wh"), "wh", "inner").select(
+        id_col, "span_pos", "wh"
+    )

@@ -369,3 +369,47 @@ def test_streaming_curation_pipeline_composes(spark, tmp_path):
     # base drops at the fuzzy screen; "x" (2/4 heuristics) at the 0.75 gate
     assert [r["text"] for r in rows] == [novel]
     assert 0.0 <= rows[0]["score"] <= 1.0
+
+
+def test_streaming_span_hits(spark, tmp_path):
+    """Stream docs probe a persisted hot-window index: known boilerplate
+    spans are emitted with their positions, clean docs emit nothing;
+    stateless stream-static join."""
+    from datamancer_spark.operators.quality import hot_window_index
+    from datamancer_spark.streaming import streaming_span_hits
+
+    boiler = "all rights reserved unauthorized copying is strictly prohibited"
+    corpus = spark.createDataFrame(
+        [(1, f"first document text {boiler} trailing words"),
+         (2, f"second document {boiler} and more"),
+         (3, "independent content with no shared spans at all here")],
+        "doc_id long, text string",
+    )
+    hot = hot_window_index(corpus, window=4, min_docs=2)
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_batch(d, "b0.json", [
+        {"ts": "2024-01-01T00:00:00", "user": "hit",
+         "text": f"incoming page {boiler} footer", "value": 1.0},
+        {"ts": "2024-01-01T00:01:00", "user": "clean",
+         "text": "totally novel writing nothing shared with history corpus",
+         "value": 2.0},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(d)
+    out = streaming_span_hits(stream, hot, id_col="user", window=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("span_hits")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM span_hits").collect()
+    finally:
+        q.stop()
+    users = {r["user"] for r in rows}
+    assert users == {"hit"}
+    # the 8-token boilerplate contributes 5 hot 4-grams
+    assert len(rows) == 5
