@@ -22,6 +22,7 @@ from .io import (
     read_jsonl,
     read_orc,
     read_parquet,
+    read_xml,
     show_browser,
     str_tab_to_df,
     to_html,
@@ -31,6 +32,7 @@ from .io import (
     write_jsonl,
     write_orc,
     write_parquet,
+    write_xml,
 )
 from .session import get_spark, materialize, set_checkpoint_dir
 
@@ -50,6 +52,7 @@ __all__ = [
     "read_csv",
     "read_jsonl",
     "read_orc",
+    "read_xml",
     "read_parquet",
     "reduce_formula",
     "show_browser",
@@ -62,6 +65,7 @@ __all__ = [
     "write_jsonl",
     "write_orc",
     "write_parquet",
+    "write_xml",
 ]
 
 __version__ = "0.1.0"

@@ -235,6 +235,38 @@ def write_orc(
     w.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: str | None = None,
+) -> DamFrame:
+    """XML source (Spark 4 built-in, the spark-xml lineage): one row per
+    ``row_tag`` element, attributes as ``_attr`` columns. Pass an
+    explicit ``schema`` in production — inference is a full extra pass,
+    the same rule as read_json_lines."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return DamFrame(reader.xml(path))
+
+
+def write_xml(
+    frame: DamFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+) -> None:
+    """XML sink (row-per-element; interchange format for systems that
+    still speak XML — files are splittable on read via rowTag)."""
+    (
+        frame.df.write.mode("overwrite")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .xml(path)
+    )
+
+
 def write_parquet(
     frame: DamFrame,
     path: str,

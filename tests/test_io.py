@@ -187,3 +187,23 @@ class TestOrc:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "PushedFilters: [IsNotNull(v), GreaterThan(v,50)]" in plan
+
+
+class TestXmlRoundtrip:
+    def test_roundtrip_preserves_rows(self, spark, tmp_path):
+        from datamancer_spark.frame import DamFrame
+        from datamancer_spark.io import read_xml, write_xml
+
+        df = spark.createDataFrame(
+            [(1, "alpha", 1.5), (2, "beta <&> quoted", None)],
+            "id long, name string, score double",
+        )
+        p = str(tmp_path / "x")
+        write_xml(DamFrame(df), p, row_tag="doc", root_tag="docs")
+        back = read_xml(
+            spark, p, row_tag="doc", schema="id long, name string, score double"
+        )
+        rows = {r["id"]: r for r in back.df.collect()}
+        assert rows[1]["name"] == "alpha" and rows[1]["score"] == 1.5
+        # XML escaping round-trips special characters; missing element -> NULL
+        assert rows[2]["name"] == "beta <&> quoted" and rows[2]["score"] is None
