@@ -845,11 +845,18 @@ def duplicate_span_stats(
     Scale shape (the Spark-friendly equivalent of a suffix array):
     tokenize once per row -> explode one rolling window hash per token
     position (linear in corpus tokens, the same cost class as the
-    shingle paths) -> partial-aggregated count of DISTINCT docs per
-    window hash -> semi join flags hot windows. The heavy frames only
-    ever carry (id, 8-byte hash); the hot-hash list is usually tiny and
-    broadcastable. No quadratic stage, no driver state. Reference has
-    no equivalent (SURVEY.md SS2.12 extension tier)."""
+    shingle paths) -> ONE pass over the exploded stream: per-(hash,
+    doc) multiplicities (partial-aggregated), then a count window
+    keyed by the hash gives each row its distinct-doc count without a
+    second traversal — the countDistinct + semi-join formulation
+    re-executed the explode pipeline per consumer (measured 1.84s vs
+    1.24s at sf0.1, 4 scans vs 2). The window partition size is the
+    number of distinct docs sharing one span — the same skew class as
+    ``line_dedup_global``'s per-line window (a corpus-dominant
+    boilerplate span forms one large count-only partition; spills, but
+    never a cartesian). Heavy frames only ever carry (id, 8-byte
+    hash). No quadratic stage, no driver state. Reference has no
+    equivalent (SURVEY.md SS2.12 extension tier)."""
     counts = _window_hash_base(df, text_col, id_col, window)
     wh = counts.filter(F.col("n_windows") > 0).select(
         F.col(id_col),
@@ -860,16 +867,13 @@ def duplicate_span_stats(
             )
         ).alias("_wh"),
     )
-    hot = (
-        wh.groupBy("_wh")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_wh")
-    )
+    wdc = wh.groupBy("_wh", id_col).agg(F.count(F.lit(1)).alias("_m"))
+    w = Window.partitionBy("_wh")
     dup = (
-        wh.join(hot, "_wh", "left_semi")
+        wdc.withColumn("_nd", F.count(F.lit(1)).over(w))
+        .filter(F.col("_nd") >= min_docs)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_windows"))
+        .agg(F.sum("_m").cast("long").alias("n_dup_windows"))
     )
     return (
         counts.select(id_col, "n_windows")
