@@ -236,3 +236,91 @@ def test_interval_join_matches_naive(spark, pts, ivs, bucket):
         if s <= t <= e
     }
     assert got == want
+
+
+class TestDecoderRoundtripProperties:
+    """Property round-trips for the stdlib media decoders: any image the
+    reference encoders can produce must decode bit-exactly — including
+    1-pixel and single-row/column shapes."""
+
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        ctype=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_png_any_shape(self, w, h, ctype, seed):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_pixels
+        from tests.test_multimodal import _encode_png
+
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+        filters = [int(rng.integers(0, 5)) for _ in range(h)]
+        got = png_decode_pixels(_encode_png(px, ctype, filters=filters))
+        assert got is not None
+        gw, gh, gch, mean = got
+        assert (gw, gh, gch) == (w, h, nch)
+        color = px[:, :, :-1] if ctype in (4, 6) else px
+        assert abs(mean - float(color.mean()) / 255.0) < 2e-6
+
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 16),
+        ncolors=st.integers(2, 64),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_gif_any_shape(self, w, h, ncolors, seed):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import gif_decode_frames
+        from tests.test_multimodal import _encode_gif
+
+        rng = np.random.default_rng(seed)
+        pal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(ncolors)]
+        idx = rng.integers(0, ncolors, size=(h, w), dtype=np.uint8)
+        frames = list(gif_decode_frames(_encode_gif([idx.tobytes()], pal, w, h)))
+        assert len(frames) == 1
+        _, gw, gh, rgb = frames[0]
+        assert (gw, gh) == (w, h)
+        expect = np.array(pal, dtype=np.uint8)[idx.reshape(-1)].tobytes()
+        assert rgb == expect
+
+    @given(
+        rate=st.sampled_from([8000, 16000, 44100]),
+        bits=st.sampled_from([8, 16, 32]),
+        channels=st.sampled_from([1, 2]),
+        n=st.integers(8, 2000),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_wav_any_length(self, rate, bits, channels, n, seed):
+        import struct
+
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import wav_decode_samples
+
+        rng = np.random.default_rng(seed)
+        if bits == 8:
+            pcm = rng.integers(0, 256, n * channels, dtype=np.uint8)
+        elif bits == 16:
+            pcm = rng.integers(-32768, 32768, n * channels).astype(np.int16)
+        else:
+            pcm = rng.integers(-2**31, 2**31 - 1, n * channels).astype(np.int32)
+        data = pcm.tobytes()
+        width = bits // 8
+        blob = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                        rate * width * channels, width * channels, bits)
+                + b"data" + struct.pack("<I", len(data)) + data)
+        got = wav_decode_samples(blob)
+        assert got is not None
+        dur, grate, env = got
+        assert grate == rate
+        assert abs(dur - n / rate) < 1e-6
+        assert len(env) == 8 and all(0.0 <= v <= 1.001 for v in env)
