@@ -1810,6 +1810,31 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule filter (operators/quality.py
+    gopher_quality_filter): per-doc pass/fail with the fired rule names,
+    so curation runs can audit rejections. Zero-shuffle projection."""
+    from datamancer_spark.operators.quality import gopher_quality_filter
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return gopher_quality_filter(doc)
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (operators/dedup.py
+    exact_dedup_keep_best): per duplicate group keep the capture with
+    the highest quality score (smallest id on ties) - the curation-
+    correct keeper rule for recrawled pages. max_by over a comparison
+    struct: one partial-aggregated shuffle, no group sort."""
+    from datamancer_spark.operators.dedup import exact_dedup_keep_best
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    scored = doc.withColumn("_q", T.quality_score(F.col("text")))
+    return exact_dedup_keep_best(scored, "_q").select(
+        "doc_id", "source", "lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1947,6 +1972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": q19_discounted_revenue,
         "q22_dormant_customers": q22_dormant_customers,
         "zipf_corpus_fit": zipf_corpus_fit,
+        "gopher_rule_filter": gopher_rule_filter,
+        "dedup_keep_best": dedup_keep_best,
     }
 
 
@@ -3743,6 +3770,61 @@ def oracle_sql() -> dict[str, str]:
                prnd(((n_terms*sxy - sx*sy) * (n_terms*sxy - sx*sy))
                     / ((n_terms*sxx - sx*sx) * (n_terms*syy - sy*sy)), 6) AS zipf_r2
         FROM s
+    """
+
+    sql["gopher_rule_filter"] = """
+        WITH t AS (
+          SELECT doc_id, coalesce(text, '') AS txt,
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                             x -> len(x) > 0) AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END AS avg_len,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(len(txt) - len(regexp_replace(txt, '[#…]|\\.\\.\\.', '', 'g')) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END AS symbol_ratio,
+                 CASE WHEN len(txt) > 0
+                      THEN CAST(len(txt) - len(regexp_replace(txt, '[0-9]', '', 'g')) AS DOUBLE) / len(txt)
+                      ELSE 0.0 END AS digit_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END AS alpha_ratio
+          FROM t
+        ),
+        r AS (
+          SELECT doc_id, n_words,
+                 list_filter([
+                   CASE WHEN n_words < 5 THEN 'too_few_words' END,
+                   CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+                   CASE WHEN avg_len < 2.0 OR avg_len > 12.0 THEN 'avg_word_len' END,
+                   CASE WHEN symbol_ratio > 0.25 THEN 'symbol_ratio' END,
+                   CASE WHEN digit_ratio > 0.3 THEN 'digit_ratio' END,
+                   CASE WHEN alpha_ratio < 0.7 THEN 'alpha_word_ratio' END
+                 ], x -> x IS NOT NULL) AS fail_reasons
+          FROM m
+        )
+        SELECT doc_id, n_words, len(fail_reasons) = 0 AS pass, fail_reasons
+        FROM r
+    """
+
+    sql["dedup_keep_best"] = f"""
+        WITH scored AS (
+          SELECT doc_id, source, lang,
+                 md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp,
+                 {_quality_expr} AS q
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, source, lang,
+                 row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id ASC) AS rn
+          FROM scored
+        )
+        SELECT doc_id, source, lang FROM ranked WHERE rn = 1
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

@@ -1100,3 +1100,34 @@ def embedding_dedup_bucketed(
     # distinct: with multiprobe a pair can collide in several probed
     # buckets; cos is rounded identically everywhere so the dedup is exact
     return b.groupBy("bucket").applyInPandas(bucket_cos, out_schema).distinct()
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST row per duplicate group instead of
+    the smallest id: within each canonical-fingerprint group the keeper
+    maximizes (score, -id) — highest score wins, smallest id breaks
+    ties deterministically. The curation-correct keeper rule: when a
+    page was crawled five times, keep the best-quality capture, not the
+    first-seen one.
+
+    One aggregation shuffle on the 16-byte fingerprint using ``max_by``
+    over a comparison struct (partial-aggregated map-side — a
+    window/rank formulation would sort whole groups instead), then a
+    semi join back. Keeps all original columns."""
+    keyed = df.select(
+        fingerprint(F.col(text_col)).alias("_fp"),
+        F.col(id_col),
+        F.col(score_col).alias("_score"),
+    )
+    keepers = keyed.groupBy("_fp").agg(
+        F.max_by(
+            id_col,
+            F.struct(F.col("_score"), (-F.col(id_col)).alias("_negid")),
+        ).alias(id_col)
+    )
+    return df.join(keepers.select(id_col), id_col, "left_semi")

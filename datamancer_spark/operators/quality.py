@@ -946,3 +946,81 @@ def zipf_fit(
         prnd(cov / varx, 6).alias("zipf_slope"),
         prnd((cov * cov) / (varx * vary), 6).alias("zipf_r2"),
     )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 2.0,
+    max_avg_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.25,
+    max_digit_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.7,
+) -> DataFrame:
+    """Gopher/MassiveText-style rule filter (Rae et al. §A1.1 class):
+    per-document pass/fail plus WHICH rules fired, so curation runs can
+    audit their own rejections instead of silently shrinking.
+
+    Rules (each a pure Catalyst expression — the whole operator is one
+    zero-shuffle projection evaluated next to the scan):
+    word count in [min_words, max_words]; mean word length in
+    [min_avg_word_len, max_avg_word_len]; symbol(#/ellipsis)-to-word
+    ratio; digit character ratio; fraction of words containing at least
+    one alphabetic character. Thresholds default to the published
+    values scaled for short test docs and are all keyword-tunable.
+    Output: (id, n_words, pass, fail_reasons array — empty when pass).
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    d = spread_partitions(df).select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        toks.alias("_toks"),
+    )
+    n_words = F.size("_toks").cast("long")
+    avg_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            F.col("_toks"), F.lit(0), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    txt = F.coalesce(F.col("_txt"), F.lit(""))
+    symbols = (
+        F.length(txt)
+        - F.length(F.regexp_replace(txt, r"[#…]|\.\.\.", ""))
+    )
+    symbol_ratio = F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
+    digits = F.length(txt) - F.length(F.regexp_replace(txt, r"[0-9]", ""))
+    digit_ratio = F.when(
+        F.length(txt) > 0, digits / F.length(txt)
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(
+        F.filter(F.col("_toks"), lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(
+        F.lit(0.0)
+    )
+
+    checks = [
+        ("too_few_words", n_words < min_words),
+        ("too_many_words", n_words > max_words),
+        ("avg_word_len", (avg_len < min_avg_word_len) | (avg_len > max_avg_word_len)),
+        ("symbol_ratio", symbol_ratio > max_symbol_ratio),
+        ("digit_ratio", digit_ratio > max_digit_ratio),
+        ("alpha_word_ratio", alpha_ratio < min_alpha_word_ratio),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in checks]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return d.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        (F.size(reasons) == 0).alias("pass"),
+        reasons.alias("fail_reasons"),
+    )

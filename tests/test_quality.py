@@ -488,3 +488,52 @@ class TestZipfFit:
         plan = executed_plan(zipf_fit(doc, top_k=100))
         assert "TakeOrderedAndProject" in plan
         assert "rangepartitioning" not in plan
+
+
+class TestGopherFilter:
+    def test_rules_fire_individually(self, spark):
+        from datamancer_spark.operators.quality import gopher_quality_filter
+
+        docs = [
+            (1, "a good normal document with plenty of ordinary readable words"),
+            (2, "too short"),                                  # too_few_words
+            (3, "1234 5678 9012 3456 7890 1234 5678"),         # digit+alpha rules
+            (4, "## ## ## ## ## word word word word word"),    # symbol ratio
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+        assert out[1]["pass"] and out[1]["fail_reasons"] == []
+        assert "too_few_words" in out[2]["fail_reasons"]
+        assert "digit_ratio" in out[3]["fail_reasons"]
+        assert "alpha_word_ratio" in out[3]["fail_reasons"]
+        assert "symbol_ratio" in out[4]["fail_reasons"]
+
+    def test_zero_shuffle(self, spark, sf_dir):
+        from datamancer_spark.operators.quality import gopher_quality_filter
+        from datamancer_spark.plans import executed_plan, shuffle_count
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        q = gopher_quality_filter(doc.coalesce(1))
+        # spread_partitions adds its round-robin; the operator itself adds none
+        plan = executed_plan(q)
+        assert "Python" not in plan and "Join" not in plan
+
+
+class TestDedupKeepBest:
+    def test_highest_score_wins_then_smallest_id(self, spark):
+        from pyspark.sql import functions as F
+
+        from datamancer_spark.operators.dedup import exact_dedup_keep_best
+
+        rows = [
+            (1, "same text", 0.2),
+            (2, "same text", 0.9),   # winner: best score
+            (3, "same text", 0.9),   # loses tie to smaller id 2
+            (4, "other doc", 0.1),   # singleton keeps itself
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+        kept = sorted(
+            r["doc_id"]
+            for r in exact_dedup_keep_best(df, "score").collect()
+        )
+        assert kept == [2, 4]
