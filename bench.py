@@ -91,6 +91,14 @@ HEADLINE = [
     "corpus_health_report",
     # round-5 additions
     "duplicate_spans",
+    "zipf_corpus_fit",
+    "gopher_rule_filter",
+    "dedup_keep_best",
+    "q7_nation_volume",
+    "q13_order_count_dist",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "q22_dormant_customers",
 ]
 
 
@@ -212,20 +220,42 @@ def main() -> None:
     # rc=0. The stdout line must therefore stay compact: minimal
     # separators, 2dp timings, no delta section. The verbose record
     # (3dp, deltas, prev name) goes to BENCH_LOCAL.json instead.
-    compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "sf": sf,
-    }
-    if errors:
-        compact["errors"] = errors
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # headroom under the driver's 2000-char tail
+    def _compact(shown: dict[str, float], folded: dict[str, float]) -> dict:
+        c = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in shown.items()},
+            "sf": sf,
+        }
+        if folded:
+            # the cheapest queries fold into one aggregate so the line
+            # fits; their per-query times live in BENCH_LOCAL.json
+            c["fast_other"] = {
+                "n": len(folded),
+                "total": round(sum(folded.values()), 2),
+            }
+        if errors:
+            c["errors"] = errors
+        return c
+
+    # Adaptive folding: drop the cheapest queries from the stdout dict
+    # (never from BENCH_LOCAL.json) until the line fits under the
+    # driver's 2000-char tail capture with headroom.
+    shown = dict(timings)
+    folded: dict[str, float] = {}
+    by_cost = sorted(timings.items(), key=lambda kv: kv[1])
+    i = 0
+    line = json.dumps(_compact(shown, folded), separators=(",", ":"))
+    while len(line) > 1800 and i < len(by_cost):
+        k, v = by_cost[i]
+        folded[k] = shown.pop(k)
+        i += 1
+        line = json.dumps(_compact(shown, folded), separators=(",", ":"))
+    if len(line) > 1900:
         print(
             f"bench: WARNING stdout line {len(line)} chars nears the "
-            "driver's 2000-char capture — trim query names/count",
+            "driver's 2000-char capture even after folding",
             file=sys.stderr,
         )
     with open(

@@ -20,6 +20,11 @@ QUERIES = [
     "text_quality",
     "corpus_health_report",
     "repetition_quality",
+    # round-5 text-tier additions
+    "duplicate_spans",
+    "gopher_rule_filter",
+    "dedup_keep_best",
+    "zipf_corpus_fit",
 ]
 
 
