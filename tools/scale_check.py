@@ -533,6 +533,51 @@ def hot_band_study() -> None:
 
 
 
+def span_study() -> None:
+    """duplicate_span_stats scaling rows -> appended to SCALING.md
+    (constant-density synth, like the r4/emb studies)."""
+    from datamancer_spark import get_spark, load_tables
+    from datamancer_spark.operators.quality import duplicate_span_stats
+
+    spark = get_spark(app_name="scale-span")
+    base = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="scale_span_")
+    dirs = {1: base}
+    for c in (4, 16):
+        out = f"{tmp}/x{c}"
+        synth_constant_density(spark, base, out, c)
+        dirs[c] = out
+
+    times = {}
+    for c, d in dirs.items():
+        doc = load_tables(spark, d, ["documents"])["documents"].df
+        t0 = time.time()
+        duplicate_span_stats(doc, window=6).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times[c] = round(time.time() - t0, 2)
+        print(f"x{c}: {times[c]}s")
+
+    ratio = round(times[16] / times[1], 1)
+    lines = [
+        "",
+        "## Duplicate-span detection (constant-density docs)",
+        "",
+        "| operator | 1x (s) | 4x (s) | 16x (s) | 16x/1x |",
+        "|---|---|---|---|---|",
+        f"| duplicate_span_stats(window=6) | {times[1]} | {times[4]} | {times[16]} | {ratio}x |",
+        "",
+        "Single pass over the exploded window-hash stream (per-(hash,doc)",
+        "partial agg + count window keyed by hash); growth tracks corpus",
+        "token volume, the linear cost class shared with the shingle paths.",
+    ]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALING.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended duplicate-span section to SCALING.md")
+
+
+
 if __name__ == "__main__":
     if "--density" in sys.argv:
         density_study()
@@ -542,5 +587,7 @@ if __name__ == "__main__":
         emb_study()
     elif "--hotband" in sys.argv:
         hot_band_study()
+    elif "--span" in sys.argv:
+        span_study()
     else:
         main()
