@@ -1835,6 +1835,27 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric measures
+    (operators/stats.py corr_matrix): one pass, C(n,2) corr aggregates
+    sharing the scan, long-format output."""
+    from datamancer_spark.operators.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"].df
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def lineitem_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style long-format numeric summary
+    (operators/stats.py describe_columns): one ungrouped aggregate."""
+    from datamancer_spark.operators.stats import describe_columns
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"].df
+    return describe_columns(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1974,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_corpus_fit": zipf_corpus_fit,
         "gopher_rule_filter": gopher_rule_filter,
         "dedup_keep_best": dedup_keep_best,
+        "lineitem_corr_matrix": lineitem_corr_matrix,
+        "lineitem_describe": lineitem_describe,
     }
 
 
@@ -3825,6 +3848,49 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT doc_id, source, lang FROM ranked WHERE rn = 1
+    """
+
+    sql["lineitem_corr_matrix"] = """
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               prnd(corr(l_quantity, l_extendedprice), 4) AS corr FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               prnd(corr(l_quantity, l_discount), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax',
+               prnd(corr(l_quantity, l_tax), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               prnd(corr(l_extendedprice, l_discount), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax',
+               prnd(corr(l_extendedprice, l_tax), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', 'l_tax',
+               prnd(corr(l_discount, l_tax), 4) FROM lineitem
+    """
+
+    sql["lineitem_describe"] = """
+        SELECT 'l_quantity' AS "column", CAST(count(l_quantity) AS BIGINT) AS n,
+               CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT) AS n_null,
+               prnd(avg(l_quantity), 4) AS mean, prnd(stddev_samp(l_quantity), 4) AS std,
+               prnd(CAST(min(l_quantity) AS DOUBLE), 4) AS min,
+               prnd(CAST(max(l_quantity) AS DOUBLE), 4) AS max
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT),
+               CAST(count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS BIGINT),
+               prnd(avg(l_extendedprice), 4), prnd(stddev_samp(l_extendedprice), 4),
+               prnd(CAST(min(l_extendedprice) AS DOUBLE), 4),
+               prnd(CAST(max(l_extendedprice) AS DOUBLE), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(count(l_discount) AS BIGINT),
+               CAST(count(CASE WHEN l_discount IS NULL THEN 1 END) AS BIGINT),
+               prnd(avg(l_discount), 4), prnd(stddev_samp(l_discount), 4),
+               prnd(CAST(min(l_discount) AS DOUBLE), 4),
+               prnd(CAST(max(l_discount) AS DOUBLE), 4)
+        FROM lineitem
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

@@ -104,3 +104,46 @@ def test_sentence_split_native_matches_udtf(spark):
     d = spark.createDataFrame([(1, "A b. C d e! ")], ["id", "t"])
     arr = d.select(sentence_split_native(F.col("t")).alias("s")).collect()[0]["s"]
     assert arr == ["A b", "C d e"]
+
+
+class TestStatsOperators:
+    def test_corr_matrix_known_values(self, spark):
+        from datamancer_spark.operators.stats import corr_matrix
+
+        rows = [(float(i), 2.0 * i, float(-i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        out = {(r["col_a"], r["col_b"]): r["corr"]
+               for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+        assert out[("x", "y")] == 1.0
+        assert out[("x", "z")] == -1.0
+        assert len(out) == 3
+
+    def test_corr_matrix_single_pass(self, spark, sf_dir):
+        from datamancer_spark.operators.stats import corr_matrix
+        from datamancer_spark.plans import executed_plan, has_partial_aggregation
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        q = corr_matrix(li, ["l_quantity", "l_extendedprice", "l_tax"])
+        plan = executed_plan(q)
+        assert plan.count("FileScan parquet") == 1
+        assert has_partial_aggregation(q)
+
+    def test_corr_matrix_needs_two(self, spark):
+        import pytest as _pytest
+
+        from datamancer_spark.operators.stats import corr_matrix
+
+        df = spark.range(3)
+        with _pytest.raises(ValueError):
+            corr_matrix(df, ["id"])
+
+    def test_describe_columns(self, spark):
+        from datamancer_spark.operators.stats import describe_columns
+
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (None,)], "v double"
+        )
+        r = describe_columns(df, ["v"]).collect()[0]
+        assert r["n"] == 3 and r["n_null"] == 1
+        assert r["mean"] == 2.0 and r["min"] == 1.0 and r["max"] == 3.0
+        assert r["std"] == 1.0  # sample stddev of 1,2,3
