@@ -1856,6 +1856,16 @@ def lineitem_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe_columns(li, ["l_quantity", "l_extendedprice", "l_discount"])
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event transition matrix (operators/retention.py
+    event_transition_matrix): per-user time-ordered (from -> to) step
+    counts and their share of steps leaving from_type."""
+    from datamancer_spark.operators.retention import event_transition_matrix
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    return event_transition_matrix(ev)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1997,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "lineitem_corr_matrix": lineitem_corr_matrix,
         "lineitem_describe": lineitem_describe,
+        "event_transitions": event_transitions,
     }
 
 
@@ -3891,6 +3902,24 @@ def oracle_sql() -> dict[str, str]:
                prnd(CAST(min(l_discount) AS DOUBLE), 4),
                prnd(CAST(max(l_discount) AS DOUBLE), 4)
         FROM lineitem
+    """
+
+    sql["event_transitions"] = """
+        WITH steps AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS to_type
+          FROM events
+        ),
+        c AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM steps WHERE to_type IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n, prnd(c.n * 1.0 / t.tot, 6) AS share
+        FROM c JOIN t USING (from_type)
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import prnd
+
 
 def cohort_retention(
     df: DataFrame,
@@ -142,3 +144,46 @@ def funnel_steps(
             )
         ).alias("r")
     ).select("r.*")
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order event transition matrix (the Markov view of user
+    journeys): for each user's time-ordered event stream, count every
+    consecutive (from_type -> to_type) step and its share of all
+    transitions leaving ``from_type``. The standard product-analytics
+    rollup behind flow/sankey views.
+
+    Plan: ONE user-keyed window (lead over (ts, id) — the id tiebreak
+    makes simultaneous events deterministic) then a partial-aggregated
+    (from, to) count; the per-from totals come from a second tiny
+    aggregation over the #types² matrix, broadcast back. The corpus
+    shuffles once, on the user key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    steps = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        prnd(F.col("n") / F.col("_tot"), 6).alias("share"),
+    )

@@ -91,3 +91,43 @@ class TestFunnelSinglePass:
         )._jdf.queryExecution().executedPlan().toString()
         n_exchanges = plan.count("Exchange")
         assert n_exchanges <= 4, f"expected <=4 exchanges, got {n_exchanges}"
+
+
+from pyspark.sql import functions as F
+
+
+class TestEventTransitions:
+    def test_hand_computed_matrix(self, spark):
+        from datamancer_spark.operators.retention import event_transition_matrix
+
+        rows = [
+            (1, "u1", "view", "2024-01-01 00:00:00"),
+            (2, "u1", "click", "2024-01-01 00:01:00"),
+            (3, "u1", "view", "2024-01-01 00:02:00"),
+            (4, "u2", "view", "2024-01-01 00:00:00"),
+            (5, "u2", "click", "2024-01-01 00:01:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {(r["from_type"], r["to_type"]): r
+               for r in event_transition_matrix(df, user_col="user_id").collect()}
+        # u1: view->click, click->view; u2: view->click
+        assert out[("view", "click")]["n"] == 2
+        assert out[("view", "click")]["share"] == 1.0
+        assert out[("click", "view")]["n"] == 1
+        assert len(out) == 2
+
+    def test_simultaneous_events_tiebreak_by_id(self, spark):
+        from datamancer_spark.operators.retention import event_transition_matrix
+
+        rows = [
+            (1, "u", "a", "2024-01-01 00:00:00"),
+            (2, "u", "b", "2024-01-01 00:00:00"),  # same ts: id orders it
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = event_transition_matrix(df).collect()
+        assert len(out) == 1
+        assert (out[0]["from_type"], out[0]["to_type"]) == ("a", "b")
