@@ -1866,6 +1866,16 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transition_matrix(ev)
 
 
+def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring removal (operators/quality.py
+    remove_duplicate_spans): documents rebuilt with every token covered
+    by a cross-document duplicated 6-token window dropped."""
+    from datamancer_spark.operators.quality import remove_duplicate_spans
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return remove_duplicate_spans(doc, window=6, min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2008,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_corr_matrix": lineitem_corr_matrix,
         "lineitem_describe": lineitem_describe,
         "event_transitions": event_transitions,
+        "remove_dup_spans": remove_dup_spans,
     }
 
 
@@ -3920,6 +3931,47 @@ def oracle_sql() -> dict[str, str]:
         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
         SELECT c.from_type, c.to_type, c.n, prnd(c.n * 1.0 / t.tot, 6) AS share
         FROM c JOIN t USING (from_type)
+    """
+
+    sql["remove_dup_spans"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                             x -> len(x) > 0) AS toks
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, greatest(len(toks) - 5, 0) AS n_windows, toks FROM t
+        ),
+        whx AS (
+          SELECT doc_id, s - 1 AS pos0,
+                 CAST('0x' || substr(md5(array_to_string(toks[s:s+5], ' ')), 1, 8) AS BIGINT) AS wh
+          FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, CAST(n_windows AS INT))) AS s
+            FROM c WHERE n_windows > 0)
+        ),
+        hot AS (
+          SELECT wh FROM (SELECT DISTINCT wh, doc_id FROM whx)
+          GROUP BY wh HAVING count(*) >= 2
+        ),
+        ps AS (
+          SELECT doc_id, list(DISTINCT pos0) AS ps
+          FROM whx WHERE wh IN (SELECT wh FROM hot)
+          GROUP BY doc_id
+        ),
+        kept AS (
+          SELECT c.doc_id, c.toks,
+                 list_filter(c.toks, (x, i) ->
+                   len(list_filter(coalesce(p.ps, CAST([] AS INT[])),
+                       q -> q <= i - 1 AND i - 1 < q + 6)) = 0) AS k
+          FROM c LEFT JOIN ps p USING (doc_id)
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(k, ' '), '') AS clean_text,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(toks) - len(k) AS BIGINT) AS n_removed
+        FROM kept
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

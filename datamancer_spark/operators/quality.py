@@ -1024,3 +1024,72 @@ def gopher_quality_filter(
         (F.size(reasons) == 0).alias("pass"),
         reasons.alias("fail_reasons"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring REMOVAL (the action half of duplicate_span_stats,
+    after "Deduplicating Training Data Makes Language Models Better"):
+    rebuild each document with every token covered by a cross-document
+    duplicated window dropped. A token survives iff no flagged window
+    position covers it.
+
+    Plan: window hashes posexplode WITH positions; the hot set comes
+    from distinct (hash, doc) pairs -> per-hash doc counts
+    (partial-aggregated, usually broadcastable); flagged positions
+    collect per doc (bounded by the doc's own window count) and the
+    rebuild is a narrow indexed array filter — coverage check is
+    O(flagged) per token, fine for the boilerplate densities this
+    targets; fully-boilerplate docs come back empty rather than
+    exploding. Output (id, clean_text, n_tokens, n_removed); token
+    whitespace is normalized to single spaces (the same canonical form
+    the fingerprints use)."""
+    counts = _window_hash_base(df, text_col, id_col, window)
+    wh = counts.filter(F.col("n_windows") > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_windows").cast("int")),
+                lambda s: hash32(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), s, window))
+                ),
+            )
+        ).alias("_pos0", "_wh"),  # _pos0 is 0-based
+    )
+    nd = (
+        wh.select("_wh", id_col)
+        .distinct()
+        .groupBy("_wh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_wh")
+    )
+    flagged = (
+        wh.join(nd, "_wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("_pos0").alias("_ps"))
+    )
+    rebuilt = (
+        counts.join(flagged, id_col, "left")
+        .withColumn("_ps", F.coalesce(F.col("_ps"), F.array().cast("array<int>")))
+        .withColumn(
+            "_kept",
+            F.filter(
+                F.col("_toks"),
+                lambda t, i: ~F.exists(
+                    F.col("_ps"), lambda p: (p <= i) & (i < p + window)
+                ),
+            ),
+        )
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
+    )

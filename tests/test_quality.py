@@ -537,3 +537,45 @@ class TestDedupKeepBest:
             for r in exact_dedup_keep_best(df, "score").collect()
         )
         assert kept == [2, 4]
+
+
+class TestRemoveDuplicateSpans:
+    def test_shared_span_removed_both_sides(self, spark):
+        from datamancer_spark.operators.quality import remove_duplicate_spans
+
+        shared = "one two three four five six"
+        df = spark.createDataFrame(
+            [(1, f"start {shared} end"),
+             (2, f"{shared} tail words here"),
+             (3, "totally different text")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               remove_duplicate_spans(df, window=4).collect()}
+        assert out[1]["clean_text"] == "start end"
+        assert out[2]["clean_text"] == "tail words here"
+        assert out[1]["n_removed"] == 6 and out[2]["n_removed"] == 6
+        assert out[3]["n_removed"] == 0
+
+    def test_fully_boilerplate_doc_empties(self, spark):
+        from datamancer_spark.operators.quality import remove_duplicate_spans
+
+        t = "a b c d e f g h"
+        df = spark.createDataFrame(
+            [(1, t), (2, t)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               remove_duplicate_spans(df, window=4).collect()}
+        assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 8
+        assert out[2]["clean_text"] == ""
+
+    def test_within_doc_repeat_survives(self, spark):
+        from datamancer_spark.operators.quality import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "p q r s p q r s"), (2, "x y z w v u t m")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               remove_duplicate_spans(df, window=4).collect()}
+        assert out[1]["n_removed"] == 0  # repeat is within ONE doc only
