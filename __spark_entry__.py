@@ -1876,6 +1876,26 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(doc, window=6, min_docs=2)
 
 
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation battery (operators/validate.py
+    check_rules) over lineitem: range/set/null rules in one aggregate
+    pass plus a uniqueness constraint on the composite line key."""
+    from datamancer_spark.operators.validate import check_rules
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"].df
+    return check_rules(
+        li,
+        rules={
+            "quantity_in_range": F.col("l_quantity").between(1, 50),
+            "discount_bounded": F.col("l_discount").between(0.0, 0.1),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "returnflag_in_set": F.col("l_returnflag").isin("A", "N", "R"),
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        },
+        unique={"line_key_unique": ["l_orderkey", "l_linenumber"]},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2019,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_describe": lineitem_describe,
         "event_transitions": event_transitions,
         "remove_dup_spans": remove_dup_spans,
+        "data_quality_checks": data_quality_checks,
     }
 
 
@@ -3972,6 +3993,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(len(toks) - len(k) AS BIGINT) AS n_removed
         FROM kept
+    """
+
+    sql["data_quality_checks"] = """
+        SELECT 'quantity_in_range' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 END) AS BIGINT) AS n_violations,
+               count(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 END) = 0 AS pass
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_bounded', CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE) THEN 1 END) AS BIGINT),
+               count(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE) THEN 1 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'price_positive', CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 END) AS BIGINT),
+               count(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'returnflag_in_set', CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 END) AS BIGINT),
+               count(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'orderkey_not_null', CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT),
+               count(CASE WHEN l_orderkey IS NULL THEN 1 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'line_key_unique', CAST(sum(c) AS BIGINT),
+               CAST(sum(c - 1) AS BIGINT), sum(c - 1) = 0
+        FROM (SELECT count(*) AS c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

@@ -99,6 +99,10 @@ HEADLINE = [
     "q15_top_supplier",
     "q19_discounted_revenue",
     "q22_dormant_customers",
+    "remove_dup_spans",
+    "event_transitions",
+    "lineitem_corr_matrix",
+    "lineitem_describe",
 ]
 
 

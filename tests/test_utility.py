@@ -147,3 +147,42 @@ class TestStatsOperators:
         assert r["n"] == 3 and r["n_null"] == 1
         assert r["mean"] == 2.0 and r["min"] == 1.0 and r["max"] == 3.0
         assert r["std"] == 1.0  # sample stddev of 1,2,3
+
+
+class TestCheckRules:
+    def test_violations_and_nulls(self, spark):
+        from pyspark.sql import functions as F
+
+        from datamancer_spark.operators.validate import check_rules
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 50.0), (3, None), (1, 7.0)], "k long, v double"
+        )
+        out = {r["rule"]: r for r in check_rules(
+            df,
+            rules={"v_small": F.col("v") < 10},
+            unique={"k_unique": ["k"]},
+        ).collect()}
+        # v=50 violates; v=NULL counts as violation too
+        assert out["v_small"]["n_violations"] == 2
+        assert not out["v_small"]["pass"]
+        # k=1 appears twice -> 1 row beyond first
+        assert out["k_unique"]["n_violations"] == 1
+        assert out["k_unique"]["n_rows"] == 4
+
+    def test_all_pass(self, spark):
+        from pyspark.sql import functions as F
+
+        from datamancer_spark.operators.validate import check_rules
+
+        df = spark.range(10)
+        out = check_rules(df, rules={"nonneg": F.col("id") >= 0}).collect()
+        assert out[0]["pass"] and out[0]["n_violations"] == 0
+
+    def test_empty_rules_raise(self, spark):
+        import pytest as _pytest
+
+        from datamancer_spark.operators.validate import check_rules
+
+        with _pytest.raises(ValueError):
+            check_rules(spark.range(1), rules={})
