@@ -1896,6 +1896,43 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 end-to-end curation composition, ONE Catalyst plan:
+    Gopher rule gate -> cross-document duplicated-span REMOVAL -> drop
+    docs left with < 5 tokens -> exact dedup on the CLEANED text
+    (smallest id keeps) -> per-language rollup. The modern
+    training-data prep shape: rules first (cheap, zero-shuffle), then
+    span surgery, then dedup over what remains."""
+    from datamancer_spark.operators.quality import (
+        gopher_quality_filter,
+        remove_duplicate_spans,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    ok = gopher_quality_filter(doc).filter(F.col("pass")).select("doc_id")
+    gated = doc.join(ok, "doc_id", "left_semi")
+    cleaned = remove_duplicate_spans(gated, window=6, min_docs=2)
+    kept = cleaned.filter(F.col("n_tokens") - F.col("n_removed") >= 5)
+    dedup_keep = (
+        kept.select(
+            "doc_id", T.fingerprint(F.col("clean_text")).alias("_fp")
+        )
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    final = kept.join(dedup_keep, "doc_id", "left_semi").join(
+        doc.select("doc_id", "lang"), "doc_id"
+    )
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        prnd(F.avg(F.col("n_tokens") - F.col("n_removed")), 4).alias(
+            "avg_kept_tokens"
+        ),
+        F.sum("n_removed").cast("long").alias("total_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2040,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": event_transitions,
         "remove_dup_spans": remove_dup_spans,
         "data_quality_checks": data_quality_checks,
+        "pipeline_curate_v2": pipeline_curate_v2,
     }
 
 
@@ -4025,6 +4063,82 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(c - 1) AS BIGINT), sum(c - 1) = 0
         FROM (SELECT count(*) AS c FROM lineitem
               GROUP BY l_orderkey, l_linenumber)
+    """
+
+    sql["pipeline_curate_v2"] = """
+        WITH t0 AS (
+          SELECT doc_id, lang, coalesce(text, '') AS txt,
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                             x -> len(x) > 0) AS toks
+          FROM documents
+        ),
+        gate AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS nw,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                        ELSE 0.0 END AS awl,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(txt) - len(regexp_replace(txt, '[#…]|\\.\\.\\.', '', 'g')) AS DOUBLE) / len(toks)
+                        ELSE 0.0 END AS symr,
+                   CASE WHEN len(txt) > 0
+                        THEN CAST(len(txt) - len(regexp_replace(txt, '[0-9]', '', 'g')) AS DOUBLE) / len(txt)
+                        ELSE 0.0 END AS digr,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+                        ELSE 0.0 END AS alpr
+            FROM t0)
+          WHERE nw >= 5 AND nw <= 100000 AND awl >= 2.0 AND awl <= 12.0
+            AND symr <= 0.25 AND digr <= 0.3 AND alpr >= 0.7
+        ),
+        c AS (
+          SELECT t0.doc_id, t0.lang, greatest(len(toks) - 5, 0) AS n_windows, toks
+          FROM t0 JOIN gate USING (doc_id)
+        ),
+        whx AS (
+          SELECT doc_id, s - 1 AS pos0,
+                 CAST('0x' || substr(md5(array_to_string(toks[s:s+5], ' ')), 1, 8) AS BIGINT) AS wh
+          FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, CAST(n_windows AS INT))) AS s
+            FROM c WHERE n_windows > 0)
+        ),
+        hot AS (
+          SELECT wh FROM (SELECT DISTINCT wh, doc_id FROM whx)
+          GROUP BY wh HAVING count(*) >= 2
+        ),
+        ps AS (
+          SELECT doc_id, list(DISTINCT pos0) AS ps
+          FROM whx WHERE wh IN (SELECT wh FROM hot)
+          GROUP BY doc_id
+        ),
+        kept AS (
+          SELECT c.doc_id, c.lang, len(c.toks) AS n_tokens,
+                 list_filter(c.toks, (x, i) ->
+                   len(list_filter(coalesce(p.ps, CAST([] AS INT[])),
+                       q -> q <= i - 1 AND i - 1 < q + 6)) = 0) AS k
+          FROM c LEFT JOIN ps p USING (doc_id)
+        ),
+        surv AS (
+          SELECT doc_id, lang,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(n_tokens - len(k) AS BIGINT) AS n_removed,
+                 coalesce(array_to_string(k, ' '), '') AS clean_text
+          FROM kept WHERE len(k) >= 5
+        ),
+        dk AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       md5(regexp_replace(lower(trim(clean_text)), '\\s+', ' ', 'g')) AS fp
+                FROM surv)
+          GROUP BY fp
+        )
+        SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+               prnd(avg(s.n_tokens - s.n_removed), 4) AS avg_kept_tokens,
+               CAST(sum(s.n_removed) AS BIGINT) AS total_removed
+        FROM surv s JOIN dk USING (doc_id)
+        GROUP BY s.lang
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}
