@@ -103,6 +103,8 @@ HEADLINE = [
     "event_transitions",
     "lineitem_corr_matrix",
     "lineitem_describe",
+    "data_quality_checks",
+    "pipeline_curate_v2",
 ]
 
 
