@@ -1933,6 +1933,16 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival cadence per event type (operators/retention.py
+    interarrival_stats): seconds since the user's previous event,
+    exact p50/p90 per arriving type."""
+    from datamancer_spark.operators.retention import interarrival_stats
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    return interarrival_stats(ev)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2078,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": remove_dup_spans,
         "data_quality_checks": data_quality_checks,
         "pipeline_curate_v2": pipeline_curate_v2,
+        "event_interarrival": event_interarrival,
     }
 
 
@@ -4139,6 +4150,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(s.n_removed) AS BIGINT) AS total_removed
         FROM surv s JOIN dk USING (doc_id)
         GROUP BY s.lang
+    """
+
+    sql["event_interarrival"] = """
+        WITH g AS (
+          SELECT event_type,
+                 CAST(date_diff('microsecond',
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      ts) AS BIGINT) / 1000000.0 AS gap_s
+          FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               prnd(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+               prnd(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
+        FROM g WHERE gap_s IS NOT NULL
+        GROUP BY event_type
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

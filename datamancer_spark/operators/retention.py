@@ -187,3 +187,60 @@ def event_transition_matrix(
         "n",
         prnd(F.col("n") / F.col("_tot"), 6).alias("share"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival gap distribution per event type: for each event,
+    the seconds since the same user's PREVIOUS event (any type); rolled
+    up per arriving type as count plus exact p50/p90 — the engagement-
+    cadence summary behind session-timeout and alerting-threshold
+    choices. Gaps are exact fractional seconds (microsecond diff /
+    1e6): whole-second date_diff semantics differ between engines on
+    sub-second components (floor vs boundary crossing).
+
+    Plan: one user-keyed window (lag over (ts, id)) — the corpus
+    shuffles once on the user key — then a per-type percentile
+    aggregate (array-argument percentile: one value buffer per group,
+    like quantiles_by_group). Gap arithmetic uses timestamp_diff, the
+    NTZ-robust primitive."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    gaps = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .withColumn("_prev", F.lag(ts_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.col(type_col),
+            (
+                F.timestamp_diff("MICROSECOND", F.col("_prev"), F.col(ts_col))
+                .cast("long")
+                / 1_000_000.0
+            ).alias("_gap_s"),
+        )
+    )
+    ps = F.percentile(F.col("_gap_s"), F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        gaps.groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            ps.alias("_ps"),
+        )
+        .select(
+            type_col,
+            "n_gaps",
+            prnd(F.col("_ps")[0], 4).alias("p50_gap_s"),
+            prnd(F.col("_ps")[1], 4).alias("p90_gap_s"),
+        )
+    )

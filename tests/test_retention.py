@@ -131,3 +131,22 @@ class TestEventTransitions:
         out = event_transition_matrix(df).collect()
         assert len(out) == 1
         assert (out[0]["from_type"], out[0]["to_type"]) == ("a", "b")
+
+
+class TestInterarrival:
+    def test_hand_computed_gaps(self, spark):
+        from datamancer_spark.operators.retention import interarrival_stats
+
+        rows = [
+            (1, "u1", "view", "2024-01-01 00:00:00"),
+            (2, "u1", "click", "2024-01-01 00:00:10"),   # gap 10
+            (3, "u1", "click", "2024-01-01 00:00:40"),   # gap 30
+            (4, "u2", "view", "2024-01-01 00:00:00"),    # first event: no gap
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r["event_type"]: r for r in interarrival_stats(df).collect()}
+        assert "view" not in out  # views were never preceded
+        assert out["click"]["n_gaps"] == 2
+        assert out["click"]["p50_gap_s"] == 20.0  # interpolated between 10, 30
