@@ -1943,6 +1943,16 @@ def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_stats(ev)
 
 
+def ab_conversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-split experiment rollup (operators/retention.py
+    ab_test_report): per-arm users/converters/rate + two-proportion z
+    vs arm 0."""
+    from datamancer_spark.operators.retention import ab_test_report
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    return ab_test_report(ev)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2089,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_checks": data_quality_checks,
         "pipeline_curate_v2": pipeline_curate_v2,
         "event_interarrival": event_interarrival,
+        "ab_conversion_report": ab_conversion_report,
     }
 
 
@@ -4165,6 +4176,31 @@ def oracle_sql() -> dict[str, str]:
                prnd(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
         FROM g WHERE gap_s IS NOT NULL
         GROUP BY event_type
+    """
+
+    sql["ab_conversion_report"] = """
+        WITH per_user AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c,
+                 CAST(CAST('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 2 AS INT) AS arm
+          FROM events GROUP BY user_id
+        ),
+        arms AS (
+          SELECT arm, CAST(count(*) AS BIGINT) AS users,
+                 CAST(sum(c) AS BIGINT) AS converters
+          FROM per_user GROUP BY arm
+        ),
+        base AS (SELECT users AS n0, converters AS c0 FROM arms WHERE arm = 0)
+        SELECT a.arm, a.users, a.converters,
+               prnd(a.converters * 1.0 / a.users, 6) AS conv_rate,
+               prnd(CASE WHEN a.arm <> 0 THEN
+                 (a.converters * 1.0 / a.users - b.c0 * 1.0 / b.n0)
+                 / sqrt(((a.converters + b.c0) * 1.0 / (a.users + b.n0))
+                        * (1 - (a.converters + b.c0) * 1.0 / (a.users + b.n0))
+                        * (1.0 / a.users + 1.0 / b.n0))
+               END, 4) AS z_vs_control
+        FROM arms a CROSS JOIN base b
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

@@ -244,3 +244,62 @@ def interarrival_stats(
             prnd(F.col("_ps")[1], 4).alias("p90_gap_s"),
         )
     )
+
+
+def ab_test_report(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    salt: str = "exp1",
+    arms: int = 2,
+) -> DataFrame:
+    """Experiment-analysis rollup over an event stream with
+    deterministic hash assignment: each user lands in one of ``arms``
+    via md5(salt || user) — the assignment a real experiment framework
+    would persist, reproduced engine-portably — and converts if they
+    have >= 1 ``convert_type`` event. Output per arm: users,
+    converters, conversion rate, and the two-proportion z statistic vs
+    arm 0 (NULL for arm 0 itself); |z| >= 1.96 is the usual 95% bar.
+
+    Plan: one user-level aggregation (the only corpus-sized shuffle,
+    partial-aggregated), then a per-arm rollup and a broadcast join of
+    arm 0's rate back for the z computation. No collects."""
+    from ..functions.rounding import prnd as _prnd
+    from .dedup import hash32
+
+    per_user = (
+        df.select(
+            F.col(user_col),
+            (F.col(type_col) == convert_type).cast("int").alias("_c"),
+        )
+        .groupBy(user_col)
+        .agg(F.max("_c").alias("_converted"))
+        .withColumn(
+            "arm",
+            (hash32(F.concat(F.lit(salt), F.col(user_col).cast("string"))) % arms)
+            .cast("int"),
+        )
+    )
+    arms_df = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("users"),
+        F.sum("_converted").cast("long").alias("converters"),
+    )
+    base = arms_df.filter(F.col("arm") == 0).select(
+        F.col("users").alias("_n0"), F.col("converters").alias("_c0")
+    )
+    j = arms_df.crossJoin(F.broadcast(base))
+    p = F.col("converters") / F.col("users")
+    p0 = F.col("_c0") / F.col("_n0")
+    pool = (F.col("converters") + F.col("_c0")) / (F.col("users") + F.col("_n0"))
+    se = F.sqrt(
+        pool * (1 - pool) * (1 / F.col("users") + 1 / F.col("_n0"))
+    )
+    z = F.when(F.col("arm") != 0, (p - p0) / se)
+    return j.select(
+        "arm",
+        "users",
+        "converters",
+        _prnd(p, 6).alias("conv_rate"),
+        _prnd(z, 4).alias("z_vs_control"),
+    )

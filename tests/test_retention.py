@@ -150,3 +150,51 @@ class TestInterarrival:
         assert "view" not in out  # views were never preceded
         assert out["click"]["n_gaps"] == 2
         assert out["click"]["p50_gap_s"] == 20.0  # interpolated between 10, 30
+
+
+class TestAbReport:
+    def test_deterministic_split_and_z(self, spark):
+        from datamancer_spark.operators.retention import ab_test_report
+
+        rows = []
+        for u in range(200):
+            rows.append((u * 10, f"u{u}", "view", "2024-01-01 00:00:00"))
+            if u % 3 == 0:
+                rows.append((u * 10 + 1, f"u{u}", "purchase", "2024-01-01 00:01:00"))
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r["arm"]: r for r in ab_test_report(df).collect()}
+        assert set(out) == {0, 1}
+        assert out[0]["z_vs_control"] is None
+        assert out[1]["z_vs_control"] is not None
+        assert out[0]["users"] + out[1]["users"] == 200
+        # hash split is deterministic: rerun gives identical rows
+        again = {r["arm"]: r for r in ab_test_report(df).collect()}
+        assert {k: tuple(v) for k, v in out.items()} == {
+            k: tuple(v) for k, v in again.items()
+        }
+
+    def test_z_matches_hand_computed_formula(self, spark):
+        """The reported z equals the two-proportion pooled z recomputed
+        from the reported arm counts (floor-rounded to 4 like prnd)."""
+        import math
+
+        from datamancer_spark.operators.retention import ab_test_report
+
+        rows = []
+        for u in range(300):
+            rows.append((u * 10, f"u{u}", "view", "2024-01-01 00:00:00"))
+            if u % 4 == 0:
+                rows.append((u * 10 + 1, f"u{u}", "purchase", "2024-01-01 00:01:00"))
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r["arm"]: r for r in ab_test_report(df).collect()}
+        n0, c0 = out[0]["users"], out[0]["converters"]
+        n1, c1 = out[1]["users"], out[1]["converters"]
+        pool = (c0 + c1) / (n0 + n1)
+        z = (c1 / n1 - c0 / n0) / math.sqrt(
+            pool * (1 - pool) * (1 / n1 + 1 / n0)
+        )
+        assert out[1]["z_vs_control"] == math.floor(z * 1e4 + 0.5) / 1e4
