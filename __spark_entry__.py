@@ -1953,6 +1953,16 @@ def ab_conversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test_report(ev)
 
 
+def tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join (operators/tfidf.py
+    tfidf_cosine_pairs): exact cosine over the inverted index, doc-freq
+    cap pruning stop-word-class terms before the term self-join."""
+    from datamancer_spark.operators.tfidf import tfidf_cosine_pairs
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return tfidf_cosine_pairs(doc, threshold=0.5, max_doc_freq_frac=0.4)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2100,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_v2": pipeline_curate_v2,
         "event_interarrival": event_interarrival,
         "ab_conversion_report": ab_conversion_report,
+        "tfidf_similar_docs": tfidf_similar_docs,
     }
 
 
@@ -4201,6 +4212,43 @@ def oracle_sql() -> dict[str, str]:
                         * (1.0 / a.users + 1.0 / b.n0))
                END, 4) AS z_vs_control
         FROM arms a CROSS JOIN base b
+    """
+
+    sql["tfidf_similar_docs"] = """
+        WITH tc AS (
+          SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+          FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                     t -> len(t) > 0)) AS tok
+            FROM documents) u
+          GROUP BY doc_id, tok
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        dfq AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY term
+        ),
+        idf AS (
+          SELECT term, ln((n_docs + 1.0) / (df + 1)) + 1.0 AS idf
+          FROM dfq, n WHERE df <= CAST(floor(0.4 * n_docs) AS BIGINT)
+        ),
+        w AS (
+          SELECT tc.doc_id, tc.term, tc.tf * idf.idf AS w
+          FROM tc JOIN idf USING (term)
+        ),
+        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d.id_a, d.id_b,
+               prnd(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots d
+        JOIN nrm na ON na.doc_id = d.id_a
+        JOIN nrm nb ON nb.doc_id = d.id_b
+        WHERE d.dot / (na.nrm * nb.nrm) >= 0.5
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

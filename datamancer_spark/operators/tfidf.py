@@ -113,3 +113,67 @@ def bm25(
             ).alias("bm25"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+    max_doc_freq_frac: float | None = None,
+) -> DataFrame:
+    """Sparse document-similarity join: cosine over TF-IDF vectors via
+    the inverted index — the IR-classic complement to the embedding ANN
+    tier (no model, no dense vectors; exact over the chosen term set).
+
+    sim(a,b) = Σ_t w_at·w_bt / (‖a‖·‖b‖), computed relationally:
+    per-doc term weights (partial-aggregated), per-doc norms from one
+    groupBy, then a self-join ON TERM accumulates the dot products —
+    shuffle volume is Σ_t df(t)², so ``max_doc_freq`` prunes
+    stop-word-class terms (df > cap) before the join, the same
+    LOSSY-knob pattern as ngram_jaccard's doc-freq cap (high-df terms
+    carry ~zero idf weight anyway). Output (id_a < id_b, cosine ≥
+    threshold)."""
+    tc = term_counts(df, text_col, id_col)
+    n_docs = df.count()
+    dfreq = doc_freq(tc, id_col)
+    if max_doc_freq_frac is not None:
+        # scale-invariant form of the cap: df <= frac * N keeps the
+        # pruned set meaningful as the corpus grows (an absolute cap
+        # prunes ever harder at larger N)
+        max_doc_freq = int(max_doc_freq_frac * n_docs)
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
+    idf = dfreq.withColumn(
+        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    )
+    w = tc.join(F.broadcast(idf), "term").select(
+        F.col(id_col), "term", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    w = materialize(w)  # feeds norms + both self-join legs
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", prnd("cosine", 6).alias("cosine"))
+    )

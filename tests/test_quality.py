@@ -579,3 +579,36 @@ class TestRemoveDuplicateSpans:
         out = {r["doc_id"]: r for r in
                remove_duplicate_spans(df, window=4).collect()}
         assert out[1]["n_removed"] == 0  # repeat is within ONE doc only
+
+
+class TestTfidfCosinePairs:
+    def test_identical_docs_cosine_one(self, spark):
+        from datamancer_spark.operators.tfidf import tfidf_cosine_pairs
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"),
+             (2, "alpha beta gamma delta"),
+             (3, "unrelated totally different words")],
+            "doc_id long, text string",
+        )
+        out = {(r["id_a"], r["id_b"]): r["cosine"]
+               for r in tfidf_cosine_pairs(df, threshold=0.2).collect()}
+        assert out[(1, 2)] == 1.0
+        assert (1, 3) not in out and (2, 3) not in out
+
+    def test_df_cap_prunes_stopword_terms(self, spark):
+        """A term present in EVERY doc carries the whole overlap; with
+        the fractional cap it's pruned and the pair disappears."""
+        from datamancer_spark.operators.tfidf import tfidf_cosine_pairs
+
+        df = spark.createDataFrame(
+            [(1, "common unique1 unique2"),
+             (2, "common other3 other4"),
+             (3, "common more5 more6")],
+            "doc_id long, text string",
+        )
+        full = tfidf_cosine_pairs(df, threshold=0.05).count()
+        capped = tfidf_cosine_pairs(
+            df, threshold=0.05, max_doc_freq_frac=0.5
+        ).count()
+        assert full > 0 and capped == 0
