@@ -105,6 +105,9 @@ HEADLINE = [
     "lineitem_describe",
     "data_quality_checks",
     "pipeline_curate_v2",
+    "event_interarrival",
+    "ab_conversion_report",
+    "tfidf_similar_docs",
 ]
 
 
