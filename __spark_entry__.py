@@ -1963,6 +1963,18 @@ def tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(doc, threshold=0.5, max_doc_freq_frac=0.4)
 
 
+def price_quantity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of extendedprice on quantity
+    (operators/stats.py grouped_linfit): one partial-aggregated pass
+    computing the five OLS sums per group."""
+    from datamancer_spark.operators.stats import grouped_linfit
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"].df
+    return grouped_linfit(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice", digits=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2111,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_interarrival": event_interarrival,
         "ab_conversion_report": ab_conversion_report,
         "tfidf_similar_docs": tfidf_similar_docs,
+        "price_quantity_trend": price_quantity_trend,
     }
 
 
@@ -4249,6 +4262,15 @@ def oracle_sql() -> dict[str, str]:
         JOIN nrm na ON na.doc_id = d.id_a
         JOIN nrm nb ON nb.doc_id = d.id_b
         WHERE d.dot / (na.nrm * nb.nrm) >= 0.5
+    """
+
+    sql["price_quantity_trend"] = """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               prnd(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               prnd(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               prnd(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+        FROM lineitem
+        GROUP BY l_returnflag
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

@@ -77,3 +77,43 @@ def describe_columns(
         ]
     )
     return wide.select(F.explode(structs).alias("r")).select("r.*")
+
+
+def grouped_linfit(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group simple OLS fit of y on x: (groups..., n, slope,
+    intercept, r2) — the trend sweep run per segment/cohort before
+    anything heavier. One partial-aggregated groupBy computing the five
+    OLS sums; rows where either side is NULL are excluded (matching
+    SQL regr_* semantics). Groups with zero x-variance report NULL
+    slope/intercept/r2 rather than dividing by zero."""
+    both = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    agg = both.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x_col).alias("_sx"),
+        F.sum(y_col).alias("_sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("_sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("_sxx"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(varx != 0, cov / varx)
+    intercept = F.when(
+        varx != 0, (F.col("_sy") - slope * F.col("_sx")) / n
+    )
+    r2 = F.when((varx != 0) & (vary != 0), (cov * cov) / (varx * vary))
+    return agg.select(
+        *group_cols,
+        "n",
+        prnd(slope, digits).alias("slope"),
+        prnd(intercept, digits).alias("intercept"),
+        prnd(r2, digits).alias("r2"),
+    )

@@ -212,3 +212,36 @@ class TestSchemaDrift:
 
         df = spark.createDataFrame([(1, "a")], "id long, name string")
         assert schema_drift(df, df).count() == 0
+
+
+class TestGroupedLinfit:
+    def test_exact_line_recovered(self, spark):
+        from datamancer_spark.operators.stats import grouped_linfit
+
+        rows = [("g", float(x), 3.0 * x + 7.0) for x in range(10)]
+        rows += [("h", float(x), -2.0 * x + 1.0) for x in range(5)]
+        df = spark.createDataFrame(rows, "grp string, x double, y double")
+        out = {r["grp"]: r for r in
+               grouped_linfit(df, ["grp"], "x", "y").collect()}
+        assert out["g"]["slope"] == 3.0 and out["g"]["intercept"] == 7.0
+        assert out["g"]["r2"] == 1.0
+        assert out["h"]["slope"] == -2.0
+
+    def test_zero_variance_gives_null(self, spark):
+        from datamancer_spark.operators.stats import grouped_linfit
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 2.0), ("g", 1.0, 5.0)], "grp string, x double, y double"
+        )
+        r = grouped_linfit(df, ["grp"], "x", "y").collect()[0]
+        assert r["slope"] is None and r["r2"] is None
+
+    def test_nulls_excluded(self, spark):
+        from datamancer_spark.operators.stats import grouped_linfit
+
+        df = spark.createDataFrame(
+            [("g", 0.0, 0.0), ("g", 1.0, 2.0), ("g", None, 9.0), ("g", 2.0, None)],
+            "grp string, x double, y double",
+        )
+        r = grouped_linfit(df, ["grp"], "x", "y").collect()[0]
+        assert r["n"] == 2 and r["slope"] == 2.0
