@@ -108,6 +108,7 @@ HEADLINE = [
     "event_interarrival",
     "ab_conversion_report",
     "tfidf_similar_docs",
+    "price_quantity_trend",
 ]
 
 

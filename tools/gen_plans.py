@@ -64,6 +64,18 @@ COMMENT = {
     "q19_discounted_revenue": "Part dimension broadcast; the brand/size/quantity disjunction evaluates in whole-stage codegen on the joined scan; one-row output.",
     "q22_dormant_customers": "Scalar average broadcast into the filter; recent purchasers leave via a left anti join on a distinct key set; tiny per-segment rollup.",
     "zipf_corpus_fit": "Vocabulary counts partial-aggregate; top-k is TakeOrderedAndProject (never a global vocab sort); OLS sums reduce <= top_k rows to one.",
+    "remove_dup_spans": "Positions ride the posexplode; hot set from distinct (hash, doc) pairs (partial-agg); flagged positions collect per doc (bounded by its own window count); rebuild is a narrow indexed array filter.",
+    "gopher_rule_filter": "Zero-shuffle projection: every rule is a Catalyst expression evaluated next to the scan; fail_reasons assembled per row.",
+    "dedup_keep_best": "max_by over a comparison struct: ONE partial-aggregated shuffle on the 16-byte fingerprint (a rank window would sort whole groups), then a semi join back.",
+    "event_transitions": "One user-keyed window (lead with id tiebreak) -> partial-aggregated (from, to) counts; per-from totals broadcast back from the #types^2 matrix.",
+    "event_interarrival": "Same single user-keyed shuffle; per-type exact p50/p90 via one array-argument percentile buffer per group.",
+    "ab_conversion_report": "User-level partial-aggregated rollup (the only corpus shuffle), per-arm aggregate, control row broadcast back for the z.",
+    "lineitem_corr_matrix": "ONE ungrouped aggregate: C(n,2) corr expressions share the scan and partial-aggregate map-side; long-format explode of the single row.",
+    "lineitem_describe": "Same single-pass shape for per-column moments.",
+    "data_quality_checks": "Boolean rule battery in one aggregate pass; the uniqueness rule adds one key-only groupBy.",
+    "pipeline_curate_v2": "Gopher gate first (zero-shuffle, rejected docs never pay for span surgery) -> span removal -> cleaned-text dedup semi join -> per-lang rollup, one Catalyst plan.",
+    "tfidf_similar_docs": "Weights checkpointed once (feeds norms + both self-join legs); term-keyed self-join with the fractional doc-freq cap pruning stop-word terms before the sum(df^2) shuffle.",
+    "price_quantity_trend": "Five OLS sums per group in one partial-aggregated groupBy.",
 }
 
 
