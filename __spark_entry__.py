@@ -1908,9 +1908,15 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_duplicate_spans,
     )
 
+    from datamancer_spark.session import materialize
+
     doc = _t(spark, sf_dir, "documents")["documents"].df
     ok = gopher_quality_filter(doc).filter(F.col("pass")).select("doc_id")
-    gated = doc.join(ok, "doc_id", "left_semi")
+    # pin the gated corpus: the span-removal stage consumes it through
+    # several subtrees (window-hash explode, rebuild leg, lang join) and
+    # would otherwise replay the scan + rule battery per consumer
+    # (measured 13 scans / 32 exchanges -> 1 / 20, 4.0s -> 3.45s at sf0.1)
+    gated = materialize(doc.join(ok, "doc_id", "left_semi"))
     cleaned = remove_duplicate_spans(gated, window=6, min_docs=2)
     kept = cleaned.filter(F.col("n_tokens") - F.col("n_removed") >= 5)
     dedup_keep = (
