@@ -1610,7 +1610,13 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free hashing-trick text embeddings (operators/similarity.py
     hashed_embedding): ±1 md5-bucket sums, L2-normalized — closes the
     text → vector → ANN loop entirely in-engine. One explode + one
-    groupBy with 64 codegen'd conditional sums."""
+    groupBy with 64 codegen'd conditional sums.
+
+    Contract shape (r5 driver red): the API returns ``array<double>``,
+    but the driver's pandas canonicalizer cannot sort numpy arrays —
+    so this contract query posexplodes the vector to atomic
+    (doc_id, dim, value) rows. The array form stays the library API
+    (`hashed_embedding`); only the driver-facing projection is long."""
     from datamancer_spark.operators.similarity import hashed_embedding
 
     doc = _t(spark, sf_dir, "documents")["documents"].df
@@ -1619,7 +1625,9 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
     )
-    return out.select("doc_id", rounded.alias("embedding"))
+    return out.select(
+        "doc_id", F.posexplode(rounded).alias("dim", "value")
+    )
 
 
 def dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1813,11 +1821,20 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gopher_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText rule filter (operators/quality.py
     gopher_quality_filter): per-doc pass/fail with the fired rule names,
-    so curation runs can audit rejections. Zero-shuffle projection."""
+    so curation runs can audit rejections. Zero-shuffle projection.
+    Driver shape: fail_reasons is serialized to a comma-joined string
+    (the API keeps the array) — nested columns crash the driver's
+    pandas canonicalizer (the r5 text_hash_embedding red)."""
     from datamancer_spark.operators.quality import gopher_quality_filter
 
     doc = _t(spark, sf_dir, "documents")["documents"].df
-    return gopher_quality_filter(doc)
+    out = gopher_quality_filter(doc)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "pass",
+        F.concat_ws(",", "fail_reasons").alias("fail_reasons"),
+    )
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3576,6 +3593,10 @@ def oracle_sql() -> dict[str, str]:
         f"prnd(CASE WHEN nrm = 0 THEN 0.0 ELSE e{j} / nrm END, 6)"
         for j in range(64)
     )
+    # driver-sortable long form: one (doc_id, dim, value) row per
+    # component — the r5 array<double> output crashed the driver's
+    # pandas canonicalizer (unhashable numpy arrays). embedding[i]
+    # is 1-based in DuckDB; dim is the 0-based Spark posexplode pos.
     sql["text_hash_embedding"] = f"""
         WITH t AS (
           SELECT doc_id,
@@ -3588,8 +3609,11 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id, unnest(toks) AS tok FROM t) q
         ),
         g AS (SELECT doc_id, {_embcols} FROM u GROUP BY doc_id),
-        n AS (SELECT *, sqrt({_normsum}) AS nrm FROM g)
-        SELECT doc_id, [{_embitems}] AS embedding FROM n
+        n AS (SELECT *, sqrt({_normsum}) AS nrm FROM g),
+        m AS (SELECT doc_id, [{_embitems}] AS embedding FROM n)
+        SELECT m.doc_id, CAST(i.i - 1 AS INT) AS dim,
+               m.embedding[i.i] AS value
+        FROM m CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
     """
 
     # text→vector→cluster→dedup replica: same embedding CTEs (unrounded
@@ -3964,7 +3988,9 @@ def oracle_sql() -> dict[str, str]:
                  ], x -> x IS NOT NULL) AS fail_reasons
           FROM m
         )
-        SELECT doc_id, n_words, len(fail_reasons) = 0 AS pass, fail_reasons
+        SELECT doc_id, n_words, len(fail_reasons) = 0 AS pass,
+               coalesce(list_aggregate(fail_reasons, 'string_agg', ','), '')
+                 AS fail_reasons
         FROM r
     """
 

@@ -91,6 +91,28 @@ def _driver_green_rounds() -> dict[str, int]:
     return green
 
 
+def test_all_query_outputs_are_atomic_typed(spark, sf_dir):
+    """r5 driver red root cause: an array<double> output column crashed
+    the driver's pandas canonicalizer (numpy arrays are unhashable, so
+    its sort-then-hash dies before any comparison). Guard every contract
+    query: the OUTPUT schema must be atomic-typed — no array/map/struct
+    columns may reach the driver. (Library APIs may still return arrays;
+    contract queries must explode/serialize them.)"""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, fn in e.queries().items():
+        df = fn(spark, sf_dir)
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"driver-unsortable nested output columns: {bad}"
+
+
 def test_rotation_policy_window_is_packed():
     """Enforced rotation invariant (r4 verdict #4): driver-green is the
     only fully-adversarial signal, so a query with fewer than two
