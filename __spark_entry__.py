@@ -369,10 +369,17 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
     )
+    # cents-exact accumulation (the q7/q15/q22 pattern): float sums are
+    # order-sensitive at the half-cent rounding boundary, so Spark vs
+    # DuckDB accumulation order could flip the differential hash
+    rev_cents = F.sum(
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        ).cast("long")
+    )
     return j.filter(cond).agg(
-        prnd(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        prnd(rev_cents.cast("bigint") / 100.0, 2).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
     )
 
@@ -3841,7 +3848,7 @@ def oracle_sql() -> dict[str, str]:
         wh AS (
           SELECT doc_id,
                  unnest(list_transform(generate_series(1, n_windows),
-                        s -> CAST('0x' || substr(md5(array_to_string(toks[s:s+5], ' ')), 1, 8) AS BIGINT))) AS h
+                        s -> md5(array_to_string(toks[s:s+5], ' ')))) AS h
           FROM c WHERE n_windows > 0
         ),
         hot AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
@@ -3900,7 +3907,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["q19_discounted_revenue"] = """
-        SELECT prnd(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        SELECT prnd(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue,
                CAST(count(*) AS BIGINT) AS n_lines
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -4082,7 +4090,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         whx AS (
           SELECT doc_id, s - 1 AS pos0,
-                 CAST('0x' || substr(md5(array_to_string(toks[s:s+5], ' ')), 1, 8) AS BIGINT) AS wh
+                 md5(array_to_string(toks[s:s+5], ' ')) AS wh
           FROM (
             SELECT doc_id, toks,
                    unnest(generate_series(1, CAST(n_windows AS INT))) AS s
@@ -4176,7 +4184,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         whx AS (
           SELECT doc_id, s - 1 AS pos0,
-                 CAST('0x' || substr(md5(array_to_string(toks[s:s+5], ' ')), 1, 8) AS BIGINT) AS wh
+                 md5(array_to_string(toks[s:s+5], ' ')) AS wh
           FROM (
             SELECT doc_id, toks,
                    unnest(generate_series(1, CAST(n_windows AS INT))) AS s

@@ -1110,24 +1110,28 @@ def exact_dedup_keep_best(
 ) -> DataFrame:
     """Exact dedup keeping the BEST row per duplicate group instead of
     the smallest id: within each canonical-fingerprint group the keeper
-    maximizes (score, -id) — highest score wins, smallest id breaks
-    ties deterministically. The curation-correct keeper rule: when a
-    page was crawled five times, keep the best-quality capture, not the
+    has the highest score, with the smallest id breaking ties
+    deterministically. The curation-correct keeper rule: when a page
+    was crawled five times, keep the best-quality capture, not the
     first-seen one.
 
-    One aggregation shuffle on the 16-byte fingerprint using ``max_by``
-    over a comparison struct (partial-aggregated map-side — a
-    window/rank formulation would sort whole groups instead), then a
-    semi join back. Keeps all original columns."""
+    One aggregation shuffle on the 16-byte fingerprint using ``min_by``
+    over a (-score, id) comparison struct (partial-aggregated map-side —
+    a window/rank formulation would sort whole groups instead), then a
+    semi join back. Keeps all original columns. Only the SCORE is
+    negated (scores are numeric by contract); the id rides the struct
+    un-negated, so string/date/any orderable id type tie-breaks
+    correctly — negating the id would cast a string id to double
+    (NULL), making the keeper nondeterministic on score ties."""
     keyed = df.select(
         fingerprint(F.col(text_col)).alias("_fp"),
         F.col(id_col),
         F.col(score_col).alias("_score"),
     )
     keepers = keyed.groupBy("_fp").agg(
-        F.max_by(
+        F.min_by(
             id_col,
-            F.struct(F.col("_score"), (-F.col(id_col)).alias("_negid")),
+            F.struct((-F.col("_score")).alias("_negscore"), F.col(id_col)),
         ).alias(id_col)
     )
     return df.join(keepers.select(id_col), id_col, "left_semi")

@@ -689,7 +689,9 @@ def gif_decode_frames(blob: bytes, max_frames: int = 64):
     """Pure-stdlib animated-GIF decode: walks the GIF87a/89a block
     stream, LZW-decodes each image descriptor, handles local/global
     color tables, interlacing, frame offsets, transparency, and
-    disposal-to-background, compositing every frame onto the logical
+    disposal methods 2 (restore-to-background) and 3 (restore-previous)
+    scoped to the frame's rect — GCE state resets to spec defaults after
+    every image block — compositing every frame onto the logical
     canvas. Yields ``(frame_idx, width, height, rgb_bytes)`` with
     rgb_bytes the full RGB24 canvas after that frame. Returns
     immediately (no yield) for non-GIF/corrupt input."""
@@ -750,6 +752,9 @@ def gif_decode_frames(blob: bytes, max_frames: int = 64):
             idxs = _gif_lzw_decode(min_code, bytes(data), fw * fh)
             if idxs is None:
                 return
+            # disposal 3 (restore-previous): snapshot the canvas BEFORE
+            # compositing so the frame's rect can be rolled back after
+            prev_canvas = bytes(canvas) if disposal == 3 else None
             if fflags & 0x40:  # interlaced: reorder rows
                 rows = [idxs[r * fw : (r + 1) * fw] for r in range(fh)]
                 ordered: list[bytes | None] = [None] * fh
@@ -774,10 +779,37 @@ def gif_decode_frames(blob: bytes, max_frames: int = 64):
                     canvas[off : off + 3] = table[3 * pi : 3 * pi + 3]
             yield (frame_idx, w, h, bytes(canvas))
             frame_idx += 1
-            if disposal == 2 and gct is not None:  # restore to background
-                canvas = bytearray(
-                    gct[3 * bg_idx : 3 * bg_idx + 3] * (w * h)
+            # disposal applies to the FRAME RECT only (restoring the
+            # whole canvas corrupted partial-frame animations — later
+            # frames' pixels outside this rect must survive)
+            if disposal == 2 and gct is not None:  # restore rect to bg
+                bg = (
+                    gct[3 * bg_idx : 3 * bg_idx + 3]
+                    if 3 * bg_idx + 3 <= len(gct)
+                    else b"\x00\x00\x00"
                 )
+                for r in range(fh):
+                    cy = fy + r
+                    if cy >= h:
+                        break
+                    row_w = min(fw, w - fx)
+                    if row_w > 0:
+                        off = 3 * (cy * w + fx)
+                        canvas[off : off + 3 * row_w] = bg * row_w
+            elif disposal == 3 and prev_canvas is not None:
+                for r in range(fh):
+                    cy = fy + r
+                    if cy >= h:
+                        break
+                    row_w = min(fw, w - fx)
+                    if row_w > 0:
+                        off = 3 * (cy * w + fx)
+                        canvas[off : off + 3 * row_w] = prev_canvas[
+                            off : off + 3 * row_w
+                        ]
+            # a following image block with NO graphic-control extension
+            # must see spec defaults, not this frame's settings
+            transparent, disposal = None, 0
     except (IndexError, struct.error):
         return
 

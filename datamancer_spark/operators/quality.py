@@ -33,7 +33,7 @@ are dropped before the window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -768,6 +768,24 @@ def corpus_health(
     )
 
 
+def window_fp(col) -> Column:
+    """128-bit window fingerprint (full md5 hex) for the span tier.
+
+    The span operators originally keyed windows by the 32-bit
+    ``hash32``: birthday collisions start at ~77k distinct windows, and
+    a collision between unrelated windows in two docs falsely marks
+    both spans duplicated — fatal for ``remove_duplicate_spans``, which
+    DESTRUCTIVELY deletes the covered tokens. At the
+    billions-of-windows scale these docstrings target, 32 (or even 64)
+    bits of identity make false removals routine, and the shared-hash
+    DuckDB twin can never catch it. Full md5 is collision-free in
+    practice at any corpus size. Cost: 32-byte shuffle keys instead of
+    8 — but every consumer partial-aggregates (map-side combine) before
+    its shuffle, so the wide key rides only the narrow map-side stream.
+    DuckDB twin: ``md5(v)``."""
+    return F.md5(col)
+
+
 def _window_hash_base(
     df: DataFrame, text_col: str, id_col: str, window: int
 ) -> DataFrame:
@@ -799,18 +817,20 @@ def hot_window_index(
     min_docs: int = 2,
 ) -> DataFrame:
     """The PERSISTABLE side of duplicated-span detection: the distinct
-    window hashes appearing in >= ``min_docs`` distinct documents — one
-    8-byte ``wh`` column, usually tiny relative to the corpus. Write it
-    as the span index; ``streaming.streaming_span_hits`` probes incoming
-    documents against it statelessly, and a batch semi join flags spans
-    in any later snapshot without re-reading this corpus."""
+    window fingerprints (full-md5 ``window_fp``; 32-bit ids birthday-
+    collide and would poison every probe) appearing in >= ``min_docs``
+    distinct documents — one ``wh`` column, usually tiny relative to the
+    corpus. Write it as the span index; ``streaming.streaming_span_hits``
+    probes incoming documents against it statelessly, and a batch semi
+    join flags spans in any later snapshot without re-reading this
+    corpus."""
     counts = _window_hash_base(df, text_col, id_col, window)
     wh = counts.filter(F.col("n_windows") > 0).select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.col("n_windows").cast("int")),
-                lambda s: hash32(
+                lambda s: window_fp(
                     F.concat_ws(" ", F.slice(F.col("_toks"), s, window))
                 ),
             )
@@ -854,8 +874,10 @@ def duplicate_span_stats(
     number of distinct docs sharing one span — the same skew class as
     ``line_dedup_global``'s per-line window (a corpus-dominant
     boilerplate span forms one large count-only partition; spills, but
-    never a cartesian). Heavy frames only ever carry (id, 8-byte
-    hash). No quadratic stage, no driver state. Reference has no
+    never a cartesian). Heavy frames only ever carry (id, 128-bit
+    ``window_fp``) — wide enough that span identity never birthday-
+    collides, and the partial agg shrinks the stream before the wide
+    key ever shuffles. No quadratic stage, no driver state. Reference has no
     equivalent (SURVEY.md SS2.12 extension tier)."""
     counts = _window_hash_base(df, text_col, id_col, window)
     wh = counts.filter(F.col("n_windows") > 0).select(
@@ -863,7 +885,7 @@ def duplicate_span_stats(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.col("n_windows").cast("int")),
-                lambda s: hash32(F.concat_ws(" ", F.slice(F.col("_toks"), s, window))),
+                lambda s: window_fp(F.concat_ws(" ", F.slice(F.col("_toks"), s, window))),
             )
         ).alias("_wh"),
     )
@@ -1055,7 +1077,7 @@ def remove_duplicate_spans(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.col("n_windows").cast("int")),
-                lambda s: hash32(
+                lambda s: window_fp(
                     F.concat_ws(" ", F.slice(F.col("_toks"), s, window))
                 ),
             )

@@ -40,6 +40,31 @@ def doc_freq(tc: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return tc.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
 
 
+def _n_docs_frame(df: DataFrame) -> DataFrame:
+    """One-row (``_n``: double) corpus-size aggregate, for deriving N
+    inside the consumer's own plan: a broadcast one-row crossJoin
+    replaces the eager ``df.count()`` driver action (an extra job whose
+    scan read the corpus once more just for a scalar). The count branch
+    is column-pruned to count-star, so the extra scan is
+    parquet-metadata cheap."""
+    return df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+
+
+def _idf_frame(dfreq: DataFrame, df: DataFrame) -> DataFrame:
+    """(term, df, idf) with smooth idf = log((N+1)/(df+1)) + 1, N derived
+    in-plan via ``_n_docs_frame``. NOT broadcast-hinted: the idf frame is
+    vocabulary-sized — forcing a broadcast of an open-ended term
+    dictionary can exceed the broadcast cap / driver memory on a large
+    corpus; AQE broadcasts it anyway whenever it measures small."""
+    return (
+        dfreq.crossJoin(F.broadcast(_n_docs_frame(df)))
+        .withColumn(
+            "idf", F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1.0
+        )
+        .drop("_n")
+    )
+
+
 def tfidf(
     df: DataFrame,
     text_col: str = "text",
@@ -49,11 +74,8 @@ def tfidf(
     """(id, term, tf, tfidf) — optionally only each doc's top_k terms
     (deterministic tie-break on term)."""
     tc = term_counts(df, text_col, id_col)
-    n_docs = df.count()  # one count job; at scale pass a known N upstream
-    idf = doc_freq(tc, id_col).withColumn(
-        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
-    )
-    scored = tc.join(F.broadcast(idf), "term").select(
+    idf = _idf_frame(doc_freq(tc, id_col), df)
+    scored = tc.join(idf, "term").select(
         F.col(id_col),
         "term",
         "tf",
@@ -83,21 +105,24 @@ def bm25(
     localCheckpoint: it feeds the avgdl job, the doc-length join, and the
     doc-frequency aggregation — uncached it would execute three times."""
     tc = materialize(term_counts(df, text_col, id_col))
-    n_docs = df.count()
     dl = tc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
     if avgdl is None:  # empty corpus → empty result via the joins below
         avgdl = 1.0
-    idf = doc_freq(tc, id_col).withColumn(
-        "idf",
-        F.log(
-            1.0
-            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ),
+    idf = (
+        doc_freq(tc, id_col)
+        .crossJoin(F.broadcast(_n_docs_frame(df)))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0 + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .drop("_n")
     )
     return (
         tc.join(dl, id_col)
-        .join(F.broadcast(idf), "term")
+        .join(idf, "term")
         .select(
             F.col(id_col),
             "term",
@@ -136,19 +161,22 @@ def tfidf_cosine_pairs(
     carry ~zero idf weight anyway). Output (id_a < id_b, cosine ≥
     threshold)."""
     tc = term_counts(df, text_col, id_col)
-    n_docs = df.count()
-    dfreq = doc_freq(tc, id_col)
+    dfreq = doc_freq(tc, id_col).crossJoin(F.broadcast(_n_docs_frame(df)))
     if max_doc_freq_frac is not None:
         # scale-invariant form of the cap: df <= frac * N keeps the
         # pruned set meaningful as the corpus grows (an absolute cap
-        # prunes ever harder at larger N)
-        max_doc_freq = int(max_doc_freq_frac * n_docs)
-    if max_doc_freq is not None:
+        # prunes ever harder at larger N). floor(frac*N) matches the
+        # old int() driver-side truncation.
+        dfreq = dfreq.filter(
+            F.col("df") <= F.floor(F.lit(max_doc_freq_frac) * F.col("_n"))
+        )
+    elif max_doc_freq is not None:
         dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
     idf = dfreq.withColumn(
-        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
-    )
-    w = tc.join(F.broadcast(idf), "term").select(
+        "idf", F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1.0
+    ).drop("_n")
+    # no broadcast hint: vocabulary-sized frame (see _idf_frame)
+    w = tc.join(idf, "term").select(
         F.col(id_col), "term", (F.col("tf") * F.col("idf")).alias("w")
     )
     w = materialize(w)  # feeds norms + both self-join legs

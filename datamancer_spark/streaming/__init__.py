@@ -302,13 +302,15 @@ def streaming_span_hits(
     live crawl.
 
     Stateless by design, mirroring ``streaming_fuzzy_screen``'s split:
-    the rolling window hashes are a pure per-row projection + explode,
-    and the probe is ONE stream-static inner equi-join against the
-    8-byte hot set (broadcastable index tier). Per-document rollups
+    the rolling window fingerprints (full-md5 ``window_fp``, matching
+    ``hot_window_index``) are a pure per-row projection + explode, and
+    the probe is ONE stream-static inner equi-join against the
+    hot set (broadcastable index tier). Per-document rollups
     (span fraction, drop decisions) need aggregation state and belong
     in the periodic batch compaction, where ``duplicate_span_stats``
     computes them exactly. Output: (id, span_pos, wh)."""
-    from ..operators.dedup import hash32, tokens
+    from ..operators.dedup import tokens
+    from ..operators.quality import window_fp
 
     toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
     k = F.greatest(F.size("_toks") - (window - 1), F.lit(0)).cast("int")
@@ -321,7 +323,7 @@ def streaming_span_hits(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), F.col("_k")),
-                    lambda s: hash32(
+                    lambda s: window_fp(
                         F.concat_ws(" ", F.slice(F.col("_toks"), s, window))
                     ),
                 )

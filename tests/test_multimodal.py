@@ -472,6 +472,40 @@ def _encode_gif(frames, palette, w, h, min_code_size=None, interlace_frame=None)
     return bytes(out)
 
 
+def _encode_gif_ext(frames, palette, w, h):
+    """GIF89a writer with per-frame rects and graphic-control
+    extensions, for disposal-method tests. ``frames`` is a list of
+    dicts: data (index bytes for the rect), rect (fx, fy, fw, fh),
+    gce None or (disposal, transparent_idx_or_None)."""
+    import struct
+
+    bits = max(1, (len(palette) - 1).bit_length())
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * (3 * ((1 << bits) - len(palette)))
+    out += pal
+    for fr in frames:
+        if fr.get("gce") is not None:
+            disposal, tr = fr["gce"]
+            packed = (disposal & 7) << 2 | (1 if tr is not None else 0)
+            out += bytes([0x21, 0xF9, 4, packed, 0, 0, tr or 0, 0])
+        fx, fy, fw, fh = fr["rect"]
+        out += bytes([0x2C]) + struct.pack("<HHHH", fx, fy, fw, fh)
+        out += bytes([0, mcs])
+        enc = _lzw_encode(mcs, bytes(fr["data"]))
+        for i in range(0, len(enc), 255):
+            blk = enc[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 class TestRealGifDecode:
     PAL4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
 
@@ -536,6 +570,74 @@ class TestRealGifDecode:
         from datamancer_spark.operators.multimodal import gif_decode_frames
 
         assert list(gif_decode_frames(b"GIF8 garbage")) == []
+
+    def _grid(self, rgb, w):
+        return [rgb[3 * i : 3 * i + 3] for i in range(len(rgb) // 3)]
+
+    def test_disposal2_restores_only_frame_rect(self):
+        """r5 advice: disposal 2 must restore the FRAME's rect to
+        background, not wipe the whole canvas — pixels a partial-frame
+        animation painted outside the rect must survive."""
+        from datamancer_spark.operators.multimodal import gif_decode_frames
+
+        BLACK, RED, GREEN, BLUE = (bytes(c) for c in self.PAL4)
+        blob = _encode_gif_ext(
+            [
+                {"data": b"\x01" * 16, "rect": (0, 0, 4, 4), "gce": (0, None)},
+                {"data": b"\x02" * 4, "rect": (1, 1, 2, 2), "gce": (2, None)},
+                {"data": b"\x03", "rect": (0, 0, 1, 1), "gce": (0, None)},
+            ],
+            self.PAL4, 4, 4,
+        )
+        frames = list(gif_decode_frames(blob))
+        assert len(frames) == 3
+        g1 = self._grid(frames[1][3], 4)
+        assert g1[5] == GREEN and g1[0] == RED
+        g2 = self._grid(frames[2][3], 4)
+        assert g2[0] == BLUE
+        # the 2x2 rect went back to background...
+        assert g2[5] == g2[6] == g2[9] == g2[10] == BLACK
+        # ...but everything outside it kept frame-0's red
+        assert g2[1] == g2[4] == g2[15] == RED
+
+    def test_disposal3_restores_previous_rect(self):
+        from datamancer_spark.operators.multimodal import gif_decode_frames
+
+        BLACK, RED, GREEN, BLUE = (bytes(c) for c in self.PAL4)
+        blob = _encode_gif_ext(
+            [
+                {"data": b"\x01" * 16, "rect": (0, 0, 4, 4), "gce": (0, None)},
+                {"data": b"\x02" * 4, "rect": (1, 1, 2, 2), "gce": (3, None)},
+                {"data": b"\x03", "rect": (3, 3, 1, 1), "gce": (0, None)},
+            ],
+            self.PAL4, 4, 4,
+        )
+        frames = list(gif_decode_frames(blob))
+        assert len(frames) == 3
+        g2 = self._grid(frames[2][3], 4)
+        # frame-1's green rect rolled back to frame-0's red
+        assert g2[5] == g2[6] == g2[9] == g2[10] == RED
+        assert g2[15] == BLUE
+
+    def test_gce_state_resets_after_image_block(self):
+        """A frame with NO graphic-control extension must see spec
+        defaults: a prior frame's transparent index may not leak and
+        skip its pixels."""
+        from datamancer_spark.operators.multimodal import gif_decode_frames
+
+        BLACK, RED, GREEN, BLUE = (bytes(c) for c in self.PAL4)
+        blob = _encode_gif_ext(
+            [
+                # frame 0 declares index 2 transparent
+                {"data": b"\x01" * 16, "rect": (0, 0, 4, 4), "gce": (0, 2)},
+                # frame 1 has NO GCE and paints index 2 — must draw
+                {"data": b"\x02" * 16, "rect": (0, 0, 4, 4), "gce": None},
+            ],
+            self.PAL4, 4, 4,
+        )
+        frames = list(gif_decode_frames(blob))
+        assert len(frames) == 2
+        assert frames[1][3] == GREEN * 16
         assert list(gif_decode_frames(b"\x00" * 50)) == []
 
     def test_sample_frames_real_gif_no_fake(self, spark, tmp_path):

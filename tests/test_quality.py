@@ -538,6 +538,26 @@ class TestDedupKeepBest:
         )
         assert kept == [2, 4]
 
+    def test_string_id_tiebreak_is_deterministic(self, spark):
+        """r5 advice: the old (-id) tie-break cast string ids to double
+        (NULL), making the keeper nondeterministic on score ties. The
+        min_by(-score, id) struct keeps any orderable id type working:
+        lexicographically-smallest id must win a score tie."""
+        from datamancer_spark.operators.dedup import exact_dedup_keep_best
+
+        rows = [
+            ("urlB", "same text", 0.9),
+            ("urlA", "same text", 0.9),  # wins tie: smallest string id
+            ("urlC", "same text", 0.2),
+            ("urlZ", "other doc", 0.1),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string, score double")
+        kept = sorted(
+            r["doc_id"]
+            for r in exact_dedup_keep_best(df, "score").collect()
+        )
+        assert kept == ["urlA", "urlZ"]
+
 
 class TestRemoveDuplicateSpans:
     def test_shared_span_removed_both_sides(self, spark):
