@@ -2044,7 +2044,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
         "train_test_split": train_test_split,
-        # -- first driver check: r2-r4 additions never yet in the window (16)
+        # -- first driver check: every query with ZERO recorded
+        # -- driver-green rounds (r5 additions + the r5 canonicalizer
+        # -- red, reshaped) (20)
+        "text_hash_embedding": text_hash_embedding,
+        "duplicate_spans": duplicate_spans,
+        "q7_nation_volume": q7_nation_volume,
+        "q13_order_count_dist": q13_order_count_dist,
+        "q15_top_supplier": q15_top_supplier,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_dormant_customers": q22_dormant_customers,
+        "zipf_corpus_fit": zipf_corpus_fit,
+        "gopher_rule_filter": gopher_rule_filter,
+        "dedup_keep_best": dedup_keep_best,
+        "lineitem_corr_matrix": lineitem_corr_matrix,
+        "lineitem_describe": lineitem_describe,
+        "event_transitions": event_transitions,
+        "remove_dup_spans": remove_dup_spans,
+        "data_quality_checks": data_quality_checks,
+        "pipeline_curate_v2": pipeline_curate_v2,
+        "event_interarrival": event_interarrival,
+        "ab_conversion_report": ab_conversion_report,
+        "tfidf_similar_docs": tfidf_similar_docs,
+        "price_quantity_trend": price_quantity_trend,
+        # -- second driver check: r4-once-green queries accruing their
+        # -- 2nd round (stalest proof first) (14)
+        "tail_sorted": tail_sorted,
+        "slice_rows": slice_rows,
+        "distinct_proj": distinct_proj,
+        "cube_status": cube_status,
+        "set_diff": set_diff_q,
+        "intersect": intersect_q,
+        "window_rank": window_rank,
+        "events_hourly": events_hourly,
+        "argmax_per_user": argmax_per_user,
+        "rolling_mean": rolling_mean,
+        "window_distribution": window_distribution,
+        "json_extract_props": json_extract_props,
+        "date_parts": date_parts,
+        "regex_extract_doc": regex_extract_doc,
+        # ---- past the driver's 50-entry window. Next rotation queue:
+        # ---- r5-once-green queries waiting for their 2nd round (16)
         "dedup_incremental": dedup_incremental,
         "q4_late_shipping": q4_late_shipping,
         "q10_return_customers": q10_return_customers,
@@ -2059,9 +2099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_skew_profile": source_skew_profile,
         "corpus_health_report": corpus_health_report,
         "salted_events_rollup": salted_events_rollup,
-        "text_hash_embedding": text_hash_embedding,
         "dedup_semantic_text": dedup_semantic_text,
-        # -- second driver check: once-green queries accruing their 2nd round (18)
+        "approx_distinct": approx_distinct,
+        # ---- >= 2-round driver-green; all stay in the local harness
         "purchase_followup_views": purchase_followup_views,
         "classifier_score": classifier_score,
         "cap_per_source": cap_per_source,
@@ -2076,12 +2116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join_coalesce": left_join_coalesce,
         "bind_rows_union": bind_rows_union,
         "rollup_status": rollup_status,
-        "approx_distinct": approx_distinct,
         "transmute_math": transmute_math,
         "string_ops": string_ops,
         "masked_assign": masked_assign,
-        # ---- past the driver's 50-entry window: >= 2-round driver-green
-        # ---- (or queued for a later rotation); all stay in the local harness
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -2120,40 +2157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_ops": array_ops,
         "text_fingerprint": text_fingerprint,
         "winsorize_prices": winsorize_prices,
-        "tail_sorted": tail_sorted,
-        "slice_rows": slice_rows,
-        "distinct_proj": distinct_proj,
-        "cube_status": cube_status,
-        "set_diff": set_diff_q,
-        "intersect": intersect_q,
-        "window_rank": window_rank,
-        "events_hourly": events_hourly,
-        "argmax_per_user": argmax_per_user,
-        "rolling_mean": rolling_mean,
-        "window_distribution": window_distribution,
-        "json_extract_props": json_extract_props,
-        "date_parts": date_parts,
-        "regex_extract_doc": regex_extract_doc,
-        # -- round-5 additions (queued for a future driver window)
-        "duplicate_spans": duplicate_spans,
-        "q7_nation_volume": q7_nation_volume,
-        "q13_order_count_dist": q13_order_count_dist,
-        "q15_top_supplier": q15_top_supplier,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q22_dormant_customers": q22_dormant_customers,
-        "zipf_corpus_fit": zipf_corpus_fit,
-        "gopher_rule_filter": gopher_rule_filter,
-        "dedup_keep_best": dedup_keep_best,
-        "lineitem_corr_matrix": lineitem_corr_matrix,
-        "lineitem_describe": lineitem_describe,
-        "event_transitions": event_transitions,
-        "remove_dup_spans": remove_dup_spans,
-        "data_quality_checks": data_quality_checks,
-        "pipeline_curate_v2": pipeline_curate_v2,
-        "event_interarrival": event_interarrival,
-        "ab_conversion_report": ab_conversion_report,
-        "tfidf_similar_docs": tfidf_similar_docs,
-        "price_quantity_trend": price_quantity_trend,
     }
 
 
