@@ -1935,14 +1935,28 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamancer_spark.session import materialize
 
     doc = _t(spark, sf_dir, "documents")["documents"].df
-    ok = gopher_quality_filter(doc).filter(F.col("pass")).select("doc_id")
-    # pin the gated corpus: the span-removal stage consumes it through
-    # several subtrees (window-hash explode, rebuild leg, lang join) and
-    # would otherwise replay the scan + rule battery per consumer
-    # (measured 13 scans / 32 exchanges -> 1 / 20, 4.0s -> 3.45s at sf0.1)
-    gated = materialize(doc.join(ok, "doc_id", "left_semi"))
-    cleaned = remove_duplicate_spans(gated, window=6, min_docs=2)
-    kept = cleaned.filter(F.col("n_tokens") - F.col("n_removed") >= 5)
+    # gate + tokenize in ONE scan-side projection, pinned with lang
+    # riding along: the span-removal stage consumes the gated corpus
+    # through several subtrees (window-hash explode, rebuild leg) and
+    # would otherwise replay the scan + rule battery + tokenize per
+    # consumer (r4: 13 scans / 32 exchanges; r5 gate pin: 1 / 20; r6
+    # single-projection gate, no semi join: consumers read pinned token
+    # arrays and the trailing lang join needs no second documents scan)
+    gated = materialize(
+        gopher_quality_filter(doc, passthrough=("lang",), keep_tokens=True)
+        .filter(F.col("pass"))
+        .select("doc_id", "lang", "_toks")
+    )
+    cleaned = remove_duplicate_spans(
+        gated, window=6, min_docs=2, tokens_col="_toks"
+    )
+    # second pin: the cleaned corpus feeds BOTH the fingerprint dedup
+    # and the final rollup leg — unpinned, each consumer re-evaluates
+    # the whole span-removal subtree. Persisting the cleaned text
+    # before dedup is exactly what a production curation pipeline does.
+    kept = materialize(
+        cleaned.filter(F.col("n_tokens") - F.col("n_removed") >= 5)
+    )
     dedup_keep = (
         kept.select(
             "doc_id", T.fingerprint(F.col("clean_text")).alias("_fp")
@@ -1952,7 +1966,7 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     final = kept.join(dedup_keep, "doc_id", "left_semi").join(
-        doc.select("doc_id", "lang"), "doc_id"
+        gated.select("doc_id", "lang"), "doc_id"
     )
     return final.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -662,10 +662,18 @@ def bigram_logprob_score(
             )
         ).alias("_p"),
     ).select(F.col(id_col), F.col("_p.w1"), F.col("_p.w2"))
-    # per-doc pair multiplicities: the one frame worth pinning — it is
-    # what a production pipeline would persist as the doc-bigram index
-    g = bg.groupBy(id_col, "w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("_m")
+    # per-doc pair multiplicities, PINNED: three consumers (bc, ctx via
+    # bc, the scored join) each re-derived the scan+explode+groupBy
+    # pipeline when left lazy — 5 corpus scans / 19 exchanges in the r5
+    # plan audit, the tradeoff that inverts hardest at 100 TB. Pinning
+    # exactly this frame (it is what a production pipeline would persist
+    # as the doc-bigram index; the corpus-sized raw PAIR stream stays
+    # unpinned — materializing it measured ~5× slower) cuts the plan to
+    # 2 scans. Same fix shape as curate-v2's gate pin.
+    g = materialize(
+        bg.groupBy(id_col, "w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("_m")
+        )
     )
     un = (
         d.select(F.explode("_toks").alias("_tok"))
@@ -787,19 +795,28 @@ def window_fp(col) -> Column:
 
 
 def _window_hash_base(
-    df: DataFrame, text_col: str, id_col: str, window: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, n_windows, _toks) frame shared by the span operators:
     non-empty tokens projected once per row, window count from the
-    token count."""
-    base = (
-        spread_partitions(df)
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("_t0"))
-        .select(
-            F.col(id_col),
-            F.filter(F.col("_t0"), lambda t: F.length(t) > 0).alias("_toks"),
+    token count. When the caller already carries a token-array column
+    (``tokens_col``, e.g. a pinned pre-tokenized corpus in a pipeline
+    composition), it is used as-is — no re-tokenize, no re-spread."""
+    if tokens_col is not None:
+        base = df.select(F.col(id_col), F.col(tokens_col).alias("_toks"))
+    else:
+        base = (
+            spread_partitions(df)
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("_t0"))
+            .select(
+                F.col(id_col),
+                F.filter(F.col("_t0"), lambda t: F.length(t) > 0).alias("_toks"),
+            )
         )
-    )
     return base.select(
         F.col(id_col),
         F.greatest(
@@ -981,10 +998,18 @@ def gopher_quality_filter(
     max_symbol_ratio: float = 0.25,
     max_digit_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.7,
+    passthrough: tuple = (),
+    keep_tokens: bool = False,
 ) -> DataFrame:
     """Gopher/MassiveText-style rule filter (Rae et al. §A1.1 class):
     per-document pass/fail plus WHICH rules fired, so curation runs can
     audit their own rejections instead of silently shrinking.
+
+    ``passthrough`` carries extra input columns into the output and
+    ``keep_tokens`` appends the computed token array as ``_toks`` — so a
+    pipeline can gate AND tokenize in ONE scan-side projection instead
+    of gating, semi-joining back, and re-tokenizing (two extra corpus
+    passes at 100 TB).
 
     Rules (each a pure Catalyst expression — the whole operator is one
     zero-shuffle projection evaluated next to the scan):
@@ -1000,6 +1025,7 @@ def gopher_quality_filter(
         F.col(id_col),
         F.col(text_col).alias("_txt"),
         toks.alias("_toks"),
+        *[F.col(c) for c in passthrough],
     )
     n_words = F.size("_toks").cast("long")
     avg_len = F.when(
@@ -1045,6 +1071,8 @@ def gopher_quality_filter(
         n_words.alias("n_words"),
         (F.size(reasons) == 0).alias("pass"),
         reasons.alias("fail_reasons"),
+        *[F.col(c) for c in passthrough],
+        *([F.col("_toks")] if keep_tokens else []),
     )
 
 
@@ -1054,6 +1082,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     window: int = 8,
     min_docs: int = 2,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact substring REMOVAL (the action half of duplicate_span_stats,
     after "Deduplicating Training Data Makes Language Models Better"):
@@ -1061,17 +1090,22 @@ def remove_duplicate_spans(
     duplicated window dropped. A token survives iff no flagged window
     position covers it.
 
-    Plan: window hashes posexplode WITH positions; the hot set comes
-    from distinct (hash, doc) pairs -> per-hash doc counts
-    (partial-aggregated, usually broadcastable); flagged positions
-    collect per doc (bounded by the doc's own window count) and the
-    rebuild is a narrow indexed array filter — coverage check is
+    Plan: window fingerprints posexplode WITH positions, reduced ONCE to
+    per-(fingerprint, doc) position sets; a count window keyed by the
+    fingerprint gives each row its distinct-doc count without
+    re-deriving the explode (the separate hot-set + semi-join
+    formulation evaluated the fingerprint stream twice — same fix
+    ``duplicate_span_stats`` measured at 1.84s -> 1.24s); flagged
+    positions collect per doc (bounded by the doc's own window count)
+    and the rebuild is a narrow indexed array filter — coverage check is
     O(flagged) per token, fine for the boilerplate densities this
     targets; fully-boilerplate docs come back empty rather than
     exploding. Output (id, clean_text, n_tokens, n_removed); token
     whitespace is normalized to single spaces (the same canonical form
-    the fingerprints use)."""
-    counts = _window_hash_base(df, text_col, id_col, window)
+    the fingerprints use). Pass ``tokens_col`` when the input already
+    carries token arrays (pinned pipeline composition) to skip the
+    tokenize."""
+    counts = _window_hash_base(df, text_col, id_col, window, tokens_col)
     wh = counts.filter(F.col("n_windows") > 0).select(
         F.col(id_col),
         F.posexplode(
@@ -1083,16 +1117,14 @@ def remove_duplicate_spans(
             )
         ).alias("_pos0", "_wh"),  # _pos0 is 0-based
     )
-    nd = (
-        wh.select("_wh", id_col)
-        .distinct()
-        .groupBy("_wh")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_wh")
+    wdc = wh.groupBy("_wh", id_col).agg(
+        F.collect_set("_pos0").alias("_pp")
     )
+    w = Window.partitionBy("_wh")
     flagged = (
-        wh.join(nd, "_wh", "left_semi")
+        wdc.withColumn("_nd", F.count(F.lit(1)).over(w))
+        .filter(F.col("_nd") >= min_docs)
+        .select(id_col, F.explode("_pp").alias("_pos0"))
         .groupBy(id_col)
         .agg(F.collect_set("_pos0").alias("_ps"))
     )
