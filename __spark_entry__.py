@@ -2019,6 +2019,42 @@ def price_quantity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# masks with bits at {3,17,33,49,61}, cumulatively — Hamming between
+# mask_i and mask_j is exactly |i-j|, giving the dhash pair join a
+# controlled spread of distances to accept (<=3) and reject (4,5)
+_DHASH_MASKS = [0, 8, 131080, 8590065672, 562958543486984, 2306405967757180936]
+
+
+def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pair join (operators/multimodal.py
+    dhash_pairs → operators/dedup.py hamming_band_pairs): the banded
+    Hamming-LSH engine driver-checked on DETERMINISTIC synthetic 64-bit
+    signatures (portable md5 base per doc_id%37 group XOR a bit mask
+    cycling doc_id%6, so same-group docs sit exactly |m_i-m_j| bits
+    apart). The band join is pigeonhole-EXACT for hamming <= bands-1,
+    so a brute-force DuckDB twin must match it bit for bit. The real
+    image path (PNG/GIF decode → dhash64_gray) is pytest-proven against
+    encoded fixtures — the testdata tables carry no image blobs."""
+    from datamancer_spark.operators.dedup import (
+        hamming_band_pairs,
+        portable_hash,
+    )
+    from datamancer_spark.session import materialize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    base = portable_hash((F.col("doc_id") % 37).cast("string"), seed=11)
+    mask = F.element_at(
+        F.array(*[F.lit(m) for m in _DHASH_MASKS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    sigs = materialize(
+        doc.select("doc_id", base.bitwiseXOR(mask).alias("dhash"))
+    )
+    return hamming_band_pairs(
+        sigs, "dhash", "doc_id", max_hamming=3, bands=4
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2060,7 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": train_test_split,
         # -- first driver check: every query with ZERO recorded
         # -- driver-green rounds (r5 additions + the r5 canonicalizer
-        # -- red, reshaped) (20)
+        # -- red, reshaped + the r6 dhash pair join) (21)
         "text_hash_embedding": text_hash_embedding,
         "duplicate_spans": duplicate_spans,
         "q7_nation_volume": q7_nation_volume,
@@ -2081,8 +2117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_conversion_report": ab_conversion_report,
         "tfidf_similar_docs": tfidf_similar_docs,
         "price_quantity_trend": price_quantity_trend,
+        "image_dhash_pairs": image_dhash_pairs,
         # -- second driver check: r4-once-green queries accruing their
-        # -- 2nd round (stalest proof first) (14)
+        # -- 2nd round (stalest proof first) (13)
         "tail_sorted": tail_sorted,
         "slice_rows": slice_rows,
         "distinct_proj": distinct_proj,
@@ -2096,9 +2133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_distribution": window_distribution,
         "json_extract_props": json_extract_props,
         "date_parts": date_parts,
-        "regex_extract_doc": regex_extract_doc,
         # ---- past the driver's 50-entry window. Next rotation queue:
-        # ---- r5-once-green queries waiting for their 2nd round (16)
+        # ---- displaced by the r6 dhash query, then r5-once-green
+        # ---- queries waiting for their 2nd round
+        "regex_extract_doc": regex_extract_doc,
         "dedup_incremental": dedup_incremental,
         "q4_late_shipping": q4_late_shipping,
         "q10_return_customers": q10_return_customers,
@@ -4328,6 +4366,28 @@ def oracle_sql() -> dict[str, str]:
                prnd(regr_r2(l_extendedprice, l_quantity), 4) AS r2
         FROM lineitem
         GROUP BY l_returnflag
+    """
+
+    # brute-force ground truth for the banded Hamming-LSH pair join:
+    # the band join is pigeonhole-exact at max_hamming <= bands-1, so
+    # the all-pairs form over the ~500 distinct synthetic signatures
+    # must agree exactly (the LSH exists so production never runs this
+    # quadratic form; the oracle can, at sf0.01 scale)
+    _mask_cases = " ".join(
+        f"WHEN {i} THEN CAST({m} AS BIGINT)"
+        for i, m in enumerate(_DHASH_MASKS)
+    )
+    sql["image_dhash_pairs"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+                 xor(CAST('0x' || substr(md5('11' || CAST(doc_id % 37 AS VARCHAR)), 1, 15) AS BIGINT),
+                     CASE doc_id % 6 {_mask_cases} END) AS sig
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

@@ -872,6 +872,37 @@ def simhash_pairs(
     # measured >2x the whole operator's cost at 16x scale. Signatures
     # are one (id, long) row per doc -- cheap to pin.
     sh = materialize(simhash(df, text_col, id_col))
+    return hamming_band_pairs(
+        sh, "simhash", id_col, max_hamming=max_hamming, bands=bands
+    )
+
+
+def hamming_band_pairs(
+    sh: DataFrame,
+    sig_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Generic 64-bit-signature near-dup pair join by Hamming distance ≤
+    ``max_hamming`` via bit-block LSH — the shared engine behind
+    ``simhash_pairs`` (text) and ``multimodal.dhash_pairs`` (images).
+    Requires ``max_hamming <= bands - 1`` so the pigeonhole guarantee
+    makes the band join EXACT: flipping at most b-1 of b blocks leaves
+    ≥1 block identical, so no qualifying pair can be missed.
+
+    Input must be a MATERIALIZED (id, sig) frame (both self-join legs
+    and the member-expansion joins consume it; an unpinned upstream
+    would re-execute per leg). Output (id_a < id_b, hamming).
+    Scale shape: distinct signatures join banded (a group of m equal
+    signatures would otherwise contribute m²·bands candidate rows);
+    identical signatures pair directly at hamming 0; the Hamming filter
+    runs BEFORE the pair distinct so rejected candidates never shuffle."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands>={max_hamming + 1} "
+            f"for exact band-LSH recall (got bands={bands})"
+        )
     width = 64 // bands
     # Same distinct-signature decomposition as minhash_lsh_pairs: the
     # block self-join runs on DISTINCT signatures (a group of m equal
@@ -881,15 +912,15 @@ def simhash_pairs(
     # over signature pairs instead of doc pairs.
     # derives from pinned sh; the distinct's exchange is reused across
     # both self-join legs — no second eager materialization needed
-    ds = sh.select("simhash").distinct()
+    ds = sh.select(sig_col).distinct()
     blocked = ds.select(
-        "simhash",
+        sig_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        F.shiftrightunsigned(F.col(sig_col), i * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
                     )
@@ -897,20 +928,20 @@ def simhash_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("simhash", "b.blk", "b.val")
+    ).select(sig_col, "b.blk", "b.val")
     a, b = blocked.alias("a"), blocked.alias("b")
     sig_pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.simhash") < F.col("b.simhash")),
+            & (F.col(f"a.{sig_col}") < F.col(f"b.{sig_col}")),
         )
         .select(
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
             ).alias("hamming"),
         )
         # hamming filter BEFORE the distinct: rejected signature pairs
@@ -918,8 +949,8 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ma = sh.select(F.col(id_col).alias("_ida"), F.col("simhash").alias("sig_a"))
-    mb = sh.select(F.col(id_col).alias("_idb"), F.col("simhash").alias("sig_b"))
+    ma = sh.select(F.col(id_col).alias("_ida"), F.col(sig_col).alias("sig_a"))
+    mb = sh.select(F.col(id_col).alias("_idb"), F.col(sig_col).alias("sig_b"))
     inter = (
         sig_pairs.join(ma, "sig_a")
         .join(mb, "sig_b")
@@ -933,7 +964,7 @@ def simhash_pairs(
         sh.alias("x")
         .join(
             sh.alias("y"),
-            (F.col("x.simhash") == F.col("y.simhash"))
+            (F.col(f"x.{sig_col}") == F.col(f"y.{sig_col}"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(

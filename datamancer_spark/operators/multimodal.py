@@ -126,16 +126,17 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
 
 
-def png_decode_pixels(blob: bytes):
-    """Pure-stdlib PNG pixel decode: zlib-inflate the IDAT stream and
-    invert the per-scanline filters (None/Sub/Up/Average/Paeth) per the
-    PNG spec §9. Supports 8-bit-depth, non-interlaced images in all five
-    color types (gray, RGB, palette, gray+alpha, RGBA — the overwhelming
-    majority of real PNGs). Returns ``(width, height, channels,
-    mean_intensity)`` with mean over the NON-alpha samples in [0, 1]
-    (palette images expand through PLTE, reporting 3 channels), or
-    ``None`` for non-PNG / malformed / unsupported (16-bit, interlaced)
-    input — callers treat that as undecodable, never as an error."""
+def png_decode_array(blob: bytes):
+    """Pure-stdlib PNG pixel decode returning the PIXELS: zlib-inflate
+    the IDAT stream and invert the per-scanline filters
+    (None/Sub/Up/Average/Paeth) per the PNG spec §9. Supports
+    8-bit-depth, non-interlaced images in all five color types (gray,
+    RGB, palette, gray+alpha, RGBA — the overwhelming majority of real
+    PNGs). Returns ``(width, height, channels, pixels)`` with pixels an
+    (h, w, channels) uint8 ndarray — alpha dropped, palette expanded
+    through PLTE to RGB — or ``None`` for non-PNG / malformed /
+    unsupported (16-bit, interlaced) input. ``png_decode_pixels`` wraps
+    this for summary stats; ``image_dhash`` consumes the array."""
     import struct
     import zlib
 
@@ -212,11 +213,22 @@ def png_decode_pixels(blob: bytes):
         idxs = out.reshape(-1)
         if idxs.max(initial=0) >= len(pal):
             return None
-        mean = float(pal[idxs].mean()) / 255.0
-        return (w, h, 3, round(mean, 6))
+        return (w, h, 3, pal[idxs].reshape(h, w, 3))
     px = out.reshape(h, w, nch)
     color = px[:, :, :-1] if ctype in (4, 6) else px  # drop alpha
-    return (w, h, nch, round(float(color.mean()) / 255.0, 6))
+    return (w, h, nch, color)
+
+
+def png_decode_pixels(blob: bytes):
+    """Summary-stat wrapper over ``png_decode_array``: returns
+    ``(width, height, channels, mean_intensity)`` with mean over the
+    non-alpha samples in [0, 1], or ``None`` for undecodable input —
+    callers treat that as undecodable, never as an error."""
+    decoded = png_decode_array(blob)
+    if decoded is None:
+        return None
+    w, h, nch, px = decoded
+    return (w, h, nch, round(float(px.mean()) / 255.0, 6))
 
 
 def decode_images(
@@ -860,3 +872,114 @@ def frame_features(
             yield pd.DataFrame(rows)
 
     return df.select("path", bin_col).mapInPandas(batches, FRAME_FEATURES_SCHEMA)
+
+
+# -- perceptual near-dup (dHash) ---------------------------------------------
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def dhash64_gray(gray) -> int:
+    """64-bit difference hash (dHash) of a grayscale image array: box-
+    resample to an 8×9 grid, then bit (row, col) = 1 iff
+    cell[row][col] > cell[row][col+1] — the classic perceptual
+    fingerprint that survives re-encode, resize, and mild edits while
+    unrelated images land ~32 bits apart. Pure numpy, deterministic;
+    returns a SIGNED 64-bit int (Spark LongType two's-complement)."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
+    h, w = g.shape
+    rows, cols = 8, 9
+    if h >= rows and w >= cols:
+        ri = (np.arange(rows) * h) // rows
+        ci = (np.arange(cols) * w) // cols
+        s = np.add.reduceat(np.add.reduceat(g, ri, axis=0), ci, axis=1)
+        rh = np.diff(np.append(ri, h)).astype(np.float64)
+        cw = np.diff(np.append(ci, w)).astype(np.float64)
+        cells = s / np.outer(rh, cw)
+    else:  # tiny image: nearest-neighbor up-map (reduceat needs h>=8, w>=9)
+        rmap = np.minimum((np.arange(rows) * h) // rows, h - 1)
+        cmap = np.minimum((np.arange(cols) * w) // cols, w - 1)
+        cells = g[np.ix_(rmap, cmap)]
+    bits = cells[:, :-1] > cells[:, 1:]
+    v = 0
+    for i in range(rows):
+        for j in range(8):
+            if bits[i, j]:
+                v |= 1 << (i * 8 + j)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "path",
+) -> DataFrame:
+    """Per-image 64-bit perceptual dHash over the REAL stdlib decoders:
+    PNG pixels via ``png_decode_array``, animated GIF via the first
+    composited ``gif_decode_frames`` canvas; other formats (JPEG pixels
+    need a codec library, absent here) yield NULL — one undecodable
+    blob must never kill a 100 TB job. Arrow-batched mapInPandas; only
+    (id, 8-byte hash) rows ever shuffle downstream. Output
+    (``id_col``, dhash: long|NULL). Pair with ``dhash_pairs`` for the
+    bucketed near-dup join — the image analog of SimHash over text."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"path": [], "dhash": []}
+            for path, blob in zip(pdf[id_col], pdf[bin_col]):
+                blob = bytes(blob)
+                gray = None
+                decoded = png_decode_array(blob)
+                if decoded is not None:
+                    _, _, nch, px = decoded
+                    gray = px.mean(axis=2) if px.ndim == 3 else px
+                else:
+                    first = next(iter(gif_decode_frames(blob, max_frames=1)), None)
+                    if first is not None:
+                        _, w, h, rgb = first
+                        gray = (
+                            np.frombuffer(rgb, dtype=np.uint8)
+                            .reshape(h, w, 3)
+                            .mean(axis=2)
+                        )
+                out["path"].append(path)
+                out["dhash"].append(None if gray is None else dhash64_gray(gray))
+            yield pd.DataFrame(out)
+
+    sigs = df.select(F.col(id_col).alias("path"), bin_col).mapInPandas(
+        batches, DHASH_SCHEMA
+    )
+    return sigs.select(F.col("path").alias(id_col), "dhash")
+
+
+def dhash_pairs(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "path",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash signatures + the SAME
+    bit-block band LSH engine SimHash uses (``dedup.hamming_band_pairs``
+    — distinct-signature banded self-join, pigeonhole-exact for
+    ``max_hamming <= bands-1``, never all-pairs). Undecodable blobs
+    (NULL dhash) are excluded rather than clustered together. Output
+    (id_a < id_b, hamming)."""
+    from ..session import materialize
+    from .dedup import hamming_band_pairs
+
+    sigs = materialize(
+        image_dhash(df, bin_col, id_col).filter(F.col("dhash").isNotNull())
+    )
+    return hamming_band_pairs(
+        sigs, "dhash", id_col, max_hamming=max_hamming, bands=bands
+    )

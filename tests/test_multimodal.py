@@ -692,3 +692,93 @@ class TestFrameFeatures:
         assert out[0]["mean_intensity"] == 0.0 and out[0]["motion"] == 0.0
         assert out[1]["mean_intensity"] == 1.0 and out[1]["motion"] == 1.0
         assert out[2]["motion"] == 0.0  # static frame
+
+
+class TestImageDhash:
+    def test_dhash_kernel_known_values(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import dhash64_gray
+
+        # strictly increasing left-to-right: every left cell < right -> 0
+        inc = np.tile(np.arange(90, dtype=np.float64) * 2, (16, 1))
+        assert dhash64_gray(inc) == 0
+        # strictly decreasing: all 64 bits set -> signed -1
+        assert dhash64_gray(inc[:, ::-1]) == -1
+
+    def test_dhash_kernel_resize_invariance(self):
+        """The box-resample makes dHash stable across scales of the
+        same picture — the property that makes it perceptual."""
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import dhash64_gray
+
+        rng = np.random.default_rng(7)
+        small = rng.integers(0, 256, size=(8, 9)).astype(np.float64)
+        big = np.kron(small, np.ones((6, 6)))  # 48x54 blow-up
+        assert dhash64_gray(small) == dhash64_gray(big)
+
+    def test_image_dhash_png_gif_and_null(self, spark):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import image_dhash
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        near = base.copy()
+        near[0, 0] ^= 1  # sub-cell perturbation: same dhash cells
+        other = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        gif_idx = rng.integers(0, 4, size=(16, 16), dtype=np.uint8)
+        rows = [
+            ("png_a", bytearray(_encode_png(base, 0, [0, 1, 2, 3, 4]))),
+            ("png_near", bytearray(_encode_png(near, 0, [0]))),
+            ("png_b", bytearray(_encode_png(other, 0, [2]))),
+            ("gif_a", bytearray(_encode_gif([gif_idx.tobytes()],
+                                            TestRealGifDecode.PAL4, 16, 16))),
+            ("jpegish", bytearray(b"\xff\xd8\xff not decodable")),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        got = {r["path"]: r["dhash"] for r in image_dhash(df).collect()}
+        assert got["jpegish"] is None
+        assert got["gif_a"] is not None
+        assert got["png_a"] == got["png_near"]  # tiny edit -> same hash
+        diff = bin((got["png_a"] ^ got["png_b"]) & (2**64 - 1)).count("1")
+        assert diff >= 16  # unrelated images land far apart
+
+    def test_dhash_pairs_groups_near_dups_only(self, spark):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import dhash_pairs
+
+        rng = np.random.default_rng(13)
+        base = rng.integers(0, 256, size=(40, 45), dtype=np.uint8)
+        copy = base.copy()
+        copy[3, 3] ^= 2
+        other = rng.integers(0, 256, size=(40, 45), dtype=np.uint8)
+        rows = [
+            ("a", bytearray(_encode_png(base, 0, [0]))),
+            ("a2", bytearray(_encode_png(copy, 0, [1]))),
+            ("b", bytearray(_encode_png(other, 0, [0]))),
+            ("bad", bytearray(b"not an image")),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in dhash_pairs(df, max_hamming=3).collect()}
+        assert ("a", "a2") in pairs and pairs[("a", "a2")] <= 3
+        assert all("b" not in p and "bad" not in p for p in pairs)
+
+    def test_dhash_pairs_plan_has_no_cartesian(self, spark):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import dhash_pairs
+
+        rng = np.random.default_rng(17)
+        rows = [
+            (f"p{i}", bytearray(_encode_png(
+                rng.integers(0, 256, size=(16, 16), dtype=np.uint8), 0, [0])))
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        plan = dhash_pairs(df)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
