@@ -48,7 +48,7 @@ COMMENT = {
     "chunk_sliding_windows": "Zero-shuffle narrow projection: split -> sequence -> explode -> slice; output is ~tokens/stride rows per doc, all partition-local (pinned: no Exchange, no Python).",
     "weighted_sample_langs": "One lang-keyed window ranking md5-derived exponential priorities (A-ES weighted sampling); no global sort, no RNG state to lose on retry.",
     "purchase_followup_views": "Non-equi interval containment executed as an equi-join on (user, hour-bin) + exact filter — never a broadcast-nested-loop (plan-pinned); one agg shuffle for per-purchase counts.",
-    "bigram_perplexity_proxy": "Bigram pairs from a narrow array transform (no window, no self-join) reduced to per-doc pair multiplicities; corpus bigram/context tables derive from that reduction. Pair pass deliberately un-checkpointed: consumers re-run the cheap narrow scan (measured ~5x faster than pinning the corpus-sized pair stream); scans stay columnar-pruned.",
+    "bigram_perplexity_proxy": "Bigram pairs from a narrow array transform (no window, no self-join) reduced to per-doc pair multiplicities, PINNED (r6): the three consumers (bigram table, context table, scored join) previously re-derived the scan+explode pipeline each — 5 scans/19 exchanges, now 2 scans. The corpus-sized raw pair stream stays unpinned (measured ~5x slower to materialize).",
     "score_calibration_en": "Classifier scoring stays a zero-shuffle projection; the calibration rollup is one partial-aggregated shuffle over at most 12 groups.",
     "semantic_dedup_embeddings": "IVF assignment map (vector rides the Arrow batch, no join-back) -> one cluster-keyed shuffle -> per-cluster BLAS Gram kernel emits dropped ids -> anti join. Quadratic work bounded to within-cluster pairs; the per-pair Catalyst-fold variant measured ~10x slower.",
     "ivf_cluster_profile": "Assignment map + broadcast join to the tiny centroid table + one partial-aggregated rollup over num_centroids groups.",
@@ -64,7 +64,7 @@ COMMENT = {
     "q19_discounted_revenue": "Part dimension broadcast; the brand/size/quantity disjunction evaluates in whole-stage codegen on the joined scan; one-row output.",
     "q22_dormant_customers": "Scalar average broadcast into the filter; recent purchasers leave via a left anti join on a distinct key set; tiny per-segment rollup.",
     "zipf_corpus_fit": "Vocabulary counts partial-aggregate; top-k is TakeOrderedAndProject (never a global vocab sort); OLS sums reduce <= top_k rows to one.",
-    "remove_dup_spans": "Positions ride the posexplode; hot set from distinct (hash, doc) pairs (partial-agg); flagged positions collect per doc (bounded by its own window count); rebuild is a narrow indexed array filter.",
+    "remove_dup_spans": "Positions ride the posexplode, reduced ONCE to per-(fingerprint, doc) position sets; a count window keyed by the 128-bit fingerprint supplies distinct-doc counts without re-deriving the explode (r6: was hot-set + semi-join, 2.67s -> 0.40s best-of); rebuild is a narrow indexed array filter.",
     "gopher_rule_filter": "Zero-shuffle projection: every rule is a Catalyst expression evaluated next to the scan; fail_reasons assembled per row.",
     "dedup_keep_best": "max_by over a comparison struct: ONE partial-aggregated shuffle on the 16-byte fingerprint (a rank window would sort whole groups), then a semi join back.",
     "event_transitions": "One user-keyed window (lead with id tiebreak) -> partial-aggregated (from, to) counts; per-from totals broadcast back from the #types^2 matrix.",
@@ -73,7 +73,8 @@ COMMENT = {
     "lineitem_corr_matrix": "ONE ungrouped aggregate: C(n,2) corr expressions share the scan and partial-aggregate map-side; long-format explode of the single row.",
     "lineitem_describe": "Same single-pass shape for per-column moments.",
     "data_quality_checks": "Boolean rule battery in one aggregate pass; the uniqueness rule adds one key-only groupBy.",
-    "pipeline_curate_v2": "Gopher gate first (zero-shuffle, rejected docs never pay for span surgery) -> span removal -> cleaned-text dedup semi join -> per-lang rollup, one Catalyst plan.",
+    "pipeline_curate_v2": "Gate+tokenize in ONE scan-side projection pinned as token arrays with lang riding (r6: no semi join back, no re-tokenize); span removal consumes pinned tokens; cleaned corpus pinned again before the fingerprint dedup; per-lang rollup. 4.25s -> 3.03s best-of, final-plan exchanges 20 -> 4.",
+    "image_dhash_pairs": "Banded Hamming-LSH pair join (shared hamming_band_pairs engine): distinct signatures explode to 4 16-bit blocks, equi-join on (block, value), bit_count filter BEFORE the pair distinct; members expand back via two equi-joins. Pigeonhole-exact at max_hamming<=3; no cartesian/nested-loop stage.",
     "tfidf_similar_docs": "Weights checkpointed once (feeds norms + both self-join legs); term-keyed self-join with the fractional doc-freq cap pruning stop-word terms before the sum(df^2) shuffle.",
     "price_quantity_trend": "Five OLS sums per group in one partial-aggregated groupBy.",
 }
