@@ -367,13 +367,14 @@ AUDIO_SCHEMA = StructType(
 )
 
 
-def wav_decode_samples(blob: bytes, envelope_bins: int = 8):
-    """Pure-stdlib PCM WAV decode: walks the RIFF chunk list, reads the
-    fmt descriptor, and decodes integer PCM samples (8/16/32-bit) with
-    numpy. Returns ``(duration_s, sample_rate, loudness)`` where
-    loudness is an ``envelope_bins``-segment RMS envelope normalized to
-    [0, 1] (mono-mixed). ``None`` for non-WAV / compressed (non-PCM) /
-    malformed input — callers treat that as undecodable."""
+def wav_decode_array(blob: bytes):
+    """Pure-stdlib PCM WAV decode returning the SAMPLES: walks the RIFF
+    chunk list, reads the fmt descriptor, and decodes integer PCM
+    (8/16/32-bit) with numpy. Returns ``(sample_rate, mono)`` with mono
+    a float64 array in [-1, 1] (channel-mixed), or ``None`` for
+    non-WAV / compressed (non-PCM) / malformed input.
+    ``wav_decode_samples`` wraps this for the RMS envelope;
+    ``audio_dhash`` consumes the array."""
     import struct
 
     import numpy as np
@@ -406,6 +407,21 @@ def wav_decode_samples(blob: bytes, envelope_bins: int = 8):
         x = x - 128.0
     x /= float(2 ** (bits - 1) if bits > 8 else 128)
     mono = x.reshape(-1, channels).mean(axis=1)
+    return (int(rate), mono)
+
+
+def wav_decode_samples(blob: bytes, envelope_bins: int = 8):
+    """RMS-envelope wrapper over ``wav_decode_array``: returns
+    ``(duration_s, sample_rate, loudness)`` where loudness is an
+    ``envelope_bins``-segment RMS envelope normalized to [0, 1]
+    (mono-mixed), or ``None`` for undecodable input — callers treat
+    that as undecodable, never as an error."""
+    import numpy as np
+
+    decoded = wav_decode_array(blob)
+    if decoded is None:
+        return None
+    rate, mono = decoded
     n = len(mono)
     duration = n / rate
     edges = np.linspace(0, n, envelope_bins + 1, dtype=np.int64)
@@ -979,6 +995,85 @@ def dhash_pairs(
 
     sigs = materialize(
         image_dhash(df, bin_col, id_col).filter(F.col("dhash").isNotNull())
+    )
+    return hamming_band_pairs(
+        sigs, "dhash", id_col, max_hamming=max_hamming, bands=bands
+    )
+
+
+def audio_dhash64(mono) -> int:
+    """64-bit perceptual audio fingerprint: the dHash idea applied to
+    the loudness envelope — 65 equal-length frames, per-frame RMS
+    energy, bit i = 1 iff energy[i+1] > energy[i]. Volume-invariant by
+    construction (a global gain scales every frame equally and cannot
+    flip a comparison) and stable across bit depth / channel layout /
+    moderate resampling; unrelated clips land ~32 bits apart. Pure
+    numpy, deterministic; returns a SIGNED 64-bit int."""
+    import numpy as np
+
+    x = np.asarray(mono, dtype=np.float64)
+    n = len(x)
+    frames = 65
+    edges = np.linspace(0, n, frames + 1, dtype=np.int64)
+    e = np.array(
+        [
+            float(np.mean(x[a:b] ** 2)) if b > a else 0.0
+            for a, b in zip(edges[:-1], edges[1:])
+        ]
+    )
+    v = 0
+    for i in range(64):
+        if e[i + 1] > e[i]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_dhash(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "path",
+) -> DataFrame:
+    """Per-clip 64-bit perceptual fingerprint over the REAL stdlib PCM
+    WAV decoder (``wav_decode_array`` → ``audio_dhash64``); compressed
+    audio (mp3/ogg need a codec library, absent here) yields NULL.
+    Arrow-batched mapInPandas; only (id, 8-byte hash) rows shuffle
+    downstream. Pair with ``audio_dhash_pairs`` — the audio analog of
+    ``image_dhash``/SimHash, sharing ``dedup.hamming_band_pairs``."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"path": [], "dhash": []}
+            for path, blob in zip(pdf[id_col], pdf[bin_col]):
+                decoded = wav_decode_array(bytes(blob))
+                out["path"].append(path)
+                out["dhash"].append(
+                    None if decoded is None else audio_dhash64(decoded[1])
+                )
+            yield pd.DataFrame(out)
+
+    sigs = df.select(F.col(id_col).alias("path"), bin_col).mapInPandas(
+        batches, DHASH_SCHEMA
+    )
+    return sigs.select(F.col("path").alias(id_col), "dhash")
+
+
+def audio_dhash_pairs(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "path",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Perceptual audio near-dup pairs: ``audio_dhash`` signatures
+    through the same banded Hamming-LSH engine as SimHash and image
+    dHash (``dedup.hamming_band_pairs`` — distinct-signature band join,
+    pigeonhole-exact for ``max_hamming <= bands-1``, never all-pairs).
+    Undecodable clips (NULL fingerprint) are excluded. Output
+    (id_a < id_b, hamming)."""
+    from ..session import materialize
+    from .dedup import hamming_band_pairs
+
+    sigs = materialize(
+        audio_dhash(df, bin_col, id_col).filter(F.col("dhash").isNotNull())
     )
     return hamming_band_pairs(
         sigs, "dhash", id_col, max_hamming=max_hamming, bands=bands

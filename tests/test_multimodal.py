@@ -782,3 +782,68 @@ class TestImageDhash:
         plan = dhash_pairs(df)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAudioDhash:
+    @staticmethod
+    def _am_wav(rate=8000, seconds=1.0, bits=16, mod_hz=3.0, phase=0.0):
+        """Amplitude-modulated sine: a strongly varying loudness
+        envelope, so frame-energy comparisons are signal-driven."""
+        import struct
+
+        import numpy as np
+
+        n = int(rate * seconds)
+        t = np.arange(n) / rate
+        env = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * mod_hz * t + phase))
+        x = env * np.sin(2 * np.pi * 440.0 * t)
+        if bits == 16:
+            pcm = (x * 20000).astype(np.int16)
+        else:
+            pcm = (x * (2**30)).astype(np.int32)
+        data = pcm.tobytes()
+        width = bits // 8
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                        rate * width, width, bits)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def test_volume_and_bitdepth_invariance(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            audio_dhash64,
+            wav_decode_array,
+        )
+
+        _, base = wav_decode_array(self._am_wav(bits=16))
+        _, deep = wav_decode_array(self._am_wav(bits=32))
+        assert audio_dhash64(base) == audio_dhash64(deep)
+        # global gain cannot flip an energy comparison
+        assert audio_dhash64(base * 0.1) == audio_dhash64(base)
+
+    def test_unrelated_clips_land_far(self):
+        from datamancer_spark.operators.multimodal import (
+            audio_dhash64,
+            wav_decode_array,
+        )
+
+        _, a = wav_decode_array(self._am_wav(mod_hz=3.0))
+        _, b = wav_decode_array(self._am_wav(mod_hz=7.3, phase=1.1))
+        diff = bin((audio_dhash64(a) ^ audio_dhash64(b)) & (2**64 - 1)).count("1")
+        assert diff >= 16
+
+    def test_audio_dhash_pairs_end_to_end(self, spark):
+        from datamancer_spark.operators.multimodal import audio_dhash_pairs
+
+        rows = [
+            ("a", bytearray(self._am_wav(bits=16))),
+            ("a_deep", bytearray(self._am_wav(bits=32))),   # same clip, re-quantized
+            ("b", bytearray(self._am_wav(mod_hz=7.3, phase=1.1))),
+            ("mp3ish", bytearray(b"ID3 not decodable audio")),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in audio_dhash_pairs(df, max_hamming=3).collect()}
+        assert ("a", "a_deep") in pairs and pairs[("a", "a_deep")] <= 3
+        assert all("b" not in p and "mp3ish" not in p for p in pairs)
