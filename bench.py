@@ -113,6 +113,7 @@ HEADLINE = [
     "ab_conversion_report",
     "tfidf_similar_docs",
     "price_quantity_trend",
+    "image_dhash_pairs",
 ]
 
 
