@@ -25,6 +25,11 @@ QUERIES = [
     "gopher_rule_filter",
     "dedup_keep_best",
     "zipf_corpus_fit",
+    # round-6: destructive span removal + the full curation chain +
+    # the pinned bigram LM must all survive NULL/empty docs
+    "remove_dup_spans",
+    "pipeline_curate_v2",
+    "bigram_perplexity_proxy",
 ]
 
 
