@@ -324,3 +324,56 @@ class TestDecoderRoundtripProperties:
         assert grate == rate
         assert abs(dur - n / rate) < 1e-6
         assert len(env) == 8 and all(0.0 <= v <= 1.001 for v in env)
+
+
+class TestPerceptualHashProperties:
+    """Invariance laws of the r6 perceptual fingerprints — pure-python
+    kernels, no Spark session needed."""
+
+    @given(
+        h=st.integers(8, 40),
+        w=st.integers(9, 50),
+        seed=st.integers(0, 10_000),
+        gain=st.floats(0.05, 20.0),
+        offset=st.floats(-50.0, 50.0),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_dhash_affine_intensity_invariance(self, h, w, seed, gain, offset):
+        """dHash compares adjacent cell means, so any positive-gain
+        affine intensity map (brightness/contrast change) must leave
+        the hash bit-identical."""
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import dhash64_gray
+
+        rng = np.random.default_rng(seed)
+        g = rng.uniform(0, 255, size=(h, w))
+        assert dhash64_gray(g) == dhash64_gray(g * gain + offset)
+
+    @given(h=st.integers(1, 7), w=st.integers(1, 8), seed=st.integers(0, 1000))
+    @settings(max_examples=25, deadline=None)
+    def test_dhash_tiny_images_never_crash(self, h, w, seed):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import dhash64_gray
+
+        rng = np.random.default_rng(seed)
+        v = dhash64_gray(rng.uniform(0, 255, size=(h, w)))
+        assert -(2**63) <= v < 2**63
+
+    @given(
+        n=st.integers(65, 4000),
+        seed=st.integers(0, 10_000),
+        gain=st.floats(0.01, 10.0),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_audio_dhash_gain_invariance(self, n, seed, gain):
+        """A global gain scales every frame energy equally and can never
+        flip an energy comparison."""
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import audio_dhash64
+
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(-1, 1, size=n)
+        assert audio_dhash64(x) == audio_dhash64(x * gain)
