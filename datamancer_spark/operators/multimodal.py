@@ -901,6 +901,19 @@ DHASH_SCHEMA = StructType(
 )
 
 
+def _dhash_schema_for(df: DataFrame, id_col: str) -> StructType:
+    """(id, dhash) output schema preserving the INPUT id type — a
+    numeric doc_id must not be silently coerced to the string schema
+    the path-keyed default assumes."""
+    id_field = df.schema[id_col]
+    return StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("dhash", LongType()),
+        ]
+    )
+
+
 def dhash64_gray(gray) -> int:
     """64-bit difference hash (dHash) of a grayscale image array: box-
     resample to an 8×9 grid, then bit (row, col) = 1 iff
@@ -950,8 +963,8 @@ def image_dhash(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"path": [], "dhash": []}
-            for path, blob in zip(pdf[id_col], pdf[bin_col]):
+            out = {id_col: [], "dhash": []}
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 blob = bytes(blob)
                 gray = None
                 decoded = png_decode_array(blob)
@@ -967,14 +980,13 @@ def image_dhash(
                             .reshape(h, w, 3)
                             .mean(axis=2)
                         )
-                out["path"].append(path)
+                out[id_col].append(rid)
                 out["dhash"].append(None if gray is None else dhash64_gray(gray))
             yield pd.DataFrame(out)
 
-    sigs = df.select(F.col(id_col).alias("path"), bin_col).mapInPandas(
-        batches, DHASH_SCHEMA
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, _dhash_schema_for(df, id_col)
     )
-    return sigs.select(F.col("path").alias(id_col), "dhash")
 
 
 def dhash_pairs(
@@ -1041,19 +1053,18 @@ def audio_dhash(
     ``image_dhash``/SimHash, sharing ``dedup.hamming_band_pairs``."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"path": [], "dhash": []}
-            for path, blob in zip(pdf[id_col], pdf[bin_col]):
+            out = {id_col: [], "dhash": []}
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 decoded = wav_decode_array(bytes(blob))
-                out["path"].append(path)
+                out[id_col].append(rid)
                 out["dhash"].append(
                     None if decoded is None else audio_dhash64(decoded[1])
                 )
             yield pd.DataFrame(out)
 
-    sigs = df.select(F.col(id_col).alias("path"), bin_col).mapInPandas(
-        batches, DHASH_SCHEMA
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, _dhash_schema_for(df, id_col)
     )
-    return sigs.select(F.col("path").alias(id_col), "dhash")
 
 
 def audio_dhash_pairs(

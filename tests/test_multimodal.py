@@ -847,3 +847,21 @@ class TestAudioDhash:
                  for r in audio_dhash_pairs(df, max_hamming=3).collect()}
         assert ("a", "a_deep") in pairs and pairs[("a", "a_deep")] <= 3
         assert all("b" not in p and "mp3ish" not in p for p in pairs)
+
+
+def test_image_dhash_numeric_id_column(spark):
+    """The signature frame must preserve the INPUT id type: a corpus
+    keyed by a LongType doc_id (not a path string) flows through
+    image_dhash/dhash_pairs without schema coercion."""
+    import numpy as np
+
+    from datamancer_spark.operators.multimodal import image_dhash
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    rows = [(101, bytearray(_encode_png(img, 0, [0]))), (102, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = image_dhash(df, id_col="doc_id")
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    got = {r["doc_id"]: r["dhash"] for r in out.collect()}
+    assert got[101] is not None and got[102] is None
