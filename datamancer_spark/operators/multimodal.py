@@ -1089,3 +1089,74 @@ def audio_dhash_pairs(
     return hamming_band_pairs(
         sigs, "dhash", id_col, max_hamming=max_hamming, bands=bands
     )
+
+
+def dhash_scalar_udf():
+    """Arrow-batched SCALAR pandas UDF computing the 64-bit image dHash
+    from a binary column (PNG/GIF via the real stdlib decoders, NULL
+    otherwise) — the column-preserving form of ``image_dhash`` for
+    plans that must stay stateless projections (streaming screens):
+    ``df.withColumn("dhash", dhash_scalar_udf()(F.col("content")))``."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def _dhash(blobs: pd.Series) -> pd.Series:
+        out = []
+        for blob in blobs:
+            gray = None
+            if blob is not None:
+                blob = bytes(blob)
+                decoded = png_decode_array(blob)
+                if decoded is not None:
+                    _, _, _, px = decoded
+                    gray = px.mean(axis=2) if px.ndim == 3 else px
+                else:
+                    first = next(
+                        iter(gif_decode_frames(blob, max_frames=1)), None
+                    )
+                    if first is not None:
+                        _, w, h, rgb = first
+                        gray = (
+                            np.frombuffer(rgb, dtype=np.uint8)
+                            .reshape(h, w, 3)
+                            .mean(axis=2)
+                        )
+            out.append(None if gray is None else dhash64_gray(gray))
+        return pd.Series(out, dtype="object")
+
+    return _dhash
+
+
+def dhash_band_index(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "path",
+    bands: int = 4,
+) -> DataFrame:
+    """The PERSISTABLE side of streaming perceptual image dedup: the
+    distinct (band, val) 16-bit block buckets occupied by the corpus's
+    dHash signatures — the media analog of ``minhash_band_index``.
+    Write it as the media index; ``streaming.streaming_media_screen``
+    probes incoming blobs against it statelessly, and compaction
+    refreshes it with ``image_dhash`` over the accumulated corpus."""
+    width = 64 // bands
+    sigs = image_dhash(df, bin_col, id_col).filter(
+        F.col("dhash").isNotNull()
+    )
+    banded = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv")
+    )
+    return banded.select("bv.band", "bv.val").distinct()

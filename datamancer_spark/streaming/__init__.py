@@ -333,3 +333,49 @@ def streaming_span_hits(
     return exploded.join(hot_windows.select("wh"), "wh", "inner").select(
         id_col, "span_pos", "wh"
     )
+
+
+def streaming_media_screen(
+    stream: DataFrame,
+    band_index: DataFrame,
+    bin_col: str = "content",
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming perceptual-duplicate screen for media blobs against a
+    PERSISTED image-dHash index (``multimodal.dhash_band_index``): drop
+    stream rows whose dHash shares any 16-bit band bucket with the
+    accumulated corpus — the media analog of ``streaming_fuzzy_screen``,
+    same stateless split: the signature is one Arrow-batched SCALAR
+    projection (``multimodal.dhash_scalar_udf``, column-preserving — a
+    mapInPandas reshape would force a stateful stream-stream join back),
+    band extraction is bit arithmetic, and membership is ``bands``
+    stream-static LEFT joins against the (re-broadcastable) bucket
+    tier. UNDECODABLE blobs (NULL signature) always SURVIVE — a screen
+    must never silently drop what it cannot read; route them to a
+    quarantine sink if needed. Exact Hamming verification belongs in
+    batch compaction (``multimodal.dhash_pairs``)."""
+    from ..operators.multimodal import dhash_scalar_udf
+
+    width = 64 // bands
+    out = stream.withColumn("_dh", dhash_scalar_udf()(F.col(bin_col)))
+    for b in range(bands):
+        out = out.withColumn(
+            f"_bv{b}",
+            F.shiftrightunsigned(F.col("_dh"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ),
+        )
+    hit_cols = []
+    for b in range(bands):
+        static_b = band_index.filter(F.col("band") == b).select(
+            F.col("val").alias(f"_ib{b}"), F.lit(1).alias(f"_hit{b}")
+        )
+        out = out.join(
+            static_b, out[f"_bv{b}"] == static_b[f"_ib{b}"], "left"
+        ).drop(f"_ib{b}")
+        hit_cols.append(f"_hit{b}")
+    survivors = out.filter(
+        F.col("_dh").isNull()
+        | F.coalesce(*[F.col(h) for h in hit_cols]).isNull()
+    )
+    return survivors.drop("_dh", *hit_cols, *[f"_bv{b}" for b in range(bands)])

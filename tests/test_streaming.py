@@ -413,3 +413,51 @@ def test_streaming_span_hits(spark, tmp_path):
     assert users == {"hit"}
     # the 8-token boilerplate contributes 5 hot 4-grams
     assert len(rows) == 5
+
+
+def test_streaming_media_screen(spark, tmp_path):
+    """Stream image blobs screen against a persisted dHash band index:
+    a perceptual duplicate of an indexed image (same pixels, different
+    PNG filter bytes — exact byte dedup would miss it) is dropped, a
+    novel image survives, an undecodable blob always survives."""
+    import numpy as np
+
+    from datamancer_spark.operators.multimodal import dhash_band_index
+    from datamancer_spark.streaming import streaming_media_screen
+    from tests.test_multimodal import _encode_png
+
+    rng = np.random.default_rng(41)
+    known = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    novel = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    corpus = spark.createDataFrame(
+        [("hist1", bytearray(_encode_png(known, 0, [0])))],
+        "path string, content binary",
+    )
+    index = dhash_band_index(corpus)
+
+    d = str(tmp_path / "media_in")
+    incoming = spark.createDataFrame(
+        [
+            ("dup", bytearray(_encode_png(known, 0, [2]))),   # re-encoded dup
+            ("new", bytearray(_encode_png(novel, 0, [0]))),
+            ("bad", bytearray(b"not an image at all")),
+        ],
+        "path string, content binary",
+    )
+    incoming.write.parquet(d)
+    stream = spark.readStream.schema(incoming.schema).parquet(d)
+    out = streaming_media_screen(stream, index)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("media_screen")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        survivors = {
+            r["path"] for r in spark.sql("SELECT * FROM media_screen").collect()
+        }
+    finally:
+        q.stop()
+    assert survivors == {"new", "bad"}
