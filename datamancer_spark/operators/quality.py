@@ -777,7 +777,8 @@ def corpus_health(
 
 
 def window_fp(col) -> Column:
-    """128-bit window fingerprint (full md5 hex) for the span tier.
+    """128-bit window fingerprint (``unhex(md5)``, 16-byte binary) for
+    the span tier.
 
     The span operators originally keyed windows by the 32-bit
     ``hash32``: birthday collisions start at ~77k distinct windows, and
@@ -787,11 +788,13 @@ def window_fp(col) -> Column:
     billions-of-windows scale these docstrings target, 32 (or even 64)
     bits of identity make false removals routine, and the shared-hash
     DuckDB twin can never catch it. Full md5 is collision-free in
-    practice at any corpus size. Cost: 32-byte shuffle keys instead of
-    8 — but every consumer partial-aggregates (map-side combine) before
-    its shuffle, so the wide key rides only the narrow map-side stream.
-    DuckDB twin: ``md5(v)``."""
-    return F.md5(col)
+    practice at any corpus size; storing it as 16-byte binary rather
+    than the 32-byte hex string halves the key bytes on the span tier's
+    dominant exchange (the distinct (window, doc) shuffle). The value
+    is internal grouping/join identity only — it never reaches a
+    contract-query output, so the DuckDB twins may equivalently group
+    by the hex form (``md5(v)``, bijective with this)."""
+    return F.unhex(F.md5(col))
 
 
 def _window_hash_base(
