@@ -12,11 +12,13 @@ Two tiers:
   ``image_dimensions`` (PNG/GIF/BMP in pure Catalyst, JPEG via a
   stdlib marker walk) and ``wav_metadata`` (canonical RIFF layout in
   pure Catalyst) parse actual on-disk formats with no codec library.
-- **Pixel/sample decode — REAL for the container-only formats, stubbed
-  where a codec is unavoidable.** PNG pixels (stdlib zlib + filter
-  inversion), canonical PCM WAV samples, and animated-GIF frames
-  (stdlib LZW) decode for real; JPEG/video/compressed-audio DECODE
-  needs PIL/ffmpeg (absent here) — those rows yield NULLs, or a
+- **Pixel/sample decode — REAL for every image format plus PCM audio,
+  stubbed only where a codec is genuinely unavoidable.** PNG pixels
+  (stdlib zlib + filter inversion), baseline JPEG pixels (own
+  entropy/IDCT pipeline, ``operators.jpegcodec``), canonical PCM WAV
+  samples, and animated-GIF frames (stdlib LZW) decode for real;
+  video (mp4/webm) and compressed audio (mp3/ogg) DECODE
+  needs ffmpeg (absent here) — those rows yield NULLs, or a
   deterministic md5-derived fake under ``allow_fake=True`` so the
   Spark-side plumbing — schema, batch iteration, partition shape,
   output contract — stays testable end-to-end. Swapping in a real
@@ -239,8 +241,10 @@ def decode_images(
 ) -> DataFrame:
     """Decode images to (width, height, channels, mean_intensity).
 
-    PNG decodes FOR REAL with no codec library: stdlib zlib + spec
-    filter inversion (``png_decode_pixels``). Other formats use PIL when
+    PNG and baseline JPEG decode FOR REAL with no codec library: stdlib
+    zlib + spec filter inversion (``png_decode_pixels``) and the own
+    Huffman/IDCT pipeline (``jpegcodec.jpeg_decode_array``). Other
+    formats use PIL when
     present; without PIL, ``allow_fake=True`` substitutes a
     deterministic md5-derived fake, and otherwise the row comes back
     with NULL metrics (``on_unsupported="null"``, the default — at
@@ -250,6 +254,8 @@ def decode_images(
     plug-in."""
     if on_unsupported not in ("null", "error"):
         raise ValueError(f"on_unsupported must be null|error, got {on_unsupported!r}")
+    from .jpegcodec import jpeg_decode_array
+
     try:
         import PIL.Image  # noqa: F401
 
@@ -263,6 +269,11 @@ def decode_images(
             for path, blob in zip(pdf["path"], pdf[bin_col]):
                 blob = bytes(blob)
                 decoded = png_decode_pixels(blob)
+                if decoded is None:
+                    jp = jpeg_decode_array(blob)
+                    if jp is not None:
+                        w, h, ch, px = jp
+                        decoded = (w, h, ch, round(float(px.mean()) / 255.0, 6))
                 if decoded is not None:
                     w, h, ch, mean = decoded
                 elif have_pil:  # pragma: no cover - real codec path
@@ -283,8 +294,8 @@ def decode_images(
                     mean = round(d[2] / 255.0, 6)
                 elif on_unsupported == "error":
                     raise NotImplementedError(
-                        f"non-PNG decode requires PIL (not in this "
-                        f"environment): {path}"
+                        f"decode beyond PNG/baseline-JPEG requires PIL "
+                        f"(not in this environment): {path}"
                     )
                 else:
                     w = h = ch = mean = None
@@ -914,6 +925,30 @@ def _dhash_schema_for(df: DataFrame, id_col: str) -> StructType:
     )
 
 
+def _decode_gray(blob: bytes):
+    """Grayscale pixel array from any REAL decoder — PNG (stdlib zlib),
+    baseline JPEG (operators.jpegcodec), animated GIF first frame
+    (stdlib LZW) — or None for formats still needing a codec library
+    (video, compressed audio containers)."""
+    import numpy as np
+
+    from .jpegcodec import jpeg_decode_array
+
+    decoded = png_decode_array(blob)
+    if decoded is None:
+        decoded = jpeg_decode_array(blob)
+    if decoded is not None:
+        _, _, _, px = decoded
+        return px.mean(axis=2) if px.ndim == 3 and px.shape[2] > 1 else px.reshape(px.shape[0], px.shape[1])
+    first = next(iter(gif_decode_frames(blob, max_frames=1)), None)
+    if first is not None:
+        _, w, h, rgb = first
+        return (
+            np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).mean(axis=2)
+        )
+    return None
+
+
 def dhash64_gray(gray) -> int:
     """64-bit difference hash (dHash) of a grayscale image array: box-
     resample to an 8×9 grid, then bit (row, col) = 1 iff
@@ -952,9 +987,10 @@ def image_dhash(
     id_col: str = "path",
 ) -> DataFrame:
     """Per-image 64-bit perceptual dHash over the REAL stdlib decoders:
-    PNG pixels via ``png_decode_array``, animated GIF via the first
-    composited ``gif_decode_frames`` canvas; other formats (JPEG pixels
-    need a codec library, absent here) yield NULL — one undecodable
+    PNG pixels via ``png_decode_array``, baseline JPEG via
+    ``jpegcodec.jpeg_decode_array``, animated GIF via the first
+    composited ``gif_decode_frames`` canvas; other formats (video /
+    compressed audio need ffmpeg, absent here) yield NULL — one undecodable
     blob must never kill a 100 TB job. Arrow-batched mapInPandas; only
     (id, 8-byte hash) rows ever shuffle downstream. Output
     (``id_col``, dhash: long|NULL). Pair with ``dhash_pairs`` for the
@@ -966,20 +1002,7 @@ def image_dhash(
             out = {id_col: [], "dhash": []}
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 blob = bytes(blob)
-                gray = None
-                decoded = png_decode_array(blob)
-                if decoded is not None:
-                    _, _, nch, px = decoded
-                    gray = px.mean(axis=2) if px.ndim == 3 else px
-                else:
-                    first = next(iter(gif_decode_frames(blob, max_frames=1)), None)
-                    if first is not None:
-                        _, w, h, rgb = first
-                        gray = (
-                            np.frombuffer(rgb, dtype=np.uint8)
-                            .reshape(h, w, 3)
-                            .mean(axis=2)
-                        )
+                gray = _decode_gray(blob)
                 out[id_col].append(rid)
                 out["dhash"].append(None if gray is None else dhash64_gray(gray))
             yield pd.DataFrame(out)
@@ -1093,8 +1116,8 @@ def audio_dhash_pairs(
 
 def dhash_scalar_udf():
     """Arrow-batched SCALAR pandas UDF computing the 64-bit image dHash
-    from a binary column (PNG/GIF via the real stdlib decoders, NULL
-    otherwise) — the column-preserving form of ``image_dhash`` for
+    from a binary column (PNG/baseline-JPEG/GIF via the real stdlib
+    decoders, NULL otherwise) — the column-preserving form of ``image_dhash`` for
     plans that must stay stateless projections (streaming screens):
     ``df.withColumn("dhash", dhash_scalar_udf()(F.col("content")))``."""
     import numpy as np
@@ -1104,24 +1127,7 @@ def dhash_scalar_udf():
     def _dhash(blobs: pd.Series) -> pd.Series:
         out = []
         for blob in blobs:
-            gray = None
-            if blob is not None:
-                blob = bytes(blob)
-                decoded = png_decode_array(blob)
-                if decoded is not None:
-                    _, _, _, px = decoded
-                    gray = px.mean(axis=2) if px.ndim == 3 else px
-                else:
-                    first = next(
-                        iter(gif_decode_frames(blob, max_frames=1)), None
-                    )
-                    if first is not None:
-                        _, w, h, rgb = first
-                        gray = (
-                            np.frombuffer(rgb, dtype=np.uint8)
-                            .reshape(h, w, 3)
-                            .mean(axis=2)
-                        )
+            gray = None if blob is None else _decode_gray(bytes(blob))
             out.append(None if gray is None else dhash64_gray(gray))
         return pd.Series(out, dtype="object")
 

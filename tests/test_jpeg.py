@@ -1,0 +1,416 @@
+"""Round-trip tests for the pure-stdlib baseline JPEG decoder.
+
+The encoder below is an INDEPENDENT implementation (own DCT, own
+canonical-code assignment, own bit packer, standard Annex K tables) —
+the same independent-reference-encoder pattern the PNG/GIF/WAV decoders
+are verified with. A bit error on either side breaks the loop."""
+
+import struct
+
+import numpy as np
+import pytest
+
+# --- standard Annex K tables -------------------------------------------------
+
+QL = np.array([  # luminance quant (quality 50 base)
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+])
+QC = np.array([  # chrominance quant
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+])
+
+# (BITS 1..16, HUFFVAL) — Annex K
+DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)))
+DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)))
+AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _codes(bits, vals):
+    """Canonical symbol -> (code, length) assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _dct2(block):
+    n = np.arange(8)
+    base = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    a = np.full(8, np.sqrt(2.0 / 8.0))
+    a[0] = np.sqrt(1.0 / 8.0)
+    C = a[:, None] * base
+    return C @ block @ C.T
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1s
+
+
+def _cat(v):
+    """JPEG magnitude category + appended bits for a signed value."""
+    s = 0
+    a = abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _scale_q(q, quality):
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    t = np.floor((q * scale + 50) / 100)
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG encoder: grayscale (h,w) or RGB (h,w,3);
+    4:4:4 by default, 4:2:0 with subsample=True (RGB only)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _scale_q(QL, quality)
+    qc = _scale_q(QC, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [qy]
+        tids = [0]
+    else:
+        x = img.astype(np.float64)
+        y = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+        cb = -0.168736 * x[:, :, 0] - 0.331264 * x[:, :, 1] + 0.5 * x[:, :, 2] + 128
+        cr = 0.5 * x[:, :, 0] - 0.418688 * x[:, :, 1] - 0.081312 * x[:, :, 2] + 128
+        if subsample:
+            def down(p):
+                hh, ww = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+                return (pp[0::2, 0::2] + pp[0::2, 1::2]
+                        + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qts = [qy, qc, qc]
+        tids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    padded = []
+    for p, (hs, vs) in zip(planes, samp):
+        ph, pw = mcus_y * vs * 8, mcus_x * hs * 8
+        padded.append(np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"))
+
+    dc_tabs = [_codes(*DC_L), _codes(*DC_C)]
+    ac_tabs = [_codes(*AC_L), _codes(*AC_C)]
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    rst = 0
+    mcu_count = 0
+    chunks = []  # entropy chunks split at restart boundaries
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                chunks.append(bytes(bw.out))
+                chunks.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                bw = _BitWriter()
+                pred = [0] * len(planes)
+            for ci, (p, (hs, vs)) in enumerate(zip(padded, samp)):
+                ti = tids[ci]
+                dct_t, act_t, q = dc_tabs[ti], ac_tabs[ti], qts[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        co = np.round(_dct2(blk) / q).astype(np.int64)
+                        zz = co.reshape(-1)[ZZ]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s, bits = _cat(diff)
+                        code, ln = dct_t[s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(bits, s)
+                        run = 0
+                        last = 63
+                        while last > 0 and zz[last] == 0:
+                            last -= 1
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = act_t[0xF0]
+                                bw.put(code, ln)
+                                run -= 16
+                            s, bits = _cat(v)
+                            code, ln = act_t[(run << 4) | s]
+                            bw.put(code, ln)
+                            bw.put(bits, s)
+                            run = 0
+                        if last < 63:
+                            code, ln = act_t[0x00]
+                            bw.put(code, ln)
+            mcu_count += 1
+    bw.flush()
+    chunks.append(bytes(bw.out))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    zz_y = qy.reshape(-1)[ZZ].astype(np.uint8).tobytes()
+    out += seg(0xDB, bytes([0x00]) + zz_y)
+    if not gray:
+        zz_c = qc.reshape(-1)[ZZ].astype(np.uint8).tobytes()
+        out += seg(0xDB, bytes([0x01]) + zz_c)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for tc, th, (bits, vals) in (
+        [(0, 0, DC_L), (1, 0, AC_L)] if gray
+        else [(0, 0, DC_L), (1, 0, AC_L), (0, 1, DC_C), (1, 1, AC_C)]
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    for c in chunks:
+        out += c
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- tests -------------------------------------------------------------------
+
+
+class TestJpegRoundTrip:
+    def test_flat_gray_exact(self):
+        from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+        img = np.full((16, 24), 130, dtype=np.uint8)
+        got = jpeg_decode_array(encode_jpeg(img, quality=90))
+        assert got is not None
+        w, h, ch, px = got
+        assert (w, h, ch) == (24, 16, 1)
+        # a flat block has one DC coefficient; quantization error <= q/2/8
+        assert np.abs(px[:, :, 0].astype(int) - 130).max() <= 2
+
+    def test_smooth_rgb_444(self):
+        from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+        yy, xx = np.mgrid[0:40, 0:56]
+        img = np.stack(
+            [
+                (xx * 255 / 55),
+                (yy * 255 / 39),
+                ((xx + yy) * 255 / 94),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        got = jpeg_decode_array(encode_jpeg(img, quality=95))
+        assert got is not None
+        w, h, ch, px = got
+        assert (w, h, ch) == (56, 40, 3)
+        err = np.abs(px.astype(int) - img.astype(int)).mean()
+        assert err < 4.0, f"mean abs error {err}"
+
+    def test_textured_gray_high_quality(self):
+        from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(60, 196, size=(24, 24), dtype=np.uint8)
+        got = jpeg_decode_array(encode_jpeg(img, quality=98))
+        assert got is not None
+        _, _, _, px = got
+        err = np.abs(px[:, :, 0].astype(int) - img.astype(int)).mean()
+        assert err < 6.0, f"mean abs error {err}"
+
+    def test_chroma_420_subsampling(self):
+        from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+        yy, xx = np.mgrid[0:32, 0:48]
+        img = np.stack(
+            [(xx * 4) % 256, (yy * 4) % 256, np.full_like(xx, 90)], axis=2
+        ).astype(np.uint8)
+        # smooth ramps wrap at 256 -> use clipped ramps instead
+        img[:, :, 0] = np.clip(xx * 5, 0, 255)
+        img[:, :, 1] = np.clip(yy * 6, 0, 255)
+        got = jpeg_decode_array(encode_jpeg(img, quality=95, subsample=True))
+        assert got is not None
+        w, h, ch, px = got
+        assert (w, h, ch) == (48, 32, 3)
+        err = np.abs(px.astype(int) - img.astype(int)).mean()
+        assert err < 8.0, f"mean abs error {err}"
+
+    def test_restart_intervals(self):
+        from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+        yy, xx = np.mgrid[0:24, 0:40]
+        img = np.clip(xx * 6 + yy, 0, 255).astype(np.uint8)
+        plain = jpeg_decode_array(encode_jpeg(img, quality=95))
+        with_rst = jpeg_decode_array(
+            encode_jpeg(img, quality=95, restart_interval=2)
+        )
+        assert plain is not None and with_rst is not None
+        assert np.array_equal(plain[3], with_rst[3])
+
+    def test_odd_dimensions_cropped(self):
+        from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+        img = np.full((13, 19), 200, dtype=np.uint8)
+        got = jpeg_decode_array(encode_jpeg(img, quality=90))
+        assert got is not None
+        w, h, ch, px = got
+        assert (w, h) == (19, 13) and px.shape == (13, 19, 1)
+
+    def test_rejects_non_baseline_and_garbage(self):
+        from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+        assert jpeg_decode_array(b"\xff\xd8\xff garbage") is None
+        assert jpeg_decode_array(b"not a jpeg") is None
+        # progressive SOF2 must be refused, not mis-decoded
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        blob = bytearray(encode_jpeg(img))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC2
+        assert jpeg_decode_array(bytes(blob)) is None
+
+    def test_perceptual_hash_survives_jpeg(self):
+        """The point of a REAL decoder: the dHash of a decoded JPEG
+        matches the dHash of the source pixels — lossy re-encode does
+        not move the perceptual fingerprint."""
+        from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+        from datamancer_spark.operators.multimodal import dhash64_gray
+
+        yy, xx = np.mgrid[0:48, 0:54]
+        img = np.clip(xx * 3 + ((yy // 8) % 2) * 60, 0, 255).astype(np.uint8)
+        got = jpeg_decode_array(encode_jpeg(img, quality=92))
+        assert got is not None
+        decoded = got[3][:, :, 0]
+        a = dhash64_gray(img.astype(np.float64))
+        b = dhash64_gray(decoded.astype(np.float64))
+        assert bin((a ^ b) & (2**64 - 1)).count("1") <= 2
+
+
+def test_cross_format_perceptual_dedup(spark):
+    """The flagship multimodal dedup scenario: the SAME picture stored
+    once as PNG and once as lossy JPEG — different formats, completely
+    different bytes — pairs up in dhash_pairs, while an unrelated image
+    stays unpaired. No codec library involved on either side."""
+    from datamancer_spark.operators.multimodal import dhash_pairs
+    from tests.test_multimodal import _encode_png, _lzw_encode  # noqa: F401
+
+    yy, xx = np.mgrid[0:48, 0:54]
+    img = np.clip(xx * 3 + ((yy // 8) % 2) * 60, 0, 255).astype(np.uint8)
+    other = np.clip(255 - xx * 4 + ((xx // 6) % 2) * 40, 0, 255).astype(np.uint8)
+    rows = [
+        ("pic.png", bytearray(_encode_png(img, 0, [0]))),
+        ("pic.jpg", bytearray(encode_jpeg(img, quality=92))),
+        ("other.png", bytearray(_encode_png(other, 0, [0]))),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dhash_pairs(df, max_hamming=3).collect()}
+    assert ("pic.jpg", "pic.png") in pairs
+    assert all("other.png" not in p for p in pairs)

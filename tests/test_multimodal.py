@@ -69,7 +69,7 @@ def test_decode_images_null_for_undecodable(spark, media_dir):
     src = read_binary_dir(spark, media_dir, glob="b.jpg")
     rows = decode_images(src).collect()
     assert len(rows) == 1 and rows[0]["width"] is None
-    with pytest.raises(Exception, match="non-PNG decode requires PIL"):
+    with pytest.raises(Exception, match="requires PIL"):
         decode_images(src, on_unsupported="error").collect()
     with pytest.raises(ValueError, match="on_unsupported"):
         decode_images(src, on_unsupported="panic")
