@@ -318,6 +318,56 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def avi_mjpeg_frames(blob: bytes, every_n: int = 1, max_frames: int = 64):
+    """REAL video frame decode for MJPEG-in-AVI — the one mainstream
+    video profile that needs no codec library, because the container is
+    a plain RIFF chunk list and every frame is an independent baseline
+    JPEG (``jpegcodec.jpeg_decode_array``). Walks RIFF('AVI ') →
+    LIST('movi') → '##dc'/'##db' chunks, decodes every ``every_n``-th
+    frame, yields ``(frame_idx, width, height, rgb_bytes)`` like
+    ``gif_decode_frames``. Compressed codecs inside AVI (and mp4/webm
+    containers) still return nothing — those genuinely need ffmpeg."""
+    import struct
+
+    from .jpegcodec import jpeg_decode_array
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return
+    pos = 12
+    movi = None
+    try:
+        while pos + 8 <= len(blob):
+            cid = blob[pos : pos + 4]
+            ln = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+            if cid == b"LIST" and blob[pos + 8 : pos + 12] == b"movi":
+                movi = (pos + 12, pos + 8 + ln)
+                break
+            pos += 8 + ln + (ln & 1)
+        if movi is None:
+            return
+        p, end = movi
+        frame_idx = 0
+        emitted = 0
+        while p + 8 <= end and emitted < max_frames:
+            cid = blob[p : p + 4]
+            ln = struct.unpack("<I", blob[p + 4 : p + 8])[0]
+            if cid[2:4] in (b"dc", b"db"):
+                if frame_idx % every_n == 0:
+                    decoded = jpeg_decode_array(blob[p + 8 : p + 8 + ln])
+                    if decoded is not None:
+                        w, h, ch, px = decoded
+                        if ch == 1:
+                            import numpy as np
+
+                            px = np.repeat(px, 3, axis=2)
+                        yield (frame_idx, w, h, px.tobytes())
+                        emitted += 1
+                frame_idx += 1
+            p += 8 + ln + (ln & 1)
+    except Exception:
+        return
+
+
 def sample_frames(
     df: DataFrame,
     bin_col: str = "content",
@@ -329,7 +379,9 @@ def sample_frames(
     frame (explode-shaped output, bounded by max_frames so one giant
     clip cannot blow up a task). Animated GIF decodes FOR REAL with the
     stdlib LZW decoder (``gif_decode_frames``; frame_bytes is the RGB24
-    canvas after compositing); true video (mp4/webm) needs ffmpeg
+    canvas after compositing), and MJPEG-in-AVI video decodes FOR REAL
+    too (``avi_mjpeg_frames`` — RIFF walk + the baseline JPEG decoder);
+    compressed video codecs (mp4/webm, non-MJPEG AVI) need ffmpeg
     (absent here) — those rows are dropped, or get md5-chained fake
     frames under ``allow_fake=True``."""
 
@@ -353,6 +405,14 @@ def sample_frames(
                         emitted += 1
                         if emitted >= max_frames:
                             break
+                    continue
+                if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    for idx, w, h, rgb in avi_mjpeg_frames(
+                        blob, every_n=every_n, max_frames=max_frames
+                    ):
+                        rows["path"].append(path)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_bytes"].append(rgb)
                     continue
                 if not allow_fake:
                     continue  # undecodable without ffmpeg: drop the row

@@ -414,3 +414,67 @@ def test_cross_format_perceptual_dedup(spark):
              for r in dhash_pairs(df, max_hamming=3).collect()}
     assert ("pic.jpg", "pic.png") in pairs
     assert all("other.png" not in p for p in pairs)
+
+
+def _encode_avi_mjpeg(jpeg_frames, w, h):
+    """Minimal independent MJPEG-AVI writer: RIFF('AVI ') with a bare
+    hdrl stub and a LIST('movi') of 00dc JPEG chunks — enough structure
+    to exercise the real container walk."""
+    def chunk(cid, payload):
+        p = payload + (b"\x00" if len(payload) % 2 else b"")
+        return cid + struct.pack("<I", len(payload)) + p
+
+    avih = chunk(b"avih", struct.pack("<14I", 33333, 0, 0, 0, len(jpeg_frames),
+                                      0, 1, 0, w, h, 0, 0, 0, 0))
+    hdrl = chunk(b"LIST", b"hdrl" + avih)
+    movi_payload = b"movi" + b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = chunk(b"LIST", movi_payload)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class TestMjpegAvi:
+    def test_avi_frames_decode_for_real(self):
+        from datamancer_spark.operators.multimodal import avi_mjpeg_frames
+
+        frames = []
+        for shade in (40, 120, 220):
+            img = np.full((16, 16), shade, dtype=np.uint8)
+            frames.append(encode_jpeg(img, quality=92))
+        blob = _encode_avi_mjpeg(frames, 16, 16)
+        out = list(avi_mjpeg_frames(blob))
+        assert [f[0] for f in out] == [0, 1, 2]
+        for (idx, w, h, rgb), shade in zip(out, (40, 120, 220)):
+            assert (w, h) == (16, 16)
+            arr = np.frombuffer(rgb, dtype=np.uint8)
+            assert abs(int(arr.mean()) - shade) <= 2
+
+    def test_avi_every_n_and_cap(self):
+        from datamancer_spark.operators.multimodal import avi_mjpeg_frames
+
+        frames = [encode_jpeg(np.full((8, 8), 10 * i + 5, dtype=np.uint8))
+                  for i in range(10)]
+        blob = _encode_avi_mjpeg(frames, 8, 8)
+        out = list(avi_mjpeg_frames(blob, every_n=3, max_frames=2))
+        assert [f[0] for f in out] == [0, 3]
+
+    def test_sample_frames_real_avi(self, spark):
+        from datamancer_spark.operators.multimodal import sample_frames
+
+        frames = [encode_jpeg(np.full((8, 8), 60 * i + 30, dtype=np.uint8))
+                  for i in range(3)]
+        blob = _encode_avi_mjpeg(frames, 8, 8)
+        df = spark.createDataFrame(
+            [("clip.avi", bytearray(blob)), ("junk.mp4", bytearray(b"\x00\x00\x00 ftypmp42"))],
+            "path string, content binary",
+        )
+        rows = sample_frames(df, every_n=1, max_frames=8).collect()
+        got = {(r["path"], r["frame_idx"]): r["frame_bytes"] for r in rows}
+        assert set(got) == {("clip.avi", 0), ("clip.avi", 1), ("clip.avi", 2)}
+        assert len(got[("clip.avi", 0)]) == 8 * 8 * 3
+
+    def test_garbage_avi_yields_nothing(self):
+        from datamancer_spark.operators.multimodal import avi_mjpeg_frames
+
+        assert list(avi_mjpeg_frames(b"RIFF\x10\x00\x00\x00AVI garbage")) == []
+        assert list(avi_mjpeg_frames(b"not avi")) == []
