@@ -15,9 +15,11 @@ Two tiers:
 - **Pixel/sample decode — REAL for every image format plus PCM audio,
   stubbed only where a codec is genuinely unavoidable.** PNG pixels
   (stdlib zlib + filter inversion), baseline JPEG pixels (own
-  entropy/IDCT pipeline, ``operators.jpegcodec``), canonical PCM WAV
-  samples, and animated-GIF frames (stdlib LZW) decode for real;
-  video (mp4/webm) and compressed audio (mp3/ogg) DECODE
+  entropy/IDCT pipeline, ``operators.jpegcodec``), PCM + G.711
+  A-law/mu-law WAV samples, animated-GIF frames (stdlib LZW), and
+  MJPEG-in-AVI video frames (RIFF walk + the JPEG decoder) decode for
+  real; compressed video codecs (mp4/webm, non-MJPEG AVI) and
+  perceptually-coded audio (mp3/ogg) DECODE
   needs ffmpeg (absent here) — those rows yield NULLs, or a
   deterministic md5-derived fake under ``allow_fake=True`` so the
   Spark-side plumbing — schema, batch iteration, partition shape,
@@ -439,11 +441,13 @@ AUDIO_SCHEMA = StructType(
 
 
 def wav_decode_array(blob: bytes):
-    """Pure-stdlib PCM WAV decode returning the SAMPLES: walks the RIFF
+    """Pure-stdlib WAV decode returning the SAMPLES: walks the RIFF
     chunk list, reads the fmt descriptor, and decodes integer PCM
-    (8/16/32-bit) with numpy. Returns ``(sample_rate, mono)`` with mono
+    (8/16/32-bit) plus the G.711 telephony codecs (A-law fmt 6, mu-law
+    fmt 7 — pure companding formulas, no codec library) with numpy.
+    Returns ``(sample_rate, mono)`` with mono
     a float64 array in [-1, 1] (channel-mixed), or ``None`` for
-    non-WAV / compressed (non-PCM) / malformed input.
+    non-WAV / compressed (mp3/ADPCM/...) / malformed input.
     ``wav_decode_samples`` wraps this for the RMS envelope;
     ``audio_dhash`` consumes the array."""
     import struct
@@ -464,7 +468,32 @@ def wav_decode_array(blob: bytes):
     if fmt is None or data is None:
         return None
     audio_fmt, channels, rate, _brate, _balign, bits = fmt
-    if audio_fmt != 1 or channels == 0 or rate == 0:  # integer PCM only
+    if channels == 0 or rate == 0:
+        return None
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law: formula codecs
+        usable = len(data) - (len(data) % channels)
+        if usable <= 0 or bits != 8:
+            return None
+        enc = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.int64)
+        if audio_fmt == 7:  # mu-law (ITU-T G.711): invert the companding
+            u = ~enc & 0xFF
+            sign = np.where(u & 0x80, -1.0, 1.0)
+            exp = (u >> 4) & 7
+            man = u & 0x0F
+            mag = ((man.astype(np.float64) * 2 + 33) * (2.0 ** exp)) - 33
+            x = sign * mag / 8031.0
+        else:  # A-law (sign bit 1 = POSITIVE — opposite of mu-law)
+            a = enc ^ 0x55
+            sign = np.where(a & 0x80, 1.0, -1.0)
+            exp = (a >> 4) & 7
+            man = (a & 0x0F).astype(np.float64)
+            mag = np.where(
+                exp == 0, man * 2 + 1, (man * 2 + 33) * (2.0 ** (exp - 1))
+            )
+            x = sign * mag / 4096.0
+        mono = x.reshape(-1, channels).mean(axis=1)
+        return (int(rate), mono)
+    if audio_fmt != 1:  # compressed (mp3/adpcm/...) needs a codec
         return None
     dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
     if dt is None:

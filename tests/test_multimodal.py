@@ -865,3 +865,80 @@ def test_image_dhash_numeric_id_column(spark):
     assert dict(out.dtypes)["doc_id"] == "bigint"
     got = {r["doc_id"]: r["dhash"] for r in out.collect()}
     assert got[101] is not None and got[102] is None
+
+
+class TestG711Wav:
+    """G.711 mu-law / A-law WAV decode verified against independent
+    forward companders (standard segment encoders)."""
+
+    @staticmethod
+    def _wav_g711(samples_f, rate, fmt_code, payload):
+        import struct
+
+        return (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_code, 1, rate,
+                                        rate, 1, 8)
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+
+    @staticmethod
+    def _ulaw_encode(x16):
+        import numpy as np
+
+        BIAS, CLIP = 0x84, 32635
+        x = np.asarray(x16, dtype=np.int64)
+        sign = (x < 0).astype(np.int64)
+        a = np.minimum(np.abs(x), CLIP) + BIAS
+        exp = np.floor(np.log2(a)).astype(np.int64) - 7
+        man = (a >> (exp + 3)) & 0x0F
+        return (~((sign << 7) | (exp << 4) | man) & 0xFF).astype(np.uint8)
+
+    @staticmethod
+    def _alaw_encode(x16):
+        import numpy as np
+
+        x = np.asarray(x16, dtype=np.int64)
+        sign = (x >= 0).astype(np.int64)
+        a = np.minimum(np.abs(x), 32767) >> 3  # 13-bit magnitude
+        exp = np.zeros_like(a)
+        nz = a >= 32
+        exp[nz] = np.floor(np.log2(a[nz])).astype(np.int64) - 4
+        man = np.where(exp == 0, a >> 1, (a >> exp) & 0x0F)
+        return ((((sign << 7) | (exp << 4) | man) ^ 0x55) & 0xFF).astype(
+            np.uint8
+        )
+
+    @pytest.mark.parametrize("law", ["ulaw", "alaw"])
+    def test_companded_roundtrip(self, law):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import wav_decode_array
+
+        rate = 8000
+        t = np.arange(rate // 2) / rate
+        x = 0.7 * np.sin(2 * np.pi * 440 * t) * np.abs(np.sin(2 * np.pi * 3 * t))
+        x16 = (x * 32767).astype(np.int64)
+        if law == "ulaw":
+            payload = self._ulaw_encode(x16).tobytes()
+            fmt_code = 7
+        else:
+            payload = self._alaw_encode(x16).tobytes()
+            fmt_code = 6
+        got = wav_decode_array(self._wav_g711(x, rate, fmt_code, payload))
+        assert got is not None
+        grate, mono = got
+        assert grate == rate and len(mono) == len(x)
+        # companding is lossy but strongly correlated with the source
+        c = np.corrcoef(mono, x)[0, 1]
+        assert c > 0.995, f"{law} correlation {c}"
+
+    def test_compressed_fmt_still_refused(self):
+        import struct
+
+        from datamancer_spark.operators.multimodal import wav_decode_array
+
+        payload = b"\x01\x02\x03\x04" * 10
+        blob = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 85, 1, 8000,  # 85 = MP3
+                                        8000, 1, 0)
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        assert wav_decode_array(blob) is None
