@@ -440,11 +440,60 @@ AUDIO_SCHEMA = StructType(
 )
 
 
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_decode_mono(data: bytes, block_align: int):
+    """IMA ADPCM (WAV fmt 0x11) mono decode — a pure table codec, no
+    library needed: per block, a 4-byte header (16-bit predictor seed +
+    step index) then 4-bit nibbles, low nibble first. Returns float64
+    samples in [-1, 1] or None for malformed blocks."""
+    if block_align < 5:
+        return None
+    import numpy as np
+
+    out = []
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        block = data[b0 : b0 + block_align]
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        idx = block[2]
+        if idx > 88:
+            return None
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+                out.append(pred)
+    if not out:
+        return None
+    return np.asarray(out, dtype=np.float64) / 32768.0
+
+
 def wav_decode_array(blob: bytes):
     """Pure-stdlib WAV decode returning the SAMPLES: walks the RIFF
     chunk list, reads the fmt descriptor, and decodes integer PCM
     (8/16/32-bit) plus the G.711 telephony codecs (A-law fmt 6, mu-law
-    fmt 7 — pure companding formulas, no codec library) with numpy.
+    fmt 7 — pure companding formulas) and mono IMA ADPCM (fmt 0x11, a
+    pure table codec) — no codec library anywhere — with numpy.
     Returns ``(sample_rate, mono)`` with mono
     a float64 array in [-1, 1] (channel-mixed), or ``None`` for
     non-WAV / compressed (mp3/ADPCM/...) / malformed input.
@@ -493,7 +542,12 @@ def wav_decode_array(blob: bytes):
             x = sign * mag / 4096.0
         mono = x.reshape(-1, channels).mean(axis=1)
         return (int(rate), mono)
-    if audio_fmt != 1:  # compressed (mp3/adpcm/...) needs a codec
+    if audio_fmt == 17 and channels == 1:  # IMA ADPCM, mono (table codec)
+        mono = _ima_adpcm_decode_mono(data, _balign)
+        if mono is None:
+            return None
+        return (int(rate), mono)
+    if audio_fmt != 1:  # perceptual codecs (mp3 etc.) need a codec lib
         return None
     dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
     if dt is None:
