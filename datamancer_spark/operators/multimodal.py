@@ -133,14 +133,16 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
 def png_decode_array(blob: bytes):
     """Pure-stdlib PNG pixel decode returning the PIXELS: zlib-inflate
     the IDAT stream and invert the per-scanline filters
-    (None/Sub/Up/Average/Paeth) per the PNG spec §9. Supports
-    8-bit-depth, non-interlaced images in all five color types (gray,
-    RGB, palette, gray+alpha, RGBA — the overwhelming majority of real
-    PNGs). Returns ``(width, height, channels, pixels)`` with pixels an
-    (h, w, channels) uint8 ndarray — alpha dropped, palette expanded
-    through PLTE to RGB — or ``None`` for non-PNG / malformed /
-    unsupported (16-bit, interlaced) input. ``png_decode_pixels`` wraps
-    this for summary stats; ``image_dhash`` consumes the array."""
+    (None/Sub/Up/Average/Paeth) per the PNG spec §9. Supports 8- and
+    16-bit depth (16-bit downsampled to the high byte), Adam7
+    interlacing, and all five color types (gray, RGB, palette,
+    gray+alpha, RGBA) — every legal baseline PNG profile except the
+    sub-byte palette depths (1/2/4-bit). Returns ``(width, height,
+    channels, pixels)`` with pixels an (h, w, channels) uint8 ndarray —
+    alpha dropped, palette expanded through PLTE to RGB — or ``None``
+    for non-PNG / malformed / sub-byte-depth input.
+    ``png_decode_pixels`` wraps this for summary stats; ``image_dhash``
+    consumes the array."""
     import struct
     import zlib
 
@@ -169,56 +171,91 @@ def png_decode_array(blob: bytes):
         w, h, depth, ctype, comp, filt, interlace = meta
         nch = _PNG_CHANNELS.get(ctype)
         if (
-            depth != 8 or interlace != 0 or comp != 0 or filt != 0
+            depth not in (8, 16) or interlace not in (0, 1)
+            or comp != 0 or filt != 0
             or nch is None or w == 0 or h == 0
+            or (ctype == 3 and depth != 8)
         ):
             return None
         raw = zlib.decompress(b"".join(idat))
     except Exception:
         return None
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.intc)
-    for y in range(h):
-        p = y * (stride + 1)
-        f = raw[p]
-        line = bytearray(raw[p + 1 : p + 1 + stride])
-        if f == 1:  # Sub: left-pixel running sum
-            for i in range(nch, stride):
-                line[i] = (line[i] + line[i - nch]) & 255
-        elif f == 2:  # Up: vectorized add of the prior scanline
-            line = bytearray(
-                ((np.frombuffer(bytes(line), dtype=np.uint8) + prev) & 255)
-                .astype(np.uint8)
-                .tobytes()
-            )
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
-                line[i] = (line[i] + ((a + int(prev[i])) >> 1)) & 255
-        elif f == 4:  # Paeth predictor
-            for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
-                b = int(prev[i])
-                c = int(prev[i - nch]) if i >= nch else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 255
-        elif f != 0:
+    bpp = nch * (depth // 8)
+
+    def unfilter(off: int, wpx: int, hpx: int):
+        """Invert scanline filters for one (sub)image starting at byte
+        ``off``; returns (bytes_consumed, (hpx, wpx*bpp) uint8 array)
+        or None on malformed input."""
+        stride = wpx * bpp
+        if len(raw) - off < hpx * (stride + 1):
             return None
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
-        prev = out[y].astype(np.intc)
+        sub = np.empty((hpx, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.intc)
+        p = off
+        for y in range(hpx):
+            f = raw[p]
+            line = bytearray(raw[p + 1 : p + 1 + stride])
+            p += 1 + stride
+            if f == 1:  # Sub: left-pixel running sum
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 255
+            elif f == 2:  # Up: vectorized add of the prior scanline
+                line = bytearray(
+                    ((np.frombuffer(bytes(line), dtype=np.uint8) + prev) & 255)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + int(prev[i])) >> 1)) & 255
+            elif f == 4:  # Paeth predictor
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 255
+            elif f != 0:
+                return None
+            sub[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+            prev = sub[y].astype(np.intc)
+        return p - off, sub
+
+    if interlace == 0:
+        got = unfilter(0, w, h)
+        if got is None:
+            return None
+        full = got[1].reshape(h, w, bpp)
+    else:  # Adam7: seven sub-images scattered onto the full grid
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy) in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass has no scanlines
+            got = unfilter(off, pw, ph)
+            if got is None:
+                return None
+            consumed, sub = got
+            off += consumed
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if depth == 16:  # high byte of each big-endian 16-bit sample
+        full = full.reshape(h, w, nch, 2)[:, :, :, 0]
     if ctype == 3:  # palette: expand indices through PLTE to RGB
         if plte is None or len(plte) % 3:
             return None
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idxs = out.reshape(-1)
+        idxs = full.reshape(-1)
         if idxs.max(initial=0) >= len(pal):
             return None
         return (w, h, 3, pal[idxs].reshape(h, w, 3))
-    px = out.reshape(h, w, nch)
+    px = full.reshape(h, w, nch)
     color = px[:, :, :-1] if ctype in (4, 6) else px  # drop alpha
     return (w, h, nch, color)
 

@@ -1033,3 +1033,104 @@ class TestImaAdpcmWav:
         m = min(len(mono), len(x))
         c = np.corrcoef(mono[:m], x[:m])[0, 1]
         assert c > 0.99, f"adpcm correlation {c}"
+
+
+class TestPngAdam7And16Bit:
+    @staticmethod
+    def _wrap_png(w, h, depth, ctype, interlace, raw):
+        import struct
+        import zlib
+
+        def chunk(typ, payload):
+            c = typ + payload
+            return (struct.pack(">I", len(payload)) + c
+                    + struct.pack(">I", zlib.crc32(c)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    @classmethod
+    def _encode_adam7(cls, px, filters=(0, 1, 2, 3, 4)):
+        """Independent Adam7 interlaced encoder (8-bit gray/RGB): emit
+        the seven passes in spec order, each filtered per scanline."""
+        import numpy as np
+
+        h, w = px.shape[:2]
+        nch = 1 if px.ndim == 2 else px.shape[2]
+        arr = px.reshape(h, w, nch).astype(np.int64)
+        raw = bytearray()
+        fi = 0
+        for (x0, y0, dx, dy) in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                                 (0, 1, 1, 2)):
+            sub = arr[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * nch)
+            prev = np.zeros(pw * nch, dtype=np.int64)
+            for y in range(ph):
+                f = filters[fi % len(filters)]
+                fi += 1
+                line = flat[y]
+                left = np.concatenate([np.zeros(nch, np.int64), line[:-nch]])
+                ul = np.concatenate([np.zeros(nch, np.int64), prev[:-nch]])
+                if f == 0:
+                    enc = line % 256
+                elif f == 1:
+                    enc = (line - left) % 256
+                elif f == 2:
+                    enc = (line - prev) % 256
+                elif f == 3:
+                    enc = (line - ((left + prev) >> 1)) % 256
+                else:
+                    pa = np.abs(prev - ul)
+                    pb = np.abs(left - ul)
+                    pc = np.abs(left + prev - 2 * ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, prev, ul))
+                    enc = (line - pred) % 256
+                raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+                prev = line
+        ctype = 0 if nch == 1 else 2
+        return cls._wrap_png(w, h, 8, ctype, 1, bytes(raw))
+
+    def test_adam7_roundtrip_gray_and_rgb(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_array
+
+        rng = np.random.default_rng(61)
+        for shape in [(13, 9), (16, 16), (5, 21, 3)]:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            got = png_decode_array(self._encode_adam7(img))
+            assert got is not None, shape
+            w, h, ch, px = got
+            nch = 1 if img.ndim == 2 else 3
+            assert (w, h, ch) == (shape[1], shape[0], nch)
+            assert np.array_equal(px.reshape(img.shape), img), shape
+
+    def test_16bit_gray_high_byte(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_array
+
+        rng = np.random.default_rng(67)
+        img16 = rng.integers(0, 65536, size=(9, 7), dtype=np.uint16)
+        raw = bytearray()
+        for y in range(9):
+            raw += b"\x00" + img16[y].byteswap().tobytes()  # big-endian rows
+        got = png_decode_array(self._wrap_png(7, 9, 16, 0, 0, bytes(raw)))
+        assert got is not None
+        w, h, ch, px = got
+        assert (w, h, ch) == (7, 9, 1)
+        assert np.array_equal(px[:, :, 0], (img16 >> 8).astype(np.uint8))
+
+    def test_subbyte_depth_still_refused(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_array
+
+        raw = b"\x00" + bytes(2)
+        assert png_decode_array(self._wrap_png(4, 2, 4, 3, 0, raw)) is None
