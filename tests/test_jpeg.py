@@ -478,3 +478,31 @@ class TestMjpegAvi:
 
         assert list(avi_mjpeg_frames(b"RIFF\x10\x00\x00\x00AVI garbage")) == []
         assert list(avi_mjpeg_frames(b"not avi")) == []
+
+
+def test_jpeg_dims_walker_agrees_with_decoder(spark):
+    """image_dimensions' stdlib marker walk and the full decoder must
+    report identical dimensions for every encoder configuration."""
+    from datamancer_spark.operators.multimodal import image_dimensions
+    from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+    rng = np.random.default_rng(73)
+    blobs = []
+    for i, (shape, kw) in enumerate([
+        ((16, 24), {}),
+        ((31, 17), {"quality": 75}),
+        ((32, 48, 3), {"subsample": True}),
+        ((24, 40), {"restart_interval": 2}),
+    ]):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        blobs.append((f"j{i}", bytearray(encode_jpeg(img, **kw)), shape))
+    df = spark.createDataFrame(
+        [(p, b) for p, b, _ in blobs], "path string, content binary"
+    )
+    walked = {r["path"]: (r["width"], r["height"])
+              for r in image_dimensions(df).collect()}
+    for p, b, shape in blobs:
+        decoded = jpeg_decode_array(bytes(b))
+        assert decoded is not None
+        w, h, _, _ = decoded
+        assert walked[p] == (w, h) == (shape[1], shape[0]), p
