@@ -1134,3 +1134,78 @@ class TestPngAdam7And16Bit:
 
         raw = b"\x00" + bytes(2)
         assert png_decode_array(self._wrap_png(4, 2, 4, 3, 0, raw)) is None
+
+
+class TestVideoMetadata:
+    @staticmethod
+    def _box(typ, payload):
+        import struct
+
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    @classmethod
+    def _mp4(cls, timescale=1000, duration=7500, w=640, h=360, ver=0):
+        import struct
+
+        ftyp = cls._box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        if ver == 0:
+            mvhd = cls._box(
+                b"mvhd",
+                bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0)
+                + struct.pack(">II", timescale, duration) + b"\x00" * 80,
+            )
+            tkhd = cls._box(
+                b"tkhd",
+                bytes([0, 0, 0, 7]) + struct.pack(">II", 0, 0)
+                + struct.pack(">I", 1) + b"\x00" * 4 + struct.pack(">I", duration)
+                + b"\x00" * 52 + struct.pack(">II", w << 16, h << 16),
+            )
+        else:
+            mvhd = cls._box(
+                b"mvhd",
+                bytes([1, 0, 0, 0]) + struct.pack(">QQ", 0, 0)
+                + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+                + b"\x00" * 80,
+            )
+            tkhd = cls._box(
+                b"tkhd",
+                bytes([1, 0, 0, 7]) + struct.pack(">QQ", 0, 0)
+                + struct.pack(">I", 1) + b"\x00" * 4 + struct.pack(">Q", duration)
+                + b"\x00" * 52 + struct.pack(">II", w << 16, h << 16),
+            )
+        trak = cls._box(b"trak", tkhd)
+        moov = cls._box(b"moov", mvhd + trak)
+        return ftyp + moov
+
+    @pytest.mark.parametrize("ver", [0, 1])
+    def test_mp4_metadata(self, ver):
+        from datamancer_spark.operators.multimodal import mp4_metadata_blob
+
+        got = mp4_metadata_blob(self._mp4(ver=ver))
+        assert got is not None
+        brand, dur, w, h = got
+        assert brand == "isom"
+        assert abs(dur - 7.5) < 1e-9
+        assert (w, h) == (640, 360)
+
+    def test_video_metadata_frame(self, spark):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import video_metadata
+        from tests.test_jpeg import _encode_avi_mjpeg, encode_jpeg
+
+        frames = [encode_jpeg(np.full((8, 8), 99, dtype=np.uint8))]
+        avi = _encode_avi_mjpeg(frames, 8, 8)
+        rows = [
+            ("a.mp4", bytearray(self._mp4())),
+            ("b.avi", bytearray(avi)),
+            ("junk.bin", bytearray(b"nothing to see")),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        got = {r["path"]: r for r in video_metadata(df).collect()}
+        assert got["a.mp4"]["container"] == "mp4/isom"
+        assert abs(got["a.mp4"]["duration_s"] - 7.5) < 1e-9
+        assert (got["a.mp4"]["width"], got["a.mp4"]["height"]) == (640, 360)
+        assert got["b.avi"]["container"] == "avi"
+        assert (got["b.avi"]["width"], got["b.avi"]["height"]) == (8, 8)
+        assert got["junk.bin"]["container"] is None
