@@ -743,6 +743,42 @@ def bmp_dimensions(b: F.Column) -> F.Column:
     )
 
 
+def _u8(b: F.Column, pos: int) -> F.Column:
+    return F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("long")
+
+
+def webp_dimensions(b: F.Column) -> F.Column:
+    """(width, height) from a WebP container — all three variants, pure
+    Catalyst (fixed offsets): lossy VP8 (14-bit LE dims after the
+    9D 01 2A start code), lossless VP8L (14-bit packed fields of the
+    LE u32 after the 0x2F signature), extended VP8X (24-bit LE
+    canvas-minus-one). NULL if not WebP / unrecognized variant."""
+    is_webp = (F.substring(b, 1, 4).cast("string") == "RIFF") & (
+        F.substring(b, 9, 4).cast("string") == "WEBP"
+    )
+    four = F.substring(b, 13, 4).cast("string")
+    vp8_ok = F.hex(F.substring(b, 24, 3)) == "9D012A"
+    vp8 = F.struct(
+        (_le_u16(b, 27) % 16384).alias("width"),
+        (_le_u16(b, 29) % 16384).alias("height"),
+    )
+    u = _le_u32(b, 22)
+    vp8l_ok = _u8(b, 21) == 0x2F
+    vp8l = F.struct(
+        ((u % 16384) + 1).alias("width"),
+        ((F.floor(u / 16384).cast("long") % 16384) + 1).alias("height"),
+    )
+    w24 = _le_u16(b, 25) + _u8(b, 27) * 65536
+    h24 = _le_u16(b, 28) + _u8(b, 30) * 65536
+    vp8x = F.struct((w24 + 1).alias("width"), (h24 + 1).alias("height"))
+    return F.when(
+        is_webp,
+        F.when((four == "VP8 ") & vp8_ok, vp8)
+        .when((four == "VP8L") & vp8l_ok, vp8l)
+        .when(four == "VP8X", vp8x),
+    )
+
+
 JPEG_SOF_MARKERS = frozenset(
     range(0xC0, 0xCF + 1)
 ) - {0xC4, 0xC8, 0xCC}  # SOFn, excluding DHT/JPG/DAC
@@ -792,7 +828,8 @@ IMAGE_DIMS_SCHEMA = StructType(
 def image_dimensions(df: DataFrame, bin_col: str = "content") -> DataFrame:
     """REAL image dimensions from container headers — no codec library.
 
-    PNG/GIF/BMP parse as pure Catalyst expressions (JVM-side, next to
+    PNG/GIF/BMP/WebP (all three WebP variants) parse as pure Catalyst
+    expressions (JVM-side, next to
     the scan, zero Python); JPEG requires a variable-length marker walk,
     so JPEG rows — and only JPEG rows — route through an Arrow-batched
     stdlib parser. Output: (path, kind, width, height); width/height
@@ -813,6 +850,7 @@ def image_dimensions(df: DataFrame, bin_col: str = "content") -> DataFrame:
                 png_dimensions(F.col("_b")),
                 gif_dimensions(F.col("_b")),
                 bmp_dimensions(F.col("_b")),
+                webp_dimensions(F.col("_b")),
             ).alias("_d"),
         )
         .select(

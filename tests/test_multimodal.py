@@ -1209,3 +1209,60 @@ class TestVideoMetadata:
         assert got["b.avi"]["container"] == "avi"
         assert (got["b.avi"]["width"], got["b.avi"]["height"]) == (8, 8)
         assert got["junk.bin"]["container"] is None
+
+
+class TestWebpDimensions:
+    """Hand-built to-spec WebP containers for all three variants."""
+
+    @staticmethod
+    def _riff(fourcc, payload):
+        import struct
+
+        chunk = fourcc + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def test_all_three_variants(self, spark):
+        import struct
+
+        from datamancer_spark.operators.multimodal import image_dimensions
+
+        # VP8 lossy: 3-byte frame tag, start code, 14-bit LE dims
+        vp8 = self._riff(
+            b"VP8 ",
+            b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<HH", 320, 240),
+        )
+        # VP8L lossless: 0x2F signature + packed (w-1, h-1) 14-bit fields
+        w, h = 500, 301
+        packed = (w - 1) | ((h - 1) << 14)
+        vp8l = self._riff(b"VP8L", bytes([0x2F]) + struct.pack("<I", packed))
+        # VP8X extended: flags+reserved then 24-bit LE canvas-minus-one
+        vp8x = self._riff(
+            b"VP8X",
+            b"\x00\x00\x00\x00"
+            + (1920 - 1).to_bytes(3, "little")
+            + (1080 - 1).to_bytes(3, "little"),
+        )
+        df = spark.createDataFrame(
+            [("a.webp", bytearray(vp8)), ("b.webp", bytearray(vp8l)),
+             ("c.webp", bytearray(vp8x)),
+             ("bad.webp", bytearray(b"RIFF\x04\x00\x00\x00WEBP"))],
+            "path string, content binary",
+        )
+        out = {r["path"]: (r["width"], r["height"])
+               for r in image_dimensions(df).collect()}
+        assert out["a.webp"] == (320, 240)
+        assert out["b.webp"] == (500, 301)
+        assert out["c.webp"] == (1920, 1080)
+        assert out["bad.webp"] == (None, None)
+
+    def test_webp_leg_is_pure_catalyst(self, spark):
+        from pyspark.sql import functions as F
+
+        from datamancer_spark.operators.multimodal import webp_dimensions
+
+        df = spark.createDataFrame(
+            [("a", b"RIFFxxxxWEBP")], "path string, content binary"
+        ).select(webp_dimensions(F.col("content")).alias("d"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
