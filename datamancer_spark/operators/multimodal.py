@@ -324,6 +324,24 @@ def decode_images(
                     if jp is not None:
                         w, h, ch, px = jp
                         decoded = (w, h, ch, round(float(px.mean()) / 255.0, 6))
+                if decoded is None:
+                    first = next(
+                        iter(gif_decode_frames(blob, max_frames=1)), None
+                    )
+                    if first is not None:
+                        import numpy as np
+
+                        _, w, h, rgb = first
+                        decoded = (
+                            w, h, 3,
+                            round(
+                                float(
+                                    np.frombuffer(rgb, dtype=np.uint8).mean()
+                                )
+                                / 255.0,
+                                6,
+                            ),
+                        )
                 if decoded is not None:
                     w, h, ch, mean = decoded
                 elif have_pil:  # pragma: no cover - real codec path

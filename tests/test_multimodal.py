@@ -1266,3 +1266,20 @@ class TestWebpDimensions:
         ).select(webp_dimensions(F.col("content")).alias("d"))
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_decode_images_real_gif(spark):
+    """decode_images must cover GIF with the same real decoder the
+    dhash path uses — a uniform-color GIF reports exact mean."""
+    import numpy as np
+
+    from datamancer_spark.operators.multimodal import decode_images
+
+    idx = np.full((10, 12), 2, dtype=np.uint8)  # palette 2 = green
+    blob = _encode_gif([idx.tobytes()], TestRealGifDecode.PAL4, 12, 10)
+    df = spark.createDataFrame(
+        [("g.gif", bytearray(blob))], "path string, content binary"
+    )
+    r = decode_images(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (12, 10, 3)
+    assert abs(r["mean_intensity"] - (255 / 3) / 255.0) < 1e-6
