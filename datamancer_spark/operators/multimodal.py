@@ -1536,3 +1536,93 @@ def video_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("path", bin_col).mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("container", StringType()),
+        StructField("duration_s", DoubleType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+    ]
+)
+
+
+def flac_streaminfo(blob: bytes):
+    """REAL FLAC metadata from the mandatory STREAMINFO block — pure
+    stdlib bit unpacking, no audio library (FLAC is how the large
+    public speech corpora ship): after the 'fLaC' marker the first
+    metadata block must be STREAMINFO (type 0, 34 bytes); bytes 10-17
+    of its body pack sample_rate (20 bits), channels-1 (3),
+    bits_per_sample-1 (5), total_samples (36). Returns
+    ``(sample_rate, channels, bits_per_sample, duration_s|None)`` or
+    ``None`` for non-FLAC input."""
+    if len(blob) < 42 or blob[:4] != b"fLaC":
+        return None
+    btype = blob[4] & 0x7F
+    blen = int.from_bytes(blob[5:8], "big")
+    if btype != 0 or blen < 34:
+        return None
+    body = blob[8 : 8 + 34]
+    packed = int.from_bytes(body[10:18], "big")  # 64 bits
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    dur = round(total / rate, 6) if total else None
+    return (rate, channels, bits, dur)
+
+
+def audio_container_metadata(
+    df: DataFrame, bin_col: str = "content"
+) -> DataFrame:
+    """Per-clip audio container metadata for curation: FLAC via
+    STREAMINFO, WAV via the RIFF fmt/data walk (any fmt code — the
+    metadata layer reports rate/channels/bits even for codecs the
+    decoder refuses). Filter by rate/channels/duration next to the
+    scan, before any decode attempt. Unknown containers yield NULL
+    fields, never errors."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"path": [], "container": [], "duration_s": [],
+                   "sample_rate": [], "channels": [], "bits_per_sample": []}
+            for path, blob in zip(pdf["path"], pdf[bin_col]):
+                blob = bytes(blob)
+                container = dur = rate = ch = bits = None
+                fl = flac_streaminfo(blob)
+                if fl is not None:
+                    rate, ch, bits, dur = fl
+                    container = "flac"
+                elif (len(blob) >= 12 and blob[:4] == b"RIFF"
+                      and blob[8:12] == b"WAVE"):
+                    container = "wav"
+                    pos, fmt, dlen = 12, None, None
+                    while pos + 8 <= len(blob):
+                        cid = blob[pos : pos + 4]
+                        ln = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+                        if cid == b"fmt " and ln >= 16:
+                            fmt = struct.unpack(
+                                "<HHIIHH", blob[pos + 8 : pos + 24]
+                            )
+                        elif cid == b"data":
+                            dlen = ln
+                        pos += 8 + ln + (ln & 1)
+                    if fmt is not None:
+                        _, ch, rate, brate, _, bits = fmt
+                        if dlen is not None and brate:
+                            dur = round(dlen / brate, 6)
+                out["path"].append(path)
+                out["container"].append(container)
+                out["duration_s"].append(dur)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["bits_per_sample"].append(bits)
+            yield pd.DataFrame(out)
+
+    return df.select("path", bin_col).mapInPandas(batches, AUDIO_META_SCHEMA)

@@ -1283,3 +1283,48 @@ def test_decode_images_real_gif(spark):
     r = decode_images(df).collect()[0]
     assert (r["width"], r["height"], r["channels"]) == (12, 10, 3)
     assert abs(r["mean_intensity"] - (255 / 3) / 255.0) < 1e-6
+
+
+class TestAudioContainerMetadata:
+    @staticmethod
+    def _flac(rate=16000, channels=1, bits=16, total=48000):
+        """Hand-built to-spec fLaC + STREAMINFO block."""
+        packed = (rate << 44) | ((channels - 1) << 41) \
+            | ((bits - 1) << 36) | total
+        body = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+        return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    def test_flac_streaminfo(self):
+        from datamancer_spark.operators.multimodal import flac_streaminfo
+
+        got = flac_streaminfo(self._flac())
+        assert got == (16000, 1, 16, 3.0)
+        assert flac_streaminfo(b"not flac at all") is None
+
+    def test_audio_container_metadata_frame(self, spark):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            audio_container_metadata,
+        )
+
+        wav = TestG711Wav._wav_g711(
+            np.zeros(10), 8000, 7,
+            TestG711Wav._ulaw_encode(np.zeros(8000, dtype=np.int64)).tobytes(),
+        )
+        rows = [
+            ("a.flac", bytearray(self._flac(rate=22050, channels=2,
+                                            bits=24, total=44100))),
+            ("b.wav", bytearray(wav)),
+            ("c.bin", bytearray(b"no audio here")),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        got = {r["path"]: r for r in audio_container_metadata(df).collect()}
+        a = got["a.flac"]
+        assert (a["container"], a["sample_rate"], a["channels"],
+                a["bits_per_sample"], a["duration_s"]) == (
+            "flac", 22050, 2, 24, 2.0)
+        b = got["b.wav"]
+        assert b["container"] == "wav" and b["sample_rate"] == 8000
+        assert b["channels"] == 1 and abs(b["duration_s"] - 1.0) < 1e-6
+        assert got["c.bin"]["container"] is None
