@@ -518,48 +518,73 @@ _IMA_STEPS = [
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
-def _ima_adpcm_decode_mono(data: bytes, block_align: int):
-    """IMA ADPCM (WAV fmt 0x11) mono decode — a pure table codec, no
-    library needed: per block, a 4-byte header (16-bit predictor seed +
-    step index) then 4-bit nibbles, low nibble first. Returns float64
+def _ima_adpcm_decode(data: bytes, block_align: int, channels: int = 1):
+    """IMA ADPCM (WAV fmt 0x11) decode — a pure table codec, no library
+    needed: per block, a 4-byte header PER CHANNEL (16-bit predictor
+    seed + step index), then the channels' nibble streams interleaved
+    in 4-byte words (8 samples of channel 0, 8 of channel 1, ...), low
+    nibble first within each byte. Returns channel-mixed float64
     samples in [-1, 1] or None for malformed blocks."""
-    if block_align < 5:
+    if channels < 1 or block_align < 4 * channels + 1:
         return None
     import numpy as np
 
-    out = []
+    def run(nibbles, pred, idx, out):
+        for nib in nibbles:
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+            out.append(pred)
+        return pred, idx
+
+    chans = [[] for _ in range(channels)]
     for b0 in range(0, len(data) - block_align + 1, block_align):
         block = data[b0 : b0 + block_align]
-        pred = int.from_bytes(block[0:2], "little", signed=True)
-        idx = block[2]
-        if idx > 88:
-            return None
-        out.append(pred)
-        for byte in block[4:]:
-            for nib in (byte & 0x0F, byte >> 4):
-                step = _IMA_STEPS[idx]
-                diff = step >> 3
-                if nib & 1:
-                    diff += step >> 2
-                if nib & 2:
-                    diff += step >> 1
-                if nib & 4:
-                    diff += step
-                pred = pred - diff if nib & 8 else pred + diff
-                pred = max(-32768, min(32767, pred))
-                idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
-                out.append(pred)
-    if not out:
+        preds, idxs = [], []
+        for c in range(channels):
+            preds.append(
+                int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+            )
+            idx = block[4 * c + 2]
+            if idx > 88:
+                return None
+            idxs.append(idx)
+            chans[c].append(preds[c])
+        body = block[4 * channels :]
+        # 4-byte word groups round-robin across channels
+        for w0 in range(0, len(body) - 3, 4 * channels):
+            for c in range(channels):
+                word = body[w0 + 4 * c : w0 + 4 * c + 4]
+                if len(word) < 4:
+                    break
+                nibs = []
+                for byte in word:
+                    nibs.append(byte & 0x0F)
+                    nibs.append(byte >> 4)
+                preds[c], idxs[c] = run(nibs, preds[c], idxs[c], chans[c])
+    if not chans[0]:
         return None
-    return np.asarray(out, dtype=np.float64) / 32768.0
+    n = min(len(c) for c in chans)
+    mix = np.mean(
+        np.stack([np.asarray(c[:n], dtype=np.float64) for c in chans]), axis=0
+    )
+    return mix / 32768.0
 
 
 def wav_decode_array(blob: bytes):
     """Pure-stdlib WAV decode returning the SAMPLES: walks the RIFF
     chunk list, reads the fmt descriptor, and decodes integer PCM
     (8/16/32-bit) plus the G.711 telephony codecs (A-law fmt 6, mu-law
-    fmt 7 — pure companding formulas) and mono IMA ADPCM (fmt 0x11, a
-    pure table codec) — no codec library anywhere — with numpy.
+    fmt 7 — pure companding formulas) and IMA ADPCM (fmt 0x11, a
+    pure table codec, mono/stereo) — no codec library anywhere — with numpy.
     Returns ``(sample_rate, mono)`` with mono
     a float64 array in [-1, 1] (channel-mixed), or ``None`` for
     non-WAV / compressed (mp3/ADPCM/...) / malformed input.
@@ -608,8 +633,8 @@ def wav_decode_array(blob: bytes):
             x = sign * mag / 4096.0
         mono = x.reshape(-1, channels).mean(axis=1)
         return (int(rate), mono)
-    if audio_fmt == 17 and channels == 1:  # IMA ADPCM, mono (table codec)
-        mono = _ima_adpcm_decode_mono(data, _balign)
+    if audio_fmt == 17:  # IMA ADPCM (table codec), mono or stereo
+        mono = _ima_adpcm_decode(data, _balign, channels)
         if mono is None:
             return None
         return (int(rate), mono)

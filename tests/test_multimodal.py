@@ -1328,3 +1328,46 @@ class TestAudioContainerMetadata:
         assert b["container"] == "wav" and b["sample_rate"] == 8000
         assert b["channels"] == 1 and abs(b["duration_s"] - 1.0) < 1e-6
         assert got["c.bin"]["container"] is None
+
+    def test_ima_adpcm_stereo_roundtrip(self):
+        """Stereo blocks: per-channel 4-byte headers, then nibble
+        streams interleaved in 4-byte words. Encode two distinct
+        channels independently; the decoder's channel mix must match
+        the mean of the source channels."""
+        import struct
+
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import wav_decode_array
+
+        rate = 8000
+        t = np.arange(rate) / rate
+        left = 0.5 * np.sin(2 * np.pi * 220 * t) * np.abs(np.sin(2 * np.pi * 2 * t))
+        right = 0.4 * np.sin(2 * np.pi * 330 * t) * np.abs(np.sin(2 * np.pi * 3 * t))
+        l16 = (left * 32767).astype(np.int64)
+        r16 = (right * 32767).astype(np.int64)
+        # independent per-channel encode, then interleave into blocks
+        enc = TestImaAdpcmWav._ima_encode_mono
+        pl, balign_m = enc(l16, block_samples=505)
+        pr, _ = enc(r16, block_samples=505)
+        blocks = bytearray()
+        bm = balign_m  # mono block size: 4 + 252
+        for b0 in range(0, min(len(pl), len(pr)) - bm + 1, bm):
+            lb, rb = pl[b0 : b0 + bm], pr[b0 : b0 + bm]
+            blocks += lb[:4] + rb[:4]
+            lbody, rbody = lb[4:], rb[4:]
+            for w0 in range(0, len(lbody) - 3, 4):
+                blocks += lbody[w0 : w0 + 4] + rbody[w0 : w0 + 4]
+        balign_s = 8 + 2 * (bm - 4) // 4 * 4
+        blob = (b"RIFF" + struct.pack("<I", 36 + len(blocks)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 17, 2, rate,
+                                        rate, balign_s, 4)
+                + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks))
+        got = wav_decode_array(blob)
+        assert got is not None
+        grate, mono = got
+        assert grate == rate
+        expect = (left + right) / 2.0
+        m = min(len(mono), len(expect))
+        c = np.corrcoef(mono[:m], expect[:m])[0, 1]
+        assert c > 0.99, f"stereo adpcm correlation {c}"
