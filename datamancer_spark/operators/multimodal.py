@@ -1602,11 +1602,89 @@ def flac_streaminfo(blob: bytes):
     return (rate, channels, bits, dur)
 
 
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320, 0]  # kbit/s, MPEG-1 Layer III
+_MP3_RATES_V1 = [44100, 48000, 32000, 0]
+
+
+def mp3_header_info(blob: bytes):
+    """MP3 metadata from the first MPEG-1 Layer III frame header (after
+    an optional ID3v2 tag): (sample_rate, channels, bitrate_kbps,
+    est_duration_s). Duration is the CBR estimate (audio_bytes*8 /
+    bitrate) — exact for CBR files, approximate for VBR; a pipeline
+    that needs exact VBR duration must walk every frame (decode-tier
+    cost). None for non-MP3 input."""
+    pos = 0
+    if blob[:3] == b"ID3" and len(blob) > 10:
+        # syncsafe 28-bit tag size
+        sz = ((blob[6] & 0x7F) << 21) | ((blob[7] & 0x7F) << 14)             | ((blob[8] & 0x7F) << 7) | (blob[9] & 0x7F)
+        pos = 10 + sz
+    # scan a bounded window for the frame sync (junk prefixes exist)
+    end = min(len(blob) - 4, pos + 4096)
+    while pos <= end:
+        if blob[pos] == 0xFF and (blob[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = blob[pos + 1], blob[pos + 2], blob[pos + 3]
+            version = (b1 >> 3) & 3   # 3 = MPEG-1
+            layer = (b1 >> 1) & 3     # 1 = Layer III
+            if version == 3 and layer == 1:
+                br = _MP3_BITRATES_V1L3[(b2 >> 4) & 0xF]
+                rate = _MP3_RATES_V1[(b2 >> 2) & 3]
+                if br and rate:
+                    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+                    audio_bytes = len(blob) - pos
+                    dur = round(audio_bytes * 8 / (br * 1000), 6)
+                    return (rate, channels, br, dur)
+            return None
+        pos += 1
+    return None
+
+
+def ogg_metadata(blob: bytes):
+    """Ogg container metadata — pure stdlib page walk: codec + sample
+    rate from the first page's id header (OpusHead at fixed offsets;
+    Vorbis \x01vorbis id packet), duration from the LAST page's
+    granule position (Opus granules are fixed 48 kHz pre-skip-adjusted;
+    Vorbis granules are sample counts). Returns
+    ``(codec, sample_rate, channels, duration_s|None)`` or ``None``."""
+    import struct
+
+    if len(blob) < 58 or blob[:4] != b"OggS":
+        return None
+    seg_n = blob[26]
+    body = 27 + seg_n  # first packet starts after the segment table
+    codec = rate = channels = None
+    pre_skip = 0
+    granule_rate = None
+    head = blob[body : body + 64]
+    if head[:8] == b"OpusHead" and len(head) >= 19:
+        codec = "opus"
+        channels = head[9]
+        pre_skip = struct.unpack("<H", head[10:12])[0]
+        rate = struct.unpack("<I", head[12:16])[0] or 48000
+        granule_rate = 48000  # Opus granules are always 48 kHz
+    elif head[:7] == b"\x01vorbis" and len(head) >= 16:
+        codec = "vorbis"
+        channels = head[11]
+        rate = struct.unpack("<I", head[12:16])[0]
+        granule_rate = rate
+    else:
+        return None
+    dur = None
+    last = blob.rfind(b"OggS")
+    if last >= 0 and last + 14 <= len(blob) and granule_rate:
+        granule = struct.unpack("<q", blob[last + 6 : last + 14])[0]
+        if granule > 0:
+            dur = round(max(granule - pre_skip, 0) / granule_rate, 6)
+    return (codec, rate, channels, dur)
+
+
 def audio_container_metadata(
     df: DataFrame, bin_col: str = "content"
 ) -> DataFrame:
     """Per-clip audio container metadata for curation: FLAC via
-    STREAMINFO, WAV via the RIFF fmt/data walk (any fmt code — the
+    STREAMINFO, Ogg Opus/Vorbis via the page walk (duration from the
+    last granule), MP3 via the first MPEG frame header (CBR-estimate
+    duration), WAV via the RIFF fmt/data walk (any fmt code — the
     metadata layer reports rate/channels/bits even for codecs the
     decoder refuses). Filter by rate/channels/duration next to the
     scan, before any decode attempt. Unknown containers yield NULL
@@ -1621,9 +1699,21 @@ def audio_container_metadata(
                 blob = bytes(blob)
                 container = dur = rate = ch = bits = None
                 fl = flac_streaminfo(blob)
+                og = ogg_metadata(blob) if fl is None else None
+                mp = (
+                    mp3_header_info(blob)
+                    if fl is None and og is None
+                    else None
+                )
                 if fl is not None:
                     rate, ch, bits, dur = fl
                     container = "flac"
+                elif og is not None:
+                    codec, rate, ch, dur = og
+                    container = f"ogg/{codec}"
+                elif mp is not None:
+                    rate, ch, _br, dur = mp
+                    container = "mp3"
                 elif (len(blob) >= 12 and blob[:4] == b"RIFF"
                       and blob[8:12] == b"WAVE"):
                     container = "wav"

@@ -1371,3 +1371,81 @@ class TestAudioContainerMetadata:
         m = min(len(mono), len(expect))
         c = np.corrcoef(mono[:m], expect[:m])[0, 1]
         assert c > 0.99, f"stereo adpcm correlation {c}"
+
+    @staticmethod
+    def _ogg_page(payload, granule=0, seq=0, header_type=0):
+        import struct
+
+        nseg = (len(payload) + 254) // 255 or 1
+        segs = []
+        rem = len(payload)
+        for _ in range(nseg):
+            segs.append(min(rem, 255))
+            rem -= min(rem, 255)
+        return (b"OggS" + bytes([0, header_type])
+                + struct.pack("<q", granule) + struct.pack("<I", 1)
+                + struct.pack("<I", seq) + struct.pack("<I", 0)
+                + bytes([len(segs)]) + bytes(segs) + payload)
+
+    def test_ogg_opus_metadata(self):
+        import struct
+
+        from datamancer_spark.operators.multimodal import ogg_metadata
+
+        opushead = (b"OpusHead" + bytes([1, 2])
+                    + struct.pack("<H", 312)        # pre-skip
+                    + struct.pack("<I", 48000) + b"\x00\x00\x00")
+        blob = (self._ogg_page(opushead, granule=0, seq=0, header_type=2)
+                + self._ogg_page(b"\x00" * 10, granule=48000 * 3 + 312,
+                                 seq=1, header_type=4))
+        got = ogg_metadata(blob)
+        assert got == ("opus", 48000, 2, 3.0)
+
+    def test_ogg_vorbis_metadata(self):
+        import struct
+
+        from datamancer_spark.operators.multimodal import ogg_metadata
+
+        vid = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+               + struct.pack("<I", 22050) + b"\x00" * 16)
+        blob = (self._ogg_page(vid, granule=0, header_type=2)
+                + self._ogg_page(b"\x00" * 4, granule=44100, seq=1,
+                                 header_type=4))
+        got = ogg_metadata(blob)
+        assert got == ("vorbis", 22050, 1, 2.0)
+
+    def test_mp3_header_info(self):
+        from datamancer_spark.operators.multimodal import mp3_header_info
+
+        # MPEG-1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), stereo
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00])
+        audio = frame + b"\x00" * (16000 - 4)  # 16 kB of "audio"
+        id3 = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 10]) + b"\x00" * 10
+        got = mp3_header_info(id3 + audio)
+        assert got is not None
+        rate, ch, br, dur = got
+        assert (rate, ch, br) == (44100, 2, 128)
+        assert abs(dur - 16000 * 8 / 128000) < 1e-6
+        assert mp3_header_info(b"random junk bytes") is None
+
+    def test_audio_metadata_covers_ogg_and_mp3(self, spark):
+        import struct
+
+        from datamancer_spark.operators.multimodal import (
+            audio_container_metadata,
+        )
+
+        opushead = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
+                    + struct.pack("<I", 48000) + b"\x00\x00\x00")
+        ogg = (self._ogg_page(opushead, header_type=2)
+               + self._ogg_page(b"\x00", granule=96000, seq=1, header_type=4))
+        mp3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 3996
+        df = spark.createDataFrame(
+            [("a.opus", bytearray(ogg)), ("b.mp3", bytearray(mp3))],
+            "path string, content binary",
+        )
+        got = {r["path"]: r for r in audio_container_metadata(df).collect()}
+        assert got["a.opus"]["container"] == "ogg/opus"
+        assert got["a.opus"]["duration_s"] == 2.0
+        assert got["b.mp3"]["container"] == "mp3"
+        assert got["b.mp3"]["sample_rate"] == 44100
