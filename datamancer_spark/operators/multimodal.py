@@ -1520,9 +1520,99 @@ def mp4_metadata_blob(blob: bytes):
     return (brand, duration, width, height)
 
 
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """EBML variable-length integer at ``pos``: returns (value, n_bytes)
+    or None. Element IDs keep the length-marker bit; sizes strip it."""
+    if pos >= len(data):
+        return None
+    first = data[pos]
+    if first == 0:
+        return None
+    n = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        n += 1
+    if pos + n > len(data):
+        return None
+    v = first if keep_marker else (first & (mask - 1))
+    for i in range(1, n):
+        v = (v << 8) | data[pos + i]
+    return (v, n)
+
+
+def webm_metadata(blob: bytes):
+    """WebM/Matroska metadata — pure stdlib EBML walk, no media
+    library: duration from Segment→Info (Duration float ×
+    TimecodeScale), video dimensions from Segment→Tracks→TrackEntry→
+    Video (PixelWidth/PixelHeight). Returns
+    ``(duration_s|None, width|None, height|None)`` or ``None`` for
+    non-EBML input. Frame DECODE (VP8/VP9/AV1) genuinely needs a
+    codec — this is the filter-before-decode metadata tier."""
+    import struct
+
+    if len(blob) < 8 or blob[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+
+    def walk(pos, end, targets, depth=0):
+        """Yield (element_id, body_start, body_end) for targets at this
+        level; recurse into container ids listed in ``targets`` dicts."""
+        while pos < end:
+            eid = _ebml_vint(blob, pos, True)
+            if eid is None:
+                return
+            esz = _ebml_vint(blob, pos + eid[1], False)
+            if esz is None:
+                return
+            body = pos + eid[1] + esz[1]
+            bend = min(body + esz[0], end)
+            yield (eid[0], body, bend)
+            pos = bend
+
+    duration = width = height = None
+    tscale = 1_000_000  # Matroska default: ns per timecode unit
+    try:
+        # skip the EBML header element, find Segment (0x18538067)
+        seg = None
+        for eid, b, e in walk(0, len(blob), None):
+            if eid == 0x18538067:
+                seg = (b, e)
+                break
+        if seg is None:
+            return None
+        for eid, b, e in walk(seg[0], seg[1], None):
+            if eid == 0x1549A966:  # Info
+                raw_dur = None
+                for eid2, b2, e2 in walk(b, e, None):
+                    if eid2 == 0x2AD7B1:  # TimecodeScale (uint)
+                        tscale = int.from_bytes(blob[b2:e2], "big") or tscale
+                    elif eid2 == 0x4489:  # Duration (float 4/8 bytes)
+                        if e2 - b2 == 4:
+                            raw_dur = struct.unpack(">f", blob[b2:e2])[0]
+                        elif e2 - b2 == 8:
+                            raw_dur = struct.unpack(">d", blob[b2:e2])[0]
+                if raw_dur is not None:
+                    duration = round(raw_dur * tscale / 1e9, 6)
+            elif eid == 0x1654AE6B and width is None:  # Tracks
+                for eid2, b2, e2 in walk(b, e, None):
+                    if eid2 != 0xAE:  # TrackEntry
+                        continue
+                    for eid3, b3, e3 in walk(b2, e2, None):
+                        if eid3 == 0xE0:  # Video
+                            for eid4, b4, e4 in walk(b3, e3, None):
+                                if eid4 == 0xB0:
+                                    width = int.from_bytes(blob[b4:e4], "big")
+                                elif eid4 == 0xBA:
+                                    height = int.from_bytes(blob[b4:e4], "big")
+    except Exception:
+        return None
+    return (duration, width, height)
+
+
 def video_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:
     """Per-clip container metadata for video curation: MP4/MOV via the
-    stdlib ISO-BMFF walk (``mp4_metadata_blob``), AVI via its canonical
+    stdlib ISO-BMFF walk (``mp4_metadata_blob``), WebM/Matroska via the
+    EBML walk (``webm_metadata``), AVI via its canonical
     RIFF header (frame count dims from ``avih``). Lets a 100 TB media
     pipeline filter by resolution/duration next to the scan, BEFORE any
     decode attempt — metadata is a byte walk, decode is the expensive
@@ -1537,9 +1627,13 @@ def video_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:
                 blob = bytes(blob)
                 container = dur = w = h = None
                 meta = mp4_metadata_blob(blob)
+                wb = webm_metadata(blob) if meta is None else None
                 if meta is not None:
                     brand, dur, w, h = meta
                     container = f"mp4/{brand}"
+                elif wb is not None:
+                    dur, w, h = wb
+                    container = "webm"
                 elif blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
                     container = "avi"
                     # canonical avih: LIST hdrl at 12, avih body at 32

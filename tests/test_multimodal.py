@@ -1449,3 +1449,54 @@ class TestAudioContainerMetadata:
         assert got["a.opus"]["duration_s"] == 2.0
         assert got["b.mp3"]["container"] == "mp3"
         assert got["b.mp3"]["sample_rate"] == 44100
+
+
+class TestWebmMetadata:
+    """Hand-built to-spec EBML/Matroska structures."""
+
+    @staticmethod
+    def _el(eid_bytes, payload):
+        # 1-byte size marker form for sizes < 127
+        assert len(payload) < 127
+        return eid_bytes + bytes([0x80 | len(payload)]) + payload
+
+    @classmethod
+    def _webm(cls, dur_s=4.25, tscale=1_000_000, w=1280, h=720):
+        import struct
+
+        ebml_head = cls._el(b"\x1a\x45\xdf\xa3", b"\x00" * 4)
+        info = cls._el(
+            b"\x15\x49\xa9\x66",
+            cls._el(b"\x2a\xd7\xb1", tscale.to_bytes(4, "big"))
+            + cls._el(b"\x44\x89", struct.pack(">d", dur_s * 1e9 / tscale)),
+        )
+        video = cls._el(
+            b"\xe0",
+            cls._el(b"\xb0", w.to_bytes(2, "big"))
+            + cls._el(b"\xba", h.to_bytes(2, "big")),
+        )
+        tracks = cls._el(b"\x16\x54\xae\x6b", cls._el(b"\xae", video))
+        segment = cls._el(b"\x18\x53\x80\x67", info + tracks)
+        return ebml_head + segment
+
+    def test_webm_metadata(self):
+        from datamancer_spark.operators.multimodal import webm_metadata
+
+        got = webm_metadata(self._webm())
+        assert got is not None
+        dur, w, h = got
+        assert abs(dur - 4.25) < 1e-6
+        assert (w, h) == (1280, 720)
+        assert webm_metadata(b"not ebml") is None
+
+    def test_video_metadata_covers_webm(self, spark):
+        from datamancer_spark.operators.multimodal import video_metadata
+
+        df = spark.createDataFrame(
+            [("v.webm", bytearray(self._webm(dur_s=2.0, w=640, h=480)))],
+            "path string, content binary",
+        )
+        r = video_metadata(df).collect()[0]
+        assert r["container"] == "webm"
+        assert abs(r["duration_s"] - 2.0) < 1e-6
+        assert (r["width"], r["height"]) == (640, 480)
