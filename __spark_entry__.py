@@ -2094,48 +2094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
         "train_test_split": train_test_split,
-        # -- first driver check: every query with ZERO recorded
-        # -- driver-green rounds (r5 additions + the r5 canonicalizer
-        # -- red, reshaped + the r6 dhash pair join) (21)
-        "text_hash_embedding": text_hash_embedding,
-        "duplicate_spans": duplicate_spans,
-        "q7_nation_volume": q7_nation_volume,
-        "q13_order_count_dist": q13_order_count_dist,
-        "q15_top_supplier": q15_top_supplier,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q22_dormant_customers": q22_dormant_customers,
-        "zipf_corpus_fit": zipf_corpus_fit,
-        "gopher_rule_filter": gopher_rule_filter,
-        "dedup_keep_best": dedup_keep_best,
-        "lineitem_corr_matrix": lineitem_corr_matrix,
-        "lineitem_describe": lineitem_describe,
-        "event_transitions": event_transitions,
-        "remove_dup_spans": remove_dup_spans,
-        "data_quality_checks": data_quality_checks,
-        "pipeline_curate_v2": pipeline_curate_v2,
-        "event_interarrival": event_interarrival,
-        "ab_conversion_report": ab_conversion_report,
-        "tfidf_similar_docs": tfidf_similar_docs,
-        "price_quantity_trend": price_quantity_trend,
-        "image_dhash_pairs": image_dhash_pairs,
-        # -- second driver check: r4-once-green queries accruing their
-        # -- 2nd round (stalest proof first) (13)
-        "tail_sorted": tail_sorted,
-        "slice_rows": slice_rows,
-        "distinct_proj": distinct_proj,
-        "cube_status": cube_status,
-        "set_diff": set_diff_q,
-        "intersect": intersect_q,
-        "window_rank": window_rank,
-        "events_hourly": events_hourly,
-        "argmax_per_user": argmax_per_user,
-        "rolling_mean": rolling_mean,
-        "window_distribution": window_distribution,
-        "json_extract_props": json_extract_props,
-        "date_parts": date_parts,
-        # ---- past the driver's 50-entry window. Next rotation queue:
-        # ---- displaced by the r6 dhash query, then r5-once-green
-        # ---- queries waiting for their 2nd round
+        # -- r7 rotation, stalest single proof first: the r1-proven
+        # -- straggler, then the 16 r5-once-green waiting since r5 (34
+        # -- non-north-star slots total; the 13 r4-2x-proven queries
+        # -- rotated out per VERDICT r6 #1)
         "regex_extract_doc": regex_extract_doc,
         "dedup_incremental": dedup_incremental,
         "q4_late_shipping": q4_late_shipping,
@@ -2153,7 +2115,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_events_rollup": salted_events_rollup,
         "dedup_semantic_text": dedup_semantic_text,
         "approx_distinct": approx_distinct,
+        # -- 17 of the 21 r6-once-green accruing their 2nd round (the
+        # -- remaining 4 are the documented r8 tail, first in the
+        # -- outside queue below)
+        "text_hash_embedding": text_hash_embedding,
+        "duplicate_spans": duplicate_spans,
+        "q7_nation_volume": q7_nation_volume,
+        "q13_order_count_dist": q13_order_count_dist,
+        "q15_top_supplier": q15_top_supplier,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_dormant_customers": q22_dormant_customers,
+        "zipf_corpus_fit": zipf_corpus_fit,
+        "gopher_rule_filter": gopher_rule_filter,
+        "dedup_keep_best": dedup_keep_best,
+        "lineitem_corr_matrix": lineitem_corr_matrix,
+        "lineitem_describe": lineitem_describe,
+        "event_transitions": event_transitions,
+        "remove_dup_spans": remove_dup_spans,
+        "data_quality_checks": data_quality_checks,
+        "pipeline_curate_v2": pipeline_curate_v2,
+        "event_interarrival": event_interarrival,
+        # ---- past the driver's 50-entry window. r8 tail first: the 4
+        # ---- once-green queries that did not fit (38 once-green into
+        # ---- 34 non-north-star slots)
+        "ab_conversion_report": ab_conversion_report,
+        "tfidf_similar_docs": tfidf_similar_docs,
+        "price_quantity_trend": price_quantity_trend,
+        "image_dhash_pairs": image_dhash_pairs,
         # ---- >= 2-round driver-green; all stay in the local harness
+        # ---- (incl. the 13 r4-set queries re-proven in r6)
+        "tail_sorted": tail_sorted,
+        "slice_rows": slice_rows,
+        "distinct_proj": distinct_proj,
+        "cube_status": cube_status,
+        "set_diff": set_diff_q,
+        "intersect": intersect_q,
+        "window_rank": window_rank,
+        "events_hourly": events_hourly,
+        "argmax_per_user": argmax_per_user,
+        "rolling_mean": rolling_mean,
+        "window_distribution": window_distribution,
+        "json_extract_props": json_extract_props,
+        "date_parts": date_parts,
         "purchase_followup_views": purchase_followup_views,
         "classifier_score": classifier_score,
         "cap_per_source": cap_per_source,
