@@ -184,8 +184,16 @@ def _decode(blob: bytes):
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             return None
+        # legal 0xFF fill bytes may pad between segments (B.1.1.2):
+        # skip the run so the marker byte is the first non-0xFF
+        while blob[pos + 1] == 0xFF and pos + 4 <= len(blob):
+            pos += 1
         marker = blob[pos + 1]
         if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers, no length field
             pos += 2
             continue
         if marker == 0xD9:  # EOI before scan

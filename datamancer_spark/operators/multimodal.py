@@ -1412,17 +1412,29 @@ def dhash_band_index(
     id_col: str = "path",
     bands: int = 4,
 ) -> DataFrame:
-    """The PERSISTABLE side of streaming perceptual image dedup: the
-    distinct (band, val) 16-bit block buckets occupied by the corpus's
-    dHash signatures — the media analog of ``minhash_band_index``.
-    Write it as the media index; ``streaming.streaming_media_screen``
-    probes incoming blobs against it statelessly, and compaction
-    refreshes it with ``image_dhash`` over the accumulated corpus."""
+    """The PERSISTABLE side of streaming perceptual image dedup: one row
+    per (band, val) 16-bit block bucket occupied by the corpus's dHash
+    signatures, carrying the DISTINCT full 64-bit signatures in that
+    bucket (``sigs``, sorted) — the media analog of
+    ``minhash_band_index``. The full signatures are load-bearing, not an
+    optimization: each band has only 65536 possible values, so bucket
+    membership alone saturates as the corpus grows (at ~65k distinct
+    signatures nearly every bucket is occupied and a membership-only
+    screen would drop nearly all NOVEL media); carrying the bucket's
+    signatures lets the probe verify true Hamming distance and stay
+    exact at any corpus size. Write it as the media index;
+    ``streaming.streaming_media_screen`` probes incoming blobs against
+    it statelessly, and compaction refreshes it with ``image_dhash``
+    over the accumulated corpus. Index size is bands x n_distinct_sigs
+    entries total across the arrays — per-bucket arrays grow ~linearly
+    past 65k distinct signatures; re-derive with wider bands (e.g.
+    bands=2, 32-bit buckets) before buckets get hot."""
     width = 64 // bands
     sigs = image_dhash(df, bin_col, id_col).filter(
         F.col("dhash").isNotNull()
     )
     banded = sigs.select(
+        F.col("dhash").alias("sig"),
         F.explode(
             F.array(
                 *[
@@ -1435,9 +1447,14 @@ def dhash_band_index(
                     for b in range(bands)
                 ]
             )
-        ).alias("bv")
+        ).alias("bv"),
     )
-    return banded.select("bv.band", "bv.val").distinct()
+    return (
+        banded.select("bv.band", "bv.val", "sig")
+        .distinct()
+        .groupBy("band", "val")
+        .agg(F.sort_array(F.collect_list("sig")).alias("sigs"))
+    )
 
 
 VIDEO_META_SCHEMA = StructType(
@@ -1728,7 +1745,9 @@ def mp3_header_info(blob: bytes):
                     audio_bytes = len(blob) - pos
                     dur = round(audio_bytes * 8 / (br * 1000), 6)
                     return (rate, channels, br, dur)
-            return None
+            # false sync (wrong version/layer or reserved bitrate/rate
+            # index) — 0xFFEx pairs occur in junk prefixes, so keep
+            # scanning the bounded window instead of aborting
         pos += 1
     return None
 
@@ -1765,10 +1784,24 @@ def ogg_metadata(blob: bytes):
         return None
     dur = None
     last = blob.rfind(b"OggS")
-    if last >= 0 and last + 14 <= len(blob) and granule_rate:
-        granule = struct.unpack("<q", blob[last + 6 : last + 14])[0]
-        if granule > 0:
-            dur = round(max(granule - pre_skip, 0) / granule_rate, 6)
+    while last >= 0 and granule_rate:
+        # the 4-byte capture pattern can legitimately occur INSIDE
+        # compressed packet payloads — validate the candidate as a real
+        # page header (version byte 0, plausible header-type flags,
+        # segment table in range) and scan backward past impostors
+        valid = (
+            last + 27 <= len(blob)
+            and blob[last + 4] == 0  # stream_structure_version
+            and blob[last + 5] <= 0x07  # only 3 defined flag bits
+            and last + 27 + blob[last + 26] <= len(blob)
+        )
+        if valid:
+            granule = struct.unpack("<q", blob[last + 6 : last + 14])[0]
+            if granule > 0:
+                dur = round(max(granule - pre_skip, 0) / granule_rate, 6)
+            if granule != -1:
+                break  # real final page; -1 = continuation, keep going
+        last = blob.rfind(b"OggS", 0, last)
     return (codec, rate, channels, dur)
 
 

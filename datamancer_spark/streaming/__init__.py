@@ -340,22 +340,37 @@ def streaming_media_screen(
     band_index: DataFrame,
     bin_col: str = "content",
     bands: int = 4,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Streaming perceptual-duplicate screen for media blobs against a
     PERSISTED image-dHash index (``multimodal.dhash_band_index``): drop
-    stream rows whose dHash shares any 16-bit band bucket with the
-    accumulated corpus — the media analog of ``streaming_fuzzy_screen``,
+    stream rows whose dHash is within ``max_hamming`` bits of an indexed
+    corpus signature — the media analog of ``streaming_fuzzy_screen``,
     same stateless split: the signature is one Arrow-batched SCALAR
     projection (``multimodal.dhash_scalar_udf``, column-preserving — a
     mapInPandas reshape would force a stateful stream-stream join back),
-    band extraction is bit arithmetic, and membership is ``bands``
+    band extraction is bit arithmetic, and the probe is ``bands``
     stream-static LEFT joins against the (re-broadcastable) bucket
-    tier. UNDECODABLE blobs (NULL signature) always SURVIVE — a screen
-    must never silently drop what it cannot read; route them to a
-    quarantine sink if needed. Exact Hamming verification belongs in
-    batch compaction (``multimodal.dhash_pairs``)."""
+    tier. A band-bucket match alone is NOT a drop: 16-bit buckets
+    saturate as the corpus grows (at ~65k distinct corpus signatures
+    per-band occupancy is ~63%, so membership-only screening would drop
+    nearly all NOVEL media at scale), and a dropped stream row can never
+    be recovered by a later batch stage — so each bucket hit is VERIFIED
+    in-plan against the bucket's full 64-bit signatures
+    (``bit_count(xor) <= max_hamming``, still stateless). The
+    ``max_hamming <= bands - 1`` pigeonhole guarantee of
+    ``dedup.hamming_band_pairs`` applies here too and is enforced.
+    UNDECODABLE blobs (NULL signature) always SURVIVE — a screen must
+    never silently drop what it cannot read; route them to a quarantine
+    sink if needed."""
     from ..operators.multimodal import dhash_scalar_udf
 
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"of bands={bands} (any signature within {bands - 1} bits "
+            f"shares at least one exact band); raise bands"
+        )
     width = 64 // bands
     out = stream.withColumn("_dh", dhash_scalar_udf()(F.col(bin_col)))
     for b in range(bands):
@@ -368,11 +383,26 @@ def streaming_media_screen(
     hit_cols = []
     for b in range(bands):
         static_b = band_index.filter(F.col("band") == b).select(
-            F.col("val").alias(f"_ib{b}"), F.lit(1).alias(f"_hit{b}")
+            F.col("val").alias(f"_ib{b}"), F.col("sigs").alias(f"_sigs{b}")
         )
-        out = out.join(
-            static_b, out[f"_bv{b}"] == static_b[f"_ib{b}"], "left"
-        ).drop(f"_ib{b}")
+        out = (
+            out.join(static_b, out[f"_bv{b}"] == static_b[f"_ib{b}"], "left")
+            .drop(f"_ib{b}")
+            .withColumn(
+                f"_hit{b}",
+                F.when(
+                    F.exists(
+                        F.col(f"_sigs{b}"),
+                        lambda s: F.bit_count(
+                            F.col("_dh").bitwiseXOR(s)
+                        )
+                        <= F.lit(max_hamming),
+                    ),
+                    F.lit(1),
+                ),
+            )
+            .drop(f"_sigs{b}")
+        )
         hit_cols.append(f"_hit{b}")
     survivors = out.filter(
         F.col("_dh").isNull()

@@ -506,3 +506,25 @@ def test_jpeg_dims_walker_agrees_with_decoder(spark):
         assert decoded is not None
         w, h, _, _ = decoded
         assert walked[p] == (w, h) == (shape[1], shape[0]), p
+
+
+def test_marker_walk_tolerates_fill_bytes_and_stray_rst():
+    """Legal 0xFF fill-byte padding between segments (B.1.1.2) and
+    stray standalone TEM/RSTn markers before SOS must not make a valid
+    baseline JPEG undecodable (r6 advice)."""
+    from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+    img = np.full((16, 24), 130, dtype=np.uint8)
+    blob = encode_jpeg(img, quality=90)
+    base = jpeg_decode_array(blob)
+    assert base is not None
+
+    # pad the first DHT marker with a fill run, and drop a TEM + RST5
+    # standalone pair plus more fill right before SOS
+    padded = blob.replace(b"\xff\xc4", b"\xff\xff\xff\xc4", 1)
+    padded = padded.replace(b"\xff\xda", b"\xff\x01\xff\xd5\xff\xff\xff\xda", 1)
+    assert len(padded) == len(blob) + 8
+    got = jpeg_decode_array(padded)
+    assert got is not None
+    assert got[:3] == base[:3]
+    assert np.array_equal(got[3], base[3])

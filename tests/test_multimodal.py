@@ -1428,6 +1428,45 @@ class TestAudioContainerMetadata:
         assert abs(dur - 16000 * 8 / 128000) < 1e-6
         assert mp3_header_info(b"random junk bytes") is None
 
+    def test_mp3_survives_false_sync_in_junk_prefix(self):
+        """A 0xFFEx byte pair that fails frame validation (reserved
+        bitrate index / wrong layer) must not abort the bounded scan —
+        the real frame later in the window is still found."""
+        from datamancer_spark.operators.multimodal import mp3_header_info
+
+        real = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (16000 - 4)
+        # 0xFF 0xEA = MPEG-2 Layer II (fails the v1/L3 gate);
+        # 0xFF 0xFB 0xF0 = valid version/layer but reserved bitrate 0xF
+        junk = b"garbage\xff\xeaxx more \xff\xfb\xf0\x00 junk "
+        got = mp3_header_info(junk + real)
+        assert got is not None
+        rate, ch, br, _dur = got
+        assert (rate, ch, br) == (44100, 2, 128)
+
+    def test_ogg_duration_ignores_payload_oggs_impostor(self):
+        """'OggS' occurring INSIDE a compressed packet payload after
+        the real last page must not hijack the duration: the impostor
+        fails page-header validation (version/flags/segment table) and
+        the walk falls back to the real final page."""
+        import struct
+
+        from datamancer_spark.operators.multimodal import ogg_metadata
+
+        opushead = (b"OpusHead" + bytes([1, 2])
+                    + struct.pack("<H", 312)
+                    + struct.pack("<I", 48000) + b"\x00\x00\x00")
+        # payload of the final page contains a fake capture pattern with
+        # garbage where granule/version/flags would be
+        tail_payload = b"\x00" * 3 + b"OggS\xff\x51\x88\x99" + b"\xee" * 9
+        blob = (self._ogg_page(opushead, granule=0, seq=0, header_type=2)
+                + self._ogg_page(tail_payload, granule=48000 * 5 + 312,
+                                 seq=1, header_type=4))
+        # the impostor is BEHIND the real page header in the byte stream,
+        # so rfind hits it first
+        assert blob.rfind(b"OggS") > blob.rfind(b"OggS", 0, blob.rfind(b"OggS"))
+        got = ogg_metadata(blob)
+        assert got == ("opus", 48000, 2, 5.0)
+
     def test_audio_metadata_covers_ogg_and_mp3(self, spark):
         import struct
 

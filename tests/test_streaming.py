@@ -434,6 +434,7 @@ def test_streaming_media_screen(spark, tmp_path):
         "path string, content binary",
     )
     index = dhash_band_index(corpus)
+    assert set(index.columns) == {"band", "val", "sigs"}
 
     d = str(tmp_path / "media_in")
     incoming = spark.createDataFrame(
@@ -461,3 +462,90 @@ def test_streaming_media_screen(spark, tmp_path):
     finally:
         q.stop()
     assert survivors == {"new", "bad"}
+
+
+def test_streaming_media_screen_verifies_hamming(spark, tmp_path):
+    """The r6-advice saturation scenario: 16-bit band buckets fill up as
+    the corpus grows, so a bucket COLLISION alone must not drop a stream
+    row — only a verified bit_count(xor) <= max_hamming against the
+    bucket's full 64-bit signatures may. Here the index is seeded with a
+    signature that shares band 0 with the incoming image but differs by
+    ~32 bits overall: membership-only screening would drop the row; the
+    verified screen keeps it. A second index row holds a true 2-bit
+    neighbor, which is dropped."""
+    import numpy as np
+
+    from datamancer_spark.operators.multimodal import image_dhash
+    from datamancer_spark.streaming import streaming_media_screen
+    from tests.test_multimodal import _encode_png
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    blob = bytearray(_encode_png(img, 0, [0]))
+    frame = spark.createDataFrame(
+        [("probe", blob)], "path string, content binary"
+    )
+    [row] = image_dhash(frame).collect()
+    sig = row["dhash"]
+
+    def to_signed(x):
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    u = sig % (1 << 64)
+    # shares band 0 (low 16 bits) exactly; upper 48 bits inverted
+    far = to_signed(u ^ 0xFFFFFFFFFFFF0000)
+    near = to_signed(u ^ (0b101 << 20))  # 2 bits flipped, in band 1
+
+    def bucket(s, b):
+        return ((s % (1 << 64)) >> (b * 16)) & 0xFFFF
+
+    index = spark.createDataFrame(
+        [
+            (0, bucket(far, 0), [far]),
+            # indexed under band 2, where near agrees with sig (its
+            # flipped bits live in band 1)
+            (2, bucket(near, 2), [near]),
+        ],
+        "band int, val bigint, sigs array<bigint>",
+    )
+    assert bucket(far, 0) == bucket(sig, 0)  # genuine band-0 collision
+
+    d = str(tmp_path / "media_ham")
+    frame.write.parquet(d)
+    stream = spark.readStream.schema(frame.schema).parquet(d)
+
+    # far-only index: bucket hit but Hamming 48 -> row must SURVIVE
+    far_only = index.filter(index.band == 0)
+    out = streaming_media_screen(stream, far_only)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ham_far")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        far_rows = spark.sql("SELECT path FROM ham_far").collect()
+    finally:
+        q.stop()
+    assert {r["path"] for r in far_rows} == {"probe"}
+
+    # full index: the true 2-bit neighbor verifies -> row dropped
+    out2 = streaming_media_screen(stream, index)
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("ham_near")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        near_rows = spark.sql("SELECT path FROM ham_near").collect()
+    finally:
+        q2.stop()
+    assert near_rows == []
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        streaming_media_screen(stream, index, max_hamming=4)
