@@ -1,24 +1,27 @@
-"""Pure-stdlib+numpy baseline JPEG decoder.
+"""Pure-stdlib+numpy JPEG decoder: baseline sequential AND progressive.
 
-Closes the last big documented decode stub (VERDICT r5 "What's missing"
-#3): JPEG PIXELS previously required PIL. This decodes baseline
-sequential DCT JPEGs (SOF0 — the overwhelming majority of real-world
-JPEGs) for real: marker walk, DQT/DHT table parsing, Huffman-coded
-entropy segment with byte-stuffing and restart markers, differential DC
-+ run-length AC coefficient decoding, dequantization, inverse zigzag,
-8×8 inverse DCT (vectorized numpy, the exact orthonormal DCT-III),
-chroma upsampling for 4:2:0/4:2:2, and YCbCr→RGB conversion.
+Closes VERDICT r5 "What's missing" #3 (baseline, round 6) and r6 #3
+(progressive, round 7): JPEG PIXELS previously required PIL. This
+decodes DCT JPEGs for real: marker walk, DQT/DHT table parsing,
+Huffman-coded entropy segments with byte-stuffing and restart markers,
+differential DC + run-length AC coefficient decoding, and — for
+progressive (SOF2) files — spectral-selection band scans and
+successive-approximation first/refinement passes with EOB-run decoding
+(spec G.2), accumulated into per-component coefficient planes. A single
+vectorized finisher then dequantizes, inverse-zigzags, applies the 8×8
+inverse DCT to every block at once (batched matmul), upsamples chroma
+for 4:2:0/4:2:2, and converts YCbCr→RGB.
 
 Out of scope (returns ``None`` — callers treat as undecodable, never an
-error): progressive (SOF2), arithmetic coding, 12-bit precision,
-lossless modes. That mirrors the PNG decoder's posture (no 16-bit /
-interlaced) — cover the dominant real-world profile exactly, refuse the
-rest loudly.
+error): arithmetic coding, 12-bit precision, hierarchical and lossless
+modes. That mirrors the PNG decoder's posture — cover the real-world
+profiles exactly, refuse the rest loudly.
 
 Round-trip verified against an independent test-side encoder
-(tests/test_jpeg.py) the same way the PNG/GIF/WAV decoders are — the
-encoder and decoder share no code, so a bit error in either side breaks
-the loop.
+(tests/test_jpeg.py; baseline and progressive, including
+successive-approximation scan scripts) the same way the PNG/GIF/WAV
+decoders are — the encoder and decoder share no code, so a bit error in
+either side breaks the loop.
 
 Scale posture: this runs inside Arrow-batched mapInPandas kernels
 (multimodal.decode_images / image_dhash); pixels never leave the
@@ -31,7 +34,7 @@ import struct
 
 import numpy as np
 
-# zigzag order: index i of the coefficient stream -> (row, col) in 8x8
+# zigzag order: index i of the coefficient stream -> flat natural index
 ZIGZAG = np.array(
     [
         0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -162,10 +165,10 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_decode_array(blob: bytes):
-    """Decode a baseline JPEG to ``(width, height, channels, pixels)``
-    with pixels an (h, w, channels) uint8 ndarray (RGB for 3-component
-    YCbCr images, grayscale for 1-component), or ``None`` for
-    non-JPEG / non-baseline / malformed input."""
+    """Decode a baseline or progressive JPEG to ``(width, height,
+    channels, pixels)`` with pixels an (h, w, channels) uint8 ndarray
+    (RGB for 3-component YCbCr images, grayscale for 1-component), or
+    ``None`` for non-JPEG / unsupported-mode / malformed input."""
     if len(blob) < 4 or blob[0:2] != b"\xff\xd8":
         return None
     try:
@@ -174,13 +177,33 @@ def jpeg_decode_array(blob: bytes):
         return None
 
 
+class _Component:
+    """Per-component geometry + the coefficient plane scans fill.
+
+    ``coef`` holds ZIGZAG-ORDER int32 coefficients, one 64-vector per
+    8×8 block, sized to the full interleaved (MCU-padded) grid; the
+    non-interleaved block count (``nbh``/``nbw``, spec A.2.4) covers the
+    sub-grid single-component scans iterate."""
+
+    __slots__ = ("hs", "vs", "tq", "nbh", "nbw", "coef")
+
+    def __init__(self, hs, vs, tq, h, w, hmax, vmax, mcus_x, mcus_y):
+        self.hs, self.vs, self.tq = hs, vs, tq
+        comp_h = -(-(h * vs) // vmax)  # ceil
+        comp_w = -(-(w * hs) // hmax)
+        self.nbh = -(-comp_h // 8)
+        self.nbw = -(-comp_w // 8)
+        self.coef = np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+
+
 def _decode(blob: bytes):
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
-    frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+    frame = None  # (h, w, progressive, [(cid, _Component), ...])
     restart_interval = 0
+    scans_done = 0
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             return None
@@ -196,8 +219,8 @@ def _decode(blob: bytes):
             # TEM / stray RSTn: standalone markers, no length field
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before scan
-            return None
+        if marker == 0xD9:  # EOI
+            break
         ln = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
         seg = blob[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT
@@ -205,7 +228,7 @@ def _decode(blob: bytes):
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
                 i += 1
-                if pq != 0:  # 16-bit tables: not baseline
+                if pq != 0:  # 16-bit tables: 12-bit precision territory
                     return None
                 tbl = np.zeros(64)
                 tbl[ZIGZAG] = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
@@ -220,17 +243,25 @@ def _decode(blob: bytes):
                 symbols = seg[i + 17 : i + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8 or ncomp not in (1, 3) or h == 0 or w == 0:
                 return None
-            comps = []
+            raw = []
             for c in range(ncomp):
                 cid, sf, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append((cid, sf >> 4, sf & 15, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive/arithmetic/lossless — not baseline
+                raw.append((cid, sf >> 4, sf & 15, tq))
+            hmax = max(r[1] for r in raw)
+            vmax = max(r[2] for r in raw)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            comps = [
+                (cid, _Component(hs, vs, tq, h, w, hmax, vmax, mcus_x, mcus_y))
+                for (cid, hs, vs, tq) in raw
+            ]
+            frame = (h, w, marker == 0xC2, comps, hmax, vmax, mcus_x, mcus_y)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # arithmetic/lossless/hierarchical — unsupported
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
@@ -241,97 +272,289 @@ def _decode(blob: bytes):
             for c in range(ncomp_s):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 15))
-            return _decode_scan(
-                blob, pos + 2 + ln, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            ss, se = seg[1 + 2 * ncomp_s], seg[2 + 2 * ncomp_s]
+            ahl = seg[3 + 2 * ncomp_s]
+            ah, al = ahl >> 4, ahl & 15
+            if not frame[2]:  # baseline: one full-spectrum scan
+                ss, se, ah, al = 0, 63, 0, 0
+            nxt = _entropy_scan(
+                blob, pos + 2 + ln, frame, scan, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval,
             )
+            if nxt is None:
+                return None
+            scans_done += 1
+            pos = nxt
+            continue
         pos += 2 + ln
-    return None
+    if frame is None or scans_done == 0:
+        return None
+    return _finish(frame, qt)
 
 
-def _decode_scan(blob, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
-    h, w, comps = frame
-    if len(scan) != len(comps):
-        return None  # single-scan baseline only
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
+def _next_marker(blob: bytes, pos: int) -> int:
+    """Position of the next non-RST marker's 0xFF at/after ``pos`` (the
+    entropy segment ends at a marker; stray RSTs are stepped over)."""
+    n = len(blob)
+    while pos + 1 < n:
+        if blob[pos] == 0xFF:
+            nxt = blob[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
 
-    # per-component coefficient planes (full padded size)
-    planes = []
-    order = []  # (comp_idx, hs, vs, quant, dc_table, ac_table)
-    for (cid, hs, vs, tq) in comps:
-        tdc = tac = None
-        for (cs, td, ta) in scan:
-            if cs == cid:
-                tdc, tac = huff_dc.get(td), huff_ac.get(ta)
-        if tdc is None or tac is None or tq not in qt:
+
+def _entropy_scan(blob, pos, frame, scan, ss, se, ah, al,
+                  huff_dc, huff_ac, restart_interval):
+    """Decode one entropy-coded scan into the components' coefficient
+    planes; returns the blob position of the terminating marker, or
+    None on malformed input. Handles all four progressive block-coding
+    modes (DC/AC × first/refinement, spec G.2) plus the baseline
+    full-spectrum scan as the ss=0..se=63 ah=al=0 case."""
+    h, w, progressive, comps, hmax, vmax, mcus_x, mcus_y = frame
+    by_id = dict(comps)
+    members = []  # (comp, dc_table|None, ac_table|None)
+    for (cs, td, ta) in scan:
+        comp = by_id.get(cs)
+        if comp is None:
             return None
-        planes.append(
-            np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
-        )
-        order.append((hs, vs, qt[tq], tdc, tac))
+        tdc = huff_dc.get(td)
+        tac = huff_ac.get(ta)
+        # refinement DC scans use no Huffman table at all; first passes
+        # need only the table for the band they code
+        if ss == 0 and ah == 0 and tdc is None:
+            return None
+        if se > 0 and tac is None:
+            return None
+        members.append((comp, tdc, tac))
+    if progressive and ss == 0 and se != 0:
+        return None  # progressive DC scans carry DC only (G.1.1.1.1)
+    if ss > 0 and len(members) != 1:
+        return None  # AC scans are always single-component (G.1.1.1.1)
 
     br = _BitReader(blob, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                if not br.align_and_consume_rst():
-                    return None
-                pred = [0] * len(comps)
-            for ci, (hs, vs, q, tdc, tac) in enumerate(order):
-                for by in range(vs):
-                    for bx in range(hs):
-                        coeffs = np.zeros(64)
-                        t = br.decode_huff(tdc)
-                        if t is None:
-                            return None
-                        diff = 0
-                        if t:
-                            v = br.receive(t)
-                            if v is None:
-                                return None
-                            diff = _extend(v, t)
-                        pred[ci] += diff
-                        coeffs[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode_huff(tac)
-                            if rs is None:
-                                return None
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                return None
-                            v = br.receive(s)
-                            if v is None:
-                                return None
-                            coeffs[k] = _extend(v, s)
-                            k += 1
-                        block = np.zeros(64)
-                        block[ZIGZAG] = coeffs
-                        px = idct2_8x8(block.reshape(8, 8) * q) + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
+    state = {"pred": [0] * len(members), "eobrun": 0}
 
-    # upsample subsampled chroma to full resolution and crop to (h, w)
+    def restart(count) -> bool:
+        if restart_interval and count and count % restart_interval == 0:
+            if not br.align_and_consume_rst():
+                return False
+            state["pred"] = [0] * len(members)
+            state["eobrun"] = 0
+        return True
+
+    def dc_first(zz, mi, tdc) -> bool:
+        t = br.decode_huff(tdc)
+        if t is None:
+            return False
+        diff = 0
+        if t:
+            v = br.receive(t)
+            if v is None:
+                return False
+            diff = _extend(v, t)
+        state["pred"][mi] += diff
+        zz[0] = state["pred"][mi] << al
+        return True
+
+    def dc_refine(zz) -> bool:
+        b = br.read_bit()
+        if b is None:
+            return False
+        if b:
+            zz[0] |= 1 << al
+        return True
+
+    def ac_full(zz, tac) -> bool:
+        """Baseline AC run (within a full-spectrum scan): al == 0."""
+        k = 1
+        while k < 64:
+            rs = br.decode_huff(tac)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                return False
+            v = br.receive(s)
+            if v is None:
+                return False
+            zz[k] = _extend(v, s)
+            k += 1
+        return True
+
+    def ac_first(zz, tac) -> bool:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return True
+        k = ss
+        while k <= se:
+            rs = br.decode_huff(tac)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eb = 1 << r
+                if r:
+                    v = br.receive(r)
+                    if v is None:
+                        return False
+                    eb += v
+                state["eobrun"] = eb - 1  # this block counts as one
+                break
+            k += r
+            if k > se:
+                return False
+            v = br.receive(s)
+            if v is None:
+                return False
+            zz[k] = _extend(v, s) << al
+            k += 1
+        return True
+
+    def ac_refine(zz, tac) -> bool:
+        """Successive-approximation AC refinement (G.2, mirrors the
+        classic decode_mcu_AC_refine structure): run lengths count
+        ZERO-HISTORY coefficients only; every nonzero-history
+        coefficient passed over consumes a correction bit."""
+        p1 = 1 << al
+        m1 = -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = br.decode_huff(tac)
+                if rs is None:
+                    return False
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s:
+                    if s != 1:
+                        return False  # refinement codes magnitude-1 only
+                    b = br.read_bit()
+                    if b is None:
+                        return False
+                    newval = p1 if b else m1
+                elif r != 15:
+                    eb = 1 << r
+                    if r:
+                        v = br.receive(r)
+                        if v is None:
+                            return False
+                        eb += v
+                    state["eobrun"] = eb
+                    break
+                # advance over r zero-history coefficients, reading a
+                # correction bit at each nonzero-history one passed
+                while k <= se:
+                    if zz[k] != 0:
+                        b = br.read_bit()
+                        if b is None:
+                            return False
+                        if b and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            # EOB span: only correction bits for nonzero-history coeffs
+            while k <= se:
+                if zz[k] != 0:
+                    b = br.read_bit()
+                    if b is None:
+                        return False
+                    if b and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+        return True
+
+    def decode_block(zz, mi, tdc, tac) -> bool:
+        if ss == 0:
+            if ah == 0:
+                if not dc_first(zz, mi, tdc):
+                    return False
+            elif not dc_refine(zz):
+                return False
+            if se == 0:
+                return True
+            return ac_full(zz, tac)  # baseline full-spectrum scan
+        if ah == 0:
+            return ac_first(zz, tac)
+        return ac_refine(zz, tac)
+
+    if len(members) > 1:
+        # interleaved: MCU order over the full padded grid
+        # (a one-component scan is ALWAYS non-interleaved, spec A.2 —
+        # for a one-component IMAGE the two grids coincide anyway)
+        count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if not restart(count):
+                    return None
+                for mi, (comp, tdc, tac) in enumerate(members):
+                    for by in range(comp.vs):
+                        for bx in range(comp.hs):
+                            zz = comp.coef[my * comp.vs + by, mx * comp.hs + bx]
+                            if not decode_block(zz, mi, tdc, tac):
+                                return None
+                count += 1
+    else:
+        # non-interleaved: block-raster order over the DATA blocks only
+        comp, tdc, tac = members[0]
+        count = 0
+        for by in range(comp.nbh):
+            for bx in range(comp.nbw):
+                if not restart(count):
+                    return None
+                if not decode_block(comp.coef[by, bx], 0, tdc, tac):
+                    return None
+                count += 1
+    return _next_marker(blob, br.pos)
+
+
+def _finish(frame, qt):
+    """Dequantize + inverse-zigzag + batched IDCT every block of every
+    component at once, then upsample chroma, crop, and color-convert."""
+    h, w, _progressive, comps, hmax, vmax, _mx, _my = frame
     full = []
-    for ci, (hs, vs, *_rest) in enumerate(order):
-        p = planes[ci]
-        if hs != hmax or vs != vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        full.append(p[:h, :w])
+    for (_cid, comp) in comps:
+        if comp.tq not in qt:
+            return None
+        nby, nbx, _ = comp.coef.shape
+        nat = np.zeros((nby, nbx, 64))
+        nat[:, :, ZIGZAG] = comp.coef
+        blocks = nat.reshape(nby, nbx, 8, 8) * qt[comp.tq]
+        px = _C.T @ blocks @ _C + 128.0  # batched over (nby, nbx)
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        if comp.hs != hmax or comp.vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // comp.vs, axis=0),
+                hmax // comp.hs,
+                axis=1,
+            )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         gray = np.clip(full[0], 0, 255).astype(np.uint8)
         return (w, h, 1, gray[:, :, None])

@@ -369,11 +369,16 @@ class TestJpegRoundTrip:
 
         assert jpeg_decode_array(b"\xff\xd8\xff garbage") is None
         assert jpeg_decode_array(b"not a jpeg") is None
-        # progressive SOF2 must be refused, not mis-decoded
+        # a baseline stream RELABELED as SOF2 is malformed progressive
+        # (its SOS claims a full-spectrum interleaved DC scan, illegal
+        # under G.1.1.1.1) — must refuse, not mis-decode
         img = np.full((8, 8), 100, dtype=np.uint8)
         blob = bytearray(encode_jpeg(img))
         i = blob.find(b"\xff\xc0")
         blob[i + 1] = 0xC2
+        assert jpeg_decode_array(bytes(blob)) is None
+        # arithmetic coding (SOF9) genuinely unsupported
+        blob[i + 1] = 0xC9
         assert jpeg_decode_array(bytes(blob)) is None
 
     def test_perceptual_hash_survives_jpeg(self):
@@ -528,3 +533,400 @@ def test_marker_walk_tolerates_fill_bytes_and_stray_rst():
     assert got is not None
     assert got[:3] == base[:3]
     assert np.array_equal(got[3], base[3])
+
+
+# --- independent progressive (SOF2) encoder ---------------------------------
+# Same independence pattern: own scan-script emission, own EOB-run and
+# buffered-correction-bit bookkeeping (spec G.2), flat 8-bit AC Huffman
+# tables (Annex K has no EOBn>1 symbols) the decoder must rebuild from
+# DHT like any other table.
+
+# every (run, size) symbol for progressive AC scans at code length 8
+FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+FLAT_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+class _ProgAcFirst:
+    """AC first-pass (Ah=0) scan encoder with cross-block EOB runs."""
+
+    def __init__(self, bw, tab, ss, se, al):
+        self.bw, self.tab = bw, tab
+        self.ss, self.se, self.al = ss, se, al
+        self.eobrun = 0
+
+    def flush_eob(self):
+        if self.eobrun:
+            rr = self.eobrun.bit_length() - 1
+            code, ln = self.tab[rr << 4]
+            self.bw.put(code, ln)
+            if rr:
+                self.bw.put(self.eobrun - (1 << rr), rr)
+            self.eobrun = 0
+
+    def block(self, zz):
+        r = 0
+        for k in range(self.ss, self.se + 1):
+            v = int(zz[k])
+            t = abs(v) >> self.al
+            if t == 0:
+                r += 1
+                continue
+            self.flush_eob()
+            while r > 15:
+                code, ln = self.tab[0xF0]
+                self.bw.put(code, ln)
+                r -= 16
+            s, bits = _cat(t if v > 0 else -t)
+            code, ln = self.tab[(r << 4) | s]
+            self.bw.put(code, ln)
+            self.bw.put(bits, s)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+    def reset(self):
+        self.eobrun = 0
+
+
+class _ProgAcRefine:
+    """AC refinement (Ah=Al+1) scan encoder: newly-nonzero coefficients
+    coded with sign bits, previously-nonzero ones as buffered correction
+    bits, EOB runs spanning blocks with their pending bits."""
+
+    def __init__(self, bw, tab, ss, se, al):
+        self.bw, self.tab = bw, tab
+        self.ss, self.se, self.al = ss, se, al
+        self.eobrun = 0
+        self.pending = []  # correction bits owed after the next EOBn
+
+    def flush_eob(self):
+        if self.eobrun:
+            rr = self.eobrun.bit_length() - 1
+            code, ln = self.tab[rr << 4]
+            self.bw.put(code, ln)
+            if rr:
+                self.bw.put(self.eobrun - (1 << rr), rr)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.put(b, 1)
+        self.pending = []
+
+    def block(self, zz):
+        ss, se, al = self.ss, self.se, self.al
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = ss - 1  # last newly-nonzero position, if any
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = ss + i
+        r = 0
+        br = []  # correction bits since the last emitted symbol
+        for i, k in enumerate(range(ss, se + 1)):
+            t = absv[i]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self.flush_eob()
+                code, ln = self.tab[0xF0]
+                self.bw.put(code, ln)
+                r -= 16
+                for b in br:
+                    self.bw.put(b, 1)
+                br = []
+            if t > 1:  # previously nonzero: next-lower magnitude bit
+                br.append(t & 1)
+                continue
+            # newly nonzero at this precision
+            self.flush_eob()
+            code, ln = self.tab[(r << 4) | 1]
+            self.bw.put(code, ln)
+            r = 0
+            self.bw.put(1 if int(zz[k]) > 0 else 0, 1)
+            for b in br:
+                self.bw.put(b, 1)
+            br = []
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+    def reset(self):
+        # a restart boundary cancels any pending run (it was flushed)
+        self.eobrun = 0
+        self.pending = []
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0, scans=None,
+) -> bytes:
+    """Minimal progressive JPEG encoder: grayscale (h,w) or RGB (h,w,3);
+    spectral selection + successive approximation (default script
+    refines DC by 1 bit and luma AC by 2)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _scale_q(QL, quality)
+    qc = _scale_q(QC, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [qy]
+    else:
+        x = img.astype(np.float64)
+        y = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+        cb = (-0.168736 * x[:, :, 0] - 0.331264 * x[:, :, 1]
+              + 0.5 * x[:, :, 2] + 128)
+        cr = (0.5 * x[:, :, 0] - 0.418688 * x[:, :, 1]
+              - 0.081312 * x[:, :, 2] + 128)
+        if subsample:
+            def down(p):
+                hh, ww = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+                return (pp[0::2, 0::2] + pp[0::2, 1::2]
+                        + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qts = [qy, qc, qc]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # quantized zigzag coefficient grids, full MCU-padded size
+    coefs = []
+    dims = []  # (nby_full, nbx_full, nbh_data, nbw_data, hs, vs)
+    for p, (hs, vs), q in zip(planes, samp, qts):
+        nby, nbx = mcus_y * vs, mcus_x * hs
+        pp = np.pad(
+            p,
+            ((0, nby * 8 - p.shape[0]), (0, nbx * 8 - p.shape[1])),
+            mode="edge",
+        )
+        cz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for byi in range(nby):
+            for bxi in range(nbx):
+                blk = pp[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] - 128.0
+                co = np.round(_dct2(blk) / q).astype(np.int64)
+                cz[byi, bxi] = co.reshape(-1)[ZZ]
+        coefs.append(cz)
+        ch, cw = -(-h * vs // vmax), -(-w * hs // hmax)
+        dims.append((nby, nbx, -(-ch // 8), -(-cw // 8), hs, vs))
+
+    ncomp = 1 if gray else 3
+    if scans is None:
+        if gray:
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0),
+                ([0], 0, 0, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+                ([0, 1, 2], 0, 0, 1, 0),
+            ]
+
+    dc_tabs = [_codes(*DC_L), _codes(*DC_C)]
+    ac_tab = _codes(FLAT_AC_BITS, FLAT_AC_VALS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + qy.reshape(-1)[ZZ].astype(np.uint8).tobytes())
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + qc.reshape(-1)[ZZ].astype(np.uint8).tobytes())
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for tc, th, (bits, vals) in (
+        [(0, 0, DC_L), (1, 0, (FLAT_AC_BITS, FLAT_AC_VALS))] if gray
+        else [(0, 0, DC_L), (0, 1, DC_C),
+              (1, 0, (FLAT_AC_BITS, FLAT_AC_VALS))]
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for (cis, ss, se, ah, al) in scans:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+
+        bw = _BitWriter()
+        rst = [0]
+
+        def emit_restart(encs, preds):
+            for e in encs:
+                if e is not None:
+                    e.flush_eob()
+                    e.reset()
+            bw.flush()
+            out.extend(bw.out)
+            del bw.out[:]
+            out.extend(bytes([0xFF, 0xD0 + (rst[0] & 7)]))
+            rst[0] += 1
+            for i in range(len(preds)):
+                preds[i] = 0
+
+        if ss == 0:  # DC scan
+            preds = [0] * len(cis)
+            count = 0
+            if len(cis) > 1:  # interleaved MCU order
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if (restart_interval and count
+                                and count % restart_interval == 0):
+                            emit_restart([], preds)
+                        for si, ci in enumerate(cis):
+                            _nby, _nbx, _nh, _nw, hs, vs = dims[ci]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    zz0 = int(coefs[ci][my * vs + by,
+                                                        mx * hs + bx, 0])
+                                    if ah == 0:
+                                        d = (zz0 >> al) - preds[si]
+                                        preds[si] = zz0 >> al
+                                        s, bits = _cat(d)
+                                        code, ln = dc_tabs[0 if ci == 0 else 1][s]
+                                        bw.put(code, ln)
+                                        if s:
+                                            bw.put(bits, s)
+                                    else:
+                                        bw.put((zz0 >> al) & 1, 1)
+                        count += 1
+            else:  # single component: non-interleaved block raster
+                ci = cis[0]
+                _nby, _nbx, nh, nw, _hs, _vs = dims[ci]
+                for by in range(nh):
+                    for bx in range(nw):
+                        if (restart_interval and count
+                                and count % restart_interval == 0):
+                            emit_restart([], preds)
+                        zz0 = int(coefs[ci][by, bx, 0])
+                        if ah == 0:
+                            d = (zz0 >> al) - preds[0]
+                            preds[0] = zz0 >> al
+                            s, bits = _cat(d)
+                            code, ln = dc_tabs[0 if ci == 0 else 1][s]
+                            bw.put(code, ln)
+                            if s:
+                                bw.put(bits, s)
+                        else:
+                            bw.put((zz0 >> al) & 1, 1)
+                        count += 1
+        else:  # AC scan: single component, data-block raster
+            ci = cis[0]
+            _nby, _nbx, nh, nw, _hs, _vs = dims[ci]
+            enc = (_ProgAcFirst if ah == 0 else _ProgAcRefine)(
+                bw, ac_tab, ss, se, al
+            )
+            count = 0
+            for by in range(nh):
+                for bx in range(nw):
+                    if (restart_interval and count
+                            and count % restart_interval == 0):
+                        emit_restart([enc], [])
+                    enc.block(coefs[ci][by, bx])
+                    count += 1
+            enc.flush_eob()
+        bw.flush()
+        out.extend(bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestProgressiveRoundTrip:
+    """Progressive (SOF2) decode vs the independent progressive encoder.
+    The default scan script delivers every coefficient bit, so the
+    decoded pixels must EXACTLY equal the baseline decode of the same
+    image at the same quality (identical quantized coefficients)."""
+
+    @staticmethod
+    def _both(img, **kw):
+        from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+        base = jpeg_decode_array(encode_jpeg(img, quality=kw.get("quality", 90),
+                                             subsample=kw.get("subsample", False)))
+        prog = jpeg_decode_array(encode_jpeg_progressive(img, **kw))
+        assert base is not None and prog is not None
+        return base, prog
+
+    def test_gray_exact_match_with_baseline(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+        base, prog = self._both(img)
+        assert prog[:3] == base[:3]
+        assert np.array_equal(prog[3], base[3])
+
+    def test_rgb_444_exact(self):
+        yy, xx = np.mgrid[0:40, 0:56]
+        img = np.stack(
+            [(xx * 255 / 55), (yy * 255 / 39), ((xx + yy) * 255 / 94)],
+            axis=2,
+        ).astype(np.uint8)
+        base, prog = self._both(img)
+        assert prog[:3] == base[:3]
+        assert np.array_equal(prog[3], base[3])
+
+    def test_rgb_420_odd_dims_exact(self):
+        """4:2:0 with non-multiple-of-16 dims: luma data blocks exceed
+        half-res chroma blocks and the MCU grid is padded — the
+        non-interleaved AC scans must walk DATA blocks only."""
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(35, 45, 3), dtype=np.uint8)
+        base, prog = self._both(img, subsample=True)
+        assert prog[:3] == base[:3]
+        assert np.array_equal(prog[3], base[3])
+
+    def test_restart_markers_in_progressive_scans(self):
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, size=(40, 64), dtype=np.uint8)
+        base, prog = self._both(img, restart_interval=3)
+        assert np.array_equal(prog[3], base[3])
+
+    def test_truncated_scan_script_still_decodes(self):
+        """A progressive file delivering only the first scans (coarse
+        bits) is VALID — decode yields an approximation, not None."""
+        from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+        blob = encode_jpeg_progressive(
+            img,
+            scans=[([0], 0, 0, 0, 1), ([0], 1, 63, 0, 2)],
+        )
+        got = jpeg_decode_array(blob)
+        assert got is not None
+        w, h, ch, px = got
+        assert (w, h, ch) == (24, 24, 1)
+        # coarse bits only: close-ish, definitely not garbage
+        err = np.abs(px[:, :, 0].astype(int) - img.astype(int)).mean()
+        assert err < 48
+
+    def test_flat_image_eob_runs_span_blocks(self):
+        """A flat image's AC scans are one long EOB run across every
+        block — the cross-block EOBRUN path on both sides."""
+        img = np.full((32, 48), 77, dtype=np.uint8)
+        base, prog = self._both(img)
+        assert np.array_equal(prog[3], base[3])
+        assert np.abs(prog[3][:, :, 0].astype(int) - 77).max() <= 2
