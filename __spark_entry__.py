@@ -1241,6 +1241,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf(doc.df, top_k=3)
 
 
+_BM25_QUERY_TERMS = ("vector", "stream", "window", "sort", "batch")
+
+
+def bm25_search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of a fixed query-term set against every
+    document (operators/tfidf.py bm25). Both corpus scalars — N for the
+    idf and avgdl for the length normalization — ride the plan as
+    one-row broadcast crossJoins, so the whole operator is a single
+    composable plan with no eager driver jobs."""
+    from datamancer_spark.operators.tfidf import bm25
+
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return bm25(doc.df).filter(F.col("term").isin(*_BM25_QUERY_TERMS))
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")["documents"]
     return D.exact_dedup(doc.df)
@@ -2094,10 +2109,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
         "train_test_split": train_test_split,
-        # -- r7 rotation, stalest single proof first: the r1-proven
+        # -- r7 rotation. First the round's one NEW query (zero-green:
+        # -- the bm25 contract query VERDICT r6 #4 asked for; it
+        # -- displaces 2x-proven price_histogram to hold the catalog at
+        # -- 122), then stalest single proof first: the r1-proven
         # -- straggler, then the 16 r5-once-green waiting since r5 (34
         # -- non-north-star slots total; the 13 r4-2x-proven queries
         # -- rotated out per VERDICT r6 #1)
+        "bm25_search_terms": bm25_search_terms,
         "regex_extract_doc": regex_extract_doc,
         "dedup_incremental": dedup_incremental,
         "q4_late_shipping": q4_late_shipping,
@@ -2134,10 +2153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": remove_dup_spans,
         "data_quality_checks": data_quality_checks,
         "pipeline_curate_v2": pipeline_curate_v2,
+        # ---- past the driver's 50-entry window. r8 tail first: the 5
+        # ---- once-green queries that did not fit (38 once-green + 1
+        # ---- new into 34 non-north-star slots)
         "event_interarrival": event_interarrival,
-        # ---- past the driver's 50-entry window. r8 tail first: the 4
-        # ---- once-green queries that did not fit (38 once-green into
-        # ---- 34 non-north-star slots)
         "ab_conversion_report": ab_conversion_report,
         "tfidf_similar_docs": tfidf_similar_docs,
         "price_quantity_trend": price_quantity_trend,
@@ -2202,7 +2221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather_melt": gather_melt,
         "text_stats": text_stats,
         "text_langid": text_langid,
-        "price_histogram": price_histogram,
         "sql_interface": sql_interface,
         "filter_select": filter_select,
         "arrange_head": arrange_head,
@@ -2860,14 +2878,31 @@ def oracle_sql() -> dict[str, str]:
 
     # DuckDB 1.0 has no width_bucket; replicate Spark's formula verbatim:
     # floor((v - lo) / ((hi - lo) / n)) + 1, clamped to 0 / n+1 outside.
-    sql["price_histogram"] = """
-        SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
-                    WHEN l_extendedprice >= 100000.0 THEN 21
-                    ELSE CAST(floor((l_extendedprice - 0.0)
-                                    / ((100000.0 - 0.0) / 20)) AS BIGINT) + 1
-               END AS bucket,
-               count(*) AS n
-        FROM lineitem GROUP BY bucket
+    sql["bm25_search_terms"] = """
+        WITH tc AS (
+          SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+')) AS term
+            FROM documents) u
+          WHERE len(term) > 0
+          GROUP BY doc_id, term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY doc_id),
+        ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        idf AS (
+          SELECT term,
+                 ln(1.0 + (n.n_docs - count(DISTINCT doc_id) + 0.5)
+                        / (count(DISTINCT doc_id) + 0.5)) AS idf
+          FROM tc, n GROUP BY term, n.n_docs
+        )
+        SELECT tc.doc_id, tc.term,
+               prnd(idf.idf * (tc.tf * (1.2 + 1))
+                    / (tc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)),
+                    6) AS bm25
+        FROM tc
+        JOIN dl USING (doc_id)
+        JOIN idf USING (term), ad
+        WHERE tc.term IN ('vector', 'stream', 'window', 'sort', 'batch')
     """
 
     sql["tfidf_top_terms"] = """

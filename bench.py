@@ -36,7 +36,7 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "tfidf_top_terms",
     "train_test_split",
-    "price_histogram",
+    "bm25_search_terms",
     "rolling_mean",
     "window_distribution",
     "array_ops",

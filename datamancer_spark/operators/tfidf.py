@@ -102,13 +102,14 @@ def bm25(
 ) -> DataFrame:
     """(id, term, bm25) — Okapi BM25 per term/doc. The term-count table
     (the expensive tokenize+shuffle stage) is materialized once via
-    localCheckpoint: it feeds the avgdl job, the doc-length join, and the
-    doc-frequency aggregation — uncached it would execute three times."""
+    localCheckpoint: it feeds the doc-length join, the doc-frequency
+    aggregation, and the scoring join — uncached it would execute three
+    times. avgdl rides the plan as a one-row broadcast crossJoin (the
+    ``_n_docs_frame`` pattern): no eager ``.collect()`` job, so bm25
+    composes into a single plan like every other operator here."""
     tc = materialize(term_counts(df, text_col, id_col))
     dl = tc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
-    if avgdl is None:  # empty corpus → empty result via the joins below
-        avgdl = 1.0
+    avgdl = dl.agg(F.avg("dl").alias("_avgdl"))  # one row, in-plan
     idf = (
         doc_freq(tc, id_col)
         .crossJoin(F.broadcast(_n_docs_frame(df)))
@@ -123,6 +124,7 @@ def bm25(
     return (
         tc.join(dl, id_col)
         .join(idf, "term")
+        .crossJoin(F.broadcast(avgdl))
         .select(
             F.col(id_col),
             "term",
@@ -132,7 +134,7 @@ def bm25(
                 / (
                     F.col("tf")
                     + F.lit(k1)
-                    * (1 - b + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+                    * (1 - b + F.lit(b) * F.col("dl") / F.col("_avgdl"))
                 ),
                 6,
             ).alias("bm25"),

@@ -340,3 +340,17 @@ class TestHotBandCap:
             minhash_lsh_pairs(df).count()
             == minhash_lsh_pairs(df, max_band_freq=None).count()
         )
+
+
+def test_bm25_avgdl_rides_the_plan(spark):
+    """r6 verdict #4: avgdl must be derived in-plan (one-row broadcast
+    crossJoin) rather than an eager .collect() scalar — so the optimized
+    plan contains the avg(dl) aggregate instead of a baked-in literal,
+    and bm25 composes into a single plan."""
+    from datamancer_spark.operators.tfidf import bm25
+
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d")], "doc_id long, text string"
+    )
+    plan = bm25(d)._jdf.queryExecution().optimizedPlan().toString()
+    assert "avg(" in plan
