@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -111,6 +112,111 @@ def media_dedup(df: DataFrame, bin_col: str = "content") -> DataFrame:
         .groupBy("digest")
         .agg(F.min("path").alias("keep_path"), F.count(F.lit(1)).alias("n_dups"))
     )
+
+
+def media_decode_coverage(df: DataFrame, bin_col: str = "content") -> DataFrame:
+    """Per-container decode-coverage report (r6 advice #8): what
+    fraction of each media container this engine can actually SCREEN —
+    produce pixels/samples for perceptual (dHash) dedup — versus
+    metadata-only. A real crawl's audio is overwhelmingly MP3/Ogg,
+    which only the metadata tier covers; a pipeline that runs
+    ``audio_dhash_pairs``/``dhash_pairs`` must report "N% of blobs
+    screenable" instead of silently screening the decodable minority.
+
+    Screenability is CAPABILITY BY CONTAINER/CODEC from the cheap
+    header walks (no decode attempt): PNG/JPEG/GIF images → pixels
+    (all baseline + progressive-JPEG profiles decode); WAV
+    PCM/G.711/IMA-ADPCM → samples (per the fmt chunk);
+    MP3/Ogg/FLAC/MP4/WebM/WebP → metadata only; MJPEG AVI → frames
+    (fourcc sniffed in the header region). Individually malformed
+    blobs still fail at decode time and surface as NULL features
+    there. Output: (container, n, n_screenable, screenable_frac),
+    one small row per container — aggregate-only, nothing
+    corpus-sized moves."""
+    from ..functions.rounding import prnd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"container": [], "screenable": []}
+            for blob in pdf[bin_col]:
+                blob = bytes(blob)
+                container, screen = _classify_decode_tier(blob)
+                out["container"].append(container)
+                out["screenable"].append(screen)
+            yield pd.DataFrame(out)
+
+    rows = df.select(bin_col).mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("container", StringType()),
+                StructField("screenable", BooleanType()),
+            ]
+        ),
+    )
+    return (
+        rows.groupBy("container")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("screenable").cast("long"))
+            .cast("long")
+            .alias("n_screenable"),
+        )
+        .select(
+            "container",
+            "n",
+            "n_screenable",
+            prnd(F.col("n_screenable") / F.col("n"), 6).alias(
+                "screenable_frac"
+            ),
+        )
+    )
+
+
+def _classify_decode_tier(blob: bytes):
+    """(container, screenable) for one blob — header walks only."""
+    import struct as _struct
+
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return ("png", True)
+    if blob[:3] == b"\xff\xd8\xff":
+        return ("jpeg", True)
+    if blob[:4] == b"GIF8":
+        return ("gif", True)
+    if len(blob) >= 12 and blob[:4] == b"RIFF":
+        sub = blob[8:12]
+        if sub == b"WAVE":
+            pos = 12
+            while pos + 8 <= len(blob):
+                cid = blob[pos : pos + 4]
+                ln = _struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+                if cid == b"fmt " and ln >= 16:
+                    afmt, _ch, _r, _br, _ba, bits = _struct.unpack(
+                        "<HHIIHH", blob[pos + 8 : pos + 24]
+                    )
+                    return ("wav", _wav_fmt_decodable(afmt, bits))
+                pos += 8 + ln + (ln & 1)
+            return ("wav", False)
+        if sub == b"AVI ":
+            # MJPEG streams decode via avi_mjpeg_frames; other fourccs
+            # (compressed video) are metadata-only
+            return ("avi", b"MJPG" in blob[:512] or b"mjpg" in blob[:512])
+        if sub == b"WEBP":
+            return ("webp", False)
+        return ("riff", False)
+    if blob[:4] == b"fLaC":
+        return ("flac", False)
+    if blob[:4] == b"OggS":
+        return ("ogg", False)
+    if blob[:3] == b"ID3" or (
+        len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
+    ):
+        return ("mp3", False)
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        return ("mp4", False)
+    if blob[:4] == b"\x1a\x45\xdf\xa3":
+        return ("webm", False)
+    return ("unknown", False)
 
 
 # -- decode / feature extraction (Arrow batch pipelines) ---------------------
@@ -1259,8 +1365,8 @@ def image_dhash(
     id_col: str = "path",
 ) -> DataFrame:
     """Per-image 64-bit perceptual dHash over the REAL stdlib decoders:
-    PNG pixels via ``png_decode_array``, baseline JPEG via
-    ``jpegcodec.jpeg_decode_array``, animated GIF via the first
+    PNG pixels via ``png_decode_array``, JPEG (baseline AND progressive)
+    via ``jpegcodec.jpeg_decode_array``, animated GIF via the first
     composited ``gif_decode_frames`` canvas; other formats (video /
     compressed audio need ffmpeg, absent here) yield NULL — one undecodable
     blob must never kill a 100 TB job. Arrow-batched mapInPandas; only
@@ -1682,8 +1788,19 @@ AUDIO_META_SCHEMA = StructType(
         StructField("sample_rate", IntegerType()),
         StructField("channels", IntegerType()),
         StructField("bits_per_sample", IntegerType()),
+        StructField("decodable", BooleanType()),
     ]
 )
+
+# WAV fmt codes wav_decode_array turns into samples, per bit depth:
+# integer PCM (fmt 1: 8/16/32-bit), G.711 A-law/mu-law (6/7: 8-bit),
+# IMA ADPCM (0x11). Everything else is metadata-only.
+def _wav_fmt_decodable(audio_fmt, bits) -> bool:
+    if audio_fmt == 1:
+        return bits in (8, 16, 32)
+    if audio_fmt in (6, 7):
+        return bits == 8
+    return audio_fmt == 0x11
 
 
 def flac_streaminfo(blob: bytes):
@@ -1815,16 +1932,26 @@ def audio_container_metadata(
     metadata layer reports rate/channels/bits even for codecs the
     decoder refuses). Filter by rate/channels/duration next to the
     scan, before any decode attempt. Unknown containers yield NULL
-    fields, never errors."""
+    fields, never errors.
+
+    ``decodable`` states whether THIS ENGINE can turn the clip into
+    samples (``wav_decode_array`` → ``audio_dhash``): True for the
+    WAV PCM/G.711/IMA-ADPCM family, False for MP3/Ogg/FLAC (metadata
+    only — perceptual codecs need a codec library) and unsupported WAV
+    fmt codes, NULL for unrecognized containers. A pipeline must
+    report the screenable fraction rather than silently dHash-screen
+    the WAV minority of a crawl (r6 advice #8);
+    ``media_decode_coverage`` aggregates it per container."""
     import struct
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"path": [], "container": [], "duration_s": [],
-                   "sample_rate": [], "channels": [], "bits_per_sample": []}
+                   "sample_rate": [], "channels": [], "bits_per_sample": [],
+                   "decodable": []}
             for path, blob in zip(pdf["path"], pdf[bin_col]):
                 blob = bytes(blob)
-                container = dur = rate = ch = bits = None
+                container = dur = rate = ch = bits = dec = None
                 fl = flac_streaminfo(blob)
                 og = ogg_metadata(blob) if fl is None else None
                 mp = (
@@ -1835,12 +1962,15 @@ def audio_container_metadata(
                 if fl is not None:
                     rate, ch, bits, dur = fl
                     container = "flac"
+                    dec = False
                 elif og is not None:
                     codec, rate, ch, dur = og
                     container = f"ogg/{codec}"
+                    dec = False
                 elif mp is not None:
                     rate, ch, _br, dur = mp
                     container = "mp3"
+                    dec = False
                 elif (len(blob) >= 12 and blob[:4] == b"RIFF"
                       and blob[8:12] == b"WAVE"):
                     container = "wav"
@@ -1855,16 +1985,19 @@ def audio_container_metadata(
                         elif cid == b"data":
                             dlen = ln
                         pos += 8 + ln + (ln & 1)
+                    dec = False
                     if fmt is not None:
-                        _, ch, rate, brate, _, bits = fmt
+                        afmt, ch, rate, brate, _, bits = fmt
                         if dlen is not None and brate:
                             dur = round(dlen / brate, 6)
+                        dec = _wav_fmt_decodable(afmt, bits)
                 out["path"].append(path)
                 out["container"].append(container)
                 out["duration_s"].append(dur)
                 out["sample_rate"].append(rate)
                 out["channels"].append(ch)
                 out["bits_per_sample"].append(bits)
+                out["decodable"].append(dec)
             yield pd.DataFrame(out)
 
     return df.select("path", bin_col).mapInPandas(batches, AUDIO_META_SCHEMA)

@@ -1328,6 +1328,11 @@ class TestAudioContainerMetadata:
         assert b["container"] == "wav" and b["sample_rate"] == 8000
         assert b["channels"] == 1 and abs(b["duration_s"] - 1.0) < 1e-6
         assert got["c.bin"]["container"] is None
+        # decodable tier (r6 advice #8): G.711 wav screens, flac is
+        # metadata-only, unknown container is NULL
+        assert b["decodable"] is True
+        assert a["decodable"] is False
+        assert got["c.bin"]["decodable"] is None
 
     def test_ima_adpcm_stereo_roundtrip(self):
         """Stereo blocks: per-channel 4-byte headers, then nibble
@@ -1488,6 +1493,8 @@ class TestAudioContainerMetadata:
         assert got["a.opus"]["duration_s"] == 2.0
         assert got["b.mp3"]["container"] == "mp3"
         assert got["b.mp3"]["sample_rate"] == 44100
+        assert got["a.opus"]["decodable"] is False
+        assert got["b.mp3"]["decodable"] is False
 
 
 class TestWebmMetadata:
@@ -1539,3 +1546,45 @@ class TestWebmMetadata:
         assert r["container"] == "webm"
         assert abs(r["duration_s"] - 2.0) < 1e-6
         assert (r["width"], r["height"]) == (640, 480)
+
+
+class TestMediaDecodeCoverage:
+    def test_per_container_fractions(self, spark):
+        """r6 advice #8: the coverage report must say which fraction of
+        each container is perceptually screenable — PCM wav yes,
+        unsupported-fmt wav no, mp3/flac metadata-only, images yes."""
+        import struct as st
+
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            media_decode_coverage,
+        )
+        from tests.test_multimodal import _encode_png
+
+        img = np.zeros((10, 10), dtype=np.uint8)
+        png = bytearray(_encode_png(img, 0, [0]))
+
+        def wav(fmt_code, bits):
+            body = (b"fmt " + st.pack("<I", 16)
+                    + st.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, bits)
+                    + b"data" + st.pack("<I", 4) + b"\x00" * 4)
+            return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+        mp3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 96
+        rows = [
+            ("p.png", png),
+            ("w1.wav", bytearray(wav(1, 16))),   # PCM: screenable
+            ("w2.wav", bytearray(wav(85, 0))),   # fmt 0x55 (mp3-in-wav): no
+            ("m.mp3", bytearray(mp3)),
+            ("x.bin", bytearray(b"opaque")),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        got = {
+            r["container"]: (r["n"], r["n_screenable"], r["screenable_frac"])
+            for r in media_decode_coverage(df).collect()
+        }
+        assert got["png"] == (1, 1, 1.0)
+        assert got["wav"] == (2, 1, 0.5)
+        assert got["mp3"] == (1, 0, 0.0)
+        assert got["unknown"] == (1, 0, 0.0)

@@ -641,6 +641,106 @@ def dhash_study() -> None:
 
 
 
+def bands_study() -> None:
+    """bands=8 (max_hamming<=7) vs bands=4 (max_hamming<=3) cost on the
+    SAME signature set (r7, VERDICT r6 #6) -> appended to SCALING.md.
+
+    8-bit blocks have only 256 values, so candidate volume grows
+    ~N^2*bands/blockvals: the wide-tolerance mode buys Hamming 4-7
+    recall at a steep candidate multiple that must be MEASURED, not
+    assumed. Groups of 8 nested-mask members (Hamming |i-j|, up to 7)
+    so bands=8/mh=7 accepts all 28 in-group pairs, bands=4/mh=3 only
+    the 22 with |i-j|<=3."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datamancer_spark import get_spark
+    from datamancer_spark.operators.dedup import (
+        hamming_band_pairs,
+        portable_hash,
+    )
+    from datamancer_spark.session import materialize
+
+    spark = get_spark(app_name="scale-bands")
+    # nested masks: member k differs from member j by |k-j| bits
+    masks = [0, 8, 131080, 8590065672, 562958543486984,
+             2306405967757180936, 2306405967757181000,
+             2306405967757181001]
+    rows = []
+    for n in (50_000, 100_000):
+        ids = spark.range(n)
+        base = portable_hash(
+            (F.col("id") / 8).cast("long").cast("string"), seed=23
+        )
+        mask = F.element_at(
+            F.array(*[F.lit(m) for m in masks]),
+            (F.col("id") % 8 + 1).cast("int"),
+        )
+        sigs = materialize(ids.select(
+            F.col("id").alias("doc_id"), base.bitwiseXOR(mask).alias("dhash")
+        ))
+        for bands, mh in ((4, 3), (8, 7)):
+            width = 64 // bands
+            # candidate volume: sum over (blk,val) buckets of C(m,2)
+            # over DISTINCT sigs — what the band join generates before
+            # the Hamming filter
+            ds = sigs.select("dhash").distinct()
+            cand = (
+                ds.select(
+                    F.explode(F.array(*[
+                        F.struct(
+                            F.lit(i).alias("blk"),
+                            F.shiftrightunsigned(F.col("dhash"), i * width)
+                            .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+                        )
+                        for i in range(bands)
+                    ])).alias("b")
+                )
+                .groupBy("b.blk", "b.val").agg(F.count(F.lit(1)).alias("m"))
+                .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("c"))
+                .collect()[0]["c"]
+            )
+            t0 = time.time()
+            p = hamming_band_pairs(
+                sigs, "dhash", "doc_id", max_hamming=mh, bands=bands
+            ).count()
+            wall = round(time.time() - t0, 2)
+            print(f"n={n} bands={bands} mh={mh}: {wall}s, "
+                  f"{p} pairs, {int(cand)} candidates")
+            rows.append((n, bands, mh, wall, p, int(cand)))
+    lines = [
+        "",
+        "## Wide-tolerance Hamming bands (r7: bands=8, max_hamming<=7)",
+        "",
+        "Same nested-mask signature sets (groups of 8, member Hamming",
+        "|i-j| up to 7). bands=8 unlocks Hamming 4-7 recall but 8-bit",
+        "blocks have only 256 values, so BANDED CANDIDATE VOLUME is the",
+        "cost: it grows ~N^2*8/256 for bands=8 vs ~N^2*4/65536 for",
+        "bands=4 — a ~512x multiple that dominates past ~10^5 distinct",
+        "signatures. Measured (candidates = sum over buckets of C(m,2)",
+        "on distinct sigs, what the band join emits pre-filter):",
+        "",
+        "| N sigs | bands | max_h | wall (s) | pairs | candidates |",
+        "|---|---|---|---|---|---|",
+    ]
+    for (n, bands, mh, wall, p, cand) in rows:
+        lines.append(f"| {n:,} | {bands} | {mh} | {wall} | {p:,} | {cand:,} |")
+    lines += [
+        "",
+        "Posture: bands=8 is the right tool for media screens on",
+        "BOUNDED signature sets (a partition, a dedup bucket, a",
+        "stream-static index probe) where Hamming 5-8 tolerance matters;",
+        "for full-corpus joins past ~10^5 distinct signatures stay on",
+        "bands=4 (or intersect two rotated bands=4 passes) — the",
+        "candidate quadratic, not the filter, is the bottleneck.",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "a") as f:
+        f.write("\n".join(lines))
+
+
+
 if __name__ == "__main__":
     if "--density" in sys.argv:
         density_study()
@@ -654,5 +754,7 @@ if __name__ == "__main__":
         span_study()
     elif "--dhash" in sys.argv:
         dhash_study()
+    elif "--bands" in sys.argv:
+        bands_study()
     else:
         main()
