@@ -239,14 +239,15 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
 def png_decode_array(blob: bytes):
     """Pure-stdlib PNG pixel decode returning the PIXELS: zlib-inflate
     the IDAT stream and invert the per-scanline filters
-    (None/Sub/Up/Average/Paeth) per the PNG spec §9. Supports 8- and
-    16-bit depth (16-bit downsampled to the high byte), Adam7
-    interlacing, and all five color types (gray, RGB, palette,
-    gray+alpha, RGBA) — every legal baseline PNG profile except the
-    sub-byte palette depths (1/2/4-bit). Returns ``(width, height,
-    channels, pixels)`` with pixels an (h, w, channels) uint8 ndarray —
-    alpha dropped, palette expanded through PLTE to RGB — or ``None``
-    for non-PNG / malformed / sub-byte-depth input.
+    (None/Sub/Up/Average/Paeth) per the PNG spec §9. Supports every
+    legal depth — 8/16-bit everywhere (16-bit downsampled to the high
+    byte) and the sub-byte 1/2/4-bit packings for grayscale (scaled to
+    8-bit) and palette (r7; bit-unpacked MSB-first per spec §7.2) —
+    Adam7 interlacing, and all five color types (gray, RGB, palette,
+    gray+alpha, RGBA): the COMPLETE baseline PNG profile matrix.
+    Returns ``(width, height, channels, pixels)`` with pixels an
+    (h, w, channels) uint8 ndarray — alpha dropped, palette expanded
+    through PLTE to RGB — or ``None`` for non-PNG / malformed input.
     ``png_decode_pixels`` wraps this for summary stats; ``image_dhash``
     consumes the array."""
     import struct
@@ -276,23 +277,34 @@ def png_decode_array(blob: bytes):
             return None
         w, h, depth, ctype, comp, filt, interlace = meta
         nch = _PNG_CHANNELS.get(ctype)
+        # sub-byte depths (1/2/4) are legal for grayscale and palette
+        # only (spec 11.2.2); 16-bit palette does not exist
+        depth_ok = depth in (8, 16) or (
+            depth in (1, 2, 4) and ctype in (0, 3)
+        )
         if (
-            depth not in (8, 16) or interlace not in (0, 1)
+            not depth_ok or interlace not in (0, 1)
             or comp != 0 or filt != 0
             or nch is None or w == 0 or h == 0
-            or (ctype == 3 and depth != 8)
+            or (ctype == 3 and depth == 16)
         ):
             return None
         raw = zlib.decompress(b"".join(idat))
     except Exception:
         return None
-    bpp = nch * (depth // 8)
+    sub_byte = depth < 8
+    # filtering operates on BYTES: for sub-byte depths the left
+    # neighbor is the previous byte (bpp=1), spec 9.2
+    bpp = 1 if sub_byte else nch * (depth // 8)
 
     def unfilter(off: int, wpx: int, hpx: int):
         """Invert scanline filters for one (sub)image starting at byte
-        ``off``; returns (bytes_consumed, (hpx, wpx*bpp) uint8 array)
-        or None on malformed input."""
-        stride = wpx * bpp
+        ``off``; returns (bytes_consumed, (hpx, stride) uint8 array)
+        or None on malformed input. stride is the FILTERED byte width:
+        bit-packed for sub-byte depths (ceil(wpx*nch*depth/8))."""
+        stride = (
+            (wpx * nch * depth + 7) // 8 if sub_byte else wpx * bpp
+        )
         if len(raw) - off < hpx * (stride + 1):
             return None
         sub = np.empty((hpx, stride), dtype=np.uint8)
@@ -310,7 +322,7 @@ def png_decode_array(blob: bytes):
                 # batches; swap a codec in for throughput-critical use)
                 a = (
                     np.frombuffer(bytes(line), dtype=np.uint8)
-                    .reshape(wpx, bpp)
+                    .reshape(-1, bpp)  # rows of left-neighbor units
                     .astype(np.int64)
                 )
                 line = bytearray(
@@ -340,13 +352,27 @@ def png_decode_array(blob: bytes):
             prev = sub[y].astype(np.intc)
         return p - off, sub
 
+    def samples(sub: np.ndarray, wpx: int) -> np.ndarray:
+        """(hpx, stride) filtered bytes -> (hpx, wpx*nch, unit) sample
+        array. Sub-byte depths unpack MSB-first d-bit fields and drop
+        the final byte's padding bits (spec 7.2); byte depths pass
+        through."""
+        if not sub_byte:
+            return sub.reshape(sub.shape[0], wpx, bpp)
+        bits = np.unpackbits(sub, axis=1)
+        ns = wpx * nch
+        b = bits[:, : ns * depth].reshape(sub.shape[0], ns, depth)
+        w8 = 1 << np.arange(depth - 1, -1, -1)
+        return (b * w8).sum(axis=2).astype(np.uint8)[:, :, None]
+
+    unit = bpp if not sub_byte else nch
     if interlace == 0:
         got = unfilter(0, w, h)
         if got is None:
             return None
-        full = got[1].reshape(h, w, bpp)
+        full = samples(got[1], w)
     else:  # Adam7: seven sub-images scattered onto the full grid
-        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        full = np.zeros((h, w, unit), dtype=np.uint8)
         off = 0
         for (x0, y0, dx, dy) in (
             (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -361,9 +387,14 @@ def png_decode_array(blob: bytes):
                 return None
             consumed, sub = got
             off += consumed
-            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            full[y0::dy, x0::dx] = samples(sub, pw)
     if depth == 16:  # high byte of each big-endian 16-bit sample
         full = full.reshape(h, w, nch, 2)[:, :, :, 0]
+    if ctype == 0 and sub_byte:
+        # scale d-bit gray to 8-bit (255 / (2^d - 1), exact integers)
+        full = (full.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     if ctype == 3:  # palette: expand indices through PLTE to RGB
         if plte is None or len(plte) % 3:
             return None

@@ -1588,3 +1588,154 @@ class TestMediaDecodeCoverage:
         assert got["wav"] == (2, 1, 0.5)
         assert got["mp3"] == (1, 0, 0.0)
         assert got["unknown"] == (1, 0, 0.0)
+
+
+def _encode_png_subbyte(samples, depth, ctype, filters, palette=None,
+                        interlace=0):
+    """Independent sub-byte (1/2/4-bit) PNG encoder: bit-packs each
+    scanline MSB-first with end-of-row padding, applies BYTE-level
+    filters (bpp=1), optional Adam7 pass splitting. ``samples`` is an
+    (h, w) uint8 array of d-bit values (gray levels or palette
+    indices)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = samples.shape
+
+    def pack_rows(arr):
+        hh, ww = arr.shape
+        per = 8 // depth
+        pad = (-ww) % per
+        a = np.pad(arr, ((0, 0), (0, pad)))
+        bits = ((a[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(
+            hh, -1
+        )
+        return np.packbits(bits.astype(np.uint8), axis=1)
+
+    def filt_scanlines(packed):
+        out = bytearray()
+        prev = np.zeros(packed.shape[1], dtype=np.int32)
+        for y in range(packed.shape[0]):
+            f = filters[y % len(filters)]
+            line = packed[y].astype(np.int32)
+            if f == 0:
+                enc = line % 256
+            elif f == 1:
+                left = np.concatenate([np.zeros(1, np.int32), line[:-1]])
+                enc = (line - left) % 256
+            elif f == 2:
+                enc = (line - prev) % 256
+            elif f == 3:
+                left = np.concatenate([np.zeros(1, np.int32), line[:-1]])
+                enc = (line - ((left + prev) >> 1)) % 256
+            else:
+                left = np.concatenate([np.zeros(1, np.int32), line[:-1]])
+                ul = np.concatenate([np.zeros(1, np.int32), prev[:-1]])
+                pa = np.abs(prev - ul)
+                pb = np.abs(left - ul)
+                pc = np.abs(left + prev - 2 * ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, ul))
+                enc = (line - pred) % 256
+            out.append(f)
+            out.extend(enc.astype(np.uint8).tobytes())
+            prev = line
+        return out
+
+    raw = bytearray()
+    if interlace == 0:
+        raw += filt_scanlines(pack_rows(samples))
+    else:  # Adam7 pass order
+        for (x0, y0, dx, dy) in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = samples[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            raw += filt_scanlines(pack_rows(sub))
+
+    def chunk(typ, data):
+        c = struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        return struct.pack(">I", len(data)) + typ + data + c
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    body += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    body += chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+class TestSubBytePng:
+    """r6 verdict missing #4: 1/2/4-bit grayscale and palette PNGs —
+    round-tripped against the independent bit-packing encoder above."""
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_gray_roundtrip_all_filters(self, depth):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_array
+
+        rng = np.random.default_rng(depth)
+        # w=11: last byte of each row carries padding bits
+        vals = rng.integers(0, 1 << depth, size=(7, 11), dtype=np.uint8)
+        blob = _encode_png_subbyte(vals, depth, 0, filters=[0, 1, 2, 3, 4])
+        got = png_decode_array(blob)
+        assert got is not None
+        w, h, ch, px = got
+        assert (w, h, ch) == (11, 7, 1)
+        scale = 255 // ((1 << depth) - 1)
+        assert np.array_equal(px[:, :, 0], vals * scale)
+
+    def test_palette_4bit(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_array
+
+        rng = np.random.default_rng(44)
+        idx = rng.integers(0, 16, size=(9, 13), dtype=np.uint8)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        blob = _encode_png_subbyte(idx, 4, 3, filters=[0, 2, 1],
+                                   palette=pal)
+        got = png_decode_array(blob)
+        assert got is not None
+        w, h, ch, px = got
+        assert (w, h, ch) == (13, 9, 3)
+        assert np.array_equal(px, pal[idx])
+
+    def test_1bit_adam7_interlaced(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_array
+
+        rng = np.random.default_rng(45)
+        vals = rng.integers(0, 2, size=(10, 10), dtype=np.uint8)
+        blob = _encode_png_subbyte(vals, 1, 0, filters=[0], interlace=1)
+        got = png_decode_array(blob)
+        assert got is not None
+        w, h, ch, px = got
+        assert (w, h, ch) == (10, 10, 1)
+        assert np.array_equal(px[:, :, 0], vals * 255)
+
+    def test_16bit_palette_still_refused(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import png_decode_array
+
+        def chunk(typ, data):
+            c = struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            return struct.pack(">I", len(data)) + typ + data + c
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
+        blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"PLTE", bytes(48))
+                + chunk(b"IDAT", zlib.compress(bytes(4 * 9)))
+                + chunk(b"IEND", b""))
+        assert png_decode_array(blob) is None
