@@ -119,15 +119,16 @@ def media_decode_coverage(df: DataFrame, bin_col: str = "content") -> DataFrame:
     fraction of each media container this engine can actually SCREEN —
     produce pixels/samples for perceptual (dHash) dedup — versus
     metadata-only. A real crawl's audio is overwhelmingly MP3/Ogg,
-    which only the metadata tier covers; a pipeline that runs
+    which only the metadata tier covers (WAV-family and FLAC decode
+    for real); a pipeline that runs
     ``audio_dhash_pairs``/``dhash_pairs`` must report "N% of blobs
     screenable" instead of silently screening the decodable minority.
 
     Screenability is CAPABILITY BY CONTAINER/CODEC from the cheap
     header walks (no decode attempt): PNG/JPEG/GIF images → pixels
     (all baseline + progressive-JPEG profiles decode); WAV
-    PCM/G.711/IMA-ADPCM → samples (per the fmt chunk);
-    MP3/Ogg/FLAC/MP4/WebM/WebP → metadata only; MJPEG AVI → frames
+    PCM/G.711/IMA-ADPCM and FLAC → samples (per the fmt chunk /
+    flaccodec); MP3/Ogg/MP4/WebM/WebP → metadata only; MJPEG AVI → frames
     (fourcc sniffed in the header region). Individually malformed
     blobs still fail at decode time and surface as NULL features
     there. Output: (container, n, n_screenable, screenable_frac),
@@ -205,7 +206,7 @@ def _classify_decode_tier(blob: bytes):
             return ("webp", False)
         return ("riff", False)
     if blob[:4] == b"fLaC":
-        return ("flac", False)
+        return ("flac", True)  # r7: flaccodec decodes samples for real
     if blob[:4] == b"OggS":
         return ("ogg", False)
     if blob[:3] == b"ID3" or (
@@ -792,15 +793,33 @@ def wav_decode_array(blob: bytes):
     return (int(rate), mono)
 
 
+def audio_decode_array(blob: bytes):
+    """Samples from ANY container this engine decodes: WAV
+    (integer PCM / G.711 A-law+mu-law / IMA ADPCM) via
+    ``wav_decode_array``, FLAC via the pure-stdlib
+    ``flaccodec.flac_decode_array`` (r7 — FLAC is lossless linear
+    prediction, no psychoacoustic codec needed). Returns
+    ``(sample_rate, mono float64 in [-1, 1])`` or ``None`` for
+    undecodable input (MP3/Ogg perceptual codecs stay metadata-only)."""
+    got = wav_decode_array(blob)
+    if got is not None:
+        return got
+    if blob[:4] == b"fLaC":
+        from .flaccodec import flac_decode_array
+
+        return flac_decode_array(blob)
+    return None
+
+
 def wav_decode_samples(blob: bytes, envelope_bins: int = 8):
-    """RMS-envelope wrapper over ``wav_decode_array``: returns
-    ``(duration_s, sample_rate, loudness)`` where loudness is an
-    ``envelope_bins``-segment RMS envelope normalized to [0, 1]
-    (mono-mixed), or ``None`` for undecodable input — callers treat
-    that as undecodable, never as an error."""
+    """RMS-envelope wrapper over ``audio_decode_array`` (WAV family +
+    FLAC): returns ``(duration_s, sample_rate, loudness)`` where
+    loudness is an ``envelope_bins``-segment RMS envelope normalized to
+    [0, 1] (mono-mixed), or ``None`` for undecodable input — callers
+    treat that as undecodable, never as an error."""
     import numpy as np
 
-    decoded = wav_decode_array(blob)
+    decoded = audio_decode_array(blob)
     if decoded is None:
         return None
     rate, mono = decoded
@@ -821,12 +840,12 @@ def audio_features(
     envelope_bins: int = 8,
 ) -> DataFrame:
     """Per-clip audio features (duration, sample rate, RMS loudness
-    envelope). Canonical integer-PCM WAV decodes FOR REAL with the
-    stdlib + numpy (``wav_decode_samples``); compressed formats
-    (mp3/ogg/flac) would need codec libraries absent here — those rows
-    come back NULL, or md5-derived fakes under ``allow_fake=True``.
-    Arrow-batched mapInPandas; the plumbing is identical for a real
-    codec plug-in."""
+    envelope). The WAV family (integer PCM, G.711, IMA ADPCM) and FLAC
+    decode FOR REAL with the stdlib + numpy (``wav_decode_samples`` →
+    ``audio_decode_array``); perceptual formats (mp3/ogg) would need
+    codec libraries absent here — those rows come back NULL, or
+    md5-derived fakes under ``allow_fake=True``. Arrow-batched
+    mapInPandas; the plumbing is identical for a real codec plug-in."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1477,17 +1496,18 @@ def audio_dhash(
     bin_col: str = "content",
     id_col: str = "path",
 ) -> DataFrame:
-    """Per-clip 64-bit perceptual fingerprint over the REAL stdlib PCM
-    WAV decoder (``wav_decode_array`` → ``audio_dhash64``); compressed
-    audio (mp3/ogg need a codec library, absent here) yields NULL.
-    Arrow-batched mapInPandas; only (id, 8-byte hash) rows shuffle
-    downstream. Pair with ``audio_dhash_pairs`` — the audio analog of
-    ``image_dhash``/SimHash, sharing ``dedup.hamming_band_pairs``."""
+    """Per-clip 64-bit perceptual fingerprint over the REAL stdlib
+    decoders (``audio_decode_array`` → ``audio_dhash64``): the WAV
+    family AND FLAC (r7); perceptual codecs (mp3/ogg need a codec
+    library, absent here) yield NULL. Arrow-batched mapInPandas; only
+    (id, 8-byte hash) rows shuffle downstream. Pair with
+    ``audio_dhash_pairs`` — the audio analog of ``image_dhash``/SimHash,
+    sharing ``dedup.hamming_band_pairs``."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {id_col: [], "dhash": []}
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
-                decoded = wav_decode_array(bytes(blob))
+                decoded = audio_decode_array(bytes(blob))
                 out[id_col].append(rid)
                 out["dhash"].append(
                     None if decoded is None else audio_dhash64(decoded[1])
@@ -1966,10 +1986,11 @@ def audio_container_metadata(
     fields, never errors.
 
     ``decodable`` states whether THIS ENGINE can turn the clip into
-    samples (``wav_decode_array`` → ``audio_dhash``): True for the
-    WAV PCM/G.711/IMA-ADPCM family, False for MP3/Ogg/FLAC (metadata
-    only — perceptual codecs need a codec library) and unsupported WAV
-    fmt codes, NULL for unrecognized containers. A pipeline must
+    samples (``audio_decode_array`` → ``audio_dhash``): True for the
+    WAV PCM/G.711/IMA-ADPCM family and FLAC (r7, ``flaccodec``), False
+    for MP3/Ogg (metadata only — perceptual codecs need a codec
+    library) and unsupported WAV fmt codes, NULL for unrecognized
+    containers. A pipeline must
     report the screenable fraction rather than silently dHash-screen
     the WAV minority of a crawl (r6 advice #8);
     ``media_decode_coverage`` aggregates it per container."""
@@ -1993,7 +2014,7 @@ def audio_container_metadata(
                 if fl is not None:
                     rate, ch, bits, dur = fl
                     container = "flac"
-                    dec = False
+                    dec = True  # r7: real pure-stdlib FLAC decode
                 elif og is not None:
                     codec, rate, ch, dur = og
                     container = f"ogg/{codec}"

@@ -1328,10 +1328,10 @@ class TestAudioContainerMetadata:
         assert b["container"] == "wav" and b["sample_rate"] == 8000
         assert b["channels"] == 1 and abs(b["duration_s"] - 1.0) < 1e-6
         assert got["c.bin"]["container"] is None
-        # decodable tier (r6 advice #8): G.711 wav screens, flac is
-        # metadata-only, unknown container is NULL
+        # decodable tier (r6 advice #8 + r7 flaccodec): G.711 wav and
+        # flac both screen, unknown container is NULL
         assert b["decodable"] is True
-        assert a["decodable"] is False
+        assert a["decodable"] is True
         assert got["c.bin"]["decodable"] is None
 
     def test_ima_adpcm_stereo_roundtrip(self):
