@@ -30,6 +30,8 @@ QUERIES = [
     "remove_dup_spans",
     "pipeline_curate_v2",
     "bigram_perplexity_proxy",
+    # round-7: the new bm25 contract query
+    "bm25_search_terms",
 ]
 
 

@@ -76,6 +76,7 @@ COMMENT = {
     "pipeline_curate_v2": "Gate+tokenize in ONE scan-side projection pinned as token arrays with lang riding (r6: no semi join back, no re-tokenize); span removal consumes pinned tokens; cleaned corpus pinned again before the fingerprint dedup; per-lang rollup. 4.25s -> 3.03s best-of, final-plan exchanges 20 -> 4.",
     "image_dhash_pairs": "Banded Hamming-LSH pair join (shared hamming_band_pairs engine): distinct signatures explode to 4 16-bit blocks, equi-join on (block, value), bit_count filter BEFORE the pair distinct; members expand back via two equi-joins. Pigeonhole-exact at max_hamming<=3; no cartesian/nested-loop stage.",
     "tfidf_similar_docs": "Weights checkpointed once (feeds norms + both self-join legs); term-keyed self-join with the fractional doc-freq cap pruning stop-word terms before the sum(df^2) shuffle.",
+    "bm25_search_terms": "Both corpus scalars ride the plan as one-row broadcast crossJoins (n_docs for idf, avgdl for length normalization) — no eager driver jobs; term-counts checkpointed once feeding dl/df/scoring legs.",
     "price_quantity_trend": "Five OLS sums per group in one partial-aggregated groupBy.",
 }
 
