@@ -106,10 +106,21 @@ def bm25(
     aggregation, and the scoring join — uncached it would execute three
     times. avgdl rides the plan as a one-row broadcast crossJoin (the
     ``_n_docs_frame`` pattern): no eager ``.collect()`` job, so bm25
-    composes into a single plan like every other operator here."""
+    composes into a single plan like every other operator here.
+
+    Plan shape (r7): doc length is a SUM WINDOW over the id partition
+    rather than a groupBy + self-join (one exchange instead of three),
+    and avgdl is derived directly from the term counts as
+    sum(tf) / count_distinct(id) — identical to avg(per-doc dl), since
+    docs with no terms appear in neither formulation — so the scalar
+    needs no second aggregation over the doc-length frame."""
     tc = materialize(term_counts(df, text_col, id_col))
-    dl = tc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    avgdl = dl.agg(F.avg("dl").alias("_avgdl"))  # one row, in-plan
+    tcdl = tc.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    )
+    avgdl = tc.agg(
+        (F.sum("tf") / F.count_distinct(id_col)).alias("_avgdl")
+    )  # one row, in-plan
     idf = (
         doc_freq(tc, id_col)
         .crossJoin(F.broadcast(_n_docs_frame(df)))
@@ -122,8 +133,7 @@ def bm25(
         .drop("_n")
     )
     return (
-        tc.join(dl, id_col)
-        .join(idf, "term")
+        tcdl.join(idf, "term")
         .crossJoin(F.broadcast(avgdl))
         .select(
             F.col(id_col),

@@ -353,4 +353,6 @@ def test_bm25_avgdl_rides_the_plan(spark):
         [(1, "a b c"), (2, "a d")], "doc_id long, text string"
     )
     plan = bm25(d)._jdf.queryExecution().optimizedPlan().toString()
-    assert "avg(" in plan
+    # the scalar is an in-plan aggregate (sum(tf)/count_distinct(id) ==
+    # avg per-doc dl), not a baked-in Python literal
+    assert "_avgdl" in plan and "count(" in plan
