@@ -200,8 +200,9 @@ def _classify_decode_tier(blob: bytes):
             return ("wav", False)
         if sub == b"AVI ":
             # MJPEG streams decode via avi_mjpeg_frames; other fourccs
-            # (compressed video) are metadata-only
-            return ("avi", b"MJPG" in blob[:512] or b"mjpg" in blob[:512])
+            # (compressed video) are metadata-only. Real strh/strf walk
+            # (r7) — a substring sniff can miss or false-positive
+            return ("avi", avi_video_fourcc(blob) == "MJPG")
         if sub == b"WEBP":
             return ("webp", False)
         return ("riff", False)
@@ -1621,6 +1622,7 @@ VIDEO_META_SCHEMA = StructType(
         StructField("duration_s", DoubleType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("codec", StringType()),
     ]
 )
 
@@ -1783,23 +1785,76 @@ def webm_metadata(blob: bytes):
     return (duration, width, height)
 
 
+def avi_video_fourcc(blob: bytes):
+    """The AVI video stream's codec fourcc from the real
+    hdrl → strl → strh/strf walk: ``strf``'s BITMAPINFOHEADER
+    ``biCompression`` when set (what players dispatch on), else
+    ``strh.fccHandler``. Returns an upper-cased string or ``None``
+    (no video stream / malformed). This is the honest screenability
+    signal for ``media_decode_coverage`` — a substring sniff over the
+    header bytes can both miss real MJPEG and false-positive on
+    metadata text."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+
+    def chunks(pos, end):
+        while pos + 8 <= end:
+            cid = blob[pos : pos + 4]
+            ln = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+            yield cid, pos + 8, min(pos + 8 + ln, end)
+            pos += 8 + ln + (ln & 1)
+
+    for cid, s, e in chunks(12, len(blob)):
+        if cid != b"LIST" or blob[s : s + 4] != b"hdrl":
+            continue
+        for cid2, s2, e2 in chunks(s + 4, e):
+            if cid2 != b"LIST" or blob[s2 : s2 + 4] != b"strl":
+                continue
+            is_vids = False
+            handler = comp = None
+            for cid3, s3, e3 in chunks(s2 + 4, e2):
+                if cid3 == b"strh" and e3 - s3 >= 8:
+                    is_vids = blob[s3 : s3 + 4] == b"vids"
+                    handler = blob[s3 + 4 : s3 + 8]
+                elif cid3 == b"strf" and e3 - s3 >= 20:
+                    comp = blob[s3 + 16 : s3 + 20]
+            if not is_vids:
+                continue
+            fourcc = (
+                comp
+                if comp and comp != b"\x00\x00\x00\x00"
+                else handler
+            )
+            if not fourcc or fourcc == b"\x00\x00\x00\x00":
+                return None
+            try:
+                return fourcc.decode("ascii").strip("\x00 ").upper() or None
+            except UnicodeDecodeError:
+                return None
+    return None
+
+
 def video_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:
     """Per-clip container metadata for video curation: MP4/MOV via the
     stdlib ISO-BMFF walk (``mp4_metadata_blob``), WebM/Matroska via the
     EBML walk (``webm_metadata``), AVI via its canonical
-    RIFF header (frame count dims from ``avih``). Lets a 100 TB media
-    pipeline filter by resolution/duration next to the scan, BEFORE any
-    decode attempt — metadata is a byte walk, decode is the expensive
-    tier. Unknown containers yield NULL fields, never errors."""
+    RIFF header (frame count dims from ``avih``, codec fourcc from the
+    r7 ``avi_video_fourcc`` stream walk — mp4/webm codec ids are NULL
+    for now). Lets a 100 TB media pipeline filter by
+    resolution/duration/codec next to the scan, BEFORE any decode
+    attempt — metadata is a byte walk, decode is the expensive tier.
+    Unknown containers yield NULL fields, never errors."""
     import struct
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"path": [], "container": [], "duration_s": [],
-                   "width": [], "height": []}
+                   "width": [], "height": [], "codec": []}
             for path, blob in zip(pdf["path"], pdf[bin_col]):
                 blob = bytes(blob)
-                container = dur = w = h = None
+                container = dur = w = h = codec = None
                 meta = mp4_metadata_blob(blob)
                 wb = webm_metadata(blob) if meta is None else None
                 if meta is not None:
@@ -1810,6 +1865,7 @@ def video_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:
                     container = "webm"
                 elif blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
                     container = "avi"
+                    codec = avi_video_fourcc(blob)
                     # canonical avih: LIST hdrl at 12, avih body at 32
                     if blob[12:16] == b"LIST" and blob[20:24] == b"hdrl" \
                             and blob[24:28] == b"avih":
@@ -1826,6 +1882,7 @@ def video_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:
                 out["duration_s"].append(dur)
                 out["width"].append(w)
                 out["height"].append(h)
+                out["codec"].append(codec)
             yield pd.DataFrame(out)
 
     return df.select("path", bin_col).mapInPandas(batches, VIDEO_META_SCHEMA)

@@ -421,17 +421,23 @@ def test_cross_format_perceptual_dedup(spark):
     assert all("other.png" not in p for p in pairs)
 
 
-def _encode_avi_mjpeg(jpeg_frames, w, h):
-    """Minimal independent MJPEG-AVI writer: RIFF('AVI ') with a bare
-    hdrl stub and a LIST('movi') of 00dc JPEG chunks — enough structure
-    to exercise the real container walk."""
+def _encode_avi_mjpeg(jpeg_frames, w, h, fourcc=b"MJPG"):
+    """Minimal independent MJPEG-AVI writer: RIFF('AVI ') with a hdrl
+    (avih + a vids strl carrying the codec fourcc in strh/strf) and a
+    LIST('movi') of 00dc JPEG chunks — enough structure to exercise
+    the real container walk."""
     def chunk(cid, payload):
         p = payload + (b"\x00" if len(payload) % 2 else b"")
         return cid + struct.pack("<I", len(payload)) + p
 
     avih = chunk(b"avih", struct.pack("<14I", 33333, 0, 0, 0, len(jpeg_frames),
                                       0, 1, 0, w, h, 0, 0, 0, 0))
-    hdrl = chunk(b"LIST", b"hdrl" + avih)
+    strh = chunk(b"strh", b"vids" + fourcc + b"\x00" * 48)
+    # BITMAPINFOHEADER: biCompression at offset 16
+    strf = chunk(b"strf", struct.pack("<III", 40, w, h)
+                 + struct.pack("<HH", 1, 24) + fourcc + b"\x00" * 20)
+    strl = chunk(b"LIST", b"strl" + strh + strf)
+    hdrl = chunk(b"LIST", b"hdrl" + avih + strl)
     movi_payload = b"movi" + b"".join(chunk(b"00dc", f) for f in jpeg_frames)
     movi = chunk(b"LIST", movi_payload)
     body = b"AVI " + hdrl + movi
@@ -930,3 +936,35 @@ class TestProgressiveRoundTrip:
         base, prog = self._both(img)
         assert np.array_equal(prog[3], base[3])
         assert np.abs(prog[3][:, :, 0].astype(int) - 77).max() <= 2
+
+
+def test_avi_video_fourcc_walk():
+    """Codec fourcc comes from the real strh/strf walk, not a byte
+    sniff: MJPG AVIs screen, H264-in-AVI is metadata-only."""
+    from datamancer_spark.operators.multimodal import (
+        _classify_decode_tier,
+        avi_video_fourcc,
+    )
+
+    img = np.full((8, 8), 90, dtype=np.uint8)
+    frame = encode_jpeg(img)
+    mjpg = _encode_avi_mjpeg([frame], 8, 8)
+    h264 = _encode_avi_mjpeg([frame], 8, 8, fourcc=b"H264")
+    assert avi_video_fourcc(mjpg) == "MJPG"
+    assert avi_video_fourcc(h264) == "H264"
+    assert _classify_decode_tier(mjpg) == ("avi", True)
+    assert _classify_decode_tier(h264) == ("avi", False)
+    assert avi_video_fourcc(b"RIFF\x08\x00\x00\x00AVI ") is None
+
+
+def test_video_metadata_codec_column(spark):
+    from datamancer_spark.operators.multimodal import video_metadata
+
+    img = np.full((8, 8), 90, dtype=np.uint8)
+    blob = _encode_avi_mjpeg([encode_jpeg(img)], 8, 8)
+    df = spark.createDataFrame(
+        [("v.avi", bytearray(blob))], "path string, content binary"
+    )
+    [row] = video_metadata(df).collect()
+    assert row["container"] == "avi"
+    assert row["codec"] == "MJPG"
