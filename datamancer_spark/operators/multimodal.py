@@ -1632,11 +1632,12 @@ def mp4_metadata_blob(blob: bytes):
     stdlib byte walk, no media library: major brand from ``ftyp``,
     duration from ``moov/mvhd`` (version 0 and 1 layouts), presentation
     dimensions from the first ``trak/tkhd`` with nonzero 16.16
-    fixed-point width/height (the video track; audio tracks carry 0x0).
-    Returns ``(brand, duration_s, width, height)`` or ``None`` for
-    non-MP4 input. Dims/duration may be None individually when the
-    corresponding box is absent/malformed — a curation filter should
-    treat that as unknown, not zero."""
+    fixed-point width/height (the video track; audio tracks carry 0x0),
+    codec from that track's ``stbl/stsd`` first sample-entry fourcc
+    (avc1/hev1/vp09/av01/…; r7). Returns ``(brand, duration_s, width,
+    height, codec)`` or ``None`` for non-MP4 input. Fields may be None
+    individually when the corresponding box is absent/malformed — a
+    curation filter should treat that as unknown, not zero."""
     import struct
 
     def boxes(data, pos, end):
@@ -1660,7 +1661,7 @@ def mp4_metadata_blob(blob: bytes):
         return None
     brand = None
     duration = None
-    width = height = None
+    width = height = codec = None
     try:
         for typ, body, bend in boxes(blob, 0, len(blob)):
             if typ == b"ftyp":
@@ -1678,6 +1679,7 @@ def mp4_metadata_blob(blob: bytes):
                         if ts:
                             duration = round(dur / ts, 6)
                     elif t2 == b"trak" and width is None:
+                        tw = th = tcodec = None
                         for t3, b3, e3 in boxes(blob, b2, e2):
                             if t3 == b"tkhd":
                                 ver = blob[b3]
@@ -1687,13 +1689,34 @@ def mp4_metadata_blob(blob: bytes):
                                 )
                                 _ = off  # layout documented; dims sit last
                                 if w16 and h16:
-                                    width = w16 >> 16
-                                    height = h16 >> 16
+                                    tw, th = w16 >> 16, h16 >> 16
+                            elif t3 == b"mdia":
+                                # mdia -> minf -> stbl -> stsd: first
+                                # sample entry's format fourcc
+                                for t4, b4, e4 in boxes(blob, b3, e3):
+                                    if t4 != b"minf":
+                                        continue
+                                    for t5, b5, e5 in boxes(blob, b4, e4):
+                                        if t5 != b"stbl":
+                                            continue
+                                        for t6, b6, e6 in boxes(
+                                            blob, b5, e5
+                                        ):
+                                            if (
+                                                t6 == b"stsd"
+                                                and e6 - b6 >= 16
+                                            ):
+                                                tcodec = blob[
+                                                    b6 + 12 : b6 + 16
+                                                ].decode("ascii", "replace")
+                        if tw and th:
+                            width, height = tw, th
+                            codec = tcodec
     except Exception:
         return None
     if brand is None:
         return None
-    return (brand, duration, width, height)
+    return (brand, duration, width, height, codec)
 
 
 def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
@@ -1745,7 +1768,7 @@ def webm_metadata(blob: bytes):
             yield (eid[0], body, bend)
             pos = bend
 
-    duration = width = height = None
+    duration = width = height = codec = None
     tscale = 1_000_000  # Matroska default: ns per timecode unit
     try:
         # skip the EBML header element, find Segment (0x18538067)
@@ -1773,16 +1796,23 @@ def webm_metadata(blob: bytes):
                 for eid2, b2, e2 in walk(b, e, None):
                     if eid2 != 0xAE:  # TrackEntry
                         continue
+                    tcodec = None
+                    has_video = False
                     for eid3, b3, e3 in walk(b2, e2, None):
-                        if eid3 == 0xE0:  # Video
+                        if eid3 == 0x86:  # CodecID (ASCII)
+                            tcodec = blob[b3:e3].decode("ascii", "replace")
+                        elif eid3 == 0xE0:  # Video
+                            has_video = True
                             for eid4, b4, e4 in walk(b3, e3, None):
                                 if eid4 == 0xB0:
                                     width = int.from_bytes(blob[b4:e4], "big")
                                 elif eid4 == 0xBA:
                                     height = int.from_bytes(blob[b4:e4], "big")
+                    if has_video and codec is None:
+                        codec = tcodec
     except Exception:
         return None
-    return (duration, width, height)
+    return (duration, width, height, codec)
 
 
 def avi_video_fourcc(blob: bytes):
@@ -1841,8 +1871,8 @@ def video_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:
     stdlib ISO-BMFF walk (``mp4_metadata_blob``), WebM/Matroska via the
     EBML walk (``webm_metadata``), AVI via its canonical
     RIFF header (frame count dims from ``avih``, codec fourcc from the
-    r7 ``avi_video_fourcc`` stream walk — mp4/webm codec ids are NULL
-    for now). Lets a 100 TB media pipeline filter by
+    r7 ``avi_video_fourcc`` stream walk; mp4 codec from stsd, webm
+    codec from CodecID). Lets a 100 TB media pipeline filter by
     resolution/duration/codec next to the scan, BEFORE any decode
     attempt — metadata is a byte walk, decode is the expensive tier.
     Unknown containers yield NULL fields, never errors."""
@@ -1858,10 +1888,10 @@ def video_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:
                 meta = mp4_metadata_blob(blob)
                 wb = webm_metadata(blob) if meta is None else None
                 if meta is not None:
-                    brand, dur, w, h = meta
+                    brand, dur, w, h, codec = meta
                     container = f"mp4/{brand}"
                 elif wb is not None:
-                    dur, w, h = wb
+                    dur, w, h, codec = wb
                     container = "webm"
                 elif blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
                     container = "avi"

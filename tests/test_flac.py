@@ -343,3 +343,43 @@ def test_cross_codec_wav_flac_perceptual_pairing(spark):
     }
     assert ("clip.flac", "clip.wav") in pairs
     assert all("other.flac" not in p for p in pairs)
+
+
+def test_decoders_never_throw_on_mutations():
+    """Robustness contract shared by every decoder here: arbitrary
+    corruption (bit flips, truncation, random bytes) must yield None or
+    a decode — NEVER an exception. One malformed blob must not kill a
+    100 TB job."""
+    from datamancer_spark.operators.flaccodec import flac_decode_array
+    from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+    from datamancer_spark.operators.multimodal import (
+        audio_decode_array,
+        avi_video_fourcc,
+        mp4_metadata_blob,
+        png_decode_array,
+        webm_metadata,
+    )
+    from tests.test_jpeg import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(99)
+    sig = list((np.sin(np.arange(512) / 7.0) * 9000).astype(np.int64))
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    seeds = [
+        encode_flac([sig]),
+        encode_jpeg(img),
+        encode_jpeg_progressive(img),
+        bytes(rng.integers(0, 256, 300, dtype=np.uint8)),
+    ]
+    decoders = (flac_decode_array, jpeg_decode_array, audio_decode_array,
+                png_decode_array, mp4_metadata_blob, webm_metadata,
+                avi_video_fourcc)
+    for blob in seeds:
+        for _ in range(40):
+            b = bytearray(blob)
+            k = rng.integers(1, 6)
+            for _ in range(k):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            if rng.integers(0, 2):
+                b = b[: rng.integers(1, len(b) + 1)]
+            for dec in decoders:
+                dec(bytes(b))  # must not raise

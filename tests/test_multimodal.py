@@ -1173,7 +1173,11 @@ class TestVideoMetadata:
                 + struct.pack(">I", 1) + b"\x00" * 4 + struct.pack(">Q", duration)
                 + b"\x00" * 52 + struct.pack(">II", w << 16, h << 16),
             )
-        trak = cls._box(b"trak", tkhd)
+        # mdia -> minf -> stbl -> stsd with one avc1 sample entry
+        entry = struct.pack(">I", 16) + b"avc1" + b"\x00" * 8
+        stsd = cls._box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        mdia = cls._box(b"mdia", cls._box(b"minf", cls._box(b"stbl", stsd)))
+        trak = cls._box(b"trak", tkhd + mdia)
         moov = cls._box(b"moov", mvhd + trak)
         return ftyp + moov
 
@@ -1183,10 +1187,11 @@ class TestVideoMetadata:
 
         got = mp4_metadata_blob(self._mp4(ver=ver))
         assert got is not None
-        brand, dur, w, h = got
+        brand, dur, w, h, codec = got
         assert brand == "isom"
         assert abs(dur - 7.5) < 1e-9
         assert (w, h) == (640, 360)
+        assert codec == "avc1"
 
     def test_video_metadata_frame(self, spark):
         import numpy as np
@@ -1521,7 +1526,10 @@ class TestWebmMetadata:
             cls._el(b"\xb0", w.to_bytes(2, "big"))
             + cls._el(b"\xba", h.to_bytes(2, "big")),
         )
-        tracks = cls._el(b"\x16\x54\xae\x6b", cls._el(b"\xae", video))
+        codec_id = cls._el(b"\x86", b"V_VP9")
+        tracks = cls._el(
+            b"\x16\x54\xae\x6b", cls._el(b"\xae", codec_id + video)
+        )
         segment = cls._el(b"\x18\x53\x80\x67", info + tracks)
         return ebml_head + segment
 
@@ -1530,9 +1538,10 @@ class TestWebmMetadata:
 
         got = webm_metadata(self._webm())
         assert got is not None
-        dur, w, h = got
+        dur, w, h, codec = got
         assert abs(dur - 4.25) < 1e-6
         assert (w, h) == (1280, 720)
+        assert codec == "V_VP9"
         assert webm_metadata(b"not ebml") is None
 
     def test_video_metadata_covers_webm(self, spark):
