@@ -383,3 +383,42 @@ def test_decoders_never_throw_on_mutations():
                 b = b[: rng.integers(1, len(b) + 1)]
             for dec in decoders:
                 dec(bytes(b))  # must not raise
+
+
+def test_flac_random_streams_property():
+    """Property: random signals x random subframe modes x random
+    blocksizes x partition orders x stereo modes round-trip
+    INTEGER-EXACT (lossless or bust)."""
+    rng = np.random.default_rng(321)
+    modes = [0, 1, 2, 3, 4, "verbatim", "constant"]
+    for trial in range(12):
+        blocksize = int(rng.choice([64, 128, 192, 256]))
+        nblocks = int(rng.integers(1, 4))
+        n = blocksize * nblocks
+        stereo = bool(rng.integers(0, 2))
+        mode = modes[int(rng.integers(0, len(modes)))]
+        porder = int(rng.integers(0, 3)) if mode not in ("constant",) else 0
+        if mode == "constant":
+            mk = lambda: [int(rng.integers(-20000, 20000))] * n
+        else:
+            amp = int(rng.integers(100, 16000))
+            mk = lambda: list(
+                (np.sin(np.arange(n) / rng.uniform(3, 40)) * amp
+                 + rng.normal(0, amp / 50, n)).astype(np.int64)
+            )
+        chans = [mk(), mk()] if stereo else [mk()]
+        ch_mode = (
+            ["independent", "left_side", "right_side", "mid_side"][
+                int(rng.integers(0, 4))
+            ]
+            if stereo
+            else "independent"
+        )
+        blob = encode_flac(chans, blocksize=blocksize,
+                           subframe_plan=[mode], ch_mode=ch_mode,
+                           porder=porder,
+                           rice_param=int(rng.integers(2, 9)))
+        got = _decode(blob)
+        assert got is not None, (trial, mode, ch_mode, porder)
+        for c, orig in zip(got[2], chans):
+            assert np.array_equal(c, orig), (trial, mode, ch_mode, porder)

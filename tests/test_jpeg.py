@@ -968,3 +968,58 @@ def test_video_metadata_codec_column(spark):
     [row] = video_metadata(df).collect()
     assert row["container"] == "avi"
     assert row["codec"] == "MJPG"
+
+
+def test_progressive_random_scan_scripts_property():
+    """Property: ANY legal scan script (random spectral-band partition
+    of 1..63, random successive-approximation chains for DC and per-band
+    AC) that delivers every coefficient bit must reproduce the baseline
+    decode EXACTLY. Randomized over sizes, gray/RGB, and subsampling."""
+    from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        h = int(rng.integers(8, 41))
+        w = int(rng.integers(8, 41))
+        gray = bool(rng.integers(0, 2))
+        sub = (not gray) and bool(rng.integers(0, 2))
+        if gray:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            comps = [0]
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            comps = [0, 1, 2]
+
+        # random band partition of 1..63
+        nsplit = int(rng.integers(0, 4))
+        splits = sorted(set(rng.integers(2, 63, size=nsplit).tolist()))
+        bounds = [1] + splits + [64]
+        bands = [(bounds[i], bounds[i + 1] - 1)
+                 for i in range(len(bounds) - 1)]
+
+        def al_chain():
+            top = int(rng.integers(0, 3))
+            return list(range(top, -1, -1))
+
+        scans = []
+        dc_chain = al_chain()
+        scans.append((comps, 0, 0, 0, dc_chain[0]))
+        for prev, al in zip(dc_chain, dc_chain[1:]):
+            scans.append((comps, 0, 0, prev, al))
+        for c in comps:
+            for (ss, se) in bands:
+                chain = al_chain()
+                scans.append(([c], ss, se, 0, chain[0]))
+                for prev, al in zip(chain, chain[1:]):
+                    scans.append(([c], ss, se, prev, al))
+
+        base = jpeg_decode_array(
+            encode_jpeg(img, quality=85, subsample=sub)
+        )
+        prog = jpeg_decode_array(
+            encode_jpeg_progressive(img, quality=85, subsample=sub,
+                                    scans=scans)
+        )
+        assert base is not None and prog is not None, (trial, scans)
+        assert prog[:3] == base[:3], (trial, scans)
+        assert np.array_equal(prog[3], base[3]), (trial, scans)
