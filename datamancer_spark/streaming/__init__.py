@@ -237,6 +237,7 @@ def streaming_fuzzy_screen(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    emit: str = "survivors",
 ) -> DataFrame:
     """Streaming near-duplicate screen against a PERSISTED history
     index: drop stream documents that share any MinHash LSH band with
@@ -255,7 +256,15 @@ def streaming_fuzzy_screen(
     stream would need a per-doc any-band aggregation (watermark +
     state); column-wise joins keep the plan stateless. Static side per
     band is one row per occupied bucket — at 100 TB this is the
-    (re-broadcastable) index tier, refreshed on compaction."""
+    (re-broadcastable) index tier, refreshed on compaction.
+
+    ``emit``: ``"survivors"`` (default) keeps novel rows;
+    ``"hits"`` INVERTS the filter, returning the band-hit rows so a
+    pipeline can route probable duplicates to a quarantine/audit sink
+    (two writeStreams over the same lineage) instead of discarding
+    them unseen."""
+    if emit not in ("survivors", "hits"):
+        raise ValueError(f"emit must be 'survivors' or 'hits', got {emit!r}")
     from ..operators.dedup import (
         hash32,
         band_hash_columns,
@@ -282,10 +291,9 @@ def streaming_fuzzy_screen(
             static_b, out[f"bhash_{b}"] == static_b[f"_ib{b}"], "left"
         ).drop(f"_ib{b}")
         hit_cols.append(f"_hit{b}")
-    survivors = out.filter(
-        F.coalesce(*[F.col(h) for h in hit_cols]).isNull()
-    )
-    return survivors.drop(*hit_cols, *[f"bhash_{b}" for b in range(bands)])
+    novel = F.coalesce(*[F.col(h) for h in hit_cols]).isNull()
+    kept = out.filter(novel if emit == "survivors" else ~novel)
+    return kept.drop(*hit_cols, *[f"bhash_{b}" for b in range(bands)])
 
 
 def streaming_span_hits(
@@ -341,6 +349,7 @@ def streaming_media_screen(
     bin_col: str = "content",
     bands: int = 4,
     max_hamming: int = 3,
+    emit: str = "survivors",
 ) -> DataFrame:
     """Streaming perceptual-duplicate screen for media blobs against a
     PERSISTED image-dHash index (``multimodal.dhash_band_index``): drop
@@ -362,8 +371,16 @@ def streaming_media_screen(
     ``dedup.hamming_band_pairs`` applies here too and is enforced.
     UNDECODABLE blobs (NULL signature) always SURVIVE — a screen must
     never silently drop what it cannot read; route them to a quarantine
-    sink if needed."""
+    sink if needed.
+
+    ``emit``: ``"survivors"`` (default) keeps novel media;
+    ``"hits"`` inverts the filter, returning the VERIFIED near-dup rows
+    for a quarantine/audit sink (undecodable blobs never appear in
+    hits)."""
     from ..operators.multimodal import dhash_scalar_udf
+
+    if emit not in ("survivors", "hits"):
+        raise ValueError(f"emit must be 'survivors' or 'hits', got {emit!r}")
 
     if max_hamming > bands - 1:
         raise ValueError(
@@ -404,8 +421,9 @@ def streaming_media_screen(
             .drop(f"_sigs{b}")
         )
         hit_cols.append(f"_hit{b}")
-    survivors = out.filter(
+    novel = (
         F.col("_dh").isNull()
         | F.coalesce(*[F.col(h) for h in hit_cols]).isNull()
     )
-    return survivors.drop("_dh", *hit_cols, *[f"_bv{b}" for b in range(bands)])
+    kept = out.filter(novel if emit == "survivors" else ~novel)
+    return kept.drop("_dh", *hit_cols, *[f"_bv{b}" for b in range(bands)])

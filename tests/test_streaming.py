@@ -549,3 +549,53 @@ def test_streaming_media_screen_verifies_hamming(spark, tmp_path):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         streaming_media_screen(stream, index, max_hamming=4)
+
+
+def test_streaming_screens_emit_hits_for_quarantine(spark, tmp_path):
+    """emit='hits' inverts the screens so probable duplicates route to
+    a quarantine/audit sink instead of vanishing; survivors+hits
+    partition the decodable stream."""
+    import numpy as np
+
+    from datamancer_spark.operators.multimodal import dhash_band_index
+    from datamancer_spark.streaming import streaming_media_screen
+    from tests.test_multimodal import _encode_png
+
+    rng = np.random.default_rng(47)
+    known = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    novel = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    corpus = spark.createDataFrame(
+        [("hist", bytearray(_encode_png(known, 0, [0])))],
+        "path string, content binary",
+    )
+    index = dhash_band_index(corpus)
+
+    d = str(tmp_path / "quarantine_in")
+    incoming = spark.createDataFrame(
+        [
+            ("dup", bytearray(_encode_png(known, 0, [2]))),
+            ("new", bytearray(_encode_png(novel, 0, [0]))),
+            ("bad", bytearray(b"not an image")),
+        ],
+        "path string, content binary",
+    )
+    incoming.write.parquet(d)
+    stream = spark.readStream.schema(incoming.schema).parquet(d)
+    q = (
+        streaming_media_screen(stream, index, emit="hits")
+        .writeStream.format("memory")
+        .queryName("quarantine")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        hits = {r["path"] for r in spark.sql("SELECT * FROM quarantine").collect()}
+    finally:
+        q.stop()
+    assert hits == {"dup"}  # undecodable never lands in quarantine
+
+    import pytest
+
+    with pytest.raises(ValueError, match="emit"):
+        streaming_media_screen(stream, index, emit="both")
