@@ -683,14 +683,19 @@ def bigram_logprob_score(
     total = un.agg(F.sum("_n").alias("_total"))
     bc = g.groupBy("w1", "w2").agg(F.sum("_m").alias("_nb"))
     ctx = bc.groupBy("w1").agg(F.sum("_nb").alias("_nc"))
-    scored = (
-        g.join(bc, ["w1", "w2"])
-        .join(ctx, "w1")
+    # assemble the LM as a BIGRAM-VOCAB-sized table first (bc ⋈ ctx ⋈
+    # un ⋈ total are all vocabulary-shaped), then join the corpus-sized
+    # doc-bigram frame ONCE on (w1, w2). The former layout threaded g
+    # through three successive join keys — four corpus-sized shuffles
+    # ((w1,w2), w1, w2, id); this shape has two (the LM join + the
+    # final per-doc reduction), the difference that compounds at 100 TB.
+    lm = (
+        bc.join(ctx, "w1")
         .join(un.withColumnRenamed("_tok", "w2"), "w2")
         .crossJoin(F.broadcast(total))
         .select(
-            F.col(id_col),
-            F.col("_m"),
+            "w1",
+            "w2",
             (
                 -F.log(
                     F.lit(lam) * (F.col("_nb") / F.col("_nc"))
@@ -698,6 +703,9 @@ def bigram_logprob_score(
                 )
             ).alias("_nlp"),
         )
+    )
+    scored = g.join(lm, ["w1", "w2"]).select(
+        F.col(id_col), F.col("_m"), F.col("_nlp")
     )
     return scored.groupBy(id_col).agg(
         F.sum("_m").cast("long").alias("n_bigrams"),
