@@ -657,6 +657,66 @@ _IMA_STEPS = [
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _tdiv(a: int, b: int) -> int:
+    """C-style integer division (truncate toward zero) — the MS-ADPCM
+    reference arithmetic; Python's // floors, which drifts the
+    predictor feedback loop on negative values."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _ms_adpcm_decode(data: bytes, block_align: int, channels: int = 1):
+    """MS ADPCM (WAV fmt 2, r7): per block, one predictor-coefficient
+    index + initial delta + two warmup int16s per channel, then 4-bit
+    codes (high nibble first, channels alternating in stereo):
+    sample = trunc((s1*c1 + s2*c2)/256) + signed_code*delta, delta
+    adapted via the 16-entry table with a floor of 16. Returns the
+    mono-mixed float array in [-1, 1] or None."""
+    import struct as st
+
+    import numpy as np
+
+    if channels not in (1, 2) or block_align < 7 * channels + 1:
+        return None
+    out = []
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        blk = data[b0 : b0 + block_align]
+        pred = list(blk[:channels])
+        if any(p >= len(_MS_COEFS) for p in pred):
+            return None
+        off = channels
+        delta = list(st.unpack_from("<" + "h" * channels, blk, off))
+        off += 2 * channels
+        s1 = list(st.unpack_from("<" + "h" * channels, blk, off))
+        off += 2 * channels
+        s2 = list(st.unpack_from("<" + "h" * channels, blk, off))
+        off += 2 * channels
+        chans = [[s2[c], s1[c]] for c in range(channels)]
+        ci = 0
+        for byte in blk[off:]:
+            for nib in (byte >> 4, byte & 0xF):
+                c = ci % channels
+                ci += 1
+                c1, c2 = _MS_COEFS[pred[c]]
+                p = _tdiv(chans[c][-1] * c1 + chans[c][-2] * c2, 256)
+                signed = nib - 16 if nib >= 8 else nib
+                s = max(-32768, min(32767, p + signed * delta[c]))
+                chans[c].append(s)
+                delta[c] = max(16, _tdiv(_MS_ADAPT[nib] * delta[c], 256))
+        n = min(len(ch) for ch in chans)
+        arr = np.array([ch[:n] for ch in chans], dtype=np.float64)
+        out.append(arr.mean(axis=0) / 32768.0)
+    if not out:
+        return None
+    return np.concatenate(out)
+
+
 def _ima_adpcm_decode(data: bytes, block_align: int, channels: int = 1):
     """IMA ADPCM (WAV fmt 0x11) decode — a pure table codec, no library
     needed: per block, a 4-byte header PER CHANNEL (16-bit predictor
@@ -721,8 +781,9 @@ def _ima_adpcm_decode(data: bytes, block_align: int, channels: int = 1):
 def wav_decode_array(blob: bytes):
     """Pure-stdlib WAV decode returning the SAMPLES: walks the RIFF
     chunk list, reads the fmt descriptor, and decodes integer PCM
-    (8/16/32-bit) plus the G.711 telephony codecs (A-law fmt 6, mu-law
-    fmt 7 — pure companding formulas) and IMA ADPCM (fmt 0x11, a
+    (8/16/24/32-bit), IEEE float PCM (fmt 3), plus the G.711 telephony
+    codecs (A-law fmt 6, mu-law fmt 7 — pure companding formulas),
+    MS ADPCM (fmt 2) and IMA ADPCM (fmt 0x11, a
     pure table codec, mono/stereo) — no codec library anywhere — with numpy.
     Returns ``(sample_rate, mono)`` with mono
     a float64 array in [-1, 1] (channel-mixed), or ``None`` for
@@ -777,8 +838,38 @@ def wav_decode_array(blob: bytes):
         if mono is None:
             return None
         return (int(rate), mono)
+    if audio_fmt == 2:  # MS ADPCM (r7: predictor-coefficient codec)
+        mono = _ms_adpcm_decode(data, _balign, channels)
+        if mono is None:
+            return None
+        return (int(rate), mono)
+    if audio_fmt == 3:  # IEEE float PCM (r7)
+        dt = {32: np.float32, 64: np.float64}.get(bits)
+        if dt is None:
+            return None
+        width = bits // 8
+        usable = len(data) - (len(data) % (width * channels))
+        if usable <= 0:
+            return None
+        x = np.frombuffer(data[:usable], dtype=dt).astype(np.float64)
+        mono = x.reshape(-1, channels).mean(axis=1)
+        return (int(rate), np.clip(mono, -1.0, 1.0))
     if audio_fmt != 1:  # perceptual codecs (mp3 etc.) need a codec lib
         return None
+    if bits == 24:  # 3-byte little-endian signed samples (r7)
+        usable = len(data) - (len(data) % (3 * channels))
+        if usable <= 0:
+            return None
+        raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+        v = (
+            raw[:, 0].astype(np.int64)
+            | (raw[:, 1].astype(np.int64) << 8)
+            | (raw[:, 2].astype(np.int64) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+        mono = x.reshape(-1, channels).mean(axis=1)
+        return (int(rate), mono)
     dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
     if dt is None:
         return None
@@ -1931,14 +2022,17 @@ AUDIO_META_SCHEMA = StructType(
 )
 
 # WAV fmt codes wav_decode_array turns into samples, per bit depth:
-# integer PCM (fmt 1: 8/16/32-bit), G.711 A-law/mu-law (6/7: 8-bit),
-# IMA ADPCM (0x11). Everything else is metadata-only.
+# integer PCM (fmt 1: 8/16/24/32-bit), MS ADPCM (2), IEEE float (3:
+# 32/64-bit), G.711 A-law/mu-law (6/7: 8-bit), IMA ADPCM (0x11).
+# Everything else is metadata-only.
 def _wav_fmt_decodable(audio_fmt, bits) -> bool:
     if audio_fmt == 1:
-        return bits in (8, 16, 32)
+        return bits in (8, 16, 24, 32)
+    if audio_fmt == 3:
+        return bits in (32, 64)
     if audio_fmt in (6, 7):
         return bits == 8
-    return audio_fmt == 0x11
+    return audio_fmt in (2, 0x11)
 
 
 def flac_streaminfo(blob: bytes):

@@ -1748,3 +1748,130 @@ class TestSubBytePng:
                 + chunk(b"IDAT", zlib.compress(bytes(4 * 9)))
                 + chunk(b"IEND", b""))
         assert png_decode_array(blob) is None
+
+
+class TestWavExtendedFormats:
+    """r7: float PCM, 24-bit PCM, MS ADPCM — the rest of the real-world
+    WAV matrix, verified against independent forward encoders."""
+
+    @staticmethod
+    def _wav(fmt_code, channels, rate, bits, balign, data):
+        import struct
+
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_code, channels,
+                                        rate, rate * balign, balign, bits)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def test_float32_and_float64_pcm(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import wav_decode_array
+
+        t = np.arange(800) / 8000.0
+        sig = 0.4 * np.sin(2 * np.pi * 220 * t)
+        for dt, bits in ((np.float32, 32), (np.float64, 64)):
+            data = sig.astype(dt).tobytes()
+            blob = self._wav(3, 1, 8000, bits, bits // 8, data)
+            got = wav_decode_array(blob)
+            assert got is not None, bits
+            rate, mono = got
+            assert rate == 8000
+            assert np.allclose(mono, sig, atol=1e-6), bits
+
+    def test_pcm24_exact(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import wav_decode_array
+
+        rng = np.random.default_rng(51)
+        vals = rng.integers(-(1 << 23), 1 << 23, size=500, dtype=np.int64)
+        raw = bytearray()
+        for v in vals:
+            raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+        blob = self._wav(1, 1, 16000, 24, 3, bytes(raw))
+        got = wav_decode_array(blob)
+        assert got is not None
+        rate, mono = got
+        assert rate == 16000
+        assert np.allclose(mono * (1 << 23), vals, atol=1e-6)
+
+    @staticmethod
+    def _ms_adpcm_encode(samples, block_samples=500, predictor=0):
+        """Independent MS-ADPCM forward encoder (mono): quantizes the
+        prediction residual to 4-bit codes, mirroring the spec's
+        truncating arithmetic and delta adaptation."""
+        import struct
+
+        COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+                 (460, -208), (392, -232)]
+        ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+                 768, 614, 512, 409, 307, 230, 230, 230]
+
+        def tdiv(a, b):
+            q = abs(a) // b
+            return -q if a < 0 else q
+
+        c1, c2 = COEFS[predictor]
+        out = bytearray()
+        balign = None
+        for b0 in range(0, len(samples) - block_samples + 1, block_samples):
+            blk = samples[b0 : b0 + block_samples]
+            s2, s1 = int(blk[0]), int(blk[1])
+            delta = 512
+            body = bytearray()
+            body.append(predictor)
+            body += struct.pack("<h", delta)
+            body += struct.pack("<h", s1)
+            body += struct.pack("<h", s2)
+            nibbles = []
+            for s in blk[2:]:
+                p = tdiv(s1 * c1 + s2 * c2, 256)
+                code = tdiv(int(s) - p, delta)
+                code = max(-8, min(7, code))
+                recon = max(-32768, min(32767, p + code * delta))
+                nib = code & 0xF
+                nibbles.append(nib)
+                s2, s1 = s1, recon
+                delta = max(16, tdiv(ADAPT[nib] * delta, 256))
+            if len(nibbles) % 2:
+                nibbles.append(0)
+            for i in range(0, len(nibbles), 2):
+                body.append((nibbles[i] << 4) | nibbles[i + 1])
+            if balign is None:
+                balign = len(body)
+            out += body
+        return bytes(out), balign
+
+    def test_ms_adpcm_roundtrip(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import wav_decode_array
+
+        rate = 8000
+        t = np.arange(rate) / rate
+        sig = 0.5 * np.sin(2 * np.pi * 220 * t) * np.abs(
+            np.sin(2 * np.pi * 2 * t)
+        )
+        s16 = (sig * 32767).astype(np.int64)
+        for predictor in (0, 1, 4):
+            data, balign = self._ms_adpcm_encode(s16, predictor=predictor)
+            blob = self._wav(2, 1, rate, 4, balign, data)
+            got = wav_decode_array(blob)
+            assert got is not None, predictor
+            grate, mono = got
+            assert grate == rate
+            m = min(len(mono), len(sig))
+            c = np.corrcoef(mono[:m], sig[:m])[0, 1]
+            assert c > 0.99, f"predictor {predictor}: corr {c}"
+
+    def test_extended_formats_report_decodable(self, spark):
+        from datamancer_spark.operators.multimodal import (
+            _wav_fmt_decodable,
+        )
+
+        assert _wav_fmt_decodable(3, 32) and _wav_fmt_decodable(3, 64)
+        assert _wav_fmt_decodable(1, 24)
+        assert _wav_fmt_decodable(2, 4)
+        assert not _wav_fmt_decodable(3, 16)
+        assert not _wav_fmt_decodable(85, 0)  # mp3-in-wav
