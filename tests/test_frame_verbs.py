@@ -297,3 +297,31 @@ def test_grouped_mutate_mixed_expression_clear_error(spark):
     )
     got = {(r["k"], r["v"]): r["share"] for r in out.collect()}
     assert got[(1, 2.0)] == 2.0 / 6.0 and got[(2, 6.0)] == 1.0
+
+
+def test_grouped_mutate_uses_window_and_falls_back_for_distinct(spark):
+    """r7: grouped mutate rewrites reductions as window aggregates (one
+    shuffle, no join — 0.41s vs 0.85s at the 150k-group anchor);
+    DISTINCT aggregates aren't window-expressible and must fall back to
+    the agg + null-safe-join-back path with identical semantics."""
+    from pyspark.sql import functions as F
+
+    from datamancer_spark import DamFrame
+
+    d = DamFrame(spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3), (None, 4), (None, 4)],
+        "k string, v int",
+    ))
+    out = d.group_by("k").mutate(total=F.sum("v")).ungroup()
+    plan = out.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition" in plan.lower()  # window path taken
+    rows = {(r["k"], r["v"], r["total"]) for r in out.df.collect()}
+    assert ("a", 1, 4) in rows and ("b", 3, 3) in rows
+    assert (None, 4, 8) in rows  # NULL keys group together
+
+    nd = d.group_by("k").mutate(nd=F.count_distinct("v")).ungroup()
+    plan2 = nd.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "join" in plan2.lower()  # fallback path taken
+    got = {(r["k"], r["v"], r["nd"]) for r in nd.df.collect()}
+    assert ("a", 1, 2) in got and ("b", 3, 1) in got
+    assert (None, 4, 1) in got  # null-safe join keeps NULL-key rows
