@@ -1445,21 +1445,103 @@ def _dhash_schema_for(df: DataFrame, id_col: str) -> StructType:
     )
 
 
+def jpeg_exif_orientation(blob: bytes):
+    """EXIF orientation tag (1-8) from a JPEG's APP1 segment — marker
+    walk + minimal TIFF IFD0 scan (both byte orders), tag 0x0112.
+    Returns ``None`` when absent/malformed (callers treat as upright).
+    Cameras and phones store rotated sensor data with this tag instead
+    of rotating pixels, so a perceptual screen that ignores it sees the
+    same photo ~32 bits apart from its upright re-encode."""
+    import struct
+
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            return None
+        while blob[pos + 1] == 0xFF and pos + 4 <= len(blob):
+            pos += 1
+        marker = blob[pos + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EXIF must precede the scan
+            return None
+        ln = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        seg = blob[pos + 4 : pos + 2 + ln]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            t = seg[6:]
+            if len(t) < 8:
+                return None
+            e = {b"II": "<", b"MM": ">"}.get(t[:2])
+            if e is None or struct.unpack(e + "H", t[2:4])[0] != 42:
+                return None
+            off = struct.unpack(e + "I", t[4:8])[0]
+            if off + 2 > len(t):
+                return None
+            n = struct.unpack(e + "H", t[off : off + 2])[0]
+            for i in range(n):
+                ep = off + 2 + 12 * i
+                if ep + 12 > len(t):
+                    return None
+                tag, typ, cnt = struct.unpack(e + "HHI", t[ep : ep + 8])
+                if tag == 0x0112 and typ == 3 and cnt == 1:
+                    v = struct.unpack(e + "H", t[ep + 8 : ep + 10])[0]
+                    return v if 1 <= v <= 8 else None
+            return None
+        pos += 2 + ln
+    return None
+
+
+def _apply_exif_orientation(gray, orient: int):
+    """Upright a 2-D array per EXIF orientation 1-8 (the standard
+    display transforms; numpy rot90 k=1 is counter-clockwise)."""
+    import numpy as np
+
+    if orient == 2:
+        return gray[:, ::-1]
+    if orient == 3:
+        return gray[::-1, ::-1]
+    if orient == 4:
+        return gray[::-1, :]
+    if orient == 5:
+        return gray.T
+    if orient == 6:
+        return np.rot90(gray, k=-1)
+    if orient == 7:
+        return gray.T[::-1, ::-1]
+    if orient == 8:
+        return np.rot90(gray, k=1)
+    return gray
+
+
 def _decode_gray(blob: bytes):
     """Grayscale pixel array from any REAL decoder — PNG (stdlib zlib),
-    baseline JPEG (operators.jpegcodec), animated GIF first frame
-    (stdlib LZW) — or None for formats still needing a codec library
-    (video, compressed audio containers)."""
+    JPEG incl. progressive (operators.jpegcodec; EXIF orientation
+    applied so camera-rotated photos hash upright), animated GIF first
+    frame (stdlib LZW) — or None for formats still needing a codec
+    library (video, compressed audio containers)."""
     import numpy as np
 
     from .jpegcodec import jpeg_decode_array
 
     decoded = png_decode_array(blob)
+    orient = None
     if decoded is None:
         decoded = jpeg_decode_array(blob)
+        if decoded is not None:
+            orient = jpeg_exif_orientation(blob)
     if decoded is not None:
         _, _, _, px = decoded
-        return px.mean(axis=2) if px.ndim == 3 and px.shape[2] > 1 else px.reshape(px.shape[0], px.shape[1])
+        gray = (
+            px.mean(axis=2)
+            if px.ndim == 3 and px.shape[2] > 1
+            else px.reshape(px.shape[0], px.shape[1])
+        )
+        if orient and orient != 1:
+            gray = _apply_exif_orientation(gray, orient)
+        return gray
     first = next(iter(gif_decode_frames(blob, max_frames=1)), None)
     if first is not None:
         _, w, h, rgb = first

@@ -1023,3 +1023,73 @@ def test_progressive_random_scan_scripts_property():
         assert base is not None and prog is not None, (trial, scans)
         assert prog[:3] == base[:3], (trial, scans)
         assert np.array_equal(prog[3], base[3]), (trial, scans)
+
+
+def _with_exif_orientation(jpeg_blob, orient, byte_order=b"II"):
+    """Splice a minimal APP1 Exif segment (TIFF IFD0 with just tag
+    0x0112) right after SOI."""
+    if byte_order == b"II":
+        tiff = (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+                + struct.pack("<H", 1)
+                + struct.pack("<HHI", 0x0112, 3, 1)
+                + struct.pack("<HH", orient, 0)
+                + struct.pack("<I", 0))
+    else:
+        tiff = (b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+                + struct.pack(">H", 1)
+                + struct.pack(">HHI", 0x0112, 3, 1)
+                + struct.pack(">HH", orient, 0)
+                + struct.pack(">I", 0))
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg_blob[:2] + app1 + jpeg_blob[2:]
+
+
+class TestExifOrientation:
+    @pytest.mark.parametrize("bo", [b"II", b"MM"])
+    def test_orientation_parses_both_byte_orders(self, bo):
+        from datamancer_spark.operators.multimodal import (
+            jpeg_exif_orientation,
+        )
+
+        img = np.full((8, 8), 80, dtype=np.uint8)
+        blob = _with_exif_orientation(encode_jpeg(img), 6, bo)
+        assert jpeg_exif_orientation(blob) == 6
+        assert jpeg_exif_orientation(encode_jpeg(img)) is None
+
+    @pytest.mark.parametrize("orient", [2, 3, 4, 5, 6, 7, 8])
+    def test_camera_rotated_photo_hashes_upright(self, orient):
+        """A photo stored rotated/flipped with the matching EXIF tag
+        must produce (nearly) the upright photo's dHash — without the
+        tag the transforms land tens of bits apart."""
+        from datamancer_spark.operators.multimodal import (
+            _apply_exif_orientation,
+            _decode_gray,
+            dhash64_gray,
+        )
+
+        rng = np.random.default_rng(orient)
+        upright = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+
+        # stored = inverse transform of upright: applying the
+        # orientation transform to it must reproduce upright. All the
+        # EXIF transforms are involutions or 90-degree rotations:
+        inverse = {2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+        stored = _apply_exif_orientation(upright, inverse[orient])
+        blob = _with_exif_orientation(
+            encode_jpeg(np.ascontiguousarray(stored), quality=95), orient
+        )
+        base = dhash64_gray(
+            _decode_gray(encode_jpeg(upright, quality=95))
+        )
+        got = dhash64_gray(_decode_gray(blob))
+        ham = bin((got % (1 << 64)) ^ (base % (1 << 64))).count("1")
+        assert ham <= 3, (orient, ham)
+
+        # control: ignoring the tag would leave the hashes far apart
+        naive = dhash64_gray(
+            _decode_gray(encode_jpeg(np.ascontiguousarray(stored),
+                                     quality=95))
+        )
+        ham_naive = bin((naive % (1 << 64)) ^ (base % (1 << 64))).count("1")
+        assert ham_naive > 10, (orient, ham_naive)
