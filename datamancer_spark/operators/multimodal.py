@@ -2152,10 +2152,10 @@ _MP3_RATES_V1 = [44100, 48000, 32000, 0]
 def mp3_header_info(blob: bytes):
     """MP3 metadata from the first MPEG-1 Layer III frame header (after
     an optional ID3v2 tag): (sample_rate, channels, bitrate_kbps,
-    est_duration_s). Duration is the CBR estimate (audio_bytes*8 /
-    bitrate) — exact for CBR files, approximate for VBR; a pipeline
-    that needs exact VBR duration must walk every frame (decode-tier
-    cost). None for non-MP3 input."""
+    est_duration_s). Duration comes from the Xing/Info VBR header's
+    frame count when present (exact for the dominant VBR encodes, r7);
+    otherwise the CBR estimate audio_bytes*8/bitrate, with an ID3v1
+    trailer excluded from the byte count. None for non-MP3 input."""
     pos = 0
     if blob[:3] == b"ID3" and len(blob) > 10:
         # syncsafe 28-bit tag size
@@ -2174,7 +2174,26 @@ def mp3_header_info(blob: bytes):
                 if br and rate:
                     channels = 1 if ((b3 >> 6) & 3) == 3 else 2
                     audio_bytes = len(blob) - pos
+                    if blob[-128:-125] == b"TAG":
+                        audio_bytes -= 128  # ID3v1 trailer is not audio
                     dur = round(audio_bytes * 8 / (br * 1000), 6)
+                    # VBR: a Xing/Info header in the first frame's side-
+                    # info region carries the TRUE frame count (the CBR
+                    # estimate is wrong for VBR, the common encode).
+                    # Offset past the 4-byte header: MPEG-1 side info is
+                    # 32 bytes stereo-family / 17 mono.
+                    xoff = pos + 4 + (17 if channels == 1 else 32)
+                    tag = blob[xoff : xoff + 4]
+                    if tag in (b"Xing", b"Info") and len(blob) >= xoff + 12:
+                        flags = int.from_bytes(
+                            blob[xoff + 4 : xoff + 8], "big"
+                        )
+                        if flags & 0x1:  # frame count present
+                            nframes = int.from_bytes(
+                                blob[xoff + 8 : xoff + 12], "big"
+                            )
+                            # 1152 samples per MPEG-1 Layer III frame
+                            dur = round(nframes * 1152 / rate, 6)
                     return (rate, channels, br, dur)
             # false sync (wrong version/layer or reserved bitrate/rate
             # index) — 0xFFEx pairs occur in junk prefixes, so keep

@@ -1438,6 +1438,31 @@ class TestAudioContainerMetadata:
         assert abs(dur - 16000 * 8 / 128000) < 1e-6
         assert mp3_header_info(b"random junk bytes") is None
 
+    def test_mp3_vbr_xing_duration_and_id3v1_trailer(self):
+        """r7: a Xing header's frame count gives the TRUE duration for
+        VBR encodes (the CBR byte estimate is wrong there), and an
+        ID3v1 'TAG' trailer is excluded from the CBR byte count."""
+        from datamancer_spark.operators.multimodal import mp3_header_info
+
+        frame_hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+        # stereo MPEG-1: side info is 32 bytes after the 4-byte header
+        side = b"\x00" * 32
+        xing = (b"Xing" + (1).to_bytes(4, "big")       # flags: frames
+                + (750).to_bytes(4, "big"))            # 750 frames
+        body = frame_hdr + side + xing
+        blob = body + b"\x00" * (40000 - len(body))
+        got = mp3_header_info(blob)
+        assert got is not None
+        rate, ch, br, dur = got
+        assert (rate, ch) == (44100, 2)
+        assert abs(dur - 750 * 1152 / 44100) < 1e-6  # ~19.59 s, not CBR
+
+        # CBR + ID3v1 trailer: 128 trailer bytes excluded
+        cbr = frame_hdr + b"\x00" * (16000 - 4) + b"TAG" + b"\x00" * 125
+        got2 = mp3_header_info(cbr)
+        assert got2 is not None
+        assert abs(got2[3] - 16000 * 8 / 128000) < 1e-6
+
     def test_mp3_survives_false_sync_in_junk_prefix(self):
         """A 0xFFEx byte pair that fails frame validation (reserved
         bitrate index / wrong layer) must not abort the bounded scan —
