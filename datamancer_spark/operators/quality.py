@@ -917,7 +917,14 @@ def duplicate_span_stats(
             )
         ).alias("_wh"),
     )
-    wdc = wh.groupBy("_wh", id_col).agg(F.count(F.lit(1)).alias("_m"))
+    # one exchange for the fingerprint stage (r7, same shape as
+    # remove_duplicate_spans): hash by _wh alone — satisfies both the
+    # (_wh, id) grouping and the _wh count window
+    wdc = (
+        wh.repartition(F.col("_wh"))
+        .groupBy("_wh", id_col)
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
     w = Window.partitionBy("_wh")
     dup = (
         wdc.withColumn("_nd", F.count(F.lit(1)).over(w))
