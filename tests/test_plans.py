@@ -206,3 +206,18 @@ def test_key_skew_profile_no_global_sort_of_count_frame(spark, sf_dir):
     rows = q.collect()
     assert 0 < len(rows) <= 10
     assert rows[0]["rank"] == 1
+
+
+def test_grouped_mutate_anchor_is_window_not_join(spark, sf_dir):
+    """The reference's published anchor (grouped_mutate_150k) must keep
+    the r7 window-aggregate plan: one exchange, no join of any kind —
+    the join-back rewrite degenerates to a two-sided sort-merge join in
+    the many-groups regime."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import executed_plan
+
+    q = e.queries()["grouped_mutate_150k"](spark, sf_dir)
+    plan = executed_plan(q)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan
