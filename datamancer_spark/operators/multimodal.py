@@ -208,6 +208,22 @@ def _classify_decode_tier(blob: bytes):
         return ("riff", False)
     if blob[:4] == b"fLaC":
         return ("flac", True)  # r7: flaccodec decodes samples for real
+    if len(blob) >= 12 and blob[:4] == b"FORM" and blob[8:12] in (
+        b"AIFF", b"AIFC"
+    ):
+        comp = b"NONE"
+        pos = 12
+        while pos + 8 <= len(blob):
+            ln = int.from_bytes(blob[pos + 4 : pos + 8], "big")
+            if blob[pos : pos + 4] == b"COMM":
+                body = blob[pos + 8 : pos + 8 + ln]
+                if len(body) >= 22:
+                    comp = body[18:22]
+                break
+            pos += 8 + ln + (ln & 1)
+        ok = comp.lower() in (b"none", b"\x00\x00\x00\x00", b"sowt",
+                              b"fl32", b"alaw", b"ulaw")
+        return ("aiff", ok)
     if blob[:4] == b"OggS":
         return ("ogg", False)
     if blob[:3] == b"ID3" or (
@@ -885,10 +901,114 @@ def wav_decode_array(blob: bytes):
     return (int(rate), mono)
 
 
+def _read_extended80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (big-endian) — AIFF's sample-rate
+    encoding: 1 sign + 15 exponent bits, then a 64-bit mantissa with an
+    EXPLICIT integer bit."""
+    import struct
+
+    if len(b) < 10:
+        return 0.0
+    se = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    if se & 0x7FFF == 0 and mant == 0:
+        return 0.0
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = (se & 0x7FFF) - 16383
+    return sign * mant * 2.0 ** (exp - 63)
+
+
+def aiff_decode_array(blob: bytes):
+    """AIFF / AIFC sample decode — pure stdlib+numpy like the WAV path:
+    FORM chunk walk, COMM (channels, frames, bits, 80-bit extended
+    sample rate, AIFC compression fourcc), SSND PCM. Covers big-endian
+    integer PCM 8/16/24/32 ('NONE'), little-endian 16-bit ('sowt'),
+    32-bit float ('fl32'), and G.711 ('alaw'/'ulaw' via the WAV-path
+    companding formulas). Returns ``(sample_rate, mono float64)`` or
+    ``None``."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 12 or blob[:4] != b"FORM" or blob[8:12] not in (
+        b"AIFF", b"AIFC"
+    ):
+        return None
+    pos = 12
+    comm = None
+    data = None
+    comp = b"NONE"
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        ln = struct.unpack(">I", blob[pos + 4 : pos + 8])[0]
+        body = blob[pos + 8 : pos + 8 + ln]
+        if cid == b"COMM" and len(body) >= 18:
+            ch, frames, bits = struct.unpack(">HIH", body[:8])
+            rate = _read_extended80(body[8:18])
+            if len(body) >= 22:  # AIFC carries a compression fourcc
+                comp = body[18:22]
+            comm = (ch, frames, bits, rate)
+        elif cid == b"SSND" and len(body) >= 8:
+            off = struct.unpack(">I", body[:4])[0]
+            data = body[8 + off :]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if comm is None or data is None:
+        return None
+    ch, _frames, bits, rate = comm
+    if ch == 0 or rate <= 0:
+        return None
+    rate = int(round(rate))
+    if comp in (b"alaw", b"ALAW", b"ulaw", b"ULAW"):
+        # reuse the WAV G.711 path by wrapping as fmt 6/7
+        fmt = 6 if comp.lower() == b"alaw" else 7
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, ch, rate,
+                                       rate * ch, ch, 8)
+               + b"data" + struct.pack("<I", len(data)) + data)
+        return wav_decode_array(wav)
+    if comp == b"fl32" or comp == b"FL32":
+        usable = len(data) - (len(data) % (4 * ch))
+        if usable <= 0:
+            return None
+        x = np.frombuffer(data[:usable], dtype=">f4").astype(np.float64)
+        return (rate, np.clip(x.reshape(-1, ch).mean(axis=1), -1.0, 1.0))
+    if comp == b"sowt":  # little-endian 16-bit PCM (Mac convention)
+        dt = "<i2"
+        width = 2
+        denom = float(1 << 15)
+    elif comp in (b"NONE", b"\x00\x00\x00\x00"):
+        if bits == 24:
+            usable = len(data) - (len(data) % (3 * ch))
+            if usable <= 0:
+                return None
+            raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+            v = (
+                (raw[:, 0].astype(np.int64) << 16)
+                | (raw[:, 1].astype(np.int64) << 8)
+                | raw[:, 2].astype(np.int64)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+            return (rate, x.reshape(-1, ch).mean(axis=1))
+        dt = {8: ">i1", 16: ">i2", 32: ">i4"}.get(bits)
+        if dt is None:
+            return None
+        width = bits // 8
+        denom = float(1 << (bits - 1))
+    else:
+        return None  # compressed AIFC (ima4, etc.)
+    usable = len(data) - (len(data) % (width * ch))
+    if usable <= 0:
+        return None
+    x = np.frombuffer(data[:usable], dtype=dt).astype(np.float64) / denom
+    return (rate, x.reshape(-1, ch).mean(axis=1))
+
+
 def audio_decode_array(blob: bytes):
     """Samples from ANY container this engine decodes: WAV
-    (integer PCM / G.711 A-law+mu-law / IMA ADPCM) via
-    ``wav_decode_array``, FLAC via the pure-stdlib
+    (integer PCM / G.711 A-law+mu-law / MS+IMA ADPCM) via
+    ``wav_decode_array``, AIFF/AIFC via ``aiff_decode_array`` (r7),
+    FLAC via the pure-stdlib
     ``flaccodec.flac_decode_array`` (r7 — FLAC is lossless linear
     prediction, no psychoacoustic codec needed). Returns
     ``(sample_rate, mono float64 in [-1, 1])`` or ``None`` for
@@ -896,6 +1016,8 @@ def audio_decode_array(blob: bytes):
     got = wav_decode_array(blob)
     if got is not None:
         return got
+    if blob[:4] == b"FORM":
+        return aiff_decode_array(blob)
     if blob[:4] == b"fLaC":
         from .flaccodec import flac_decode_array
 
@@ -2305,6 +2427,31 @@ def audio_container_metadata(
                     rate, ch, _br, dur = mp
                     container = "mp3"
                     dec = False
+                elif (len(blob) >= 12 and blob[:4] == b"FORM"
+                      and blob[8:12] in (b"AIFF", b"AIFC")):
+                    container = "aiff"
+                    p2, comp = 12, b"NONE"
+                    while p2 + 8 <= len(blob):
+                        cid2 = blob[p2 : p2 + 4]
+                        l2 = struct.unpack(
+                            ">I", blob[p2 + 4 : p2 + 8]
+                        )[0]
+                        if cid2 == b"COMM" and l2 >= 18:
+                            body2 = blob[p2 + 8 : p2 + 8 + l2]
+                            ch, frames, bits = struct.unpack(
+                                ">HIH", body2[:8]
+                            )
+                            r = _read_extended80(body2[8:18])
+                            if len(body2) >= 22:
+                                comp = body2[18:22]
+                            if r > 0:
+                                rate = int(round(r))
+                                dur = round(frames / r, 6)
+                        p2 += 8 + l2 + (l2 & 1)
+                    dec = comp.lower() in (
+                        b"none", b"\x00\x00\x00\x00", b"sowt",
+                        b"fl32", b"alaw", b"ulaw",
+                    )
                 elif (len(blob) >= 12 and blob[:4] == b"RIFF"
                       and blob[8:12] == b"WAVE"):
                     container = "wav"

@@ -1900,3 +1900,112 @@ class TestWavExtendedFormats:
         assert _wav_fmt_decodable(2, 4)
         assert not _wav_fmt_decodable(3, 16)
         assert not _wav_fmt_decodable(85, 0)  # mp3-in-wav
+
+
+class TestAiff:
+    """r7 AIFF/AIFC: independent writer (own 80-bit extended-float rate
+    encoding) round-tripped through the decoder."""
+
+    @staticmethod
+    def _ext80(rate):
+        import struct
+
+        # normalize rate into mantissa * 2^(exp-63) with explicit
+        # integer bit set
+        assert rate > 0
+        exp = 16383 + 63
+        mant = int(rate)
+        while mant < 1 << 63:
+            mant <<= 1
+            exp -= 1
+        while mant >= 1 << 64:
+            mant >>= 1
+            exp += 1
+        return struct.pack(">HQ", exp, mant)
+
+    @classmethod
+    def _aiff(cls, samples, rate, bits=16, form=b"AIFF", comp=None,
+              data=None, channels=1):
+        import struct
+
+        import numpy as np
+
+        if data is None:
+            dt = {8: ">i1", 16: ">i2", 32: ">i4"}[bits]
+            data = np.asarray(samples).astype(dt).tobytes()
+        nframes = (len(data) // max(1, bits // 8)) // channels
+        comm_body = (struct.pack(">HIH", channels, nframes, bits)
+                     + cls._ext80(rate))
+        if comp is not None:
+            comm_body += comp + b"\x00"  # fourcc + empty pascal name
+        ssnd_body = struct.pack(">II", 0, 0) + data
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + struct.pack(">I", len(body)) + body + pad
+
+        payload = form + chunk(b"COMM", comm_body) + chunk(b"SSND", ssnd_body)
+        return b"FORM" + struct.pack(">I", len(payload)) + payload
+
+    def test_pcm16_be_roundtrip(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import aiff_decode_array
+
+        t = np.arange(800) / 8000.0
+        sig = (np.sin(2 * np.pi * 220 * t) * 12000).astype(np.int64)
+        got = aiff_decode_array(self._aiff(sig, 8000))
+        assert got is not None
+        rate, mono = got
+        assert rate == 8000
+        assert np.allclose(mono * (1 << 15), sig, atol=1e-6)
+
+    def test_sowt_and_fl32_aifc(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import aiff_decode_array
+
+        t = np.arange(400) / 8000.0
+        sig = 0.3 * np.sin(2 * np.pi * 330 * t)
+        s16 = (sig * 32767).astype("<i2")
+        blob = self._aiff(None, 8000, bits=16, form=b"AIFC",
+                          comp=b"sowt", data=s16.tobytes())
+        got = aiff_decode_array(blob)
+        assert got is not None
+        assert np.allclose(got[1], s16.astype(np.float64) / (1 << 15))
+
+        f32 = sig.astype(">f4")
+        blob = self._aiff(None, 44100, bits=32, form=b"AIFC",
+                          comp=b"fl32", data=f32.tobytes())
+        got = aiff_decode_array(blob)
+        assert got is not None
+        assert got[0] == 44100
+        assert np.allclose(got[1], sig, atol=1e-6)
+
+    def test_metadata_and_coverage(self, spark):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            _classify_decode_tier,
+            audio_container_metadata,
+            audio_decode_array,
+        )
+
+        sig = (np.arange(16000) % 100).astype(np.int64)
+        blob = self._aiff(sig, 16000)
+        assert _classify_decode_tier(blob) == ("aiff", True)
+        # compressed AIFC (ima4) is metadata-only
+        blob_ima = self._aiff(None, 16000, bits=16, form=b"AIFC",
+                              comp=b"ima4", data=b"\x00" * 64)
+        assert _classify_decode_tier(blob_ima) == ("aiff", False)
+        assert audio_decode_array(blob_ima) is None
+        assert audio_decode_array(blob) is not None
+
+        df = spark.createDataFrame(
+            [("a.aiff", bytearray(blob))], "path string, content binary"
+        )
+        [row] = audio_container_metadata(df).collect()
+        assert row["container"] == "aiff"
+        assert row["sample_rate"] == 16000
+        assert abs(row["duration_s"] - 1.0) < 1e-6
+        assert row["decodable"] is True
