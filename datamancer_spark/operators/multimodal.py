@@ -1673,6 +1673,34 @@ def _decode_gray(blob: bytes):
     return None
 
 
+def box_resample(arr, out_h: int, out_w: int):
+    """Exact-area box resample of a (h, w) or (h, w, c) array to
+    (out_h, out_w[, c]) — integer-floor cell grid, each output cell the
+    mean of its source box (``np.add.reduceat`` twice); images smaller
+    than the target up-map nearest-neighbor (reduceat needs h>=out_h).
+    The generalized form of the dHash 8×9 grid; ``resize_images``
+    thumbnails through it. Returns float64."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    h, w, _c = a.shape
+    if h >= out_h and w >= out_w:
+        ri = (np.arange(out_h) * h) // out_h
+        ci = (np.arange(out_w) * w) // out_w
+        s = np.add.reduceat(np.add.reduceat(a, ri, axis=0), ci, axis=1)
+        rh = np.diff(np.append(ri, h)).astype(np.float64)
+        cw = np.diff(np.append(ci, w)).astype(np.float64)
+        out = s / (rh[:, None, None] * cw[None, :, None])
+    else:  # tiny image: nearest-neighbor up-map
+        rmap = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+        cmap = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+        out = a[np.ix_(rmap, cmap)]
+    return out[:, :, 0] if squeeze else out
+
+
 def dhash64_gray(gray) -> int:
     """64-bit difference hash (dHash) of a grayscale image array: box-
     resample to an 8×9 grid, then bit (row, col) = 1 iff
@@ -1680,29 +1708,126 @@ def dhash64_gray(gray) -> int:
     fingerprint that survives re-encode, resize, and mild edits while
     unrelated images land ~32 bits apart. Pure numpy, deterministic;
     returns a SIGNED 64-bit int (Spark LongType two's-complement)."""
-    import numpy as np
-
-    g = np.asarray(gray, dtype=np.float64)
-    h, w = g.shape
-    rows, cols = 8, 9
-    if h >= rows and w >= cols:
-        ri = (np.arange(rows) * h) // rows
-        ci = (np.arange(cols) * w) // cols
-        s = np.add.reduceat(np.add.reduceat(g, ri, axis=0), ci, axis=1)
-        rh = np.diff(np.append(ri, h)).astype(np.float64)
-        cw = np.diff(np.append(ci, w)).astype(np.float64)
-        cells = s / np.outer(rh, cw)
-    else:  # tiny image: nearest-neighbor up-map (reduceat needs h>=8, w>=9)
-        rmap = np.minimum((np.arange(rows) * h) // rows, h - 1)
-        cmap = np.minimum((np.arange(cols) * w) // cols, w - 1)
-        cells = g[np.ix_(rmap, cmap)]
+    cells = box_resample(gray, 8, 9)
     bits = cells[:, :-1] > cells[:, 1:]
     v = 0
-    for i in range(rows):
+    for i in range(8):
         for j in range(8):
             if bits[i, j]:
                 v |= 1 << (i * 8 + j)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def png_encode(px) -> bytes:
+    """Minimal PNG writer — filter-0 scanlines + stdlib zlib — for
+    uint8 (h, w) gray or (h, w, 3) RGB arrays. Powers the
+    ``resize_images`` thumbnail sink. The DECODERS are never tested
+    against this writer: decoder tests keep their independent
+    test-side encoders."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.uint8)
+    gray = a.ndim == 2 or a.shape[2] == 1
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    h, w = a.shape[:2]
+    ctype = 0 if gray else 2
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _decode_rgb(blob: bytes):
+    """(h, w, c) uint8 from any REAL decoder (c = 1 or 3), with EXIF
+    orientation uprighted for JPEGs; None when undecodable."""
+    import numpy as np
+
+    from .jpegcodec import jpeg_decode_array
+
+    decoded = png_decode_array(blob)
+    orient = None
+    if decoded is None:
+        decoded = jpeg_decode_array(blob)
+        if decoded is not None:
+            orient = jpeg_exif_orientation(blob)
+    if decoded is not None:
+        _, _, _, px = decoded
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if orient and orient != 1:
+            px = np.stack(
+                [_apply_exif_orientation(px[:, :, i], orient)
+                 for i in range(px.shape[2])],
+                axis=2,
+            )
+        return px
+    first = next(iter(gif_decode_frames(blob, max_frames=1)), None)
+    if first is not None:
+        _, w, h, rgb = first
+        return np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    return None
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "path",
+    width: int = 64,
+    height: int = 64,
+) -> DataFrame:
+    """Fixed-resolution thumbnails — the resize stage of a multimodal
+    training pipeline: decode (PNG all profiles / JPEG baseline +
+    progressive with EXIF uprighting / GIF first frame), exact-area
+    ``box_resample`` to (height, width), re-encode as a filter-0 PNG.
+    Arrow-batched mapInPandas; full-size pixels never leave the
+    executor — only the bounded thumbnail (≤ h·w·3 bytes + zlib)
+    shuffles. Undecodable blobs yield NULL thumbs, never errors.
+    Output: (id, width, height, thumb: binary|NULL); width/height are
+    the SOURCE dims (the thumb's are the arguments)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"path": [], "width": [], "height": [], "thumb": []}
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                px = _decode_rgb(bytes(blob))
+                out["path"].append(rid)
+                if px is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["thumb"].append(None)
+                    continue
+                small = np.clip(
+                    np.round(box_resample(px, height, width)), 0, 255
+                ).astype(np.uint8)
+                out["width"].append(int(px.shape[1]))
+                out["height"].append(int(px.shape[0]))
+                out["thumb"].append(png_encode(small))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).alias("path"), bin_col
+    ).mapInPandas(batches, RESIZE_SCHEMA)
 
 
 def image_dhash(

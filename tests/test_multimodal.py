@@ -2009,3 +2009,51 @@ class TestAiff:
         assert row["sample_rate"] == 16000
         assert abs(row["duration_s"] - 1.0) < 1e-6
         assert row["decodable"] is True
+
+
+class TestResizeImages:
+    def test_thumbnail_roundtrip_and_null_policy(self, spark):
+        """resize_images: exact-area means for a divisible grid, NULL
+        for undecodable blobs, and the thumb is a decodable PNG."""
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            png_decode_array,
+            resize_images,
+        )
+
+        # 32x32 block image: each 8x8 block constant -> 4x4 thumb exact
+        rng = np.random.default_rng(61)
+        blocks = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        blob = _encode_png(img, 2, [0])
+        rows = [
+            ("img.png", bytearray(blob)),
+            ("junk.bin", bytearray(b"not an image")),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        got = {r["path"]: r for r in resize_images(df, width=4, height=4).collect()}
+        r = got["img.png"]
+        assert (r["width"], r["height"]) == (32, 32)
+        w, h, ch, px = png_decode_array(bytes(r["thumb"]))
+        assert (w, h, ch) == (4, 4, 3)
+        assert np.array_equal(px, blocks)
+        assert got["junk.bin"]["thumb"] is None
+        assert got["junk.bin"]["width"] is None
+
+    def test_exif_uprighting_applies_to_thumbnails(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import _decode_rgb
+        from tests.test_jpeg import _with_exif_orientation, encode_jpeg
+
+        img = np.zeros((16, 32), dtype=np.uint8)
+        img[:, 16:] = 200  # right half bright
+        # stored rotated 90 CCW, tagged orientation 6 (rotate CW to fix)
+        stored = np.rot90(img, k=1)
+        blob = _with_exif_orientation(
+            encode_jpeg(np.ascontiguousarray(stored), quality=95), 6
+        )
+        px = _decode_rgb(blob)
+        assert px.shape[:2] == (16, 32)  # upright dims restored
+        assert px[:, 24:].mean() > px[:, :8].mean() + 100
