@@ -364,15 +364,20 @@ def test_decoders_never_throw_on_mutations():
     rng = np.random.default_rng(99)
     sig = list((np.sin(np.arange(512) / 7.0) * 9000).astype(np.int64))
     img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    from tests.test_multimodal import TestAiff
+
     seeds = [
         encode_flac([sig]),
         encode_jpeg(img),
         encode_jpeg_progressive(img),
+        TestAiff._aiff(sig[:256], 8000),
         bytes(rng.integers(0, 256, 300, dtype=np.uint8)),
     ]
+    from datamancer_spark.operators.multimodal import aiff_decode_array
+
     decoders = (flac_decode_array, jpeg_decode_array, audio_decode_array,
-                png_decode_array, mp4_metadata_blob, webm_metadata,
-                avi_video_fourcc)
+                aiff_decode_array, png_decode_array, mp4_metadata_blob,
+                webm_metadata, avi_video_fourcc)
     for blob in seeds:
         for _ in range(40):
             b = bytearray(blob)
