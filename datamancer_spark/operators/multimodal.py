@@ -2607,3 +2607,66 @@ def audio_container_metadata(
             yield pd.DataFrame(out)
 
     return df.select("path", bin_col).mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+def curate_media(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "path",
+    max_bytes: int | None = None,
+    min_width: int | None = None,
+    min_height: int | None = None,
+    max_hamming: int = 3,
+    bands: int = 4,
+):
+    """End-to-end media curation composition — the media counterpart of
+    the text tier's clean_corpus/curate_v2 (r7): (1) size gate next to
+    the scan, (2) dimension gate via the metadata walks
+    (``image_dimensions``, no decode), (3) exact byte dedup on the md5
+    digest (smallest id keeps), (4) perceptual near-dup removal —
+    ``dhash_pairs`` → connected components → smallest id per cluster
+    keeps (``components.dedup_keep_canonical``). Returns
+    ``(survivors, coverage)``: the curated frame plus the
+    ``media_decode_coverage`` report OVER THE SURVIVORS, so the
+    pipeline logs exactly what fraction of what it kept was actually
+    perceptually screened (undecodable blobs pass the dHash stage
+    unscreened by design — a screen must never drop what it cannot
+    read).
+
+    Scale shape: every stage is an existing operator; payload bytes
+    move only in the survivor projections — the gates are scan-side
+    filters, exact dedup shuffles (digest, id), and the near-dup tier
+    shuffles 8-byte signatures through the banded engine."""
+    from .components import dedup_keep_canonical
+
+    cur = df
+    if max_bytes is not None:
+        cur = cur.filter(F.length(F.col(bin_col)) <= max_bytes)
+    if min_width is not None or min_height is not None:
+        # drop only PROVABLY undersized images: unknown dims (audio,
+        # opaque payloads, unrecognized containers) survive the gate —
+        # the same never-silently-drop-the-unreadable rule the screens
+        # follow; the coverage report flags them downstream
+        dims = image_dimensions(cur, bin_col).select(
+            F.col("path").alias(id_col), "width", "height"
+        )
+        viol = F.lit(False)
+        if min_width is not None:
+            viol = viol | (F.col("width") < min_width)
+        if min_height is not None:
+            viol = viol | (F.col("height") < min_height)
+        drop_ids = dims.filter(viol).select(id_col)
+        cur = cur.join(drop_ids, id_col, "left_anti")
+    # exact byte dedup: smallest id per digest keeps
+    exact_keep = (
+        cur.select(F.col(id_col), F.md5(F.col(bin_col)).alias("_dg"))
+        .groupBy("_dg")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    cur = cur.join(exact_keep, id_col, "left_semi")
+    pairs = dhash_pairs(
+        cur, bin_col, id_col, max_hamming=max_hamming, bands=bands
+    )
+    survivors = dedup_keep_canonical(cur, pairs, id_col=id_col)
+    return survivors, media_decode_coverage(survivors, bin_col)

@@ -2057,3 +2057,52 @@ class TestResizeImages:
         px = _decode_rgb(blob)
         assert px.shape[:2] == (16, 32)  # upright dims restored
         assert px[:, 24:].mean() > px[:, :8].mean() + 100
+
+
+class TestCurateMedia:
+    def test_full_chain(self, spark):
+        """Gate -> exact dedup -> perceptual dedup -> coverage: byte
+        dup drops, perceptual dup (re-encoded same pixels) drops, tiny
+        image gated out, novel image + unscreenable blob survive, and
+        the coverage report reflects the survivors."""
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import curate_media
+
+        rng = np.random.default_rng(71)
+        pic = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+        other = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+        tiny = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+        rows = [
+            ("a_pic.png", bytearray(_encode_png(pic, 0, [0]))),
+            ("b_copy.png", bytearray(_encode_png(pic, 0, [0]))),   # byte dup
+            ("c_reenc.png", bytearray(_encode_png(pic, 0, [2]))),  # perceptual dup
+            ("d_other.png", bytearray(_encode_png(other, 0, [0]))),
+            ("e_tiny.png", bytearray(_encode_png(tiny, 0, [0]))),  # gated
+            ("f_blob.bin", bytearray(b"unscreenable payload")),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        survivors, coverage = curate_media(df, min_width=8, min_height=8)
+        kept = {r["path"] for r in survivors.collect()}
+        assert kept == {"a_pic.png", "d_other.png", "f_blob.bin"}
+        cov = {r["container"]: (r["n"], r["n_screenable"])
+               for r in coverage.collect()}
+        assert cov["png"] == (2, 2)
+        assert cov["unknown"] == (1, 0)
+
+    def test_dimension_gate_spares_unknown_dims(self, spark):
+        """The dims gate drops only PROVABLY undersized images: blobs
+        whose dims are unknown (audio, opaque payloads) survive — the
+        never-silently-drop-the-unreadable rule the screens follow."""
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import curate_media
+
+        tiny = np.zeros((4, 4), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [("x.bin", bytearray(b"opaque")),
+             ("t.png", bytearray(_encode_png(tiny, 0, [0])))],
+            "path string, content binary",
+        )
+        survivors, _ = curate_media(df, min_width=8)
+        assert {r["path"] for r in survivors.collect()} == {"x.bin"}
