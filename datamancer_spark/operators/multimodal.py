@@ -222,7 +222,7 @@ def _classify_decode_tier(blob: bytes):
                 break
             pos += 8 + ln + (ln & 1)
         ok = comp.lower() in (b"none", b"\x00\x00\x00\x00", b"sowt",
-                              b"fl32", b"alaw", b"ulaw")
+                              b"fl32", b"alaw", b"ulaw", b"ima4")
         return ("aiff", ok)
     if blob[:4] == b"OggS":
         return ("ogg", False)
@@ -901,6 +901,50 @@ def wav_decode_array(blob: bytes):
     return (int(rate), mono)
 
 
+def _aifc_ima4_decode(data: bytes, channels: int):
+    """Apple IMA4 (AIFC 'ima4', r7): 34-byte packets, channel-
+    interleaved — 2-byte big-endian preamble (top 9 bits the int16
+    predictor seed, low 7 the step index) + 32 nibble bytes (low
+    nibble first), 64 samples per packet. Same step/index tables as
+    WAV IMA ADPCM. Returns mono-mixed float64 in [-1, 1] or None."""
+    import numpy as np
+
+    if channels < 1 or len(data) < 34 * channels:
+        return None
+    chans = [[] for _ in range(channels)]
+    pos = 0
+    while pos + 34 * channels <= len(data):
+        for c in range(channels):
+            pkt = data[pos + 34 * c : pos + 34 * (c + 1)]
+            pre = int.from_bytes(pkt[:2], "big")
+            pred = pre & 0xFF80
+            if pred >= 0x8000:
+                pred -= 0x10000
+            idx = pre & 0x7F
+            if idx > 88:
+                return None
+            out = chans[c]
+            for byte in pkt[2:]:
+                for nib in (byte & 0xF, byte >> 4):  # low nibble first
+                    step = _IMA_STEPS[idx]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = pred - diff if nib & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+                    out.append(pred)
+        pos += 34 * channels
+    if not chans[0]:
+        return None
+    arr = np.array(chans, dtype=np.float64) / 32768.0
+    return arr.mean(axis=0)
+
+
 def _read_extended80(b: bytes) -> float:
     """IEEE 754 80-bit extended float (big-endian) — AIFF's sample-rate
     encoding: 1 sign + 15 exponent bits, then a 64-bit mantissa with an
@@ -995,8 +1039,13 @@ def aiff_decode_array(blob: bytes):
             return None
         width = bits // 8
         denom = float(1 << (bits - 1))
+    elif comp == b"ima4":
+        mono = _aifc_ima4_decode(data, ch)
+        if mono is None:
+            return None
+        return (rate, mono)
     else:
-        return None  # compressed AIFC (ima4, etc.)
+        return None  # other compressed AIFC codecs
     usable = len(data) - (len(data) % (width * ch))
     if usable <= 0:
         return None
@@ -2575,7 +2624,7 @@ def audio_container_metadata(
                         p2 += 8 + l2 + (l2 & 1)
                     dec = comp.lower() in (
                         b"none", b"\x00\x00\x00\x00", b"sowt",
-                        b"fl32", b"alaw", b"ulaw",
+                        b"fl32", b"alaw", b"ulaw", b"ima4",
                     )
                 elif (len(blob) >= 12 and blob[:4] == b"RIFF"
                       and blob[8:12] == b"WAVE"):

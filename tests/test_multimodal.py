@@ -1994,11 +1994,11 @@ class TestAiff:
         sig = (np.arange(16000) % 100).astype(np.int64)
         blob = self._aiff(sig, 16000)
         assert _classify_decode_tier(blob) == ("aiff", True)
-        # compressed AIFC (ima4) is metadata-only
-        blob_ima = self._aiff(None, 16000, bits=16, form=b"AIFC",
-                              comp=b"ima4", data=b"\x00" * 64)
-        assert _classify_decode_tier(blob_ima) == ("aiff", False)
-        assert audio_decode_array(blob_ima) is None
+        # compressed AIFC beyond the decoder (MACE) is metadata-only
+        blob_mac = self._aiff(None, 16000, bits=16, form=b"AIFC",
+                              comp=b"MAC6", data=b"\x00" * 64)
+        assert _classify_decode_tier(blob_mac) == ("aiff", False)
+        assert audio_decode_array(blob_mac) is None
         assert audio_decode_array(blob) is not None
 
         df = spark.createDataFrame(
@@ -2106,3 +2106,83 @@ class TestCurateMedia:
         )
         survivors, _ = curate_media(df, min_width=8)
         assert {r["path"] for r in survivors.collect()} == {"x.bin"}
+
+
+class TestAifcIma4:
+    @staticmethod
+    def _ima4_encode(samples):
+        """Independent Apple-IMA4 forward encoder (mono): standard IMA
+        quantizer, 64-sample packets with the BE preamble carrying the
+        current predictor's top 9 bits + step index."""
+        import numpy as np
+
+        STEPS = [
+            7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+            34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+            143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+            449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+            1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+            3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+            9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+            22385, 24623, 27086, 29794, 32767,
+        ]
+        IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+        pred, idx = 0, 0
+        out = bytearray()
+        n = (len(samples) // 64) * 64
+        for p0 in range(0, n, 64):
+            pre = ((pred & 0xFF80) & 0xFFFF) | idx
+            out += int(pre).to_bytes(2, "big")
+            nibs = []
+            for s in samples[p0 : p0 + 64]:
+                step = STEPS[idx]
+                diff = int(s) - pred
+                nib = 0
+                if diff < 0:
+                    nib = 8
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                # reconstruct exactly like the decoder
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                pred = pred - d if nib & 8 else pred + d
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + IDX[nib & 7]))
+                nibs.append(nib)
+            for i in range(0, 64, 2):
+                out.append(nibs[i] | (nibs[i + 1] << 4))  # low nib first
+        return bytes(out)
+
+    def test_ima4_roundtrip(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import aiff_decode_array
+
+        rate = 8000
+        t = np.arange(rate) / rate
+        sig = 0.5 * np.sin(2 * np.pi * 220 * t) * np.abs(
+            np.sin(2 * np.pi * 2 * t)
+        )
+        s16 = (sig * 32767).astype(np.int64)
+        data = self._ima4_encode(s16)
+        blob = TestAiff._aiff(None, rate, bits=16, form=b"AIFC",
+                              comp=b"ima4", data=data)
+        got = aiff_decode_array(blob)
+        assert got is not None
+        grate, mono = got
+        assert grate == rate
+        m = min(len(mono), len(sig))
+        c = np.corrcoef(mono[:m], sig[:m])[0, 1]
+        assert c > 0.99, f"ima4 corr {c}"
