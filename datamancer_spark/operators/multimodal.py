@@ -2719,3 +2719,53 @@ def curate_media(
     )
     survivors = dedup_keep_canonical(cur, pairs, id_col=id_col)
     return survivors, media_decode_coverage(survivors, bin_col)
+
+
+def curate_audio(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "path",
+    min_duration_s: float | None = None,
+    max_duration_s: float | None = None,
+    min_sample_rate: int | None = None,
+    max_hamming: int = 3,
+    bands: int = 4,
+):
+    """Audio counterpart of ``curate_media`` (r7): metadata gate
+    (duration/sample-rate from ``audio_container_metadata`` — drops
+    only PROVABLY violating clips, unknown metadata survives), exact
+    byte dedup (smallest id per digest), perceptual near-dup removal
+    via ``audio_dhash_pairs`` → connected components → canonical keep,
+    and the decode-coverage report over the survivors (so a pipeline
+    reports "N% of kept audio was actually screened" — MP3/Ogg pass
+    the perceptual stage unscreened by design). Returns
+    ``(survivors, coverage)``."""
+    from .components import dedup_keep_canonical
+
+    cur = df
+    if (min_duration_s is not None or max_duration_s is not None
+            or min_sample_rate is not None):
+        meta = audio_container_metadata(cur, bin_col).select(
+            F.col("path").alias(id_col), "duration_s", "sample_rate"
+        )
+        viol = F.lit(False)
+        if min_duration_s is not None:
+            viol = viol | (F.col("duration_s") < min_duration_s)
+        if max_duration_s is not None:
+            viol = viol | (F.col("duration_s") > max_duration_s)
+        if min_sample_rate is not None:
+            viol = viol | (F.col("sample_rate") < min_sample_rate)
+        drop_ids = meta.filter(viol).select(id_col)
+        cur = cur.join(drop_ids, id_col, "left_anti")
+    exact_keep = (
+        cur.select(F.col(id_col), F.md5(F.col(bin_col)).alias("_dg"))
+        .groupBy("_dg")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    cur = cur.join(exact_keep, id_col, "left_semi")
+    pairs = audio_dhash_pairs(
+        cur, bin_col, id_col, max_hamming=max_hamming, bands=bands
+    )
+    survivors = dedup_keep_canonical(cur, pairs, id_col=id_col)
+    return survivors, media_decode_coverage(survivors, bin_col)

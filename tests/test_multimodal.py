@@ -2186,3 +2186,50 @@ class TestAifcIma4:
         m = min(len(mono), len(sig))
         c = np.corrcoef(mono[:m], sig[:m])[0, 1]
         assert c > 0.99, f"ima4 corr {c}"
+
+
+class TestCurateAudio:
+    def test_full_chain(self, spark):
+        """Duration gate -> exact dedup -> perceptual dedup (WAV vs
+        FLAC twin of the same clip) -> coverage over survivors."""
+        import struct
+
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import curate_audio
+        from tests.test_flac import encode_flac
+
+        rate = 8000
+        t = np.arange(rate) / rate
+        clip = (np.sin(2 * np.pi * 220 * t)
+                * np.abs(np.sin(2 * np.pi * 3 * t)) * 16000).astype(np.int64)
+        other = (np.sin(2 * np.pi * 700 * t)
+                 * np.abs(np.cos(2 * np.pi * 11 * t + 1)) * 14000
+                 ).astype(np.int64)
+        short = clip[:400]  # 0.05 s -> gated
+
+        def wav16(sig):
+            d = sig.astype(np.int16).tobytes()
+            return (b"RIFF" + struct.pack("<I", 36 + len(d)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                            rate * 2, 2, 16)
+                    + b"data" + struct.pack("<I", len(d)) + d)
+
+        mp3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 64000
+        rows = [
+            ("a_clip.wav", bytearray(wav16(clip))),
+            ("b_copy.wav", bytearray(wav16(clip))),          # byte dup
+            ("c_clip.flac", bytearray(encode_flac([list(clip)],
+                                                  rate=rate))),  # perceptual dup
+            ("d_other.wav", bytearray(wav16(other))),
+            ("e_short.wav", bytearray(wav16(short))),        # gated
+            ("f_song.mp3", bytearray(mp3)),                  # unscreenable, kept
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        survivors, coverage = curate_audio(df, min_duration_s=0.5)
+        kept = {r["path"] for r in survivors.collect()}
+        assert kept == {"a_clip.wav", "d_other.wav", "f_song.mp3"}
+        cov = {r["container"]: (r["n"], r["n_screenable"])
+               for r in coverage.collect()}
+        assert cov["wav"] == (2, 2)
+        assert cov["mp3"] == (1, 0)
