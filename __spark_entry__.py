@@ -1226,14 +1226,6 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width histogram via width_bucket (operators/sampling.py)."""
-    from datamancer_spark.operators.sampling import histogram
-
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    return histogram(li.df, "l_extendedprice", 0.0, 100000.0, 20)
-
-
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 TF-IDF terms (operators/tfidf.py — relational
     term scoring with broadcast idf join)."""

@@ -138,7 +138,10 @@ class _BitReader:
             if 0xD0 <= m <= 0xD7:
                 self.pos += 2  # skip FF Dn
                 return True
-            return False
+            if m != 0xFF:
+                return False
+            # 0xFF fill bytes may pad before the restart marker
+            # (B.1.1.2): fall through to the tolerant forward scan
         while self.pos + 1 < len(d):
             if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
                 self.pos += 2

@@ -211,19 +211,11 @@ def _classify_decode_tier(blob: bytes):
     if len(blob) >= 12 and blob[:4] == b"FORM" and blob[8:12] in (
         b"AIFF", b"AIFC"
     ):
-        comp = b"NONE"
-        pos = 12
-        while pos + 8 <= len(blob):
-            ln = int.from_bytes(blob[pos + 4 : pos + 8], "big")
-            if blob[pos : pos + 4] == b"COMM":
-                body = blob[pos + 8 : pos + 8 + ln]
-                if len(body) >= 22:
-                    comp = body[18:22]
-                break
-            pos += 8 + ln + (ln & 1)
-        ok = comp.lower() in (b"none", b"\x00\x00\x00\x00", b"sowt",
-                              b"fl32", b"alaw", b"ulaw", b"ima4")
-        return ("aiff", ok)
+        comm = _aiff_comm(blob)
+        return (
+            "aiff",
+            comm is not None and comm[4].lower() in _AIFC_DECODABLE,
+        )
     if blob[:4] == b"OggS":
         return ("ogg", False)
     if blob[:3] == b"ID3" or (
@@ -948,7 +940,10 @@ def _aifc_ima4_decode(data: bytes, channels: int):
 def _read_extended80(b: bytes) -> float:
     """IEEE 754 80-bit extended float (big-endian) — AIFF's sample-rate
     encoding: 1 sign + 15 exponent bits, then a 64-bit mantissa with an
-    EXPLICIT integer bit."""
+    EXPLICIT integer bit. Corrupt exponents must yield 0.0, never an
+    exception: this runs inside mapInPandas kernels where one bad blob
+    must not kill the task (a large exponent field would otherwise
+    raise OverflowError in 2.0**exp)."""
     import struct
 
     if len(b) < 10:
@@ -957,9 +952,49 @@ def _read_extended80(b: bytes) -> float:
     mant = struct.unpack(">Q", b[2:10])[0]
     if se & 0x7FFF == 0 and mant == 0:
         return 0.0
-    sign = -1.0 if se & 0x8000 else 1.0
     exp = (se & 0x7FFF) - 16383
-    return sign * mant * 2.0 ** (exp - 63)
+    if se & 0x8000 or exp < -63 or exp > 63:
+        # negative, denormal-tiny, infinity/NaN (0x7FFF), or absurdly
+        # large: no legal audio rate lives here
+        return 0.0
+    return mant * 2.0 ** (exp - 63)
+
+
+# AIFC compression fourccs aiff_decode_array turns into samples; the
+# single authority the coverage/metadata tiers share
+_AIFC_DECODABLE = frozenset(
+    [b"none", b"\x00\x00\x00\x00", b"sowt", b"fl32", b"alaw", b"ulaw",
+     b"ima4"]
+)
+
+
+def _aiff_comm(blob: bytes):
+    """The COMM facts every AIFF consumer needs — one chunk walk shared
+    by ``aiff_decode_array``, ``audio_container_metadata`` and
+    ``_classify_decode_tier`` (previously triplicated, a drift hazard):
+    ``(channels, frames, bits, rate, comp)`` with rate validated to a
+    plausible audio range (0 excluded), or ``None``."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"FORM" or blob[8:12] not in (
+        b"AIFF", b"AIFC"
+    ):
+        return None
+    pos = 12
+    while pos + 8 <= len(blob):
+        ln = struct.unpack(">I", blob[pos + 4 : pos + 8])[0]
+        if blob[pos : pos + 4] == b"COMM":
+            body = blob[pos + 8 : pos + 8 + ln]
+            if len(body) < 18:
+                return None
+            ch, frames, bits = struct.unpack(">HIH", body[:8])
+            rate = _read_extended80(body[8:18])
+            comp = body[18:22] if len(body) >= 22 else b"NONE"
+            if not (0 < rate <= 10_000_000):
+                return None  # corrupt/absurd rate: unusable metadata
+            return (ch, frames, bits, int(round(rate)), comp)
+        pos += 8 + ln + (ln & 1)
+    return None
 
 
 def aiff_decode_array(blob: bytes):
@@ -974,34 +1009,25 @@ def aiff_decode_array(blob: bytes):
 
     import numpy as np
 
-    if len(blob) < 12 or blob[:4] != b"FORM" or blob[8:12] not in (
-        b"AIFF", b"AIFC"
-    ):
+    comm = _aiff_comm(blob)
+    if comm is None:
         return None
-    pos = 12
-    comm = None
+    ch, _frames, bits, rate, comp = comm
+    if ch == 0:
+        return None
     data = None
-    comp = b"NONE"
+    pos = 12
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         ln = struct.unpack(">I", blob[pos + 4 : pos + 8])[0]
         body = blob[pos + 8 : pos + 8 + ln]
-        if cid == b"COMM" and len(body) >= 18:
-            ch, frames, bits = struct.unpack(">HIH", body[:8])
-            rate = _read_extended80(body[8:18])
-            if len(body) >= 22:  # AIFC carries a compression fourcc
-                comp = body[18:22]
-            comm = (ch, frames, bits, rate)
-        elif cid == b"SSND" and len(body) >= 8:
+        if cid == b"SSND" and len(body) >= 8:
             off = struct.unpack(">I", body[:4])[0]
             data = body[8 + off :]
+            break
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
-    if comm is None or data is None:
+    if data is None:
         return None
-    ch, _frames, bits, rate = comm
-    if ch == 0 or rate <= 0:
-        return None
-    rate = int(round(rate))
     if comp in (b"alaw", b"ALAW", b"ulaw", b"ULAW"):
         # reuse the WAV G.711 path by wrapping as fmt 6/7
         fmt = 6 if comp.lower() == b"alaw" else 7
@@ -2478,7 +2504,10 @@ def mp3_header_info(blob: bytes):
                     # estimate is wrong for VBR, the common encode).
                     # Offset past the 4-byte header: MPEG-1 side info is
                     # 32 bytes stereo-family / 17 mono.
-                    xoff = pos + 4 + (17 if channels == 1 else 32)
+                    # protection bit 0 => a 2-byte CRC precedes the
+                    # side info (and the Xing tag with it)
+                    crc = 2 if (b1 & 1) == 0 else 0
+                    xoff = pos + 4 + crc + (17 if channels == 1 else 32)
                     tag = blob[xoff : xoff + 4]
                     if tag in (b"Xing", b"Info") and len(blob) >= xoff + 12:
                         flags = int.from_bytes(
@@ -2584,9 +2613,20 @@ def audio_container_metadata(
                 container = dur = rate = ch = bits = dec = None
                 fl = flac_streaminfo(blob)
                 og = ogg_metadata(blob) if fl is None else None
+                # AIFF's FORM magic is unambiguous and must beat the
+                # HEURISTIC mp3 sync scan: big-endian PCM routinely
+                # contains 0xFFEx byte pairs (~5% of noise clips
+                # false-hit), so magic-based containers go first
+                aiff_magic = (
+                    len(blob) >= 12 and blob[:4] == b"FORM"
+                    and blob[8:12] in (b"AIFF", b"AIFC")
+                )
+                aif = (
+                    _aiff_comm(blob) if fl is None and og is None else None
+                )
                 mp = (
                     mp3_header_info(blob)
-                    if fl is None and og is None
+                    if fl is None and og is None and not aiff_magic
                     else None
                 )
                 if fl is not None:
@@ -2597,35 +2637,20 @@ def audio_container_metadata(
                     codec, rate, ch, dur = og
                     container = f"ogg/{codec}"
                     dec = False
+                elif aif is not None:
+                    ch, frames, bits, rate, comp = aif
+                    container = "aiff"
+                    dur = round(frames / rate, 6) if rate else None
+                    dec = comp.lower() in _AIFC_DECODABLE
+                elif aiff_magic:
+                    # FORM magic but corrupt/absurd COMM: still an AIFF
+                    # container (NULL fields), never an mp3 false hit
+                    container = "aiff"
+                    dec = False
                 elif mp is not None:
                     rate, ch, _br, dur = mp
                     container = "mp3"
                     dec = False
-                elif (len(blob) >= 12 and blob[:4] == b"FORM"
-                      and blob[8:12] in (b"AIFF", b"AIFC")):
-                    container = "aiff"
-                    p2, comp = 12, b"NONE"
-                    while p2 + 8 <= len(blob):
-                        cid2 = blob[p2 : p2 + 4]
-                        l2 = struct.unpack(
-                            ">I", blob[p2 + 4 : p2 + 8]
-                        )[0]
-                        if cid2 == b"COMM" and l2 >= 18:
-                            body2 = blob[p2 + 8 : p2 + 8 + l2]
-                            ch, frames, bits = struct.unpack(
-                                ">HIH", body2[:8]
-                            )
-                            r = _read_extended80(body2[8:18])
-                            if len(body2) >= 22:
-                                comp = body2[18:22]
-                            if r > 0:
-                                rate = int(round(r))
-                                dur = round(frames / r, 6)
-                        p2 += 8 + l2 + (l2 & 1)
-                    dec = comp.lower() in (
-                        b"none", b"\x00\x00\x00\x00", b"sowt",
-                        b"fl32", b"alaw", b"ulaw", b"ima4",
-                    )
                 elif (len(blob) >= 12 and blob[:4] == b"RIFF"
                       and blob[8:12] == b"WAVE"):
                     container = "wav"
@@ -2696,9 +2721,10 @@ def curate_media(
         # opaque payloads, unrecognized containers) survive the gate —
         # the same never-silently-drop-the-unreadable rule the screens
         # follow; the coverage report flags them downstream
-        dims = image_dimensions(cur, bin_col).select(
-            F.col("path").alias(id_col), "width", "height"
-        )
+        dims = image_dimensions(
+            cur.select(F.col(id_col).alias("path"), F.col(bin_col)),
+            bin_col,
+        ).select(F.col("path").alias(id_col), "width", "height")
         viol = F.lit(False)
         if min_width is not None:
             viol = viol | (F.col("width") < min_width)
@@ -2745,9 +2771,10 @@ def curate_audio(
     cur = df
     if (min_duration_s is not None or max_duration_s is not None
             or min_sample_rate is not None):
-        meta = audio_container_metadata(cur, bin_col).select(
-            F.col("path").alias(id_col), "duration_s", "sample_rate"
-        )
+        meta = audio_container_metadata(
+            cur.select(F.col(id_col).alias("path"), F.col(bin_col)),
+            bin_col,
+        ).select(F.col("path").alias(id_col), "duration_s", "sample_rate")
         viol = F.lit(False)
         if min_duration_s is not None:
             viol = viol | (F.col("duration_s") < min_duration_s)

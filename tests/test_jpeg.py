@@ -1093,3 +1093,27 @@ class TestExifOrientation:
         )
         ham_naive = bin((naive % (1 << 64)) ^ (base % (1 << 64))).count("1")
         assert ham_naive > 10, (orient, ham_naive)
+
+
+def test_fill_bytes_before_restart_marker():
+    """0xFF fill padding immediately before an RSTn inside the entropy
+    stream must not abort the decode (review finding: the latched-0xFF
+    branch hard-failed instead of scanning forward)."""
+    img = np.arange(40 * 64, dtype=np.uint8).reshape(40, 64) % 251
+    blob = encode_jpeg(img, quality=90, restart_interval=2)
+    base = jpeg_base = None
+    from datamancer_spark.operators.jpegcodec import jpeg_decode_array
+
+    base = jpeg_decode_array(blob)
+    assert base is not None
+    # splice a fill byte before the first RST marker
+    for rst in range(0xD0, 0xD8):
+        i = blob.find(bytes([0xFF, rst]))
+        if i != -1:
+            padded = blob[:i] + b"\xff" + blob[i:]
+            break
+    else:
+        raise AssertionError("no RST marker found")
+    got = jpeg_decode_array(padded)
+    assert got is not None
+    assert np.array_equal(got[3], base[3])

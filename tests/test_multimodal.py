@@ -2233,3 +2233,81 @@ class TestCurateAudio:
                for r in coverage.collect()}
         assert cov["wav"] == (2, 2)
         assert cov["mp3"] == (1, 0)
+
+
+class TestReviewFixes:
+    """r7 self-review findings, pinned."""
+
+    def test_corrupt_extended80_rate_never_raises(self):
+        import struct
+
+        from datamancer_spark.operators.multimodal import (
+            _aiff_comm,
+            _read_extended80,
+            aiff_decode_array,
+            audio_decode_array,
+        )
+
+        # huge exponent previously raised OverflowError in 2.0**exp
+        bad80 = struct.pack(">HQ", 0x7FFE, 1 << 63)
+        assert _read_extended80(bad80) == 0.0
+        comm = (struct.pack(">HIH", 1, 100, 16) + bad80)
+        blob = (b"FORM" + struct.pack(">I", 4 + 8 + len(comm))
+                + b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm)
+        assert _aiff_comm(blob) is None
+        assert aiff_decode_array(blob) is None
+        assert audio_decode_array(blob) is None
+
+    def test_aiff_magic_beats_mp3_heuristic(self, spark):
+        """BE 16-bit PCM routinely contains 0xFFEx byte pairs; the
+        FORM magic must classify the clip as aiff, never as a false
+        mp3 sync hit."""
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            audio_container_metadata,
+        )
+
+        rng = np.random.default_rng(81)
+        # force guaranteed false-sync bytes into the sample data
+        sig = np.full(2000, -1, dtype=np.int64)  # 0xFFFF everywhere
+        blob = TestAiff._aiff(sig, 8000)
+        df = spark.createDataFrame(
+            [("n.aiff", bytearray(blob))], "path string, content binary"
+        )
+        [row] = audio_container_metadata(df).collect()
+        assert row["container"] == "aiff"
+        assert row["sample_rate"] == 8000
+
+    def test_mp3_xing_offset_with_crc_protection(self):
+        from datamancer_spark.operators.multimodal import mp3_header_info
+
+        # protection bit 0 (0xFA): 2-byte CRC precedes the side info
+        frame_hdr = bytes([0xFF, 0xFA, 0x90, 0x00])
+        crc = b"\x00\x00"
+        side = b"\x00" * 32
+        xing = (b"Xing" + (1).to_bytes(4, "big")
+                + (500).to_bytes(4, "big"))
+        blob = frame_hdr + crc + side + xing
+        blob += b"\x00" * (30000 - len(blob))
+        got = mp3_header_info(blob)
+        assert got is not None
+        assert abs(got[3] - 500 * 1152 / 44100) < 1e-6
+
+    def test_curate_gates_respect_id_col(self, spark):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            curate_audio,
+            curate_media,
+        )
+
+        img = np.zeros((16, 16), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [("d1", bytearray(_encode_png(img, 0, [0])))],
+            "doc_id string, content binary",
+        )
+        surv, _ = curate_media(df, id_col="doc_id", min_width=8)
+        assert surv.count() == 1
+        surv2, _ = curate_audio(df, id_col="doc_id", min_duration_s=0.1)
+        assert surv2.count() == 1  # unknown duration survives the gate
