@@ -1,0 +1,375 @@
+"""MPEG-1 Layer III Huffman code tables (ISO/IEC 11172-3 Annex B,
+Table B.7) plus builders and the structural validator that gates them.
+
+Provenance and honesty note
+---------------------------
+The Layer III code tables are PUBLIC spec data, reproduced in every
+open MP3 implementation (ISO dist10, LAME ``tables.c``, libmad,
+minimp3, ...). They are transcribed here from that public knowledge;
+the sandbox has no codec library or reference bitstream to
+conformance-test against, so each table is instead validated
+STRUCTURALLY at import time:
+
+* every code must be prefix-free, and
+* the Kraft sum ``sum(2**-len)`` must equal EXACTLY 1 — the spec
+  tables are complete canonical-style Huffman codes, and a 36/64/256
+  entry length vector essentially cannot hit Kraft equality by
+  accident, so this is a strong (not airtight) transcription check.
+
+A table that fails either check is EXCLUDED from ``SUPPORTED_TABLES``
+and the Layer III decoder refuses (returns ``None`` for) any frame
+that selects it — a structurally unsound table never silently decodes
+garbage. ``tests/test_mpegaudio.py`` pins exactly which tables
+validated.
+
+Deliberately NOT included: the two ESC ("linbits") code tables that
+back table selects 16-23 and 24-31. Their 256-entry code matrices
+could not be transcribed with confidence in this environment, and a
+fabricated matrix that happened to validate structurally would decode
+real streams wrongly — worse than refusing. Frames selecting 16-31
+are therefore refused (the clip comes back undecodable), exactly like
+the other documented codec-data boundaries (MP3 ESC tables here;
+Ogg/Vorbis, VP8/9/H.264 elsewhere). The in-repo test encoder
+consequently quantizes big_values to |x| <= 15.
+
+Layout mirrors the public LAME ``tables.c`` convention: per table a
+flat row-major list of code VALUES (``_Tn_HB``) and code LENGTHS
+(``_Tn_L``), row x in 0..xlen-1, col y in 0..xlen-1.
+
+The reference engine (Datamancer) has no audio decode at all — this
+whole tier is beyond-reference LLM-pipeline surface (see
+``multimodal.py`` module docstring).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+# -- raw table data (value list, length list) --------------------------------
+
+_T1_HB = [1, 1, 1, 0]
+_T1_L = [1, 3, 2, 3]
+
+_T2_HB = [1, 2, 1, 3, 1, 1, 3, 2, 0]
+_T2_L = [1, 3, 6, 3, 3, 5, 5, 5, 6]
+
+_T3_HB = [3, 2, 1, 1, 1, 1, 3, 2, 0]
+_T3_L = [2, 2, 6, 3, 2, 5, 5, 5, 6]
+
+_T5_HB = [1, 2, 6, 5, 3, 1, 4, 4, 7, 5, 7, 1, 6, 1, 1, 0]
+_T5_L = [1, 3, 6, 7, 3, 3, 6, 7, 6, 6, 7, 8, 7, 6, 7, 8]
+
+_T6_HB = [7, 3, 5, 1, 6, 2, 3, 2, 5, 4, 4, 1, 3, 3, 2, 0]
+_T6_L = [3, 3, 5, 7, 3, 2, 4, 5, 4, 4, 5, 6, 6, 5, 6, 7]
+
+_T7_HB = [
+    1, 2, 10, 19, 16, 10,
+    3, 3, 7, 10, 5, 3,
+    11, 4, 13, 17, 8, 4,
+    12, 11, 18, 15, 11, 2,
+    7, 6, 9, 14, 3, 1,
+    6, 4, 5, 3, 2, 0,
+]
+_T7_L = [
+    1, 3, 6, 8, 8, 9,
+    3, 4, 6, 7, 7, 8,
+    6, 5, 7, 8, 8, 9,
+    7, 7, 8, 9, 9, 9,
+    7, 7, 8, 9, 9, 10,
+    8, 8, 9, 10, 10, 10,
+]
+
+_T8_HB = [
+    3, 4, 6, 18, 12, 5,
+    5, 1, 2, 16, 9, 3,
+    7, 3, 5, 14, 7, 3,
+    19, 17, 15, 13, 10, 4,
+    13, 5, 8, 11, 5, 1,
+    12, 4, 4, 1, 1, 0,
+]
+_T8_L = [
+    2, 3, 6, 8, 8, 9,
+    3, 2, 4, 8, 8, 8,
+    6, 4, 6, 8, 8, 9,
+    8, 8, 8, 9, 9, 10,
+    8, 7, 8, 9, 10, 10,
+    9, 8, 9, 9, 11, 11,
+]
+
+_T9_HB = [
+    7, 5, 9, 14, 15, 7,
+    6, 4, 5, 5, 6, 7,
+    7, 6, 8, 8, 8, 5,
+    15, 6, 9, 10, 5, 1,
+    11, 7, 9, 6, 4, 1,
+    14, 4, 6, 2, 6, 0,
+]
+_T9_L = [
+    3, 3, 5, 6, 8, 9,
+    3, 3, 4, 5, 6, 8,
+    4, 4, 5, 6, 7, 8,
+    6, 5, 6, 7, 7, 8,
+    7, 6, 7, 7, 8, 9,
+    8, 7, 8, 8, 9, 9,
+]
+
+# NOTE: _T10 and _T13 as transcribed FAIL the Kraft check (t10 by
+# -7/2048 with errors beyond its two duplicate codes, t13 with 24
+# duplicate-code groups — recall too degraded for the unique-completion
+# repair that fixed t11/t15). They are kept here as the honest
+# transcription state; the import-time gate excludes them, so selects
+# 10 and 13 are refused by the decoder. A future round with better
+# source material can repair them in place.
+_T10_HB = [
+    1, 2, 10, 23, 35, 30, 12, 17,
+    3, 3, 8, 12, 18, 21, 12, 7,
+    11, 9, 15, 21, 32, 40, 19, 6,
+    14, 13, 22, 34, 46, 23, 18, 7,
+    20, 19, 33, 47, 27, 22, 9, 3,
+    31, 22, 41, 26, 21, 20, 5, 3,
+    14, 13, 10, 11, 16, 6, 5, 1,
+    9, 8, 7, 8, 4, 4, 2, 0,
+]
+_T10_L = [
+    1, 3, 6, 8, 9, 9, 9, 10,
+    3, 4, 6, 7, 8, 9, 8, 8,
+    6, 6, 7, 8, 9, 10, 9, 9,
+    7, 7, 8, 9, 10, 10, 9, 10,
+    8, 8, 9, 10, 10, 10, 10, 10,
+    9, 9, 10, 10, 11, 11, 10, 11,
+    8, 8, 9, 10, 10, 10, 11, 11,
+    9, 9, 10, 10, 11, 11, 11, 11,
+]
+
+_T11_HB = [
+    3, 4, 10, 24, 34, 33, 21, 15,
+    5, 3, 4, 10, 32, 17, 11, 10,
+    11, 7, 13, 18, 30, 31, 20, 5,
+    25, 11, 19, 59, 27, 18, 12, 5,
+    35, 33, 31, 58, 30, 16, 7, 5,
+    28, 26, 32, 19, 17, 15, 8, 14,
+    14, 12, 9, 13, 14, 9, 4, 1,
+    11, 4, 6, 6, 6, 3, 2, 0,
+]
+# (7,3) corrected 8->9 bits: the as-transcribed table carried a
+# DUPLICATE code (8, 0b110) at (7,2)/(7,3) and failed Kraft by exactly
+# 1/512; removing either duplicate leaves a unique aligned hole at
+# (9, 0b000000110), so the repair CODE is forced by completeness, and
+# transpose symmetry (len(3,7)=9 in this same table) assigns it to
+# (7,3). See tests/test_mpegaudio.py::test_huffman_tables_validated.
+_T11_L = [
+    2, 3, 5, 7, 8, 9, 8, 9,
+    3, 3, 4, 6, 8, 8, 7, 8,
+    5, 5, 6, 7, 8, 9, 8, 8,
+    7, 6, 7, 9, 8, 10, 8, 9,
+    8, 8, 8, 9, 9, 10, 9, 10,
+    8, 8, 9, 10, 10, 11, 10, 11,
+    8, 7, 7, 8, 9, 10, 10, 10,
+    8, 7, 8, 9, 10, 10, 10, 10,
+]
+
+_T12_HB = [
+    9, 6, 16, 33, 41, 39, 38, 26,
+    7, 5, 6, 9, 23, 16, 26, 11,
+    17, 7, 11, 14, 21, 30, 10, 7,
+    17, 10, 15, 12, 18, 28, 14, 5,
+    32, 13, 22, 19, 18, 16, 9, 5,
+    40, 17, 31, 29, 17, 13, 4, 2,
+    27, 12, 11, 15, 10, 7, 4, 1,
+    27, 12, 8, 12, 6, 3, 1, 0,
+]
+_T12_L = [
+    4, 3, 5, 7, 8, 9, 9, 9,
+    3, 3, 4, 5, 7, 7, 8, 8,
+    5, 4, 5, 6, 7, 8, 7, 8,
+    6, 5, 6, 6, 7, 8, 8, 8,
+    7, 6, 7, 7, 8, 8, 8, 9,
+    8, 7, 8, 8, 8, 9, 8, 9,
+    8, 7, 7, 8, 8, 9, 9, 10,
+    9, 8, 8, 9, 9, 9, 9, 10,
+]
+
+_T13_HB = [
+    1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19,
+    3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14,
+    15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16,
+    22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14,
+    35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24,
+    58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17,
+    47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15,
+    72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44, 43, 42,
+    43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30, 20, 16,
+    53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18, 39, 11,
+    35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26, 38, 22,
+    53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14, 9, 7,
+    34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17, 9, 5,
+    45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6, 3,
+    48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4, 2,
+    16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1,
+]
+_T13_L = [
+    1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13,
+    3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12,
+    6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13,
+    7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 13,
+    8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13, 14,
+    9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 13, 14,
+    9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14, 14,
+    10, 9, 10, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14,
+    9, 8, 9, 10, 10, 11, 11, 12, 11, 11, 12, 12, 13, 13, 14, 14,
+    10, 9, 10, 10, 11, 11, 11, 12, 11, 12, 12, 13, 13, 13, 14, 14,
+    10, 10, 10, 11, 11, 12, 12, 12, 11, 12, 12, 13, 13, 14, 15, 14,
+    11, 10, 10, 11, 12, 12, 12, 12, 12, 12, 12, 12, 13, 13, 14, 15,
+    11, 11, 11, 12, 12, 13, 12, 13, 13, 13, 14, 13, 14, 14, 14, 15,
+    12, 11, 12, 13, 13, 13, 13, 13, 13, 13, 13, 14, 14, 15, 15, 15,
+    13, 12, 12, 13, 13, 13, 14, 13, 13, 14, 14, 14, 14, 13, 15, 15,
+    12, 12, 13, 14, 14, 14, 15, 14, 14, 14, 15, 15, 15, 15, 15, 15,
+]
+
+_T15_HB = [
+    7, 12, 18, 53, 47, 76, 124, 108, 89, 123, 108, 119, 107, 81, 122, 63,
+    13, 5, 16, 27, 46, 36, 61, 51, 42, 70, 52, 83, 65, 41, 59, 36,
+    19, 17, 15, 24, 41, 34, 59, 48, 40, 64, 50, 78, 62, 80, 56, 33,
+    29, 28, 25, 43, 39, 63, 55, 93, 76, 59, 93, 72, 54, 75, 50, 29,
+    52, 22, 42, 40, 67, 57, 95, 79, 72, 57, 89, 69, 49, 66, 46, 27,
+    77, 37, 35, 66, 58, 52, 91, 74, 62, 48, 79, 63, 90, 62, 40, 38,
+    125, 32, 60, 56, 50, 92, 78, 65, 55, 87, 71, 51, 73, 51, 70, 30,
+    109, 53, 49, 94, 88, 75, 66, 122, 91, 73, 56, 42, 64, 44, 21, 25,
+    90, 43, 41, 77, 73, 63, 56, 92, 77, 66, 47, 67, 48, 53, 36, 20,
+    71, 34, 67, 60, 58, 49, 88, 76, 67, 106, 71, 54, 38, 39, 23, 15,
+    109, 53, 51, 47, 90, 82, 58, 57, 48, 72, 57, 41, 23, 27, 62, 9,
+    86, 42, 40, 37, 70, 64, 52, 43, 70, 55, 42, 25, 29, 18, 11, 11,
+    118, 68, 30, 55, 50, 46, 74, 65, 49, 39, 24, 16, 22, 13, 14, 7,
+    91, 44, 39, 38, 34, 63, 52, 45, 31, 52, 28, 19, 14, 8, 9, 3,
+    123, 60, 58, 53, 47, 43, 32, 22, 37, 24, 17, 12, 15, 10, 2, 1,
+    71, 37, 34, 30, 28, 20, 17, 26, 21, 16, 10, 6, 8, 6, 2, 0,
+]
+# (14,14) corrected 13->12 bits: as transcribed, (14,14)/(15,14) held a
+# DUPLICATE code (13, 0b10) and Kraft fell short by exactly 1/8192; the
+# unique completion hole is (12, 0b10), and transpose symmetry
+# (len(14,15)=13 stays with (15,14)) assigns the shorter code to
+# (14,14). Same correction mechanics as _T11_L above.
+_T15_L = [
+    3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13,
+    4, 3, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 10, 11, 11,
+    5, 5, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 11, 11, 11,
+    6, 6, 6, 7, 7, 8, 8, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+    7, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+    8, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 11, 11, 11, 12,
+    9, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 12, 12,
+    9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 12,
+    9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 12, 12, 12,
+    9, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12,
+    10, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 12,
+    10, 9, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 13,
+    11, 10, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 12, 12, 13, 13,
+    11, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13,
+    12, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 12, 13,
+    12, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13, 13, 13,
+]
+
+# count1 quadruple tables (Table A / Table B). Table A entry order is
+# the value v = (v<<3)|(w<<2)|(x<<1)|y.
+_T32_HB = [1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1]
+_T32_L = [1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6]
+_T33_HB = [15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0]
+_T33_L = [4] * 16
+
+_RAW_PAIR = {
+    1: (2, _T1_HB, _T1_L),
+    2: (3, _T2_HB, _T2_L),
+    3: (3, _T3_HB, _T3_L),
+    5: (4, _T5_HB, _T5_L),
+    6: (4, _T6_HB, _T6_L),
+    7: (6, _T7_HB, _T7_L),
+    8: (6, _T8_HB, _T8_L),
+    9: (6, _T9_HB, _T9_L),
+    10: (8, _T10_HB, _T10_L),
+    11: (8, _T11_HB, _T11_L),
+    12: (8, _T12_HB, _T12_L),
+    13: (16, _T13_HB, _T13_L),
+    15: (16, _T15_HB, _T15_L),
+}
+
+
+# -- structural validation + decode-map build --------------------------------
+
+def _codes_ok(pairs):
+    """``pairs`` = [(length, code_value), ...]. True iff the code set is
+    prefix-free AND Kraft-complete (sum 2**-len == 1) with every code
+    value fitting its stated length."""
+    total = Fraction(0)
+    seen = set()
+    for ln, val in pairs:
+        if ln <= 0 or ln > 19 or val < 0 or val >= (1 << ln):
+            return False
+        seen.add((ln, val))
+        total += Fraction(1, 1 << ln)
+    if total != 1 or len(seen) != len(pairs):
+        return False
+    # prefix test: no code may be a prefix of a longer one
+    by_len = sorted(seen)
+    for ln, val in by_len:
+        for ln2, val2 in by_len:
+            if ln2 > ln and (val2 >> (ln2 - ln)) == val:
+                return False
+    return True
+
+
+def _build_pair_table(xlen, hb, lens):
+    """(decode dict {(len, code): (x, y)}, maxlen) or None if the raw
+    data fails structural validation."""
+    pairs = list(zip(lens, hb))
+    if len(pairs) != xlen * xlen or not _codes_ok(pairs):
+        return None
+    dec = {}
+    for idx, (ln, val) in enumerate(pairs):
+        dec[(ln, val)] = (idx // xlen, idx % xlen)
+    return dec, max(lens)
+
+
+#: pair tables that passed structural validation: id -> (decode, maxlen)
+PAIR_TABLES = {}
+for _tid, (_xl, _hb, _l) in _RAW_PAIR.items():
+    _built = _build_pair_table(_xl, _hb, _l)
+    if _built is not None:
+        PAIR_TABLES[_tid] = _built
+
+#: count1 tables, same gate: select (0=A, 1=B) -> (decode {(len,code): v},
+#: maxlen) where v packs (v,w,x,y) as bits 3..0
+COUNT1_TABLES = {}
+for _sel, (_hb, _l) in {0: (_T32_HB, _T32_L), 1: (_T33_HB, _T33_L)}.items():
+    _pairs = list(zip(_l, _hb))
+    if _codes_ok(_pairs):
+        COUNT1_TABLES[_sel] = (
+            {(ln, val): idx for idx, (ln, val) in enumerate(_pairs)},
+            max(_l),
+        )
+
+# table_select -> (pair_table_id, linbits). Selects 4 and 14 are not
+# used by the spec; selects 16..31 map to the two ESC matrices that are
+# deliberately not shipped (see module docstring) and therefore resolve
+# to None below.
+_SELECT_LINBITS = dict(
+    [(i, (i, 0)) for i in _RAW_PAIR]
+    + [(16 + i, (16, lb)) for i, lb in enumerate([1, 2, 3, 4, 6, 8, 10, 13])]
+    + [(24 + i, (24, lb)) for i, lb in enumerate([4, 6, 8, 10, 13, 11, 12, 13])]  # noqa: E501
+)
+
+
+def pair_table_for_select(select: int):
+    """(decode, maxlen, linbits) for a side-info ``table_select``, or
+    ``None`` when the select is 0-samples-only (0), reserved (4, 14),
+    or backed by a table that did not ship / did not validate."""
+    got = _SELECT_LINBITS.get(select)
+    if got is None:
+        return None
+    tid, linbits = got
+    built = PAIR_TABLES.get(tid)
+    if built is None:
+        return None
+    dec, maxlen = built
+    return dec, maxlen, linbits
+
+
+SUPPORTED_TABLES = frozenset(PAIR_TABLES)
