@@ -1,0 +1,454 @@
+"""INDEPENDENT test-side MPEG-1 audio encoder (Layers I and III).
+
+Independence contract (same as the JPEG/PNG/FLAC test encoders): this
+module shares only the PUBLIC spec constants with the decoder (the
+prototype window table and the Huffman code tables — the analogue of
+JPEG's Annex K tables), never its code paths. The subband analysis
+here is a brute-force direct-form convolution; the MDCT is a literal
+matrix product; the bit packer is its own; table selection and
+quantization are encoder-side logic the decoder never sees.
+
+Layer III scope (documented): long blocks only (no window switching),
+no bit reservoir (main_data_begin=0), big_values quantized to |q| <= 15
+(the decoder refuses the ESC tables by design), mono / LR stereo / MS
+stereo, optional nonzero scalefactors + preflag + scfsi.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from datamancer_spark.operators.mpegaudio import _prototype
+from datamancer_spark.operators.mpeghuff import (
+    _RAW_PAIR,
+    _T32_HB,
+    _T32_L,
+    _T33_HB,
+    _T33_L,
+    PAIR_TABLES,
+)
+
+_SAMPLERATES = (44100, 48000, 32000)
+_BITRATES_L1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+                384, 416, 448)
+_BITRATES_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320)
+
+_SFB_LONG = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3,
+           2, 0]
+_SLEN = [
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+]
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, val: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def nbits(self) -> int:
+        return len(self.bits)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        acc = 0
+        n = 0
+        for b in self.bits:
+            acc = (acc << 1) | b
+            n += 1
+            if n == 8:
+                out.append(acc)
+                acc = n = 0
+        if n:
+            out.append(acc << (8 - n))
+        return bytes(out)
+
+
+def analysis_direct(pcm):
+    """Brute-force direct-form subband analysis: per output vector, a
+    512-tap windowed dot product per subband. Deliberately naive."""
+    h = _prototype()
+    i = np.arange(512)
+    k = np.arange(32)[:, None]
+    filters = h[None, :] * np.cos(
+        (2 * k + 1) * (i[None, :] - 16) * math.pi / 64
+    )  # (32, 512)
+    x = np.asarray(pcm, dtype=np.float64)
+    t_len = len(x) // 32
+    xp = np.concatenate([np.zeros(511), x])
+    out = np.empty((t_len, 32))
+    for t in range(t_len):
+        newest = 32 * t + 31  # xp index of x(newest) is newest + 511
+        window = xp[newest : newest + 512][::-1]  # newest-first FIFO
+        out[t] = filters @ window
+    return out
+
+
+def _frame_header(layer: int, br_idx: int, sr_idx: int, mode: int,
+                  mode_ext: int = 0) -> bytes:
+    h0 = 0xFF
+    layer_bits = {1: 0b11, 2: 0b10, 3: 0b01}[layer]
+    h1 = 0xE0 | (0b11 << 3) | (layer_bits << 1) | 1  # no CRC
+    h2 = (br_idx << 4) | (sr_idx << 2)
+    h3 = (mode << 6) | (mode_ext << 4)
+    return bytes([h0, h1, h2, h3])
+
+
+# -- Layer I -----------------------------------------------------------------
+
+_SF_TABLE = [2.0 * 2.0 ** (-i / 3.0) for i in range(63)]
+
+
+def encode_layer1(channels, rate: int) -> bytes:
+    """``channels``: list of equal-length float arrays in [-1, 1].
+    Uniform allocation sized to the largest bitrate frame."""
+    sr_idx = _SAMPLERATES.index(rate)
+    nch = len(channels)
+    mode = 3 if nch == 1 else 0
+    sbs = [analysis_direct(ch) for ch in channels]  # (T, 32) each
+    t_len = min(s.shape[0] for s in sbs)
+    nframes = t_len // 12
+    # pick the largest allocation that fits the biggest allowed frame
+    br_idx = len(_BITRATES_L1) - 1
+    frame_bytes = (12 * _BITRATES_L1[br_idx] * 1000 // rate) * 4
+    nb = 2
+    for cand in range(15, 1, -1):
+        bits = 32 + nch * 32 * 4 + nch * 32 * 6 + nch * 32 * 12 * cand
+        if bits <= frame_bytes * 8:
+            nb = cand
+            break
+    alloc_code = nb - 1
+    out = bytearray()
+    for f in range(nframes):
+        w = BitWriter()
+        for sb in range(32):
+            for _ch in range(nch):
+                w.write(alloc_code, 4)
+        sf_idx = [[0] * 32 for _ in range(nch)]
+        for sb in range(32):
+            for ch in range(nch):
+                block = sbs[ch][f * 12 : (f + 1) * 12, sb]
+                mx = float(np.max(np.abs(block))) + 1e-12
+                idx = 62
+                for i, v in enumerate(_SF_TABLE):
+                    if v >= mx:
+                        idx = i
+                    else:
+                        break
+                sf_idx[ch][sb] = idx
+                w.write(idx, 6)
+        cmul = (1 << nb) / float((1 << nb) - 1)
+        dadd = 2.0 ** (1 - nb)
+        for s in range(12):
+            for sb in range(32):
+                for ch in range(nch):
+                    scale = _SF_TABLE[sf_idx[ch][sb]]
+                    frac = sbs[ch][f * 12 + s, sb] / scale / cmul - dadd
+                    v = int(round(frac * (1 << (nb - 1))))
+                    v = max(-(1 << (nb - 1)), min((1 << (nb - 1)) - 1, v))
+                    m = v & ((1 << nb) - 1)
+                    code = m ^ (1 << (nb - 1))
+                    w.write(code, nb)
+        body = w.tobytes()
+        frame = _frame_header(1, br_idx, sr_idx, mode) + body
+        frame += b"\x00" * (frame_bytes - len(frame))
+        out += frame
+    return bytes(out)
+
+
+# -- Layer III ----------------------------------------------------------------
+
+# encode maps built from the raw spec data (value, length) lists
+_ENC_PAIR = {
+    tid: {
+        (i // xl, i % xl): (lens[i], hb[i])
+        for i in range(xl * xl)
+    }
+    for tid, (xl, hb, lens) in _RAW_PAIR.items()
+    if tid in PAIR_TABLES
+}
+_ENC_C1 = {
+    0: {i: (_T32_L[i], _T32_HB[i]) for i in range(16)},
+    1: {i: (_T33_L[i], _T33_HB[i]) for i in range(16)},
+}
+# smallest usable table per max-abs value (supported tables only)
+_TABLE_BY_MAX = [(1, 1), (2, 5), (3, 5), (5, 7), (7, 11), (15, 15)]
+
+
+def _pick_table(maxv: int):
+    for cap, tid in _TABLE_BY_MAX:
+        if maxv <= cap:
+            return tid
+    raise ValueError(f"big_values magnitude {maxv} needs ESC tables")
+
+
+def mdct_long(sub_prev, sub_cur):
+    """(18,) prev + (18,) cur subband samples -> 18 MDCT lines, long
+    sine window; normalized so the decoder's IMDCT+overlap-add chain
+    reproduces the input subband samples."""
+    z = np.concatenate([sub_prev, sub_cur])
+    i = np.arange(36)
+    win = np.sin(math.pi / 36.0 * (i + 0.5))
+    zw = z * win
+    k = np.arange(18)[None, :]
+    m = np.cos(math.pi / 72.0 * (2 * i[:, None] + 1 + 18) * (2 * k + 1))
+    # /9: the IMDCT + sine-window overlap-add chain has gain 18/2
+    return (zw @ m) / 9.0
+
+
+_ALIAS_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
+             -0.0037]
+
+
+def alias_forward(gr_spec):
+    """Encoder-side aliasing butterflies: the exact INVERSE of the
+    decoder's reduction (rotation transpose), applied per subband
+    boundary."""
+    x = gr_spec.copy()
+    for sb in range(31):
+        base = sb * 18 + 18
+        for i in range(8):
+            c = _ALIAS_CI[i]
+            cs = 1.0 / math.sqrt(1.0 + c * c)
+            ca = c / math.sqrt(1.0 + c * c)
+            a, b = x[base - 1 - i], x[base + i]
+            x[base - 1 - i] = a * cs + b * ca
+            x[base + i] = b * cs - a * ca
+    return x
+
+
+def _quantize(xr, sf_bands, rate, scalefac_scale=0, preflag=0):
+    """-> (q ints (576,), global_gain). Chooses global_gain so that
+    max |q| <= 15 (decoder has no ESC tables)."""
+    mult = 1.0 if scalefac_scale else 0.5
+    sfb_l = _SFB_LONG[rate]
+    sfvec = np.zeros(576)
+    for sfb in range(22):
+        sf = sf_bands[sfb] if sfb < 21 else 0
+        pre = _PRETAB[sfb] if sfb < 21 else 0
+        sfvec[sfb_l[sfb] : sfb_l[sfb + 1]] = mult * (
+            sf + preflag * pre
+        )
+    target = np.abs(xr) * 2.0 ** sfvec  # decoder divides by 2^sfvec
+    m = float(np.max(target))
+    if m <= 0:
+        return np.zeros(576, dtype=np.int64), 210
+    # max |q| = (m/step)^(3/4): cap the ratio at 30 -> |q| <= 13
+    gg = 210 + int(math.ceil(4.0 * math.log2(m / 30.0 + 1e-30)))
+    gg = max(0, min(255, gg))
+    step = 2.0 ** ((gg - 210) / 4.0)
+    q = np.round((target / step) ** 0.75).astype(np.int64)
+    q = np.minimum(q, 15)
+    return q * np.sign(xr).astype(np.int64), gg
+
+
+def _encode_granule(w: BitWriter, q, gg, rate, scalefac_compress,
+                    sf_bands, preflag, scalefac_scale, skip_sf=None):
+    """Huffman-encode one granule. Returns the side-info dict. ``q``
+    signed ints (576,). ``skip_sf``: scfsi group flags — bands whose
+    scalefactors are NOT transmitted (granule 1 reuse)."""
+    start_bits = w.nbits()
+    slen1, slen2 = _SLEN[scalefac_compress]
+    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+              (16, 21, slen2)]
+    for band, (lo, hi, slen) in enumerate(groups):
+        if skip_sf is not None and skip_sf[band]:
+            continue
+        for i in range(lo, hi):
+            if slen:
+                w.write(sf_bands[i], slen)
+    aq = np.abs(q)
+    nz = np.nonzero(aq)[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    big = np.nonzero(aq > 1)[0]
+    bv_end = int(big[-1]) + 1 if len(big) else 0
+    bv_end += bv_end & 1
+
+    def _c1_end(bv):
+        return bv + (max(0, last - bv) + 3) // 4 * 4
+
+    # count1 quads must not run past 576: widen big_values (extra
+    # pairs, possibly (0,0)) until they fit
+    while _c1_end(bv_end) > 576:
+        bv_end += 2
+    c1_end = _c1_end(bv_end)
+    big_values = bv_end // 2
+    sfb_l = _SFB_LONG[rate]
+    region0_count, region1_count = 8, 7
+    r0 = sfb_l[region0_count + 1]
+    r1 = sfb_l[region0_count + 1 + region1_count + 1]
+    bounds = [min(r0, bv_end), min(r1, bv_end), bv_end]
+    table_select = []
+    prev = 0
+    for b in bounds:
+        seg = aq[prev:b]
+        mx = int(seg.max()) if len(seg) else 0
+        table_select.append(_pick_table(mx) if mx else 0)
+        prev = b
+    prev = 0
+    for tsel, b in zip(table_select, bounds):
+        if tsel == 0:
+            prev = b
+            continue
+        enc = _ENC_PAIR[tsel]
+        for i in range(prev, b, 2):
+            x, y = int(aq[i]), int(aq[i + 1])
+            ln, code = enc[(x, y)]
+            w.write(code, ln)
+            if x:
+                w.write(1 if q[i] < 0 else 0, 1)
+            if y:
+                w.write(1 if q[i + 1] < 0 else 0, 1)
+        prev = b
+    # count1: cost-optimal table choice exercises both decoders
+    quads = [
+        tuple(int(aq[i + j]) for j in range(4))
+        for i in range(bv_end, c1_end, 4)
+    ]
+    costs = []
+    for sel in (0, 1):
+        enc = _ENC_C1[sel]
+        tot = 0
+        for quad in quads:
+            v = (quad[0] << 3) | (quad[1] << 2) | (quad[2] << 1) | quad[3]
+            tot += enc[v][0] + sum(quad)
+        costs.append(tot)
+    c1sel = 0 if costs[0] <= costs[1] else 1
+    enc = _ENC_C1[c1sel]
+    for qi, quad in zip(range(bv_end, c1_end, 4), quads):
+        v = (quad[0] << 3) | (quad[1] << 2) | (quad[2] << 1) | quad[3]
+        ln, code = enc[v]
+        w.write(code, ln)
+        for j in range(4):
+            if quad[j]:
+                w.write(1 if q[qi + j] < 0 else 0, 1)
+    return {
+        "part2_3_length": w.nbits() - start_bits,
+        "big_values": big_values,
+        "global_gain": gg,
+        "scalefac_compress": scalefac_compress,
+        "table_select": table_select,
+        "region0_count": region0_count,
+        "region1_count": region1_count,
+        "preflag": preflag,
+        "scalefac_scale": scalefac_scale,
+        "count1table_select": c1sel,
+    }
+
+
+def encode_layer3(channels, rate: int, ms_stereo: bool = False,
+                  scalefac_compress: int = 0, sf_bands=None,
+                  preflag: int = 0, scalefac_scale: int = 0,
+                  scfsi=None) -> bytes:
+    """Encode float PCM channels to an MPEG-1 Layer III stream.
+
+    ``sf_bands``: optional 21 scalefactors (must fit the slens of
+    ``scalefac_compress``). ``scfsi``: optional 4 flags per channel —
+    granule 1 reuses granule 0's scalefactors for flagged groups."""
+    sr_idx = _SAMPLERATES.index(rate)
+    nch = len(channels)
+    if ms_stereo and nch != 2:
+        raise ValueError("MS needs 2 channels")
+    mode = 3 if nch == 1 else 1 if ms_stereo else 0
+    mode_ext = 2 if ms_stereo else 0
+    if sf_bands is None:
+        sf_bands = [0] * 21
+    if scfsi is None:
+        scfsi = [[0, 0, 0, 0] for _ in range(nch)]
+    sbs = [analysis_direct(ch) for ch in channels]
+    t_len = min(s.shape[0] for s in sbs)
+    ngr = t_len // 18
+    nframes = ngr // 2
+    # per-channel per-granule spectra (with one granule of history)
+    spectra = [[] for _ in range(nch)]
+    for ch in range(nch):
+        prev = np.zeros((18, 32))
+        sub = sbs[ch]
+        for g in range(ngr):
+            cur = sub[g * 18 : (g + 1) * 18, :].copy()
+            # encoder-side frequency pre-inversion (decoder undoes it)
+            cur[1::2, 1::2] *= -1.0
+            spec = np.empty(576)
+            for sb in range(32):
+                spec[sb * 18 : (sb + 1) * 18] = mdct_long(
+                    prev[:, sb], cur[:, sb]
+                )
+            prev = cur
+            spectra[ch].append(alias_forward(spec))
+    out = bytearray()
+    for f in range(nframes):
+        grspecs = []
+        for g in (2 * f, 2 * f + 1):
+            chs = [spectra[ch][g] for ch in range(nch)]
+            if ms_stereo:
+                left, right = chs
+                inv = 1.0 / math.sqrt(2.0)
+                chs = [(left + right) * inv, (left - right) * inv]
+            grspecs.append(chs)
+        body = BitWriter()
+        sides = []
+        for g in range(2):
+            row = []
+            for ch in range(nch):
+                q, gg = _quantize(grspecs[g][ch], sf_bands, rate,
+                                  scalefac_scale, preflag)
+                skip = scfsi[ch] if g == 1 else None
+                side = _encode_granule(
+                    body, q, gg, rate, scalefac_compress, sf_bands,
+                    preflag, scalefac_scale, skip_sf=skip,
+                )
+                row.append(side)
+            sides.append(row)
+        main = body.tobytes()
+        side_len = 17 if nch == 1 else 32
+        need = 4 + side_len + len(main)
+        br_idx = None
+        for bi in range(1, 15):
+            if 144 * _BITRATES_L3[bi] * 1000 // rate >= need:
+                br_idx = bi
+                break
+        if br_idx is None:
+            raise ValueError("frame too large for 320 kbps")
+        frame_bytes = 144 * _BITRATES_L3[br_idx] * 1000 // rate
+        sw = BitWriter()
+        sw.write(0, 9)  # main_data_begin
+        sw.write(0, 5 if nch == 1 else 3)
+        for ch in range(nch):
+            for b in range(4):
+                sw.write(scfsi[ch][b], 1)
+        for g in range(2):
+            for ch in range(nch):
+                s = sides[g][ch]
+                sw.write(s["part2_3_length"], 12)
+                sw.write(s["big_values"], 9)
+                sw.write(s["global_gain"], 8)
+                sw.write(s["scalefac_compress"], 4)
+                sw.write(0, 1)  # window_switching
+                for t in s["table_select"]:
+                    sw.write(t, 5)
+                sw.write(s["region0_count"], 4)
+                sw.write(s["region1_count"], 3)
+                sw.write(s["preflag"], 1)
+                sw.write(s["scalefac_scale"], 1)
+                sw.write(s["count1table_select"], 1)
+        side = sw.tobytes()
+        assert len(side) == side_len, (len(side), side_len)
+        frame = _frame_header(3, br_idx, sr_idx, mode, mode_ext) \
+            + side + main
+        frame += b"\x00" * (frame_bytes - len(frame))
+        out += frame
+    return bytes(out)

@@ -85,6 +85,290 @@ class TestFilterbank:
         assert others < 0.01 * power[5]
 
 
+#: total decode latency for Layer III: 481 filterbank + 576 (the MDCT
+#: granule of history the encoder consumes before its first output)
+_L3_DELAY = 1057
+_L1_DELAY = 481
+
+
+def _corr_at(ref, got, delay, n=20000):
+    a = np.asarray(ref[:n])
+    b = np.asarray(got[delay : delay + n])
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)
+                                 + 1e-12))
+
+
+def _bl_noise(n, seed, rate_frac=0.35):
+    """Band-limited deterministic noise — aperiodic, so the
+    correlation peak pins the exact chain delay."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(n)
+    spec = np.fft.rfft(x)
+    spec[int(len(spec) * rate_frac) :] = 0
+    return 0.3 * np.fft.irfft(spec, n)
+
+
+class TestLayer1RoundTrip:
+    def test_mono(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer1
+
+        sig = _bl_noise(44100, 21)
+        got = mpeg_audio_decode_array(encode_layer1([sig], 44100))
+        assert got is not None
+        rate, mono = got
+        assert rate == 44100
+        assert _corr_at(sig, mono, _L1_DELAY) > 0.995
+
+    def test_stereo_mixes_to_mono(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer1
+
+        left = _bl_noise(32000, 3)
+        right = _bl_noise(32000, 4)
+        got = mpeg_audio_decode_array(
+            encode_layer1([left, right], 44100)
+        )
+        assert got is not None
+        assert _corr_at(0.5 * (left + right), got[1], _L1_DELAY) > 0.995
+
+
+class TestLayer3RoundTrip:
+    def test_mono_tone(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        n = np.arange(44100)
+        sig = (0.5 * np.sin(2 * math.pi * 440 * n / 44100)
+               + 0.2 * np.sin(2 * math.pi * 3000 * n / 44100))
+        got = mpeg_audio_decode_array(encode_layer3([sig], 44100))
+        assert got is not None
+        assert got[0] == 44100
+        assert _corr_at(sig, got[1], _L3_DELAY) > 0.99
+
+    def test_mono_noise(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        sig = _bl_noise(44100, 7)
+        got = mpeg_audio_decode_array(encode_layer3([sig], 44100))
+        assert got is not None
+        assert _corr_at(sig, got[1], _L3_DELAY) > 0.99
+
+    @pytest.mark.parametrize("rate", [48000, 32000])
+    def test_other_samplerates(self, rate):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        sig = _bl_noise(rate, 9)
+        got = mpeg_audio_decode_array(encode_layer3([sig], rate))
+        assert got is not None
+        assert got[0] == rate
+        assert _corr_at(sig, got[1], _L3_DELAY) > 0.99
+
+    def test_stereo_lr(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        left = _bl_noise(44100, 11)
+        right = _bl_noise(44100, 12)
+        got = mpeg_audio_decode_array(
+            encode_layer3([left, right], 44100)
+        )
+        assert got is not None
+        assert _corr_at(0.5 * (left + right), got[1], _L3_DELAY) > 0.99
+
+    def test_stereo_ms(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        left = _bl_noise(44100, 13)
+        right = 0.4 * left + _bl_noise(44100, 14) * 0.6
+        got = mpeg_audio_decode_array(
+            encode_layer3([left, right], 44100, ms_stereo=True)
+        )
+        assert got is not None
+        assert _corr_at(0.5 * (left + right), got[1], _L3_DELAY) > 0.98
+
+    def test_scalefactors_preflag_scfsi(self):
+        """Nonzero scalefactors + preflag + scfsi granule-1 reuse all
+        survive the round trip."""
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        sig = _bl_noise(44100, 15)
+        sf = [2, 1, 0, 3, 1, 0, 2, 1, 0, 1, 2, 0, 1, 2, 3, 0, 1, 2, 3,
+              1, 2]
+        blob = encode_layer3(
+            [sig], 44100, scalefac_compress=10, sf_bands=sf,
+            preflag=1, scalefac_scale=1, scfsi=[[0, 1, 1, 0]],
+        )
+        got = mpeg_audio_decode_array(blob)
+        assert got is not None
+        # scalefac_scale=1 with sf up to 3 coarsens quantization by up
+        # to 8x in the flagged bands — the lower bar is the LOSSY
+        # step, not decode error (same encode with sf=0: > 0.99)
+        assert _corr_at(sig, got[1], _L3_DELAY) > 0.95
+
+    def test_id3_wrapping_ignored(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        sig = _bl_noise(44100, 16)
+        core = encode_layer3([sig], 44100)
+        pay = b"\x00" * 64
+        id3v2 = b"ID3\x04\x00\x00" + bytes(
+            [(len(pay) >> 21) & 0x7F, (len(pay) >> 14) & 0x7F,
+             (len(pay) >> 7) & 0x7F, len(pay) & 0x7F]
+        ) + pay
+        id3v1 = b"TAG" + b"\x00" * 125
+        got = mpeg_audio_decode_array(id3v2 + core + id3v1)
+        assert got is not None
+        assert _corr_at(sig, got[1], _L3_DELAY) > 0.99
+
+
+def _frame_with_table_select(select: int) -> bytes:
+    """Hand-build a mono Layer III frame whose granule 0 references
+    ``select`` with nonzero big_values."""
+    from mpeg_encoder import BitWriter, _frame_header
+
+    w = BitWriter()
+    w.write(0, 9)
+    w.write(0, 5)
+    for _ in range(4):
+        w.write(0, 1)
+    for _gr in range(2):
+        w.write(64, 12)  # part2_3_length
+        w.write(2, 9)  # big_values
+        w.write(210, 8)
+        w.write(0, 4)
+        w.write(0, 1)  # no window switching
+        w.write(select, 5)
+        w.write(0, 5)
+        w.write(0, 5)
+        w.write(0, 4)
+        w.write(0, 3)
+        w.write(0, 1)
+        w.write(0, 1)
+        w.write(0, 1)
+    side = w.tobytes()
+    assert len(side) == 17
+    hdr = _frame_header(3, 9, 0, 3)
+    frame_bytes = 144 * 128000 // 44100
+    frame = hdr + side
+    frame += b"\x00" * (frame_bytes - len(frame))
+    return frame * 3
+
+
+class TestRefusals:
+    def test_esc_table_refused(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+            mpeg_stream_supported,
+        )
+
+        blob = _frame_with_table_select(16)
+        assert mpeg_audio_decode_array(blob) is None
+        assert mpeg_stream_supported(blob) is False
+
+    def test_failed_transcription_table_refused(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+            mpeg_stream_supported,
+        )
+
+        blob = _frame_with_table_select(13)
+        assert mpeg_audio_decode_array(blob) is None
+        assert mpeg_stream_supported(blob) is False
+
+    def test_supported_table_not_refused_by_screen(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_stream_supported,
+        )
+
+        assert mpeg_stream_supported(_frame_with_table_select(7))
+
+    def test_layer2_refused(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+            mpeg_stream_supported,
+        )
+        from mpeg_encoder import _frame_header
+
+        frame_bytes = 144 * 128000 // 44100
+        frame = _frame_header(2, 9, 0, 3)
+        frame += b"\x00" * (frame_bytes - len(frame))
+        assert mpeg_audio_decode_array(frame * 4) is None
+        assert mpeg_stream_supported(frame * 4) is False
+
+    def test_intensity_stereo_refused(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import BitWriter, _frame_header
+
+        w = BitWriter()
+        w.write(0, 9)
+        w.write(0, 3)
+        for _ in range(8):
+            w.write(0, 1)
+        for _gr in range(2):
+            for _ch in range(2):
+                w.write(0, 12)
+                w.write(0, 9)
+                w.write(210, 8)
+                w.write(0, 4)
+                w.write(0, 1)
+                for _ in range(3):
+                    w.write(0, 5)
+                w.write(0, 4)
+                w.write(0, 3)
+                w.write(0, 3)
+        side = w.tobytes()
+        assert len(side) == 32
+        hdr = _frame_header(3, 9, 0, 1, mode_ext=1)  # intensity on
+        frame_bytes = 144 * 128000 // 44100
+        frame = hdr + side + b"\x00" * (frame_bytes - 36)
+        assert mpeg_audio_decode_array(frame * 3) is None
+
+    def test_corruption_fuzz_never_raises(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+            mpeg_stream_supported,
+        )
+        from mpeg_encoder import encode_layer3
+
+        sig = _bl_noise(22050, 33)
+        blob = bytearray(encode_layer3([sig], 44100))
+        rng = np.random.default_rng(99)
+        for _ in range(40):
+            mut = bytearray(blob)
+            for _k in range(rng.integers(1, 8)):
+                mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+            mpeg_audio_decode_array(bytes(mut))  # None or decode
+            mpeg_stream_supported(bytes(mut))
+
+
 class TestHeaders:
     def test_header_parse_and_frame_len(self):
         from datamancer_spark.operators import mpegaudio as m
