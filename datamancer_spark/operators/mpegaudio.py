@@ -791,14 +791,25 @@ class _L3Decoder:
         return True
 
     def pcm(self):
-        """-> (nsamples,) mono float64 (channel mean)."""
+        """-> (nsamples,) mono float64 (channel mean). Flushes the
+        IMDCT overlap and filterbank tail (one zero granule + 16 zero
+        vectors) so the buffered last ~1057 samples are emitted — the
+        front trim in ``mpeg_audio_decode_array`` then leaves output
+        aligned AND full-length."""
         import numpy as np
 
+        flush_g = {"window_switching": 0, "block_type": 0,
+                   "mixed_block": 0}
         chans = []
         for ch in range(self.nch):
             if not self.synth_sb[ch]:
                 return np.zeros(0)
-            sb = np.concatenate(self.synth_sb[ch], axis=0)  # (T, 32)
+            tail = _hybrid_synthesis(
+                np.zeros(576), flush_g, self.overlap[ch]
+            )
+            parts = self.synth_sb[ch] + [_freq_invert(tail),
+                                         np.zeros((16, 32))]
+            sb = np.concatenate(parts, axis=0)  # (T, 32)
             chans.append(synthesis(sb))
         return np.mean(chans, axis=0)
 
@@ -889,6 +900,11 @@ def mpeg_audio_decode_array(blob: bytes):
         pos += fb
     if frames == 0:
         return None
+    # trim the codec lead-in so the output aligns with the source
+    # timeline (what gapless-aware decoders do): the filterbank chain
+    # delay, plus the one-granule MDCT history for Layer III. Real
+    # streams may retain a residual encoder-dependent offset (no Xing
+    # gapless info is parsed) — irrelevant at envelope granularity.
     if layer == 1:
         import numpy as np
 
@@ -899,9 +915,12 @@ def mpeg_audio_decode_array(blob: bytes):
             for fr in l1_sb[ch]:
                 arr = np.asarray(fr)  # (32, 12)
                 vecs.append(arr.T)
+            vecs.append(np.zeros((16, 32)))  # filterbank tail flush
             chans.append(synthesis(np.concatenate(vecs, axis=0)))
-        return rate, np.mean(chans, axis=0)
-    out = l3.pcm()
+        out = np.mean(chans, axis=0)[chain_delay() :]
+    else:
+        out = l3.pcm()
+        out = out[chain_delay() + 576 :]
     if len(out) == 0:
         return None
     return rate, out

@@ -18,8 +18,10 @@ Two tiers:
   entropy/IDCT pipeline, ``operators.jpegcodec``), PCM + G.711
   A-law/mu-law WAV samples, animated-GIF frames (stdlib LZW), and
   MJPEG-in-AVI video frames (RIFF walk + the JPEG decoder) decode for
-  real; compressed video codecs (mp4/webm, non-MJPEG AVI) and
-  perceptually-coded audio (mp3/ogg) DECODE
+  real, as do FLAC (``operators.flaccodec``) and MPEG-1 audio Layers
+  I/III — real MP3 samples (``operators.mpegaudio``, late r7; see its
+  docstring for the refusal set). Compressed video codecs (mp4/webm,
+  non-MJPEG AVI) and Ogg/Vorbis audio DECODE
   needs ffmpeg (absent here) — those rows yield NULLs, or a
   deterministic md5-derived fake under ``allow_fake=True`` so the
   Spark-side plumbing — schema, batch iteration, partition shape,
@@ -118,18 +120,19 @@ def media_decode_coverage(df: DataFrame, bin_col: str = "content") -> DataFrame:
     """Per-container decode-coverage report (r6 advice #8): what
     fraction of each media container this engine can actually SCREEN —
     produce pixels/samples for perceptual (dHash) dedup — versus
-    metadata-only. A real crawl's audio is overwhelmingly MP3/Ogg,
-    which only the metadata tier covers (WAV-family and FLAC decode
-    for real); a pipeline that runs
+    metadata-only. A pipeline that runs
     ``audio_dhash_pairs``/``dhash_pairs`` must report "N% of blobs
     screenable" instead of silently screening the decodable minority.
 
     Screenability is CAPABILITY BY CONTAINER/CODEC from the cheap
-    header walks (no decode attempt): PNG/JPEG/GIF images → pixels
-    (all baseline + progressive-JPEG profiles decode); WAV
+    header walks (no full decode attempt): PNG/JPEG/GIF images →
+    pixels (all baseline + progressive-JPEG profiles decode); WAV
     PCM/G.711/IMA-ADPCM and FLAC → samples (per the fmt chunk /
-    flaccodec); MP3/Ogg/MP4/WebM/WebP → metadata only; MJPEG AVI → frames
-    (fourcc sniffed in the header region). Individually malformed
+    flaccodec); MP3 → samples when every frame's side info stays
+    within the MPEG-1 Layer I/III feature set this engine decodes
+    (``mpegaudio.mpeg_stream_supported``, late r7); Ogg/MP4/WebM/WebP →
+    metadata only; MJPEG AVI → frames
+    (fourcc walked in the header region). Individually malformed
     blobs still fail at decode time and surface as NULL features
     there. Output: (container, n, n_screenable, screenable_frac),
     one small row per container — aggregate-only, nothing
@@ -221,7 +224,9 @@ def _classify_decode_tier(blob: bytes):
     if blob[:3] == b"ID3" or (
         len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
     ):
-        return ("mp3", False)
+        from .mpegaudio import mpeg_stream_supported
+
+        return ("mp3", mpeg_stream_supported(blob))
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
         return ("mp4", False)
     if blob[:4] == b"\x1a\x45\xdf\xa3":
@@ -1083,11 +1088,13 @@ def audio_decode_array(blob: bytes):
     """Samples from ANY container this engine decodes: WAV
     (integer PCM / G.711 A-law+mu-law / MS+IMA ADPCM) via
     ``wav_decode_array``, AIFF/AIFC via ``aiff_decode_array`` (r7),
-    FLAC via the pure-stdlib
-    ``flaccodec.flac_decode_array`` (r7 — FLAC is lossless linear
-    prediction, no psychoacoustic codec needed). Returns
+    FLAC via the pure-stdlib ``flaccodec.flac_decode_array`` (r7),
+    and MPEG-1 audio Layers I/III — real MP3 sample decode — via
+    ``mpegaudio.mpeg_audio_decode_array`` (late r7; see that module's
+    docstring for the exact refusal set: Layer II, LSF, intensity
+    stereo, and frames selecting unshipped Huffman tables). Returns
     ``(sample_rate, mono float64 in [-1, 1])`` or ``None`` for
-    undecodable input (MP3/Ogg perceptual codecs stay metadata-only)."""
+    undecodable input (Ogg/Vorbis stays metadata-only)."""
     got = wav_decode_array(blob)
     if got is not None:
         return got
@@ -1097,6 +1104,16 @@ def audio_decode_array(blob: bytes):
         from .flaccodec import flac_decode_array
 
         return flac_decode_array(blob)
+    if blob[:4] == b"OggS" or blob[:4] == b"RIFF":
+        return None  # ogg stays metadata-only; non-WAVE RIFF is video
+    if blob[:3] == b"ID3" or (
+        len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
+    ):
+        # same mp3 gate as _classify_decode_tier; the decoder itself
+        # re-validates (two consecutive frames) before trusting a sync
+        from .mpegaudio import mpeg_audio_decode_array
+
+        return mpeg_audio_decode_array(blob)
     return None
 
 
@@ -1129,12 +1146,13 @@ def audio_features(
     envelope_bins: int = 8,
 ) -> DataFrame:
     """Per-clip audio features (duration, sample rate, RMS loudness
-    envelope). The WAV family (integer PCM, G.711, IMA ADPCM) and FLAC
-    decode FOR REAL with the stdlib + numpy (``wav_decode_samples`` →
-    ``audio_decode_array``); perceptual formats (mp3/ogg) would need
-    codec libraries absent here — those rows come back NULL, or
-    md5-derived fakes under ``allow_fake=True``. Arrow-batched
-    mapInPandas; the plumbing is identical for a real codec plug-in."""
+    envelope). The WAV family (integer PCM, G.711, IMA ADPCM), FLAC,
+    AIFF/AIFC and MPEG-1 Layer I/III (real MP3, late r7) decode FOR
+    REAL with stdlib + numpy (``wav_decode_samples`` →
+    ``audio_decode_array``); Ogg/Vorbis and the documented MPEG
+    refusal set come back NULL, or md5-derived fakes under
+    ``allow_fake=True``. Arrow-batched mapInPandas; the plumbing is
+    identical for a real codec plug-in."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1994,8 +2012,10 @@ def audio_dhash(
 ) -> DataFrame:
     """Per-clip 64-bit perceptual fingerprint over the REAL stdlib
     decoders (``audio_decode_array`` → ``audio_dhash64``): the WAV
-    family AND FLAC (r7); perceptual codecs (mp3/ogg need a codec
-    library, absent here) yield NULL. Arrow-batched mapInPandas; only
+    family, FLAC (r7), AIFF/AIFC, and MPEG-1 Layer I/III — real MP3
+    (late r7; WAV↔MP3 same-clip pairs fingerprint 0 bits apart in the
+    cross-codec test). Ogg and the MPEG refusal set yield NULL.
+    Arrow-batched mapInPandas; only
     (id, 8-byte hash) rows shuffle downstream. Pair with
     ``audio_dhash_pairs`` — the audio analog of ``image_dhash``/SimHash,
     sharing ``dedup.hamming_band_pairs``."""
@@ -2594,9 +2614,11 @@ def audio_container_metadata(
 
     ``decodable`` states whether THIS ENGINE can turn the clip into
     samples (``audio_decode_array`` → ``audio_dhash``): True for the
-    WAV PCM/G.711/IMA-ADPCM family and FLAC (r7, ``flaccodec``), False
-    for MP3/Ogg (metadata only — perceptual codecs need a codec
-    library) and unsupported WAV fmt codes, NULL for unrecognized
+    WAV PCM/G.711/IMA-ADPCM family, FLAC (r7, ``flaccodec``) and
+    MPEG-1 Layer I/III streams whose side info stays inside the
+    shipped feature set (late r7, ``mpegaudio``), False for Ogg
+    (metadata only), MPEG streams needing the documented refusal set,
+    and unsupported WAV fmt codes, NULL for unrecognized
     containers. A pipeline must
     report the screenable fraction rather than silently dHash-screen
     the WAV minority of a crawl (r6 advice #8);
@@ -2650,7 +2672,13 @@ def audio_container_metadata(
                 elif mp is not None:
                     rate, ch, _br, dur = mp
                     container = "mp3"
-                    dec = False
+                    # r7: MPEG-1 Layer I/III streams decode for real
+                    # (operators/mpegaudio.py); the side-info screen
+                    # reports whether every frame stays within the
+                    # shipped Huffman tables / feature set
+                    from .mpegaudio import mpeg_stream_supported
+
+                    dec = mpeg_stream_supported(blob)
                 elif (len(blob) >= 12 and blob[:4] == b"RIFF"
                       and blob[8:12] == b"WAVE"):
                     container = "wav"
@@ -2763,8 +2791,9 @@ def curate_audio(
     byte dedup (smallest id per digest), perceptual near-dup removal
     via ``audio_dhash_pairs`` → connected components → canonical keep,
     and the decode-coverage report over the survivors (so a pipeline
-    reports "N% of kept audio was actually screened" — MP3/Ogg pass
-    the perceptual stage unscreened by design). Returns
+    reports "N% of kept audio was actually screened" — Ogg and the
+    MPEG refusal set pass the perceptual stage unscreened by design;
+    supported MP3 screens for real since late r7). Returns
     ``(survivors, coverage)``."""
     from .components import dedup_keep_canonical
 

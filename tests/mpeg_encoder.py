@@ -98,6 +98,12 @@ def analysis_direct(pcm):
     return out
 
 
+def _pad_to(x, mult: int):
+    x = np.asarray(x, dtype=np.float64)
+    rem = len(x) % mult
+    return x if rem == 0 else np.concatenate([x, np.zeros(mult - rem)])
+
+
 def _frame_header(layer: int, br_idx: int, sr_idx: int, mode: int,
                   mode_ext: int = 0) -> bytes:
     h0 = 0xFF
@@ -119,6 +125,8 @@ def encode_layer1(channels, rate: int) -> bytes:
     sr_idx = _SAMPLERATES.index(rate)
     nch = len(channels)
     mode = 3 if nch == 1 else 0
+    # real encoders pad the final partial frame rather than drop it
+    channels = [_pad_to(ch, 384) for ch in channels]
     sbs = [analysis_direct(ch) for ch in channels]  # (T, 32) each
     t_len = min(s.shape[0] for s in sbs)
     nframes = t_len // 12
@@ -369,6 +377,8 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
         sf_bands = [0] * 21
     if scfsi is None:
         scfsi = [[0, 0, 0, 0] for _ in range(nch)]
+    # real encoders pad the final partial frame rather than drop it
+    channels = [_pad_to(ch, 1152) for ch in channels]
     sbs = [analysis_direct(ch) for ch in channels]
     t_len = min(s.shape[0] for s in sbs)
     ngr = t_len // 18

@@ -85,10 +85,11 @@ class TestFilterbank:
         assert others < 0.01 * power[5]
 
 
-#: total decode latency for Layer III: 481 filterbank + 576 (the MDCT
-#: granule of history the encoder consumes before its first output)
-_L3_DELAY = 1057
-_L1_DELAY = 481
+#: the decoder TRIMS its own lead-in (481 filterbank + 576 MDCT
+#: granule for Layer III), so decoded output aligns with the source
+#: timeline at delay 0
+_L3_DELAY = 0
+_L1_DELAY = 0
 
 
 def _corr_at(ref, got, delay, n=20000):

@@ -2311,3 +2311,144 @@ class TestReviewFixes:
         assert surv.count() == 1
         surv2, _ = curate_audio(df, id_col="doc_id", min_duration_s=0.1)
         assert surv2.count() == 1  # unknown duration survives the gate
+
+
+class TestMp3SampleDecode:
+    """Late r7: MPEG-1 Layer I/III streams decode to SAMPLES via
+    operators/mpegaudio.py — mp3 clips join the perceptual screens
+    (before: metadata-only). Fixtures come from the independent
+    tests/mpeg_encoder.py."""
+
+    @staticmethod
+    def _clip(seconds=3, rate=44100):
+        import numpy as np
+
+        t = np.arange(int(seconds * rate)) / rate
+        return (np.sin(2 * np.pi * 220 * t)
+                * np.abs(np.sin(2 * np.pi * 3 * t)) * 0.5)
+
+    @staticmethod
+    def _wav16(sig, rate):
+        import struct
+
+        import numpy as np
+
+        d = (np.asarray(sig) * 32000).astype(np.int16).tobytes()
+        return (b"RIFF" + struct.pack("<I", 36 + len(d)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                        rate * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(d)) + d)
+
+    def test_audio_decode_array_mp3(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            audio_decode_array,
+        )
+        from tests.mpeg_encoder import encode_layer3
+
+        sig = self._clip()
+        got = audio_decode_array(encode_layer3([sig], 44100))
+        assert got is not None
+        rate, mono = got
+        assert rate == 44100
+        n = min(len(mono), len(sig))
+        c = np.corrcoef(mono[:n], sig[:n])[0, 1]
+        assert c > 0.99, c
+
+    def test_cross_codec_dhash_wav_vs_mp3_and_layer1(self):
+        """The SAME clip through WAV, MP3 (Layer III) and Layer I must
+        fingerprint within 2 bits (measured 0); unrelated content
+        stays ~32 bits away."""
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            audio_decode_array,
+            audio_dhash64,
+        )
+        from tests.mpeg_encoder import encode_layer1, encode_layer3
+
+        rate = 44100
+        sig = self._clip()
+        t = np.arange(3 * rate) / rate
+        other = (np.sin(2 * np.pi * 700 * t)
+                 * np.abs(np.cos(2 * np.pi * 11 * t + 1)) * 0.5)
+
+        def h(blob):
+            dec = audio_decode_array(blob)
+            assert dec is not None
+            return audio_dhash64(dec[1]) % (1 << 64)
+
+        hw = h(self._wav16(sig, rate))
+        h3 = h(encode_layer3([sig], rate))
+        h1 = h(encode_layer1([sig], rate))
+        ho = h(self._wav16(other, rate))
+        assert bin(hw ^ h3).count("1") <= 2
+        assert bin(hw ^ h1).count("1") <= 2
+        assert bin(hw ^ ho).count("1") > 20
+
+    def test_audio_features_mp3(self, spark):
+        from datamancer_spark.operators.multimodal import audio_features
+        from tests.mpeg_encoder import encode_layer3
+
+        blob = encode_layer3([self._clip()], 44100)
+        df = spark.createDataFrame(
+            [("song.mp3", bytearray(blob))], "path string, content binary"
+        )
+        [row] = audio_features(df).collect()
+        assert row["sample_rate"] == 44100
+        assert abs(row["duration_s"] - 3.0) < 0.05
+        assert row["loudness"] is not None
+        assert max(row["loudness"]) > 0
+
+    def test_metadata_decodable_and_coverage(self, spark):
+        """audio_container_metadata.decodable and the coverage report
+        flip to True for supported MPEG streams; an ESC-table stream
+        stays False."""
+        from datamancer_spark.operators.multimodal import (
+            audio_container_metadata,
+            media_decode_coverage,
+        )
+        from tests.mpeg_encoder import encode_layer3
+        from tests.test_mpegaudio import _frame_with_table_select
+
+        good = encode_layer3([self._clip(seconds=1)], 44100)
+        esc = _frame_with_table_select(16)
+        df = spark.createDataFrame(
+            [("good.mp3", bytearray(good)), ("esc.mp3", bytearray(esc))],
+            "path string, content binary",
+        )
+        got = {r["path"]: r for r in audio_container_metadata(df).collect()}
+        assert got["good.mp3"]["container"] == "mp3"
+        assert got["good.mp3"]["decodable"] is True
+        assert got["esc.mp3"]["decodable"] is False
+        cov = {r["container"]: (r["n"], r["n_screenable"])
+               for r in media_decode_coverage(df).collect()}
+        assert cov["mp3"] == (2, 1)
+
+    def test_curate_audio_dedups_mp3_twin(self, spark):
+        """An mp3 re-encode of a wav clip is now a PERCEPTUAL DUP the
+        curation pipeline removes (it previously survived as
+        unscreenable)."""
+        from datamancer_spark.operators.multimodal import curate_audio
+        from tests.mpeg_encoder import encode_layer3
+
+        rate = 44100
+        sig = self._clip()
+        import numpy as np
+
+        t = np.arange(3 * rate) / rate
+        other = (np.sin(2 * np.pi * 700 * t)
+                 * np.abs(np.cos(2 * np.pi * 11 * t + 1)) * 0.5)
+        rows = [
+            ("a_clip.wav", bytearray(self._wav16(sig, rate))),
+            ("b_clip.mp3", bytearray(encode_layer3([sig], rate))),
+            ("c_other.wav", bytearray(self._wav16(other, rate))),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        survivors, coverage = curate_audio(df, min_duration_s=0.5)
+        kept = {r["path"] for r in survivors.collect()}
+        assert kept == {"a_clip.wav", "c_other.wav"}
+        cov = {r["container"]: (r["n"], r["n_screenable"])
+               for r in coverage.collect()}
+        assert cov["wav"] == (2, 2)
