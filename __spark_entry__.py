@@ -2103,19 +2103,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
         "train_test_split": train_test_split,
-        # -- r7 rotation. First the round's one NEW query (zero-green:
-        # -- the bm25 contract query VERDICT r6 #4 asked for; it
-        # -- displaces 2x-proven price_histogram to hold the catalog at
-        # -- 122), then stalest single proof first: the r1-proven
-        # -- straggler, then the 16 r5-once-green waiting since r5 (34
-        # -- non-north-star slots total; the 13 r4-2x-proven queries
-        # -- rotated out per VERDICT r6 #1)
+        # -- r8 rotation (VERDICT r7 #1): the 5-query once-green tail
+        # -- rotates IN (event_interarrival, ab_conversion_report,
+        # -- tfidf_similar_docs, price_quantity_trend,
+        # -- image_dhash_pairs) accruing their 2nd driver proof, plus
+        # -- bm25_search_terms (1 green, stays). The 5 stalest
+        # -- 2x-proven members rotate OUT (regex_extract_doc r1+r7,
+        # -- dedup_incremental/q4/q10/q14 r5+r7). After this round the
+        # -- whole catalog is >=2x driver-proven and the packed-window
+        # -- alarm goes vacuous.
         "bm25_search_terms": bm25_search_terms,
-        "regex_extract_doc": regex_extract_doc,
-        "dedup_incremental": dedup_incremental,
-        "q4_late_shipping": q4_late_shipping,
-        "q10_return_customers": q10_return_customers,
-        "q14_promo_share": q14_promo_share,
+        "event_interarrival": event_interarrival,
+        "ab_conversion_report": ab_conversion_report,
+        "tfidf_similar_docs": tfidf_similar_docs,
+        "price_quantity_trend": price_quantity_trend,
+        "image_dhash_pairs": image_dhash_pairs,
         "q18_big_orders": q18_big_orders,
         "grouped_mutate_150k": grouped_mutate_150k,
         "cohort_retention_weekly": cohort_retention_weekly,
@@ -2147,16 +2149,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": remove_dup_spans,
         "data_quality_checks": data_quality_checks,
         "pipeline_curate_v2": pipeline_curate_v2,
-        # ---- past the driver's 50-entry window. r8 tail first: the 5
-        # ---- once-green queries that did not fit (38 once-green + 1
-        # ---- new into 34 non-north-star slots)
-        "event_interarrival": event_interarrival,
-        "ab_conversion_report": ab_conversion_report,
-        "tfidf_similar_docs": tfidf_similar_docs,
-        "price_quantity_trend": price_quantity_trend,
-        "image_dhash_pairs": image_dhash_pairs,
-        # ---- >= 2-round driver-green; all stay in the local harness
-        # ---- (incl. the 13 r4-set queries re-proven in r6)
+        # ---- past the driver's 50-entry window: all >= 2-round
+        # ---- driver-green; all stay in the local harness
+        # ---- (incl. the 13 r4-set queries re-proven in r6 and the 5
+        # ---- rotated out this round)
+        "regex_extract_doc": regex_extract_doc,
+        "dedup_incremental": dedup_incremental,
+        "q4_late_shipping": q4_late_shipping,
+        "q10_return_customers": q10_return_customers,
+        "q14_promo_share": q14_promo_share,
         "tail_sorted": tail_sorted,
         "slice_rows": slice_rows,
         "distinct_proj": distinct_proj,
