@@ -195,8 +195,13 @@ def _classify_decode_tier(blob: bytes):
                 cid = blob[pos : pos + 4]
                 ln = _struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
                 if cid == b"fmt " and ln >= 16:
+                    # guard the slice: a truncated blob may declare
+                    # ln >= 16 yet end before pos+24 (ADVICE r7)
+                    body = blob[pos + 8 : pos + 8 + ln]
+                    if len(body) < 16:
+                        return ("wav", False)
                     afmt, _ch, _r, _br, _ba, bits = _struct.unpack(
-                        "<HHIIHH", blob[pos + 8 : pos + 24]
+                        "<HHIIHH", body[:16]
                     )
                     return ("wav", _wav_fmt_decodable(afmt, bits))
                 pos += 8 + ln + (ln & 1)
@@ -2687,9 +2692,9 @@ def audio_container_metadata(
                         cid = blob[pos : pos + 4]
                         ln = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
                         if cid == b"fmt " and ln >= 16:
-                            fmt = struct.unpack(
-                                "<HHIIHH", blob[pos + 8 : pos + 24]
-                            )
+                            body = blob[pos + 8 : pos + 8 + ln]
+                            if len(body) >= 16:  # truncation guard
+                                fmt = struct.unpack("<HHIIHH", body[:16])
                         elif cid == b"data":
                             dlen = ln
                         pos += 8 + ln + (ln & 1)

@@ -2452,3 +2452,48 @@ class TestMp3SampleDecode:
         cov = {r["container"]: (r["n"], r["n_screenable"])
                for r in coverage.collect()}
         assert cov["wav"] == (2, 2)
+
+
+class TestTruncatedContainerGuards:
+    """ADVICE r7: a truncated WAV whose fmt chunk header claims
+    ln >= 16 but whose blob ends before the 16 fmt bytes must
+    classify/describe as undecodable, never raise (one corrupt blob
+    must not kill a mapInPandas task)."""
+
+    def _truncated_wav(self) -> bytes:
+        import struct
+
+        # RIFF/WAVE + 'fmt ' header declaring 16 bytes, then only 6
+        # bytes of body before EOF
+        body = struct.pack("<HHH", 1, 1, 0)  # 6 of the promised 16
+        blob = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + body
+        )
+        return blob
+
+    def test_classify_decode_tier_truncated_wav(self):
+        from datamancer_spark.operators.multimodal import (
+            _classify_decode_tier,
+        )
+
+        assert _classify_decode_tier(self._truncated_wav()) == (
+            "wav", False,
+        )
+
+    def test_metadata_and_coverage_truncated_wav(self, spark):
+        from datamancer_spark.operators.multimodal import (
+            audio_container_metadata,
+            media_decode_coverage,
+        )
+
+        df = spark.createDataFrame(
+            [("trunc.wav", bytearray(self._truncated_wav()))],
+            "path string, content binary",
+        )
+        [row] = audio_container_metadata(df).collect()
+        assert row["container"] == "wav"
+        assert row["decodable"] is False
+        [cov] = media_decode_coverage(df).collect()
+        assert cov["container"] == "wav"
+        assert (cov["n"], cov["n_screenable"]) == (1, 0)
