@@ -2131,8 +2131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_text": dedup_semantic_text,
         "approx_distinct": approx_distinct,
         # -- 17 of the 21 r6-once-green accruing their 2nd round (the
-        # -- remaining 4 are the documented r8 tail, first in the
-        # -- outside queue below)
+        # -- other 4 of the 21 rotated in with the r8 tail above and
+        # -- got their 2nd proof in r8)
         "text_hash_embedding": text_hash_embedding,
         "duplicate_spans": duplicate_spans,
         "q7_nation_volume": q7_nation_volume,

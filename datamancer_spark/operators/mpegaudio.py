@@ -743,8 +743,16 @@ class _L3Decoder:
                 xr = [0.0] * 576
                 # region boundaries in samples
                 if g["window_switching"]:
-                    r1 = 36 if (g["block_type"] == 2
-                                and not g["mixed_block"]) else 54
+                    # ISO 11172-3 2.4.2.7: region0_count is IMPLIED when
+                    # window_switching is set — 8 for pure short (counted
+                    # in short-sfb triples -> 36 samples), 7 otherwise
+                    # (start/stop/mixed -> sfb_l[8], which is 36 at all
+                    # three MPEG-1 rates). dist10 hardcodes 36 for both.
+                    if g["block_type"] == 2 and not g["mixed_block"]:
+                        r1 = 36
+                    else:
+                        sfb_l = _SFB_LONG[self.rate]
+                        r1 = sfb_l[g["region0_count"] + 1]
                     bounds = [r1, 576]
                 else:
                     sfb_l = _SFB_LONG[self.rate]

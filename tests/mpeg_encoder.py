@@ -8,10 +8,12 @@ here is a brute-force direct-form convolution; the MDCT is a literal
 matrix product; the bit packer is its own; table selection and
 quantization are encoder-side logic the decoder never sees.
 
-Layer III scope (documented): long blocks only (no window switching),
-no bit reservoir (main_data_begin=0), big_values quantized to |q| <= 15
-(the decoder refuses the ESC tables by design), mono / LR stereo / MS
-stereo, optional nonzero scalefactors + preflag + scfsi.
+Layer III scope (documented): long blocks AND window switching
+(start/short/stop via ``block_types=``; window-switching granules
+require all-zero scalefactors), no bit reservoir (main_data_begin=0),
+big_values quantized to |q| <= 15 (the decoder refuses the ESC tables
+by design), mono / LR stereo / MS stereo, optional nonzero
+scalefactors + preflag + scfsi.
 """
 
 from __future__ import annotations
@@ -43,6 +45,11 @@ _SFB_LONG = {
             128, 156, 190, 230, 276, 330, 384, 576],
     32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
             156, 194, 240, 296, 364, 448, 550, 576],
+}
+_SFB_SHORT = {
+    44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
 }
 _PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3,
            2, 0]
@@ -204,18 +211,71 @@ def _pick_table(maxv: int):
     raise ValueError(f"big_values magnitude {maxv} needs ESC tables")
 
 
-def mdct_long(sub_prev, sub_cur):
-    """(18,) prev + (18,) cur subband samples -> 18 MDCT lines, long
-    sine window; normalized so the decoder's IMDCT+overlap-add chain
-    reproduces the input subband samples."""
+def _window36(block_type: int):
+    """ISO 11172-3 2.4.3.4.10.3 analysis/synthesis windows for the
+    36-point blocks: 0 long, 1 start, 3 stop."""
+    i = np.arange(36)
+    w = np.sin(math.pi / 36.0 * (i + 0.5))
+    if block_type == 1:  # start: long rise, flat, short fall, zeros
+        w = w.copy()
+        w[18:24] = 1.0
+        w[24:30] = np.sin(math.pi / 12.0 * (i[24:30] - 18.0 + 0.5))
+        w[30:] = 0.0
+    elif block_type == 3:  # stop: zeros, short rise, flat, long fall
+        w = w.copy()
+        w[:6] = 0.0
+        w[6:12] = np.sin(math.pi / 12.0 * (i[6:12] - 6.0 + 0.5))
+        w[12:18] = 1.0
+    return w
+
+
+def mdct_windowed(sub_prev, sub_cur, block_type: int = 0):
+    """(18,) prev + (18,) cur subband samples -> 18 MDCT lines with the
+    block-type window (0 long / 1 start / 3 stop); normalized so the
+    decoder's IMDCT+overlap-add chain reproduces the input subband
+    samples."""
     z = np.concatenate([sub_prev, sub_cur])
     i = np.arange(36)
-    win = np.sin(math.pi / 36.0 * (i + 0.5))
-    zw = z * win
+    zw = z * _window36(block_type)
     k = np.arange(18)[None, :]
     m = np.cos(math.pi / 72.0 * (2 * i[:, None] + 1 + 18) * (2 * k + 1))
-    # /9: the IMDCT + sine-window overlap-add chain has gain 18/2
+    # /9: the IMDCT + sine-window overlap-add chain has gain N/4 = 9
     return (zw @ m) / 9.0
+
+
+def mdct_long(sub_prev, sub_cur):
+    return mdct_windowed(sub_prev, sub_cur, 0)
+
+
+def mdct_short(sub_prev, sub_cur):
+    """Pure short block: three 12-point MDCTs at offsets 6/12/18 of the
+    36-sample span -> 18 lines in NATURAL subband order (line-major,
+    window-inner: index = line*3 + window). /3 = N/4 with N=12."""
+    z = np.concatenate([sub_prev, sub_cur])
+    w12 = np.sin(math.pi / 12.0 * (np.arange(12) + 0.5))
+    i = np.arange(12)
+    k = np.arange(6)[None, :]
+    m = np.cos(math.pi / 24.0 * (2 * i[:, None] + 1 + 6) * (2 * k + 1))
+    out = np.empty(18)
+    for win in range(3):
+        blk = z[6 + 6 * win : 18 + 6 * win] * w12
+        out[win::3] = (blk @ m) / 3.0
+    return out
+
+
+def nat_to_bitstream_short(q, rate: int):
+    """Inverse of the decoder's reorder: natural subband-line order
+    (line-major, window-inner triplets) -> Huffman bitstream order
+    (sfb-major, window-major runs)."""
+    sfb_s = _SFB_SHORT[rate]
+    out = np.array(q)
+    for sfb in range(13):
+        lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+        w = hi - lo
+        base = lo * 3
+        nat = np.asarray(q[base : base + 3 * w]).reshape(w, 3)
+        out[base : base + 3 * w] = nat.T.reshape(-1)
+    return out
 
 
 _ALIAS_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
@@ -265,20 +325,28 @@ def _quantize(xr, sf_bands, rate, scalefac_scale=0, preflag=0):
 
 
 def _encode_granule(w: BitWriter, q, gg, rate, scalefac_compress,
-                    sf_bands, preflag, scalefac_scale, skip_sf=None):
+                    sf_bands, preflag, scalefac_scale, skip_sf=None,
+                    ws_block_type=None):
     """Huffman-encode one granule. Returns the side-info dict. ``q``
-    signed ints (576,). ``skip_sf``: scfsi group flags — bands whose
-    scalefactors are NOT transmitted (granule 1 reuse)."""
+    signed ints (576,) in BITSTREAM order. ``skip_sf``: scfsi group
+    flags — bands whose scalefactors are NOT transmitted (granule 1
+    reuse). ``ws_block_type``: 1/2/3 emits a window-switching granule
+    (all-zero scalefactors required; region boundary fixed at 36)."""
     start_bits = w.nbits()
     slen1, slen2 = _SLEN[scalefac_compress]
-    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
-              (16, 21, slen2)]
-    for band, (lo, hi, slen) in enumerate(groups):
-        if skip_sf is not None and skip_sf[band]:
-            continue
-        for i in range(lo, hi):
-            if slen:
-                w.write(sf_bands[i], slen)
+    if ws_block_type == 2:
+        # pure short: the decoder reads 18 short-window scalefactors;
+        # this encoder only supports the zero-bit case
+        assert scalefac_compress == 0 and not any(sf_bands)
+    else:
+        groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+                  (16, 21, slen2)]
+        for band, (lo, hi, slen) in enumerate(groups):
+            if skip_sf is not None and skip_sf[band]:
+                continue
+            for i in range(lo, hi):
+                if slen:
+                    w.write(sf_bands[i], slen)
     aq = np.abs(q)
     nz = np.nonzero(aq)[0]
     last = int(nz[-1]) + 1 if len(nz) else 0
@@ -296,10 +364,16 @@ def _encode_granule(w: BitWriter, q, gg, rate, scalefac_compress,
     c1_end = _c1_end(bv_end)
     big_values = bv_end // 2
     sfb_l = _SFB_LONG[rate]
-    region0_count, region1_count = 8, 7
-    r0 = sfb_l[region0_count + 1]
-    r1 = sfb_l[region0_count + 1 + region1_count + 1]
-    bounds = [min(r0, bv_end), min(r1, bv_end), bv_end]
+    if ws_block_type is not None:
+        # implied split: region0 ends at sample 36 (ISO 2.4.2.7),
+        # region2 does not exist
+        region0_count, region1_count = 0, 0  # not transmitted
+        bounds = [min(36, bv_end), bv_end]
+    else:
+        region0_count, region1_count = 8, 7
+        r0 = sfb_l[region0_count + 1]
+        r1 = sfb_l[region0_count + 1 + region1_count + 1]
+        bounds = [min(r0, bv_end), min(r1, bv_end), bv_end]
     table_select = []
     prev = 0
     for b in bounds:
@@ -355,18 +429,23 @@ def _encode_granule(w: BitWriter, q, gg, rate, scalefac_compress,
         "preflag": preflag,
         "scalefac_scale": scalefac_scale,
         "count1table_select": c1sel,
+        "ws_block_type": ws_block_type,
     }
 
 
 def encode_layer3(channels, rate: int, ms_stereo: bool = False,
                   scalefac_compress: int = 0, sf_bands=None,
                   preflag: int = 0, scalefac_scale: int = 0,
-                  scfsi=None) -> bytes:
+                  scfsi=None, block_types=None) -> bytes:
     """Encode float PCM channels to an MPEG-1 Layer III stream.
 
     ``sf_bands``: optional 21 scalefactors (must fit the slens of
     ``scalefac_compress``). ``scfsi``: optional 4 flags per channel —
-    granule 1 reuses granule 0's scalefactors for flagged groups."""
+    granule 1 reuses granule 0's scalefactors for flagged groups.
+    ``block_types``: optional per-granule block types (0 long, 1 start,
+    2 short, 3 stop), applied to every channel; the TDAC-valid
+    sequences are long*->start->short*->stop->long*. Window-switching
+    granules require all-zero scalefactors + scfsi."""
     sr_idx = _SAMPLERATES.index(rate)
     nch = len(channels)
     if ms_stereo and nch != 2:
@@ -383,22 +462,34 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
     t_len = min(s.shape[0] for s in sbs)
     ngr = t_len // 18
     nframes = ngr // 2
+    if block_types is None:
+        block_types = [0] * ngr
+    assert len(block_types) >= ngr
+    if any(bt != 0 for bt in block_types[:ngr]):
+        assert not any(sf_bands) and scalefac_compress == 0
+        assert not any(any(row) for row in scfsi)
     # per-channel per-granule spectra (with one granule of history)
     spectra = [[] for _ in range(nch)]
     for ch in range(nch):
         prev = np.zeros((18, 32))
         sub = sbs[ch]
         for g in range(ngr):
+            bt = block_types[g]
             cur = sub[g * 18 : (g + 1) * 18, :].copy()
             # encoder-side frequency pre-inversion (decoder undoes it)
             cur[1::2, 1::2] *= -1.0
             spec = np.empty(576)
             for sb in range(32):
-                spec[sb * 18 : (sb + 1) * 18] = mdct_long(
+                fwd = mdct_short if bt == 2 else (
+                    lambda p, c: mdct_windowed(p, c, bt)
+                )
+                spec[sb * 18 : (sb + 1) * 18] = fwd(
                     prev[:, sb], cur[:, sb]
                 )
             prev = cur
-            spectra[ch].append(alias_forward(spec))
+            # pure short blocks skip the alias butterflies (the
+            # decoder's reduction is a no-op there too)
+            spectra[ch].append(spec if bt == 2 else alias_forward(spec))
     out = bytearray()
     for f in range(nframes):
         grspecs = []
@@ -413,13 +504,18 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
         sides = []
         for g in range(2):
             row = []
+            bt = block_types[2 * f + g]
             for ch in range(nch):
                 q, gg = _quantize(grspecs[g][ch], sf_bands, rate,
                                   scalefac_scale, preflag)
+                if bt == 2:
+                    # decoder expects Huffman (bitstream) order
+                    q = nat_to_bitstream_short(q, rate)
                 skip = scfsi[ch] if g == 1 else None
                 side = _encode_granule(
                     body, q, gg, rate, scalefac_compress, sf_bands,
                     preflag, scalefac_scale, skip_sf=skip,
+                    ws_block_type=bt if bt else None,
                 )
                 row.append(side)
             sides.append(row)
@@ -447,11 +543,20 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
                 sw.write(s["big_values"], 9)
                 sw.write(s["global_gain"], 8)
                 sw.write(s["scalefac_compress"], 4)
-                sw.write(0, 1)  # window_switching
-                for t in s["table_select"]:
-                    sw.write(t, 5)
-                sw.write(s["region0_count"], 4)
-                sw.write(s["region1_count"], 3)
+                if s["ws_block_type"] is not None:
+                    sw.write(1, 1)  # window_switching
+                    sw.write(s["ws_block_type"], 2)
+                    sw.write(0, 1)  # mixed_block
+                    for t in s["table_select"]:
+                        sw.write(t, 5)
+                    for _sb in range(3):
+                        sw.write(0, 3)  # subblock_gain
+                else:
+                    sw.write(0, 1)  # window_switching
+                    for t in s["table_select"]:
+                        sw.write(t, 5)
+                    sw.write(s["region0_count"], 4)
+                    sw.write(s["region1_count"], 3)
                 sw.write(s["preflag"], 1)
                 sw.write(s["scalefac_scale"], 1)
                 sw.write(s["count1table_select"], 1)

@@ -207,6 +207,153 @@ class TestLayer3RoundTrip:
         assert got is not None
         assert _corr_at(0.5 * (left + right), got[1], _L3_DELAY) > 0.98
 
+
+def _bp_noise(n, seed, lo=0.033, hi=0.09):
+    """Band-pass deterministic noise confined to subbands 2-5 (lines
+    36..107 of a long-block spectrum): near-zero spectral magnitudes
+    below sample 36, big ones above, so window-switching granules
+    Huffman-split their big_values across the 36-sample region
+    boundary with DIFFERENT tables per region."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(n)
+    spec = np.fft.rfft(x)
+    f = np.arange(len(spec)) / n
+    spec[(f < lo) | (f > hi)] = 0
+    return 0.3 * np.fft.irfft(spec, n)
+
+
+class TestLayer3WindowSwitching:
+    """Window-switching (start/short/stop) coverage. Pins the ISO
+    11172-3 2.4.2.7 implied region boundary: region0 ends at sample 36
+    for start/stop/mixed granules (implied region0_count=7 ->
+    sfb_l[8]=36 at every MPEG-1 rate), NOT 54 — a decoder using 54
+    reads samples 36..53 with region0's Huffman table and desyncs."""
+
+    def test_full_sequence_round_trip(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        sig = _bl_noise(8 * 1152, 42)
+        got = mpeg_audio_decode_array(
+            encode_layer3([sig], 44100, block_types=[0, 1, 2, 3] * 4)
+        )
+        assert got is not None
+        assert got[0] == 44100
+        # short blocks quantize coarser than long (6-line windows);
+        # the chain itself is exact (see mdct tests)
+        assert _corr_at(sig, got[1], _L3_DELAY) > 0.95
+
+    def test_short_block_runs(self):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        sig = _bl_noise(8 * 1152, 43)
+        bts = [0, 1, 2, 2, 2, 2, 3, 0] * 2
+        got = mpeg_audio_decode_array(
+            encode_layer3([sig], 44100, block_types=bts)
+        )
+        assert got is not None
+        assert _corr_at(sig, got[1], _L3_DELAY) > 0.95
+
+    @pytest.mark.parametrize("rate", [48000, 32000])
+    def test_other_samplerates(self, rate):
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        sig = _bl_noise(8 * 1152, 44)
+        got = mpeg_audio_decode_array(
+            encode_layer3([sig], rate, block_types=[0, 1, 2, 3] * 4)
+        )
+        assert got is not None
+        assert got[0] == rate
+        assert _corr_at(sig, got[1], _L3_DELAY) > 0.95
+
+    def test_region_boundary_table_split(self):
+        """The regression test for the r8-flagged bug: start/stop
+        granules whose big_values region crosses sample 36 with
+        different Huffman tables on each side. Self-validating: the
+        side info is parsed back to PROVE the split is present (a
+        boundary of 54 decoded this stream at corr ~0.46)."""
+        from datamancer_spark.operators.mpegaudio import (
+            _parse_side_info,
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import _BITRATES_L3, encode_layer3
+
+        sig = _bp_noise(8 * 1152, 5)
+        blob = encode_layer3([sig], 44100, block_types=[0, 1, 3, 0] * 4)
+
+        split_seen = 0
+        off = 0
+        while off < len(blob):
+            br = _BITRATES_L3[blob[off + 2] >> 4]
+            frame_bytes = 144 * br * 1000 // 44100
+            _, _, granules = _parse_side_info(
+                blob[off + 4 : off + 21], 1
+            )
+            for gr in range(2):
+                g = granules[gr][0]
+                if not g["window_switching"]:
+                    continue
+                assert g["block_type"] in (1, 3)
+                if (g["big_values"] * 2 > 36
+                        and g["table_select"][0] != g["table_select"][1]):
+                    split_seen += 1
+            off += frame_bytes
+        assert split_seen >= 6, split_seen
+
+        got = mpeg_audio_decode_array(blob)
+        assert got is not None
+        assert _corr_at(sig, got[1], _L3_DELAY) > 0.95
+
+    def test_ws_mdct_chain_exact(self):
+        """Forward (test-encoder) MDCTs -> decoder hybrid synthesis is
+        an EXACT inverse across every block-type transition, one
+        granule of algorithmic delay — isolates windowing/normalization
+        from quantization noise."""
+        from datamancer_spark.operators.mpegaudio import (
+            _hybrid_synthesis,
+        )
+        from mpeg_encoder import mdct_short, mdct_windowed
+
+        rng = np.random.default_rng(0)
+        bts = [0, 1, 2, 3, 0, 1, 2, 3]
+        ngr = len(bts)
+        sub = rng.standard_normal((ngr * 18, 32))
+        specs = []
+        prev = np.zeros((18, 32))
+        for g in range(ngr):
+            cur = sub[g * 18 : (g + 1) * 18, :]
+            spec = np.empty(576)
+            for sb in range(32):
+                if bts[g] == 2:
+                    spec[sb * 18 : (sb + 1) * 18] = mdct_short(
+                        prev[:, sb], cur[:, sb]
+                    )
+                else:
+                    spec[sb * 18 : (sb + 1) * 18] = mdct_windowed(
+                        prev[:, sb], cur[:, sb], bts[g]
+                    )
+            prev = cur
+            specs.append(spec)
+        overlap = np.zeros((32, 18))
+        rec = []
+        for g in range(ngr):
+            gd = {
+                "window_switching": 1 if bts[g] else 0,
+                "block_type": bts[g],
+                "mixed_block": 0,
+            }
+            rec.append(_hybrid_synthesis(specs[g], gd, overlap))
+        rec = np.vstack(rec)
+        assert np.abs(rec[18:] - sub[:-18]).max() < 1e-10
+
     def test_scalefactors_preflag_scfsi(self):
         """Nonzero scalefactors + preflag + scfsi granule-1 reuse all
         survive the round trip."""
