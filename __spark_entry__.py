@@ -2064,6 +2064,201 @@ def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def image_dhash_pairs_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bands=8 tier of the shared Hamming band engine
+    (operators/dedup.py hamming_band_pairs) under the driver gate:
+    same deterministic synthetic signatures as image_dhash_pairs, but
+    radius 7 with 8-bit blocks — pigeonhole-exact for hamming <= 7, so
+    EVERY intra-group pair (mask distances 1..5) must surface. The
+    blowup posture (8 probes/sig, bounded candidate sets) is measured
+    in SCALING.md."""
+    from datamancer_spark.operators.dedup import (
+        hamming_band_pairs,
+        portable_hash,
+    )
+    from datamancer_spark.session import materialize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    base = portable_hash((F.col("doc_id") % 37).cast("string"), seed=11)
+    mask = F.element_at(
+        F.array(*[F.lit(m) for m in _DHASH_MASKS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    sigs = materialize(
+        doc.select("doc_id", base.bitwiseXOR(mask).alias("dhash"))
+    )
+    return hamming_band_pairs(
+        sigs, "dhash", "doc_id", max_hamming=7, bands=8
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# -- media fixture tier (VERDICT r7 #3 / r8 #2): the driver tables carry
+# -- no blobs, so these queries MANUFACTURE deterministic media blobs
+# -- executor-side (operators/fixtures.py) whose REAL decode outputs a
+# -- DuckDB oracle predicts in closed form — the decode/resize/coverage/
+# -- curation operators themselves run unmodified.
+
+
+def image_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode under the driver gate (operators/multimodal.py
+    decode_images ← png_decode_pixels): one solid-color PNG per doc_id
+    with arithmetic dims/color; the decoded (width, height, channels,
+    mean_intensity) must match the closed form exactly — channel sums
+    are multiples of 3 so the mean is an exact multiple of 1/15."""
+    from datamancer_spark.operators.fixtures import (
+        solid_png_blob,
+        synth_blob_frame,
+    )
+    from datamancer_spark.operators.multimodal import decode_images
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    ids = doc.select(F.col("doc_id").cast("string").alias("path"))
+    blobs = synth_blob_frame(ids, solid_png_blob, id_col="path")
+    return decode_images(blobs).select(
+        F.col("path").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "channels",
+        "mean_intensity",
+    )
+
+
+def resize_thumbs_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images under the driver gate: solid PNGs → 16×16
+    box-resampled thumbnails (re-encoded through the product PNG
+    writer) → decoded AGAIN — a full decode→resize→encode→decode round
+    trip per row. Solid color is invariant under exact-area resample,
+    so the thumb's mean equals the source color's and the dims pin
+    both stages."""
+    from datamancer_spark.operators.fixtures import (
+        solid_png_blob,
+        synth_blob_frame,
+    )
+    from datamancer_spark.operators.multimodal import (
+        decode_images,
+        resize_images,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    ids = doc.select(F.col("doc_id").cast("string").alias("path"))
+    blobs = synth_blob_frame(ids, solid_png_blob, id_col="path")
+    thumbs = resize_images(blobs, width=16, height=16)
+    dec = decode_images(
+        thumbs.select("path", F.col("thumb").alias("content"))
+    ).select(
+        "path",
+        F.col("width").alias("thumb_w"),
+        F.col("height").alias("thumb_h"),
+        F.col("mean_intensity").alias("thumb_mean"),
+    )
+    return (
+        thumbs.select(
+            "path",
+            F.col("width").alias("src_w"),
+            F.col("height").alias("src_h"),
+        )
+        .join(dec, "path")
+        .select(
+            F.col("path").cast("long").alias("doc_id"),
+            "src_w",
+            "src_h",
+            "thumb_w",
+            "thumb_h",
+            "thumb_mean",
+        )
+    )
+
+
+def audio_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM16 decode under the driver gate
+    (operators/multimodal.py audio_features ← wav_decode_samples ←
+    audio_decode_array): constant-amplitude fixtures whose normalized
+    RMS is exactly k/8 and duration an exact 6-decimal value."""
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        wav_const_blob,
+    )
+    from datamancer_spark.operators.multimodal import audio_features
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    ids = doc.select(F.col("doc_id").cast("string").alias("path"))
+    blobs = synth_blob_frame(ids, wav_const_blob, id_col="path")
+    feats = audio_features(blobs, envelope_bins=4)
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "duration_s",
+        "sample_rate",
+        F.element_at("loudness", 1).alias("rms_first"),
+        F.element_at("loudness", 4).alias("rms_last"),
+    )
+
+
+def media_decode_coverage_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_decode_coverage under the driver gate over a 6-format
+    fixture mix cycling doc_id % 6: real PNG, real WAV, real MP3 WITH
+    window-switching granules (the classifier's all-frames side-info
+    walk must parse them), the r8 adversarial truncated-fmt WAV
+    (classifies (wav, False), must not kill the task), and Ogg/MP4
+    metadata-only stubs."""
+    from datamancer_spark.operators.fixtures import (
+        mix_blob,
+        synth_blob_frame,
+    )
+    from datamancer_spark.operators.multimodal import (
+        media_decode_coverage,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), mix_blob)
+    return media_decode_coverage(blobs)
+
+
+def image_dhash_real_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL perceptual image pipeline under the driver gate
+    (operators/multimodal.py dhash_pairs: PNG decode → box resample →
+    dhash64_gray → banded Hamming join): patterned grayscale PNGs
+    engineered so each image's dHash EQUALS the arithmetic signature
+    of image_dhash_pairs — the decode+hash stage must reproduce every
+    bit or the brute-force DuckDB twin diverges."""
+    from datamancer_spark.operators.fixtures import (
+        pattern_png_blob,
+        synth_blob_frame,
+    )
+    from datamancer_spark.operators.multimodal import dhash_pairs
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), pattern_png_blob)
+    return dhash_pairs(
+        blobs, id_col="doc_id", max_hamming=3, bands=4
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def curate_media_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curate_media composition under the driver gate: a mix
+    of patterned PNGs (doc_id % 11 != 0; dHash = the (doc_id%37,
+    doc_id%6) group signature) and undecodable Ogg stubs. At
+    max_hamming=0 the perceptual clusters are exactly the
+    signature-equality groups, so the survivor set is closed-form: the
+    min doc_id per (g, m) among PNGs, plus every Ogg (a screen never
+    drops what it cannot read)."""
+    from datamancer_spark.operators.fixtures import (
+        ogg_stub_blob,
+        pattern_png_blob,
+        synth_blob_frame,
+    )
+    from datamancer_spark.operators.multimodal import curate_media
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(
+        doc.select("doc_id"),
+        lambda i: ogg_stub_blob(i) if i % 11 == 0 else pattern_png_blob(i),
+    )
+    survivors, _coverage = curate_media(
+        blobs, id_col="doc_id", max_hamming=0, bands=4
+    )
+    return survivors.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2118,18 +2313,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_similar_docs": tfidf_similar_docs,
         "price_quantity_trend": price_quantity_trend,
         "image_dhash_pairs": image_dhash_pairs,
-        "q18_big_orders": q18_big_orders,
         "grouped_mutate_150k": grouped_mutate_150k,
-        "cohort_retention_weekly": cohort_retention_weekly,
-        "funnel_view_click_purchase": funnel_view_click_purchase,
         "unigram_perplexity_proxy": unigram_perplexity_proxy,
         "bigram_perplexity_proxy": bigram_perplexity_proxy,
         "score_calibration_en": score_calibration_en,
         "source_skew_profile": source_skew_profile,
-        "corpus_health_report": corpus_health_report,
-        "salted_events_rollup": salted_events_rollup,
-        "dedup_semantic_text": dedup_semantic_text,
-        "approx_distinct": approx_distinct,
+        # -- r9 rotation (VERDICT r8 #2): 7 NEW zero-green media
+        # -- queries enter — the previously pytest-only surface
+        # -- (decode_images, resize_images, audio_features,
+        # -- media_decode_coverage, dhash_pairs over REAL decode,
+        # -- curate_media, bands=8 Hamming) now under the driver gate
+        # -- via deterministic fixture blobs (operators/fixtures.py).
+        # -- The 7 stalest 3x-proven (first green r5) rotate out:
+        # -- approx_distinct, cohort_retention_weekly,
+        # -- corpus_health_report, funnel_view_click_purchase,
+        # -- q18_big_orders, salted_events_rollup, dedup_semantic_text.
+        "image_decode_dims": image_decode_dims,
+        "resize_thumbs_rgb": resize_thumbs_rgb,
+        "audio_decode_props": audio_decode_props,
+        "media_decode_coverage_mix": media_decode_coverage_mix,
+        "image_dhash_real_pairs": image_dhash_real_pairs,
+        "curate_media_mix": curate_media_mix,
+        "image_dhash_pairs_b8": image_dhash_pairs_b8,
         # -- 17 of the 21 r6-once-green accruing their 2nd round (the
         # -- other 4 of the 21 rotated in with the r8 tail above and
         # -- got their 2nd proof in r8)
@@ -2151,8 +2356,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_v2": pipeline_curate_v2,
         # ---- past the driver's 50-entry window: all >= 2-round
         # ---- driver-green; all stay in the local harness
-        # ---- (incl. the 13 r4-set queries re-proven in r6 and the 5
-        # ---- rotated out this round)
+        # ---- (the 7 rotated out in r9 first, then the r8 leavers)
+        "approx_distinct": approx_distinct,
+        "cohort_retention_weekly": cohort_retention_weekly,
+        "corpus_health_report": corpus_health_report,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "q18_big_orders": q18_big_orders,
+        "salted_events_rollup": salted_events_rollup,
+        "dedup_semantic_text": dedup_semantic_text,
         "regex_extract_doc": regex_extract_doc,
         "dedup_incremental": dedup_incremental,
         "q4_late_shipping": q4_late_shipping,
@@ -4410,7 +4621,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN {i} THEN CAST({m} AS BIGINT)"
         for i, m in enumerate(_DHASH_MASKS)
     )
-    sql["image_dhash_pairs"] = f"""
+    _sig_pairs_sql = f"""
         WITH s AS (
           SELECT doc_id,
                  xor(CAST('0x' || substr(md5('11' || CAST(doc_id % 37 AS VARCHAR)), 1, 15) AS BIGINT),
@@ -4420,7 +4631,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        WHERE bit_count(xor(a.sig, b.sig)) <= {{radius}}
+    """
+    sql["image_dhash_pairs"] = _sig_pairs_sql.format(radius=3)
+    # bands=8 tier: radius 7, same signature family
+    sql["image_dhash_pairs_b8"] = _sig_pairs_sql.format(radius=7)
+    # the REAL pipeline (PNG decode -> box resample -> dhash64_gray ->
+    # banded join) over fixture images ENGINEERED to dHash to exactly
+    # these signatures (operators/fixtures.py pattern_png_blob), so the
+    # same brute-force twin is its ground truth
+    sql["image_dhash_real_pairs"] = _sig_pairs_sql.format(radius=3)
+
+    # -- media fixture tier: blobs are manufactured arithmetically from
+    # -- doc_id (operators/fixtures.py), so every REAL decode output
+    # -- below is a closed form; all values are exact short decimals
+    # -- (no rounding-convention ambiguity; see fixtures.py docstring)
+    _solid_mean = (
+        "CAST(17 * (doc_id % 6 + (doc_id // 6) % 6"
+        " + ((3 - (doc_id % 6 + (doc_id // 6) % 6) % 3) % 3)"
+        " + 3 * ((doc_id // 36) % 2)) AS DOUBLE) / 255"
+    )
+    sql["image_decode_dims"] = f"""
+        SELECT doc_id,
+               CAST(8 + doc_id % 23 AS INT) AS width,
+               CAST(8 + doc_id % 17 AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               {_solid_mean} AS mean_intensity
+        FROM documents
+    """
+    sql["resize_thumbs_rgb"] = f"""
+        SELECT doc_id,
+               CAST(8 + doc_id % 23 AS INT) AS src_w,
+               CAST(8 + doc_id % 17 AS INT) AS src_h,
+               CAST(16 AS INT) AS thumb_w,
+               CAST(16 AS INT) AS thumb_h,
+               {_solid_mean} AS thumb_mean
+        FROM documents
+    """
+    sql["audio_decode_props"] = """
+        SELECT doc_id,
+               CAST(400 + doc_id % 256 AS DOUBLE) / 8000 AS duration_s,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(1 + doc_id % 7 AS DOUBLE) / 8 AS rms_first,
+               CAST(1 + doc_id % 7 AS DOUBLE) / 8 AS rms_last
+        FROM documents
+    """
+    sql["media_decode_coverage_mix"] = """
+        WITH t AS (
+          SELECT CASE doc_id % 6
+                   WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp3'
+                   WHEN 3 THEN 'wav' WHEN 4 THEN 'ogg' ELSE 'mp4'
+                 END AS container,
+                 CASE WHEN doc_id % 6 IN (0, 1, 2) THEN 1 ELSE 0 END AS scr
+          FROM documents
+        )
+        SELECT container,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(scr) AS BIGINT) AS n_screenable,
+               prnd(CAST(sum(scr) AS DOUBLE) / count(*), 6) AS screenable_frac
+        FROM t GROUP BY container
+    """
+    # survivors = min doc_id per dHash-signature group among the
+    # patterned PNGs (exact dedup folds into the perceptual clusters at
+    # max_hamming=0), plus every undecodable Ogg (never dropped)
+    sql["curate_media_mix"] = """
+        SELECT min(doc_id) AS doc_id FROM documents
+        WHERE doc_id % 11 <> 0 GROUP BY doc_id % 37, doc_id % 6
+        UNION ALL
+        SELECT doc_id FROM documents WHERE doc_id % 11 = 0
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

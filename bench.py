@@ -114,6 +114,16 @@ HEADLINE = [
     "tfidf_similar_docs",
     "price_quantity_trend",
     "image_dhash_pairs",
+    # round-9 additions: the media fixture tier (REAL decode paths
+    # under the clock — blob generation included, documented in
+    # SCALING.md's media rows)
+    "image_decode_dims",
+    "resize_thumbs_rgb",
+    "audio_decode_props",
+    "media_decode_coverage_mix",
+    "image_dhash_real_pairs",
+    "curate_media_mix",
+    "image_dhash_pairs_b8",
 ]
 
 

@@ -1,0 +1,225 @@
+"""Deterministic synthetic media-blob fixtures (VERDICT r7 #3 / r8 #2).
+
+The driver's testdata tables carry no binary columns, so the media
+operators (decode, resize, coverage, perceptual dedup, curation) need
+their inputs MANUFACTURED — arithmetically, from integer ids, so that a
+DuckDB oracle can predict every decode output in closed form. Each
+generator here maps ``i -> bytes`` such that the engine's REAL decoders
+produce values that are exact short decimals (no cross-engine rounding
+ambiguity: Python ``round``, Spark HALF_UP and DuckDB half-even all act
+as identity on them).
+
+Blobs are generated EXECUTOR-SIDE (``synth_blob_frame`` is an
+Arrow-batched mapInPandas) — nothing blob-sized ever leaves the driver;
+at 100 TB the same pattern manufactures per-partition canary blobs with
+zero driver memory. The MP3 generator reuses the spec-derived test-side
+encoder under ``tests/`` (importable from the repo-root working
+directory both driver- and worker-side in local mode); it is a
+fixture-only dependency, never a production encode path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+# same mask family as the synthetic-signature contract queries:
+# cumulative bits at {3,17,33,49,61} so hamming(m_i, m_j) == |i-j|
+DHASH_MASKS = [
+    0,
+    8,
+    131080,
+    8590065672,
+    562958543486984,
+    2306405967757180936,
+]
+
+
+def dhash_target_sig(i: int) -> int:
+    """The arithmetic 64-bit signature the patterned PNG for id ``i``
+    must dHash to: a 60-bit md5 base per ``i % 37`` group (the Python
+    twin of ``dedup.portable_hash(col, seed=11)`` / the DuckDB
+    ``md5('11' || ...)`` oracle form) XOR a mask cycling ``i % 6``."""
+    base = int(
+        hashlib.md5(f"11{i % 37}".encode()).hexdigest()[:15], 16
+    )
+    return base ^ DHASH_MASKS[i % 6]
+
+
+def solid_png_blob(i: int) -> bytes:
+    """Solid-color RGB PNG; dims and color arithmetic in ``i``. The
+    channel sum is forced ``% 3 == 0`` so the decoded mean intensity
+    ``(r+g+b)/3/255`` is an EXACT multiple of 1/15 (terminating
+    decimal — identical under every rounding convention)."""
+    import numpy as np
+
+    from .multimodal import png_encode
+
+    w = 8 + i % 23
+    h = 8 + i % 17
+    a = i % 6
+    b = (i // 6) % 6
+    c = ((3 - (a + b) % 3) % 3) + 3 * ((i // 36) % 2)
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = 51 * a
+    px[:, :, 1] = 51 * b
+    px[:, :, 2] = 51 * c
+    return png_encode(px)
+
+
+def pattern_png_blob(i: int, sig: int | None = None) -> bytes:
+    """Grayscale PNG engineered so ``dhash64_gray`` equals ``sig``
+    (default: ``dhash_target_sig(i)``). The image is an 8-band × 9-col
+    block grid (each block constant, dims multiples of 8×9 so the
+    exact-area box resample recovers the grid losslessly); within a
+    band the column values walk ±8 from 128 following the signature's
+    bits (bit (r, c) = 1 iff cell[r][c] > cell[r][c+1]), staying in
+    [64, 192] — every comparison strict, never a tie."""
+    import numpy as np
+
+    from .multimodal import png_encode
+
+    if sig is None:
+        sig = dhash_target_sig(i)
+    bh = 1 + i % 3
+    bw = 1 + i % 2
+    px = np.empty((8 * bh, 9 * bw), dtype=np.uint8)
+    for r in range(8):
+        v = 128
+        row = [v]
+        for c in range(8):
+            v = v - 8 if (sig >> (r * 8 + c)) & 1 else v + 8
+            row.append(v)
+        for c in range(9):
+            px[r * bh : (r + 1) * bh, c * bw : (c + 1) * bw] = row[c]
+    return png_encode(px)
+
+
+def wav_const_blob(i: int) -> bytes:
+    """PCM16 mono WAV at 8 kHz, constant sample value ``±k·4096``
+    (k = 1 + i % 7): the decoded normalized amplitude is exactly
+    ``k/8`` and the duration ``(400 + i % 256)/8000`` — both
+    terminating ≤6-decimal values."""
+    import numpy as np
+
+    n = 400 + i % 256
+    k = 1 + i % 7
+    v = k * 4096 * (1 if i % 2 == 0 else -1)
+    data = np.full(n, v, dtype="<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_truncated_blob(i: int) -> bytes:
+    """Adversarial blob for the r8 truncation guard: a RIFF/WAVE whose
+    fmt chunk DECLARES 16 bytes but the file ends after 10 — must
+    classify ``(wav, False)``, never crash the task."""
+    return (
+        b"RIFF"
+        + struct.pack("<I", 30)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIH", 1, 1, 8000, i & 0xFFFF)
+    )
+
+
+def ogg_stub_blob(i: int) -> bytes:
+    """Minimal OggS page head (metadata-only tier; decodable=False).
+    The id is embedded so blobs are pairwise distinct (no accidental
+    exact-dedup collapse)."""
+    return (
+        b"OggS\x00\x02"
+        + b"\x00" * 20
+        + struct.pack("<I", i)
+        + b"\x01\x1e\x01vorbis"
+    )
+
+
+def mp4_stub_blob(i: int) -> bytes:
+    """Minimal ftyp box (metadata-only tier; decodable=False)."""
+    return (
+        struct.pack(">I", 20)
+        + b"ftypisom"
+        + struct.pack(">II", 512, i)
+    )
+
+
+def mp3_ws_blob(i: int) -> bytes:
+    """Real MPEG-1 Layer III stream CONTAINING WINDOW-SWITCHING
+    granules (block sequence long, start, stop, long) — the stream
+    walks the decoder's window-switching side-info path, so the
+    coverage classifier's all-frames side-info check
+    (``mpeg_stream_supported``) exercises it under the driver gate.
+    Fixture-only import of the spec-derived test-side encoder."""
+    import math
+
+    import numpy as np
+
+    from tests.mpeg_encoder import encode_layer3
+
+    n = 2 * 1152
+    t = np.arange(n)
+    f = 300.0 + 40.0 * (i % 8)
+    sig = 0.4 * np.sin(2 * math.pi * f * t / 44100.0) + 0.1 * np.sin(
+        2 * math.pi * 3.0 * f * t / 44100.0
+    )
+    return encode_layer3([sig], 44100, block_types=[0, 1, 3, 0])
+
+
+#: coverage-mix assignment: i % 6 -> (generator, container, screenable)
+MIX_TIERS = [
+    (solid_png_blob, "png", True),
+    (wav_const_blob, "wav", True),
+    (mp3_ws_blob, "mp3", True),
+    (wav_truncated_blob, "wav", False),
+    (ogg_stub_blob, "ogg", False),
+    (mp4_stub_blob, "mp4", False),
+]
+
+
+def mix_blob(i: int) -> bytes:
+    return MIX_TIERS[i % 6][0](i)
+
+
+def synth_blob_frame(
+    df: DataFrame,
+    make: Callable[[int], bytes],
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+) -> DataFrame:
+    """(id, ``bin_col``) fixture frame: Arrow-batched executor-side
+    generation of one blob per id. ``make`` receives the id as int
+    (string ids must be numeric)."""
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField(bin_col, BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    bin_col: [make(int(x)) for x in ids],
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(batches, out_schema)

@@ -1952,7 +1952,18 @@ def image_dhash(
                 gray = _decode_gray(blob)
                 out[id_col].append(rid)
                 out["dhash"].append(None if gray is None else dhash64_gray(gray))
-            yield pd.DataFrame(out)
+            # dtype=object is load-bearing: one NULL (undecodable blob)
+            # in a batch would otherwise coerce the column to float64,
+            # silently mangling the low ~11 bits of EVERY hash > 2^53
+            # in that batch — false hamming-0 merges (caught by the r9
+            # curate_media_mix fixture; corrupt blobs are certain at
+            # crawl scale, so mixed batches are the norm, not the edge)
+            yield pd.DataFrame(
+                {
+                    id_col: out[id_col],
+                    "dhash": pd.Series(out["dhash"], dtype="object"),
+                }
+            )
 
     return df.select(id_col, bin_col).mapInPandas(
         batches, _dhash_schema_for(df, id_col)
@@ -2033,7 +2044,14 @@ def audio_dhash(
                 out["dhash"].append(
                     None if decoded is None else audio_dhash64(decoded[1])
                 )
-            yield pd.DataFrame(out)
+            # dtype=object: see image_dhash — a mixed decodable/NULL
+            # batch must not coerce int64 hashes through float64
+            yield pd.DataFrame(
+                {
+                    id_col: out[id_col],
+                    "dhash": pd.Series(out["dhash"], dtype="object"),
+                }
+            )
 
     return df.select(id_col, bin_col).mapInPandas(
         batches, _dhash_schema_for(df, id_col)

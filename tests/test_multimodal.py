@@ -745,6 +745,38 @@ class TestImageDhash:
         diff = bin((got["png_a"] ^ got["png_b"]) & (2**64 - 1)).count("1")
         assert diff >= 16  # unrelated images land far apart
 
+    def test_image_dhash_bit_exact_in_mixed_null_batch(self, spark):
+        """Regression (r9): one undecodable blob in an Arrow batch used
+        to coerce the pandas hash column to float64, silently mangling
+        the low ~11 bits of every hash > 2^53 in that batch — false
+        hamming-0 merges downstream. Hashes must be BIT-EXACT with the
+        pure kernel even when the batch mixes NULLs in."""
+        from datamancer_spark.operators.fixtures import pattern_png_blob
+        from datamancer_spark.operators.multimodal import (
+            _decode_gray,
+            dhash64_gray,
+            image_dhash,
+        )
+
+        rows = []
+        want = {}
+        for i in range(24):
+            if i % 5 == 0:  # interleave undecodables into every batch
+                rows.append((i, bytearray(b"\xff\xd8\xff nope")))
+                want[i] = None
+            else:
+                blob = pattern_png_blob(i)
+                rows.append((i, bytearray(blob)))
+                want[i] = dhash64_gray(_decode_gray(blob))
+        df = spark.createDataFrame(
+            rows, "doc_id long, content binary"
+        ).coalesce(1)  # one partition -> one mixed batch
+        got = {
+            r["doc_id"]: r["dhash"]
+            for r in image_dhash(df, id_col="doc_id").collect()
+        }
+        assert got == want
+
     def test_dhash_pairs_groups_near_dups_only(self, spark):
         import numpy as np
 
