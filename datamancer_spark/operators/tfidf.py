@@ -100,29 +100,57 @@ def bm25(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """(id, term, bm25) — Okapi BM25 per term/doc. The term-count table
-    (the expensive tokenize+shuffle stage) is materialized once via
-    localCheckpoint: it feeds the doc-length join, the doc-frequency
-    aggregation, and the scoring join — uncached it would execute three
-    times. avgdl rides the plan as a one-row broadcast crossJoin (the
+    """(id, term, bm25) — Okapi BM25 per term/doc. avgdl and N both
+    ride the plan as one-row broadcast crossJoins (the
     ``_n_docs_frame`` pattern): no eager ``.collect()`` job, so bm25
     composes into a single plan like every other operator here.
 
-    Plan shape (r7): doc length is a SUM WINDOW over the id partition
-    rather than a groupBy + self-join (one exchange instead of three),
-    and avgdl is derived directly from the term counts as
-    sum(tf) / count_distinct(id) — identical to avg(per-doc dl), since
-    docs with no terms appear in neither formulation — so the scalar
-    needs no second aggregation over the doc-length frame."""
-    tc = materialize(term_counts(df, text_col, id_col))
-    tcdl = tc.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    Plan shape (r9, 9→8 exchanges measured; values unchanged vs the r7
+    form):
+    - the exploded token stream is clustered by id BEFORE the
+      (id, term) count — HashPartitioning(id) satisfies the groupBy's
+      clustered distribution AND the doc-length window's, so ONE id
+      exchange serves both (the r7 form paid (id, term) + id);
+    - both per-doc scalars fold into that same window pass: dl is the
+      sum window (r7) and the doc count rides a row_number==1 marker,
+      so avgdl = sum(tf)/sum(_first) is a plain partial-aggregable
+      global — the count_distinct(id) it replaces re-shuffled the
+      whole frame by doc_id;
+    - doc frequency is count(1), not count_distinct(id): the counted
+      frame is distinct on (id, term) by construction, and
+      count_distinct planned a (term, id) expand exchange before the
+      term aggregation;
+    - the enriched frame is pinned ONCE via localCheckpoint (it feeds
+      the doc-frequency aggregation, the avgdl aggregation, and the
+      scoring join; the checkpoint scan erases partitioning info, so
+      each leg re-partitions the pinned rows — cheap — instead of
+      re-running tokenize+count)."""
+    toks = (
+        spread_partitions(df)
+        .select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .filter(F.length("term") > 0)
     )
-    avgdl = tc.agg(
-        (F.sum("tf") / F.count_distinct(id_col)).alias("_avgdl")
+    tc = (
+        toks.repartition(F.col(id_col))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy(id_col)
+    tcdl = materialize(
+        tc.withColumn("dl", F.sum("tf").over(w)).withColumn(
+            "_first",
+            (F.row_number().over(w.orderBy("term")) == 1).cast("long"),
+        )
+    )
+    tct = tcdl.repartition(F.col("term"))
+    avgdl = tct.agg(
+        (F.sum("tf") / F.sum("_first")).alias("_avgdl")
     )  # one row, in-plan
     idf = (
-        doc_freq(tc, id_col)
+        tct.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(_n_docs_frame(df)))
         .withColumn(
             "idf",
@@ -133,7 +161,7 @@ def bm25(
         .drop("_n")
     )
     return (
-        tcdl.join(idf, "term")
+        tct.join(idf, "term")
         .crossJoin(F.broadcast(avgdl))
         .select(
             F.col(id_col),

@@ -221,3 +221,21 @@ def test_grouped_mutate_anchor_is_window_not_join(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
     assert "Window" in plan
+
+
+def test_bm25_exchange_budget(spark, sf_dir):
+    """r9 (VERDICT r8 #4): the bm25 plan must hold <= 8 exchanges — the
+    id-clustered term count serves both the (id, term) aggregation and
+    the doc-length window from ONE id exchange, doc frequency is a
+    plain count (the frame is (id, term)-distinct by construction, so
+    count_distinct's (term, id) expand exchange is waste), and the doc
+    count rides the existing window as a row_number==1 marker instead
+    of re-shuffling by doc_id."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import executed_plan
+
+    q = e.queries()["bm25_search_terms"](spark, sf_dir)
+    plan = executed_plan(q)
+    assert plan.count("Exchange") <= 8, plan.count("Exchange")
+    # the two corpus scalars still ride the plan (no eager jobs)
+    assert plan.count("BroadcastExchange") >= 2
