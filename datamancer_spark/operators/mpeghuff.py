@@ -114,12 +114,27 @@ _T9_L = [
 ]
 
 # NOTE: _T10 and _T13 as transcribed FAIL the Kraft check (t10 by
-# -7/2048 with errors beyond its two duplicate codes, t13 with 24
-# duplicate-code groups — recall too degraded for the unique-completion
-# repair that fixed t11/t15). They are kept here as the honest
-# transcription state; the import-time gate excludes them, so selects
-# 10 and 13 are refused by the decoder. A future round with better
-# source material can repair them in place.
+# -7/2048 with errors beyond its two duplicate codes, t13 with 26
+# duplicate-code groups + 15 prefix violations). They are kept here as
+# the honest transcription state; the import-time gate excludes them,
+# so selects 10 and 13 are refused by the decoder.
+#
+# r9 DETERMINATION (VERDICT r7 #7 / r8 #5): these stay refused. The
+# t11/t15 repairs were accepted because they were FORCED — one
+# duplicate pair, Kraft short by exactly that pair's weight, and
+# exactly one aligned hole of the right length, so completeness left a
+# single possible code. t10 is not in that regime: the -7/2048 deficit
+# (= 2^-9 + 2^-10 + 2^-11) coexists with two duplicate groups, so a
+# repair must simultaneously re-length an unknown subset of entries
+# and fill a three-term deficit — the completion space is large
+# (multiple length decompositions x multiple hole placements x the
+# possibility that the mis-transcribed entries are NOT the duplicates),
+# and nothing in this environment can select among them. t13 with 26
+# duplicate groups and 15 prefix violations is further gone still. A
+# structurally-valid guess would decode real streams wrongly and
+# silently; refusal (clip -> None) is the correct behavior until real
+# source material (the printed spec table or a conformance stream)
+# enters the environment.
 _T10_HB = [
     1, 2, 10, 23, 35, 30, 12, 17,
     3, 3, 8, 12, 18, 21, 12, 7,
