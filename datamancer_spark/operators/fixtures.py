@@ -172,16 +172,36 @@ def mp3_ws_blob(i: int) -> bytes:
 
     from tests.mpeg_encoder import encode_layer3
 
-    n = 2 * 1152
+    n = 1152  # one frame (two granules: start, stop) keeps the
+    # fixture cheap — the capability walk parses every granule anyway
     t = np.arange(n)
     f = 300.0 + 40.0 * (i % 8)
     sig = 0.4 * np.sin(2 * math.pi * f * t / 44100.0) + 0.1 * np.sin(
         2 * math.pi * 3.0 * f * t / 44100.0
     )
-    return encode_layer3([sig], 44100, block_types=[0, 1, 3, 0])
+    return encode_layer3([sig], 44100, block_types=[1, 3])
 
 
-#: coverage-mix assignment: i % 6 -> (generator, container, screenable)
+def ogg_vorbis_blob(i: int) -> bytes:
+    """Real Ogg Vorbis stream (r9 decoder surface): flat floor 1 +
+    residue-1 lattice over a deterministic tone mix. Fixture-only
+    import of the spec-derived test-side encoder."""
+    import math
+
+    import numpy as np
+
+    from tests.vorbis_encoder import encode_vorbis
+
+    n = 2048
+    t = np.arange(n)
+    f = 150.0 + 25.0 * (i % 10)
+    sig = 0.3 * np.sin(2 * math.pi * f * t / 8000.0) + 0.1 * np.sin(
+        2 * math.pi * 2.7 * f * t / 8000.0
+    )
+    return encode_vorbis([sig], 8000, delta=0.02)
+
+
+#: coverage-mix assignment: i % 7 -> (generator, container, screenable)
 MIX_TIERS = [
     (solid_png_blob, "png", True),
     (wav_const_blob, "wav", True),
@@ -189,11 +209,12 @@ MIX_TIERS = [
     (wav_truncated_blob, "wav", False),
     (ogg_stub_blob, "ogg", False),
     (mp4_stub_blob, "mp4", False),
+    (ogg_vorbis_blob, "ogg", True),
 ]
 
 
 def mix_blob(i: int) -> bytes:
-    return MIX_TIERS[i % 6][0](i)
+    return MIX_TIERS[i % 7][0](i)
 
 
 def synth_blob_frame(

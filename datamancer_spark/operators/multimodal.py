@@ -20,8 +20,9 @@ Two tiers:
   MJPEG-in-AVI video frames (RIFF walk + the JPEG decoder) decode for
   real, as do FLAC (``operators.flaccodec``) and MPEG-1 audio Layers
   I/III — real MP3 samples (``operators.mpegaudio``, late r7; see its
-  docstring for the refusal set). Compressed video codecs (mp4/webm,
-  non-MJPEG AVI) and Ogg/Vorbis audio DECODE
+  docstring for the refusal set), and Ogg Vorbis
+  (``operators.vorbiscodec``, r9). Compressed video codecs (mp4/webm,
+  non-MJPEG AVI) and Ogg Opus audio DECODE
   needs ffmpeg (absent here) — those rows yield NULLs, or a
   deterministic md5-derived fake under ``allow_fake=True`` so the
   Spark-side plumbing — schema, batch iteration, partition shape,
@@ -130,8 +131,10 @@ def media_decode_coverage(df: DataFrame, bin_col: str = "content") -> DataFrame:
     PCM/G.711/IMA-ADPCM and FLAC → samples (per the fmt chunk /
     flaccodec); MP3 → samples when every frame's side info stays
     within the MPEG-1 Layer I/III feature set this engine decodes
-    (``mpegaudio.mpeg_stream_supported``, late r7); Ogg/MP4/WebM/WebP →
-    metadata only; MJPEG AVI → frames
+    (``mpegaudio.mpeg_stream_supported``, late r7); Ogg Vorbis →
+    samples when the setup header parses inside the r9 feature set
+    (``vorbiscodec.vorbis_stream_supported``); Ogg Opus / MP4 / WebM /
+    WebP → metadata only; MJPEG AVI → frames
     (fourcc walked in the header region). Individually malformed
     blobs still fail at decode time and surface as NULL features
     there. Output: (container, n, n_screenable, screenable_frac),
@@ -225,7 +228,11 @@ def _classify_decode_tier(blob: bytes):
             comm is not None and comm[4].lower() in _AIFC_DECODABLE,
         )
     if blob[:4] == b"OggS":
-        return ("ogg", False)
+        from .vorbiscodec import vorbis_stream_supported
+
+        # r9: Vorbis decodes for real; the capability walk parses the
+        # three header packets only (floor 1 / residue 0-2 / mapping 0)
+        return ("ogg", vorbis_stream_supported(blob))
     if blob[:3] == b"ID3" or (
         len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
     ):
@@ -1094,12 +1101,14 @@ def audio_decode_array(blob: bytes):
     (integer PCM / G.711 A-law+mu-law / MS+IMA ADPCM) via
     ``wav_decode_array``, AIFF/AIFC via ``aiff_decode_array`` (r7),
     FLAC via the pure-stdlib ``flaccodec.flac_decode_array`` (r7),
-    and MPEG-1 audio Layers I/III — real MP3 sample decode — via
+    MPEG-1 audio Layers I/III — real MP3 sample decode — via
     ``mpegaudio.mpeg_audio_decode_array`` (late r7; see that module's
     docstring for the exact refusal set: Layer II, LSF, intensity
-    stereo, and frames selecting unshipped Huffman tables). Returns
-    ``(sample_rate, mono float64 in [-1, 1])`` or ``None`` for
-    undecodable input (Ogg/Vorbis stays metadata-only)."""
+    stereo, and frames selecting unshipped Huffman tables), and Ogg
+    Vorbis via ``vorbiscodec.vorbis_decode_array`` (r9: floor 1 +
+    residues 0/1/2 + mapping 0 — the feature set real encoders emit;
+    Opus and exotic setups refuse). Returns ``(sample_rate, mono
+    float64 in [-1, 1])`` or ``None`` for undecodable input."""
     got = wav_decode_array(blob)
     if got is not None:
         return got
@@ -1109,8 +1118,12 @@ def audio_decode_array(blob: bytes):
         from .flaccodec import flac_decode_array
 
         return flac_decode_array(blob)
-    if blob[:4] == b"OggS" or blob[:4] == b"RIFF":
-        return None  # ogg stays metadata-only; non-WAVE RIFF is video
+    if blob[:4] == b"OggS":
+        from .vorbiscodec import vorbis_decode_array
+
+        return vorbis_decode_array(blob)
+    if blob[:4] == b"RIFF":
+        return None  # non-WAVE RIFF is video
     if blob[:3] == b"ID3" or (
         len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
     ):
@@ -1152,9 +1165,9 @@ def audio_features(
 ) -> DataFrame:
     """Per-clip audio features (duration, sample rate, RMS loudness
     envelope). The WAV family (integer PCM, G.711, IMA ADPCM), FLAC,
-    AIFF/AIFC and MPEG-1 Layer I/III (real MP3, late r7) decode FOR
-    REAL with stdlib + numpy (``wav_decode_samples`` →
-    ``audio_decode_array``); Ogg/Vorbis and the documented MPEG
+    AIFF/AIFC, MPEG-1 Layer I/III (real MP3, late r7) and Ogg Vorbis
+    (r9) decode FOR REAL with stdlib + numpy (``wav_decode_samples`` →
+    ``audio_decode_array``); Ogg Opus and the documented MPEG
     refusal set come back NULL, or md5-derived fakes under
     ``allow_fake=True``. Arrow-batched mapInPandas; the plumbing is
     identical for a real codec plug-in."""
@@ -2028,9 +2041,10 @@ def audio_dhash(
 ) -> DataFrame:
     """Per-clip 64-bit perceptual fingerprint over the REAL stdlib
     decoders (``audio_decode_array`` → ``audio_dhash64``): the WAV
-    family, FLAC (r7), AIFF/AIFC, and MPEG-1 Layer I/III — real MP3
+    family, FLAC (r7), AIFF/AIFC, MPEG-1 Layer I/III — real MP3
     (late r7; WAV↔MP3 same-clip pairs fingerprint 0 bits apart in the
-    cross-codec test). Ogg and the MPEG refusal set yield NULL.
+    cross-codec test) — and Ogg Vorbis (r9). Ogg Opus and the MPEG
+    refusal set yield NULL.
     Arrow-batched mapInPandas; only
     (id, 8-byte hash) rows shuffle downstream. Pair with
     ``audio_dhash_pairs`` — the audio analog of ``image_dhash``/SimHash,
@@ -2639,8 +2653,9 @@ def audio_container_metadata(
     samples (``audio_decode_array`` → ``audio_dhash``): True for the
     WAV PCM/G.711/IMA-ADPCM family, FLAC (r7, ``flaccodec``) and
     MPEG-1 Layer I/III streams whose side info stays inside the
-    shipped feature set (late r7, ``mpegaudio``), False for Ogg
-    (metadata only), MPEG streams needing the documented refusal set,
+    shipped feature set (late r7, ``mpegaudio``) and Ogg Vorbis whose
+    setup parses inside the r9 feature set (``vorbiscodec``), False
+    for Ogg Opus, MPEG streams needing the documented refusal set,
     and unsupported WAV fmt codes, NULL for unrecognized
     containers. A pipeline must
     report the screenable fraction rather than silently dHash-screen
@@ -2681,7 +2696,12 @@ def audio_container_metadata(
                 elif og is not None:
                     codec, rate, ch, dur = og
                     container = f"ogg/{codec}"
-                    dec = False
+                    if codec == "vorbis":
+                        from .vorbiscodec import vorbis_stream_supported
+
+                        dec = vorbis_stream_supported(blob)
+                    else:
+                        dec = False
                 elif aif is not None:
                     ch, frames, bits, rate, comp = aif
                     container = "aiff"
