@@ -2235,6 +2235,55 @@ def image_dhash_real_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def audio_dhash_real_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL perceptual audio pipeline under the driver gate
+    (operators/multimodal.py audio_dhash_pairs: WAV PCM16 decode →
+    65-frame RMS envelope → audio_dhash64 → banded Hamming join):
+    amplitude-walk WAV fixtures engineered so each clip's fingerprint
+    EQUALS the arithmetic signature of image_dhash_pairs — decode +
+    envelope + hash must reproduce every bit or the brute-force DuckDB
+    twin diverges."""
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        wav_dhash_blob,
+    )
+    from datamancer_spark.operators.multimodal import audio_dhash_pairs
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), wav_dhash_blob)
+    return audio_dhash_pairs(
+        blobs, id_col="doc_id", max_hamming=3, bands=4
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def curate_audio_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curate_audio composition under the driver gate
+    (operators/multimodal.py curate_audio: metadata gates → exact byte
+    dedup → audio_dhash_pairs → connected components → canonical
+    keep): amplitude-walk WAVs (fingerprint = the (doc_id%37,
+    doc_id%6) group signature) mixed with undecodable Ogg stubs. At
+    max_hamming=0 the perceptual clusters are the signature-equality
+    groups, so the survivor set is closed-form — min doc_id per (g, m)
+    among WAVs plus every stub (a screen never drops what it cannot
+    read)."""
+    from datamancer_spark.operators.fixtures import (
+        ogg_stub_blob,
+        synth_blob_frame,
+        wav_dhash_blob,
+    )
+    from datamancer_spark.operators.multimodal import curate_audio
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(
+        doc.select("doc_id"),
+        lambda i: ogg_stub_blob(i) if i % 11 == 0 else wav_dhash_blob(i),
+    )
+    survivors, _coverage = curate_audio(
+        blobs, id_col="doc_id", max_hamming=0, bands=4
+    )
+    return survivors.select("doc_id")
+
+
 def curate_media_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curate_media composition under the driver gate: a mix
     of patterned PNGs (doc_id % 11 != 0; dHash = the (doc_id%37,
@@ -2316,20 +2365,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantity_trend": price_quantity_trend,
         "image_dhash_pairs": image_dhash_pairs,
         "grouped_mutate_150k": grouped_mutate_150k,
-        "unigram_perplexity_proxy": unigram_perplexity_proxy,
-        "bigram_perplexity_proxy": bigram_perplexity_proxy,
         "score_calibration_en": score_calibration_en,
         "source_skew_profile": source_skew_profile,
-        # -- r9 rotation (VERDICT r8 #2): 7 NEW zero-green media
+        # -- r9 rotation (VERDICT r8 #2): 9 NEW zero-green media
         # -- queries enter — the previously pytest-only surface
         # -- (decode_images, resize_images, audio_features,
-        # -- media_decode_coverage, dhash_pairs over REAL decode,
-        # -- curate_media, bands=8 Hamming) now under the driver gate
-        # -- via deterministic fixture blobs (operators/fixtures.py).
-        # -- The 7 stalest 3x-proven (first green r5) rotate out:
-        # -- approx_distinct, cohort_retention_weekly,
-        # -- corpus_health_report, funnel_view_click_purchase,
-        # -- q18_big_orders, salted_events_rollup, dedup_semantic_text.
+        # -- media_decode_coverage, dhash_pairs AND audio_dhash_pairs
+        # -- over REAL decode, curate_media, curate_audio, bands=8
+        # -- Hamming) now under the driver gate via deterministic
+        # -- fixture blobs (operators/fixtures.py). The 9 stalest
+        # -- 3x-proven (first green r5) rotate out: approx_distinct,
+        # -- cohort_retention_weekly, corpus_health_report,
+        # -- funnel_view_click_purchase, q18_big_orders,
+        # -- salted_events_rollup, dedup_semantic_text,
+        # -- unigram_perplexity_proxy, bigram_perplexity_proxy.
         "image_decode_dims": image_decode_dims,
         "resize_thumbs_rgb": resize_thumbs_rgb,
         "audio_decode_props": audio_decode_props,
@@ -2337,6 +2386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_real_pairs": image_dhash_real_pairs,
         "curate_media_mix": curate_media_mix,
         "image_dhash_pairs_b8": image_dhash_pairs_b8,
+        "audio_dhash_real_pairs": audio_dhash_real_pairs,
+        "curate_audio_mix": curate_audio_mix,
         # -- 17 of the 21 r6-once-green accruing their 2nd round (the
         # -- other 4 of the 21 rotated in with the r8 tail above and
         # -- got their 2nd proof in r8)
@@ -2366,6 +2417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_big_orders": q18_big_orders,
         "salted_events_rollup": salted_events_rollup,
         "dedup_semantic_text": dedup_semantic_text,
+        "unigram_perplexity_proxy": unigram_perplexity_proxy,
+        "bigram_perplexity_proxy": bigram_perplexity_proxy,
         "regex_extract_doc": regex_extract_doc,
         "dedup_incremental": dedup_incremental,
         "q4_late_shipping": q4_late_shipping,
@@ -4638,11 +4691,13 @@ def oracle_sql() -> dict[str, str]:
     sql["image_dhash_pairs"] = _sig_pairs_sql.format(radius=3)
     # bands=8 tier: radius 7, same signature family
     sql["image_dhash_pairs_b8"] = _sig_pairs_sql.format(radius=7)
-    # the REAL pipeline (PNG decode -> box resample -> dhash64_gray ->
-    # banded join) over fixture images ENGINEERED to dHash to exactly
-    # these signatures (operators/fixtures.py pattern_png_blob), so the
-    # same brute-force twin is its ground truth
+    # the REAL pipelines (PNG decode -> box resample -> dhash64_gray,
+    # and WAV decode -> RMS envelope -> audio_dhash64, both -> banded
+    # join) over fixture blobs ENGINEERED to hash to exactly these
+    # signatures (operators/fixtures.py pattern_png_blob /
+    # wav_dhash_blob), so the same brute-force twin is ground truth
     sql["image_dhash_real_pairs"] = _sig_pairs_sql.format(radius=3)
+    sql["audio_dhash_real_pairs"] = _sig_pairs_sql.format(radius=3)
 
     # -- media fixture tier: blobs are manufactured arithmetically from
     # -- doc_id (operators/fixtures.py), so every REAL decode output
@@ -4704,5 +4759,8 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id FROM documents WHERE doc_id % 11 = 0
     """
+    # same survivor structure, audio pipeline (exact-dup members share
+    # a gain; perceptual clusters are the signature-equality groups)
+    sql["curate_audio_mix"] = sql["curate_media_mix"]
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

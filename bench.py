@@ -124,6 +124,8 @@ HEADLINE = [
     "image_dhash_real_pairs",
     "curate_media_mix",
     "image_dhash_pairs_b8",
+    "audio_dhash_real_pairs",
+    "curate_audio_mix",
 ]
 
 

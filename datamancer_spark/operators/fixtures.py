@@ -124,6 +124,46 @@ def wav_const_blob(i: int) -> bytes:
     )
 
 
+def wav_dhash_blob(i: int, sig: int | None = None) -> bytes:
+    """PCM16 WAV engineered so ``audio_dhash64`` equals ``sig``
+    (default: ``dhash_target_sig(i)`` — the SAME signature family the
+    patterned PNGs target). 65 constant-amplitude frames of 80 samples
+    whose levels walk ±0.02 from 0.5 following the signature's bits
+    (bit i = 1 iff frame i+1 is louder); the walk's max excursion over
+    the whole family is 19 steps, keeping levels in [0.12, 0.88] —
+    every energy comparison strict, never a tie."""
+    import numpy as np
+
+    if sig is None:
+        sig = dhash_target_sig(i)
+    amps = [0.5]
+    w = 0
+    for j in range(64):
+        w += 1 if (sig >> j) & 1 else -1
+        amps.append(0.5 + 0.02 * w)
+    # per-id global gain: the fingerprint is volume-invariant, so most
+    # same-signature clips get DIFFERENT bytes (the exact-dedup stage
+    # must not be the one doing the perceptual stage's work). Modulus 5
+    # is coprime to the 222-period signature family, so a group mixes
+    # gains; members that DO share a gain are byte-identical and
+    # exercise the exact stage instead — both stages see real work.
+    gain = 0.7 + 0.05 * (i % 5)
+    samples = np.repeat(
+        (np.asarray(amps) * 32767 * gain).astype("<i2"), 80
+    )
+    data = samples.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def wav_truncated_blob(i: int) -> bytes:
     """Adversarial blob for the r8 truncation guard: a RIFF/WAVE whose
     fmt chunk DECLARES 16 bytes but the file ends after 10 — must
