@@ -613,9 +613,26 @@ def sample_frames(
     stdlib LZW decoder (``gif_decode_frames``; frame_bytes is the RGB24
     canvas after compositing), and MJPEG-in-AVI video decodes FOR REAL
     too (``avi_mjpeg_frames`` — RIFF walk + the baseline JPEG decoder);
-    compressed video codecs (mp4/webm, non-MJPEG AVI) need ffmpeg
-    (absent here) — those rows are dropped, or get md5-chained fake
-    frames under ``allow_fake=True``."""
+    compressed video codecs (mp4/webm, non-MJPEG AVI) are refused —
+    those rows are dropped, or get md5-chained fake frames under
+    ``allow_fake=True``.
+
+    r9 DETERMINATION on compressed-video decode (the carried r7 #2
+    gap): VP8/VP9/AV1 and H.264 all entropy-code against LARGE
+    spec-constant tables (VP8's default coefficient-probability
+    tables, H.264's CAVLC code tables / CABAC context initializers)
+    that fail the same verifiable-transcription standard the MP3 ESC
+    tables failed (mpeghuff.py) — unlike Huffman length vectors they
+    carry no Kraft-style structural self-check at all, so a
+    mis-remembered probability silently decodes plausible-looking
+    garbage forever. Vorbis was closable because its tables travel in
+    the stream (vorbiscodec.py, r9); Theora shares that property but
+    is ~absent from modern crawls. Until real source material or a
+    conformance stream enters the environment, compressed video stays
+    a LOUD refusal: containers yield metadata + codec ids
+    (``video_metadata``), ``media_decode_coverage`` reports the
+    unscreenable fraction, and curation never silently drops what it
+    cannot read."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

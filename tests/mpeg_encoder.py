@@ -263,13 +263,15 @@ def mdct_short(sub_prev, sub_cur):
     return out
 
 
-def nat_to_bitstream_short(q, rate: int):
+def nat_to_bitstream_short(q, rate: int, first_sfb: int = 0):
     """Inverse of the decoder's reorder: natural subband-line order
     (line-major, window-inner triplets) -> Huffman bitstream order
-    (sfb-major, window-major runs)."""
+    (sfb-major, window-major runs). ``first_sfb=3`` for mixed blocks
+    (lines below sfb_s[3]*3 = 36 belong to the two long subbands and
+    stay in natural order)."""
     sfb_s = _SFB_SHORT[rate]
     out = np.array(q)
-    for sfb in range(13):
+    for sfb in range(first_sfb, 13):
         lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
         w = hi - lo
         base = lo * 3
@@ -282,12 +284,13 @@ _ALIAS_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
              -0.0037]
 
 
-def alias_forward(gr_spec):
+def alias_forward(gr_spec, n_sb: int = 31):
     """Encoder-side aliasing butterflies: the exact INVERSE of the
     decoder's reduction (rotation transpose), applied per subband
-    boundary."""
+    boundary. ``n_sb=1`` for mixed blocks (only the long-subband
+    boundary is aliased, matching the decoder)."""
     x = gr_spec.copy()
-    for sb in range(31):
+    for sb in range(n_sb):
         base = sb * 18 + 18
         for i in range(8):
             c = _ALIAS_CI[i]
@@ -334,9 +337,9 @@ def _encode_granule(w: BitWriter, q, gg, rate, scalefac_compress,
     (all-zero scalefactors required; region boundary fixed at 36)."""
     start_bits = w.nbits()
     slen1, slen2 = _SLEN[scalefac_compress]
-    if ws_block_type == 2:
-        # pure short: the decoder reads 18 short-window scalefactors;
-        # this encoder only supports the zero-bit case
+    if ws_block_type in (2, "m"):
+        # pure short / mixed: the decoder reads short-window
+        # scalefactors; this encoder only supports the zero-bit case
         assert scalefac_compress == 0 and not any(sf_bands)
     else:
         groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
@@ -480,16 +483,30 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
             cur[1::2, 1::2] *= -1.0
             spec = np.empty(576)
             for sb in range(32):
-                fwd = mdct_short if bt == 2 else (
-                    lambda p, c: mdct_windowed(p, c, bt)
-                )
+                if bt == "m":  # mixed: two long subbands, rest short
+                    fwd = (
+                        (lambda p, c: mdct_windowed(p, c, 0))
+                        if sb < 2
+                        else mdct_short
+                    )
+                elif bt == 2:
+                    fwd = mdct_short
+                else:
+                    fwd = lambda p, c: mdct_windowed(p, c, bt)  # noqa: E731
                 spec[sb * 18 : (sb + 1) * 18] = fwd(
                     prev[:, sb], cur[:, sb]
                 )
             prev = cur
             # pure short blocks skip the alias butterflies (the
-            # decoder's reduction is a no-op there too)
-            spectra[ch].append(spec if bt == 2 else alias_forward(spec))
+            # decoder's reduction is a no-op there too); mixed blocks
+            # alias only the long-subband boundary
+            if bt == 2:
+                pass
+            elif bt == "m":
+                spec = alias_forward(spec, n_sb=1)
+            else:
+                spec = alias_forward(spec)
+            spectra[ch].append(spec)
     out = bytearray()
     for f in range(nframes):
         grspecs = []
@@ -511,6 +528,8 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
                 if bt == 2:
                     # decoder expects Huffman (bitstream) order
                     q = nat_to_bitstream_short(q, rate)
+                elif bt == "m":
+                    q = nat_to_bitstream_short(q, rate, first_sfb=3)
                 skip = scfsi[ch] if g == 1 else None
                 side = _encode_granule(
                     body, q, gg, rate, scalefac_compress, sf_bands,
@@ -544,9 +563,10 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
                 sw.write(s["global_gain"], 8)
                 sw.write(s["scalefac_compress"], 4)
                 if s["ws_block_type"] is not None:
+                    mixed = s["ws_block_type"] == "m"
                     sw.write(1, 1)  # window_switching
-                    sw.write(s["ws_block_type"], 2)
-                    sw.write(0, 1)  # mixed_block
+                    sw.write(2 if mixed else s["ws_block_type"], 2)
+                    sw.write(1 if mixed else 0, 1)  # mixed_block
                     for t in s["table_select"]:
                         sw.write(t, 5)
                     for _sb in range(3):

@@ -312,6 +312,61 @@ class TestLayer3WindowSwitching:
         assert got is not None
         assert _corr_at(sig, got[1], _L3_DELAY) > 0.95
 
+    def test_mixed_blocks_round_trip(self):
+        """Mixed granules (block_type 2 + mixed flag: subbands 0-1
+        long-windowed, 2-31 short) exercise the mixed requantize /
+        reorder-from-sfb-3 / single-boundary alias / per-subband
+        hybrid paths — and the SAME implied region0_count=7 -> 36
+        boundary the r9 fix pinned. The spec's window set has no
+        mixed-aware start/stop shape, so the two long subbands lap
+        imperfectly at the transitions — corr ~0.96 is the physics
+        ceiling here, not decoder slack."""
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        sig = _bl_noise(8 * 1152, 42)
+        for bts in ([0, 1, "m", 3] * 4,
+                    [0, 1, "m", "m", 2, "m", 3, 0] * 2):
+            got = mpeg_audio_decode_array(
+                encode_layer3([sig], 44100, block_types=bts)
+            )
+            assert got is not None
+            assert got[0] == 44100
+            assert _corr_at(sig, got[1], _L3_DELAY) > 0.94
+
+    def test_mixed_region_boundary_table_split(self):
+        """Mixed granules with big_values crossing sample 36 and
+        different tables per region — the mixed arm of the r9
+        boundary fix (implied region0_count=7, same as start/stop)."""
+        from datamancer_spark.operators.mpegaudio import (
+            _parse_side_info,
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import _BITRATES_L3, encode_layer3
+
+        sig = _bp_noise(8 * 1152, 5)
+        blob = encode_layer3([sig], 44100, block_types=[0, 1, "m", 3] * 4)
+        split_seen = 0
+        off = 0
+        while off < len(blob):
+            br = _BITRATES_L3[blob[off + 2] >> 4]
+            frame_bytes = 144 * br * 1000 // 44100
+            _, _, granules = _parse_side_info(blob[off + 4 : off + 21], 1)
+            for gr in range(2):
+                g = granules[gr][0]
+                if g["window_switching"] and g["mixed_block"]:
+                    assert g["block_type"] == 2
+                    if (g["big_values"] * 2 > 36
+                            and g["table_select"][0] != g["table_select"][1]):
+                        split_seen += 1
+            off += frame_bytes
+        assert split_seen >= 3, split_seen
+        got = mpeg_audio_decode_array(blob)
+        assert got is not None
+        assert _corr_at(sig, got[1], _L3_DELAY) > 0.94
+
     def test_ws_mdct_chain_exact(self):
         """Forward (test-encoder) MDCTs -> decoder hybrid synthesis is
         an EXACT inverse across every block-type transition, one

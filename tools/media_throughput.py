@@ -89,8 +89,15 @@ def build_corpora(n_img=24, n_clip=12):
         "mp3_l3_ws": [
             encode_layer3([x], 44100, block_types=[0, 1, 3, 0]) for x in mp3_pcm
         ],
+        "ogg_vorbis_1s": _vorbis_clips(pcm),
     }
     return corpora
+
+
+def _vorbis_clips(pcm):
+    from vorbis_encoder import encode_vorbis
+
+    return [encode_vorbis([x], 8000, delta=0.004) for x in pcm]
 
 
 def main():
@@ -107,6 +114,7 @@ def main():
         "wav_pcm16_1s": audio_decode_array,
         "flac_16b_1s": audio_decode_array,
         "mp3_l3_ws": audio_decode_array,
+        "ogg_vorbis_1s": audio_decode_array,
     }
     print("building corpora (test-side encoders)...", flush=True)
     corpora = build_corpora()
