@@ -14,8 +14,15 @@ staying metadata-only. Remaining refusals, each deliberate:
   (10, 13) or were deliberately not shipped (the ESC matrices behind
   16-31); see ``mpeghuff.py``. A frame that needs them makes the CLIP
   undecodable (``None``), never a silently-wrong decode.
-* **Intensity stereo** (mode_extension bit 0) — refused; modern
-  encoders do not emit it at normal bitrates.
+* **Intensity stereo** (mode_extension bit 0) — SUPPORTED as of r9,
+  exactly, for this module's mono-mix contract: intensity bands
+  satisfy L + R = M identically (the is_position ratio r/(1+r) +
+  1/(1+r) telescopes to 1), so the mono mix needs no ratio math at
+  all — the transmitted mid spectrum passes through as-is and the
+  MS butterfly (mode_extension 3) is stopped at the sfb-aligned
+  intensity bound (the right channel's nonzero extent). A decoder
+  exposing SEPARATE channels would need the tan(pos·π/12) split;
+  this one never does.
 * **MPEG-2 / 2.5 (LSF) and Layer II** — refused. Layer II's
   quantization-class tables (Table B.2) are exactly the kind of spec
   data that cannot be confidently transcribed here, and LSF streams
@@ -355,6 +362,31 @@ def _alias_coeffs():
         ca = [c / math.sqrt(1.0 + c * c) for c in ci]
         _CS_CA = (cs, ca)
     return _CS_CA
+
+
+def _intensity_bound(extent: int, g, rate: int) -> int:
+    """Smallest scalefactor-band boundary >= the right channel's
+    nonzero extent — the intensity-stereo bound (ISO 11172-3
+    2.4.3.4.9.3: intensity bands start at the sfb containing the
+    right channel's zero part). Boundaries live in the PRE-reorder
+    (bitstream-order) domain the MS butterfly operates in: long sfbs
+    for long blocks, 3x short sfbs for window-switched blocks (mixed:
+    long to 36, short after)."""
+    if extent >= 576:
+        return 576
+    if g["window_switching"] and g["block_type"] == 2:
+        if g["mixed_block"]:
+            bounds = _SFB_LONG[rate][:9] + [
+                3 * b for b in _SFB_SHORT[rate][3:]
+            ]
+        else:
+            bounds = [3 * b for b in _SFB_SHORT[rate]]
+    else:
+        bounds = _SFB_LONG[rate]
+    for b in bounds:
+        if b >= extent:
+            return b
+    return 576
 
 
 def _parse_side_info(data: bytes, nch: int):
@@ -709,8 +741,6 @@ class _L3Decoder:
         if side is None:
             return False
         main_data_begin, scfsi, granules = side
-        if hdr["mode"] == 1 and (hdr["mode_ext"] & 1):
-            return False  # intensity stereo unsupported (documented)
         new_main = frame[off + side_len :]
         if main_data_begin > len(self.reservoir):
             # reservoir underflow (stream start / cut): emit silence,
@@ -726,8 +756,10 @@ class _L3Decoder:
         self.reservoir = (self.reservoir + new_main)[-511:]
         bits = _Bits(data)
         ms = hdr["mode"] == 1 and (hdr["mode_ext"] & 2)
+        intensity = hdr["mode"] == 1 and (hdr["mode_ext"] & 1)
         for gr in range(2):
             xr_ch = []
+            extents = []
             for ch in range(nch):
                 g = granules[gr][ch]
                 start = bits.pos
@@ -786,10 +818,25 @@ class _L3Decoder:
                 bits.pos = limit  # skip any stuffing
                 xq = _requantize(xr, g, sf_long, sf_short, self.rate)
                 xr_ch.append(xq)
+                nz = np.nonzero(xq)[0]
+                extents.append(int(nz[-1]) + 1 if len(nz) else 0)
             if ms and nch == 2:
+                # intensity bands (above the right channel's
+                # sfb-aligned nonzero extent) carry the mid spectrum
+                # verbatim with L + R = M — the MS butterfly applies
+                # only BELOW the bound (above it, S = 0 would inflate
+                # the mono mix by sqrt(2))
+                bound = (
+                    _intensity_bound(extents[1], granules[gr][1], self.rate)
+                    if intensity
+                    else 576
+                )
                 m, s = xr_ch
                 inv = 1.0 / math.sqrt(2.0)
-                xr_ch = [(m + s) * inv, (m - s) * inv]
+                left, right = m.copy(), s.copy()
+                left[:bound] = (m[:bound] + s[:bound]) * inv
+                right[:bound] = (m[:bound] - s[:bound]) * inv
+                xr_ch = [left, right]
             for ch in range(nch):
                 g = granules[gr][ch]
                 x = _reorder_short(xr_ch[ch], g, self.rate)
@@ -842,10 +889,11 @@ def _skip_id3(blob: bytes):
 def mpeg_audio_decode_array(blob: bytes):
     """Decode an MPEG-1 Layer I/III stream -> (sample_rate, mono
     float64) or ``None``. Strict: ANY frame that needs an unsupported
-    feature (Layer II, LSF, intensity stereo, refused Huffman table)
+    feature (Layer II, LSF, refused Huffman table)
     makes the whole clip undecodable — a partially-decoded clip would
     bias the perceptual screens, and the ``decodable`` metadata column
-    promises all-or-nothing."""
+    promises all-or-nothing. Intensity stereo decodes exactly under
+    the mono-mix contract (r9; see the module docstring)."""
     import numpy as np
 
     start, end = _skip_id3(blob)
@@ -937,7 +985,8 @@ def mpeg_audio_decode_array(blob: bytes):
 def mpeg_stream_supported(blob: bytes) -> bool:
     """Cheap all-frames side-info check: True iff every frame of the
     stream parses as MPEG-1 Layer I, or Layer III whose side info only
-    references supported Huffman tables and no intensity stereo. This
+    references supported Huffman tables (intensity stereo is supported
+    since r9 — mono-mix contract). This
     is what the ``decodable`` metadata column reports for mp3 — it can
     miss a mid-stream Huffman desync (rare, corrupt input), in which
     case ``mpeg_audio_decode_array`` still returns ``None``."""
@@ -983,8 +1032,6 @@ def mpeg_stream_supported(blob: bytes) -> bool:
             if side is None:
                 return False
             _mdb, _scfsi, granules = side
-            if hdr["mode"] == 1 and (hdr["mode_ext"] & 1):
-                return False
             for gr in granules:
                 for g in gr:
                     for sel in g["table_select"]:

@@ -1120,8 +1120,9 @@ def audio_decode_array(blob: bytes):
     FLAC via the pure-stdlib ``flaccodec.flac_decode_array`` (r7),
     MPEG-1 audio Layers I/III — real MP3 sample decode — via
     ``mpegaudio.mpeg_audio_decode_array`` (late r7; see that module's
-    docstring for the exact refusal set: Layer II, LSF, intensity
-    stereo, and frames selecting unshipped Huffman tables), and Ogg
+    docstring for the exact refusal set: Layer II, LSF,
+    and frames selecting unshipped Huffman tables — intensity stereo
+    decodes exactly under the mono contract since r9), and Ogg
     Vorbis via ``vorbiscodec.vorbis_decode_array`` (r9: floor 1 +
     residues 0/1/2 + mapping 0 — the feature set real encoders emit;
     Opus and exotic setups refuse). Returns ``(sample_rate, mono

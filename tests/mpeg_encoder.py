@@ -439,22 +439,37 @@ def _encode_granule(w: BitWriter, q, gg, rate, scalefac_compress,
 def encode_layer3(channels, rate: int, ms_stereo: bool = False,
                   scalefac_compress: int = 0, sf_bands=None,
                   preflag: int = 0, scalefac_scale: int = 0,
-                  scfsi=None, block_types=None) -> bytes:
+                  scfsi=None, block_types=None,
+                  intensity_bound_sfb: int | None = None) -> bytes:
     """Encode float PCM channels to an MPEG-1 Layer III stream.
 
     ``sf_bands``: optional 21 scalefactors (must fit the slens of
     ``scalefac_compress``). ``scfsi``: optional 4 flags per channel —
     granule 1 reuses granule 0's scalefactors for flagged groups.
     ``block_types``: optional per-granule block types (0 long, 1 start,
-    2 short, 3 stop), applied to every channel; the TDAC-valid
-    sequences are long*->start->short*->stop->long*. Window-switching
-    granules require all-zero scalefactors + scfsi."""
+    2 short, 3 stop, "m" mixed), applied to every channel; the
+    TDAC-valid sequences are long*->start->short*/mixed*->stop->long*.
+    Window-switching granules require all-zero scalefactors + scfsi.
+    ``intensity_bound_sfb``: emit INTENSITY STEREO (mode_ext bit 0):
+    above long-sfb boundary ``sfb_l[k]`` the left channel carries the
+    channel SUM (so L + R = M holds) and the right channel is zeroed
+    — its rzero extent is how a decoder locates the bound. Positions
+    stay 0 (zero-bit scalefactors); combine with ``ms_stereo`` for
+    mode_ext 3 (MS below the bound). Long blocks only."""
     sr_idx = _SAMPLERATES.index(rate)
     nch = len(channels)
     if ms_stereo and nch != 2:
         raise ValueError("MS needs 2 channels")
-    mode = 3 if nch == 1 else 1 if ms_stereo else 0
-    mode_ext = 2 if ms_stereo else 0
+    if intensity_bound_sfb is not None:
+        if nch != 2:
+            raise ValueError("intensity needs 2 channels")
+        if block_types is not None and any(block_types):
+            raise ValueError("intensity emitter is long-block only")
+    mode = 3 if nch == 1 else 1 if (ms_stereo or intensity_bound_sfb
+                                    is not None) else 0
+    mode_ext = (2 if ms_stereo else 0) | (
+        1 if intensity_bound_sfb is not None else 0
+    )
     if sf_bands is None:
         sf_bands = [0] * 21
     if scfsi is None:
@@ -512,7 +527,21 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
         grspecs = []
         for g in (2 * f, 2 * f + 1):
             chs = [spectra[ch][g] for ch in range(nch)]
-            if ms_stereo:
+            if intensity_bound_sfb is not None:
+                b = _SFB_LONG[rate][intensity_bound_sfb]
+                left, right = chs
+                hi_m = left[b:] + right[b:]  # intensity mid: L+R = M
+                if ms_stereo:
+                    inv = 1.0 / math.sqrt(2.0)
+                    lo_l = (left[:b] + right[:b]) * inv
+                    lo_r = (left[:b] - right[:b]) * inv
+                else:
+                    lo_l, lo_r = left[:b], right[:b]
+                chs = [
+                    np.concatenate([lo_l, hi_m]),
+                    np.concatenate([lo_r, np.zeros(576 - b)]),
+                ]
+            elif ms_stereo:
                 left, right = chs
                 inv = 1.0 / math.sqrt(2.0)
                 chs = [(left + right) * inv, (left - right) * inv]

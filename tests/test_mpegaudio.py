@@ -207,6 +207,35 @@ class TestLayer3RoundTrip:
         assert got is not None
         assert _corr_at(0.5 * (left + right), got[1], _L3_DELAY) > 0.98
 
+    @pytest.mark.parametrize("ms", [False, True])
+    def test_intensity_stereo(self, ms):
+        """Intensity streams (mode_ext 1 and 3) decode EXACTLY under
+        the mono-mix contract (r9): intensity bands carry L + R = M
+        verbatim, and for mode_ext 3 the MS butterfly stops at the
+        right channel's sfb-aligned rzero bound. Pinned against the
+        plain-LR encoding of the SAME signals — intensity must decode
+        no worse than the baseline, within a 0.005 corr hair."""
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+            mpeg_stream_supported,
+        )
+        from mpeg_encoder import encode_layer3
+
+        left = _bl_noise(4 * 1152, 31)
+        right = _bl_noise(4 * 1152, 32)
+        mix = 0.5 * (left + right)
+        blob = encode_layer3(
+            [left, right], 44100, ms_stereo=ms, intensity_bound_sfb=12
+        )
+        assert mpeg_stream_supported(blob)  # was a refusal before r9
+        got = mpeg_audio_decode_array(blob)
+        assert got is not None
+        base = mpeg_audio_decode_array(encode_layer3([left, right], 44100))
+        c_int = _corr_at(mix, got[1], _L3_DELAY)
+        c_base = _corr_at(mix, base[1], _L3_DELAY)
+        assert c_int > 0.93
+        assert c_int >= c_base - 0.005, (c_int, c_base)
+
 
 def _bp_noise(n, seed, lo=0.033, hi=0.09):
     """Band-pass deterministic noise confined to subbands 2-5 (lines
@@ -524,7 +553,11 @@ class TestRefusals:
         assert mpeg_audio_decode_array(frame * 4) is None
         assert mpeg_stream_supported(frame * 4) is False
 
-    def test_intensity_stereo_refused(self):
+    def test_intensity_stereo_silent_frame_decodes(self):
+        """r9 flip of the old refusal regression: intensity streams
+        (mode_ext bit 0) now DECODE under the mono-mix contract — a
+        hand-built all-zero intensity frame yields silence, not
+        None."""
         from datamancer_spark.operators.mpegaudio import (
             mpeg_audio_decode_array,
         )
@@ -552,7 +585,11 @@ class TestRefusals:
         hdr = _frame_header(3, 9, 0, 1, mode_ext=1)  # intensity on
         frame_bytes = 144 * 128000 // 44100
         frame = hdr + side + b"\x00" * (frame_bytes - 36)
-        assert mpeg_audio_decode_array(frame * 3) is None
+        got = mpeg_audio_decode_array(frame * 3)
+        assert got is not None
+        rate, mono = got
+        assert rate == 44100
+        assert float(np.abs(mono).max()) == 0.0
 
     def test_corruption_fuzz_never_raises(self):
         from datamancer_spark.operators.mpegaudio import (
