@@ -239,3 +239,28 @@ def test_bm25_exchange_budget(spark, sf_dir):
     assert plan.count("Exchange") <= 8, plan.count("Exchange")
     # the two corpus scalars still ride the plan (no eager jobs)
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_media_fixture_tier_plans(spark, sf_dir):
+    """r9 media-tier plan pins: the real decode/fingerprint pipelines
+    stay banded (no cartesian / nested-loop anywhere), single-pass
+    mapInPandas stages keep coverage and resize at ONE exchange, and
+    the end-to-end curate compositions hold their measured budget."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import executed_plan
+
+    budgets = {
+        "media_decode_coverage_mix": 1,
+        "resize_thumbs_rgb": 2,
+        "image_dhash_real_pairs": 6,
+        "audio_dhash_real_pairs": 6,
+        "curate_media_mix": 6,
+        "curate_audio_mix": 6,
+    }
+    qs = e.queries()
+    for name, budget in budgets.items():
+        plan = executed_plan(qs[name](spark, sf_dir))
+        assert plan.count("Exchange") <= budget, (
+            name, plan.count("Exchange"))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
