@@ -2134,11 +2134,31 @@ def dhash_scalar_udf():
     return _dhash
 
 
+def audio_dhash_scalar_udf():
+    """Arrow-batched SCALAR pandas UDF computing the 64-bit audio
+    envelope dHash from a binary column (WAV family / FLAC / AIFF /
+    MP3 / Ogg Vorbis via the real decoders, NULL otherwise) — the
+    column-preserving form of ``audio_dhash`` for stateless streaming
+    screens, the audio twin of ``dhash_scalar_udf``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def _adhash(blobs: pd.Series) -> pd.Series:
+        out = []
+        for blob in blobs:
+            dec = None if blob is None else audio_decode_array(bytes(blob))
+            out.append(None if dec is None else audio_dhash64(dec[1]))
+        return pd.Series(out, dtype="object")
+
+    return _adhash
+
+
 def dhash_band_index(
     df: DataFrame,
     bin_col: str = "content",
     id_col: str = "path",
     bands: int = 4,
+    kind: str = "image",
 ) -> DataFrame:
     """The PERSISTABLE side of streaming perceptual image dedup: one row
     per (band, val) 16-bit block bucket occupied by the corpus's dHash
@@ -2156,9 +2176,15 @@ def dhash_band_index(
     over the accumulated corpus. Index size is bands x n_distinct_sigs
     entries total across the arrays — per-bucket arrays grow ~linearly
     past 65k distinct signatures; re-derive with wider bands (e.g.
-    bands=2, 32-bit buckets) before buckets get hot."""
+    bands=2, 32-bit buckets) before buckets get hot.
+    ``kind="audio"`` (r9) indexes the audio envelope dHash instead —
+    same engine, cross-codec by construction (WAV/FLAC/MP3/Vorbis of
+    the same clip land in the same buckets)."""
+    if kind not in ("image", "audio"):
+        raise ValueError(f"kind must be image|audio, got {kind!r}")
     width = 64 // bands
-    sigs = image_dhash(df, bin_col, id_col).filter(
+    hasher = image_dhash if kind == "image" else audio_dhash
+    sigs = hasher(df, bin_col, id_col).filter(
         F.col("dhash").isNotNull()
     )
     banded = sigs.select(

@@ -350,6 +350,7 @@ def streaming_media_screen(
     bands: int = 4,
     max_hamming: int = 3,
     emit: str = "survivors",
+    kind: str = "image",
 ) -> DataFrame:
     """Streaming perceptual-duplicate screen for media blobs against a
     PERSISTED image-dHash index (``multimodal.dhash_band_index``): drop
@@ -376,11 +377,21 @@ def streaming_media_screen(
     ``emit``: ``"survivors"`` (default) keeps novel media;
     ``"hits"`` inverts the filter, returning the VERIFIED near-dup rows
     for a quarantine/audit sink (undecodable blobs never appear in
-    hits)."""
-    from ..operators.multimodal import dhash_scalar_udf
+    hits).
+
+    ``kind="audio"`` (r9) screens audio clips against an audio-dHash
+    index (``dhash_band_index(..., kind="audio")``) — cross-codec by
+    construction: a Vorbis re-encode of an indexed WAV lands within
+    the Hamming radius and is dropped."""
+    from ..operators.multimodal import (
+        audio_dhash_scalar_udf,
+        dhash_scalar_udf,
+    )
 
     if emit not in ("survivors", "hits"):
         raise ValueError(f"emit must be 'survivors' or 'hits', got {emit!r}")
+    if kind not in ("image", "audio"):
+        raise ValueError(f"kind must be image|audio, got {kind!r}")
 
     if max_hamming > bands - 1:
         raise ValueError(
@@ -389,7 +400,8 @@ def streaming_media_screen(
             f"shares at least one exact band); raise bands"
         )
     width = 64 // bands
-    out = stream.withColumn("_dh", dhash_scalar_udf()(F.col(bin_col)))
+    sig_udf = dhash_scalar_udf if kind == "image" else audio_dhash_scalar_udf
+    out = stream.withColumn("_dh", sig_udf()(F.col(bin_col)))
     for b in range(bands):
         out = out.withColumn(
             f"_bv{b}",

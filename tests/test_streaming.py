@@ -599,3 +599,76 @@ def test_streaming_screens_emit_hits_for_quarantine(spark, tmp_path):
 
     with pytest.raises(ValueError, match="emit"):
         streaming_media_screen(stream, index, emit="both")
+
+
+def test_streaming_audio_screen_cross_codec(spark, tmp_path):
+    """r9: the audio twin of the media screen, cross-CODEC — the index
+    holds a WAV clip's envelope dHash (kind="audio"); the stream's OGG
+    VORBIS re-encode of the same clip verifies within the Hamming
+    radius and is dropped, a novel clip survives, an undecodable Ogg
+    stub always survives (a screen never drops what it cannot read)."""
+    import struct
+
+    import numpy as np
+
+    from datamancer_spark.operators.multimodal import dhash_band_index
+    from datamancer_spark.streaming import streaming_media_screen
+    from tests.vorbis_encoder import encode_vorbis
+
+    def bl_noise(n, seed, frac=0.35):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal(n)
+        spec = np.fft.rfft(x)
+        spec[int(len(spec) * frac):] = 0
+        return 0.3 * np.fft.irfft(spec, n)
+
+    def wav_of(sig):
+        data = np.clip(sig * 32767, -32768, 32767).astype("<i2").tobytes()
+        return bytearray(
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    # amplitude-modulate so adjacent envelope frames differ decisively
+    # (a flat envelope leaves near-tie energy comparisons that codec
+    # quantization noise can flip — real music/speech is modulated)
+    t = np.arange(16384)
+    am1 = 0.6 + 0.4 * np.sin(2 * np.pi * t / 5000.0)
+    am2 = 0.6 + 0.4 * np.cos(2 * np.pi * t / 3700.0)
+    clip = bl_noise(16384, 71) * am1
+    novel = bl_noise(16384, 72) * am2
+    ogg_dup = bytearray(encode_vorbis([clip], 8000, delta=0.004))
+    # index the WAV aligned to the Vorbis priming trim (half a block)
+    corpus = spark.createDataFrame(
+        [("hist", wav_of(clip[256:-256]))], "path string, content binary"
+    )
+    index = dhash_band_index(corpus, kind="audio")
+
+    d = str(tmp_path / "audio_in")
+    incoming = spark.createDataFrame(
+        [
+            ("dup_ogg", ogg_dup),  # same clip, different codec
+            ("new", wav_of(novel)),
+            ("bad", bytearray(b"OggS not really a page")),
+        ],
+        "path string, content binary",
+    )
+    incoming.write.parquet(d)
+    stream = spark.readStream.schema(incoming.schema).parquet(d)
+    out = streaming_media_screen(stream, index, kind="audio")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("audio_screen")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        survivors = {
+            r["path"]
+            for r in spark.sql("SELECT * FROM audio_screen").collect()
+        }
+    finally:
+        q.stop()
+    assert survivors == {"new", "bad"}
