@@ -126,8 +126,9 @@ def media_decode_coverage(df: DataFrame, bin_col: str = "content") -> DataFrame:
     screenable" instead of silently screening the decodable minority.
 
     Screenability is CAPABILITY BY CONTAINER/CODEC from the cheap
-    header walks (no full decode attempt): PNG/JPEG/GIF images →
-    pixels (all baseline + progressive-JPEG profiles decode); WAV
+    header walks (no full decode attempt): PNG/JPEG/GIF/BMP images →
+    pixels (all baseline + progressive-JPEG profiles decode;
+    uncompressed BMP since r9, RLE refuses); WAV
     PCM/G.711/IMA-ADPCM and FLAC → samples (per the fmt chunk /
     flaccodec); MP3 → samples when every frame's side info stays
     within the MPEG-1 Layer I/III feature set this engine decodes
@@ -190,6 +191,17 @@ def _classify_decode_tier(blob: bytes):
         return ("jpeg", True)
     if blob[:4] == b"GIF8":
         return ("gif", True)
+    if blob[:2] == b"BM" and len(blob) >= 54:
+        hdr_size = _struct.unpack("<I", blob[14:18])[0]
+        if hdr_size in (40, 52, 56, 108, 124):
+            bpp = _struct.unpack("<H", blob[28:30])[0]
+            comp = _struct.unpack("<I", blob[30:34])[0]
+            # r9: uncompressed BI_RGB (and default-mask BITFIELDS)
+            # decode for real; RLE stays metadata-only
+            return (
+                "bmp",
+                bpp in (1, 4, 8, 24, 32) and comp in (0, 3),
+            )
     if len(blob) >= 12 and blob[:4] == b"RIFF":
         sub = blob[8:12]
         if sub == b"WAVE":
@@ -505,6 +517,14 @@ def decode_images(
                                 / 255.0,
                                 6,
                             ),
+                        )
+                if decoded is None:
+                    bmp = bmp_decode_array(blob)
+                    if bmp is not None:
+                        w, h, ch, px = bmp
+                        decoded = (
+                            w, h, ch,
+                            round(float(px.mean()) / 255.0, 6),
                         )
                 if decoded is not None:
                     w, h, ch, mean = decoded
@@ -1285,6 +1305,81 @@ def bmp_dimensions(b: F.Column) -> F.Column:
     )
 
 
+def bmp_decode_array(blob: bytes):
+    """REAL BMP pixel decode (r9) — uncompressed BI_RGB (and the
+    equivalent default-mask BITFIELDS) at 1/4/8-bit palette or
+    24/32-bit BGR(x) depths, bottom-up or top-down rows, 4-byte row
+    padding. RLE4/RLE8 and exotic masks refuse (``None``) — same loud
+    posture as every decoder here. Returns ``(w, h, 3, px uint8
+    (h, w, 3))`` or ``None``."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    try:
+        data_off = _struct.unpack("<I", blob[10:14])[0]
+        hdr_size = _struct.unpack("<I", blob[14:18])[0]
+        if hdr_size not in (40, 52, 56, 108, 124):
+            return None  # BITMAPCOREHEADER and friends: refuse
+        w, h = _struct.unpack("<ii", blob[18:26])
+        bpp = _struct.unpack("<H", blob[28:30])[0]
+        comp = _struct.unpack("<I", blob[30:34])[0]
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+            return None
+        if comp == 3 and bpp == 32 and hdr_size >= 52:
+            masks = _struct.unpack("<III", blob[54:66])
+            if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                return None
+        elif comp != 0:
+            return None  # RLE / exotic bitfields: refuse
+        if bpp not in (1, 4, 8, 24, 32):
+            return None
+        stride = ((w * bpp + 31) // 32) * 4
+        need = data_off + stride * h
+        if need > len(blob):
+            return None
+        if bpp <= 8:
+            n_pal = _struct.unpack("<I", blob[46:50])[0] or (1 << bpp)
+            pal_off = 14 + hdr_size
+            pal = np.frombuffer(
+                blob[pal_off : pal_off + 4 * n_pal], dtype=np.uint8
+            ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRA quads -> RGB
+            if len(pal) < n_pal:
+                return None
+        rows = np.frombuffer(
+            blob[data_off : data_off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
+        if bpp == 24:
+            px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1].copy()
+        elif bpp == 32:
+            px = (
+                rows[:, : w * 4].reshape(h, w, 4)[:, :, :3][:, :, ::-1]
+            ).copy()
+        else:
+            if bpp == 8:
+                idx = rows[:, :w]
+            elif bpp == 4:
+                nib = np.repeat(rows, 2, axis=1)
+                nib[:, 0::2] >>= 4
+                nib[:, 1::2] &= 0x0F
+                idx = nib[:, :w]
+            else:  # 1-bit
+                bits = np.unpackbits(rows, axis=1)
+                idx = bits[:, :w]
+            if int(idx.max()) >= n_pal:
+                return None
+            px = pal[idx]
+        return (w, h, 3, px)
+    except (ValueError, _struct.error):
+        return None
+
+
 def _u8(b: F.Column, pos: int) -> F.Column:
     return F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("long")
 
@@ -1799,6 +1894,9 @@ def _decode_gray(blob: bytes):
         return (
             np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).mean(axis=2)
         )
+    bmp = bmp_decode_array(blob)
+    if bmp is not None:
+        return bmp[3].mean(axis=2)
     return None
 
 
@@ -1904,6 +2002,9 @@ def _decode_rgb(blob: bytes):
     if first is not None:
         _, w, h, rgb = first
         return np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    bmp = bmp_decode_array(blob)
+    if bmp is not None:
+        return bmp[3]
     return None
 
 

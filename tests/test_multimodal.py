@@ -2529,3 +2529,142 @@ class TestTruncatedContainerGuards:
         [cov] = media_decode_coverage(df).collect()
         assert cov["container"] == "wav"
         assert (cov["n"], cov["n_screenable"]) == (1, 0)
+
+
+class TestRealBmpDecode:
+    """r9 BMP pixel decode (multimodal.bmp_decode_array) — round-trips
+    against an independent minimal writer (BITMAPFILEHEADER +
+    BITMAPINFOHEADER built here, never the decoder's code)."""
+
+    @staticmethod
+    def _encode(px=None, bpp=24, top_down=False, palette=None, idx=None,
+                comp=0, masks=None):
+        import struct
+
+        import numpy as np
+
+        if bpp in (24, 32):
+            h, w = px.shape[:2]
+        else:
+            h, w = idx.shape
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = bytearray()
+        order = range(h) if top_down else range(h - 1, -1, -1)
+        for y in order:
+            if bpp == 24:
+                line = px[y][:, ::-1].tobytes()  # RGB -> BGR
+            elif bpp == 32:
+                bgza = np.zeros((w, 4), dtype=np.uint8)
+                bgza[:, :3] = px[y][:, ::-1]
+                line = bgza.tobytes()
+            elif bpp == 8:
+                line = idx[y].tobytes()
+            elif bpp == 4:
+                pairs = idx[y]
+                if len(pairs) % 2:
+                    pairs = np.concatenate([pairs, [0]])
+                line = ((pairs[0::2] << 4) | pairs[1::2]).astype(
+                    np.uint8).tobytes()
+            else:  # 1-bit
+                line = np.packbits(idx[y]).tobytes()
+            rows += line + b"\x00" * (stride - len(line))
+        pal_bytes = b""
+        n_pal = 0
+        if palette is not None:
+            n_pal = len(palette)
+            for r, g, b in palette:
+                pal_bytes += bytes([b, g, r, 0])
+        extra = b""
+        hdr_size = 40
+        if masks is not None:
+            hdr_size = 52
+            extra = struct.pack("<III", *masks)
+        data_off = 14 + hdr_size + len(pal_bytes)
+        info = struct.pack(
+            "<IiiHHIIiiII", hdr_size, w, -h if top_down else h, 1, bpp,
+            comp, len(rows), 2835, 2835, n_pal, 0,
+        ) + extra
+        filehdr = (b"BM" + struct.pack("<I", data_off + len(rows))
+                   + b"\x00\x00\x00\x00" + struct.pack("<I", data_off))
+        return bytes(filehdr + info + pal_bytes + rows)
+
+    def test_truecolor_round_trip(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import bmp_decode_array
+
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd w
+        for top_down in (False, True):
+            got = bmp_decode_array(self._encode(px, 24, top_down))
+            assert got is not None
+            w, h, ch, out = got
+            assert (w, h, ch) == (7, 5, 3)
+            assert np.array_equal(out, px)
+        got32 = bmp_decode_array(self._encode(px, 32))
+        assert np.array_equal(got32[3], px)
+        # BITFIELDS with the default 8888 masks decodes like BI_RGB
+        gotbf = bmp_decode_array(self._encode(
+            px, 32, comp=3, masks=(0x00FF0000, 0x0000FF00, 0x000000FF)))
+        assert np.array_equal(gotbf[3], px)
+
+    def test_palette_depths(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import bmp_decode_array
+
+        rng = np.random.default_rng(11)
+        pal = [tuple(int(v) for v in rng.integers(0, 256, 3))
+               for _ in range(16)]
+        for bpp, n in ((8, 16), (4, 16), (1, 2)):
+            idx = rng.integers(0, n if bpp > 1 else 2,
+                               size=(6, 11), dtype=np.uint8)
+            blob = self._encode(bpp=bpp, palette=pal[:n], idx=idx)
+            got = bmp_decode_array(blob)
+            assert got is not None, bpp
+            w, h, ch, out = got
+            assert (w, h) == (11, 6)
+            expect = np.array([[pal[i] for i in row] for row in idx],
+                              dtype=np.uint8)
+            assert np.array_equal(out, expect), bpp
+
+    def test_refusals_and_classify(self):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            _classify_decode_tier,
+            bmp_decode_array,
+        )
+
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        ok = self._encode(px, 24)
+        assert _classify_decode_tier(ok) == ("bmp", True)
+        rle = self._encode(px, 24, comp=1)
+        assert bmp_decode_array(rle) is None
+        assert _classify_decode_tier(rle) == ("bmp", False)
+        weird_masks = self._encode(
+            px, 32, comp=3, masks=(0xF800, 0x07E0, 0x001F))
+        assert bmp_decode_array(weird_masks) is None
+        assert bmp_decode_array(ok[:40]) is None  # truncated
+        trunc_px = ok[: len(ok) - 8]  # declared rows missing
+        assert bmp_decode_array(trunc_px) is None
+
+    def test_decode_images_and_dhash_integration(self, spark):
+        import numpy as np
+
+        from datamancer_spark.operators.multimodal import (
+            decode_images,
+            image_dhash,
+        )
+
+        rng = np.random.default_rng(13)
+        px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [("a", bytearray(self._encode(px, 24)))],
+            "path string, content binary",
+        )
+        [row] = decode_images(df).collect()
+        assert (row["width"], row["height"], row["channels"]) == (24, 24, 3)
+        assert row["mean_intensity"] == round(float(px.mean()) / 255.0, 6)
+        [hrow] = image_dhash(df).collect()
+        assert hrow["dhash"] is not None
