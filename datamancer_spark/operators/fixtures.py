@@ -241,7 +241,29 @@ def ogg_vorbis_blob(i: int) -> bytes:
     return encode_vorbis([sig], 8000, delta=0.02)
 
 
-#: coverage-mix assignment: i % 7 -> (generator, container, screenable)
+def solid_bmp_blob(i: int) -> bytes:
+    """Solid-color 24-bit bottom-up BMP (r9 real decode tier); same
+    dims/color arithmetic family as the PNG fixture."""
+    w = 4 + i % 13
+    h = 4 + i % 9
+    r, g, b = i % 256, (i * 7) % 256, (i * 13) % 256
+    stride = ((w * 3 + 3) // 4) * 4
+    row = bytes([b, g, r]) * w + b"\x00" * (stride - 3 * w)
+    data = row * h
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return (
+        b"BM"
+        + struct.pack("<I", 54 + len(data))
+        + b"\x00\x00\x00\x00"
+        + struct.pack("<I", 54)
+        + info
+        + data
+    )
+
+
+#: coverage-mix assignment: i % 8 -> (generator, container, screenable)
 MIX_TIERS = [
     (solid_png_blob, "png", True),
     (wav_const_blob, "wav", True),
@@ -250,11 +272,12 @@ MIX_TIERS = [
     (ogg_stub_blob, "ogg", False),
     (mp4_stub_blob, "mp4", False),
     (ogg_vorbis_blob, "ogg", True),
+    (solid_bmp_blob, "bmp", True),
 ]
 
 
 def mix_blob(i: int) -> bytes:
-    return MIX_TIERS[i % 7][0](i)
+    return MIX_TIERS[i % 8][0](i)
 
 
 def synth_blob_frame(
