@@ -2194,14 +2194,15 @@ def audio_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_decode_coverage_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """media_decode_coverage under the driver gate over an 8-format
-    fixture mix cycling doc_id % 8: real PNG, real WAV, real MP3 WITH
+    """media_decode_coverage under the driver gate over a 9-format
+    fixture mix cycling doc_id % 9: real PNG, real WAV, real MP3 WITH
     window-switching granules (the classifier's all-frames side-info
     walk must parse them), the r8 adversarial truncated-fmt WAV
     (classifies (wav, False), must not kill the task), Ogg/MP4
     metadata-only stubs, real Ogg VORBIS (r9: classifies (ogg, True)
     via the setup-header capability walk — the ogg screenable fraction
-    is strictly between 0 and 1), and real BMP (r9)."""
+    is strictly between 0 and 1), real BMP (r9), and real TIFF (r9:
+    the IFD capability walk)."""
     from datamancer_spark.operators.fixtures import (
         mix_blob,
         synth_blob_frame,
@@ -4735,12 +4736,12 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["media_decode_coverage_mix"] = """
         WITH t AS (
-          SELECT CASE doc_id % 8
+          SELECT CASE doc_id % 9
                    WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp3'
                    WHEN 3 THEN 'wav' WHEN 4 THEN 'ogg' WHEN 5 THEN 'mp4'
-                   WHEN 6 THEN 'ogg' ELSE 'bmp'
+                   WHEN 6 THEN 'ogg' WHEN 7 THEN 'bmp' ELSE 'tiff'
                  END AS container,
-                 CASE WHEN doc_id % 8 IN (0, 1, 2, 6, 7) THEN 1 ELSE 0
+                 CASE WHEN doc_id % 9 IN (0, 1, 2, 6, 7, 8) THEN 1 ELSE 0
                  END AS scr
           FROM documents
         )

@@ -263,7 +263,26 @@ def solid_bmp_blob(i: int) -> bytes:
     )
 
 
-#: coverage-mix assignment: i % 8 -> (generator, container, screenable)
+def solid_tiff_blob(i: int) -> bytes:
+    """Solid-gray uncompressed single-strip 8-bit TIFF (r9 real decode
+    tier), little-endian, minimal 8-entry IFD."""
+    w = 4 + i % 11
+    h = 4 + i % 7
+    v = (i * 5) % 256
+    data = bytes([v]) * (w * h)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8 + 2 + 12 * 8 + 4),
+        (278, 3, 1, h), (279, 4, 1, len(data)),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", 8) + ifd + data
+
+
+#: coverage-mix assignment: i % 9 -> (generator, container, screenable)
 MIX_TIERS = [
     (solid_png_blob, "png", True),
     (wav_const_blob, "wav", True),
@@ -273,11 +292,12 @@ MIX_TIERS = [
     (mp4_stub_blob, "mp4", False),
     (ogg_vorbis_blob, "ogg", True),
     (solid_bmp_blob, "bmp", True),
+    (solid_tiff_blob, "tiff", True),
 ]
 
 
 def mix_blob(i: int) -> bytes:
-    return MIX_TIERS[i % 8][0](i)
+    return MIX_TIERS[i % 9][0](i)
 
 
 def synth_blob_frame(

@@ -191,6 +191,12 @@ def _classify_decode_tier(blob: bytes):
         return ("jpeg", True)
     if blob[:4] == b"GIF8":
         return ("gif", True)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import tiff_supported
+
+        # r9: baseline TIFF (none/PackBits/LZW strips, 8-bit) decodes
+        # for real; fax/JPEG-in-TIFF/tiled/16-bit stay metadata-only
+        return ("tiff", tiff_supported(blob))
     if blob[:2] == b"BM" and len(blob) >= 54:
         hdr_size = _struct.unpack("<I", blob[14:18])[0]
         if hdr_size in (40, 52, 56, 108, 124):
@@ -522,6 +528,18 @@ def decode_images(
                     bmp = bmp_decode_array(blob)
                     if bmp is not None:
                         w, h, ch, px = bmp
+                        decoded = (
+                            w, h, ch,
+                            round(float(px.mean()) / 255.0, 6),
+                        )
+                if decoded is None and blob[:4] in (
+                    b"II*\x00", b"MM\x00*"
+                ):
+                    from .tiffcodec import tiff_decode_array
+
+                    tif = tiff_decode_array(blob)
+                    if tif is not None:
+                        w, h, ch, px = tif
                         decoded = (
                             w, h, ch,
                             round(float(px.mean()) / 255.0, 6),
@@ -1897,6 +1915,13 @@ def _decode_gray(blob: bytes):
     bmp = bmp_decode_array(blob)
     if bmp is not None:
         return bmp[3].mean(axis=2)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import tiff_decode_array
+
+        tif = tiff_decode_array(blob)
+        if tif is not None:
+            _, _, ch, px = tif
+            return px.mean(axis=2) if ch == 3 else px.astype(np.float64)
     return None
 
 
@@ -2005,6 +2030,13 @@ def _decode_rgb(blob: bytes):
     bmp = bmp_decode_array(blob)
     if bmp is not None:
         return bmp[3]
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import tiff_decode_array
+
+        tif = tiff_decode_array(blob)
+        if tif is not None:
+            _, _, ch, px = tif
+            return px if ch == 3 else px[:, :, None]
     return None
 
 

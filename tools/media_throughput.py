@@ -90,8 +90,15 @@ def build_corpora(n_img=24, n_clip=12):
             encode_layer3([x], 44100, block_types=[0, 1, 3, 0]) for x in mp3_pcm
         ],
         "ogg_vorbis_1s": _vorbis_clips(pcm),
+        "tiff_lzw_128": _tiff_imgs(imgs),
     }
     return corpora
+
+
+def _tiff_imgs(imgs):
+    from test_tiff import encode_tiff
+
+    return [encode_tiff(im, compression=5, predictor=2) for im in imgs]
 
 
 def _vorbis_clips(pcm):
@@ -115,6 +122,7 @@ def main():
         "flac_16b_1s": audio_decode_array,
         "mp3_l3_ws": audio_decode_array,
         "ogg_vorbis_1s": audio_decode_array,
+        "tiff_lzw_128": _decode_gray,
     }
     print("building corpora (test-side encoders)...", flush=True)
     corpora = build_corpora()
