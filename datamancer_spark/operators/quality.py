@@ -636,19 +636,22 @@ def bigram_logprob_score(
 
     Plan: bigram pairs come from a narrow array transform (no window,
     no self-join), immediately reduced to per-doc (w1, w2, multiplicity)
-    groups; the corpus bigram and context count tables both derive from
-    that reduction. The pair pass is deliberately NOT checkpointed: each
-    consumer re-runs a cheap narrow scan+explode, which measures ~5×
-    faster end-to-end than materializing the corpus-sized pair stream.
-    The per-doc score is the multiplicity-weighted mean, the exact same
+    groups; the corpus bigram, context AND unigram count tables all
+    derive from that one reduction — a sentinel begin-of-doc pair
+    ("" → first token; "" can never be a real token, they're filtered
+    to length > 0) makes the w2-marginal of the pair table EXACTLY the
+    corpus token counts, so the unigram model needs no second corpus
+    scan (r9: scans 2 → 1, exchanges 13 → 9 vs the r6 shape). The
+    per-doc score is the multiplicity-weighted mean, the exact same
     arithmetic shape the DuckDB twin uses."""
     toks_arr = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
     d = spread_partitions(df).select(
         F.col(id_col), toks_arr.alias("_toks")
     )
-    # F.sequence counts DOWN when start > stop — guard short docs
+    # F.sequence counts DOWN when start > stop — guard empty docs.
+    # i=1 emits the sentinel begin-of-doc pair ("" -> first token).
     idx = F.when(
-        F.size("_toks") >= 2, F.sequence(F.lit(2), F.size("_toks"))
+        F.size("_toks") >= 1, F.sequence(F.lit(1), F.size("_toks"))
     ).otherwise(F.array().cast("array<int>"))
     bg = d.select(
         F.col(id_col),
@@ -656,7 +659,9 @@ def bigram_logprob_score(
             F.transform(
                 idx,
                 lambda i: F.struct(
-                    F.element_at("_toks", i - 1).alias("w1"),
+                    F.when(i == F.lit(1), F.lit(""))
+                    .otherwise(F.element_at("_toks", i - 1))
+                    .alias("w1"),
                     F.element_at("_toks", i).alias("w2"),
                 ),
             )
@@ -675,13 +680,12 @@ def bigram_logprob_score(
             F.count(F.lit(1)).cast("long").alias("_m")
         )
     )
-    un = (
-        d.select(F.explode("_toks").alias("_tok"))
-        .groupBy("_tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    )
+    # w2-marginal over ALL pairs (incl. the sentinel) = exact corpus
+    # token counts: every token is w2 of exactly one pair
+    un = g.groupBy("w2").agg(F.sum("_m").alias("_n"))
     total = un.agg(F.sum("_n").alias("_total"))
-    bc = g.groupBy("w1", "w2").agg(F.sum("_m").alias("_nb"))
+    real = g.filter(F.col("w1") != F.lit(""))
+    bc = real.groupBy("w1", "w2").agg(F.sum("_m").alias("_nb"))
     ctx = bc.groupBy("w1").agg(F.sum("_nb").alias("_nc"))
     # assemble the LM as a BIGRAM-VOCAB-sized table first (bc ⋈ ctx ⋈
     # un ⋈ total are all vocabulary-shaped), then join the corpus-sized
@@ -691,7 +695,7 @@ def bigram_logprob_score(
     # final per-doc reduction), the difference that compounds at 100 TB.
     lm = (
         bc.join(ctx, "w1")
-        .join(un.withColumnRenamed("_tok", "w2"), "w2")
+        .join(un, "w2")
         .crossJoin(F.broadcast(total))
         .select(
             "w1",
@@ -704,7 +708,7 @@ def bigram_logprob_score(
             ).alias("_nlp"),
         )
     )
-    scored = g.join(lm, ["w1", "w2"]).select(
+    scored = real.join(lm, ["w1", "w2"]).select(
         F.col(id_col), F.col("_m"), F.col("_nlp")
     )
     return scored.groupBy(id_col).agg(

@@ -48,7 +48,7 @@ COMMENT = {
     "chunk_sliding_windows": "Zero-shuffle narrow projection: split -> sequence -> explode -> slice; output is ~tokens/stride rows per doc, all partition-local (pinned: no Exchange, no Python).",
     "weighted_sample_langs": "One lang-keyed window ranking md5-derived exponential priorities (A-ES weighted sampling); no global sort, no RNG state to lose on retry.",
     "purchase_followup_views": "Non-equi interval containment executed as an equi-join on (user, hour-bin) + exact filter — never a broadcast-nested-loop (plan-pinned); one agg shuffle for per-purchase counts.",
-    "bigram_perplexity_proxy": "Bigram pairs from a narrow array transform (no window, no self-join) reduced to per-doc pair multiplicities, PINNED (r6): the three consumers (bigram table, context table, scored join) previously re-derived the scan+explode pipeline each — 5 scans/19 exchanges, now 2 scans. The corpus-sized raw pair stream stays unpinned (measured ~5x slower to materialize).",
+    "bigram_perplexity_proxy": "Bigram pairs from a narrow array transform (no window, no self-join) reduced to per-doc pair multiplicities, PINNED (r6; r5 shape was 5 scans/19 exchanges). r9: a sentinel begin-of-doc pair makes the pair table's w2-marginal EXACTLY the corpus token counts, so the unigram model derives from the pinned reduction too — ONE corpus scan total; bigram/context/unigram tables are all vocabulary-sized aggregates of it.",
     "score_calibration_en": "Classifier scoring stays a zero-shuffle projection; the calibration rollup is one partial-aggregated shuffle over at most 12 groups.",
     "semantic_dedup_embeddings": "IVF assignment map (vector rides the Arrow batch, no join-back) -> one cluster-keyed shuffle -> per-cluster BLAS Gram kernel emits dropped ids -> anti join. Quadratic work bounded to within-cluster pairs; the per-pair Catalyst-fold variant measured ~10x slower.",
     "ivf_cluster_profile": "Assignment map + broadcast join to the tiny centroid table + one partial-aggregated rollup over num_centroids groups.",
