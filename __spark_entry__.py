@@ -2311,6 +2311,34 @@ def curate_media_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
+def warc_ingest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→corpus front end under the driver gate
+    (operators/warc.py ingest_warc: WARC record walk → HTTP payload
+    decode → 2xx-HTML filter → Catalyst HTML→text): deterministic WARC
+    fixtures (fixtures.warc_blob) covering per-record gzip members vs
+    plain WARC, chunked transfer-encoding, gzip content-encoding and a
+    dropped-404 per cycle. The extracted TEXT itself is compared —
+    DuckDB rebuilds the exact expected string per (doc_id, k) from the
+    closed form."""
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_blob,
+    )
+    from datamancer_spark.operators.warc import ingest_warc
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_blob)
+    out = ingest_warc(blobs)
+    return out.select(
+        "doc_id",
+        "rec_idx",
+        "url",
+        "host",
+        "text",
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2363,7 +2391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_interarrival": event_interarrival,
         "ab_conversion_report": ab_conversion_report,
         "tfidf_similar_docs": tfidf_similar_docs,
-        "price_quantity_trend": price_quantity_trend,
+        # -- late-r9 add: the zero-green WARC ingestion tier enters the
+        # -- window; price_quantity_trend (2x-proven r7+r8) moves past
+        # -- position 50 to keep the window packed at exactly 50.
+        "warc_ingest_crawl": warc_ingest_crawl,
         "image_dhash_pairs": image_dhash_pairs,
         "grouped_mutate_150k": grouped_mutate_150k,
         "score_calibration_en": score_calibration_en,
@@ -2411,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the driver's 50-entry window: all >= 2-round
         # ---- driver-green; all stay in the local harness
         # ---- (the 7 rotated out in r9 first, then the r8 leavers)
+        "price_quantity_trend": price_quantity_trend,
         "approx_distinct": approx_distinct,
         "cohort_retention_weekly": cohort_retention_weekly,
         "corpus_health_report": corpus_health_report,
@@ -4763,5 +4795,32 @@ def oracle_sql() -> dict[str, str]:
     # same survivor structure, audio pipeline (exact-dup members share
     # a gain; perceptual clusters are the signature-equality groups)
     sql["curate_audio_mix"] = sql["curate_media_mix"]
+    # WARC fixture: 1 + doc_id % 3 responses at record index 2 + 2k;
+    # (doc_id + k) % 5 == 0 is the dropped 404; the extracted text is
+    # rebuilt exactly ("Doc {i} w0 ... w{m-1} &", m = 5 + (i + 2k) % 11)
+    sql["warc_ingest_crawl"] = """
+        WITH ws AS (
+          SELECT ms.m AS m,
+                 string_agg('w' || CAST(xs.x AS VARCHAR), ' '
+                            ORDER BY xs.x) AS s
+          FROM generate_series(0, 14) xs(x)
+          JOIN generate_series(5, 15) ms(m) ON xs.x < ms.m
+          GROUP BY ms.m
+        )
+        SELECT d.doc_id,
+               CAST(2 + 2 * t.k AS INT) AS rec_idx,
+               'http://h' || CAST((d.doc_id + t.k) % 7 AS VARCHAR)
+                 || '.example/p/' || CAST(d.doc_id AS VARCHAR)
+                 || '/' || CAST(t.k AS VARCHAR) AS url,
+               'h' || CAST((d.doc_id + t.k) % 7 AS VARCHAR)
+                 || '.example' AS host,
+               'Doc ' || CAST(d.doc_id AS VARCHAR) || ' ' || ws.s
+                 || ' &' AS text,
+               CAST(8 + (d.doc_id + 2 * t.k) % 11 AS INT) AS n_words
+        FROM documents d
+        JOIN (VALUES (0), (1), (2)) t(k) ON t.k <= d.doc_id % 3
+        JOIN ws ON ws.m = 5 + (d.doc_id + 2 * t.k) % 11
+        WHERE (d.doc_id + t.k) % 5 <> 0
+    """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

@@ -126,6 +126,9 @@ HEADLINE = [
     "image_dhash_pairs_b8",
     "audio_dhash_real_pairs",
     "curate_audio_mix",
+    # crawl ingestion front end (WARC record walk + HTTP decode +
+    # Catalyst HTML->text over executor-manufactured fixture files)
+    "warc_ingest_crawl",
 ]
 
 

@@ -282,6 +282,88 @@ def solid_tiff_blob(i: int) -> bytes:
     return b"II*\x00" + struct.pack("<I", 8) + ifd + data
 
 
+def warc_blob(i: int) -> bytes:
+    """Deterministic WARC file whose ``ingest_warc`` output is closed-
+    form doc_id arithmetic. Per id: a warcinfo record, then
+    ``1 + i % 3`` request/response pairs; response ``k`` is a 404 when
+    ``(i + k) % 5 == 0`` (dropped by the ingest filter), otherwise a
+    200 text/html whose extracted text is exactly
+    ``"Doc {i} w0 ... w{m-1} &"`` with ``m = 5 + (i + 2k) % 11``.
+    HTTP framing cycles ``(i + k) % 3``: chunked transfer-encoding /
+    gzip content-encoding / identity; the whole file is one gzip
+    member per record (the Common Crawl ``.warc.gz`` convention) for
+    even ids and plain WARC for odd — every decode path in
+    ``operators/warc.py`` runs under the driver gate."""
+    import gzip as _gzip
+
+    def record(wtype: str, payload: bytes, uri: str | None = None) -> bytes:
+        head = [b"WARC/1.0", b"WARC-Type: " + wtype.encode()]
+        if uri is not None:
+            head.append(b"WARC-Target-URI: " + uri.encode())
+        head += [
+            b"WARC-Date: 2026-01-01T00:00:00Z",
+            b"Content-Type: "
+            + (
+                b"application/http; msgtype=response"
+                if wtype == "response"
+                else b"application/warc-fields"
+            ),
+            b"Content-Length: " + str(len(payload)).encode(),
+        ]
+        return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    recs = [record("warcinfo", b"software: fixtures\r\n")]
+    for k in range(1 + i % 3):
+        uri = f"http://h{(i + k) % 7}.example/p/{i}/{k}"
+        recs.append(
+            record("request", b"GET /p HTTP/1.1\r\nHost: x\r\n\r\n", uri)
+        )
+        if (i + k) % 5 == 0:
+            body = b"<html><body>gone</body></html>"
+            http = (
+                b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+                + b"Content-Length: %d\r\n\r\n" % len(body)
+                + body
+            )
+        else:
+            m = 5 + (i + 2 * k) % 11
+            words = " ".join(f"w{j}" for j in range(m))
+            body = (
+                f"<html><head><title>T{i}</title><style>p{{color:red}}"
+                f"</style></head><body><h1>Doc {i}</h1><p>{words} "
+                f"&amp;</p></body></html>"
+            ).encode()
+            variant = (i + k) % 3
+            if variant == 0:  # chunked
+                half = len(body) // 2
+                body_tx = (
+                    b"%x\r\n" % half + body[:half] + b"\r\n"
+                    + b"%x\r\n" % (len(body) - half) + body[half:]
+                    + b"\r\n0\r\n\r\n"
+                )
+                enc_hdr = b"Transfer-Encoding: chunked\r\n"
+            elif variant == 1:  # gzip content-encoding
+                body_tx = _gzip.compress(body, mtime=0)
+                enc_hdr = (
+                    b"Content-Encoding: gzip\r\nContent-Length: %d\r\n"
+                    % len(body_tx)
+                )
+            else:
+                body_tx = body
+                enc_hdr = b"Content-Length: %d\r\n" % len(body)
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                + enc_hdr
+                + b"\r\n"
+                + body_tx
+            )
+        recs.append(record("response", http, uri))
+    if i % 2 == 0:
+        return b"".join(_gzip.compress(r, mtime=0) for r in recs)
+    return b"".join(recs)
+
+
 #: coverage-mix assignment: i % 9 -> (generator, container, screenable)
 MIX_TIERS = [
     (solid_png_blob, "png", True),

@@ -23,10 +23,21 @@ staying metadata-only. Remaining refusals, each deliberate:
   intensity bound (the right channel's nonzero extent). A decoder
   exposing SEPARATE channels would need the tan(pos·π/12) split;
   this one never does.
-* **MPEG-2 / 2.5 (LSF) and Layer II** — refused. Layer II's
-  quantization-class tables (Table B.2) are exactly the kind of spec
-  data that cannot be confidently transcribed here, and LSF streams
-  add a second scalefactor scheme; both stay metadata-only.
+* **MPEG-2 / 2.5 (LSF) and Layer II** — refused, with the same
+  determination logic as the Huffman tables (r9): each needs spec
+  tables whose only available structural self-check is too weak to
+  catch a corrupt transcription. LSF needs six new scalefactor-band
+  width tables (ISO 13818-3) plus the LSF slen partition table; the
+  widths' only invariant is "sum to 576", which a swapped or shifted
+  pair still satisfies — and a wrong width moves the Huffman region
+  boundary, the exact silent-desync failure mode the window-switching
+  fix (r9) closed for MPEG-1. Layer II needs the B.2a-d bit-allocation
+  index matrices (32 subbands × 16 rows × 4 variants) with no
+  invariant at all — a wrong index mis-sizes every following field.
+  A fabricated table that "mostly works" is worse than a loud refusal:
+  both stay metadata-only (header/duration/codec id still parse), the
+  clip comes back undecodable, and ``media_decode_coverage`` reports
+  the fraction honestly.
 * **Synthesis window**: the 512-tap prototype in the spec (Annex B
   Table B.3) is a numerically designed table with no closed form; this
   module uses its own Kaiser-designed near-equivalent, calibrated to

@@ -1,0 +1,299 @@
+"""WARC / WET crawl ingestion — the front end of a training-data
+pipeline (Common Crawl convention: ``*.warc.gz`` with one gzip member
+per record; WET conversion records carry pre-extracted text).
+
+Beyond-reference surface (the reference engine reads CSV/HDF5 only;
+see SURVEY.md §2.1): at 100 TB the corpus ARRIVES as WARC, so the
+engine needs the crawl→corpus step in-plan, not as a side pipeline.
+
+Scale design
+------------
+* Whole-file bytes arrive as a binary column (``spark.read.format
+  ("binaryFile")`` in production; any (id, bytes) frame works — the
+  fixtures manufacture one). Record splitting, gzip-member walking and
+  HTTP payload decoding run EXECUTOR-SIDE in one Arrow-batched
+  ``mapInPandas`` pass; decompression is C-speed ``zlib``. Only the
+  extracted rows (uri, text) ever shuffle.
+* HTML→text is a pure Catalyst ``regexp_replace`` chain
+  (``html_text_col``) — whole-stage-codegen JVM work, zero Python in
+  the per-document hot path after extraction.
+* Malformed input is certain at crawl scale and must not kill tasks
+  (same posture as the r8 truncated-WAV guards): a corrupt gzip
+  member, a truncated record, an over-long declared Content-Length or
+  a bad HTTP payload SKIPS that record (or yields it with null HTTP
+  fields), never raises.
+
+Format notes (public specs: ISO 28500 WARC 1.0/1.1; RFC 9110/9112 for
+the HTTP payloads; WET is the Common Crawl "conversion"-record
+convention). No spec tables are involved anywhere — WARC and HTTP are
+self-describing text formats.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(blob: bytes):
+    """Yield the decompressed bytes of each gzip member (Common Crawl
+    writes one WARC record per member). Corrupt members end the walk —
+    everything already yielded stays valid."""
+    pos = 0
+    n = len(blob)
+    while pos < n and blob[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(blob[pos:])
+        except zlib.error:
+            return
+        yield out
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0 or not d.eof:
+            return
+        pos += consumed
+
+
+def _parse_headers(block: bytes):
+    """Lowercased-key dict from a CRLF header block (value whitespace
+    stripped; duplicate keys keep the first)."""
+    headers = {}
+    for line in block.split(b"\r\n"):
+        if b":" not in line:
+            continue
+        k, _, v = line.partition(b":")
+        key = k.strip().lower().decode("latin-1")
+        if key not in headers:
+            headers[key] = v.strip().decode("latin-1", "replace")
+    return headers
+
+
+def _split_warc_records(buf: bytes):
+    """Yield (headers, payload) per WARC record in a plain (already
+    decompressed) WARC stream. Tolerant: scans to the next ``WARC/``
+    magic, stops on truncation."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        start = buf.find(b"WARC/", pos)
+        if start < 0:
+            return
+        head_end = buf.find(_CRLF2, start)
+        if head_end < 0:
+            return
+        headers = _parse_headers(buf[start:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            # unparseable length: resync on the next record magic
+            pos = start + 5
+            continue
+        body_start = head_end + 4
+        if length < 0 or body_start + length > n:
+            return  # truncated final record
+        yield headers, buf[body_start : body_start + length]
+        pos = body_start + length
+
+
+def _decode_chunked(body: bytes):
+    """RFC 9112 chunked transfer decoding; returns None on malformed
+    framing (caller falls back to the raw body)."""
+    out = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return b"".join(out)
+        chunk_end = eol + 2 + size
+        if chunk_end > n:
+            return None
+        out.append(body[eol + 2 : chunk_end])
+        pos = chunk_end + 2  # skip the chunk's trailing CRLF
+    return None
+
+
+def _parse_http_payload(payload: bytes):
+    """(status, content_type, body) from a raw HTTP response payload;
+    (None, None, payload) when it isn't one. Undoes chunked transfer
+    encoding and gzip/deflate content encoding."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head_end = payload.find(_CRLF2)
+    if head_end < 0:
+        return None, None, payload
+    head = payload[:head_end]
+    status_line, _, header_block = head.partition(b"\r\n")
+    parts = status_line.split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    headers = _parse_headers(header_block)
+    body = payload[head_end + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        dechunked = _decode_chunked(body)
+        if dechunked is not None:
+            body = dechunked
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip", "deflate"):
+        try:
+            body = zlib.decompress(body, wbits=47 if enc != "deflate" else 15)
+        except zlib.error:
+            pass  # leave the raw body; better than dropping the record
+    ctype = headers.get("content-type")
+    return status, ctype, body
+
+
+WARC_RECORD_SCHEMA = [
+    StructField("rec_idx", IntegerType()),
+    StructField("warc_type", StringType()),
+    StructField("target_uri", StringType()),
+    StructField("warc_date", StringType()),
+    StructField("content_type", StringType()),
+    StructField("http_status", IntegerType()),
+    StructField("http_content_type", StringType()),
+    StructField("payload", BinaryType()),
+]
+
+
+def warc_records(
+    df: DataFrame, bin_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per WARC record: (id, rec_idx, warc_type, target_uri,
+    warc_date, content_type, http_status, http_content_type, payload).
+
+    Accepts plain WARC bytes or per-record/whole-file gzip (the
+    ``.warc.gz`` magic dispatches). ``payload`` for response records is
+    the HTTP BODY (status/type lifted into columns, transfer- and
+    content-encoding undone); for every other record type it is the raw
+    record block. Malformed records are skipped, truncation stops the
+    walk — a corrupt blob yields its valid prefix and never raises."""
+    out_schema = StructType([df.schema[id_col]] + WARC_RECORD_SCHEMA)
+
+    def rows_of(blob):
+        if blob is None:
+            return
+        blob = bytes(blob)
+        if blob[:2] == b"\x1f\x8b":
+            streams = _gunzip_members(blob)
+        else:
+            streams = (blob,)
+        idx = 0
+        for stream in streams:
+            for headers, payload in _split_warc_records(stream):
+                wtype = headers.get("warc-type")
+                status, http_ctype, body = (None, None, payload)
+                if wtype in ("response", "revisit") and payload.startswith(
+                    b"HTTP/"
+                ):
+                    status, http_ctype, body = _parse_http_payload(payload)
+                yield (
+                    idx,
+                    wtype,
+                    headers.get("warc-target-uri"),
+                    headers.get("warc-date"),
+                    headers.get("content-type"),
+                    status,
+                    http_ctype,
+                    body,
+                )
+                idx += 1
+
+    cols = [f.name for f in WARC_RECORD_SCHEMA]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {id_col: [], **{c: [] for c in cols}}
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                for row in rows_of(blob):
+                    out[id_col].append(rid)
+                    for c, v in zip(cols, row):
+                        out[c].append(v)
+            # object dtype keeps ints exact and None as null
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=object) for k, v in out.items()}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
+
+
+def html_text_col(html: Column) -> Column:
+    """HTML → visible text as a pure Catalyst expression chain (JVM
+    whole-stage codegen; no Python per document): drop script/style/
+    head subtrees and comments, strip tags, decode the common named
+    entities, collapse whitespace. A deliberately simple extractor —
+    boilerplate REMOVAL (nav/footer pruning) is the quality battery's
+    job downstream (gopher rules, line dedup, repetition screens)."""
+    t = F.regexp_replace(html, r"(?is)<(script|style|head)\b[^>]*>.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # block-level closers become newlines so words don't fuse
+    t = F.regexp_replace(t, r"(?i)</(p|div|li|h[1-6]|tr|br)\s*>|<br\s*/?>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def ingest_warc(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    min_status: int = 200,
+    max_status: int = 299,
+) -> DataFrame:
+    """The crawl→corpus front end: WARC bytes → one text row per kept
+    HTML response — (id, rec_idx, url, host, text). Keeps 2xx HTML
+    responses; host extraction and HTML→text run JVM-side on the
+    already-thin record frame."""
+    recs = warc_records(df, bin_col=bin_col, id_col=id_col)
+    kept = recs.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(min_status, max_status)
+        & F.col("http_content_type").rlike("(?i)text/html")
+    )
+    return kept.select(
+        F.col(id_col),
+        "rec_idx",
+        F.col("target_uri").alias("url"),
+        F.regexp_extract(F.col("target_uri"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1).alias(
+            "host"
+        ),
+        html_text_col(
+            F.decode(F.col("payload"), "UTF-8")
+        ).alias("text"),
+    )
+
+
+def wet_text(records: DataFrame) -> DataFrame:
+    """Text rows from WET conversion records: (id, rec_idx, url, text).
+    WET payloads are already-extracted UTF-8 plain text — no HTML pass."""
+    return records.filter(F.col("warc_type") == "conversion").select(
+        records.columns[0],
+        "rec_idx",
+        F.col("target_uri").alias("url"),
+        F.trim(F.decode(F.col("payload"), "UTF-8")).alias("text"),
+    )

@@ -264,3 +264,21 @@ def test_media_fixture_tier_plans(spark, sf_dir):
             name, plan.count("Exchange"))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_warc_ingest_zero_shuffle(spark, sf_dir):
+    """The crawl front end must stay embarrassingly parallel: record
+    split + HTTP decode in one mapInPandas pass, the 2xx-HTML filter
+    and the whole HTML->text regexp chain Catalyst-side in the same
+    stage — no Exchange, no join, and exactly one Python stage."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import executed_plan
+
+    q = e.queries()["warc_ingest_crawl"](spark, sf_dir)
+    plan = executed_plan(q)
+    assert plan.count("Exchange") == 0, plan.count("Exchange")
+    assert "Join" not in plan
+    # two Python stages under the gate: the fixture blob generator
+    # (test-only) and the record walk itself; production is one
+    assert plan.count("MapInPandas") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

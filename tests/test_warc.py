@@ -1,0 +1,226 @@
+"""WARC/WET ingestion tier (operators/warc.py) against the
+deterministic fixture (fixtures.warc_blob) plus adversarial inputs.
+The fixture's expected values are recomputed here INDEPENDENTLY from
+the closed forms so a bug shared by generator and parser can't hide."""
+
+import gzip
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamancer_spark.operators.fixtures import synth_blob_frame, warc_blob
+from datamancer_spark.operators.warc import (
+    _decode_chunked,
+    _gunzip_members,
+    html_text_col,
+    ingest_warc,
+    warc_records,
+    wet_text,
+)
+
+
+def expected_rows(i):
+    """Closed-form ingest_warc output for id ``i`` (independent of the
+    generator's string building)."""
+    rows = []
+    for k in range(1 + i % 3):
+        if (i + k) % 5 == 0:
+            continue
+        m = 5 + (i + 2 * k) % 11
+        text = f"Doc {i} " + " ".join(f"w{j}" for j in range(m)) + " &"
+        rows.append(
+            (
+                i,
+                2 + 2 * k,
+                f"http://h{(i + k) % 7}.example/p/{i}/{k}",
+                f"h{(i + k) % 7}.example",
+                text,
+            )
+        )
+    return rows
+
+
+def blob_frame(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    return synth_blob_frame(df, warc_blob)
+
+
+class TestWarcRecords:
+    def test_record_inventory(self, spark):
+        # id 7 (odd -> plain WARC): warcinfo + 2 req/resp pairs
+        recs = warc_records(blob_frame(spark, [7])).collect()
+        types = [r["warc_type"] for r in recs]
+        assert types == ["warcinfo", "request", "response"] * 1 + [
+            "request",
+            "response",
+        ]
+        assert [r["rec_idx"] for r in recs] == list(range(5))
+        resp = [r for r in recs if r["warc_type"] == "response"]
+        assert all(r["target_uri"].startswith("http://h") for r in resp)
+        assert all(r["warc_date"] == "2026-01-01T00:00:00Z" for r in recs)
+
+    def test_gzip_member_walk(self, spark):
+        # id 6 (even): one gzip member per record, same inventory
+        recs = warc_records(blob_frame(spark, [6])).collect()
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo"
+        ] + ["request", "response"]
+
+    def test_http_fields_and_encodings(self, spark):
+        # ids 0..11 cover chunked / gzip / identity framing x both
+        # outer layouts; every 200-response body must be intact HTML
+        recs = warc_records(blob_frame(spark, list(range(12)))).collect()
+        ok = [
+            r
+            for r in recs
+            if r["warc_type"] == "response" and r["http_status"] == 200
+        ]
+        assert len(ok) > 0
+        for r in ok:
+            assert r["http_content_type"].startswith("text/html")
+            body = bytes(r["payload"])
+            assert body.startswith(b"<html>") and body.endswith(b"</html>")
+        statuses = {
+            r["http_status"]
+            for r in recs
+            if r["warc_type"] == "response"
+        }
+        assert statuses == {200, 404}
+
+    def test_request_payload_raw(self, spark):
+        recs = warc_records(blob_frame(spark, [7])).collect()
+        req = [r for r in recs if r["warc_type"] == "request"][0]
+        assert bytes(req["payload"]).startswith(b"GET ")
+        assert req["http_status"] is None
+
+
+class TestIngest:
+    def test_closed_form_exact(self, spark):
+        ids = list(range(40))
+        got = sorted(
+            tuple(r)
+            for r in ingest_warc(blob_frame(spark, ids)).collect()
+        )
+        want = sorted(sum((expected_rows(i) for i in ids), []))
+        assert got == want
+
+    def test_404_filtered(self, spark):
+        # id 5, k=0: (5+0)%5==0 -> 404 dropped; k=1..2 kept? i%3=2 -> k in 0..2
+        rows = ingest_warc(blob_frame(spark, [5])).collect()
+        assert [r["rec_idx"] for r in sorted(rows, key=lambda r: r["rec_idx"])] == [4, 6]
+
+
+class TestAdversarial:
+    def test_truncated_plain_and_gzip(self, spark):
+        for i in (7, 6):  # plain / gzip outer
+            full = warc_blob(i)
+            for frac in (0.9, 0.5, 0.1):
+                cut = full[: int(len(full) * frac)]
+                df = spark.createDataFrame([(1, bytearray(cut))], "doc_id long, content binary")
+                warc_records(df).collect()  # must not raise
+
+    def test_corrupt_gzip_member_stops_cleanly(self):
+        a = gzip.compress(b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 0\r\n\r\n\r\n\r\n", mtime=0)
+        b = bytearray(gzip.compress(b"more", mtime=0))
+        b[12] ^= 0xFF
+        out = list(_gunzip_members(bytes(a + b)))
+        assert len(out) >= 1 and out[0].startswith(b"WARC/1.0")
+
+    def test_garbage_and_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00\x01not a warc")), (2, bytearray(b"")), (3, None)],
+            "doc_id long, content binary",
+        )
+        assert warc_records(df).count() == 0
+
+    def test_bad_content_length_resync(self, spark):
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: junk\r\nContent-Length: zzz\r\n\r\n"
+            + warc_blob(7)
+        )
+        df = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, content binary")
+        types = [r["warc_type"] for r in warc_records(df).collect()]
+        assert "warcinfo" in types and "response" in types
+
+    def test_overlong_declared_length(self, spark):
+        rec = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nshort"
+        df = spark.createDataFrame([(1, bytearray(rec))], "doc_id long, content binary")
+        assert warc_records(df).count() == 0
+
+    def test_malformed_chunked_falls_back(self):
+        assert _decode_chunked(b"not hex\r\nbody") is None
+        assert _decode_chunked(b"5\r\nhe") is None  # truncated chunk
+        assert _decode_chunked(b"3\r\nabc\r\n0\r\n\r\n") == b"abc"
+
+    def test_corrupt_content_encoding_keeps_raw(self, spark):
+        body = b"\x1f\x8bnot really gzip"
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\nContent-Length: %d\r\n\r\n" % len(body)
+            + body
+        )
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://x/\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(http)
+            + http
+            + b"\r\n\r\n"
+        )
+        df = spark.createDataFrame([(1, bytearray(rec))], "doc_id long, content binary")
+        r = warc_records(df).collect()[0]
+        assert r["http_status"] == 200 and bytes(r["payload"]) == body
+
+
+class TestHtmlText:
+    CASES = [
+        (
+            "<html><head><title>T</title><style>p{}</style></head>"
+            "<body><h1>A</h1><p>b c</p></body></html>",
+            "A b c",
+        ),
+        ("<p>x<!-- hidden secret --></p><p>y</p>", "x y"),
+        ("a<br>b<br/>c", "a b c"),
+        ("<script>var x = '<p>no</p>';</script>visible", "visible"),
+        ("&lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39; &nbsp;end", "<tag> & \"q\" 's' end"),
+        ("<div>one</div><div>two</div>", "one two"),
+        ("<STYLE>x</STYLE>ok", "ok"),
+    ]
+
+    def test_cases(self, spark):
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _) in enumerate(self.CASES)], "i int, html string"
+        )
+        out = {
+            r["i"]: r["t"]
+            for r in df.select("i", html_text_col(F.col("html")).alias("t")).collect()
+        }
+        for i, (_, want) in enumerate(self.CASES):
+            assert out[i] == want, (i, out[i])
+
+    def test_is_catalyst_only(self, spark):
+        # no Python UDF: the expression must survive explain without
+        # a BatchEvalPython/ArrowEvalPython node
+        df = spark.range(1).select(html_text_col(F.lit("<p>x</p>")).alias("t"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+
+class TestWet:
+    def test_wet_conversion_records(self, spark):
+        payload = "Already extracted text.\nSecond line.".encode()
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: http://w.example/a\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(payload)
+            + payload
+            + b"\r\n\r\n"
+        )
+        df = spark.createDataFrame([(9, bytearray(rec))], "doc_id long, content binary")
+        out = wet_text(warc_records(df)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["url"] == "http://w.example/a"
+        assert r["text"] == "Already extracted text.\nSecond line."

@@ -48,7 +48,7 @@ COMMENT = {
     "chunk_sliding_windows": "Zero-shuffle narrow projection: split -> sequence -> explode -> slice; output is ~tokens/stride rows per doc, all partition-local (pinned: no Exchange, no Python).",
     "weighted_sample_langs": "One lang-keyed window ranking md5-derived exponential priorities (A-ES weighted sampling); no global sort, no RNG state to lose on retry.",
     "purchase_followup_views": "Non-equi interval containment executed as an equi-join on (user, hour-bin) + exact filter — never a broadcast-nested-loop (plan-pinned); one agg shuffle for per-purchase counts.",
-    "bigram_perplexity_proxy": "Bigram pairs from a narrow array transform (no window, no self-join) reduced to per-doc pair multiplicities, PINNED (r6; r5 shape was 5 scans/19 exchanges). r9: a sentinel begin-of-doc pair makes the pair table's w2-marginal EXACTLY the corpus token counts, so the unigram model derives from the pinned reduction too — ONE corpus scan total; bigram/context/unigram tables are all vocabulary-sized aggregates of it.",
+    "bigram_perplexity_proxy": "Bigram pairs from a narrow array transform (no window, no self-join) reduced to per-doc pair multiplicities, PINNED (r6; r5 shape was 5 scans/19 exchanges). r9: a sentinel begin-of-doc pair makes the pair table's w2-marginal EXACTLY the corpus token counts, so the unigram model derives from the pinned reduction too — ONE corpus scan total; bigram/context/unigram tables are all vocabulary-sized aggregates of it. (the audited final plan shows 0 parquet scans because the single corpus scan lives in the checkpoint job that builds the pinned reduction)",
     "score_calibration_en": "Classifier scoring stays a zero-shuffle projection; the calibration rollup is one partial-aggregated shuffle over at most 12 groups.",
     "semantic_dedup_embeddings": "IVF assignment map (vector rides the Arrow batch, no join-back) -> one cluster-keyed shuffle -> per-cluster BLAS Gram kernel emits dropped ids -> anti join. Quadratic work bounded to within-cluster pairs; the per-pair Catalyst-fold variant measured ~10x slower.",
     "ivf_cluster_profile": "Assignment map + broadcast join to the tiny centroid table + one partial-aggregated rollup over num_centroids groups.",
@@ -76,8 +76,9 @@ COMMENT = {
     "pipeline_curate_v2": "Gate+tokenize in ONE scan-side projection pinned as token arrays with lang riding (r6: no semi join back, no re-tokenize); span removal consumes pinned tokens; cleaned corpus pinned again before the fingerprint dedup; per-lang rollup. 4.25s -> 3.03s best-of, final-plan exchanges 20 -> 4.",
     "image_dhash_pairs": "Banded Hamming-LSH pair join (shared hamming_band_pairs engine): distinct signatures explode to 4 16-bit blocks, equi-join on (block, value), bit_count filter BEFORE the pair distinct; members expand back via two equi-joins. Pigeonhole-exact at max_hamming<=3; no cartesian/nested-loop stage.",
     "tfidf_similar_docs": "Weights checkpointed once (feeds norms + both self-join legs); term-keyed self-join with the fractional doc-freq cap pruning stop-word terms before the sum(df^2) shuffle.",
-    "bm25_search_terms": "Both corpus scalars ride the plan as one-row broadcast crossJoins (n_docs for idf, avgdl for length normalization) — no eager driver jobs; term-counts checkpointed once feeding dl/df/scoring legs.",
+    "bm25_search_terms": "Both corpus scalars ride the plan as one-row broadcast crossJoins (n_docs for idf, avgdl for length normalization) — no eager driver jobs. r9 rework (VERDICT r8 #4): token stream clustered by id BEFORE the (id, term) count so one id exchange serves the count AND the dl window; avgdl's count_distinct(id) replaced by a row_number==1 marker summed in the same window pass (kills a doc_id re-shuffle); doc frequency is count(1) over the (id, term)-distinct frame (kills count_distinct's (term, id) expand exchange); enriched frame checkpointed once feeding df/avgdl/scoring legs. Why 8 is the floor here: the checkpoint scan erases partitioning info, so each of the 3 legs re-partitions the pinned rows (term x2 folds to broadcast at gate scale, singleton x2) on top of the id exchange + 2 scalar broadcasts; sharing the term exchange across legs would need exchange reuse across a checkpoint boundary, which Spark does not canonicalize. Pinned <=8 in test_plans.py; sf0.1 best-of wall 1.18s vs 1.25s (r7 shape), DuckDB twin green at sf0.01 + sf0.1.",
     "price_quantity_trend": "Five OLS sums per group in one partial-aggregated groupBy.",
+    "warc_ingest_crawl": "Crawl front end: WARC record split + gzip-member walk + HTTP payload decode in ONE Arrow-batched mapInPandas pass next to the scan (zlib is C-speed; only extracted rows continue); the 2xx-HTML filter and the whole HTML->text chain are Catalyst regexp expressions in the same codegen stage — zero shuffles, zero joins; at 100 TB this is embarrassingly parallel over binaryFile splits.",
 }
 
 
