@@ -2931,6 +2931,21 @@ def audio_container_metadata(
     return df.select("path", bin_col).mapInPandas(batches, AUDIO_META_SCHEMA)
 
 
+def _keep_min_per_signature(cur: DataFrame, sigs: DataFrame, id_col: str):
+    """Radius-0 perceptual dedup without the pair graph: Hamming 0 is
+    signature EQUALITY, an equivalence relation already — the
+    transitive closure the connected-components loop would compute IS
+    the equal-signature group, so "min id per component" collapses to
+    one groupBy. Skips the iterative CC rounds (each a full Spark job)
+    AND the banded pair join; undecodable blobs (absent from ``sigs``)
+    are never dropped."""
+    keep = sigs.groupBy("dhash").agg(F.min(id_col).alias(id_col))
+    losers = sigs.join(
+        keep.select(id_col), id_col, "left_anti"
+    ).select(id_col)
+    return cur.join(losers, id_col, "left_anti")
+
+
 def curate_media(
     df: DataFrame,
     bin_col: str = "content",
@@ -2988,10 +3003,20 @@ def curate_media(
         .select(id_col)
     )
     cur = cur.join(exact_keep, id_col, "left_semi")
-    pairs = dhash_pairs(
-        cur, bin_col, id_col, max_hamming=max_hamming, bands=bands
-    )
-    survivors = dedup_keep_canonical(cur, pairs, id_col=id_col)
+    if max_hamming == 0:
+        from ..session import materialize
+
+        sigs = materialize(
+            image_dhash(cur, bin_col, id_col).filter(
+                F.col("dhash").isNotNull()
+            )
+        )
+        survivors = _keep_min_per_signature(cur, sigs, id_col)
+    else:
+        pairs = dhash_pairs(
+            cur, bin_col, id_col, max_hamming=max_hamming, bands=bands
+        )
+        survivors = dedup_keep_canonical(cur, pairs, id_col=id_col)
     return survivors, media_decode_coverage(survivors, bin_col)
 
 
@@ -3040,8 +3065,18 @@ def curate_audio(
         .select(id_col)
     )
     cur = cur.join(exact_keep, id_col, "left_semi")
-    pairs = audio_dhash_pairs(
-        cur, bin_col, id_col, max_hamming=max_hamming, bands=bands
-    )
-    survivors = dedup_keep_canonical(cur, pairs, id_col=id_col)
+    if max_hamming == 0:
+        from ..session import materialize
+
+        sigs = materialize(
+            audio_dhash(cur, bin_col, id_col).filter(
+                F.col("dhash").isNotNull()
+            )
+        )
+        survivors = _keep_min_per_signature(cur, sigs, id_col)
+    else:
+        pairs = audio_dhash_pairs(
+            cur, bin_col, id_col, max_hamming=max_hamming, bands=bands
+        )
+        survivors = dedup_keep_canonical(cur, pairs, id_col=id_col)
     return survivors, media_decode_coverage(survivors, bin_col)

@@ -2122,6 +2122,48 @@ class TestCurateMedia:
         assert cov["png"] == (2, 2)
         assert cov["unknown"] == (1, 0)
 
+    def test_radius0_fast_path_equals_pair_graph(self, spark):
+        """max_hamming=0 takes the groupBy fast path (no pair join, no
+        CC rounds); its survivor set must equal what the pair-graph
+        composition (dhash_pairs -> dedup_keep_canonical) computes on
+        the same frame — Hamming 0 is signature equality, so both are
+        the min-id-per-equal-signature rule."""
+        import numpy as np
+
+        from datamancer_spark.operators.components import (
+            dedup_keep_canonical,
+        )
+        from datamancer_spark.operators.multimodal import (
+            curate_media,
+            dhash_pairs,
+            image_dhash,
+        )
+
+        rng = np.random.default_rng(73)
+        pics = [
+            rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+            for _ in range(3)
+        ]
+        rows = []
+        for j, pic in enumerate(pics):
+            # two perceptual dups per picture (different filter -> new
+            # bytes, same pixels) + one opaque blob per set
+            rows.append((f"p{j}_a.png", bytearray(_encode_png(pic, 0, [0]))))
+            rows.append((f"p{j}_b.png", bytearray(_encode_png(pic, 0, [2]))))
+        rows.append(("z.bin", bytearray(b"unscreenable")))
+        df = spark.createDataFrame(rows, "path string, content binary")
+
+        fast, _ = curate_media(df, max_hamming=0)
+        got = {r["path"] for r in fast.collect()}
+
+        pairs = dhash_pairs(df, max_hamming=0)
+        want = {
+            r["path"]
+            for r in dedup_keep_canonical(df, pairs, id_col="path").collect()
+        }
+        assert got == want
+        assert got == {"p0_a.png", "p1_a.png", "p2_a.png", "z.bin"}
+
     def test_dimension_gate_spares_unknown_dims(self, spark):
         """The dims gate drops only PROVABLY undersized images: blobs
         whose dims are unknown (audio, opaque payloads) survive — the
