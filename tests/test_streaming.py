@@ -672,3 +672,39 @@ def test_streaming_audio_screen_cross_codec(spark, tmp_path):
     finally:
         q.stop()
     assert survivors == {"new", "bad"}
+
+
+def test_streaming_warc_ingest_composes(spark, tmp_path):
+    """The crawl front end composes with Structured Streaming unchanged:
+    ingest_warc is a stateless mapInPandas + Catalyst projection, so a
+    parquet file stream of (doc_id, WARC bytes) yields the same
+    extracted-text rows the batch path produces."""
+    from datamancer_spark.operators.fixtures import warc_blob
+    from datamancer_spark.operators.warc import ingest_warc
+    from tests.test_warc import expected_rows
+
+    ids = [6, 7, 8]
+    d = str(tmp_path / "warc_in")
+    incoming = spark.createDataFrame(
+        [(i, bytearray(warc_blob(i))) for i in ids],
+        "doc_id long, content binary",
+    )
+    incoming.write.parquet(d)
+    stream = spark.readStream.schema(incoming.schema).parquet(d)
+    out = ingest_warc(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("warc_ingest")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r)
+            for r in spark.sql("SELECT * FROM warc_ingest").collect()
+        )
+    finally:
+        q.stop()
+    assert got == sorted(sum((expected_rows(i) for i in ids), []))

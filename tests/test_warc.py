@@ -224,3 +224,63 @@ class TestWet:
         r = out[0]
         assert r["url"] == "http://w.example/a"
         assert r["text"] == "Already extracted text.\nSecond line."
+
+
+class TestFuzz:
+    """Property: the record walk is total — ANY bytes (random, mutated
+    fixtures, random truncations) parse to a (possibly empty) record
+    list without raising. This is the 100-TB contract: corrupt blobs
+    are certain at crawl scale and must cost a record, not a task.
+    Pure-Python driver-side fuzz (no Spark round trip per example)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def _walk(self, blob):
+        from datamancer_spark.operators.warc import (
+            _gunzip_members,
+            _parse_http_payload,
+            _split_warc_records,
+        )
+
+        streams = (
+            _gunzip_members(blob) if blob[:2] == b"\x1f\x8b" else (blob,)
+        )
+        n = 0
+        for s in streams:
+            for h, p in _split_warc_records(s):
+                if p.startswith(b"HTTP/"):
+                    _parse_http_payload(p)
+                n += 1
+        return n
+
+    @given(st.binary(max_size=512))
+    @settings(max_examples=300, deadline=None)
+    def test_random_bytes_never_raise(self, data):
+        self._walk(data)
+
+    @given(
+        i=st.integers(min_value=0, max_value=500),
+        pos=st.floats(min_value=0.0, max_value=1.0),
+        mut=st.integers(min_value=0, max_value=255),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_mutated_fixture_never_raises(self, i, pos, mut):
+        from datamancer_spark.operators.fixtures import warc_blob
+
+        blob = bytearray(warc_blob(i))
+        blob[int(pos * (len(blob) - 1))] ^= mut
+        self._walk(bytes(blob))
+
+    @given(
+        i=st.integers(min_value=0, max_value=500),
+        frac=st.floats(min_value=0.0, max_value=1.0),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_truncation_yields_prefix(self, i, frac):
+        from datamancer_spark.operators.fixtures import warc_blob
+
+        full = warc_blob(i)
+        n_full = self._walk(full)
+        n_cut = self._walk(full[: int(len(full) * frac)])
+        assert 0 <= n_cut <= n_full
