@@ -364,7 +364,31 @@ def warc_blob(i: int) -> bytes:
     return b"".join(recs)
 
 
-#: coverage-mix assignment: i % 9 -> (generator, container, screenable)
+def webp_grad_blob(i: int) -> bytes:
+    """Real lossless-WebP (VP8L) tier: a small gradient encoded by the
+    INDEPENDENT test-side encoder (subtract-green + color cache) — the
+    engine's ``webp_supported`` capability walk must decode the full
+    symbol stream to classify it screenable (plain LZ77 distances
+    only, so the neighbor-map refusal never fires on fixture
+    streams)."""
+    import numpy as np
+
+    from tests.vp8l_encoder import encode_vp8l  # fixture-only dep
+
+    w = 6 + i % 9
+    h = 5 + i % 7
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = [
+                (i + x * 7 + y) % 256,
+                (i * 3 + x) % 256,
+                (i + y * 11) % 256,
+            ]
+    return encode_vp8l(img, subtract_green=True, cache_bits=2)
+
+
+#: coverage-mix assignment: i % 10 -> (generator, container, screenable)
 MIX_TIERS = [
     (solid_png_blob, "png", True),
     (wav_const_blob, "wav", True),
@@ -375,11 +399,12 @@ MIX_TIERS = [
     (ogg_vorbis_blob, "ogg", True),
     (solid_bmp_blob, "bmp", True),
     (solid_tiff_blob, "tiff", True),
+    (webp_grad_blob, "webp", True),
 ]
 
 
 def mix_blob(i: int) -> bytes:
-    return MIX_TIERS[i % 9][0](i)
+    return MIX_TIERS[i % 10][0](i)
 
 
 def synth_blob_frame(

@@ -233,7 +233,13 @@ def _classify_decode_tier(blob: bytes):
             # (r7) — a substring sniff can miss or false-positive
             return ("avi", avi_video_fourcc(blob) == "MJPG")
         if sub == b"WEBP":
-            return ("webp", False)
+            from .webpcodec import webp_supported
+
+            # r9: lossless VP8L decodes for real when the stream avoids
+            # the refused neighbor-distance table — a true capability
+            # walk of the symbol stream, not container sniffing; lossy
+            # VP8 stays metadata-only (compressed-video determination)
+            return ("webp", webp_supported(blob))
         return ("riff", False)
     if blob[:4] == b"fLaC":
         return ("flac", True)  # r7: flaccodec decodes samples for real
@@ -540,6 +546,16 @@ def decode_images(
                     tif = tiff_decode_array(blob)
                     if tif is not None:
                         w, h, ch, px = tif
+                        decoded = (
+                            w, h, ch,
+                            round(float(px.mean()) / 255.0, 6),
+                        )
+                if decoded is None and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+                    from .webpcodec import vp8l_decode_array
+
+                    wp = vp8l_decode_array(blob)
+                    if wp is not None:
+                        w, h, ch, px = wp
                         decoded = (
                             w, h, ch,
                             round(float(px.mean()) / 255.0, 6),
@@ -1922,6 +1938,12 @@ def _decode_gray(blob: bytes):
         if tif is not None:
             _, _, ch, px = tif
             return px.mean(axis=2) if ch == 3 else px.astype(np.float64)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from .webpcodec import vp8l_decode_array
+
+        wp = vp8l_decode_array(blob)
+        if wp is not None:
+            return wp[3].mean(axis=2)
     return None
 
 
@@ -2037,6 +2059,12 @@ def _decode_rgb(blob: bytes):
         if tif is not None:
             _, _, ch, px = tif
             return px if ch == 3 else px[:, :, None]
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from .webpcodec import vp8l_decode_array
+
+        wp = vp8l_decode_array(blob)
+        if wp is not None:
+            return wp[3]
     return None
 
 

@@ -91,8 +91,17 @@ def build_corpora(n_img=24, n_clip=12):
         ],
         "ogg_vorbis_1s": _vorbis_clips(pcm),
         "tiff_lzw_128": _tiff_imgs(imgs),
+        "webp_vp8l_128": _webp_imgs(imgs),
     }
     return corpora
+
+
+def _webp_imgs(imgs):
+    from vp8l_encoder import encode_vp8l
+
+    return [
+        encode_vp8l(im, subtract_green=True, cache_bits=6) for im in imgs
+    ]
 
 
 def _tiff_imgs(imgs):
@@ -111,6 +120,7 @@ def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     from datamancer_spark.operators.multimodal import (
         _decode_gray,
+        _decode_rgb,
         audio_decode_array,
     )
 
@@ -123,6 +133,7 @@ def main():
         "mp3_l3_ws": audio_decode_array,
         "ogg_vorbis_1s": audio_decode_array,
         "tiff_lzw_128": _decode_gray,
+        "webp_vp8l_128": _decode_rgb,
     }
     print("building corpora (test-side encoders)...", flush=True)
     corpora = build_corpora()
