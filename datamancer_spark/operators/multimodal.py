@@ -21,13 +21,24 @@ Two tiers:
   real, as do FLAC (``operators.flaccodec``) and MPEG-1 audio Layers
   I/III — real MP3 samples (``operators.mpegaudio``, late r7; see its
   docstring for the refusal set), and Ogg Vorbis
-  (``operators.vorbiscodec``, r9). Compressed video codecs (mp4/webm,
+  (``operators.vorbiscodec``, r9), and lossless WebP
+  (``operators.webpcodec``, r9). Compressed video codecs (mp4/webm,
   non-MJPEG AVI) and Ogg Opus audio DECODE
   needs ffmpeg (absent here) — those rows yield NULLs, or a
   deterministic md5-derived fake under ``allow_fake=True`` so the
   Spark-side plumbing — schema, batch iteration, partition shape,
   output contract — stays testable end-to-end. Swapping in a real
   codec changes only the marked inner function.
+
+  r9 determination on Opus specifically (why it stays refused while
+  Vorbis was closed): Opus is NOT self-describing — CELT's PVQ band
+  probability model and SILK's LTP/LSF codebooks are large
+  spec-constant PDF tables driving a range coder, with no Kraft-style
+  structural self-check (a range coder accepts ANY probability table
+  and silently decodes plausible noise from a wrong one). Same gate
+  failure as the MP3 ESC tables (``mpeghuff.py``) and the video
+  probability tables (``sample_frames``); metadata (rate/channels/
+  duration via the Ogg page walk) stays real.
 
 Scale notes: binary payloads never shuffle — every stage here is
 narrow (mapInPandas over the scan); only extracted features (small
@@ -76,6 +87,8 @@ MAGIC_KINDS: list[tuple[bytes, str]] = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
     (b"RIFF", "riff"),  # wav/avi/webp → refined below
     (b"\x00\x00\x00", "video/mp4-ish"),
     (b"ID3", "audio/mp3"),
@@ -1501,19 +1514,20 @@ def image_dimensions(df: DataFrame, bin_col: str = "content") -> DataFrame:
 
     PNG/GIF/BMP/WebP (all three WebP variants) parse as pure Catalyst
     expressions (JVM-side, next to
-    the scan, zero Python); JPEG requires a variable-length marker walk,
-    so JPEG rows — and only JPEG rows — route through an Arrow-batched
-    stdlib parser. Output: (path, kind, width, height); width/height
-    NULL when the container is unrecognized or truncated.
+    the scan, zero Python); JPEG (variable-length marker walk) and
+    TIFF (variable-offset IFD walk, r9) route through an Arrow-batched
+    stdlib parser — and only those rows. Output: (path, kind, width,
+    height); width/height NULL when the container is unrecognized or
+    truncated.
 
-    Scale shape: the Catalyst branch is a narrow projection; the JPEG
-    branch is mapInPandas over a filtered scan — payload bytes never
-    shuffle, and the union is of two narrow legs."""
+    Scale shape: the Catalyst branch is a narrow projection; the
+    walked branch is mapInPandas over a filtered scan — payload bytes
+    never shuffle, and the union is of two narrow legs."""
     b = F.col(bin_col)
     kind = sniff_kind(b)
     base = df.select("path", b.alias("_b"), kind.alias("kind"))
     catalyst = (
-        base.filter(~F.col("kind").eqNullSafe("image/jpeg"))
+        base.filter(~F.col("kind").isin("image/jpeg", "image/tiff"))
         .select(
             "path",
             "kind",
@@ -1532,21 +1546,28 @@ def image_dimensions(df: DataFrame, bin_col: str = "content") -> DataFrame:
         )
     )
 
-    def jpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def walked_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .tiffcodec import tiff_dims
+
         for pdf in it:
             rows = {"path": [], "kind": [], "width": [], "height": []}
-            for path, blob in zip(pdf["path"], pdf["_b"]):
-                dims = _jpeg_dims(bytes(blob))
+            for path, kind, blob in zip(pdf["path"], pdf["kind"], pdf["_b"]):
+                blob = bytes(blob)
+                dims = (
+                    _jpeg_dims(blob)
+                    if kind == "image/jpeg"
+                    else tiff_dims(blob)
+                )
                 rows["path"].append(path)
-                rows["kind"].append("image/jpeg")
+                rows["kind"].append(kind)
                 rows["width"].append(dims[0] if dims else None)
                 rows["height"].append(dims[1] if dims else None)
             yield pd.DataFrame(rows)
 
-    jpeg = base.filter(F.col("kind") == "image/jpeg").mapInPandas(
-        jpeg_batches, IMAGE_DIMS_SCHEMA
-    )
-    return catalyst.unionByName(jpeg)
+    walked = base.filter(
+        F.col("kind").isin("image/jpeg", "image/tiff")
+    ).mapInPandas(walked_batches, IMAGE_DIMS_SCHEMA)
+    return catalyst.unionByName(walked)
 
 
 def wav_metadata(df: DataFrame, bin_col: str = "content") -> DataFrame:

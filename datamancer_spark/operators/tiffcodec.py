@@ -200,6 +200,31 @@ def tiff_supported(blob: bytes) -> bool:
     return _tiff_profile(blob) is not None
 
 
+def tiff_dims(blob: bytes):
+    """(width, height) from the first IFD of ANY tiff (including
+    profiles the decoder refuses — dimension gates must still see
+    them), or None when the header/IFD is unparseable."""
+    if len(blob) < 8:
+        return None
+    if blob[:4] == b"II*\x00":
+        bo = "<"
+    elif blob[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    try:
+        tags = _read_ifd(blob, bo)
+        if not tags:
+            return None
+        w = tags.get(_WIDTH, [0])[0]
+        h = tags.get(_HEIGHT, [0])[0]
+        if 0 < w <= 1 << 20 and 0 < h <= 1 << 20:
+            return (w, h)
+        return None
+    except (ValueError, struct.error):
+        return None
+
+
 def tiff_decode_array(blob: bytes):
     """Decode the first IFD -> ``(w, h, ch, px)`` with ``px`` uint8
     ``(h, w)`` gray or ``(h, w, 3)`` RGB, or ``None`` (refusal)."""

@@ -346,3 +346,41 @@ class TestTiffIntegration:
         h_tif = dhash64_gray(_decode_gray(encode_tiff(px, compression=32773)))
         h_png = dhash64_gray(_decode_gray(png_encode(px)))
         assert h_tif == h_png
+
+
+class TestTiffDims:
+    def test_image_dimensions_covers_tiff(self, spark):
+        """image_dimensions must see TIFF (r9: IFD walk in the Python
+        leg) — including profiles the pixel decoder refuses, because
+        curate_media's dimension gate needs dims before any decode."""
+        from datamancer_spark.operators.fixtures import solid_tiff_blob
+        from datamancer_spark.operators.multimodal import image_dimensions
+
+        tiny = solid_tiff_blob(0)  # 4x4
+        big = solid_tiff_blob(4)   # 8x8 (4+i%11, 4+i%7)
+        rows = [
+            ("tiny.tif", bytearray(tiny)),
+            ("big.tif", bytearray(big)),
+            ("junk.tif", bytearray(b"II*\x00junkjunk")),
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        out = {r["path"]: r for r in image_dimensions(df).collect()}
+        assert out["tiny.tif"]["kind"] == "image/tiff"
+        assert (out["tiny.tif"]["width"], out["tiny.tif"]["height"]) == (4, 4)
+        assert (out["big.tif"]["width"], out["big.tif"]["height"]) == (8, 8)
+        assert out["junk.tif"]["width"] is None
+
+    def test_curate_media_gates_tiff_dims(self, spark):
+        from datamancer_spark.operators.fixtures import solid_tiff_blob
+        from datamancer_spark.operators.multimodal import curate_media
+
+        rows = [
+            ("tiny.tif", bytearray(solid_tiff_blob(0))),   # 4x4 -> gated
+            ("big.tif", bytearray(solid_tiff_blob(4))),    # 8x8 -> kept
+            ("opaque.bin", bytearray(b"not an image")),    # unknown -> kept
+        ]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        survivors, _ = curate_media(df, min_width=8, min_height=8)
+        assert {r["path"] for r in survivors.collect()} == {
+            "big.tif", "opaque.bin"
+        }
