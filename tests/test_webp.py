@@ -232,3 +232,44 @@ class TestIntegration:
         assert dec["w.webp"]["width"] == 24 and dec["w.webp"]["channels"] == 3
         hashes = {r["path"]: r["dhash"] for r in image_dhash(df).collect()}
         assert hashes["p.png"] == hashes["w.webp"]
+
+
+class TestMetaGroups:
+    """Meta prefix groups with GENUINELY DIFFERENT tables per group
+    (left/right halves with disjoint value ranges): a wrong per-pixel
+    group selection in the decoder picks the wrong trees and cannot
+    round-trip."""
+
+    def _img(self):
+        rng = np.random.default_rng(21)
+        img = np.zeros((18, 32, 3), dtype=np.uint8)
+        img[:, :16] = rng.integers(0, 40, size=(18, 16, 3))
+        img[:, 16:] = rng.integers(200, 256, size=(18, 16, 3))
+        return img
+
+    @pytest.mark.parametrize("shift", [2, 3])
+    def test_two_group_roundtrip(self, shift):
+        img = self._img()
+        out = vp8l_decode_array(encode_vp8l(img, meta_shift=shift))
+        assert out is not None and (out[3] == img).all()
+
+    def test_meta_with_cache_and_sg(self):
+        img = self._img()
+        blob = encode_vp8l(img, meta_shift=2, cache_bits=3, subtract_green=True)
+        out = vp8l_decode_array(blob)
+        assert out is not None and (out[3] == img).all()
+        assert webp_supported(blob)
+
+
+class TestVp8xContainer:
+    def test_vp8l_behind_vp8x(self):
+        """Extended-format container: the RIFF walk must skip the VP8X
+        chunk and find VP8L."""
+        plain = encode_vp8l(GRAD)
+        # lift the VP8L chunk out of the plain file
+        vp8l_chunk = plain[12:]
+        vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+        riff = b"WEBP" + vp8x + vp8l_chunk
+        blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        out = vp8l_decode_array(blob)
+        assert out is not None and (out[3] == GRAD).all()

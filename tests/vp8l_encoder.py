@@ -224,52 +224,101 @@ def _write_entropy_image(
     lz77: bool = True,
     use_repeats: bool = True,
     toplevel: bool = False,
+    meta: tuple | None = None,
 ):
-    """One entropy-coded image (single prefix group)."""
+    """One entropy-coded image. ``meta`` (toplevel only) is
+    ``(shift, w, h)``: emit TWO meta prefix groups split left/right at
+    half the block columns — the groups share identical code tables
+    (legal), so the decoder's per-pixel group SELECTION is what gets
+    exercised."""
     bw.write(1 if cache_bits else 0, 1)
     if cache_bits:
         bw.write(cache_bits, 4)
-    if toplevel:
+    n_groups = 1
+    group_of = None
+    if toplevel and meta is not None:
+        shift, w, h = meta
+        bw.write(1, 1)
+        bw.write(shift - 2, 3)
+        bs = 1 << shift
+        mw = (w + bs - 1) // bs
+        mh = (h + bs - 1) // bs
+        half = max(1, mw // 2)
+        mimg = np.zeros(mw * mh, dtype=np.uint32)
+        for my in range(mh):
+            for mx in range(mw):
+                gi = 0 if mx < half else 1
+                mimg[my * mw + mx] = np.uint32(0xFF000000 | (gi << 8))
+        _write_entropy_image(bw, mimg, lz77=False, use_repeats=use_repeats)
+        n_groups = 2
+
+        def group_of(pos):
+            x = pos % w
+            return 0 if (x >> shift) < half else 1
+
+    elif toplevel:
         bw.write(0, 1)  # no meta prefix groups
     tokens = _tokenize(seq, cache_bits, lz77)
-    gf, rf, bf, af, df = {}, {}, {}, {}, {}
+    # annotate each token with its group (by the position of its FIRST
+    # pixel — the group the decoder will be in when it reads the
+    # token's green symbol) and build PER-GROUP histograms, so the
+    # groups' code tables genuinely differ and a wrong group selection
+    # in the decoder cannot round-trip
+    hists = [
+        {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}}
+        for _ in range(n_groups)
+    ]
+    annotated = []
+    pos = 0
     for t in tokens:
+        gi = group_of(pos) if group_of is not None else 0
+        annotated.append((gi, t))
+        hs = hists[gi]
         if t[0] == "lit":
             v = t[1]
-            gf[(v >> 8) & 0xFF] = gf.get((v >> 8) & 0xFF, 0) + 1
-            rf[(v >> 16) & 0xFF] = rf.get((v >> 16) & 0xFF, 0) + 1
-            bf[v & 0xFF] = bf.get(v & 0xFF, 0) + 1
-            af[(v >> 24) & 0xFF] = af.get((v >> 24) & 0xFF, 0) + 1
+            for key, sym in (
+                ("g", (v >> 8) & 0xFF),
+                ("r", (v >> 16) & 0xFF),
+                ("b", v & 0xFF),
+                ("a", (v >> 24) & 0xFF),
+            ):
+                hs[key][sym] = hs[key].get(sym, 0) + 1
+            pos += 1
         elif t[0] == "copy":
             lc, _, _ = _prefix_encode(t[1])
-            gf[256 + lc] = gf.get(256 + lc, 0) + 1
+            hs["g"][256 + lc] = hs["g"].get(256 + lc, 0) + 1
             dc, _, _ = _prefix_encode(t[2] + 120)
-            df[dc] = df.get(dc, 0) + 1
+            hs["d"][dc] = hs["d"].get(dc, 0) + 1
+            pos += t[1]
         else:
-            gf[256 + 24 + t[1]] = gf.get(256 + 24 + t[1], 0) + 1
-    for f in (rf, bf, af):
-        if not f:
-            f[0] = 1
-    if not df:
-        df[0] = 1
+            sym = 256 + 24 + t[1]
+            hs["g"][sym] = hs["g"].get(sym, 0) + 1
+            pos += 1
     g_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
-    specs = [(gf, g_alpha), (rf, 256), (bf, 256), (af, 256), (df, 40)]
-    all_codes = []
-    for f, alpha in specs:
-        lens_d = _huff_lengths(f)
-        lengths = [0] * alpha
-        for s, l in lens_d.items():
-            lengths[s] = l
-        _write_prefix_code(bw, lengths, use_repeats)
-        all_codes.append(_codes_for(lengths))
-    gc, rc, bc, ac, dc = all_codes
+    group_codes = []
+    for hs in hists:
+        for key in ("g", "r", "b", "a", "d"):
+            if not hs[key]:
+                hs[key][0] = 1
+        codes = []
+        for key, alpha in (
+            ("g", g_alpha), ("r", 256), ("b", 256), ("a", 256), ("d", 40)
+        ):
+            lens_d = _huff_lengths(hs[key])
+            lengths = [0] * alpha
+            for s, l in lens_d.items():
+                lengths[s] = l
+            _write_prefix_code(bw, lengths, use_repeats)
+            codes.append(_codes_for(lengths))
+        group_codes.append(codes)
 
     def emit(codes, sym):
         c, l = codes[sym]
         if l:
             bw.write_code(c, l)
 
-    for t in tokens:
+    for gi, t in annotated:
+        gc, rc, bc, ac, dc = group_codes[gi]
         if t[0] == "lit":
             v = t[1]
             emit(gc, (v >> 8) & 0xFF)
@@ -390,8 +439,11 @@ def encode_vp8l(
     cache_bits: int = 0,
     lz77: bool = True,
     use_repeats: bool = True,
+    meta_shift: int | None = None,
 ) -> bytes:
-    """RGB uint8 (h, w, 3) -> a complete .webp (RIFF/WEBP/VP8L) file."""
+    """RGB uint8 (h, w, 3) -> a complete .webp (RIFF/WEBP/VP8L) file.
+    ``meta_shift`` emits a two-group meta prefix image (left/right
+    split at half the block columns, identical tables)."""
     h, w = rgb.shape[:2]
     argb = (
         np.uint32(0xFF000000)
@@ -481,6 +533,7 @@ def encode_vp8l(
     _write_entropy_image(
         bw, argb, cache_bits=cache_bits, lz77=lz77,
         use_repeats=use_repeats, toplevel=True,
+        meta=(meta_shift, w_coded, h) if meta_shift else None,
     )
     payload = b"\x2f" + bw.bytes()
     if len(payload) & 1:
