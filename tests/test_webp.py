@@ -273,3 +273,25 @@ class TestVp8xContainer:
         blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
         out = vp8l_decode_array(blob)
         assert out is not None and (out[3] == GRAD).all()
+
+
+class TestMaxSymbol:
+    """The optional max_symbol early-termination field in normal-code
+    headers (real encoders emit it): the decoder must stop after
+    exactly that many code-length reads and default the tail to
+    zero."""
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 50, size=(14, 19, 3), dtype=np.uint8)
+        out = vp8l_decode_array(encode_vp8l(img, use_max_symbol=True))
+        assert out is not None and (out[3] == img).all()
+
+    def test_roundtrip_stacked(self):
+        rng = np.random.default_rng(32)
+        img = rng.integers(0, 50, size=(14, 19, 3), dtype=np.uint8)
+        blob = encode_vp8l(
+            img, use_max_symbol=True, cache_bits=3, subtract_green=True
+        )
+        out = vp8l_decode_array(blob)
+        assert out is not None and (out[3] == img).all()

@@ -76,9 +76,20 @@ def _canonical_codes(lengths: dict) -> dict:
     return codes
 
 
-def _write_code_lengths(bw: BitWriter, lengths: list, use_repeats: bool):
+def _covers_only_zeros(entry):
+    sym = entry[0]
+    return sym == 0 or sym in (17, 18)
+
+
+def _write_code_lengths(
+    bw: BitWriter, lengths: list, use_repeats: bool,
+    use_max_symbol: bool = False,
+):
     """Normal-code header: the code-length-code and the CL-coded
-    length vector."""
+    length vector. ``use_max_symbol`` transmits the optional
+    early-termination field instead of coding the trailing zero run —
+    the decoder must stop after exactly that many CL reads and default
+    the rest to zero."""
     # build CL symbol stream
     stream = []  # (cl_symbol, extra_value, extra_bits)
     i = 0
@@ -117,6 +128,16 @@ def _write_code_lengths(bw: BitWriter, lengths: list, use_repeats: bool):
         else:
             stream.append((lengths[i], 0, 0))
             i += 1
+    if use_max_symbol:
+        # drop the trailing all-zero entries; the max_symbol field
+        # tells the decoder how many CL reads to perform
+        trimmed = list(stream)
+        while trimmed and _covers_only_zeros(trimmed[-1]):
+            trimmed.pop()
+        if len(trimmed) >= 2:  # the field encodes len-2
+            stream = trimmed
+        else:
+            use_max_symbol = False
     clc_freq = {}
     for s, _, _ in stream:
         clc_freq[s] = clc_freq.get(s, 0) + 1
@@ -131,7 +152,17 @@ def _write_code_lengths(bw: BitWriter, lengths: list, use_repeats: bool):
     bw.write(need - 4, 4)
     for i2 in range(need):
         bw.write(clc_len.get(order[i2], 0), 3)
-    bw.write(0, 1)  # no max_symbol field
+    if use_max_symbol:
+        ms = len(stream)
+        bw.write(1, 1)
+        for k in range(8):
+            nbits = 2 + 2 * k
+            if ms - 2 < (1 << nbits):
+                bw.write(k, 3)
+                bw.write(ms - 2, nbits)
+                break
+    else:
+        bw.write(0, 1)  # no max_symbol field
     for s, extra, ebits in stream:
         if len(clc_len) > 1:
             c, l = clc_codes[s]
@@ -141,7 +172,10 @@ def _write_code_lengths(bw: BitWriter, lengths: list, use_repeats: bool):
             bw.write(extra, ebits)
 
 
-def _write_prefix_code(bw: BitWriter, lengths: list, use_repeats: bool):
+def _write_prefix_code(
+    bw: BitWriter, lengths: list, use_repeats: bool,
+    use_max_symbol: bool = False,
+):
     used = [s for s, l in enumerate(lengths) if l > 0]
     if 1 <= len(used) <= 2 and all(s <= 255 for s in used):
         bw.write(1, 1)  # simple
@@ -157,7 +191,7 @@ def _write_prefix_code(bw: BitWriter, lengths: list, use_repeats: bool):
             bw.write(used[1], 8)
         return
     bw.write(0, 1)  # normal
-    _write_code_lengths(bw, lengths, use_repeats)
+    _write_code_lengths(bw, lengths, use_repeats, use_max_symbol)
 
 
 def _codes_for(lengths: list):
@@ -225,6 +259,7 @@ def _write_entropy_image(
     use_repeats: bool = True,
     toplevel: bool = False,
     meta: tuple | None = None,
+    use_max_symbol: bool = False,
 ):
     """One entropy-coded image. ``meta`` (toplevel only) is
     ``(shift, w, h)``: emit TWO meta prefix groups split left/right at
@@ -308,7 +343,7 @@ def _write_entropy_image(
             lengths = [0] * alpha
             for s, l in lens_d.items():
                 lengths[s] = l
-            _write_prefix_code(bw, lengths, use_repeats)
+            _write_prefix_code(bw, lengths, use_repeats, use_max_symbol)
             codes.append(_codes_for(lengths))
         group_codes.append(codes)
 
@@ -440,6 +475,7 @@ def encode_vp8l(
     lz77: bool = True,
     use_repeats: bool = True,
     meta_shift: int | None = None,
+    use_max_symbol: bool = False,
 ) -> bytes:
     """RGB uint8 (h, w, 3) -> a complete .webp (RIFF/WEBP/VP8L) file.
     ``meta_shift`` emits a two-group meta prefix image (left/right
@@ -534,6 +570,7 @@ def encode_vp8l(
         bw, argb, cache_bits=cache_bits, lz77=lz77,
         use_repeats=use_repeats, toplevel=True,
         meta=(meta_shift, w_coded, h) if meta_shift else None,
+        use_max_symbol=use_max_symbol,
     )
     payload = b"\x2f" + bw.bytes()
     if len(payload) & 1:
