@@ -2312,6 +2312,37 @@ def curate_media_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
+def image_decode_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode of all four no-codec-library image decoders
+    under one driver gate (doc_id % 4 → PNG / BMP 24-bit / TIFF
+    PackBits gray / lossless WebP): dims, channel count and mean
+    intensity are closed-form doc_id arithmetic — the exact-mean color
+    family makes every mean a terminating decimal, so a wrong pixel
+    ANYWHERE (filter, stride, RLE run, LZ77 copy, transform inverse)
+    shifts the mean and fails the hash compare."""
+    from datamancer_spark.operators.fixtures import (
+        bmp_exact_blob,
+        solid_png_blob,
+        synth_blob_frame,
+        tiff_exact_blob,
+        webp_exact_blob,
+    )
+    from datamancer_spark.operators.multimodal import decode_images
+
+    gens = [solid_png_blob, bmp_exact_blob, tiff_exact_blob, webp_exact_blob]
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    ids = doc.select(F.col("doc_id").cast("string").alias("path"))
+    blobs = synth_blob_frame(ids, lambda i: gens[i % 4](i), id_col="path")
+    dec = decode_images(blobs, bin_col="content")
+    return dec.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "channels",
+        "mean_intensity",
+    )
+
+
 def warc_ingest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl→corpus front end under the driver gate
     (operators/warc.py ingest_warc: WARC record walk → HTTP payload
@@ -2389,7 +2420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- whole catalog is >=2x driver-proven and the packed-window
         # -- alarm goes vacuous.
         "bm25_search_terms": bm25_search_terms,
-        "event_interarrival": event_interarrival,
+        # -- late-r9 add #2: the multiformat pixel-decode gate (PNG/
+        # -- BMP/TIFF/WebP in one query) enters zero-green;
+        # -- event_interarrival (2x-proven r7+r8) moves past 50.
+        "image_decode_multiformat": image_decode_multiformat,
         "ab_conversion_report": ab_conversion_report,
         "tfidf_similar_docs": tfidf_similar_docs,
         # -- late-r9 add: the zero-green WARC ingestion tier enters the
@@ -2444,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver-green; all stay in the local harness
         # ---- (the 7 rotated out in r9 first, then the r8 leavers)
         "price_quantity_trend": price_quantity_trend,
+        "event_interarrival": event_interarrival,
         "approx_distinct": approx_distinct,
         "cohort_retention_weekly": cohort_retention_weekly,
         "corpus_health_report": corpus_health_report,
@@ -4757,6 +4792,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(16 AS INT) AS thumb_w,
                CAST(16 AS INT) AS thumb_h,
                {_solid_mean} AS thumb_mean
+        FROM documents
+    """
+    sql["image_decode_multiformat"] = f"""
+        SELECT doc_id,
+               CAST(CASE doc_id % 4
+                 WHEN 0 THEN 8 + doc_id % 23 WHEN 1 THEN 4 + doc_id % 13
+                 WHEN 2 THEN 4 + doc_id % 11 ELSE 5 + doc_id % 12
+               END AS INT) AS width,
+               CAST(CASE doc_id % 4
+                 WHEN 0 THEN 8 + doc_id % 17 WHEN 1 THEN 4 + doc_id % 9
+                 WHEN 2 THEN 4 + doc_id % 7 ELSE 5 + doc_id % 8
+               END AS INT) AS height,
+               CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 3 END AS INT)
+                 AS channels,
+               CASE WHEN doc_id % 4 = 2
+                    THEN CAST(doc_id % 6 AS DOUBLE) / 5
+                    ELSE {_solid_mean}
+               END AS mean_intensity
         FROM documents
     """
     sql["audio_decode_props"] = """

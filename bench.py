@@ -129,6 +129,8 @@ HEADLINE = [
     # crawl ingestion front end (WARC record walk + HTTP decode +
     # Catalyst HTML->text over executor-manufactured fixture files)
     "warc_ingest_crawl",
+    # all four image decoders' pixel output under one gate
+    "image_decode_multiformat",
 ]
 
 

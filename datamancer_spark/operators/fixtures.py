@@ -364,6 +364,86 @@ def warc_blob(i: int) -> bytes:
     return b"".join(recs)
 
 
+def _exact_rgb(i: int):
+    """The PNG tier's exact-mean color family: channels are multiples
+    of 51 with (a+b+c) % 3 == 0, so mean = (a+b+c)/15 · 51/51 = k/5 —
+    a terminating decimal identical under every rounding convention."""
+    a = i % 6
+    b = (i // 6) % 6
+    c = ((3 - (a + b) % 3) % 3) + 3 * ((i // 36) % 2)
+    return 51 * a, 51 * b, 51 * c
+
+
+def bmp_exact_blob(i: int) -> bytes:
+    """Solid 24-bit bottom-up BMP in the exact-mean color family
+    (real-pixel-decode tier for ``image_decode_multiformat``)."""
+    w = 4 + i % 13
+    h = 4 + i % 9
+    r, g, b = _exact_rgb(i)
+    stride = ((w * 3 + 3) // 4) * 4
+    row = bytes([b, g, r]) * w + b"\x00" * (stride - 3 * w)
+    data = row * h
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return (
+        b"BM"
+        + struct.pack("<I", 54 + len(data))
+        + b"\x00\x00\x00\x00"
+        + struct.pack("<I", 54)
+        + info
+        + data
+    )
+
+
+def tiff_exact_blob(i: int) -> bytes:
+    """Solid-gray PackBits-compressed single-strip TIFF with gray value
+    ``51·(i % 6)`` — decoded mean is exactly ``(i % 6)/5``; PackBits
+    puts the RLE decompressor under the driver gate."""
+    w = 4 + i % 11
+    h = 4 + i % 7
+    v = 51 * (i % 6)
+    # PackBits: runs of up to 128 identical bytes per row
+    def pack_row(n: int) -> bytes:
+        out = b""
+        left = n
+        while left > 0:
+            r = min(left, 128)
+            out += struct.pack("b", -(r - 1)) + bytes([v])
+            left -= r
+        return out
+
+    data = pack_row(w) * h
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 32773),
+        (262, 3, 1, 1), (273, 4, 1, 8 + 2 + 12 * 8 + 4),
+        (278, 3, 1, h), (279, 4, 1, len(data)),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", 8) + ifd + data
+
+
+def webp_exact_blob(i: int) -> bytes:
+    """Solid lossless WebP in the exact-mean color family — the VP8L
+    decoder's LZ77 run path and transforms produce the same closed-form
+    mean as the PNG tier."""
+    import numpy as np
+
+    from tests.vp8l_encoder import encode_vp8l  # fixture-only dep
+
+    w = 5 + i % 12
+    h = 5 + i % 8
+    r, g, b = _exact_rgb(i)
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = r
+    img[:, :, 1] = g
+    img[:, :, 2] = b
+    return encode_vp8l(img, subtract_green=True)
+
+
 def webp_grad_blob(i: int) -> bytes:
     """Real lossless-WebP (VP8L) tier: a small gradient encoded by the
     INDEPENDENT test-side encoder (subtract-green + color cache) — the
