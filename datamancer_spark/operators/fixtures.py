@@ -496,6 +496,8 @@ def synth_blob_frame(
     """(id, ``bin_col``) fixture frame: Arrow-batched executor-side
     generation of one blob per id. ``make`` receives the id as int
     (string ids must be numeric)."""
+    from .dedup import spread_partitions
+
     out_schema = StructType(
         [
             df.schema[id_col],
@@ -513,4 +515,9 @@ def synth_blob_frame(
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(batches, out_schema)
+    # the testdata documents table is ONE parquet split — without a
+    # round-robin spread every blob generation AND the downstream
+    # decode (mapInPandas inherits partitioning) runs on one core;
+    # measured 5.1 -> 1.2 s on the 10-tier coverage mix at sf0.1
+    ids_wide = spread_partitions(df.select(F.col(id_col)))
+    return ids_wide.mapInPandas(batches, out_schema)

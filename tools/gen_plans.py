@@ -78,7 +78,7 @@ COMMENT = {
     "tfidf_similar_docs": "Weights checkpointed once (feeds norms + both self-join legs); term-keyed self-join with the fractional doc-freq cap pruning stop-word terms before the sum(df^2) shuffle.",
     "bm25_search_terms": "Both corpus scalars ride the plan as one-row broadcast crossJoins (n_docs for idf, avgdl for length normalization) — no eager driver jobs. r9 rework (VERDICT r8 #4): token stream clustered by id BEFORE the (id, term) count so one id exchange serves the count AND the dl window; avgdl's count_distinct(id) replaced by a row_number==1 marker summed in the same window pass (kills a doc_id re-shuffle); doc frequency is count(1) over the (id, term)-distinct frame (kills count_distinct's (term, id) expand exchange); enriched frame checkpointed once feeding df/avgdl/scoring legs. Why 8 is the floor here: the checkpoint scan erases partitioning info, so each of the 3 legs re-partitions the pinned rows (term x2 folds to broadcast at gate scale, singleton x2) on top of the id exchange + 2 scalar broadcasts; sharing the term exchange across legs would need exchange reuse across a checkpoint boundary, which Spark does not canonicalize. Pinned <=8 in test_plans.py; sf0.1 best-of wall 1.18s vs 1.25s (r7 shape), DuckDB twin green at sf0.01 + sf0.1.",
     "price_quantity_trend": "Five OLS sums per group in one partial-aggregated groupBy.",
-    "warc_ingest_crawl": "Crawl front end: WARC record split + gzip-member walk + HTTP payload decode in ONE Arrow-batched mapInPandas pass next to the scan (zlib is C-speed; only extracted rows continue); the 2xx-HTML filter and the whole HTML->text chain are Catalyst regexp expressions in the same codegen stage — zero shuffles, zero joins; at 100 TB this is embarrassingly parallel over binaryFile splits.",
+    "warc_ingest_crawl": "Crawl front end: WARC record split + gzip-member walk + HTTP payload decode in ONE Arrow-batched mapInPandas pass (zlib is C-speed; only extracted rows continue); the 2xx-HTML filter and the whole HTML->text chain are Catalyst regexp expressions in the same codegen stage — no joins; the single exchange is the fixture harness's id spread over the one-split gate parquet (production binaryFile sources arrive pre-split, needing none); at 100 TB this is embarrassingly parallel over input splits.",
 }
 
 
