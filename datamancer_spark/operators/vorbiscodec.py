@@ -357,10 +357,17 @@ def _render_point(x0, y0, x1, y1, x):
 
 
 def _render_line(x0, y0, x1, y1, out, n):
+    # Vorbis I spec 7.2.4 render_line: base = dy/adx with C truncation
+    # toward zero, NOT Python floor division (for descending segments
+    # dy<0, floor would over-step every interior sample and drive y
+    # negative → wraparound through the dB table).
     dy = y1 - y0
     adx = x1 - x0
-    base = dy // adx if adx else 0
-    ady = abs(dy) - abs(base * adx)
+    if adx:
+        base = -((-dy) // adx) if dy < 0 else dy // adx
+    else:
+        base = 0
+    ady = abs(dy) - abs(base) * adx
     sy = base + (1 if dy >= 0 else -1)
     x = x0
     y = y0
@@ -454,7 +461,9 @@ def _decode_floor1(bits: _BitsLSB, f, books, n_half):
         for x in range(hx, n_half):
             vec[x] = ly
     tab = _INVERSE_DB_TABLE
-    return [tab[min(v, 255)] for v in vec]
+    # clamp to the table domain on BOTH sides: a negative y must not
+    # wrap through Python negative indexing into large amplitudes
+    return [tab[0 if v < 0 else (255 if v > 255 else v)] for v in vec]
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,55 @@ class TestRoundTrip:
         assert got[0] == 16000
         assert _corr(sig[n // 2 :], got[1]) > 0.99
 
+    def test_descending_floor_roundtrip(self):
+        """Nonzero-partition floor1 with DESCENDING segments (real
+        encoders always emit these). Exercises render_line's
+        toward-zero truncation: with floor division the decoder would
+        over-step every interior sample, drive y negative and wrap
+        through the dB table into garbage amplitudes — correlation
+        collapses. Also covers the partition-class Y-value book path
+        and the neighbor-prediction inverse."""
+        sig = _bl_noise(8192, 7)
+        # dy does not divide adx on either segment, so the spec's
+        # err-accumulator actually engages (the bug's trigger shape)
+        pts = [(0, 255), (80, 240), (256, 60)]
+        got = vorbis_decode_array(
+            encode_vorbis([sig], 8000, delta=0.012, floor_points=pts)
+        )
+        assert got is not None
+        assert _corr(sig[256:], got[1]) > 0.99
+
+    def test_descending_floor_stereo(self):
+        left = _bl_noise(8192, 8)
+        right = _bl_noise(8192, 9)
+        # shallow descent inside the signal band (255->247 over 100
+        # bins: err-accumulator active on in-band bins), steep only
+        # past the band edge so the 32-level lattice never clips
+        pts = [(0, 255), (100, 247), (256, 180)]
+        got = vorbis_decode_array(
+            encode_vorbis([left, right], 8000, delta=0.006, floor_points=pts)
+        )
+        assert got is not None
+        mix = 0.5 * (left + right)
+        assert _corr(mix[256:], got[1]) > 0.99
+
+    def test_render_line_descending_truncates_toward_zero(self):
+        from datamancer_spark.operators.vorbiscodec import _render_line
+
+        # shallow descending segment: base = trunc(-1/100) = 0, so every
+        # interior sample stays at y0 until the err accumulator wraps at
+        # the very end. Floor division (base = -1) would render y=50 at
+        # the midpoint and end at -99.
+        out = [0] * 101
+        _render_line(0, 100, 100, 99, out, 101)
+        assert out[50] == 100
+        assert min(out[:100]) == 100
+        # steeper non-dividing slope must stay within [y1, y0]
+        out = [0] * 64
+        _render_line(0, 10, 64, 3, out, 64)
+        assert max(out) == 10 and min(out) >= 3
+        assert out[0] == 10
+
 
 class TestHeadersAndRefusals:
     def test_stream_supported(self):

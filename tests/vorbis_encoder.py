@@ -184,11 +184,17 @@ _VQ_CODE_BITS = 10
 
 
 def setup_header(channels: int, n: int = 512, delta: float = 0.01,
-                 residue_type: int = 1, psize: int = 32) -> bytes:
+                 residue_type: int = 1, psize: int = 32,
+                 floor_xs: list | None = None) -> bytes:
+    """``floor_xs``: optional extra floor1 X points (beyond the implicit
+    0 and n/2 endpoints) — emitted as ONE partition whose single class
+    has dims == len(floor_xs), subs == 0, Y values coded by an extra
+    uniform 8-bit scalar book. None keeps the flat two-point floor."""
     w = BitWriterLSB()
     w.buf += b"\x05vorbis"
     w.nbits = len(w.buf) * 8
-    w.write(1, 8)  # codebook_count - 1 = 1 -> 2 books
+    nbooks = 3 if floor_xs else 2
+    w.write(nbooks - 1, 8)
     # book 0: residue classbook, dim 4, 16 entries, scalar
     _write_uniform_codebook(w, 4, 16, 4)
     # book 1: residue VQ, dim 2, 32x32 lattice (1024 entries)
@@ -196,14 +202,31 @@ def setup_header(channels: int, n: int = 512, delta: float = 0.01,
         w, 2, _VQ_LEVELS * _VQ_LEVELS, _VQ_CODE_BITS,
         lookup=(-_VQ_ZERO * delta, delta, list(range(_VQ_LEVELS)), 5, 0),
     )
+    if floor_xs:
+        # book 2: floor1 Y values, scalar, 256 entries, uniform 8-bit
+        # (canonical code == entry index)
+        _write_uniform_codebook(w, 1, 256, 8)
     w.write(0, 6)  # time_count - 1
     w.write(0, 16)  # time transform 0
     w.write(0, 6)  # floor_count - 1
     w.write(1, 16)  # floor type 1
-    w.write(0, 5)  # partitions = 0 (two-point flat floor)
-    w.write(0, 2)  # multiplier - 1 = 0 -> x1 range table 256
     rangebits = (n // 2).bit_length() - 1  # x1 = 2^rangebits = n/2
-    w.write(rangebits, 4)
+    if floor_xs:
+        if not 1 <= len(floor_xs) <= 8:
+            raise ValueError("1..8 extra floor points (one class, dims<=8)")
+        w.write(1, 5)   # partitions = 1
+        w.write(0, 4)   # partition 0 -> class 0
+        w.write(len(floor_xs) - 1, 3)  # class 0 dims - 1
+        w.write(0, 2)   # subclasses = 0
+        w.write(2 + 1, 8)  # subclass book 0 -> book 2 (+1 encoding)
+        w.write(0, 2)   # multiplier - 1 = 0 -> range 256
+        w.write(rangebits, 4)
+        for x in floor_xs:
+            w.write(x, rangebits)
+    else:
+        w.write(0, 5)  # partitions = 0 (two-point flat floor)
+        w.write(0, 2)  # multiplier - 1 = 0 -> x1 range table 256
+        w.write(rangebits, 4)
     w.write(0, 6)  # residue_count - 1
     w.write(residue_type, 16)
     w.write(0, 24)  # begin
@@ -263,14 +286,85 @@ def mdct_forward(x: np.ndarray) -> np.ndarray:
     return (x * _vorbis_window(n)) @ m / (n / 4.0)
 
 
+def _floor1_render_point(x0, y0, x1, y1, x):
+    """Spec render_point: y0 + sign(dy) * (|dy| * (x - x0)) // adx.
+    (The spec's incremental render_line reduces to this same closed
+    form at every x — toward-zero truncation, not floor division.)"""
+    dy = y1 - y0
+    off = (abs(dy) * (x - x0)) // (x1 - x0)
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _floor1_plan(xs, targets, rng=256):
+    """Inverse of the spec's floor1 amplitude prediction: given desired
+    final Y values (encoding order, xs[0]=0 / xs[1]=range-end first),
+    produce the per-point coded values and the active-point flags."""
+    count = len(xs)
+    final = list(targets[:2]) + [0] * (count - 2)
+    step2 = [True, True] + [False] * (count - 2)
+    vals = list(targets[:2]) + [0] * (count - 2)
+    for i in range(2, count):
+        lo, hi = 0, 1
+        for j in range(i):
+            if xs[lo] < xs[j] < xs[i]:
+                lo = j
+            if xs[i] < xs[j] < xs[hi]:
+                hi = j
+        pred = _floor1_render_point(xs[lo], final[lo], xs[hi], final[hi],
+                                    xs[i])
+        d = targets[i] - pred
+        highroom, lowroom = rng - pred, pred
+        room = 2 * min(highroom, lowroom)
+        if d == 0:
+            val = 0
+        elif d > 0:
+            val = 2 * d if 2 * d < room else d + lowroom
+        else:
+            val = -2 * d - 1 if -2 * d - 1 < room else -d - 1 + highroom
+        if not 0 <= val <= 255:
+            raise ValueError(f"floor point {i}: coded val {val} out of book")
+        vals[i] = val
+        final[i] = targets[i]
+        if val:
+            step2[lo] = step2[hi] = step2[i] = True
+    return vals, final, step2
+
+
+def _floor1_amplitude(xs, final, step2, n_half):
+    """Per-bin floor amplitude exactly as the decoder renders it
+    (multiplier 1): piecewise render_point over active points, then the
+    geometric 256-step dB ladder."""
+    pts = sorted((xs[i], final[i]) for i in range(len(xs)) if step2[i])
+    y = np.zeros(n_half, dtype=np.int64)
+    lx, ly = 0, pts[0][1]
+    for hx, hy in pts:
+        if hx > lx:
+            k = np.arange(lx, min(hx, n_half))
+            dy = hy - ly
+            off = (abs(dy) * (k - lx)) // (hx - lx)
+            y[lx:min(hx, n_half)] = ly - off if dy < 0 else ly + off
+        lx, ly = hx, hy
+    if lx < n_half:
+        y[lx:] = ly
+    y = np.clip(y, 0, 255)
+    return 1.0649863e-07 * (0.99308571 / 1.0649863e-07) ** (y / 255.0)
+
+
 def encode_vorbis(channels, rate: int, n: int = 512, delta: float = 0.004,
                   floor_y: int = 255, residue_type: int | None = None,
-                  serial: int = 0x7E57) -> bytes:
+                  serial: int = 0x7E57,
+                  floor_points: list | None = None) -> bytes:
     """Encode float PCM channel list (values in [-1, 1]) to an Ogg
     Vorbis stream. Equal blocksizes (n), flat floor at
     ``inverse_db(floor_y)``, one always-coded residue class over an
     8-level lattice of step ``delta``. Mono -> residue type 1 (or 0),
-    stereo -> type 2 (interleaved), per the spec's usual shapes."""
+    stereo -> type 2 (interleaved), per the spec's usual shapes.
+
+    ``floor_points``: optional non-flat floor1 — list of (x, y) points
+    sorted by x with floor_points[0][0] == 0 and
+    floor_points[-1][0] == n//2; interior points become a one-partition
+    floor config (descending segments exercise the decoder's
+    render_line truncation semantics)."""
     nch = len(channels)
     if residue_type is None:
         residue_type = 2 if nch > 1 else 1
@@ -282,13 +376,28 @@ def encode_vorbis(channels, rate: int, n: int = 512, delta: float = 0.004,
     pad = (-ln) % n
     chans = [np.concatenate([c, np.zeros(ln + pad - len(c))]) for c in chans]
     nfr = (ln + pad) // (n // 2) - 1  # 50% overlapped frames
-    # flat floor amplitude: geometric 256-step ladder pinned at the
-    # spec table's endpoints (test-side copy; see decoder caveat)
-    inv_db = 1.0649863e-07 * (0.99308571 / 1.0649863e-07) ** (floor_y / 255.0)
+    half = n // 2
+    floor_xs = None
+    if floor_points is not None:
+        if floor_points[0][0] != 0 or floor_points[-1][0] != half:
+            raise ValueError("floor_points must span x=0 .. x=n//2")
+        # encoding order: the two endpoints first, then interior points
+        fxs = [0, half] + [p[0] for p in floor_points[1:-1]]
+        fys = [floor_points[0][1], floor_points[-1][1]] + [
+            p[1] for p in floor_points[1:-1]
+        ]
+        floor_xs = fxs[2:]
+        floor_vals, floor_final, floor_step2 = _floor1_plan(fxs, fys)
+        amp = _floor1_amplitude(fxs, floor_final, floor_step2, half)
+    else:
+        # flat floor amplitude: geometric 256-step ladder pinned at the
+        # spec table's endpoints (test-side copy; see decoder caveat)
+        amp = 1.0649863e-07 * (0.99308571 / 1.0649863e-07) ** (
+            floor_y / 255.0
+        )
 
     packets = []
     win = _vorbis_window(n)  # noqa: F841 (applied inside mdct_forward)
-    half = n // 2
     vec_len = half * (nch if residue_type == 2 else 1)
     parts = vec_len // psize
     cpc = 4  # classbook dim
@@ -299,12 +408,19 @@ def encode_vorbis(channels, rate: int, n: int = 512, delta: float = 0.004,
         specs = []
         for c in range(nch):
             seg = chans[c][f * half : f * half + n]
-            specs.append(mdct_forward(seg) / inv_db)
+            specs.append(mdct_forward(seg) / amp)
         for _c in range(nch):
-            # floor: nonzero, flat y0 == y1
-            w.write(1, 1)
-            w.write(floor_y, 8)
-            w.write(floor_y, 8)
+            w.write(1, 1)  # floor nonzero
+            if floor_points is None:
+                # flat y0 == y1
+                w.write(floor_y, 8)
+                w.write(floor_y, 8)
+            else:
+                w.write(floor_vals[0], 8)
+                w.write(floor_vals[1], 8)
+                for v in floor_vals[2:]:
+                    # book 2 is uniform 8-bit: canonical code == index
+                    w.write_code(v, 8)
         # residue vector(s)
         if residue_type == 2:
             inter = np.empty(vec_len)
@@ -354,7 +470,7 @@ def encode_vorbis(channels, rate: int, n: int = 512, delta: float = 0.004,
     out += ogg_page(
         [
             comment_header(),
-            setup_header(nch, n, delta, residue_type, psize),
+            setup_header(nch, n, delta, residue_type, psize, floor_xs),
         ],
         0,
         serial,
