@@ -400,6 +400,41 @@ def _intensity_bound(extent: int, g, rate: int) -> int:
     return 576
 
 
+def _is7_segments(g, rate: int, sf_long, sf_short, bound: int):
+    """Sample ranges at/above the intensity ``bound`` whose right-
+    channel intensity position (the scalefactor value) is 7 — ISO
+    11172-3 2.4.3.4.9.3: is_position == 7 marks a band NOT
+    intensity-coded; with mode_ext == 3 those bands take the normal
+    MS butterfly instead (dist10 III_stereo). Bands past the last
+    transmitted scalefactor inherit the final position."""
+    if g["window_switching"] and g["block_type"] == 2:
+        sfb_s = _SFB_SHORT[rate]
+        segs = []
+        if g["mixed_block"]:
+            sfb_l = _SFB_LONG[rate]
+            for i in range(8):
+                if sfb_l[i] >= bound and sf_long[i] == 7:
+                    segs.append((sfb_l[i], sfb_l[i + 1]))
+            first_short = 3
+        else:
+            first_short = 0
+        for i in range(first_short, 13):
+            w0 = 3 * sfb_s[i]
+            width = sfb_s[i + 1] - sfb_s[i]
+            pos = sf_short[min(i, 11)]
+            for w in range(3):
+                lo = w0 + w * width
+                if lo >= bound and pos[w] == 7:
+                    segs.append((lo, lo + width))
+        return segs
+    sfb_l = _SFB_LONG[rate]
+    return [
+        (sfb_l[i], sfb_l[i + 1])
+        for i in range(22)
+        if sfb_l[i] >= bound and sf_long[min(i, 20)] == 7
+    ]
+
+
 def _parse_side_info(data: bytes, nch: int):
     """Side info (17 bytes mono / 32 stereo) -> (main_data_begin,
     scfsi[ch][4], granules[2][ch] dicts) or None on reserved values."""
@@ -771,6 +806,7 @@ class _L3Decoder:
         for gr in range(2):
             xr_ch = []
             extents = []
+            sfs = []
             for ch in range(nch):
                 g = granules[gr][ch]
                 start = bits.pos
@@ -829,6 +865,7 @@ class _L3Decoder:
                 bits.pos = limit  # skip any stuffing
                 xq = _requantize(xr, g, sf_long, sf_short, self.rate)
                 xr_ch.append(xq)
+                sfs.append((sf_long, sf_short))
                 nz = np.nonzero(xq)[0]
                 extents.append(int(nz[-1]) + 1 if len(nz) else 0)
             if ms and nch == 2:
@@ -847,6 +884,17 @@ class _L3Decoder:
                 left, right = m.copy(), s.copy()
                 left[:bound] = (m[:bound] + s[:bound]) * inv
                 right[:bound] = (m[:bound] - s[:bound]) * inv
+                if bound < 576:
+                    # is_position == 7 marks a band as NOT intensity:
+                    # with the MS bit set it takes the butterfly (S=0
+                    # there, so the mono mix is M/sqrt(2), not M/2)
+                    g1 = granules[gr][1]
+                    sfl1, sfs1 = sfs[1]
+                    for lo, hi in _is7_segments(
+                        g1, self.rate, sfl1, sfs1, bound
+                    ):
+                        left[lo:hi] = (m[lo:hi] + s[lo:hi]) * inv
+                        right[lo:hi] = (m[lo:hi] - s[lo:hi]) * inv
                 xr_ch = [left, right]
             for ch in range(nch):
                 g = granules[gr][ch]

@@ -250,9 +250,12 @@ def html_text_col(html: Column) -> Column:
     # block-level closers become newlines so words don't fuse
     t = F.regexp_replace(t, r"(?i)</(p|div|li|h[1-6]|tr|br)\s*>|<br\s*/?>", "\n")
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    # &amp; must decode LAST: doing it first turns double-escaped
+    # entities (&amp;lt;) into &lt; which the later passes would then
+    # wrongly decode to '<'
     for ent, rep in [
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
     ]:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -348,7 +348,10 @@ def _clamp_add_sub_half(ave, tl):
     for sh in (24, 16, 8, 0):
         a = (ave >> sh) & 0xFF
         b = (tl >> sh) & 0xFF
-        v = a + (a - b) // 2 if False else a + ((a - b) >> 1)
+        # spec's (a - b) / 2 is C division: truncation toward ZERO,
+        # not floor — off by one for a < b with odd difference
+        d = a - b
+        v = a + (abs(d) >> 1) * (1 if d >= 0 else -1)
         v = 0 if v < 0 else (255 if v > 255 else v)
         out |= v << sh
     return out
@@ -361,7 +364,8 @@ def _select(l, t, tl):
         p = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
         pa += abs(p - ((t >> sh) & 0xFF))
         pb += abs(p - ((l >> sh) & 0xFF))
-    return l if pb <= pa else t
+    # spec returns L only when strictly closer (pL < pT); tie -> T
+    return l if pb < pa else t
 
 
 def _inv_predictor(argb: np.ndarray, w: int, h: int, modes: np.ndarray, shift: int):

@@ -440,7 +440,8 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
                   scalefac_compress: int = 0, sf_bands=None,
                   preflag: int = 0, scalefac_scale: int = 0,
                   scfsi=None, block_types=None,
-                  intensity_bound_sfb: int | None = None) -> bytes:
+                  intensity_bound_sfb: int | None = None,
+                  intensity_is7_sfbs: tuple = ()) -> bytes:
     """Encode float PCM channels to an MPEG-1 Layer III stream.
 
     ``sf_bands``: optional 21 scalefactors (must fit the slens of
@@ -455,7 +456,12 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
     channel SUM (so L + R = M holds) and the right channel is zeroed
     — its rzero extent is how a decoder locates the bound. Positions
     stay 0 (zero-bit scalefactors); combine with ``ms_stereo`` for
-    mode_ext 3 (MS below the bound). Long blocks only."""
+    mode_ext 3 (MS below the bound). Long blocks only.
+    ``intensity_is7_sfbs``: sfbs >= the bound whose right-channel
+    scalefactor is emitted as is_position 7 — ISO marks such bands NOT
+    intensity-coded; with mode_ext 3 they take the MS butterfly, so
+    the left channel carries (L+R)/sqrt(2) there (requires
+    ``ms_stereo`` and a ``scalefac_compress`` whose slens fit 7)."""
     sr_idx = _SAMPLERATES.index(rate)
     nch = len(channels)
     if ms_stereo and nch != 2:
@@ -465,6 +471,19 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
             raise ValueError("intensity needs 2 channels")
         if block_types is not None and any(block_types):
             raise ValueError("intensity emitter is long-block only")
+    sf_bands_r = None
+    if intensity_is7_sfbs:
+        if intensity_bound_sfb is None or not ms_stereo:
+            raise ValueError("is7 bands need intensity + MS (mode_ext 3)")
+        slen1, slen2 = _SLEN[scalefac_compress]
+        for sfb in intensity_is7_sfbs:
+            if not intensity_bound_sfb <= sfb < 21:
+                raise ValueError("is7 sfbs must sit in the intensity region")
+            if (slen1 if sfb < 11 else slen2) < 3:
+                raise ValueError("scalefac_compress slen too small for 7")
+        sf_bands_r = list(sf_bands or [0] * 21)
+        for sfb in intensity_is7_sfbs:
+            sf_bands_r[sfb] = 7
     mode = 3 if nch == 1 else 1 if (ms_stereo or intensity_bound_sfb
                                     is not None) else 0
     mode_ext = (2 if ms_stereo else 0) | (
@@ -537,10 +556,14 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
                     lo_r = (left[:b] - right[:b]) * inv
                 else:
                     lo_l, lo_r = left[:b], right[:b]
-                chs = [
-                    np.concatenate([lo_l, hi_m]),
-                    np.concatenate([lo_r, np.zeros(576 - b)]),
-                ]
+                new_l = np.concatenate([lo_l, hi_m])
+                new_r = np.concatenate([lo_r, np.zeros(576 - b)])
+                for sfb in intensity_is7_sfbs:
+                    # NOT-intensity band: mid carries (L+R)/sqrt(2) so
+                    # the decoder's MS butterfly (S=0) restores L=R
+                    lo, hi = _SFB_LONG[rate][sfb], _SFB_LONG[rate][sfb + 1]
+                    new_l[lo:hi] = (left[lo:hi] + right[lo:hi]) * inv
+                chs = [new_l, new_r]
             elif ms_stereo:
                 left, right = chs
                 inv = 1.0 / math.sqrt(2.0)
@@ -552,7 +575,12 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
             row = []
             bt = block_types[2 * f + g]
             for ch in range(nch):
-                q, gg = _quantize(grspecs[g][ch], sf_bands, rate,
+                sf_ch = (
+                    sf_bands_r
+                    if ch == 1 and sf_bands_r is not None
+                    else sf_bands
+                )
+                q, gg = _quantize(grspecs[g][ch], sf_ch, rate,
                                   scalefac_scale, preflag)
                 if bt == 2:
                     # decoder expects Huffman (bitstream) order
@@ -561,7 +589,7 @@ def encode_layer3(channels, rate: int, ms_stereo: bool = False,
                     q = nat_to_bitstream_short(q, rate, first_sfb=3)
                 skip = scfsi[ch] if g == 1 else None
                 side = _encode_granule(
-                    body, q, gg, rate, scalefac_compress, sf_bands,
+                    body, q, gg, rate, scalefac_compress, sf_ch,
                     preflag, scalefac_scale, skip_sf=skip,
                     ws_block_type=bt if bt else None,
                 )

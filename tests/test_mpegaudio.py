@@ -236,6 +236,32 @@ class TestLayer3RoundTrip:
         assert c_int > 0.93
         assert c_int >= c_base - 0.005, (c_int, c_base)
 
+    def test_intensity_is_pos_7_bands_take_ms_butterfly(self):
+        """is_position == 7 marks a band in the intensity region as
+        NOT intensity-coded (ISO 11172-3 2.4.3.4.9.3): with mode_ext 3
+        it takes the MS butterfly, so a mid of (L+R)/sqrt(2) with S=0
+        restores the true mono mix. A decoder that treats every band
+        above the bound as intensity is off by sqrt(2) there."""
+        from datamancer_spark.operators.mpegaudio import (
+            mpeg_audio_decode_array,
+        )
+        from mpeg_encoder import encode_layer3
+
+        left = _bl_noise(4 * 1152, 33)
+        right = _bl_noise(4 * 1152, 34)
+        mix = 0.5 * (left + right)
+        blob = encode_layer3(
+            [left, right], 44100, ms_stereo=True, intensity_bound_sfb=12,
+            intensity_is7_sfbs=(13, 15, 16), scalefac_compress=13,
+        )
+        got = mpeg_audio_decode_array(blob)
+        assert got is not None
+        base = mpeg_audio_decode_array(encode_layer3([left, right], 44100))
+        c_is7 = _corr_at(mix, got[1], _L3_DELAY)
+        c_base = _corr_at(mix, base[1], _L3_DELAY)
+        assert c_is7 > 0.93
+        assert c_is7 >= c_base - 0.005, (c_is7, c_base)
+
 
 def _bp_noise(n, seed, lo=0.033, hi=0.09):
     """Band-pass deterministic noise confined to subbands 2-5 (lines

@@ -184,6 +184,9 @@ class TestHtmlText:
         ("a<br>b<br/>c", "a b c"),
         ("<script>var x = '<p>no</p>';</script>visible", "visible"),
         ("&lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39; &nbsp;end", "<tag> & \"q\" 's' end"),
+        # double-escaped entities decode exactly ONE level: &amp;lt;
+        # renders as the literal text "&lt;", not "<"
+        ("&amp;lt;b&amp;gt; &amp;amp; &amp;quot;", "&lt;b&gt; &amp; &quot;"),
         ("<div>one</div><div>two</div>", "one two"),
         ("<STYLE>x</STYLE>ok", "ok"),
     ]

@@ -42,6 +42,9 @@ class TestRoundTrip:
         ("pred_avg_LT", GRAD, dict(predictor_mode=7)),
         ("pred_avg_TTR", GRAD, dict(predictor_mode=9)),
         ("pred_clamp_full", GRAD, dict(predictor_mode=12)),
+        ("pred_select", TEX, dict(predictor_mode=11)),
+        ("pred_clamp_half", GRAD, dict(predictor_mode=13)),
+        ("pred_clamp_half_tex", TEX, dict(predictor_mode=13)),
         ("pred_plus_sg", GRAD, dict(subtract_green=True, predictor_mode=7)),
         ("pred_big_blocks", GRAD, dict(predictor_mode=2, predictor_shift=4)),
         ("color_transform", GRAD, dict(color_transform=(3, 250, 10))),
@@ -66,6 +69,36 @@ class TestRoundTrip:
         w, h, ch, px = out
         assert (w, h, ch) == (img.shape[1], img.shape[0], 3)
         assert (px == img).all(), name
+
+    def test_select_tie_breaks_to_top(self):
+        """Pixels engineered so the Select estimate is EQUIDISTANT from
+        L and T with L != T (TL=100³, L=+10 red, T=+10 green): the spec
+        returns T on ties (L only when strictly closer). A decoder that
+        returns L on ties decodes every odd/odd pixel wrong."""
+        img = np.zeros((8, 9, 3), dtype=np.uint8)
+        img[0::2, 0::2] = (100, 100, 100)
+        img[0::2, 1::2] = (100, 110, 100)
+        img[1::2, 0::2] = (110, 100, 100)
+        img[1::2, 1::2] = (123, 45, 67)
+        out = vp8l_decode_array(encode_vp8l(img, predictor_mode=11))
+        assert out is not None and (out[3] == img).all()
+
+    def test_clamp_half_truncates_toward_zero(self):
+        from datamancer_spark.operators.webpcodec import (
+            _clamp_add_sub_half,
+            _select,
+        )
+
+        # a=10, b=11: spec value 10 + (-1)/2 = 10 (C truncation);
+        # floor-shift arithmetic would give 9
+        assert _clamp_add_sub_half(10, 11) & 0xFF == 10
+        assert _clamp_add_sub_half(10, 13) & 0xFF == 9  # -3/2 -> -1
+        assert _clamp_add_sub_half(13, 10) & 0xFF == 14  # +3/2 -> +1
+        # select tie (pL == pT, L != T) -> T
+        l = 110  # blue 110
+        t = 100 | (10 << 8)  # blue 100, green 10: same total distance
+        tl = 100
+        assert _select(l, t, tl) == t
 
     def test_palette_many_colors_unpacked(self):
         # > 16 colors: no pixel bundling, plain index image

@@ -425,12 +425,35 @@ def _fwd_predictor(argb: np.ndarray, w: int, h: int, mode: int, shift: int):
                     pred = avg2(L, T)
                 elif mode == 9:
                     pred = avg2(T, TR)
+                elif mode == 11:
+                    # RFC 9649 Select: Manhattan distance from the
+                    # L+T-TL estimate; L wins only on pL < pT (tie->T)
+                    pl = pt = 0
+                    for sh in (24, 16, 8, 0):
+                        est = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - (
+                            (TL >> sh) & 0xFF
+                        )
+                        pl += abs(est - ((L >> sh) & 0xFF))
+                        pt += abs(est - ((T >> sh) & 0xFF))
+                    pred = L if pl < pt else T
                 elif mode == 12:
                     out = 0
                     for sh in (24, 16, 8, 0):
                         v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - (
                             (TL >> sh) & 0xFF
                         )
+                        v = 0 if v < 0 else (255 if v > 255 else v)
+                        out |= v << sh
+                    pred = out
+                elif mode == 13:
+                    # ClampAddSubtractHalf over avg2(L, T) and TL with
+                    # C-division truncation toward zero
+                    ave = avg2(L, T)
+                    out = 0
+                    for sh in (24, 16, 8, 0):
+                        a = (ave >> sh) & 0xFF
+                        d = a - ((TL >> sh) & 0xFF)
+                        v = a + (abs(d) >> 1) * (1 if d >= 0 else -1)
                         v = 0 if v < 0 else (255 if v > 255 else v)
                         out |= v << sh
                     pred = out
