@@ -17,9 +17,22 @@ modes), cross-color, and color-indexing with sub-byte pixel bundling.
 Deliberate refusals, each loud (clip → ``None``):
 
 * **LZ77 close-neighbor distance codes (1..120)** — these index a
-  120-entry (dx, dy) offset table that is literal spec data with NO
-  structural self-check (any 120 distinct offsets "validate"); it
-  failed the same transcription gate as the MP3 ESC tables
+  120-entry (dx, dy) offset table; determination revisited round 10
+  for a constructive derivation and REFUSED again, with the analysis
+  recorded here. What IS constructive in the spec prose: the window
+  (pixels 1-7 rows above within 8 columns left / 7 right, plus the 8
+  same-row left pixels — exactly 7*16 + 8 = 120) and an overall
+  near-to-far ordering. What is NOT: the order WITHIN equal-distance
+  (x²+y²) groups. The spec presents the mapping as an explicit list,
+  not a rule; candidate tie-breaks (row-major descending y with
+  positive-x-before-negative, which reproduces most groups) conflict
+  with the published list in at least the d²=61 group ((6,5) precedes
+  (5,6)) and the d²=73 group ((8,3) precedes (5,7)) — hand-built
+  quirks with no self-check (any permutation of a tie group still
+  covers the window and sorts by distance). A generated table that
+  guesses those groups wrong decodes SILENTLY WRONG PIXELS on real
+  libwebp output — strictly worse than a loud refusal — so this
+  stays under the same transcription gate as the MP3 ESC tables
   (``mpeghuff.py``). Streams using only plain distances (code > 120,
   always available to a conformant encoder) decode fully; a stream
   that selects a neighbor code refuses at that exact symbol. Real
