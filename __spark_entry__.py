@@ -2371,6 +2371,67 @@ def warc_ingest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→corpus CAPSTONE: ONE composition from WARC bytes to a
+    curated survivor corpus — ingest_warc (record walk → HTTP decode →
+    2xx-HTML filter → Catalyst HTML→text) → quality gate (n_words ≥ 10
+    AND distinct-token ratio ≥ 0.5) → exact dedup (min page keeps) →
+    fuzzy dedup (exact trigram Jaccard ≥ 0.8 over the deduplicated
+    corpus; a page drops when any smaller page is near-identical).
+    Every stage is individually driver-proven; this query proves the
+    SEAM. The fixture (fixtures.warc_corpus_blob) namespaces tokens so
+    every Jaccard is exact arithmetic: survivors are closed-form — one
+    cluster page per doc_id%50 class (the min doc's) plus every doc's
+    unique page; near-dups (J = 35/41 ≥ 0.8537), spam and 404s all
+    drop. The fuzzy stage here is the EXACT tier (deterministic, so
+    the DuckDB twin can enumerate survivors in closed form); the
+    LSH-verified tier is the 100-TB path and is driver-proven
+    separately (dedup_minhash_verified)."""
+    from datamancer_spark.operators.dedup import (
+        exact_dedup_keep,
+        ngram_jaccard_pairs,
+    )
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_corpus_blob,
+    )
+    from datamancer_spark.operators.warc import ingest_warc
+    from datamancer_spark.session import materialize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_corpus_blob)
+    pages = ingest_warc(blobs)
+    toks = F.split(F.col("text"), " ")
+    gated = pages.filter(
+        (F.size(toks) >= 10)
+        & (F.size(F.array_distinct(toks)) / F.size(toks) >= 0.5)
+    ).withColumn(
+        # page-level total order: rec_idx < 8 by construction, so the
+        # packed key preserves (doc_id, rec_idx) ordering
+        "page_id",
+        F.col("doc_id") * 8 + F.col("rec_idx"),
+    )
+    # pin: the deduplicated corpus feeds BOTH the jaccard pair join and
+    # the final anti-join — unpinned, the whole WARC decode mapInPandas
+    # would re-execute per consumer
+    kept = materialize(exact_dedup_keep(gated, "text", "page_id"))
+    pairs = ngram_jaccard_pairs(
+        kept, "text", "page_id", shingle_n=3, threshold=0.8
+    )
+    # the engineered clusters are cliques, so "drop every page that is
+    # the greater member of any pair" == keep-min-per-component
+    drop = pairs.select(F.col("id_b").alias("page_id")).distinct()
+    surv = kept.join(drop, "page_id", "left_anti")
+    return surv.select(
+        "doc_id",
+        "rec_idx",
+        "url",
+        "host",
+        "text",
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2430,6 +2491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- window; price_quantity_trend (2x-proven r7+r8) moves past
         # -- position 50 to keep the window packed at exactly 50.
         "warc_ingest_crawl": warc_ingest_crawl,
+        # -- r10 add: the crawl→corpus capstone (VERDICT r9 #1) —
+        # -- WARC bytes → quality gate → exact dedup → fuzzy dedup →
+        # -- survivor corpus in ONE plan, closed-form survivor twin.
+        "pipeline_from_crawl": pipeline_from_crawl,
         "image_dhash_pairs": image_dhash_pairs,
         "grouped_mutate_150k": grouped_mutate_150k,
         "score_calibration_en": score_calibration_en,
@@ -4876,6 +4941,59 @@ def oracle_sql() -> dict[str, str]:
         JOIN (VALUES (0), (1), (2)) t(k) ON t.k <= d.doc_id % 3
         JOIN ws ON ws.m = 5 + (d.doc_id + 2 * t.k) % 11
         WHERE (d.doc_id + t.k) % 5 <> 0
+    """
+
+    # the capstone's survivor corpus is CLOSED FORM (see
+    # pipeline_from_crawl): one cluster page per doc_id%50 class kept
+    # by the min doc, plus every doc's unique page; near-dup, spam and
+    # 404 pages all drop. rec_idx arithmetic mirrors the fixture's
+    # record layout (warcinfo, request, cluster, [near-dup], [spam],
+    # unique, [404]).
+    sql["pipeline_from_crawl"] = """
+        WITH ctoks AS (
+          SELECT cs.c,
+                 string_agg('c' || CAST(cs.c AS VARCHAR) || '_'
+                            || CAST(j.j AS VARCHAR), ' '
+                            ORDER BY j.j) AS text
+          FROM generate_series(0, 49) cs(c), generate_series(0, 39) j(j)
+          GROUP BY cs.c
+        ),
+        bases AS (
+          SELECT MIN(d.doc_id) AS doc_id, d.doc_id % 50 AS c
+          FROM documents d GROUP BY d.doc_id % 50
+        ),
+        base_rows AS (
+          SELECT b.doc_id,
+                 CAST(2 AS INT) AS rec_idx,
+                 'http://s' || CAST(b.doc_id % 7 AS VARCHAR)
+                   || '.example/c/' || CAST(b.c AS VARCHAR) AS url,
+                 's' || CAST(b.doc_id % 7 AS VARCHAR) || '.example' AS host,
+                 t.text,
+                 CAST(40 AS INT) AS n_words
+          FROM bases b JOIN ctoks t ON t.c = b.c
+        ),
+        utoks AS (
+          SELECT d.doc_id,
+                 string_agg('u' || CAST(d.doc_id AS VARCHAR) || '_'
+                            || CAST(j.j AS VARCHAR), ' '
+                            ORDER BY j.j) AS text
+          FROM documents d
+          JOIN generate_series(0, 23) j(j) ON j.j < 15 + d.doc_id % 10
+          GROUP BY d.doc_id
+        ),
+        uniq_rows AS (
+          SELECT d.doc_id,
+                 CAST(3 + (CASE WHEN d.doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                        + (CASE WHEN d.doc_id % 11 = 5 THEN 1 ELSE 0 END)
+                      AS INT) AS rec_idx,
+                 'http://s' || CAST(d.doc_id % 7 AS VARCHAR)
+                   || '.example/u/' || CAST(d.doc_id AS VARCHAR) AS url,
+                 's' || CAST(d.doc_id % 7 AS VARCHAR) || '.example' AS host,
+                 u.text,
+                 CAST(15 + d.doc_id % 10 AS INT) AS n_words
+          FROM documents d JOIN utoks u ON u.doc_id = d.doc_id
+        )
+        SELECT * FROM base_rows UNION ALL SELECT * FROM uniq_rows
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

@@ -364,6 +364,118 @@ def warc_blob(i: int) -> bytes:
     return b"".join(recs)
 
 
+def warc_corpus_blob(i: int) -> bytes:
+    """WARC fixture for the crawl→corpus CAPSTONE (pipeline_from_crawl):
+    every page's fate under quality→exact-dedup→fuzzy-dedup is
+    closed-form doc_id arithmetic, because token namespaces pin every
+    Jaccard exactly. Per id ``i`` (records in file order):
+
+    0. warcinfo, 1. request, then 200-HTML responses:
+    2. CLUSTER page — tokens ``c{c}_0 .. c{c}_39`` with ``c = i % 50``:
+       byte-identical across every doc of the cluster → exact dedup
+       keeps the min doc's page.
+    3. (i % 7 == 3) NEAR-DUP page — the cluster tokens with position
+       ``c % 40`` replaced by ``n{i}``: trigram Jaccard vs the cluster
+       page is exactly 35/41 interior (37/39, 36/40 at the edges) —
+       always ≥ 0.8537, so an exact-Jaccard screen at 0.8 ALWAYS drops
+       it; all other cross-page Jaccards are 0 by namespace.
+    n. (i % 11 == 5) SPAM page — five repeats of one token: fails any
+       (n_words ≥ 10, distinct-ratio ≥ 0.5) quality gate.
+    n. UNIQUE page — tokens ``u{i}_0 .. u{i}_{14 + i%10}``: survives
+       every stage.
+    n. (i % 13 == 7) a 404 (dropped by the ingest status filter).
+
+    HTTP framing cycles chunked / gzip / identity per (i + rec);
+    even ids are per-record gzip members, odd plain WARC — the same
+    decode-path coverage as ``warc_blob``."""
+    import gzip as _gzip
+
+    def record(wtype: str, payload: bytes, uri: str | None = None) -> bytes:
+        head = [b"WARC/1.0", b"WARC-Type: " + wtype.encode()]
+        if uri is not None:
+            head.append(b"WARC-Target-URI: " + uri.encode())
+        head += [
+            b"WARC-Date: 2026-01-01T00:00:00Z",
+            b"Content-Type: "
+            + (
+                b"application/http; msgtype=response"
+                if wtype == "response"
+                else b"application/warc-fields"
+            ),
+            b"Content-Length: " + str(len(payload)).encode(),
+        ]
+        return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    def response(words: list[str], uri: str, rec: int) -> bytes:
+        body = (
+            "<html><head><title>p</title></head><body><p>"
+            + " ".join(words)
+            + "</p></body></html>"
+        ).encode()
+        variant = (i + rec) % 3
+        if variant == 0:  # chunked
+            half = len(body) // 2
+            body_tx = (
+                b"%x\r\n" % half + body[:half] + b"\r\n"
+                + b"%x\r\n" % (len(body) - half) + body[half:]
+                + b"\r\n0\r\n\r\n"
+            )
+            enc_hdr = b"Transfer-Encoding: chunked\r\n"
+        elif variant == 1:  # gzip content-encoding
+            body_tx = _gzip.compress(body, mtime=0)
+            enc_hdr = (
+                b"Content-Encoding: gzip\r\nContent-Length: %d\r\n"
+                % len(body_tx)
+            )
+        else:
+            body_tx = body
+            enc_hdr = b"Content-Length: %d\r\n" % len(body)
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            + enc_hdr
+            + b"\r\n"
+            + body_tx
+        )
+        return record("response", http, uri)
+
+    c = i % 50
+    host = f"s{i % 7}.example"
+    recs = [
+        record("warcinfo", b"software: fixtures\r\n"),
+        record(
+            "request",
+            b"GET /c HTTP/1.1\r\nHost: x\r\n\r\n",
+            f"http://{host}/c/{c}",
+        ),
+    ]
+    cluster = [f"c{c}_{j}" for j in range(40)]
+    recs.append(response(cluster, f"http://{host}/c/{c}", 2))
+    rec = 3
+    if i % 7 == 3:
+        near = list(cluster)
+        near[c % 40] = f"n{i}"
+        recs.append(response(near, f"http://{host}/nd/{i}", rec))
+        rec += 1
+    if i % 11 == 5:
+        recs.append(response(["zz"] * 5, f"http://{host}/spam/{i}", rec))
+        rec += 1
+    uniq = [f"u{i}_{j}" for j in range(15 + i % 10)]
+    recs.append(response(uniq, f"http://{host}/u/{i}", rec))
+    rec += 1
+    if i % 13 == 7:
+        body = b"<html><body>gone</body></html>"
+        http = (
+            b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(body)
+            + body
+        )
+        recs.append(record("response", http, f"http://{host}/gone/{i}"))
+    if i % 2 == 0:
+        return b"".join(_gzip.compress(r, mtime=0) for r in recs)
+    return b"".join(recs)
+
+
 def _exact_rgb(i: int):
     """The PNG tier's exact-mean color family: channels are multiples
     of 51 with (a+b+c) % 3 == 0, so mean = (a+b+c)/15 · 51/51 = k/5 —

