@@ -484,28 +484,71 @@ def png_decode_pixels(blob: bytes):
     return (w, h, nch, round(float(px.mean()) / 255.0, 6))
 
 
+def decode_image_blob(blob: bytes):
+    """ONE image blob → ``(width, height, channels, pixels uint8
+    (h, w, ch))`` or ``None`` — the pure-Python decode chain shared by
+    every image kernel and by the codec-backend verification oracle
+    (``operators/codecbackend.py``). Format walk: PNG → baseline/
+    progressive JPEG → GIF (first frame) → BMP → TIFF → lossless
+    WebP. No codec library anywhere; ``None`` means undecodable (an
+    unsupported format or a loud decode refusal), never an error."""
+    import numpy as np
+
+    from .jpegcodec import jpeg_decode_array
+
+    decoded = png_decode_array(blob)
+    if decoded is None:
+        decoded = jpeg_decode_array(blob)
+    if decoded is None:
+        first = next(iter(gif_decode_frames(blob, max_frames=1)), None)
+        if first is not None:
+            _, w, h, rgb = first
+            decoded = (
+                w, h, 3,
+                np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3),
+            )
+    if decoded is None:
+        decoded = bmp_decode_array(blob)
+    if decoded is None and blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import tiff_decode_array
+
+        decoded = tiff_decode_array(blob)
+    if decoded is None and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from .webpcodec import vp8l_decode_array
+
+        decoded = vp8l_decode_array(blob)
+    return decoded
+
+
 def decode_images(
     df: DataFrame,
     bin_col: str = "content",
     allow_fake: bool = False,
     on_unsupported: str = "null",
+    backend=None,
 ) -> DataFrame:
     """Decode images to (width, height, channels, mean_intensity).
 
-    PNG and baseline JPEG decode FOR REAL with no codec library: stdlib
-    zlib + spec filter inversion (``png_decode_pixels``) and the own
-    Huffman/IDCT pipeline (``jpegcodec.jpeg_decode_array``). Other
-    formats use PIL when
-    present; without PIL, ``allow_fake=True`` substitutes a
+    The real-decode chain (``decode_image_blob``: PNG, JPEG, GIF, BMP,
+    TIFF, lossless WebP — no codec library) runs through the pluggable
+    batch backend interface (``operators/codecbackend.py``);
+    ``backend`` accepts an ``ImageDecodeBackend`` instance or a
+    registered name, defaulting to the pure-Python reference (or the
+    ``DATAMANCER_IMAGE_BACKEND`` env var). An accelerated backend must
+    pass ``validate_image_backend`` (bit-for-bit pixel equality vs the
+    reference) before use. Blobs no backend can decode fall through to
+    PIL when present; without PIL, ``allow_fake=True`` substitutes a
     deterministic md5-derived fake, and otherwise the row comes back
     with NULL metrics (``on_unsupported="null"``, the default — at
     100 TB one undecodable blob must never kill the job; pass
     ``on_unsupported="error"`` to fail fast instead). Arrow-batched
-    mapInPandas either way — the plumbing is identical for a real codec
-    plug-in."""
+    mapInPandas either way — the UDF boundary is per-batch, so a C
+    backend slots in without touching plan shape."""
     if on_unsupported not in ("null", "error"):
         raise ValueError(f"on_unsupported must be null|error, got {on_unsupported!r}")
-    from .jpegcodec import jpeg_decode_array
+    from .codecbackend import resolve_image_backend
+
+    backend = resolve_image_backend(backend)
 
     try:
         import PIL.Image  # noqa: F401
@@ -517,73 +560,26 @@ def decode_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"path": [], "width": [], "height": [], "channels": [], "mean_intensity": []}
-            for path, blob in zip(pdf["path"], pdf[bin_col]):
-                blob = bytes(blob)
-                decoded = png_decode_pixels(blob)
-                if decoded is None:
-                    jp = jpeg_decode_array(blob)
-                    if jp is not None:
-                        w, h, ch, px = jp
-                        decoded = (w, h, ch, round(float(px.mean()) / 255.0, 6))
-                if decoded is None:
-                    first = next(
-                        iter(gif_decode_frames(blob, max_frames=1)), None
-                    )
-                    if first is not None:
-                        import numpy as np
-
-                        _, w, h, rgb = first
-                        decoded = (
-                            w, h, 3,
-                            round(
-                                float(
-                                    np.frombuffer(rgb, dtype=np.uint8).mean()
-                                )
-                                / 255.0,
-                                6,
-                            ),
-                        )
-                if decoded is None:
-                    bmp = bmp_decode_array(blob)
-                    if bmp is not None:
-                        w, h, ch, px = bmp
-                        decoded = (
-                            w, h, ch,
-                            round(float(px.mean()) / 255.0, 6),
-                        )
-                if decoded is None and blob[:4] in (
-                    b"II*\x00", b"MM\x00*"
-                ):
-                    from .tiffcodec import tiff_decode_array
-
-                    tif = tiff_decode_array(blob)
-                    if tif is not None:
-                        w, h, ch, px = tif
-                        decoded = (
-                            w, h, ch,
-                            round(float(px.mean()) / 255.0, 6),
-                        )
-                if decoded is None and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
-                    from .webpcodec import vp8l_decode_array
-
-                    wp = vp8l_decode_array(blob)
-                    if wp is not None:
-                        w, h, ch, px = wp
-                        decoded = (
-                            w, h, ch,
-                            round(float(px.mean()) / 255.0, 6),
-                        )
-                if decoded is not None:
-                    w, h, ch, mean = decoded
+            blobs = [bytes(b) for b in pdf[bin_col]]
+            results = backend.decode_batch(blobs)
+            for path, blob, res in zip(pdf["path"], blobs, results):
+                if res is not None:
+                    w, h, ch, px = res
+                    mean = round(float(px.mean()) / 255.0, 6)
                 elif have_pil:  # pragma: no cover - real codec path
                     import io
 
+                    import numpy as np
                     import PIL.Image as Image
 
                     img = Image.open(io.BytesIO(blob))
                     w, h = img.size
                     ch = len(img.getbands())
-                    mean = 0.0  # full scan omitted here
+                    mean = round(
+                        float(np.asarray(img, dtype=np.float64).mean())
+                        / 255.0,
+                        6,
+                    )
                 elif allow_fake:
                     # FAKE DECODE (deterministic stub): dims derived from
                     # the digest so tests are stable.
@@ -593,8 +589,8 @@ def decode_images(
                     mean = round(d[2] / 255.0, 6)
                 elif on_unsupported == "error":
                     raise NotImplementedError(
-                        f"decode beyond PNG/baseline-JPEG requires PIL "
-                        f"(not in this environment): {path}"
+                        f"decode beyond the no-codec-library chain "
+                        f"requires PIL (not in this environment): {path}"
                     )
                 else:
                     w = h = ch = mean = None
@@ -1247,24 +1243,44 @@ def audio_features(
     bin_col: str = "content",
     allow_fake: bool = False,
     envelope_bins: int = 8,
+    backend=None,
 ) -> DataFrame:
     """Per-clip audio features (duration, sample rate, RMS loudness
     envelope). The WAV family (integer PCM, G.711, IMA ADPCM), FLAC,
     AIFF/AIFC, MPEG-1 Layer I/III (real MP3, late r7) and Ogg Vorbis
-    (r9) decode FOR REAL with stdlib + numpy (``wav_decode_samples`` →
-    ``audio_decode_array``); Ogg Opus and the documented MPEG
-    refusal set come back NULL, or md5-derived fakes under
-    ``allow_fake=True``. Arrow-batched mapInPandas; the plumbing is
-    identical for a real codec plug-in."""
+    (r9) decode FOR REAL with stdlib + numpy through the pluggable
+    batch backend interface (``operators/codecbackend.py``; ``backend``
+    = instance, registered name, or the ``DATAMANCER_AUDIO_BACKEND``
+    env var — default pure-Python reference). Ogg Opus and the
+    documented MPEG refusal set come back NULL, or md5-derived fakes
+    under ``allow_fake=True``. Arrow-batched mapInPandas; the UDF
+    boundary is per-batch, so an accelerated backend slots in without
+    touching plan shape."""
+    import numpy as np
+
+    from .codecbackend import resolve_audio_backend
+
+    backend = resolve_audio_backend(backend)
+
+    def _envelope(rate, mono):
+        n = len(mono)
+        edges = np.linspace(0, n, envelope_bins + 1, dtype=np.int64)
+        env = [
+            round(float(np.sqrt(np.mean(mono[a:b] ** 2))), 6)
+            if b > a
+            else 0.0
+            for a, b in zip(edges[:-1], edges[1:])
+        ]
+        return (round(n / rate, 6), int(rate), env)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"path": [], "duration_s": [], "sample_rate": [], "loudness": []}
-            for path, blob in zip(pdf["path"], pdf[bin_col]):
-                blob = bytes(blob)
-                decoded = wav_decode_samples(blob, envelope_bins)
-                if decoded is not None:
-                    dur, rate, env = decoded
+            blobs = [bytes(b) for b in pdf[bin_col]]
+            results = backend.decode_batch(blobs)
+            for path, blob, res in zip(pdf["path"], blobs, results):
+                if res is not None:
+                    dur, rate, env = _envelope(res[0], res[1])
                 elif allow_fake:
                     d = hashlib.md5(blob).digest()
                     dur = round(1 + d[0] / 8.0, 3)
