@@ -2194,16 +2194,19 @@ def audio_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_decode_coverage_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """media_decode_coverage under the driver gate over a 10-format
-    fixture mix cycling doc_id % 10: real PNG, real WAV, real MP3 WITH
+    """media_decode_coverage under the driver gate over an 11-format
+    fixture mix cycling doc_id % 11: real PNG, real WAV, real MP3 WITH
     window-switching granules (the classifier's all-frames side-info
     walk must parse them), the r8 adversarial truncated-fmt WAV
     (classifies (wav, False), must not kill the task), Ogg/MP4
     metadata-only stubs, real Ogg VORBIS (r9: classifies (ogg, True)
     via the setup-header capability walk — the ogg screenable fraction
     is strictly between 0 and 1), real BMP (r9), real TIFF (r9: the
-    IFD capability walk), and real lossless WebP (r9: VP8L — the
-    classifier dry-runs the FULL symbol stream)."""
+    IFD capability walk), real lossless WebP (r9: VP8L — the
+    classifier dry-runs the FULL symbol stream), and bare ADTS-AAC
+    (r10: the chained frame-length walk classifies (aac/adts, False) —
+    an ADTS header also satisfies the loose MPEG sync, so this tier
+    pins that the disambiguation beats the mp3 branch)."""
     from datamancer_spark.operators.fixtures import (
         mix_blob,
         synth_blob_frame,
@@ -4887,13 +4890,13 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["media_decode_coverage_mix"] = """
         WITH t AS (
-          SELECT CASE doc_id % 10
+          SELECT CASE doc_id % 11
                    WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp3'
                    WHEN 3 THEN 'wav' WHEN 4 THEN 'ogg' WHEN 5 THEN 'mp4'
                    WHEN 6 THEN 'ogg' WHEN 7 THEN 'bmp' WHEN 8 THEN 'tiff'
-                   ELSE 'webp'
+                   WHEN 9 THEN 'webp' ELSE 'aac/adts'
                  END AS container,
-                 CASE WHEN doc_id % 10 IN (0, 1, 2, 6, 7, 8, 9) THEN 1
+                 CASE WHEN doc_id % 11 IN (0, 1, 2, 6, 7, 8, 9) THEN 1
                  ELSE 0 END AS scr
           FROM documents
         )

@@ -580,7 +580,36 @@ def webp_grad_blob(i: int) -> bytes:
     return encode_vp8l(img, subtract_green=True, cache_bits=2)
 
 
-#: coverage-mix assignment: i % 10 -> (generator, container, screenable)
+def adts_aac_blob(i: int) -> bytes:
+    """Hand-built to-spec bare ADTS-AAC stream (r10, VERDICT r9 #5):
+    ``8 + i % 5`` frames of deterministic md5-derived payload behind
+    exact ISO 14496-3 fixed headers — rate index cycles 4/7/11
+    (44100/22050/8000), channel config ``1 + i % 2``, one raw data
+    block per frame, so ``adts_metadata`` must report
+    ``duration = nframes * 1024 / rate`` exactly. Metadata-only tier:
+    AAC spectral decode refuses (transcription-gated codebooks)."""
+    import hashlib as _hl
+
+    sfi = (4, 7, 11)[i % 3]
+    cc = 1 + i % 2
+    nframes = 8 + i % 5
+    out = bytearray()
+    for f in range(nframes):
+        payload = _hl.md5(f"aac{i}:{f}".encode()).digest() * (2 + f % 3)
+        flen = 7 + len(payload)
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF1  # MPEG-4, layer 00, protection_absent=1
+        hdr[2] = (1 << 6) | (sfi << 2) | (cc >> 2)  # profile=AAC-LC
+        hdr[3] = ((cc & 0x3) << 6) | (flen >> 11)
+        hdr[4] = (flen >> 3) & 0xFF
+        hdr[5] = ((flen & 0x7) << 5) | 0x1F  # buffer fullness high
+        hdr[6] = 0xFC  # fullness low | raw_data_blocks-1 = 0
+        out += hdr + payload
+    return bytes(out)
+
+
+#: coverage-mix assignment: i % 11 -> (generator, container, screenable)
 MIX_TIERS = [
     (solid_png_blob, "png", True),
     (wav_const_blob, "wav", True),
@@ -592,11 +621,12 @@ MIX_TIERS = [
     (solid_bmp_blob, "bmp", True),
     (solid_tiff_blob, "tiff", True),
     (webp_grad_blob, "webp", True),
+    (adts_aac_blob, "aac/adts", False),
 ]
 
 
 def mix_blob(i: int) -> bytes:
-    return MIX_TIERS[i % 10][0](i)
+    return MIX_TIERS[i % 11][0](i)
 
 
 def synth_blob_frame(

@@ -1495,6 +1495,76 @@ class TestAudioContainerMetadata:
         assert got2 is not None
         assert abs(got2[3] - 16000 * 8 / 128000) < 1e-6
 
+    def test_adts_metadata(self):
+        """r10 (VERDICT r9 #5): bare ADTS-AAC metadata from the
+        self-describing fixed headers — rate/channels exact, duration
+        = frames * 1024 * blocks / rate."""
+        from datamancer_spark.operators.fixtures import adts_aac_blob
+        from datamancer_spark.operators.multimodal import adts_metadata
+
+        for i in (0, 1, 2, 5, 10):
+            got = adts_metadata(adts_aac_blob(i))
+            assert got is not None, i
+            rate, ch, dur, nf = got
+            assert rate == (44100, 22050, 8000)[i % 3]
+            assert ch == 1 + i % 2
+            assert nf == 8 + i % 5
+            assert dur == round(nf * 1024 / rate, 6)
+
+    def test_adts_multi_block_truncation_and_rejections(self):
+        from datamancer_spark.operators.multimodal import adts_metadata
+
+        def frame(flen, rdb=0, sfi=4, cc=2):
+            h = bytearray(7)
+            h[0], h[1] = 0xFF, 0xF1
+            h[2] = (1 << 6) | (sfi << 2) | (cc >> 2)
+            h[3] = ((cc & 3) << 6) | (flen >> 11)
+            h[4] = (flen >> 3) & 0xFF
+            h[5] = ((flen & 7) << 5) | 0x1F
+            h[6] = 0xFC | rdb
+            return bytes(h) + b"\xAB" * (flen - 7)
+
+        # 2 raw data blocks per frame -> 2048 samples each
+        blob = frame(32, rdb=1) + frame(32, rdb=1)
+        got = adts_metadata(blob)
+        assert got == (44100, 2, round(2 * 2048 / 44100, 6), 2)
+        # truncated FINAL frame still counts (crawl reality)
+        full = frame(40) + frame(40) + frame(40)
+        assert adts_metadata(full[:-20])[3] == 3
+        # a single frame is not proof of ADTS
+        assert adts_metadata(frame(32)) is None
+        # rate bits flipping mid-stream: not a legal ADTS chain
+        assert adts_metadata(frame(32) + frame(32, sfi=7)) is None
+        # desync after the first frame: random 0xFFF inside another
+        # codec never chains
+        assert adts_metadata(frame(32) + b"\x00" * 40) is None
+        assert adts_metadata(b"junk") is None
+        # an MP3 frame is NOT adts (layer bits 01, not 00)
+        mp3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 100
+        assert adts_metadata(mp3) is None
+
+    def test_adts_beats_mp3_heuristic_in_container_walk(self, spark):
+        """An ADTS stream satisfies the loose MPEG sync; the container
+        walk and the coverage classifier must classify it aac/adts via
+        the chained walk, never mp3 via a payload false-sync."""
+        from datamancer_spark.operators.fixtures import adts_aac_blob
+        from datamancer_spark.operators.multimodal import (
+            _classify_decode_tier,
+            audio_container_metadata,
+        )
+
+        blob = adts_aac_blob(3)
+        assert _classify_decode_tier(blob) == ("aac/adts", False)
+        df = spark.createDataFrame(
+            [("a", bytearray(blob))], "path string, content binary"
+        )
+        row = audio_container_metadata(df).collect()[0]
+        assert row["container"] == "aac/adts"
+        assert row["sample_rate"] == 44100
+        assert row["channels"] == 2
+        assert row["decodable"] is False
+        assert row["duration_s"] == round(11 * 1024 / 44100, 6)
+
     def test_mp3_survives_false_sync_in_junk_prefix(self):
         """A 0xFFEx byte pair that fails frame validation (reserved
         bitrate index / wrong layer) must not abort the bounded scan —
