@@ -2474,46 +2474,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
         "train_test_split": train_test_split,
-        # -- r8 rotation (VERDICT r7 #1): the 5-query once-green tail
-        # -- rotates IN (event_interarrival, ab_conversion_report,
-        # -- tfidf_similar_docs, price_quantity_trend,
-        # -- image_dhash_pairs) accruing their 2nd driver proof, plus
-        # -- bm25_search_terms (1 green, stays). The 5 stalest
-        # -- 2x-proven members rotate OUT (regex_extract_doc r1+r7,
-        # -- dedup_incremental/q4/q10/q14 r5+r7). After this round the
-        # -- whole catalog is >=2x driver-proven and the packed-window
-        # -- alarm goes vacuous.
-        "bm25_search_terms": bm25_search_terms,
-        # -- late-r9 add #2: the multiformat pixel-decode gate (PNG/
-        # -- BMP/TIFF/WebP in one query) enters zero-green;
-        # -- event_interarrival (2x-proven r7+r8) moves past 50.
-        "image_decode_multiformat": image_decode_multiformat,
-        "ab_conversion_report": ab_conversion_report,
-        "tfidf_similar_docs": tfidf_similar_docs,
-        # -- late-r9 add: the zero-green WARC ingestion tier enters the
-        # -- window; price_quantity_trend (2x-proven r7+r8) moves past
-        # -- position 50 to keep the window packed at exactly 50.
-        "warc_ingest_crawl": warc_ingest_crawl,
-        # -- r10 add: the crawl→corpus capstone (VERDICT r9 #1) —
-        # -- WARC bytes → quality gate → exact dedup → fuzzy dedup →
-        # -- survivor corpus in ONE plan, closed-form survivor twin.
+        # -- r10 zero-green: the crawl→corpus capstone (VERDICT
+        # -- r9 #1) — WARC bytes → quality → exact dedup → fuzzy
+        # -- dedup → survivor corpus, closed-form survivor twin.
         "pipeline_from_crawl": pipeline_from_crawl,
-        "image_dhash_pairs": image_dhash_pairs,
-        "grouped_mutate_150k": grouped_mutate_150k,
-        "score_calibration_en": score_calibration_en,
-        "source_skew_profile": source_skew_profile,
-        # -- r9 rotation (VERDICT r8 #2): 9 NEW zero-green media
-        # -- queries enter — the previously pytest-only surface
-        # -- (decode_images, resize_images, audio_features,
-        # -- media_decode_coverage, dhash_pairs AND audio_dhash_pairs
-        # -- over REAL decode, curate_media, curate_audio, bands=8
-        # -- Hamming) now under the driver gate via deterministic
-        # -- fixture blobs (operators/fixtures.py). The 9 stalest
-        # -- 3x-proven (first green r5) rotate out: approx_distinct,
-        # -- cohort_retention_weekly, corpus_health_report,
-        # -- funnel_view_click_purchase, q18_big_orders,
-        # -- salted_events_rollup, dedup_semantic_text,
-        # -- unigram_perplexity_proxy, bigram_perplexity_proxy.
+        # -- the 11 r9-once-green media/crawl queries accruing
+        # -- their SECOND driver proof (r10 rotation, VERDICT r9
+        # -- #4). media_decode_coverage_mix is re-gated on the
+        # -- 11-tier mix (ADTS-AAC added r10).
+        "image_decode_multiformat": image_decode_multiformat,
+        "warc_ingest_crawl": warc_ingest_crawl,
         "image_decode_dims": image_decode_dims,
         "resize_thumbs_rgb": resize_thumbs_rgb,
         "audio_decode_props": audio_decode_props,
@@ -2523,9 +2493,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_pairs_b8": image_dhash_pairs_b8,
         "audio_dhash_real_pairs": audio_dhash_real_pairs,
         "curate_audio_mix": curate_audio_mix,
-        # -- 17 of the 21 r6-once-green accruing their 2nd round (the
-        # -- other 4 of the 21 rotated in with the r8 tail above and
-        # -- got their 2nd proof in r8)
+        # -- no query anywhere is <2x-proven beyond the above, so
+        # -- the remaining 22 slots go to the STALEST 2x-proven
+        # -- members (last green r2-r5) for third proofs; the
+        # -- 3-4x-proven r9 window members rotate out to the
+        # -- all-proven queue.
+        "filter_select": filter_select,
+        "arrange_head": arrange_head,
+        "unique_first": unique_first,
+        "count_by": count_by,
+        "sql_interface": sql_interface,
+        "winsorize_prices": winsorize_prices,
+        "purchase_followup_views": purchase_followup_views,
+        "classifier_score": classifier_score,
+        "cap_per_source": cap_per_source,
+        "trailing_hour_value": trailing_hour_value,
+        "resample_user_hourly": resample_user_hourly,
+        "chunk_sliding_windows": chunk_sliding_windows,
+        "weighted_sample_langs": weighted_sample_langs,
+        "dedup_fuzzy_incremental": dedup_fuzzy_incremental,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "ivf_cluster_profile": ivf_cluster_profile_q,
+        "anti_join": anti_join_q,
+        "left_join_coalesce": left_join_coalesce,
+        "bind_rows_union": bind_rows_union,
+        "rollup_status": rollup_status,
+        "transmute_math": transmute_math,
+        "string_ops": string_ops,
+        # ---- outside the window: all >=2x driver-proven, still
+        # ---- verified every round by the local oracle harness
+        "bm25_search_terms": bm25_search_terms,
+        "ab_conversion_report": ab_conversion_report,
+        "tfidf_similar_docs": tfidf_similar_docs,
+        "image_dhash_pairs": image_dhash_pairs,
+        "grouped_mutate_150k": grouped_mutate_150k,
+        "score_calibration_en": score_calibration_en,
+        "source_skew_profile": source_skew_profile,
         "text_hash_embedding": text_hash_embedding,
         "duplicate_spans": duplicate_spans,
         "q7_nation_volume": q7_nation_volume,
@@ -2542,9 +2545,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": remove_dup_spans,
         "data_quality_checks": data_quality_checks,
         "pipeline_curate_v2": pipeline_curate_v2,
-        # ---- past the driver's 50-entry window: all >= 2-round
-        # ---- driver-green; all stay in the local harness
-        # ---- (the 7 rotated out in r9 first, then the r8 leavers)
         "price_quantity_trend": price_quantity_trend,
         "event_interarrival": event_interarrival,
         "approx_distinct": approx_distinct,
@@ -2574,22 +2574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_distribution": window_distribution,
         "json_extract_props": json_extract_props,
         "date_parts": date_parts,
-        "purchase_followup_views": purchase_followup_views,
-        "classifier_score": classifier_score,
-        "cap_per_source": cap_per_source,
-        "trailing_hour_value": trailing_hour_value,
-        "resample_user_hourly": resample_user_hourly,
-        "chunk_sliding_windows": chunk_sliding_windows,
-        "weighted_sample_langs": weighted_sample_langs,
-        "dedup_fuzzy_incremental": dedup_fuzzy_incremental,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "ivf_cluster_profile": ivf_cluster_profile_q,
-        "anti_join": anti_join_q,
-        "left_join_coalesce": left_join_coalesce,
-        "bind_rows_union": bind_rows_union,
-        "rollup_status": rollup_status,
-        "transmute_math": transmute_math,
-        "string_ops": string_ops,
         "masked_assign": masked_assign,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2619,15 +2603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather_melt": gather_melt,
         "text_stats": text_stats,
         "text_langid": text_langid,
-        "sql_interface": sql_interface,
-        "filter_select": filter_select,
-        "arrange_head": arrange_head,
-        "unique_first": unique_first,
-        "count_by": count_by,
         "semi_join": semi_join_q,
         "array_ops": array_ops,
         "text_fingerprint": text_fingerprint,
-        "winsorize_prices": winsorize_prices,
     }
 
 

@@ -131,6 +131,9 @@ HEADLINE = [
     "warc_ingest_crawl",
     # all four image decoders' pixel output under one gate
     "image_decode_multiformat",
+    # round-10 addition: the crawl→corpus capstone (WARC bytes →
+    # quality → exact+fuzzy dedup → survivor corpus, one plan)
+    "pipeline_from_crawl",
 ]
 
 
