@@ -230,6 +230,90 @@ def run_to_memory(result: DataFrame, table: str, mode: str = "update"):
     return q
 
 
+def read_warc_stream(
+    spark: SparkSession, path: str, max_files: int = 10
+) -> DataFrame:
+    """Streaming WARC source: the ``binaryFile`` file stream over a
+    crawl drop directory — one row per arriving ``.warc``/``.warc.gz``
+    file, ``(path, modificationTime, length, content)``. The streaming
+    file source requires the schema stated explicitly (binaryFile's is
+    fixed, so this is boilerplate Spark can't infer on a stream). Swap
+    for a Kafka source carrying WARC payload bytes in production — the
+    downstream ingest plan is identical."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .load(path)
+    )
+
+
+def streaming_crawl_ingest(
+    stream: DataFrame,
+    band_index: DataFrame | None = None,
+    bin_col: str = "content",
+    id_col: str = "path",
+    min_words: int = 10,
+    min_distinct_ratio: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The STREAMING twin of the batch crawl→corpus capstone
+    (``__spark_entry__.pipeline_from_crawl``), with the state split the
+    fuzzy screen documents: everything STATELESS runs in the stream —
+    WARC record walk + HTTP decode (one Arrow-batched mapInPandas,
+    stateless per micro-batch), the Catalyst HTML→text chain, the
+    quality gate (token count + distinct ratio, pure projections), and
+    the MinHash band screen against the PERSISTED history index
+    (stream-static joins) — while exact dedup WITHIN the stream and
+    exact-Jaccard verification, which need cross-row state, belong to
+    the periodic batch compaction (``dedup.fuzzy_dedup_against_index``
+    / ``pipeline_from_crawl``). A crawl pipeline runs both: this
+    stream ingests and pre-screens arriving segments continuously; the
+    compactor re-curates and refreshes ``band_index``.
+
+    ``band_index = None`` skips the screen (first segment of a fresh
+    corpus). Returns the surviving (id, rec_idx, url, host, text,
+    n_words) rows, still a streaming frame — attach any sink."""
+    from ..operators.warc import ingest_warc
+
+    pages = ingest_warc(stream.select(id_col, bin_col), bin_col=bin_col,
+                        id_col=id_col)
+    toks = F.split(F.col("text"), " ")
+    gated = pages.filter(
+        (F.size(toks) >= min_words)
+        & (F.size(F.array_distinct(toks)) / F.size(toks)
+           >= min_distinct_ratio)
+    ).withColumn("n_words", F.size(toks))
+    if band_index is None:
+        return gated
+    return streaming_fuzzy_screen(
+        gated,
+        band_index,
+        text_col="text",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+
+
 def streaming_fuzzy_screen(
     stream: DataFrame,
     band_index: DataFrame,

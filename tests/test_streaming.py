@@ -324,6 +324,103 @@ def test_streaming_fuzzy_screen(spark, tmp_path):
     assert texts == {novel}
 
 
+def test_streaming_crawl_ingest(spark, tmp_path):
+    """The streaming twin of the crawl→corpus capstone: WARC files
+    arrive in a drop directory (binaryFile stream), records walk +
+    HTTP decode + HTML→text + quality gate run stateless in-flight,
+    and the MinHash band screen drops pages already in the persisted
+    history index. Doc 1 carries cluster page c1 + unique page u1;
+    doc 3 carries cluster page c3 (IN history → identical signature →
+    certain drop), a near-dup of c3, its unique page, and no spam/404.
+    The near-dup's band fate is probabilistic in general but FIXED for
+    these bytes — pinned here (it shares a band and drops, the
+    high-recall outcome the screen is built for)."""
+    from datamancer_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_band_index,
+    )
+    from datamancer_spark.operators.fixtures import warc_corpus_blob
+    from datamancer_spark.streaming import (
+        read_warc_stream,
+        streaming_crawl_ingest,
+    )
+
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    for i in (1, 3):
+        with open(os.path.join(d, f"seg{i}.warc"), "wb") as f:
+            f.write(warc_corpus_blob(i))
+    hist_text = " ".join(f"c3_{j}" for j in range(40))
+    history = spark.createDataFrame(
+        [(999, hist_text)], "doc_id long, text string"
+    )
+    bidx = minhash_band_index(build_minhash_index(history))
+
+    stream = read_warc_stream(spark, d, max_files=1)
+    out = streaming_crawl_ingest(stream, band_index=bidx)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("crawl_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT path, url, text, n_words FROM crawl_stream"
+        ).collect()
+    finally:
+        q.stop()
+    by_url = {r["url"]: r for r in rows}
+    # doc 1 survivors: its cluster page (c1 not in history) + unique
+    assert "http://s1.example/c/1" in by_url
+    assert "http://s1.example/u/1" in by_url
+    assert by_url["http://s1.example/u/1"]["text"] == " ".join(
+        f"u1_{j}" for j in range(16)
+    )
+    # doc 3: the c3 cluster page is in history — identical signature,
+    # every band matches: certain drop
+    assert "http://s3.example/c/3" not in by_url
+    # doc 3's unique page survives (disjoint token namespace)
+    assert "http://s3.example/u/3" in by_url
+    # the near-dup page (J=35/41 trigram vs history) band-hits for
+    # these fixed bytes and drops — the screen's designed outcome
+    assert "http://s3.example/nd/3" not in by_url
+    # nothing else leaked through (no spam/404 pages for docs 1, 3)
+    assert len(rows) == 3
+
+
+def test_streaming_crawl_ingest_no_index(spark, tmp_path):
+    """band_index=None skips the screen: every gated page survives."""
+    from datamancer_spark.operators.fixtures import warc_corpus_blob
+    from datamancer_spark.streaming import (
+        read_warc_stream,
+        streaming_crawl_ingest,
+    )
+
+    d = str(tmp_path / "crawl0")
+    os.makedirs(d)
+    # doc 5 carries a SPAM page (5 % 11 == 5): the quality gate must
+    # drop it in-flight (5 repeated tokens fail both thresholds)
+    with open(os.path.join(d, "seg5.warc"), "wb") as f:
+        f.write(warc_corpus_blob(5))
+    out = streaming_crawl_ingest(read_warc_stream(spark, d))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("crawl_stream0")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT url FROM crawl_stream0").collect()
+    finally:
+        q.stop()
+    urls = {r["url"] for r in rows}
+    assert urls == {"http://s5.example/c/5", "http://s5.example/u/5"}
+
+
 def test_streaming_curation_pipeline_composes(spark, tmp_path):
     """The batch curation tier composes unchanged on a stream: heuristic
     quality score + hashed classifier score (both pure projections) and
