@@ -2435,6 +2435,35 @@ def pipeline_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_url_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level page gate under the driver gate (r10,
+    operators/scrub.py url_quality_filter): the C4/RefinedWeb-style
+    curation stage that rejects pages BY URL before any payload work —
+    host blocklist + blocked path terms over the crawl front end's
+    output. Over the capstone WARC fixture the outcome is closed-form:
+    every page of docs on host s0.example (doc_id % 7 == 0) fails
+    blocked_host, every /spam/ page fails blocked_term, everything
+    else passes — reasons serialized Gopher-style."""
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_corpus_blob,
+    )
+    from datamancer_spark.operators.scrub import url_quality_filter
+    from datamancer_spark.operators.warc import ingest_warc
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_corpus_blob)
+    pages = ingest_warc(blobs)
+    out = url_quality_filter(
+        pages,
+        blocked_hosts=["s0.example"],
+        blocked_path_terms=("spam",),
+    )
+    return out.select(
+        "doc_id", "rec_idx", "url", "host", "url_pass", "url_reasons"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2478,6 +2507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r9 #1) — WARC bytes → quality → exact dedup → fuzzy
         # -- dedup → survivor corpus, closed-form survivor twin.
         "pipeline_from_crawl": pipeline_from_crawl,
+        # -- r10 zero-green #2: URL-level page gate (host blocklist +
+        # -- blocked path terms) over the crawl front end.
+        "crawl_url_screen": crawl_url_screen,
         # -- the 11 r9-once-green media/crawl queries accruing
         # -- their SECOND driver proof (r10 rotation, VERDICT r9
         # -- #4). media_decode_coverage_mix is re-gated on the
@@ -4975,6 +5007,47 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d JOIN utoks u ON u.doc_id = d.doc_id
         )
         SELECT * FROM base_rows UNION ALL SELECT * FROM uniq_rows
+    """
+
+    # URL gate over the same capstone fixture: page layout per doc is
+    # (cluster@2, near-dup@3 if %7==3, spam next if %11==5, unique
+    # last; 404s never ingest); blocked_host = s0.example (doc%7==0),
+    # blocked_term fires on /spam/ paths, nothing else ever fires
+    sql["crawl_url_screen"] = """
+        WITH pages AS (
+          SELECT doc_id, 2 AS rec_idx,
+                 '/c/' || CAST(doc_id % 50 AS VARCHAR) AS pth
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 3, '/nd/' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id,
+                 3 + CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END,
+                 '/spam/' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 11 = 5
+          UNION ALL
+          SELECT doc_id,
+                 3 + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                   + (CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END),
+                 '/u/' || CAST(doc_id AS VARCHAR)
+          FROM documents
+        )
+        SELECT p.doc_id,
+               CAST(p.rec_idx AS INT) AS rec_idx,
+               'http://s' || CAST(p.doc_id % 7 AS VARCHAR) || '.example'
+                 || p.pth AS url,
+               's' || CAST(p.doc_id % 7 AS VARCHAR) || '.example' AS host,
+               (p.doc_id % 7 <> 0 AND p.pth NOT LIKE '/spam/%')
+                 AS url_pass,
+               CASE
+                 WHEN p.doc_id % 7 = 0 AND p.pth LIKE '/spam/%'
+                   THEN 'blocked_host,blocked_term'
+                 WHEN p.doc_id % 7 = 0 THEN 'blocked_host'
+                 WHEN p.pth LIKE '/spam/%' THEN 'blocked_term'
+                 ELSE ''
+               END AS url_reasons
+        FROM pages p
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

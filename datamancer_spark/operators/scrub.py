@@ -175,3 +175,57 @@ def host_counts(
             F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
         )
     )
+
+
+def url_quality_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocked_hosts: list[str] | None = None,
+    blocked_path_terms: tuple[str, ...] = ("spam", "casino", "porn"),
+    max_path_depth: int = 8,
+    max_query_params: int = 8,
+) -> DataFrame:
+    """URL-level page gate (r10) — the C4/RefinedWeb-style curation
+    stage that screens pages BY URL before any payload work: scheme
+    must be http(s), host not on the blocklist, no blocked term in the
+    path/query, path not absurdly deep, query not parameter-stuffed.
+    Adds ``url_pass`` (boolean) and ``url_reasons`` (comma-joined
+    firing rule names, "" when clean) — the same serialized-reasons
+    shape as the Gopher battery, so a pipeline can gate on the boolean
+    and audit the reasons.
+
+    All pure Catalyst regexp/string expressions (RE2-safe) — the gate
+    runs inside whole-stage codegen next to the crawl scan, BEFORE
+    text extraction or decode, which is the whole point at 100 TB:
+    a page rejected by its URL costs zero payload bytes downstream.
+    ``blocked_hosts`` is an exact lowercase host list (driver-side —
+    the typical curated blocklist is thousands of entries, fine as a
+    literal ``isin``; for a 100M-entry blocklist join a broadcast
+    frame upstream instead)."""
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/:?#]+)", 1))
+    path = F.regexp_extract(url, r"^https?://[^/?#]+(/[^?#]*)", 1)
+    query = F.regexp_extract(url, r"^[^?#]*\?([^#]*)", 1)
+    rules = {
+        "bad_scheme": ~url.rlike(r"^https?://"),
+        "blocked_host": (
+            host.isin([h.lower() for h in blocked_hosts])
+            if blocked_hosts
+            else F.lit(False)
+        ),
+        "blocked_term": F.lower(F.concat(path, F.lit("?"), query)).rlike(
+            "|".join(blocked_path_terms)
+        )
+        if blocked_path_terms
+        else F.lit(False),
+        "too_deep": F.length(path) - F.length(F.replace(path, F.lit("/")))
+        > max_path_depth,
+        "param_stuffed": F.when(
+            F.length(query) == 0, F.lit(False)
+        ).otherwise(F.size(F.split(query, "&")) > max_query_params),
+    }
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules.items()]
+    )
+    out = df.withColumn("url_reasons", reasons)
+    return out.withColumn("url_pass", F.col("url_reasons") == F.lit(""))

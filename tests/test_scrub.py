@@ -14,6 +14,7 @@ from datamancer_spark.operators.scrub import (
     normalize_url,
     redact_pii,
     url_dedup_key,
+    url_quality_filter,
 )
 
 
@@ -159,3 +160,66 @@ class TestAdviceR3Fixes:
         out = df.select(normalize_url(F.col("url")).alias("got"), "want")
         for r in out.collect():
             assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+class TestUrlQualityFilter:
+    """r10: the URL-level page gate (C4/RefinedWeb-style) — every rule
+    fires independently, reasons serialize in rule order, clean URLs
+    pass with an empty reason string."""
+
+    CASES = [
+        ("http://ok.example/a/b?id=1", True, ""),
+        ("ftp://files.example/x", False, "bad_scheme"),
+        ("http://bad.example/page", False, "blocked_host"),
+        ("http://ok.example/spam/offer", False, "blocked_term"),
+        ("http://ok.example/a?ref=casino", False, "blocked_term"),
+        # depth: 9 path segments > max_path_depth=8
+        ("http://ok.example/1/2/3/4/5/6/7/8/9", False, "too_deep"),
+        ("http://ok.example/1/2/3/4/5/6/7/8", True, ""),
+        # 9 query params > max_query_params=8
+        (
+            "http://ok.example/p?" + "&".join(f"k{i}=1" for i in range(9)),
+            False,
+            "param_stuffed",
+        ),
+        ("http://ok.example/p?" + "&".join(f"k{i}=1" for i in range(8)),
+         True, ""),
+        # multiple rules serialize in declaration order
+        ("http://bad.example/spam/x", False, "blocked_host,blocked_term"),
+        # no query, no path: clean
+        ("https://ok.example", True, ""),
+    ]
+
+    def test_rules(self, spark):
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _, _) in enumerate(self.CASES)],
+            "i long, url string",
+        )
+        out = {
+            r["i"]: (r["url_pass"], r["url_reasons"])
+            for r in url_quality_filter(
+                df, blocked_hosts=["bad.example"]
+            ).collect()
+        }
+        for i, (u, want_pass, want_reasons) in enumerate(self.CASES):
+            assert out[i] == (want_pass, want_reasons), (u, out[i])
+
+    def test_no_blocklist_means_host_rule_off(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://anything.example/x")], "i long, url string"
+        )
+        r = url_quality_filter(df).collect()[0]
+        assert r["url_pass"] is True
+
+    def test_stays_in_codegen(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://a.example/x")], "i long, url string"
+        )
+        plan = (
+            url_quality_filter(df, blocked_hosts=["b.example"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
