@@ -207,3 +207,89 @@ class TestXmlRoundtrip:
         assert rows[1]["name"] == "alpha" and rows[1]["score"] == 1.5
         # XML escaping round-trips special characters; missing element -> NULL
         assert rows[2]["name"] == "beta <&> quoted" and rows[2]["score"] is None
+
+
+class TestArrowIpc:
+    """r10: distributed Arrow IPC (Feather v2) source/sink — per-file
+    parallelism via binaryFile + pyarrow, schema round trip exact."""
+
+    def _frame(self, spark):
+        from datamancer_spark.frame import DamFrame
+
+        return DamFrame(
+            spark.range(200).selectExpr(
+                "id",
+                "cast(id % 7 as int) as g",
+                "cast(id as double) / 4 as x",
+                "concat('s', id) as s",
+                "id % 3 = 0 as flag",
+            )
+        )
+
+    def test_roundtrip_multifile(self, spark, tmp_path):
+        from datamancer_spark.io import read_arrow_ipc, write_arrow_ipc
+
+        d = self._frame(spark)
+        out = str(tmp_path / "ipc")
+        from datamancer_spark.frame import DamFrame as _DF
+        write_arrow_ipc(_DF(d.df.repartition(4)), out)
+        import glob
+
+        files = glob.glob(out + "/part-*.arrow")
+        assert len(files) == 4  # one per non-empty partition
+        back = read_arrow_ipc(spark, out + "/part-*.arrow")
+        assert back.df.schema == d.df.schema
+        want = sorted(tuple(r) for r in d.df.collect())
+        got = sorted(tuple(r) for r in back.df.collect())
+        assert got == want
+
+    def test_explicit_schema_and_ddl(self, spark, tmp_path):
+        from datamancer_spark.io import read_arrow_ipc, write_arrow_ipc
+
+        d = self._frame(spark)
+        out = str(tmp_path / "ipc2")
+        write_arrow_ipc(d, out)
+        back = read_arrow_ipc(
+            spark,
+            out + "/part-*.arrow",
+            schema="id long, g int, x double, s string, flag boolean",
+        )
+        assert back.df.count() == 200
+
+    def test_stream_framing_accepted(self, spark, tmp_path):
+        """A stream-framed .arrow (no ARROW1 footer) reads too — both
+        IPC framings occur in the wild."""
+        import pyarrow as pa
+
+        tbl = pa.table({"a": list(range(10)), "b": [f"v{i}" for i in range(10)]})
+        p = tmp_path / "stream.arrow"
+        with pa.OSFile(str(p), "wb") as sink:
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl)
+        from datamancer_spark.io import read_arrow_ipc
+
+        back = read_arrow_ipc(spark, str(p))
+        assert back.df.count() == 10
+        assert {r["b"] for r in back.df.collect()} == {f"v{i}" for i in range(10)}
+
+    def test_empty_partitions_write_nothing(self, spark, tmp_path):
+        from datamancer_spark.io import read_arrow_ipc, write_arrow_ipc
+
+        d = self._frame(spark)
+        out = str(tmp_path / "ipc3")
+        from datamancer_spark.frame import DamFrame as _DF
+        write_arrow_ipc(_DF(d.df.repartition(32)), out)  # 200 rows, 32 parts
+        import glob
+
+        files = glob.glob(out + "/part-*.arrow")
+        assert 0 < len(files) <= 32
+        back = read_arrow_ipc(spark, out + "/part-*.arrow")
+        assert back.df.count() == 200
+
+    def test_missing_path_raises(self, spark, tmp_path):
+        from datamancer_spark.io import read_arrow_ipc
+
+        import pytest as _pt
+
+        with _pt.raises(FileNotFoundError):
+            read_arrow_ipc(spark, str(tmp_path / "nope"))
