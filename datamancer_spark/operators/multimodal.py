@@ -1939,54 +1939,14 @@ def _apply_exif_orientation(gray, orient: int):
 
 
 def _decode_gray(blob: bytes):
-    """Grayscale pixel array from any REAL decoder — PNG (stdlib zlib),
-    JPEG incl. progressive (operators.jpegcodec; EXIF orientation
-    applied so camera-rotated photos hash upright), animated GIF first
-    frame (stdlib LZW) — or None for formats still needing a codec
-    library (video, compressed audio containers)."""
-    import numpy as np
-
-    from .jpegcodec import jpeg_decode_array
-
-    decoded = png_decode_array(blob)
-    orient = None
-    if decoded is None:
-        decoded = jpeg_decode_array(blob)
-        if decoded is not None:
-            orient = jpeg_exif_orientation(blob)
-    if decoded is not None:
-        _, _, _, px = decoded
-        gray = (
-            px.mean(axis=2)
-            if px.ndim == 3 and px.shape[2] > 1
-            else px.reshape(px.shape[0], px.shape[1])
-        )
-        if orient and orient != 1:
-            gray = _apply_exif_orientation(gray, orient)
-        return gray
-    first = next(iter(gif_decode_frames(blob, max_frames=1)), None)
-    if first is not None:
-        _, w, h, rgb = first
-        return (
-            np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).mean(axis=2)
-        )
-    bmp = bmp_decode_array(blob)
-    if bmp is not None:
-        return bmp[3].mean(axis=2)
-    if blob[:4] in (b"II*\x00", b"MM\x00*"):
-        from .tiffcodec import tiff_decode_array
-
-        tif = tiff_decode_array(blob)
-        if tif is not None:
-            _, _, ch, px = tif
-            return px.mean(axis=2) if ch == 3 else px.astype(np.float64)
-    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
-        from .webpcodec import vp8l_decode_array
-
-        wp = vp8l_decode_array(blob)
-        if wp is not None:
-            return wp[3].mean(axis=2)
-    return None
+    """Grayscale pixel array from any REAL decoder (the shared
+    ``decode_image_blob`` chain via ``_decode_rgb``, EXIF-uprighted) —
+    or None for formats still needing a codec library (video,
+    compressed audio containers)."""
+    px = _decode_rgb(blob)
+    if px is None:
+        return None
+    return px.mean(axis=2) if px.shape[2] > 1 else px[:, :, 0]
 
 
 def box_resample(arr, out_h: int, out_w: int):
@@ -2065,49 +2025,29 @@ def png_encode(px) -> bytes:
 
 def _decode_rgb(blob: bytes):
     """(h, w, c) uint8 from any REAL decoder (c = 1 or 3), with EXIF
-    orientation uprighted for JPEGs; None when undecodable."""
+    orientation uprighted for JPEGs; None when undecodable. r10: the
+    format walk is the SHARED ``decode_image_blob`` chain (single
+    source of truth — a format added there reaches the perceptual
+    screens automatically), plus the JPEG-only EXIF post-step (the
+    orientation tag is a header read, independent of which backend
+    produced the pixels)."""
     import numpy as np
 
-    from .jpegcodec import jpeg_decode_array
-
-    decoded = png_decode_array(blob)
-    orient = None
+    decoded = decode_image_blob(blob)
     if decoded is None:
-        decoded = jpeg_decode_array(blob)
-        if decoded is not None:
-            orient = jpeg_exif_orientation(blob)
-    if decoded is not None:
-        _, _, _, px = decoded
-        if px.ndim == 2:
-            px = px[:, :, None]
+        return None
+    px = decoded[3]
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if blob[:2] == b"\xff\xd8":  # JPEG: hash camera photos upright
+        orient = jpeg_exif_orientation(blob)
         if orient and orient != 1:
             px = np.stack(
                 [_apply_exif_orientation(px[:, :, i], orient)
                  for i in range(px.shape[2])],
                 axis=2,
             )
-        return px
-    first = next(iter(gif_decode_frames(blob, max_frames=1)), None)
-    if first is not None:
-        _, w, h, rgb = first
-        return np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
-    bmp = bmp_decode_array(blob)
-    if bmp is not None:
-        return bmp[3]
-    if blob[:4] in (b"II*\x00", b"MM\x00*"):
-        from .tiffcodec import tiff_decode_array
-
-        tif = tiff_decode_array(blob)
-        if tif is not None:
-            _, _, ch, px = tif
-            return px if ch == 3 else px[:, :, None]
-    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
-        from .webpcodec import vp8l_decode_array
-
-        wp = vp8l_decode_array(blob)
-        if wp is not None:
-            return wp[3]
-    return None
+    return px
 
 
 RESIZE_SCHEMA = StructType(
