@@ -184,6 +184,7 @@ def url_quality_filter(
     blocked_path_terms: tuple[str, ...] = ("spam", "casino", "porn"),
     max_path_depth: int = 8,
     max_query_params: int = 8,
+    blocked_hosts_df: DataFrame | None = None,
 ) -> DataFrame:
     """URL-level page gate (r10) — the C4/RefinedWeb-style curation
     stage that screens pages BY URL before any payload work: scheme
@@ -200,10 +201,22 @@ def url_quality_filter(
     a page rejected by its URL costs zero payload bytes downstream.
     ``blocked_hosts`` is an exact lowercase host list (driver-side —
     the typical curated blocklist is thousands of entries, fine as a
-    literal ``isin``; for a 100M-entry blocklist join a broadcast
-    frame upstream instead)."""
+    literal ``isin``); ``blocked_hosts_df`` is the SCALE path — a
+    one-column ``host`` frame joined on the extracted host (AQE
+    broadcasts it while it fits, shuffles when a 100M-entry list
+    doesn't), composable with the literal list."""
     url = F.col(url_col)
     host = F.lower(F.regexp_extract(url, r"^https?://([^/:?#]+)", 1))
+    joined_flag = None
+    if blocked_hosts_df is not None:
+        bl = blocked_hosts_df.select(
+            F.lower(F.col("host")).alias("_bl_host"),
+            F.lit(True).alias("_bl_hit"),
+        ).distinct()
+        df = df.withColumn("_req_host", host).join(
+            bl, F.col("_req_host") == F.col("_bl_host"), "left"
+        ).drop("_bl_host", "_req_host")
+        joined_flag = F.coalesce(F.col("_bl_hit"), F.lit(False))
     path = F.regexp_extract(url, r"^https?://[^/?#]+(/[^?#]*)", 1)
     query = F.regexp_extract(url, r"^[^?#]*\?([^#]*)", 1)
     rules = {
@@ -212,7 +225,8 @@ def url_quality_filter(
             host.isin([h.lower() for h in blocked_hosts])
             if blocked_hosts
             else F.lit(False)
-        ),
+        )
+        | (joined_flag if joined_flag is not None else F.lit(False)),
         "blocked_term": F.lower(F.concat(path, F.lit("?"), query)).rlike(
             "|".join(blocked_path_terms)
         )
@@ -228,4 +242,6 @@ def url_quality_filter(
         ",", *[F.when(cond, F.lit(name)) for name, cond in rules.items()]
     )
     out = df.withColumn("url_reasons", reasons)
+    if joined_flag is not None:
+        out = out.drop("_bl_hit")
     return out.withColumn("url_pass", F.col("url_reasons") == F.lit(""))

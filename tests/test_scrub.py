@@ -223,3 +223,36 @@ class TestUrlQualityFilter:
         )
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_blocklist_dataframe_scale_path(self, spark):
+        """blocked_hosts_df joins on the extracted host (the 100M-entry
+        path); composes with the literal list, case-insensitive."""
+        df = spark.createDataFrame(
+            [
+                (1, "http://evil.example/x"),
+                (2, "http://fine.example/x"),
+                (3, "http://ALSO-bad.example/x"),
+            ],
+            "i long, url string",
+        )
+        bl = spark.createDataFrame(
+            [("EVIL.example",), ("also-bad.example",)], "host string"
+        )
+        out = {
+            r["i"]: (r["url_pass"], r["url_reasons"])
+            for r in url_quality_filter(df, blocked_hosts_df=bl).collect()
+        }
+        assert out[1] == (False, "blocked_host")
+        assert out[2] == (True, "")
+        assert out[3] == (False, "blocked_host")
+        # composes with the literal list
+        out2 = {
+            r["i"]: r["url_pass"]
+            for r in url_quality_filter(
+                df, blocked_hosts=["fine.example"], blocked_hosts_df=bl
+            ).collect()
+        }
+        assert out2 == {1: False, 2: False, 3: False}
+        # internal join columns never leak
+        cols = url_quality_filter(df, blocked_hosts_df=bl).columns
+        assert set(cols) == {"i", "url", "url_reasons", "url_pass"}
