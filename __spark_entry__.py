@@ -1342,6 +1342,25 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC kNN (r10, operators/similarity.py
+    pq_encode → knn_pq): the memory-scale ANN tier — vectors quantize
+    to ONE packed bigint (per-subspace squared-L2 argmin over the
+    deterministic md5 sub-codebooks; 64 float64 → 8 bytes, 64×), and
+    the scan becomes a broadcast join of unpacked (subspace, code)
+    against the queries' exact distance tables plus a sum — fully
+    relational, so the DuckDB twin inlines the same 8×16 sub-centroids
+    and replicates argmin + ADC + ranking exactly. The trained-codebook
+    path (per-subspace Lloyd's) and the exact-rerank production
+    composition (knn_pq_rerank: recall 0.86@shortlist-50 on the
+    synthetic embeddings) are covered by pytest recall tests — this
+    gate pins the MACHINERY bit-for-bit, the knn_ivf convention."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    cbs = S.pq_codebooks(m=8, k=16, dim=64, seed=11)
+    return S.knn_pq(emb, queries_df, cbs, k=5)
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py
     semantic_dedup): IVF-cluster the embeddings with the deterministic
@@ -2510,6 +2529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
+        # -- r10 zero-green #3: product-quantization ADC kNN (packed
+        # -- bigint codes; the memory-scale ANN tier).
+        "knn_pq_codes": knn_pq_codes,
         # -- the 11 r9-once-green media/crawl queries accruing
         # -- their SECOND driver proof (r10 rotation, VERDICT r9
         # -- #4). media_decode_coverage_mix is re-gated on the
@@ -3597,6 +3619,16 @@ def oracle_sql() -> dict[str, str]:
         f"({c}, [" + ", ".join(repr(x) for x in plane_matrix(8, 64, seed=7)[c]) + "])"
         for c in range(8)
     )
+    # PQ sub-codebooks: 8 subspaces × 16 centroids × 8 dims, the same
+    # deterministic construction knn_pq_codes broadcasts
+    _pq_books = S.pq_codebooks(m=8, k=16, dim=64, seed=11)
+    pq_rows = ",\n               ".join(
+        f"({m}, {c}, ["
+        + ", ".join(repr(float(x)) for x in _pq_books[m][c])
+        + "])"
+        for m in range(8)
+        for c in range(16)
+    )
     sql["knn_ivf"] = f"""
         WITH cents(cid, cv) AS (
           VALUES {cent_rows}
@@ -3635,6 +3667,51 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored) t
+        WHERE rank <= 5
+    """
+
+    # PQ ADC kNN: per-(vector, subspace) argmin code over the inlined
+    # sub-centroids (sqrt distance is argmin-equivalent to the engine's
+    # squared-L2), exact per-query distance tables, ADC = sum over
+    # subspaces with the same half-up 1e-6 portable rounding BEFORE
+    # ranking that knn_pq applies.
+    sql["knn_pq_codes"] = f"""
+        WITH pqc(m, cid, cv) AS (
+          VALUES {pq_rows}
+        ),
+        asn AS (
+          SELECT vec_id, m, cid AS code FROM (
+            SELECT e.vec_id, c.m, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id, c.m
+                     ORDER BY list_distance(
+                       CAST(list_slice(e.embedding, c.m*8+1, c.m*8+8)
+                            AS DOUBLE[]), c.cv) ASC,
+                       c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN pqc c) t
+          WHERE rn = 1
+        ),
+        qtab AS (
+          SELECT e.vec_id AS query_id, c.m, c.cid AS code,
+                 power(list_distance(
+                   CAST(list_slice(e.embedding, c.m*8+1, c.m*8+8)
+                        AS DOUBLE[]), c.cv), 2) AS d
+          FROM embeddings e CROSS JOIN pqc c
+          WHERE e.vec_id < 10
+        ),
+        adc AS (
+          SELECT q.query_id, a.vec_id AS neighbor_id,
+                 floor(sum(q.d) * 1e6 + 0.5) / 1e6 AS adc
+          FROM asn a
+          JOIN qtab q ON q.m = a.m AND q.code = a.code
+          WHERE q.query_id <> a.vec_id
+          GROUP BY q.query_id, a.vec_id
+        )
+        SELECT query_id, neighbor_id, adc, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc ASC, neighbor_id ASC)
+                    AS rank
+          FROM adc) t
         WHERE rank <= 5
     """
 

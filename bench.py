@@ -131,9 +131,12 @@ HEADLINE = [
     "warc_ingest_crawl",
     # all four image decoders' pixel output under one gate
     "image_decode_multiformat",
-    # round-10 addition: the crawl→corpus capstone (WARC bytes →
-    # quality → exact+fuzzy dedup → survivor corpus, one plan)
+    # round-10 additions: the crawl→corpus capstone (WARC bytes →
+    # quality → exact+fuzzy dedup → survivor corpus, one plan), the
+    # URL page gate, and the PQ ADC ANN tier
     "pipeline_from_crawl",
+    "crawl_url_screen",
+    "knn_pq_codes",
 ]
 
 

@@ -16,6 +16,7 @@ Beyond-reference surface (BASELINE.json north star). Two tiers:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -373,6 +374,244 @@ def knn_lsh(
         .withColumn("cos", prnd(cosine(F.col("qv"), F.col("cv")), 6))
         .select("query_id", "neighbor_id", "cos")
         .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# -- Product quantization (PQ) ANN -------------------------------------------
+
+
+def pq_codebooks(m: int = 8, k: int = 16, dim: int = 64, seed: int = 11):
+    """Deterministic md5-derived product-quantization codebooks: ``m``
+    subspaces of ``dim // m`` dims, ``k`` centroids each (list of
+    (k, dim//m) float64 arrays). Same determinism contract as the IVF
+    codebook — a DuckDB oracle can inline the identical centroids; an
+    offline-trained codebook (per-subspace Lloyd's on a seeded sample,
+    as ``train_codebook`` does for IVF) drops in unchanged."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [
+        np.asarray(plane_matrix(k, sub, seed=seed * 100 + j))
+        for j in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    normalize: bool = True,
+):
+    """Per-subspace Lloyd's on a bounded seeded sample — the production
+    PQ recipe (the ``train_codebook`` contract, once per subspace).
+    ``normalize=True`` L2-normalizes the sample first: PQ ADC measures
+    squared L2, and on unit vectors L2² = 2 − 2·cos, making the PQ
+    ranking commensurate with the cosine tiers (pass the same
+    ``normalize`` to ``pq_encode``/``knn_pq``)."""
+    target = max(2000, 50 * k)
+    vecs = corpus.select(vec_col).filter(F.col(vec_col).isNotNull())
+    if sample_fraction < 1.0:
+        vecs = vecs.sample(fraction=sample_fraction, seed=seed)
+    rows = vecs.limit(target).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if normalize:
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+    sub = X.shape[1] // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        centers = S[
+            rng.choice(len(S), size=min(k, len(S)), replace=False)
+        ].copy()
+        for _ in range(8):
+            d2 = ((S[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(len(centers)):
+                members = S[a == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        books.append(centers)
+    return books
+
+
+def _pq_bits(k: int) -> int:
+    return max(1, (k - 1).bit_length())
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """PQ-encode a vector corpus: per subspace, squared-L2 argmin over
+    that subspace's centroids (ties to the lowest centroid id, the
+    numpy/row_number convention); the m codes PACK into ONE BIGINT
+    (``bits_per_code * j`` shifts) — the storage form that makes PQ the
+    100 TB memory lever: a 64-dim float64 vector (512 bytes) becomes
+    one 8-byte code word, 64× smaller, and the ANN scan reads codes,
+    never vectors. Output: (id, pq_code). One Arrow-batched map over
+    the scan, no shuffle (the ``ivf_assign`` shape)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    m = len(codebooks)
+    k = codebooks[0].shape[0]
+    sub = codebooks[0].shape[1]
+    bits = _pq_bits(k)
+    if m * bits > 62:
+        raise ValueError(f"{m} codes of {bits} bits overflow a bigint")
+    bc = df.sparkSession.sparkContext.broadcast(
+        [np.asarray(c, dtype=np.float64) for c in codebooks]
+    )
+    out_schema = StructType(
+        [df.schema[id_col], StructField("pq_code", LongType())]
+    )
+
+    def batches(it):
+        cbs = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            packed = np.zeros(len(V), dtype=np.int64)
+            for j, cb in enumerate(cbs):
+                S = V[:, j * sub : (j + 1) * sub]
+                # (n, k) squared distances; argmin ties -> lowest cid
+                d = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                packed |= d.argmin(axis=1).astype(np.int64) << (bits * j)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pq_code": packed}
+            )
+
+    return (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(batches, out_schema)
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_queries: int = DEFAULT_MAX_QUERIES,
+    normalize: bool = False,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes — the
+    memory-scale ANN tier: the corpus side is its packed code column
+    only (vectors never rescanned after encode), the query side is
+    collected (capped+raising, the knn shape) into per-query DISTANCE
+    TABLES — exact squared L2 between each query subvector and every
+    subspace centroid, (nq × m × k) rows, tiny — and the scan becomes
+    a broadcast join on (subspace, code) plus a sum over m: fully
+    relational, so the DuckDB twin replicates it exactly. ADC rounds
+    half-up to 6 decimals BEFORE ranking (knn_bruteforce's portable
+    rounding) so the (adc asc, neighbor asc) total order is
+    engine-stable. Output: (query_id, neighbor_id, adc, rank)."""
+    m = len(codebooks)
+    k_cent = codebooks[0].shape[0]
+    bits = _pq_bits(k_cent)
+    q_rows = _collect_query_rows(queries, id_col, vec_col, max_queries)
+    sub = codebooks[0].shape[1]
+    tab_rows = []
+    for qid, vec in q_rows:
+        V = np.asarray(vec, dtype=np.float64)
+        if normalize:
+            V = V / np.linalg.norm(V)
+        for j, cb in enumerate(codebooks):
+            S = V[j * sub : (j + 1) * sub]
+            d = ((cb - S[None, :]) ** 2).sum(axis=1)
+            for cid, dv in enumerate(d):
+                tab_rows.append((int(qid), j, cid, float(dv)))
+    spark = corpus.sparkSession
+    qtab = spark.createDataFrame(
+        tab_rows, "query_id long, m int, code int, d double"
+    )
+    enc = pq_encode(corpus, codebooks, vec_col, id_col, normalize=normalize)
+    unpacked = enc.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("pq_code"), bits * j)
+                    .bitwiseAND(F.lit((1 << bits) - 1))
+                    .cast("int")
+                    for j in range(m)
+                ]
+            )
+        ).alias("m", "code"),
+    )
+    adc = (
+        unpacked.join(F.broadcast(qtab), ["m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (F.floor(F.sum("d") * 1e6 + F.lit(0.5)) / 1e6).alias("adc")
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_pq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_queries: int = DEFAULT_MAX_QUERIES,
+    normalize: bool = True,
+) -> DataFrame:
+    """The production PQ architecture: ADC over packed codes produces a
+    ``shortlist`` per query (cheap — the scan reads 8-byte codes, never
+    vectors), then ONLY the shortlisted rows join back to their true
+    vectors for an exact cosine rerank. Recall equals the shortlist's
+    recall (tunable: bigger shortlist, same asymptotics) while the
+    full-corpus scan stays at PQ-code width — at 100 TB this is the
+    difference between scanning 0.8 TB of codes and 50 TB of vectors.
+    Output: (query_id, neighbor_id, cos, rank) — knn_bruteforce's
+    contract, so the two tiers swap freely."""
+    cand = knn_pq(
+        corpus, queries, codebooks, k=shortlist,
+        vec_col=vec_col, id_col=id_col,
+        max_queries=max_queries, normalize=normalize,
+    ).select("query_id", "neighbor_id")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        cand.join(vecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("cos", prnd(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

@@ -356,3 +356,111 @@ def test_bm25_avgdl_rides_the_plan(spark):
     # the scalar is an in-plan aggregate (sum(tf)/count_distinct(id) ==
     # avg per-doc dl), not a baked-in Python literal
     assert "_avgdl" in plan and "count(" in plan
+
+
+class TestProductQuantization:
+    """r10 PQ ANN tier: exact machinery pins (numpy reference for the
+    full encode→ADC→rank chain), packed-code contract, and the trained
+    + rerank recall path."""
+
+    def test_pq_encode_packs_argmin_codes(self, spark, sf_dir):
+        import numpy as np
+
+        from datamancer_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+        cbs = pq_codebooks(m=8, k=16, dim=64, seed=11)
+        got = {
+            r["vec_id"]: r["pq_code"] for r in pq_encode(emb, cbs).collect()
+        }
+        rows = emb.collect()
+        for r in rows:
+            V = np.asarray(r["embedding"], dtype=np.float64)
+            want = 0
+            for j, cb in enumerate(cbs):
+                S = V[j * 8 : (j + 1) * 8]
+                d = ((cb - S[None, :]) ** 2).sum(axis=1)
+                want |= int(d.argmin()) << (4 * j)
+            assert got[r["vec_id"]] == want
+
+    def test_knn_pq_matches_numpy_reference(self, spark, sf_dir):
+        """The full relational ADC chain (unpack → table join → sum →
+        rank) equals a straight numpy implementation, row for row."""
+        import numpy as np
+
+        from datamancer_spark.operators.similarity import (
+            knn_pq,
+            pq_codebooks,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cbs = pq_codebooks(m=8, k=16, dim=64, seed=11)
+        q = emb.filter(F.col("vec_id") < 5)
+        got = [
+            (r["query_id"], r["rank"], r["neighbor_id"], r["adc"])
+            for r in knn_pq(emb, q, cbs, k=5).collect()
+        ]
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+        codes = np.zeros((len(V), 8), dtype=np.int64)
+        for j, cb in enumerate(cbs):
+            S = V[:, j * 8 : (j + 1) * 8]
+            codes[:, j] = (
+                ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            ).argmin(axis=1)
+        want = []
+        for qi in range(5):
+            qv = V[ids == qi][0]
+            tabs = [
+                ((cb - qv[j * 8 : (j + 1) * 8][None, :]) ** 2).sum(axis=1)
+                for j, cb in enumerate(cbs)
+            ]
+            adc = np.array(
+                [
+                    sum(tabs[j][codes[i, j]] for j in range(8))
+                    for i in range(len(V))
+                ]
+            )
+            adc = np.floor(adc * 1e6 + 0.5) / 1e6
+            mask = ids != qi
+            order = np.lexsort((ids[mask], adc[mask]))[:5]
+            for rk, o in enumerate(order, 1):
+                want.append((qi, rk, int(ids[mask][o]), float(adc[mask][o])))
+        assert sorted(got) == sorted(want)
+
+    def test_trained_rerank_recall(self, spark, sf_dir):
+        """The production composition (trained sub-codebooks +
+        normalized ADC shortlist + exact cosine rerank) recovers most
+        of the exact top-5 (measured 0.86 at shortlist=50 on the
+        synthetic embeddings; pinned with head-room)."""
+        from datamancer_spark.operators.similarity import (
+            knn_bruteforce,
+            knn_pq_rerank,
+            train_pq_codebooks,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 10)
+        cbs = train_pq_codebooks(emb, m=8, k=16, seed=42)
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_bruteforce(emb, q, k=5).collect()
+        }
+        rr = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_pq_rerank(emb, q, cbs, k=5, shortlist=50).collect()
+        }
+        recall = len(brute & rr) / len(brute)
+        assert recall >= 0.7, f"PQ+rerank recall too low: {recall}"
+
+    def test_pq_rejects_bad_shapes(self, spark):
+        import pytest as _pt
+
+        from datamancer_spark.operators.similarity import pq_codebooks
+
+        with _pt.raises(ValueError):
+            pq_codebooks(m=7, k=16, dim=64)
