@@ -290,6 +290,26 @@ def test_pipeline_from_crawl_budget(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_r10_tail_query_plans(spark, sf_dir):
+    """crawl_url_screen stays shuffle-free beyond the fixture id
+    spread (the gate is pure codegen over the ingest stage — 1
+    exchange, no joins); knn_pq_codes holds 3 exchanges with the query
+    distance tables BROADCAST (the corpus side never shuffles vectors,
+    only unpacked codes into the agg)."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import executed_plan
+
+    qs = e.queries()
+    plan = executed_plan(qs["crawl_url_screen"](spark, sf_dir))
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")
+    assert "Join" not in plan
+    plan = executed_plan(qs["knn_pq_codes"](spark, sf_dir))
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
+    assert plan.count("BroadcastExchange") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_warc_ingest_zero_shuffle(spark, sf_dir):
     """The crawl front end must stay embarrassingly parallel: record
     split + HTTP decode in one mapInPandas pass, the 2xx-HTML filter
