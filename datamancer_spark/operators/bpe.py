@@ -11,7 +11,7 @@ standard split of work:
   (they train on samples, not the corpus). Determinism: pair-frequency
   ties break lexicographically, so the same sample always yields the
   same table.
-* ``bpe_encode`` / ``bpe_token_count`` — distributed apply: the merge
+* ``bpe_encode`` / ``bpe_exact_token_count`` — distributed apply: the merge
   table broadcasts (vocabulary-sized) and each Arrow batch encodes its
   own rows, with a per-batch word→tokens memo (natural-language word
   frequency follows Zipf, so the memo hit rate is enormous — the
@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: end-of-word marker symbol (rides the LAST character of each word)
