@@ -21,6 +21,8 @@ same regexes port to DuckDB/Trino/Hyperscan prefilters.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -205,7 +207,10 @@ def url_quality_filter(
     one-column ``host`` frame joined on the extracted host (AQE
     broadcasts it while it fits, shuffles when a 100M-entry list
     doesn't), composable with the literal list."""
-    url = F.col(url_col)
+    # a NULL url must FAIL the gate, not null-propagate through every
+    # rule into an empty reason string (= pass): coalesce to "" so the
+    # scheme rule fires
+    url = F.coalesce(F.col(url_col), F.lit(""))
     host = F.lower(F.regexp_extract(url, r"^https?://([^/:?#]+)", 1))
     joined_flag = None
     if blocked_hosts_df is not None:
@@ -227,8 +232,10 @@ def url_quality_filter(
             else F.lit(False)
         )
         | (joined_flag if joined_flag is not None else F.lit(False)),
+        # terms are literal words, not regex fragments: escape them so
+        # a term like "c++" can never break (or widen) the pattern
         "blocked_term": F.lower(F.concat(path, F.lit("?"), query)).rlike(
-            "|".join(blocked_path_terms)
+            "|".join(_re.escape(t.lower()) for t in blocked_path_terms)
         )
         if blocked_path_terms
         else F.lit(False),

@@ -256,3 +256,25 @@ class TestUrlQualityFilter:
         # internal join columns never leak
         cols = url_quality_filter(df, blocked_hosts_df=bl).columns
         assert set(cols) == {"i", "url", "url_reasons", "url_pass"}
+
+    def test_null_url_fails_and_terms_are_literal(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "http://ok.example/c++tutorial")],
+            "i long, url string",
+        )
+        out = {
+            r["i"]: (r["url_pass"], r["url_reasons"])
+            for r in url_quality_filter(
+                df, blocked_path_terms=("c++",)
+            ).collect()
+        }
+        # NULL url fails loudly instead of null-propagating to a pass
+        assert out[1] == (False, "bad_scheme")
+        # "c++" matches literally (unescaped it would be a bad regex /
+        # match any "c")
+        assert out[2] == (False, "blocked_term")
+        ok = spark.createDataFrame(
+            [(3, "http://ok.example/chapter")], "i long, url string"
+        )
+        r = url_quality_filter(ok, blocked_path_terms=("c++",)).collect()[0]
+        assert r["url_pass"] is True
