@@ -1946,7 +1946,7 @@ def _decode_gray(blob: bytes):
     px = _decode_rgb(blob)
     if px is None:
         return None
-    return px.mean(axis=2) if px.shape[2] > 1 else px[:, :, 0]
+    return _gray_of(px)
 
 
 def box_resample(arr, out_h: int, out_w: int):
@@ -2023,20 +2023,13 @@ def png_encode(px) -> bytes:
             + chunk(b"IEND", b""))
 
 
-def _decode_rgb(blob: bytes):
-    """(h, w, c) uint8 from any REAL decoder (c = 1 or 3), with EXIF
-    orientation uprighted for JPEGs; None when undecodable. r10: the
-    format walk is the SHARED ``decode_image_blob`` chain (single
-    source of truth — a format added there reaches the perceptual
-    screens automatically), plus the JPEG-only EXIF post-step (the
-    orientation tag is a header read, independent of which backend
-    produced the pixels)."""
+def _px_post(blob: bytes, px):
+    """Shared post-decode steps, independent of which backend produced
+    the pixels: channel-axis normalization and the JPEG-only EXIF
+    upright (the orientation tag is a header read on the BLOB, so it
+    composes with any decode backend)."""
     import numpy as np
 
-    decoded = decode_image_blob(blob)
-    if decoded is None:
-        return None
-    px = decoded[3]
     if px.ndim == 2:
         px = px[:, :, None]
     if blob[:2] == b"\xff\xd8":  # JPEG: hash camera photos upright
@@ -2048,6 +2041,22 @@ def _decode_rgb(blob: bytes):
                 axis=2,
             )
     return px
+
+
+def _gray_of(px):
+    return px.mean(axis=2) if px.shape[2] > 1 else px[:, :, 0]
+
+
+def _decode_rgb(blob: bytes):
+    """(h, w, c) uint8 from any REAL decoder (c = 1 or 3), with EXIF
+    orientation uprighted for JPEGs; None when undecodable. r10: the
+    format walk is the SHARED ``decode_image_blob`` chain (single
+    source of truth — a format added there reaches the perceptual
+    screens automatically) plus ``_px_post``."""
+    decoded = decode_image_blob(blob)
+    if decoded is None:
+        return None
+    return _px_post(blob, decoded[3])
 
 
 RESIZE_SCHEMA = StructType(
@@ -2106,24 +2115,41 @@ def image_dhash(
     df: DataFrame,
     bin_col: str = "content",
     id_col: str = "path",
+    backend=None,
 ) -> DataFrame:
-    """Per-image 64-bit perceptual dHash over the REAL stdlib decoders:
-    PNG pixels via ``png_decode_array``, JPEG (baseline AND progressive)
-    via ``jpegcodec.jpeg_decode_array``, animated GIF via the first
-    composited ``gif_decode_frames`` canvas; other formats (video /
-    compressed audio need ffmpeg, absent here) yield NULL — one undecodable
-    blob must never kill a 100 TB job. Arrow-batched mapInPandas; only
+    """Per-image 64-bit perceptual dHash over the REAL decoders (the
+    shared ``decode_image_blob`` chain — PNG, baseline+progressive
+    JPEG, GIF, BMP, TIFF, lossless WebP); other formats (video needs
+    ffmpeg, absent here) yield NULL — one undecodable
+    blob must never kill a 100 TB job. ``backend`` (r10): an
+    ``ImageDecodeBackend`` instance/name routes pixel production
+    through the pluggable batch interface — the dHash SCREENS are the
+    decode-bound stage at crawl scale (SCALING.md), so this is where
+    an accelerated backend pays; it must pass
+    ``validate_image_backend`` first, and the EXIF upright + grayscale
+    post-steps are backend-independent (header reads on the blob).
+    Arrow-batched mapInPandas; only
     (id, 8-byte hash) rows ever shuffle downstream. Output
     (``id_col``, dhash: long|NULL). Pair with ``dhash_pairs`` for the
     bucketed near-dup join — the image analog of SimHash over text."""
-    import numpy as np
+    if backend is not None:
+        from .codecbackend import resolve_image_backend
+
+        backend = resolve_image_backend(backend)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {id_col: [], "dhash": []}
-            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
-                blob = bytes(blob)
-                gray = _decode_gray(blob)
+            blobs = [bytes(b) for b in pdf[bin_col]]
+            if backend is not None:
+                results = backend.decode_batch(blobs)
+                grays = [
+                    None if r is None else _gray_of(_px_post(b, r[3]))
+                    for b, r in zip(blobs, results)
+                ]
+            else:
+                grays = [_decode_gray(b) for b in blobs]
+            for rid, gray in zip(pdf[id_col], grays):
                 out[id_col].append(rid)
                 out["dhash"].append(None if gray is None else dhash64_gray(gray))
             # dtype=object is load-bearing: one NULL (undecodable blob)
@@ -2199,6 +2225,7 @@ def audio_dhash(
     df: DataFrame,
     bin_col: str = "content",
     id_col: str = "path",
+    backend=None,
 ) -> DataFrame:
     """Per-clip 64-bit perceptual fingerprint over the REAL stdlib
     decoders (``audio_decode_array`` → ``audio_dhash64``): the WAV
@@ -2209,12 +2236,23 @@ def audio_dhash(
     Arrow-batched mapInPandas; only
     (id, 8-byte hash) rows shuffle downstream. Pair with
     ``audio_dhash_pairs`` — the audio analog of ``image_dhash``/SimHash,
-    sharing ``dedup.hamming_band_pairs``."""
+    sharing ``dedup.hamming_band_pairs``. ``backend`` (r10): an
+    ``AudioDecodeBackend`` instance/name routes sample production
+    through the pluggable batch interface (see ``image_dhash``)."""
+    if backend is not None:
+        from .codecbackend import resolve_audio_backend
+
+        backend = resolve_audio_backend(backend)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {id_col: [], "dhash": []}
-            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
-                decoded = audio_decode_array(bytes(blob))
+            blobs = [bytes(b) for b in pdf[bin_col]]
+            if backend is not None:
+                results = backend.decode_batch(blobs)
+            else:
+                results = [audio_decode_array(b) for b in blobs]
+            for rid, decoded in zip(pdf[id_col], results):
                 out[id_col].append(rid)
                 out["dhash"].append(
                     None if decoded is None else audio_dhash64(decoded[1])

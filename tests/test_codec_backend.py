@@ -221,3 +221,59 @@ class TestSparkKernelWiring:
         )
         assert default == explicit
         assert all(r["duration_s"] is not None for r in default)
+
+
+class TestDhashBackendWiring:
+    """r10: the perceptual screens (the decode-bound stage at crawl
+    scale) accept a backend too — explicit pure-python must equal the
+    default path bit for bit, undecodables stay NULL."""
+
+    def test_image_dhash_backend_identical(self, spark):
+        from datamancer_spark.operators.fixtures import (
+            ogg_stub_blob,
+            pattern_png_blob,
+            synth_blob_frame,
+        )
+        from datamancer_spark.operators.multimodal import image_dhash
+
+        ids = spark.range(12).select(
+            F.col("id").cast("string").alias("path")
+        )
+        blobs = synth_blob_frame(
+            ids,
+            lambda i: ogg_stub_blob(i) if i % 4 == 0 else pattern_png_blob(i),
+            id_col="path",
+        )
+        default = sorted(
+            (r["path"], r["dhash"]) for r in image_dhash(blobs).collect()
+        )
+        explicit = sorted(
+            (r["path"], r["dhash"])
+            for r in image_dhash(blobs, backend="pure-python").collect()
+        )
+        assert default == explicit
+        assert any(h is None for _, h in default)  # stubs stay NULL
+        assert any(h is not None for _, h in default)
+
+    def test_audio_dhash_backend_identical(self, spark):
+        from datamancer_spark.operators.fixtures import (
+            synth_blob_frame,
+            wav_dhash_blob,
+        )
+        from datamancer_spark.operators.multimodal import audio_dhash
+
+        ids = spark.range(8).select(
+            F.col("id").cast("string").alias("path")
+        )
+        blobs = synth_blob_frame(ids, wav_dhash_blob, id_col="path")
+        default = sorted(
+            (r["path"], r["dhash"]) for r in audio_dhash(blobs).collect()
+        )
+        explicit = sorted(
+            (r["path"], r["dhash"])
+            for r in audio_dhash(
+                blobs, backend=PurePythonAudioBackend()
+            ).collect()
+        )
+        assert default == explicit
+        assert all(h is not None for _, h in default)
