@@ -138,3 +138,39 @@ class TestEncode:
         )
         for r in joined.collect():
             assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"]
+
+
+class TestProperties:
+    def test_roundtrip_property(self, spark):
+        """Hypothesis: encode→decode is the identity on whitespace-
+        normalized lowercase text, for ANY merge table trained on ANY
+        corpus (merges only ever concatenate adjacent symbols)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        docs = spark.createDataFrame(
+            [("the cat sat on the mat with the hat",)] * 8, "text string"
+        )
+        merges = train_bpe(docs, num_merges=15)
+        ranks = {p: i for i, p in enumerate(merges)}
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.text(
+                    alphabet="abcdefghijklmnopqrstuvwxyz",
+                    min_size=1,
+                    max_size=12,
+                ),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        def check(words):
+            memo: dict = {}
+            toks = []
+            for w in words:
+                toks.extend(_encode_word(w, ranks, memo))
+            assert bpe_decode_tokens(toks) == " ".join(words)
+
+        check()
