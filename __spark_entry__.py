@@ -1361,6 +1361,21 @@ def knn_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_pq(emb, queries_df, cbs, k=5)
 
 
+def mine_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (r10, operators/similarity.py
+    mine_bitext — the Artetxe & Schwenk ratio criterion): the even-id
+    half of the embeddings table plays 'source language', the odd-id
+    half 'target'; a pair is mined when the target is the source's
+    nearest neighbor and cos / mean-local-kNN-density ≥ 1.05. Fully
+    relational after the kNN tier, portable 1e-6 rounding before the
+    threshold — the DuckDB twin replicates both kNN directions, the
+    k=4 density averages and the margin cut exactly."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return S.mine_bitext(src, tgt, k=4, threshold=1.05)
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py
     semantic_dedup): IVF-cluster the embeddings with the deterministic
@@ -2532,6 +2547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10 zero-green #3: product-quantization ADC kNN (packed
         # -- bigint codes; the memory-scale ANN tier).
         "knn_pq_codes": knn_pq_codes,
+        # -- r10 zero-green #4: margin-based bitext mining (ratio
+        # -- criterion over both kNN directions).
+        "mine_bitext_pairs": mine_bitext_pairs,
         # -- the 11 r9-once-green media/crawl queries accruing
         # -- their SECOND driver proof (r10 rotation, VERDICT r9
         # -- #4). media_decode_coverage_mix is re-gated on the
@@ -3713,6 +3731,51 @@ def oracle_sql() -> dict[str, str]:
                     AS rank
           FROM adc) t
         WHERE rank <= 5
+    """
+
+    # Margin-based bitext mining: both kNN directions replicated with
+    # the same rounded-cos ranking as knn_brute, k=4 density averages,
+    # margin rounded half-up to 1e-6 BEFORE the threshold cut.
+    sql["mine_bitext_pairs"] = """
+        WITH s AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 2 = 0),
+             t AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 2 = 1),
+        fwd_scored AS (
+          SELECT s.vec_id AS query_id, t.vec_id AS neighbor_id,
+                 prnd(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                        CAST(t.embedding AS DOUBLE[])), 6) AS cos
+          FROM s CROSS JOIN t),
+        fwd_k AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM fwd_scored) x WHERE rank <= 4),
+        fa AS (SELECT query_id, avg(cos) AS _fa FROM fwd_k
+               GROUP BY query_id),
+        bwd_scored AS (
+          SELECT t.vec_id AS query_id, s.vec_id AS neighbor_id,
+                 prnd(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                        CAST(s.embedding AS DOUBLE[])), 6) AS cos
+          FROM t CROSS JOIN s),
+        bwd_k AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM bwd_scored) x WHERE rank <= 4),
+        ba AS (SELECT query_id, avg(cos) AS _ba FROM bwd_k
+               GROUP BY query_id),
+        best AS (SELECT query_id AS src_id, neighbor_id AS tgt_id, cos
+                 FROM fwd_k WHERE rank = 1),
+        scored AS (
+          SELECT b.src_id, b.tgt_id, b.cos,
+                 floor(b.cos / ((fa._fa + ba._ba) / 2) * 1e6 + 0.5) / 1e6
+                   AS margin
+          FROM best b
+          JOIN fa ON fa.query_id = b.src_id
+          JOIN ba ON ba.query_id = b.tgt_id)
+        SELECT src_id, tgt_id, cos, margin FROM scored
+        WHERE margin >= 1.05
     """
 
     # Shared IVF assignment CTE (same 8 inlined centroids as knn_ivf):

@@ -137,6 +137,7 @@ HEADLINE = [
     "pipeline_from_crawl",
     "crawl_url_screen",
     "knn_pq_codes",
+    "mine_bitext_pairs",
 ]
 
 

@@ -622,6 +622,65 @@ def knn_pq_rerank(
     )
 
 
+def mine_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_queries: int = DEFAULT_MAX_QUERIES,
+) -> DataFrame:
+    """Margin-based bitext mining (the Artetxe & Schwenk ratio-margin
+    criterion, the standard parallel-corpus miner for multilingual
+    LLM data): a (src, tgt) pair is mined when tgt is src's NEAREST
+    neighbor and the cosine, normalized by both sides' local kNN
+    density, clears ``threshold`` —
+
+        margin(x, y) = cos(x, y) / ((avgNNk(x→tgt) + avgNNk(y→src)) / 2)
+
+    The density normalization is the whole point: hubs (sentences
+    near everything) score high raw cosine against half the corpus
+    but LOW margin, because their own kNN average is just as high.
+
+    Plan: two ``knn_bruteforce`` passes (each side's vectors stream
+    through mapInPandas; the other side is the capped+broadcast query
+    set) + two tiny per-query averages + two broadcastable joins —
+    fully relational after the kNN tier, so a DuckDB twin replicates
+    it exactly. The margin rounds half-up to 1e-6 BEFORE thresholding
+    (the portable-rounding convention) so the cut is engine-stable.
+    At crawl scale, swap the exact kNN tier for knn_pq_rerank /
+    knn_lsh candidate generation — the margin arithmetic is
+    unchanged. Output: (src_id, tgt_id, cos, margin), margin DESC
+    being the mining quality order."""
+    fwd = knn_bruteforce(tgt, src, k=k, vec_col=vec_col, id_col=id_col,
+                         max_queries=max_queries)
+    bwd = knn_bruteforce(src, tgt, k=k, vec_col=vec_col, id_col=id_col,
+                         max_queries=max_queries)
+    fwd_avg = fwd.groupBy("query_id").agg(F.avg("cos").alias("_fa"))
+    bwd_avg = bwd.groupBy("query_id").agg(F.avg("cos").alias("_ba"))
+    best = fwd.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "cos",
+    )
+    out = (
+        best.join(fwd_avg.withColumnRenamed("query_id", "src_id"), "src_id")
+        .join(bwd_avg.withColumnRenamed("query_id", "tgt_id"), "tgt_id")
+        .withColumn(
+            "margin",
+            F.floor(
+                F.col("cos") / ((F.col("_fa") + F.col("_ba")) / 2) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+        .filter(F.col("margin") >= threshold)
+        .select("src_id", "tgt_id", "cos", "margin")
+    )
+    return out
+
+
 # -- IVF cluster analytics / semantic dedup ----------------------------------
 
 

@@ -1565,6 +1565,29 @@ class TestAudioContainerMetadata:
         assert row["decodable"] is False
         assert row["duration_s"] == round(11 * 1024 / 44100, 6)
 
+    def test_adts_fuzz_never_raises(self):
+        """Byte-parser convention: truncations, bit flips, and length
+        corruptions of a valid ADTS stream must yield a result or None,
+        never an exception (and every all-bytes prefix/suffix too)."""
+        import hashlib as hl
+
+        from datamancer_spark.operators.fixtures import adts_aac_blob
+        from datamancer_spark.operators.multimodal import adts_metadata
+
+        base = adts_aac_blob(6)
+        for cut in range(0, len(base), 7):
+            adts_metadata(base[:cut])
+            adts_metadata(base[cut:])
+        for i in range(200):
+            d = hl.md5(f"adtsfuzz{i}".encode()).digest()
+            pos = int.from_bytes(d[:4], "big") % len(base)
+            mut = bytearray(base)
+            mut[pos] ^= d[4] or 1
+            adts_metadata(bytes(mut))  # value unspecified; no raise
+        # header-only and absurd-length frames
+        adts_metadata(b"\xff\xf1" + b"\x00" * 20)
+        adts_metadata(b"\xff\xf1\x50\x80\x00\x3f\xfc" * 3)
+
     def test_mp3_survives_false_sync_in_junk_prefix(self):
         """A 0xFFEx byte pair that fails frame validation (reserved
         bitrate index / wrong layer) must not abort the bounded scan —
