@@ -78,6 +78,10 @@ COMMENT = {
     "tfidf_similar_docs": "Weights checkpointed once (feeds norms + both self-join legs); term-keyed self-join with the fractional doc-freq cap pruning stop-word terms before the sum(df^2) shuffle.",
     "bm25_search_terms": "Both corpus scalars ride the plan as one-row broadcast crossJoins (n_docs for idf, avgdl for length normalization) — no eager driver jobs. r9 rework (VERDICT r8 #4): token stream clustered by id BEFORE the (id, term) count so one id exchange serves the count AND the dl window; avgdl's count_distinct(id) replaced by a row_number==1 marker summed in the same window pass (kills a doc_id re-shuffle); doc frequency is count(1) over the (id, term)-distinct frame (kills count_distinct's (term, id) expand exchange); enriched frame checkpointed once feeding df/avgdl/scoring legs. Why 8 is the floor here: the checkpoint scan erases partitioning info, so each of the 3 legs re-partitions the pinned rows (term x2 folds to broadcast at gate scale, singleton x2) on top of the id exchange + 2 scalar broadcasts; sharing the term exchange across legs would need exchange reuse across a checkpoint boundary, which Spark does not canonicalize. Pinned <=8 in test_plans.py; sf0.1 best-of wall 1.18s vs 1.25s (r7 shape), DuckDB twin green at sf0.01 + sf0.1.",
     "price_quantity_trend": "Five OLS sums per group in one partial-aggregated groupBy.",
+    "pipeline_from_crawl": "The crawl→corpus capstone in ONE composition (r10): the WARC ingest stage feeds a Catalyst-side quality gate (same codegen stage as HTML→text), then exact dedup (one fp groupBy; keeper set broadcast back), then the exact-Jaccard fuzzy tier (inverted-shingle-index self-join on 32-bit hashes + pair-count groupBy) and a broadcast anti join drops dominated pages. The deduplicated corpus is pinned once so the WARC decode mapInPandas never re-executes per consumer; no cartesian anywhere (≤7 exchanges, test_plans.py). At 100 TB the exact-Jaccard tier swaps for the LSH-verified tier (dedup_minhash_verified); every other stage is linear and partition-local.",
+    "crawl_url_screen": "URL-level page gate over the ingest stage: host/terms/depth/param rules are pure codegen'd regexp expressions in the SAME stage as HTML→text — one exchange (the fixture id spread), no joins; at 100 TB a page rejected by URL costs zero payload bytes downstream.",
+    "knn_pq_codes": "PQ ADC kNN: encode is one mapInPandas pass (vectors never shuffle), codes unpack Catalyst-side into (subspace, code) rows, the queries' exact distance tables BROADCAST, and the ADC is a partial-aggregated sum + per-query ranking window — 3 exchanges, no cartesian; the corpus side of the scan is 8-byte codes (the 64× memory lever).",
+    "mine_bitext_pairs": "Margin bitext mining: two knn_bruteforce passes (each side streams scan→python, the other side broadcast), two tiny per-query averages and two broadcastable joins; the margin rounds half-up to 1e-6 before the threshold so the cut is engine-stable.",
     "warc_ingest_crawl": "Crawl front end: WARC record split + gzip-member walk + HTTP payload decode in ONE Arrow-batched mapInPandas pass (zlib is C-speed; only extracted rows continue); the 2xx-HTML filter and the whole HTML->text chain are Catalyst regexp expressions in the same codegen stage — no joins; the single exchange is the fixture harness's id spread over the one-split gate parquet (production binaryFile sources arrive pre-split, needing none); at 100 TB this is embarrassingly parallel over input splits.",
 }
 
