@@ -1361,6 +1361,40 @@ def knn_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_pq(emb, queries_df, cbs, k=5)
 
 
+def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch under the driver gate (r10,
+    operators/sketch.py): the corpus token frequencies sketch into a
+    4×256 counter matrix (width 256 over a ~9k-token vocabulary forces
+    REAL collisions, so the one-sided error contract is non-trivial),
+    and the top-30 true-frequency tokens read back their estimates —
+    (tok, true_count, est) with est ≥ true_count guaranteed. The md5
+    counter hashes are the repo's portable convention, so the DuckDB
+    twin rebuilds the sketch and the min-over-rows estimates bit for
+    bit. One corpus scan: the vocabulary count frame feeds both the
+    sketch build (as weights) and the truth side."""
+    from datamancer_spark.operators.dedup import tokens
+    from datamancer_spark.operators.sketch import cms_build, cms_estimate
+    from datamancer_spark.session import materialize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    toks = doc.select(F.explode(tokens(F.col("text"))).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    truth = materialize(
+        toks.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("long").alias("true_count")
+        )
+    )
+    sketch = cms_build(
+        truth, "tok", width=256, depth=4, weight_col="true_count"
+    )
+    top = truth.orderBy(
+        F.col("true_count").desc(), F.col("tok").asc()
+    ).limit(30)
+    est = cms_estimate(sketch, top.select("tok"), "tok", width=256, depth=4)
+    return top.join(est, "tok").select("tok", "true_count", "est")
+
+
 def mine_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (r10, operators/similarity.py
     mine_bitext — the Artetxe & Schwenk ratio criterion): the even-id
@@ -2550,6 +2584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10 zero-green #4: margin-based bitext mining (ratio
         # -- criterion over both kNN directions).
         "mine_bitext_pairs": mine_bitext_pairs,
+        # -- r10 zero-green #5: count-min sketch frequency estimates
+        # -- (mergeable 4x256 counter matrix; one-sided error).
+        "token_freq_cms": token_freq_cms,
         # -- the 11 r9-once-green media/crawl queries accruing
         # -- their SECOND driver proof (r10 rotation, VERDICT r9
         # -- #4). media_decode_coverage_mix is re-gated on the
@@ -3731,6 +3768,52 @@ def oracle_sql() -> dict[str, str]:
                     AS rank
           FROM adc) t
         WHERE rank <= 5
+    """
+
+    # Count-min sketch: the DuckDB twin rebuilds the 4x256 counter
+    # matrix from the same portable md5 hashes and reads the same
+    # min-over-rows estimates.
+    sql["token_freq_cms"] = """
+        WITH toks AS (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                         '\\s+'),
+                   x -> len(x) > 0)) AS tok
+          FROM documents
+        ),
+        truth AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS true_count
+          FROM toks GROUP BY tok
+        ),
+        entries AS (
+          SELECT r.r AS row,
+                 CAST('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+                        || t.tok), 1, 15) AS BIGINT) % 256 AS col,
+                 t.true_count AS n
+          FROM truth t CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+        ),
+        sketch AS (
+          SELECT row, col, CAST(sum(n) AS BIGINT) AS n
+          FROM entries GROUP BY row, col
+        ),
+        top AS (
+          SELECT tok, true_count FROM truth
+          ORDER BY true_count DESC, tok ASC LIMIT 30
+        ),
+        probes AS (
+          SELECT t.tok, r.r AS row,
+                 CAST('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+                        || t.tok), 1, 15) AS BIGINT) % 256 AS col
+          FROM top t CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+        ),
+        est AS (
+          SELECT p.tok, CAST(min(coalesce(s.n, 0)) AS BIGINT) AS est
+          FROM probes p
+          LEFT JOIN sketch s ON s.row = p.row AND s.col = p.col
+          GROUP BY p.tok
+        )
+        SELECT t.tok, t.true_count, e.est
+        FROM top t JOIN est e ON e.tok = t.tok
     """
 
     # Margin-based bitext mining: both kNN directions replicated with

@@ -138,6 +138,7 @@ HEADLINE = [
     "crawl_url_screen",
     "knn_pq_codes",
     "mine_bitext_pairs",
+    "token_freq_cms",
 ]
 
 

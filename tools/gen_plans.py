@@ -81,6 +81,7 @@ COMMENT = {
     "pipeline_from_crawl": "The crawl→corpus capstone in ONE composition (r10): the WARC ingest stage feeds a Catalyst-side quality gate (same codegen stage as HTML→text), then exact dedup (one fp groupBy; keeper set broadcast back), then the exact-Jaccard fuzzy tier (inverted-shingle-index self-join on 32-bit hashes + pair-count groupBy) and a broadcast anti join drops dominated pages. The deduplicated corpus is pinned once so the WARC decode mapInPandas never re-executes per consumer; no cartesian anywhere (≤7 exchanges, test_plans.py). At 100 TB the exact-Jaccard tier swaps for the LSH-verified tier (dedup_minhash_verified); every other stage is linear and partition-local.",
     "crawl_url_screen": "URL-level page gate over the ingest stage: host/terms/depth/param rules are pure codegen'd regexp expressions in the SAME stage as HTML→text — one exchange (the fixture id spread), no joins; at 100 TB a page rejected by URL costs zero payload bytes downstream.",
     "knn_pq_codes": "PQ ADC kNN: encode is one mapInPandas pass (vectors never shuffle), codes unpack Catalyst-side into (subspace, code) rows, the queries' exact distance tables BROADCAST, and the ADC is a partial-aggregated sum + per-query ranking window — 3 exchanges, no cartesian; the corpus side of the scan is 8-byte codes (the 64× memory lever).",
+    "token_freq_cms": "Count-min sketch: one corpus token aggregation (the shuffle every frequency question pays), then vocabulary-sized explode+sum builds the 4x256 counter matrix; estimates are a BROADCAST join of the tiny sketch + min-over-rows — the sketch itself is <=1024 rows, mergeable by union+sum.",
     "mine_bitext_pairs": "Margin bitext mining: two knn_bruteforce passes (each side streams scan→python, the other side broadcast), two tiny per-query averages and two broadcastable joins; the margin rounds half-up to 1e-6 before the threshold so the cut is engine-stable.",
     "warc_ingest_crawl": "Crawl front end: WARC record split + gzip-member walk + HTTP payload decode in ONE Arrow-batched mapInPandas pass (zlib is C-speed; only extracted rows continue); the 2xx-HTML filter and the whole HTML->text chain are Catalyst regexp expressions in the same codegen stage — no joins; the single exchange is the fixture harness's id spread over the one-split gate parquet (production binaryFile sources arrive pre-split, needing none); at 100 TB this is embarrassingly parallel over input splits.",
 }
