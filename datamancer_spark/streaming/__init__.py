@@ -230,6 +230,37 @@ def run_to_memory(result: DataFrame, table: str, mode: str = "update"):
     return q
 
 
+def streaming_cms(
+    stream: DataFrame,
+    value_col: str = "value",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Streaming count-min sketch — continuous frequency monitoring
+    with state BOUNDED BY CONSTRUCTION: the running aggregate holds at
+    most ``depth × width`` counters no matter how unbounded the input
+    (the rare streaming aggregate that needs no watermark to stay
+    finite). Each row's counter coordinates are a stateless projection
+    (the same portable md5 hashes as the batch ``operators.sketch``
+    tier), then one grouped count over the bounded key space. Run with
+    ``outputMode("complete")`` (or ``update``) — the emitted frame IS
+    a sketch: query it with ``sketch.cms_estimate``, merge it into the
+    batch sketch with ``sketch.cms_merge`` (counter matrices are
+    linear, so stream + compaction compose exactly)."""
+    from ..operators.sketch import _cms_col
+
+    entries = stream.filter(F.col(value_col).isNotNull()).select(
+        F.posexplode(
+            F.array(
+                *[_cms_col(F.col(value_col), r, width) for r in range(depth)]
+            )
+        ).alias("row", "col")
+    )
+    return entries.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def read_warc_stream(
     spark: SparkSession, path: str, max_files: int = 10
 ) -> DataFrame:

@@ -111,3 +111,61 @@ class TestCms:
         sk = cms_build(df, width=32, depth=2)
         total = sk.agg(F.sum("n")).collect()[0][0]
         assert total == 2 * 2  # two occurrences x depth rows
+
+
+class TestStreamingCms:
+    def test_stream_sketch_equals_batch_and_merges(self, spark, tmp_path):
+        """The streaming sketch over all arrived batches equals the
+        batch build over the same rows (counter matrices are linear),
+        and merging it into a batch history sketch composes exactly."""
+        import json
+        import os
+
+        from datamancer_spark.streaming import streaming_cms
+
+        d = str(tmp_path / "in")
+        os.makedirs(d)
+        rows_a = [{"value": f"t{i % 5}"} for i in range(40)]
+        rows_b = [{"value": f"t{i % 3}"} for i in range(21)]
+        for name, rows in (("a.json", rows_a), ("b.json", rows_b)):
+            with open(os.path.join(d, name), "w") as f:
+                f.write("\n".join(json.dumps(r) for r in rows))
+        stream = spark.readStream.schema("value string").json(d)
+        out = streaming_cms(stream, width=64, depth=3)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cms_stream")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                map(tuple, spark.sql("SELECT * FROM cms_stream").collect())
+            )
+        finally:
+            q.stop()
+        batch_df = spark.createDataFrame(
+            [(r["value"],) for r in rows_a + rows_b], "value string"
+        )
+        want = sorted(map(tuple, cms_build(batch_df, width=64, depth=3).collect()))
+        assert got == want
+        # merge with a batch "history" sketch and read an estimate
+        hist = cms_build(
+            spark.createDataFrame([("t0", 5)], "value string, n long"),
+            width=64,
+            depth=3,
+            weight_col="n",
+        )
+        stream_sketch = spark.createDataFrame(
+            [tuple(r) for r in got], "row int, col long, n long"
+        )
+        merged = cms_merge(hist, stream_sketch)
+        est = cms_estimate(
+            merged,
+            spark.createDataFrame([("t0",)], "value string"),
+            width=64,
+            depth=3,
+        ).collect()[0]["est"]
+        # t0 truth: 8 (of 40, i%5==0) + 7 (of 21, i%3==0) + 5 history
+        assert est >= 20
