@@ -1166,3 +1166,119 @@ def exact_dedup_keep_best(
         ).alias(id_col)
     )
     return df.join(keepers.select(id_col), id_col, "left_semi")
+
+
+# -- Bloom-filter pre-screen (r10) -------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str = "text",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+    hashed: bool = False,
+) -> DataFrame:
+    """Bloom filter over a corpus as a DataFrame of OCCUPIED bit
+    positions — at most ``min(n·k, num_bits)`` rows of one long, so it
+    broadcasts, persists as parquet, and MERGES with a plain
+    union+distinct (bloom filters are bitwise-OR-able). Values hash
+    through the canonical fingerprint first (``hashed=True`` skips
+    that when ``value_col`` already holds fingerprints — e.g. the
+    persisted dedup index). Position hashes are the portable md5
+    convention, so build and probe agree across engines and sessions."""
+    v = F.col(value_col) if hashed else fingerprint(F.col(value_col))
+    d = spread_partitions(df).filter(F.col(value_col).isNotNull())
+    return (
+        d.select(
+            F.explode(
+                F.array(
+                    *[
+                        (portable_hash(v, seed=f"bl{i}") % num_bits).alias(
+                            "pos"
+                        )
+                        for i in range(num_hashes)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    df: DataFrame,
+    bloom: DataFrame,
+    value_col: str = "text",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+    hashed: bool = False,
+    out: str = "maybe_seen",
+) -> DataFrame:
+    """Membership probe with the Bloom contract: ``out`` False means
+    DEFINITELY not in the building corpus (no false negatives, ever);
+    True means maybe (false-positive rate ≈ (1 − e^(−kn/m))^k). Plan
+    shape: ``num_hashes`` broadcast LEFT joins of position columns
+    against the (re-broadcastable) occupied-position set — the
+    ``streaming_fuzzy_screen`` column-wise pattern, so the probe adds
+    ZERO shuffles and runs on streams unchanged."""
+    v = F.col(value_col) if hashed else fingerprint(F.col(value_col))
+    probed = df.withColumns(
+        {
+            f"_blp{i}": portable_hash(v, seed=f"bl{i}") % num_bits
+            for i in range(num_hashes)
+        }
+    )
+    hit_cols = []
+    for i in range(num_hashes):
+        side = F.broadcast(
+            bloom.select(
+                F.col("pos").alias(f"_blq{i}"), F.lit(1).alias(f"_blh{i}")
+            )
+        )
+        probed = probed.join(
+            side, probed[f"_blp{i}"] == side[f"_blq{i}"], "left"
+        ).drop(f"_blq{i}")
+        hit_cols.append(f"_blh{i}")
+    maybe = None
+    for h in hit_cols:
+        cond = F.col(h).isNotNull()
+        maybe = cond if maybe is None else (maybe & cond)
+    return probed.withColumn(out, maybe).drop(
+        *hit_cols, *[f"_blp{i}" for i in range(num_hashes)]
+    )
+
+
+def dedup_against_bloom(
+    new: DataFrame,
+    seen_bloom: DataFrame,
+    seen: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+    self_dedup: bool = True,
+) -> DataFrame:
+    """Cross-snapshot dedup with a Bloom PRE-SCREEN — the standard
+    100 TB shuffle saver: rows whose probe says definitely-not-seen
+    pass with ZERO shuffle (the probe is broadcast joins), and only
+    the maybe-seen minority reaches the exact fingerprint anti-join
+    against ``seen``. With mostly-novel snapshots (the normal crawl
+    case) the anti-join input shrinks to the duplicate mass + the
+    Bloom false positives. Results are IDENTICAL to ``dedup_against``
+    — the Bloom tier is a pure optimization (no false negatives), and
+    the exact join arbitrates every maybe. ``seen=None`` returns the
+    definite-new rows only (probe-only mode: cheap, but drops the
+    false positives — pass ``seen`` unless ~(1−e^(−kn/m))^k loss is
+    acceptable and documented)."""
+    base = exact_dedup_keep(new, text_col, id_col) if self_dedup else new
+    probed = bloom_maybe_contains(
+        base, seen_bloom, text_col, num_bits, num_hashes
+    )
+    definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    if seen is None:
+        return definite
+    maybes = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    resolved = dedup_against(
+        maybes, seen, text_col, id_col, self_dedup=False
+    )
+    return definite.unionByName(resolved)

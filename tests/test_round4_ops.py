@@ -715,3 +715,109 @@ class TestNullTextRobustness:
         assert {r["neighbor_id"] for r in got} == {2}
         buckets = hyperplane_bits(emb, num_planes=4, dim=2)
         assert {r["vec_id"] for r in buckets.collect()} == {1, 2}
+
+
+class TestBloomPrescreen:
+    """r10 Bloom tier: no false negatives ever, plan adds zero
+    shuffles, and the pre-screened cross-snapshot dedup equals the
+    exact one row for row."""
+
+    def _corpora(self, spark):
+        seen = spark.createDataFrame(
+            [(i, f"seen document number {i} about topic {i % 7}")
+             for i in range(300)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            # 40 duplicates of seen docs + 160 novel docs
+            [(1000 + i, f"seen document number {i} about topic {i % 7}")
+             for i in range(40)]
+            + [(2000 + i, f"novel document {i} on theme {i % 5}")
+               for i in range(160)],
+            "doc_id long, text string",
+        )
+        return seen, new
+
+    def test_no_false_negatives(self, spark):
+        from datamancer_spark.operators.dedup import (
+            bloom_build,
+            bloom_maybe_contains,
+        )
+
+        seen, new = self._corpora(spark)
+        bits, k = 1 << 14, 5
+        bloom = bloom_build(seen, "text", bits, k)
+        probed = bloom_maybe_contains(new, bloom, "text", bits, k)
+        flags = {r["doc_id"]: r["maybe_seen"] for r in probed.collect()}
+        # every true duplicate MUST probe maybe (the bloom contract)
+        assert all(flags[1000 + i] for i in range(40))
+        # most novels probe definitely-not (fp rate small at this size)
+        fp = sum(1 for i in range(160) if flags[2000 + i])
+        assert fp <= 16, fp
+
+    def test_equals_exact_dedup_against(self, spark):
+        from datamancer_spark.operators.dedup import (
+            bloom_build,
+            dedup_against,
+            dedup_against_bloom,
+        )
+
+        seen, new = self._corpora(spark)
+        # tiny filter = many false positives: results must STILL match
+        for bits in (1 << 8, 1 << 14):
+            bloom = bloom_build(seen, "text", bits, 5)
+            got = {
+                r["doc_id"]
+                for r in dedup_against_bloom(
+                    new, bloom, seen, num_bits=bits, num_hashes=5
+                ).collect()
+            }
+            want = {
+                r["doc_id"] for r in dedup_against(new, seen).collect()
+            }
+            assert got == want, bits
+
+    def test_probe_adds_no_shuffle(self, spark):
+        from datamancer_spark.operators.dedup import (
+            bloom_build,
+            bloom_maybe_contains,
+        )
+        from datamancer_spark.plans import executed_plan
+
+        from datamancer_spark.session import materialize
+
+        seen, new = self._corpora(spark)
+        # pin the (one-time, index-sized) filter build so the probe
+        # plan is inspected alone — production persists the filter
+        bloom = materialize(bloom_build(seen, "text", 1 << 14, 5))
+        probed = bloom_maybe_contains(new, bloom, "text", 1 << 14, 5)
+        plan = executed_plan(probed)
+        # only broadcast exchanges (the k position sets); no hash
+        # exchange anywhere on the probe lineage
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        assert plan.count("BroadcastHashJoin") == 5
+
+    def test_merge_is_union_distinct(self, spark):
+        from datamancer_spark.operators.dedup import (
+            bloom_build,
+            bloom_maybe_contains,
+        )
+
+        a = spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                                  "doc_id long, text string")
+        b = spark.createDataFrame([(3, "gamma")],
+                                  "doc_id long, text string")
+        bits, k = 1 << 12, 4
+        merged = (
+            bloom_build(a, "text", bits, k)
+            .unionByName(bloom_build(b, "text", bits, k))
+            .distinct()
+        )
+        combined = bloom_build(a.unionByName(b), "text", bits, k)
+        assert sorted(r["pos"] for r in merged.collect()) == sorted(
+            r["pos"] for r in combined.collect()
+        )
+        probe = bloom_maybe_contains(
+            a.unionByName(b), merged, "text", bits, k
+        )
+        assert all(r["maybe_seen"] for r in probe.collect())
