@@ -78,6 +78,16 @@ class PILImageBackend(ImageDecodeBackend):
         except ImportError:
             return False
 
+    # PIL modes that carry a single luminance band (optionally + alpha):
+    # these decode to the reference's 1-channel form. Everything else
+    # (RGB/RGBA/P/CMYK/YCbCr/...) converts to RGB — matching the pure-
+    # Python chain's "alpha dropped, palette expanded to RGB" semantics,
+    # so channels is always 1 or 3 and ALWAYS equals pixels.shape[2]
+    # (the old len(getbands()) reported the pre-conversion band count,
+    # e.g. 4 for RGBA, alongside a forced 3-channel array — internally
+    # inconsistent and a guaranteed validator mismatch on non-RGB input).
+    _GRAY_MODES = ("1", "L", "LA", "La", "I", "I;16", "I;16B", "F")
+
     def decode_batch(self, blobs: Sequence[bytes]):  # pragma: no cover
         import io
 
@@ -87,9 +97,13 @@ class PILImageBackend(ImageDecodeBackend):
         for blob in blobs:
             try:
                 img = Image.open(io.BytesIO(bytes(blob)))
-                px = np.asarray(img.convert("RGB"), dtype=np.uint8)
-                h, w = px.shape[:2]
-                out.append((w, h, len(img.getbands()), px))
+                if img.mode in self._GRAY_MODES:
+                    px = np.asarray(img.convert("L"), dtype=np.uint8)
+                    px = px[:, :, None]
+                else:
+                    px = np.asarray(img.convert("RGB"), dtype=np.uint8)
+                h, w, ch = px.shape
+                out.append((w, h, ch, px))
             except Exception:
                 out.append(None)
         return out

@@ -1185,9 +1185,18 @@ def bloom_build(
     through the canonical fingerprint first (``hashed=True`` skips
     that when ``value_col`` already holds fingerprints — e.g. the
     persisted dedup index). Position hashes are the portable md5
-    convention, so build and probe agree across engines and sessions."""
+    convention, so build and probe agree across engines and sessions.
+
+    NULL handling mirrors the probe side exactly: in the raw-text path
+    ``fingerprint`` coalesces NULL to md5(''), so NULL/empty seen docs
+    DO populate the filter — dropping them here would make a probe of a
+    new NULL-text doc report definitely-new, a false negative violating
+    the Bloom contract. Only the ``hashed=True`` path (where a NULL is a
+    genuinely absent fingerprint, not a document) filters NULLs."""
     v = F.col(value_col) if hashed else fingerprint(F.col(value_col))
-    d = spread_partitions(df).filter(F.col(value_col).isNotNull())
+    d = spread_partitions(df)
+    if hashed:
+        d = d.filter(F.col(value_col).isNotNull())
     return (
         d.select(
             F.explode(

@@ -54,8 +54,16 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_queries: int = DEFAULT_MAX_QUERIES,
+    exclude_self: bool = True,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector (excluding self).
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``exclude_self=True`` (the within-corpus default) drops candidates
+    whose id equals the query id. For CROSS-corpus queries (bitext
+    mining, query-against-index) pass ``exclude_self=False``: the two
+    sides' id spaces may overlap (both indexed 0..N is the normal case
+    for independently-ided corpora), and bare id-equality exclusion
+    would silently suppress exactly the aligned same-index candidates.
 
     Output: (query_id, neighbor_id, cos, rank). Plan: the query matrix is
     collected once (bounded, documented) and broadcast to executors; the
@@ -84,6 +92,7 @@ def knn_bruteforce(
         ]
     )
     kk = int(k)
+    excl = bool(exclude_self)
 
     def score_partition(batches):
         qids_l, Q_l = bc.value
@@ -98,8 +107,11 @@ def knn_bruteforce(
             outs = []
             for j in range(len(qids_l)):
                 col = sims[:, j]
-                mask = cids != qids_l[j]           # exclude self
-                ids_m, col_m = cids[mask], col[mask]
+                if excl:
+                    mask = cids != qids_l[j]       # exclude self
+                    ids_m, col_m = cids[mask], col[mask]
+                else:
+                    ids_m, col_m = cids, col
                 order = np.lexsort((ids_m, -col_m))[:kk]
                 outs.append(
                     pd.DataFrame(
@@ -417,14 +429,29 @@ def train_pq_codebooks(
     ``normalize=True`` L2-normalizes the sample first: PQ ADC measures
     squared L2, and on unit vectors L2² = 2 − 2·cos, making the PQ
     ranking commensurate with the cosine tiers (pass the same
-    ``normalize`` to ``pq_encode``/``knn_pq``)."""
+    ``normalize`` to ``pq_encode``/``knn_pq``).
+
+    The sample is a deterministic hash-ordered top-``target``: a bare
+    ``limit`` on a distributed frame is partition-layout dependent, so
+    "same corpus, same seed" would train different codebooks across
+    cluster sizes/file layouts. ``orderBy(xxhash64(vec)).limit(n)``
+    compiles to TakeOrderedAndProject — a per-partition partial top-k,
+    no full sort shuffle — and is stable under any layout. Zero
+    vectors are excluded before normalization (0/‖0‖ is NaN and would
+    poison every centroid update through the means)."""
     target = max(2000, 50 * k)
     vecs = corpus.select(vec_col).filter(F.col(vec_col).isNotNull())
     if sample_fraction < 1.0:
         vecs = vecs.sample(fraction=sample_fraction, seed=seed)
-    rows = vecs.limit(target).collect()
+    rows = (
+        vecs.orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+        .limit(target)
+        .collect()
+    )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     if normalize:
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X[norms[:, 0] > 0.0]
         X /= np.linalg.norm(X, axis=1, keepdims=True)
     sub = X.shape[1] // m
     rng = np.random.default_rng(seed)
@@ -652,11 +679,18 @@ def mine_bitext(
     At crawl scale, swap the exact kNN tier for knn_pq_rerank /
     knn_lsh candidate generation — the margin arithmetic is
     unchanged. Output: (src_id, tgt_id, cos, margin), margin DESC
-    being the mining quality order."""
+    being the mining quality order.
+
+    The two kNN passes run with ``exclude_self=False``: src and tgt
+    are DISTINCT corpora whose id spaces may overlap (both indexed
+    0..N is the normal case for independently-ided parallel sides),
+    and id-equality exclusion would suppress exactly the aligned
+    same-index candidates — in parallel data the gold pair often sits
+    at the same index on both sides."""
     fwd = knn_bruteforce(tgt, src, k=k, vec_col=vec_col, id_col=id_col,
-                         max_queries=max_queries)
+                         max_queries=max_queries, exclude_self=False)
     bwd = knn_bruteforce(src, tgt, k=k, vec_col=vec_col, id_col=id_col,
-                         max_queries=max_queries)
+                         max_queries=max_queries, exclude_self=False)
     fwd_avg = fwd.groupBy("query_id").agg(F.avg("cos").alias("_fa"))
     bwd_avg = bwd.groupBy("query_id").agg(F.avg("cos").alias("_ba"))
     best = fwd.filter(F.col("rank") == 1).select(

@@ -139,6 +139,57 @@ class TestImageBackend:
             with pytest.raises(RuntimeError):
                 resolve_image_backend("pil")
 
+    def test_pil_backend_channels_consistent(self, monkeypatch):
+        """ADVICE r10 witness: the PIL backend must report channels ==
+        pixels.shape[2] (old code reported the pre-conversion band
+        count — e.g. 4 for RGBA, 1 for grayscale — alongside a forced
+        3-channel RGB array, so the validator flagged every non-RGB
+        blob as a dims mismatch instead of validating). PIL is absent
+        in this container, so drive the decode path with a stub whose
+        modes cover grayscale, RGBA, and palette."""
+        import sys
+        import types
+
+        class _FakeImg:
+            def __init__(self, mode, h, w):
+                self.mode, self._h, self._w = mode, h, w
+
+            def convert(self, to):
+                out = _FakeImg(to, self._h, self._w)
+                return out
+
+            def __array__(self, dtype=None, copy=None):
+                ch = 1 if self.mode == "L" else len(self.mode)
+                a = np.arange(self._h * self._w * ch, dtype=np.uint8)
+                shape = (
+                    (self._h, self._w)
+                    if ch == 1
+                    else (self._h, self._w, ch)
+                )
+                return a.reshape(shape)
+
+        modes = {b"g": "L", b"a": "RGBA", b"p": "P", b"r": "RGB",
+                 b"i": "I;16", b"la": "LA"}
+
+        fake_image_mod = types.ModuleType("PIL.Image")
+        fake_image_mod.open = lambda fh: _FakeImg(
+            modes[fh.getvalue()], 4, 5
+        )
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_image_mod
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+        out = PILImageBackend().decode_batch(
+            [b"g", b"a", b"p", b"r", b"i", b"la"]
+        )
+        want_ch = [1, 3, 3, 3, 1, 1]  # alpha dropped, palette -> RGB
+        for (blob_ch, res) in zip(want_ch, out):
+            w, h, ch, px = res
+            assert (w, h) == (5, 4)
+            assert ch == blob_ch
+            assert px.shape == (4, 5, ch), (ch, px.shape)
+
 
 class TestAudioBackend:
     def test_reference_matches_direct_chain(self):

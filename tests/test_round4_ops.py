@@ -797,6 +797,59 @@ class TestBloomPrescreen:
         assert "Exchange hashpartitioning" not in plan, plan[:1500]
         assert plan.count("BroadcastHashJoin") == 5
 
+    def test_null_text_probes_maybe(self, spark):
+        """ADVICE r10 witness: a seen corpus whose only empty-doc
+        representative has NULL text must still populate md5('') in the
+        Bloom — under the old isNotNull pre-filter a new NULL/empty doc
+        probed definitely-new (false negative) and dedup_against_bloom
+        diverged from dedup_against."""
+        from datamancer_spark.operators.dedup import (
+            bloom_build,
+            bloom_maybe_contains,
+            dedup_against,
+            dedup_against_bloom,
+        )
+
+        seen = spark.createDataFrame(
+            [(1, None), (2, "real seen doc")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(10, None), (11, ""), (12, "   "), (13, "novel doc")],
+            "doc_id long, text string",
+        )
+        bits, k = 1 << 12, 4
+        bloom = bloom_build(seen, "text", bits, k)
+        flags = {
+            r["doc_id"]: r["maybe_seen"]
+            for r in bloom_maybe_contains(new, bloom, "text", bits, k)
+            .collect()
+        }
+        # NULL, empty, and whitespace-only all share md5('') with the
+        # seen NULL doc — all must probe maybe (no false negatives)
+        assert flags[10] and flags[11] and flags[12], flags
+        got = {
+            r["doc_id"]
+            for r in dedup_against_bloom(
+                new, bloom, seen, num_bits=bits, num_hashes=k
+            ).collect()
+        }
+        want = {r["doc_id"] for r in dedup_against(new, seen).collect()}
+        assert got == want == {13}
+
+    def test_hashed_path_filters_null_fingerprints(self, spark):
+        """hashed=True means value_col holds fingerprints; a NULL there
+        is an absent fingerprint, not a document — it must not explode
+        into NULL positions."""
+        from datamancer_spark.operators.dedup import bloom_build
+
+        fps = spark.createDataFrame(
+            [("d41d8cd98f00b204e9800998ecf8427e",), (None,)],
+            "fp string",
+        )
+        rows = bloom_build(fps, "fp", 1 << 12, 4, hashed=True).collect()
+        assert len(rows) == 4
+        assert all(r["pos"] is not None for r in rows)
+
     def test_merge_is_union_distinct(self, spark):
         from datamancer_spark.operators.dedup import (
             bloom_build,

@@ -465,6 +465,53 @@ class TestProductQuantization:
         with _pt.raises(ValueError):
             pq_codebooks(m=7, k=16, dim=64)
 
+    def test_trainer_layout_independent(self, spark):
+        """ADVICE r10 witness: the training sample must not depend on
+        partition layout — a bare limit() picked whichever partitions
+        answered first, so 'same corpus, same seed' trained different
+        codebooks on different cluster sizes. The hash-ordered top-k is
+        layout-stable: 1 partition and 16 partitions train identical
+        codebooks."""
+        import numpy as np
+
+        from datamancer_spark.operators.similarity import (
+            train_pq_codebooks,
+        )
+
+        # 3000 rows > target=2000 so the limit actually selects
+        data = [
+            (i, [float((i * 7 + j * 13) % 29) + 1.0 for j in range(8)])
+            for i in range(3000)
+        ]
+        df = spark.createDataFrame(
+            data, "vec_id long, embedding array<double>"
+        )
+        a = train_pq_codebooks(df.coalesce(1), m=4, k=8, seed=7)
+        b = train_pq_codebooks(df.repartition(16), m=4, k=8, seed=7)
+        for ca, cb in zip(a, b):
+            assert np.allclose(ca, cb), "codebooks differ across layouts"
+
+    def test_trainer_survives_zero_vectors(self, spark):
+        """A zero vector in the sample must not NaN-poison the
+        centroids through 0/||0|| (old behavior propagated NaN into
+        every mean update)."""
+        import numpy as np
+
+        from datamancer_spark.operators.similarity import (
+            train_pq_codebooks,
+        )
+
+        data = [(0, [0.0] * 8)] + [
+            (i, [float((i + j) % 5) + 0.5 for j in range(8)])
+            for i in range(1, 60)
+        ]
+        df = spark.createDataFrame(
+            data, "vec_id long, embedding array<double>"
+        )
+        cbs = train_pq_codebooks(df, m=4, k=4, seed=3, normalize=True)
+        for cb in cbs:
+            assert np.isfinite(cb).all(), "NaN leaked into centroids"
+
 
 class TestBitextMining:
     def test_hub_penalized_genuine_pair_mined(self, spark):
@@ -516,6 +563,45 @@ class TestBitextMining:
             for r in mine_bitext(src, tgt, k=3, threshold=1.6).collect()
         }
         assert mined == {(2, 101), (4, 105), (6, 107)}
+
+    def test_overlapping_id_spaces_keep_same_index_pairs(self, spark):
+        """ADVICE r10 witness: src and tgt independently indexed 0..N —
+        the normal case for parallel corpora, where the gold pair sits
+        at the SAME index on both sides. Under the old bare id-equality
+        self-exclusion every same-id candidate was silently dropped
+        from both the nearest-neighbor pick and the density averages,
+        suppressing exactly the gold pairs."""
+        import math
+
+        from datamancer_spark.operators.similarity import mine_bitext
+
+        def v(*xs):
+            n = math.sqrt(sum(x * x for x in xs))
+            return [x / n for x in xs]
+
+        # tgt i is the (near-identical) translation of src i — ids
+        # OVERLAP on purpose
+        src = spark.createDataFrame(
+            [
+                (0, v(1.0, 0.02, 0.0)),
+                (1, v(0.0, 1.0, 0.03)),
+                (2, v(0.03, 0.0, 1.0)),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        tgt = spark.createDataFrame(
+            [
+                (0, v(1.0, 0.03, 0.0)),
+                (1, v(0.0, 1.0, 0.02)),
+                (2, v(0.02, 0.0, 1.0)),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        mined = {
+            (r["src_id"], r["tgt_id"])
+            for r in mine_bitext(src, tgt, k=2, threshold=1.0).collect()
+        }
+        assert mined == {(0, 0), (1, 1), (2, 2)}, mined
 
     def test_margin_orders_quality(self, spark, sf_dir):
         from datamancer_spark.operators.similarity import mine_bitext
