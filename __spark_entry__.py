@@ -2503,6 +2503,70 @@ def pipeline_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_from_crawl_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→corpus capstone with the PRODUCTION fuzzy tier (VERDICT
+    r10 #1): WARC bytes → quality gate → exact dedup → **MinHash-LSH
+    candidates → exact-Jaccard verify** → survivor corpus, ONE plan.
+    ``pipeline_from_crawl`` proves the seam with the exact-Jaccard tier
+    (closed-form, but quadratic in shared-vocabulary docs); THIS is the
+    plan a 100-TB run executes — LSH bounds the candidate set linearly,
+    the exact verification runs only on the candidate subgraph
+    (dedup.minhash_dedup_verified), and every other stage is identical.
+
+    The survivor twin stays closed-form because the verified tier's
+    OUTPUT equals the exact tier's whenever LSH candidates superset the
+    true pairs: false candidates die in the exact-Jaccard verify, so
+    only false NEGATIVES could diverge. Band geometry is pinned at
+    r=1 (num_hashes=16, bands=16): a true near-dup pair (J = 35/41 ≥
+    0.8537 by the fixture's token namespacing) escapes all 16
+    single-slot bands with probability ≤ (1−0.8537)^16 ≈ 5e-14, and
+    the md5-seeded MinHash makes the candidate set deterministic —
+    tests/test_plans.py asserts the superset on the fixture outright.
+    r=1 trades candidate precision for recall, which is exactly right
+    when a downstream exact verify exists; cross-namespace docs share
+    zero shingles, so spurious candidates need raw 32-bit min-hash
+    value collisions (~1e-9/slot-pair) and cost one verify row each."""
+    from datamancer_spark.operators.dedup import (
+        exact_dedup_keep,
+        minhash_dedup_verified,
+    )
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_corpus_blob,
+    )
+    from datamancer_spark.operators.warc import ingest_warc
+    from datamancer_spark.session import materialize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_corpus_blob)
+    pages = ingest_warc(blobs)
+    toks = F.split(F.col("text"), " ")
+    gated = pages.filter(
+        (F.size(toks) >= 10)
+        & (F.size(F.array_distinct(toks)) / F.size(toks) >= 0.5)
+    ).withColumn("page_id", F.col("doc_id") * 8 + F.col("rec_idx"))
+    kept = materialize(exact_dedup_keep(gated, "text", "page_id"))
+    pairs = minhash_dedup_verified(
+        kept,
+        "text",
+        "page_id",
+        num_hashes=16,
+        bands=16,
+        shingle_n=3,
+        threshold=0.8,
+    )
+    drop = pairs.select(F.col("id_b").alias("page_id")).distinct()
+    surv = kept.join(drop, "page_id", "left_anti")
+    return surv.select(
+        "doc_id",
+        "rec_idx",
+        "url",
+        "host",
+        "text",
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+
+
 def crawl_url_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level page gate under the driver gate (r10,
     operators/scrub.py url_quality_filter): the C4/RefinedWeb-style
@@ -2575,6 +2639,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r9 #1) — WARC bytes → quality → exact dedup → fuzzy
         # -- dedup → survivor corpus, closed-form survivor twin.
         "pipeline_from_crawl": pipeline_from_crawl,
+        # -- r11 zero-green #1: the SAME capstone with the production
+        # -- fuzzy tier (MinHash-LSH candidates → exact-Jaccard
+        # -- verify) — the 100-TB seam as ONE plan (VERDICT r10 #1).
+        "pipeline_from_crawl_lsh": pipeline_from_crawl_lsh,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -5231,6 +5299,13 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM base_rows UNION ALL SELECT * FROM uniq_rows
     """
+
+    # The LSH-verified capstone's survivors are IDENTICAL to the exact
+    # tier's (the exact-Jaccard verify arbitrates every LSH candidate;
+    # candidate superset of true pairs is pinned at the r=1 band
+    # geometry — see pipeline_from_crawl_lsh), so the twin is the same
+    # closed-form enumeration.
+    sql["pipeline_from_crawl_lsh"] = sql["pipeline_from_crawl"]
 
     # URL gate over the same capstone fixture: page layout per doc is
     # (cluster@2, near-dup@3 if %7==3, spam next if %11==5, unique
