@@ -1632,6 +1632,56 @@ def dedup_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_dedup_against(new, seen).select("doc_id", "source")
 
 
+def dedup_bloom_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-screen under the driver gate (VERDICT r10 #2,
+    operators/dedup.py bloom_build / bloom_maybe_contains): the
+    cross-snapshot shuffle saver — new docs probe the history's Bloom
+    filter (2048 bits, 4 md5 position hashes; zero shuffle, k
+    broadcast joins) and only maybe-seen rows would reach the exact
+    anti-join. Snapshots are OVERLAPPING doc_id%4 slices (seen =
+    {0,1,2}, new = {2,3}) because the documents table has zero exact
+    duplicates by itself — the %4==2 docs appear in both snapshots,
+    so true cross-snapshot dups exist by construction. The gated
+    output EXPOSES the probe: per new doc (maybe_seen, is_seen_dup,
+    contract_ok), so the DuckDB twin must rebuild the occupied-
+    position frame from the same md5 arithmetic (md5('bl'||i||fp) →
+    first-15-hex bigint % 2048) and the comparison pins every bit of
+    it. 2048 bits over the history's ~375 fingerprints (sf0.01) gives
+    ~52% occupancy — REAL false positives (maybe_seen ∧ ¬is_seen_dup
+    rows), so the flags are non-trivial; contract_ok = maybe_seen ∨
+    ¬is_seen_dup is the no-false-negative contract, computed by BOTH
+    engines and asserted all-true in pytest (test_round4_ops.py)."""
+    from datamancer_spark.functions.text import fingerprint
+    from datamancer_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    seen = doc.filter(F.col("doc_id") % 4 <= 2)
+    new = doc.filter(F.col("doc_id") % 4 >= 2)
+    bloom = bloom_build(seen, "text", num_bits=2048, num_hashes=4)
+    probed = bloom_maybe_contains(new, bloom, "text", 2048, 4)
+    seen_fp = seen.select(
+        fingerprint(F.col("text")).alias("_sfp")
+    ).distinct()
+    return (
+        probed.withColumn("_fp", fingerprint(F.col("text")))
+        .join(
+            F.broadcast(seen_fp), F.col("_fp") == F.col("_sfp"), "left"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "maybe_seen",
+            F.col("_sfp").isNotNull().alias("is_seen_dup"),
+            (F.col("maybe_seen") | F.col("_sfp").isNull()).alias(
+                "contract_ok"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: model scoring, domain capping, time-grid ops
 # ---------------------------------------------------------------------------
@@ -2643,6 +2693,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- fuzzy tier (MinHash-LSH candidates → exact-Jaccard
         # -- verify) — the 100-TB seam as ONE plan (VERDICT r10 #1).
         "pipeline_from_crawl_lsh": pipeline_from_crawl_lsh,
+        # -- r11 zero-green #2: the Bloom pre-screen's md5 position
+        # -- arithmetic under the driver gate (VERDICT r10 #2) —
+        # -- probe flags + no-false-negative contract exposed.
+        "dedup_bloom_screened": dedup_bloom_screened,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -4323,6 +4377,46 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT s.doc_id, s.source
         FROM selfd s ANTI JOIN seen ON s.fp = seen.fp
+    """
+
+    # Bloom pre-screen twin: rebuild the occupied-position frame from
+    # the identical md5 arithmetic (md5('bl'||i||fp) -> first-15-hex
+    # bigint % 2048), probe every new doc's 4 positions, and compute
+    # the same maybe_seen / is_seen_dup / contract_ok flags. Snapshots
+    # overlap on doc_id%4==2 so true cross-snapshot dups exist.
+    sql["dedup_bloom_screened"] = """
+        WITH newd AS (
+          SELECT doc_id, source,
+                 md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+          FROM documents WHERE doc_id % 4 >= 2
+        ),
+        seenf AS (
+          SELECT DISTINCT
+                 md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+          FROM documents WHERE doc_id % 4 <= 2
+        ),
+        positions AS (
+          SELECT DISTINCT
+                 CAST('0x' || substr(md5('bl' || CAST(g.i AS VARCHAR) || s.fp), 1, 15)
+                      AS BIGINT) % 2048 AS pos
+          FROM seenf s, generate_series(0, 3) g(i)
+        ),
+        probes AS (
+          SELECT n.doc_id, n.source, n.fp,
+                 CAST('0x' || substr(md5('bl' || CAST(g.i AS VARCHAR) || n.fp), 1, 15)
+                      AS BIGINT) % 2048 AS pos
+          FROM newd n, generate_series(0, 3) g(i)
+        ),
+        flags AS (
+          SELECT doc_id, source, fp,
+                 bool_and(pos IN (SELECT pos FROM positions)) AS maybe_seen
+          FROM probes GROUP BY doc_id, source, fp
+        )
+        SELECT f.doc_id, f.source, f.maybe_seen,
+               (f.fp IN (SELECT fp FROM seenf)) AS is_seen_dup,
+               (f.maybe_seen OR f.fp NOT IN (SELECT fp FROM seenf))
+                 AS contract_ok
+        FROM flags f
     """
 
     # Fuzzy twin: MinHash band match vs history + exact-Jaccard confirm.
