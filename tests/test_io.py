@@ -293,3 +293,77 @@ class TestArrowIpc:
 
         with _pt.raises(FileNotFoundError):
             read_arrow_ipc(spark, str(tmp_path / "nope"))
+
+    def test_compressed_roundtrip(self, spark, tmp_path):
+        """VERDICT r10 #7: real Feather v2 producers compress record
+        batch buffers (LZ4/ZSTD per the IPC spec) — both codecs must
+        round-trip with identical values and schema, and compressed
+        files must actually be smaller than uncompressed on
+        compressible data."""
+        import glob
+
+        from datamancer_spark.frame import DamFrame as _DF
+        from datamancer_spark.io import read_arrow_ipc, write_arrow_ipc
+
+        d = _DF(
+            spark.range(2000).selectExpr(
+                "id",
+                "concat('same-prefix-every-row-', id % 5) as s",
+                "cast(id % 9 as double) as x",
+            )
+        )
+        want = sorted(tuple(r) for r in d.df.collect())
+        sizes = {}
+        for comp in (None, "lz4", "zstd"):
+            out = str(tmp_path / f"ipc_{comp}")
+            write_arrow_ipc(_DF(d.df.repartition(3)), out,
+                            compression=comp)
+            files = glob.glob(out + "/part-*.arrow")
+            sizes[comp] = sum(os.path.getsize(f) for f in files)
+            back = read_arrow_ipc(spark, out + "/part-*.arrow")
+            assert back.df.schema == d.df.schema, comp
+            got = sorted(tuple(r) for r in back.df.collect())
+            assert got == want, comp
+        assert sizes["lz4"] < sizes[None], sizes
+        assert sizes["zstd"] < sizes[None], sizes
+
+    def test_foreign_compressed_files_read(self, spark, tmp_path):
+        """Files produced by OTHER writers: pyarrow.feather with
+        compression (the pandas/polars default path, ZSTD) and a
+        compressed stream-framed IPC file — both must read through
+        read_arrow_ipc without any hint."""
+        import pyarrow as pa
+        import pyarrow.feather as feather
+
+        from datamancer_spark.io import read_arrow_ipc
+
+        tbl = pa.table(
+            {
+                "a": list(range(50)),
+                "b": [f"value-{i % 4}" for i in range(50)],
+            }
+        )
+        fp = str(tmp_path / "foreign.feather")
+        feather.write_feather(tbl, fp, compression="zstd")
+        back = read_arrow_ipc(spark, fp)
+        assert back.df.count() == 50
+        assert {r["b"] for r in back.df.collect()} == {
+            f"value-{i}" for i in range(4)
+        }
+
+        sp = str(tmp_path / "foreign_stream.arrow")
+        opts = pa.ipc.IpcWriteOptions(compression="lz4")
+        with pa.OSFile(sp, "wb") as sink:
+            with pa.ipc.new_stream(sink, tbl.schema, options=opts) as w:
+                w.write_table(tbl)
+        back2 = read_arrow_ipc(spark, sp)
+        assert back2.df.count() == 50
+
+    def test_bad_compression_rejected(self, spark, tmp_path):
+        import pytest as _pt
+
+        from datamancer_spark.io import write_arrow_ipc
+
+        d = self._frame(spark)
+        with _pt.raises(ValueError):
+            write_arrow_ipc(d, str(tmp_path / "x"), compression="snappy")
