@@ -139,6 +139,10 @@ HEADLINE = [
     "knn_pq_codes",
     "mine_bitext_pairs",
     "token_freq_cms",
+    # round-11 additions: the production capstone seam (LSH-verified
+    # fuzzy tier in ONE plan) and the Bloom pre-screen's gated probe
+    "pipeline_from_crawl_lsh",
+    "dedup_bloom_screened",
 ]
 
 
