@@ -1395,6 +1395,39 @@ def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "tok").select("tok", "true_count", "est")
 
 
+def doc_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog under the driver gate (r11,
+    operators/sketch.py hll_build/hll_estimate): THE cross-snapshot
+    cardinality question — how many distinct documents — answered from
+    a 256-row (register, rank) frame over the canonical document
+    fingerprints. Registers update with MAX (one fingerprint-keyed
+    shuffle, map-side partial max, no distinct pass) and every
+    register rides the output alongside the estimate and the true
+    distinct count, so the DuckDB twin must rebuild the full register
+    file from the same md5 split (low 8 bits → register, remaining 52
+    → rank = 53 − bitlen) and reproduce the estimator's exact-integer
+    harmonic sum. The two gate scales exercise BOTH estimator arms:
+    500 distinct docs at sf0.01 lands in linear counting (raw ≤ 2.5m,
+    empty registers remain), 5,000 at sf0.1 in the raw harmonic arm.
+    Unlike Spark's native approx_count_distinct, these registers
+    persist as data and merge across snapshots with union+max (pinned
+    in pytest)."""
+    from datamancer_spark.functions.text import fingerprint
+    from datamancer_spark.operators.sketch import hll_build, hll_estimate
+    from datamancer_spark.session import materialize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    fps = materialize(doc.select(fingerprint(F.col("text")).alias("fp")))
+    regs = materialize(hll_build(fps, "fp", p=8))
+    est = hll_estimate(regs, p=8).select(
+        F.round(F.col("est"), 2).alias("est")
+    )
+    truth = fps.agg(
+        F.countDistinct("fp").cast("long").alias("true_distinct")
+    )
+    return regs.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(truth))
+
+
 def mine_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (r10, operators/similarity.py
     mine_bitext — the Artetxe & Schwenk ratio criterion): the even-id
@@ -2697,6 +2730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- arithmetic under the driver gate (VERDICT r10 #2) —
         # -- probe flags + no-false-negative contract exposed.
         "dedup_bloom_screened": dedup_bloom_screened,
+        # -- r11 zero-green #3: portable HyperLogLog (persistable,
+        # -- union+max-mergeable register frame; register-exact twin).
+        "doc_distinct_hll": doc_distinct_hll,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -3936,6 +3972,57 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.tok, t.true_count, e.est
         FROM top t JOIN est e ON e.tok = t.tok
+    """
+
+    # Portable HLL: the twin rebuilds all occupied registers from the
+    # same md5 split (low 8 bits -> register, remaining 52 ->
+    # 53 - bitlen; bin() is the minimal binary string in both engines)
+    # and the estimator's harmonic sum in exact bigint arithmetic
+    # (each register contributes 2^(53-rank); absent registers 2^53),
+    # so the single float division is engine-identical. sf0.01 (500
+    # docs) exercises the linear-counting arm, sf0.1 (5,000) the raw
+    # harmonic arm.
+    sql["doc_distinct_hll"] = """
+        WITH fps AS (
+          SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                                    '\\s+', ' ', 'g')) AS fp
+          FROM documents
+        ),
+        h AS (
+          SELECT CAST('0x' || substr(md5('hll' || fp), 1, 15)
+                      AS BIGINT) AS h
+          FROM fps
+        ),
+        regs AS (
+          SELECT h % 256 AS register,
+                 CAST(max(CASE WHEN h // 256 = 0 THEN 53
+                          ELSE 53 - len(bin(h // 256)) END) AS INT)
+                   AS rank
+          FROM h GROUP BY h % 256
+        ),
+        agg AS (
+          SELECT sum(1::BIGINT << (53 - rank))
+                   + (256 - count(*)) * (1::BIGINT << 53) AS s,
+                 CAST(256 - count(*) AS BIGINT) AS v
+          FROM regs
+        ),
+        raw AS (
+          SELECT (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0
+                   * 9007199254740992.0 / s AS raw, v
+          FROM agg
+        ),
+        est AS (
+          SELECT round(CASE WHEN raw <= 2.5 * 256 AND v > 0
+                            THEN 256.0 * ln(256.0 / v)
+                            ELSE raw END, 2) AS est
+          FROM raw
+        ),
+        truth AS (
+          SELECT CAST(count(DISTINCT fp) AS BIGINT) AS true_distinct
+          FROM fps
+        )
+        SELECT r.register, r.rank, e.est, t.true_distinct
+        FROM regs r CROSS JOIN est e CROSS JOIN truth t
     """
 
     # Margin-based bitext mining: both kNN directions replicated with

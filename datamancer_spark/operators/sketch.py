@@ -1,9 +1,14 @@
-"""Count-min sketch: mergeable frequency estimation in one pass.
+"""Mergeable one-pass sketches: count-min (frequency) and a PORTABLE
+HyperLogLog (cardinality, r11).
 
-The sketch family member the corpus tier was missing (HLL-style
-distinct counting rides Spark's native ``approx_count_distinct``;
-CMS answers the OTHER streaming question — "roughly how often does
-THIS value occur?" — in fixed memory). A CMS is a ``depth × width``
+Spark's native ``approx_count_distinct`` is an HLL too, but its
+registers are engine-private: they can't be persisted as data, merged
+across snapshots as a DataFrame, or differentially verified against
+another engine. ``hll_build`` keeps the registers as a (register,
+rank) frame built from the repo's portable md5 hash, so cross-crawl
+cardinality rolls up with a plain union+max and a DuckDB twin rebuilds
+every register bit for bit. CMS answers the OTHER streaming question —
+"roughly how often does THIS value occur?" — in fixed memory. A CMS is a ``depth × width``
 counter matrix: each value increments one counter per row (an
 independent hash per row); a point estimate is the MIN over rows,
 which always over-counts (collisions only add), with error ≤ εN at
@@ -115,4 +120,91 @@ def cms_estimate(
             .cast("long")
             .alias("est")
         )
+    )
+
+
+# -- portable HyperLogLog (r11) -----------------------------------------------
+
+
+def hll_build(
+    df: DataFrame, value_col: str = "value", p: int = 8
+) -> DataFrame:
+    """HLL register frame over ``value_col``: (register, rank), at most
+    ``2**p`` rows. The portable 60-bit md5 hash splits into the low
+    ``p`` bits (register index) and the remaining ``60-p`` bits ``w``;
+    rank = leading zeros of ``w`` in its ``60-p``-bit window, plus one
+    (``(61-p) - bitlen(w)``, capped at ``61-p`` for w=0 — ``bin()``
+    returns the minimal binary string in BOTH Spark and DuckDB, so
+    bitlen is ``length(bin(w))`` identically). Register update is MAX,
+    so duplicates are free: no distinct pass needed — ONE vocabulary-
+    keyed shuffle with map-side partial max, linear at any scale.
+    NULLs are excluded (no cardinality identity)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p={p} out of range [4, 16]")
+    m = 1 << p
+    cap = 61 - p
+    h = portable_hash(F.col(value_col), seed="hll")
+    w = F.shiftright(h, p)
+    rank = F.when(w > 0, F.lit(cap) - F.length(F.bin(w))).otherwise(
+        F.lit(cap)
+    )
+    return (
+        spread_partitions(df)
+        .filter(F.col(value_col).isNotNull())
+        .select((h % m).alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").cast("int").alias("rank"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two register frames built with the SAME ``p``: HLL
+    registers combine with MAX, so union + groupBy-max — the same
+    roll-up shape as ``cms_merge``. Cross-snapshot distinct counts
+    without ever recounting: persist each crawl's registers, merge,
+    estimate."""
+    return (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("rank").cast("int").alias("rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One-row (est double) cardinality estimate from a register frame.
+
+    The harmonic sum is computed in EXACT integer arithmetic so it is
+    engine- and order-independent: each register contributes
+    ``2^(cap - rank)`` (a bigint; absent registers rank 0 contribute
+    ``2^cap``), so the scaled sum S is exact and the standard estimator
+    ``E = alpha_m · m² · 2^cap / S`` is ONE deterministic float
+    division. Small-range correction (E ≤ 2.5m with empty registers →
+    linear counting ``m·ln(m/V)``) matches the published algorithm;
+    the 60-bit hash space never needs the large-range arm. With p=8
+    the standard error is ~1.04/√256 ≈ 6.5%."""
+    m = 1 << p
+    cap = 61 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - rank)"))
+            + (F.lit(m) - F.count(F.lit(1)))
+            * F.lit(1 << cap).cast("long")
+        ).alias("s"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("v"),
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << cap))
+        / F.col("s")
+    )
+    return agg.select(
+        F.when(
+            (raw <= 2.5 * m) & (F.col("v") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+        )
+        .otherwise(raw)
+        .alias("est")
     )

@@ -113,6 +113,113 @@ class TestCms:
         assert total == 2 * 2  # two occurrences x depth rows
 
 
+class TestHll:
+    """Portable HyperLogLog (r11): register-frame semantics (max
+    update, duplicate-free by construction), merge == whole-corpus
+    build, accuracy within the published standard error, both
+    estimator arms, and the guard rails."""
+
+    def _vals(self, spark, n, dup=1):
+        return spark.createDataFrame(
+            [(f"item-{i % n}",) for i in range(n * dup)],
+            "value string",
+        )
+
+    def test_duplicates_change_nothing(self, spark):
+        from datamancer_spark.operators.sketch import hll_build
+
+        once = sorted(
+            tuple(r)
+            for r in hll_build(self._vals(spark, 400, 1), "value")
+            .collect()
+        )
+        thrice = sorted(
+            tuple(r)
+            for r in hll_build(self._vals(spark, 400, 3), "value")
+            .collect()
+        )
+        assert once == thrice
+
+    def test_merge_equals_whole(self, spark):
+        from datamancer_spark.operators.sketch import (
+            hll_build,
+            hll_merge,
+        )
+
+        df = self._vals(spark, 1000)
+        a = hll_build(df.filter(F.col("value") < "item-5"), "value")
+        b = hll_build(df.filter(F.col("value") >= "item-5"), "value")
+        merged = sorted(tuple(r) for r in hll_merge(a, b).collect())
+        whole = sorted(
+            tuple(r) for r in hll_build(df, "value").collect()
+        )
+        assert merged == whole
+
+    def test_accuracy_within_error_band(self, spark):
+        """p=8 → standard error ~6.5%; pin 4σ headroom on
+        deterministic inputs (the estimate is a fixed number per
+        cardinality — measured once, the bound just guards drift)."""
+        from datamancer_spark.operators.sketch import (
+            hll_build,
+            hll_estimate,
+        )
+
+        for true_n in (300, 3000, 20000):
+            regs = hll_build(self._vals(spark, true_n), "value")
+            est = hll_estimate(regs).collect()[0]["est"]
+            assert abs(est - true_n) / true_n < 0.26, (true_n, est)
+
+    def test_small_range_arm_is_linear_counting(self, spark):
+        """With far fewer values than registers the estimator must
+        take the linear-counting arm: m·ln(m/V) with V the empty
+        count — hand-computable from the register frame."""
+        import math
+
+        from datamancer_spark.operators.sketch import (
+            hll_build,
+            hll_estimate,
+        )
+
+        regs = hll_build(self._vals(spark, 25), "value")
+        occupied = regs.count()
+        est = hll_estimate(regs).collect()[0]["est"]
+        want = 256 * math.log(256 / (256 - occupied))
+        assert abs(est - want) < 1e-9
+
+    def test_null_excluded_and_bad_p_rejected(self, spark):
+        from datamancer_spark.operators.sketch import hll_build
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("b",)], "value string"
+        )
+        regs = hll_build(df, "value")
+        assert regs.count() <= 2
+        with pytest.raises(ValueError):
+            hll_build(df, "value", p=2)
+
+    def test_rank_arithmetic_matches_bit_definition(self, spark):
+        """The portable rank must equal the textbook definition
+        (leading zeros of the 52-bit suffix + 1), cross-checked in
+        Python from the same md5 arithmetic."""
+        import hashlib
+
+        from datamancer_spark.operators.sketch import hll_build
+
+        vals = [f"check-{i}" for i in range(50)]
+        df = spark.createDataFrame([(v,) for v in vals], "value string")
+        got = {
+            r["register"]: r["rank"]
+            for r in hll_build(df, "value").collect()
+        }
+        want: dict = {}
+        for v in vals:
+            h = int(hashlib.md5(f"hll{v}".encode()).hexdigest()[:15], 16)
+            reg, w = h % 256, h >> 8
+            rank = 53 - w.bit_length() if w else 53
+            want[reg] = max(want.get(reg, 0), rank)
+        assert got == want
+
+
 class TestStreamingCms:
     def test_stream_sketch_equals_batch_and_merges(self, spark, tmp_path):
         """The streaming sketch over all arrived batches equals the
