@@ -368,6 +368,52 @@ def test_lsh_candidates_superset_true_pairs(spark, sf_dir):
     assert not missing, f"LSH missed true pairs: {sorted(missing)[:5]}"
 
 
+def test_lsh_production_geometry_same_survivors(spark, sf_dir):
+    """SCALING.md's claim that the b=8/r=2 production geometry is a
+    one-argument swap with identical verified semantics — pinned: on
+    the capstone corpus, minhash_dedup_verified at (16 hashes, 8
+    bands) finds the same ≥0.8 pairs as the exact tier, so the
+    survivor set is unchanged. (Per-pair miss probability at J=0.8537
+    is (1−J²)⁸ ≈ 3e-5 — deterministic for the fixed md5 seeds; this
+    test is the determination.)"""
+    from datamancer_spark.operators.dedup import (
+        exact_dedup_keep,
+        minhash_dedup_verified,
+        ngram_jaccard_pairs,
+    )
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_corpus_blob,
+    )
+    from datamancer_spark.operators.warc import ingest_warc
+    from datamancer_spark.session import materialize
+    from pyspark.sql import functions as F
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_corpus_blob)
+    pages = ingest_warc(blobs)
+    toks = F.split(F.col("text"), " ")
+    gated = pages.filter(
+        (F.size(toks) >= 10)
+        & (F.size(F.array_distinct(toks)) / F.size(toks) >= 0.5)
+    ).withColumn("page_id", F.col("doc_id") * 8 + F.col("rec_idx"))
+    kept = materialize(exact_dedup_keep(gated, "text", "page_id"))
+    prod = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_verified(
+            kept, "text", "page_id",
+            num_hashes=16, bands=8, shingle_n=3, threshold=0.8,
+        ).collect()
+    }
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            kept, "text", "page_id", shingle_n=3, threshold=0.8
+        ).collect()
+    }
+    assert true_pairs and prod == true_pairs
+
+
 def test_r10_tail_query_plans(spark, sf_dir):
     """crawl_url_screen stays shuffle-free beyond the fixture id
     spread (the gate is pure codegen over the ingest stage — 1
