@@ -261,6 +261,39 @@ def streaming_cms(
     )
 
 
+def streaming_hll(
+    stream: DataFrame, value_col: str = "value", p: int = 8
+) -> DataFrame:
+    """Streaming HyperLogLog (r11) — continuous distinct counting with
+    state bounded by construction: at most ``2**p`` registers however
+    unbounded the input (like ``streaming_cms``, no watermark needed).
+    Register coordinates/ranks are the stateless portable-md5
+    projection of the batch ``operators.sketch.hll_build``; the
+    running aggregate is one grouped MAX over the bounded register
+    space. Run with ``outputMode("complete")``/``update`` — the
+    emitted frame IS a register file: estimate with
+    ``sketch.hll_estimate``, merge into batch registers with
+    ``sketch.hll_merge`` (max-registers compose exactly; pinned
+    stream==batch in tests)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p={p} out of range [4, 16]")
+    from ..operators.dedup import portable_hash
+
+    m = 1 << p
+    cap = 61 - p
+    h = portable_hash(F.col(value_col), seed="hll")
+    w = F.shiftright(h, p)
+    rank = F.when(w > 0, F.lit(cap) - F.length(F.bin(w))).otherwise(
+        F.lit(cap)
+    )
+    return (
+        stream.filter(F.col(value_col).isNotNull())
+        .select((h % m).alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").cast("int").alias("rank"))
+    )
+
+
 def read_warc_stream(
     spark: SparkSession, path: str, max_files: int = 10
 ) -> DataFrame:

@@ -220,6 +220,66 @@ class TestHll:
         assert got == want
 
 
+class TestStreamingHll:
+    def test_stream_registers_equal_batch_and_merge(self, spark, tmp_path):
+        """The streaming register file over all arrived batches equals
+        the batch build on the same rows (max-registers compose), and
+        merging into a batch history register file estimates the union
+        cardinality."""
+        import json
+        import os
+
+        from datamancer_spark.operators.sketch import (
+            hll_build,
+            hll_estimate,
+            hll_merge,
+        )
+        from datamancer_spark.streaming import streaming_hll
+
+        d = str(tmp_path / "hll_in")
+        os.makedirs(d)
+        rows_a = [{"value": f"s{i}"} for i in range(120)]
+        rows_b = [{"value": f"s{i}"} for i in range(60, 200)]
+        for name, rows in (("a.json", rows_a), ("b.json", rows_b)):
+            with open(os.path.join(d, name), "w") as f:
+                f.write("\n".join(json.dumps(r) for r in rows))
+        stream = spark.readStream.schema("value string").json(d)
+        out = streaming_hll(stream, p=8)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("hll_stream")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                map(tuple, spark.sql("SELECT * FROM hll_stream").collect())
+            )
+        finally:
+            q.stop()
+        batch_df = spark.createDataFrame(
+            [(r["value"],) for r in rows_a + rows_b], "value string"
+        )
+        want = sorted(map(tuple, hll_build(batch_df, "value").collect()))
+        assert got == want
+        # merge into a DISJOINT batch history and estimate the union
+        hist = hll_build(
+            spark.createDataFrame(
+                [(f"h{i}",) for i in range(100)], "value string"
+            ),
+            "value",
+        )
+        stream_regs = spark.createDataFrame(
+            [tuple(r) for r in got], "register long, rank int"
+        )
+        est = hll_estimate(hll_merge(hist, stream_regs)).collect()[0][
+            "est"
+        ]
+        # union truth: 200 streamed distinct + 100 history = 300
+        assert abs(est - 300) / 300 < 0.26, est
+
+
 class TestStreamingCms:
     def test_stream_sketch_equals_batch_and_merges(self, spark, tmp_path):
         """The streaming sketch over all arrived batches equals the
