@@ -1428,6 +1428,36 @@ def doc_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regs.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(truth))
 
 
+def normalize_nfc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization under the driver gate (r11,
+    functions/text.py unicode_normalize): the canonicalization step
+    before fingerprint/dedup — the same page served precomposed vs
+    decomposed must fingerprint identically. The synthetic corpus is
+    ASCII, so each doc gets a DECOMPOSED suffix (e+U+0301, o+U+0303,
+    a+U+030A) appended in-plan; NFC composes each pair to one
+    codepoint, so n_after = n_before − 3 everywhere and the md5 of the
+    normalized text pins every byte against DuckDB's independent
+    ``nfc_normalize`` (utf8proc) vs Python's ``unicodedata`` — a REAL
+    cross-implementation differential, not the repo's own arithmetic
+    twice."""
+    from datamancer_spark.functions.text import unicode_normalize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    raw = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        # explicit escapes: MUST stay the decomposed sequences
+        # (base + combining mark), never precomposed source literals
+        F.lit(" e\u0301 o\u0303 a\u030a"),
+    )
+    norm = unicode_normalize(raw, "NFC")
+    return doc.select(
+        "doc_id",
+        F.length(raw).alias("n_before"),
+        F.length(norm).alias("n_after"),
+        F.md5(norm).alias("fp_norm"),
+    )
+
+
 def mine_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (r10, operators/similarity.py
     mine_bitext — the Artetxe & Schwenk ratio criterion): the even-id
@@ -2733,6 +2763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #3: portable HyperLogLog (persistable,
         # -- union+max-mergeable register frame; register-exact twin).
         "doc_distinct_hll": doc_distinct_hll,
+        # -- r11 zero-green #4: unicode NFC normalization — Python
+        # -- unicodedata vs DuckDB utf8proc, byte-pinned via md5.
+        "normalize_nfc_text": normalize_nfc_text,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -3972,6 +4005,26 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.tok, t.true_count, e.est
         FROM top t JOIN est e ON e.tok = t.tok
+    """
+
+    # NFC normalization: a genuine cross-IMPLEMENTATION differential —
+    # Python unicodedata (Spark side) vs utf8proc (DuckDB
+    # nfc_normalize) must produce byte-identical NFC for the corpus +
+    # the decomposed suffix; md5 pins every byte. chr(769/771/778) are
+    # the combining acute/tilde/ring the Spark side appends as
+    # \u escapes.
+    sql["normalize_nfc_text"] = """
+        WITH raw AS (
+          SELECT doc_id,
+                 coalesce(text, '') || ' e' || chr(769) || ' o'
+                   || chr(771) || ' a' || chr(778) AS r
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(r) AS INT) AS n_before,
+               CAST(len(nfc_normalize(r)) AS INT) AS n_after,
+               md5(nfc_normalize(r)) AS fp_norm
+        FROM raw
     """
 
     # Portable HLL: the twin rebuilds all occupied registers from the

@@ -29,6 +29,39 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def unicode_normalize(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (r11) — the canonicalization step every
+    crawl pipeline needs BEFORE fingerprinting/dedup (the same page
+    served precomposed ('é') and decomposed ('e'+U+0301) would
+    otherwise fingerprint differently and never dedup). The JVM has no
+    Catalyst normalization expression, so this is the documented
+    Python exception: an Arrow-batched pandas_udf over
+    ``unicodedata.normalize`` (per-batch, not per-row dispatch; the
+    kernel is a C call). NFC is the cross-engine-verifiable form
+    (DuckDB ``nfc_normalize`` is the oracle twin); NFKC/NFD/NFKD are
+    accepted for pipelines that want them but carry no SQL twin.
+    NULLs pass through."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_impl(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x)
+            if x is not None
+            else None
+        )
+
+    # real annotation objects (this module uses `from __future__ import
+    # annotations`, so inline hints would be strings pyspark cannot
+    # resolve against module globals)
+    _norm_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_norm_impl, "string")(text)
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count. ``split(trim(x), '\\s+')`` — identical
     semantics to DuckDB ``len(regexp_split_to_array(trim(x), '\\s+'))``.

@@ -278,3 +278,65 @@ class TestUrlQualityFilter:
         )
         r = url_quality_filter(ok, blocked_path_terms=("c++",)).collect()[0]
         assert r["url_pass"] is True
+
+
+class TestUnicodeNormalize:
+    """functions.text.unicode_normalize (r11): the pre-dedup
+    canonicalization — decomposed/precomposed variants must fingerprint
+    identically after NFC."""
+
+    def test_nfc_composes_and_dedups(self, spark):
+        from datamancer_spark.functions.text import unicode_normalize
+        from pyspark.sql import functions as F
+
+        pre = "caf\xe9 \xe5ngstr\xf6m"
+        dec = "cafe\u0301 a\u030angstro\u0308m"
+        assert pre != dec  # genuinely different byte streams
+        df = spark.createDataFrame(
+            [(1, pre), (2, dec), (3, None)], "i long, t string"
+        )
+        out = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", unicode_normalize(F.col("t")).alias("n")
+            ).collect()
+        }
+        # both variants normalize to the same (precomposed) string,
+        # so a post-NFC fingerprint dedups them; NULL passes through
+        assert out[1] == out[2] == pre
+        assert out[3] is None
+
+    def test_nfkc_folds_compat_chars(self, spark):
+        from datamancer_spark.functions.text import unicode_normalize
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "ﬃce ①")], "i long, t string"  # ﬃ + ①
+        )
+        nfc = df.select(unicode_normalize(F.col("t"), "NFC").alias("n"))
+        nfkc = df.select(
+            unicode_normalize(F.col("t"), "NFKC").alias("n")
+        )
+        # NFC leaves compatibility chars alone; NFKC folds them
+        assert nfc.collect()[0]["n"] == "ﬃce ①"
+        assert nfkc.collect()[0]["n"] == "ffice 1"
+
+    def test_idempotent_and_bad_form_rejected(self, spark):
+        import pytest as _pt
+
+        from datamancer_spark.functions.text import unicode_normalize
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, f"plain ascii {i} café") for i in range(20)],
+            "i long, t string",
+        )
+        once = df.select("i", unicode_normalize(F.col("t")).alias("n"))
+        twice = once.select(
+            "i", unicode_normalize(F.col("n")).alias("n")
+        )
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect())
+        )
+        with _pt.raises(ValueError):
+            unicode_normalize(F.col("t"), "NFX")
