@@ -518,6 +518,73 @@ def test_streaming_capstone_equals_batch(spark, tmp_path):
     assert len(want) < streamed.count()
 
 
+def test_streaming_bloom_prescreen(spark, tmp_path):
+    """bloom_maybe_contains documents that its probe 'adds ZERO
+    shuffles and runs on streams unchanged' — pin it: the probe over a
+    file stream flags every true duplicate of the seen corpus
+    (no-false-negative contract holds per micro-batch) and matches the
+    batch probe on the same rows."""
+    import json
+    import os
+
+    from datamancer_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+    from datamancer_spark.session import materialize
+
+    seen = spark.createDataFrame(
+        [(i, f"seen doc {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bits, k = 1 << 12, 4
+    bloom = materialize(bloom_build(seen, "text", bits, k))
+
+    d = str(tmp_path / "bloom_in")
+    os.makedirs(d)
+    rows_a = [{"doc_id": 100 + i, "text": f"seen doc {i}"}
+              for i in range(20)]
+    rows_b = [{"doc_id": 200 + i, "text": f"novel doc {i}"}
+              for i in range(30)]
+    for name, rows in (("a.json", rows_a), ("b.json", rows_b)):
+        with open(os.path.join(d, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("doc_id long, text string").json(d)
+    probed = bloom_maybe_contains(stream, bloom, "text", bits, k)
+    assert probed.isStreaming
+    q = (
+        probed.writeStream.format("memory")
+        .queryName("bloom_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["maybe_seen"]
+            for r in spark.sql(
+                "SELECT doc_id, maybe_seen FROM bloom_stream"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert len(got) == 50
+    # every true duplicate probes maybe (contract), regardless of
+    # which micro-batch carried it
+    assert all(got[100 + i] for i in range(20))
+    # batch probe on the same rows gives identical flags
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows_a + rows_b],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]: r["maybe_seen"]
+        for r in bloom_maybe_contains(batch, bloom, "text", bits, k)
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_curation_pipeline_composes(spark, tmp_path):
     """The batch curation tier composes unchanged on a stream: heuristic
     quality score + hashed classifier score (both pure projections) and
