@@ -369,8 +369,26 @@ def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Explode a (…, sig: array<long>) frame into b LSH band keys:
     (…, band, bhash). bhash is the md5 of the band's r signature slots —
     identical construction on both corpora sides and in the DuckDB
-    oracle, so band equality is engine-portable."""
+    oracle, so band equality is engine-portable. At r=1 (the
+    recall-certain geometry the LSH capstone pins) the md5 adds
+    nothing — one slot IS the band key — so the slot value serializes
+    directly: band equality is unchanged (both sides use the same
+    construction) and the per-signature hash work drops b× (measured
+    on the capstone: the md5 chain was ~16 digest calls per distinct
+    signature)."""
     rows = num_hashes // bands
+    if rows == 1:
+        key = lambda b: F.col("sig")[b].cast("string")  # noqa: E731
+    else:
+        key = lambda b: F.md5(  # noqa: E731
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[b * rows + r].cast("string")
+                    for r in range(rows)
+                ],
+            )
+        )
     return sig.select(
         "*",
         F.explode(
@@ -378,15 +396,7 @@ def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bhash"),
+                        key(b).alias("bhash"),
                     )
                     for b in range(bands)
                 ]
