@@ -2680,6 +2680,66 @@ def pipeline_from_crawl_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robots_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt URL gating under the driver gate (r11,
+    operators/robots.py — RFC 9309 relationally, zero UDFs): per-host
+    robots text is built IN-PLAN (host arithmetic), parsed with the
+    real parser (line explode → directive classify → group windows),
+    and the capstone crawl pages gate against it as agent
+    'datamancer'. Every RFC behavior lands in the closed form: group
+    selection hides the '*' group on every even host (its
+    'Disallow: /' would deny everything — invisible because the
+    datamancer group exists), longest-match precedence with the
+    wildcard+anchor pattern '/nd/*0$' overrides 'Disallow: /nd/' for
+    docs ≡ 0 (mod 10), '/spam/' denies, and hosts ≡ 0 (mod 3) carry
+    an extra 'Disallow: /u/'. Outcomes per page are pure doc_id
+    arithmetic — the DuckDB twin enumerates them."""
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_corpus_blob,
+    )
+    from datamancer_spark.operators.robots import (
+        parse_robots,
+        robots_url_filter,
+    )
+    from datamancer_spark.operators.warc import ingest_warc
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_corpus_blob)
+    pages = ingest_warc(blobs)
+    hosts = spark.range(7).select(
+        F.concat(F.lit("s"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.col("id").alias("h"),
+    )
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit(
+                "# crawl policy\n"
+                "User-Agent: datamancer\n"
+                "Allow: /c/\n"
+                "Disallow: /nd/\n"
+                "Allow: /nd/*0$\n"
+                "DISALLOW: /spam/\n"
+            ),
+            F.when(F.col("h") % 3 == 0, F.lit("Disallow: /u/\n")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("h") % 2 == 0,
+                F.lit("\nUser-agent: *\nDisallow: /\n"),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    out = robots_url_filter(pages, rules, "datamancer")
+    return out.select(
+        "doc_id", "rec_idx", "url", "host", "robots_allowed",
+        "matched_pattern",
+    )
+
+
 def crawl_url_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level page gate under the driver gate (r10,
     operators/scrub.py url_quality_filter): the C4/RefinedWeb-style
@@ -2766,6 +2826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #4: unicode NFC normalization — Python
         # -- unicodedata vs DuckDB utf8proc, byte-pinned via md5.
         "normalize_nfc_text": normalize_nfc_text,
+        # -- r11 zero-green #5: RFC 9309 robots.txt gate (real parse
+        # -- in-plan; closed-form outcome twin).
+        "robots_crawl_gate": robots_crawl_gate,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -5579,6 +5642,56 @@ def oracle_sql() -> dict[str, str]:
                  WHEN p.pth LIKE '/spam/%' THEN 'blocked_term'
                  ELSE ''
                END AS url_reasons
+        FROM pages p
+    """
+
+    # robots gate over the same capstone pages: outcomes are pure
+    # doc_id arithmetic (the Spark side PARSES real robots text; the
+    # fixture rules make every RFC 9309 behavior closed-form) —
+    # /c/ always allowed; /nd/ denied unless doc ≡ 0 (mod 10) where
+    # the longer '/nd/*0$' Allow wins; /spam/ denied; /u/ denied only
+    # on hosts ≡ 0 (mod 3); the even hosts' '*'-group 'Disallow: /'
+    # is HIDDEN by the existing datamancer group (never fires).
+    sql["robots_crawl_gate"] = """
+        WITH pages AS (
+          SELECT doc_id, 2 AS rec_idx,
+                 '/c/' || CAST(doc_id % 50 AS VARCHAR) AS pth,
+                 'c' AS kind
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 3, '/nd/' || CAST(doc_id AS VARCHAR), 'nd'
+          FROM documents WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id,
+                 3 + CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END,
+                 '/spam/' || CAST(doc_id AS VARCHAR), 'spam'
+          FROM documents WHERE doc_id % 11 = 5
+          UNION ALL
+          SELECT doc_id,
+                 3 + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                   + (CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END),
+                 '/u/' || CAST(doc_id AS VARCHAR), 'u'
+          FROM documents
+        )
+        SELECT p.doc_id,
+               CAST(p.rec_idx AS INT) AS rec_idx,
+               'http://s' || CAST(p.doc_id % 7 AS VARCHAR) || '.example'
+                 || p.pth AS url,
+               's' || CAST(p.doc_id % 7 AS VARCHAR) || '.example' AS host,
+               CASE p.kind
+                 WHEN 'c' THEN TRUE
+                 WHEN 'nd' THEN p.doc_id % 10 = 0
+                 WHEN 'spam' THEN FALSE
+                 ELSE (p.doc_id % 7) % 3 <> 0
+               END AS robots_allowed,
+               CASE p.kind
+                 WHEN 'c' THEN '/c/'
+                 WHEN 'nd' THEN CASE WHEN p.doc_id % 10 = 0
+                                     THEN '/nd/*0$' ELSE '/nd/' END
+                 WHEN 'spam' THEN '/spam/'
+                 ELSE CASE WHEN (p.doc_id % 7) % 3 = 0
+                           THEN '/u/' ELSE NULL END
+               END AS matched_pattern
         FROM pages p
     """
 

@@ -1,0 +1,192 @@
+"""robots.txt parsing and URL gating — the crawl front end's FIRST
+filter (before the URL quality gate, before any fetch/payload work).
+
+Implements the Robots Exclusion Protocol (RFC 9309) relationally, with
+zero Python in the loop:
+
+* **grouping**: consecutive ``User-agent`` lines open a group; the
+  group's rules run until the next ``User-agent`` line that follows a
+  rule (RFC 9309 §2.2.1). A running sum over a per-host line-order
+  window assigns group ids — one window, no iteration.
+* **group selection**: a crawler obeys the group matching its product
+  token exactly (case-insensitive); only when NO group names it does
+  the ``*`` group apply (RFC 9309 §2.2.1 — an existing specific group
+  makes the wildcard group invisible, including its Disallows).
+* **matching**: rules are path-prefix matches with the two standard
+  metacharacters — ``*`` (any span) and a trailing ``$`` (end anchor)
+  (RFC 9309 §2.2.3). Patterns compile to regexes CATALYST-side
+  (escape, ``*`` → ``.*``, anchor) — string ops only.
+* **precedence**: the longest matching pattern wins; on a length tie
+  Allow beats Disallow (RFC 9309 §2.2.2). No matching rule = allowed,
+  empty-pattern rules are inert, and a host with no robots frame at
+  all is allowed (joins are left).
+
+Scale shape: rules frames are tiny (a crawl's robots corpus is ~one
+small file per host) — the URL gate is ONE broadcast-able left join on
+host plus a per-URL best-rule window over the few matching rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: regex specials that must be escaped in a robots path pattern —
+#: every special EXCEPT '*' (wildcard) and a trailing '$' (anchor),
+#: which carry REP semantics.
+_SPECIALS = r"([.^+?(){}\[\]|\\$])"
+
+
+def _regex_col(pat: "F.Column") -> "F.Column":
+    """Column-level pattern→regex: strip a trailing '$' into an end
+    anchor, escape regex specials, '*' → '.*', prefix-anchor."""
+    has_anchor = pat.endswith("$")
+    body = F.when(
+        has_anchor, F.substring(pat, 1, F.length(pat) - 1)
+    ).otherwise(pat)
+    escaped = F.regexp_replace(body, _SPECIALS, r"\\$1")
+    wild = F.regexp_replace(escaped, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), wild, F.when(has_anchor, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def parse_robots(
+    robots: DataFrame,
+    text_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Parse per-host robots.txt text into a rules frame:
+    ``(host, group_id, agent, rule, pattern, pattern_len, regex)`` —
+    one row per (agent line × rule line) within a group, so group
+    selection is a plain filter/join. Comments (``#…``), blank lines
+    and unknown directives drop; directive keys are case-insensitive
+    and whitespace-tolerant; agents lower-case (product tokens are
+    case-insensitive), patterns keep their case (paths are
+    case-sensitive). Empty patterns drop (an empty Disallow is the
+    RFC's 'allow everything' no-op)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "raw"),
+    )
+    cleaned = lines.select(
+        "host",
+        "ln",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).filter(F.length("line") > 0)
+    parsed = cleaned.select(
+        "host",
+        "ln",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias(
+            "key"
+        ),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("val"),
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("ln")
+    # a user-agent line OPENS a new group iff the previous directive
+    # line was not itself a user-agent line (consecutive UA lines
+    # share the group)
+    grouped = parsed.withColumn(
+        "_prev_key", F.lag("key").over(w)
+    ).withColumn(
+        "_new_group",
+        (
+            (F.col("key") == "user-agent")
+            & (
+                F.col("_prev_key").isNull()
+                | (F.col("_prev_key") != "user-agent")
+            )
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("_new_group").over(w))
+    agents = grouped.filter(F.col("key") == "user-agent").select(
+        "host",
+        "group_id",
+        F.lower(F.col("val")).alias("agent"),
+    )
+    rules = grouped.filter(
+        F.col("key").isin("allow", "disallow") & (F.length("val") > 0)
+    ).select(
+        "host",
+        "group_id",
+        F.col("key").alias("rule"),
+        F.col("val").alias("pattern"),
+    )
+    out = (
+        agents.join(rules, ["host", "group_id"])
+        .withColumn("pattern_len", F.length("pattern"))
+        .withColumn("regex", _regex_col(F.col("pattern")))
+    )
+    return out
+
+
+def robots_effective_rules(
+    rules: DataFrame, agent: str
+) -> DataFrame:
+    """The rules a crawler named ``agent`` must obey, per host: the
+    exact-agent group when any exists for that host, otherwise the
+    ``*`` group (RFC 9309 §2.2.1 — a specific group HIDES the wildcard
+    group entirely). One anti-join decides the fallback; both sides
+    are rule-frame-sized."""
+    agent_lc = agent.lower()
+    exact = rules.filter(F.col("agent") == agent_lc)
+    hosts_with_exact = exact.select("host").distinct()
+    fallback = rules.filter(F.col("agent") == "*").join(
+        hosts_with_exact, "host", "left_anti"
+    )
+    return exact.unionByName(fallback)
+
+
+def robots_url_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    host_col: str = "host",
+    out: str = "robots_allowed",
+) -> DataFrame:
+    """Gate a URL frame against parsed robots rules for ``agent``:
+    adds ``out`` (boolean) and ``matched_pattern`` (the winning rule's
+    pattern, NULL when no rule matched). Longest-match precedence,
+    Allow wins length ties, no match / no robots for the host =
+    allowed. Plan: one broadcast left join on host, regexp match, one
+    per-URL window over the (few) matching rules — the URL corpus is
+    never shuffled beyond that window's hash."""
+    eff = robots_effective_rules(rules, agent).select(
+        F.col("host").alias("_rhost"),
+        "rule",
+        "pattern",
+        "pattern_len",
+        "regex",
+    )
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1), F.lit("")),
+        F.lit("/"),
+    )
+    keyed = urls.withColumn("_path", path).withColumn(
+        "_uid", F.monotonically_increasing_id()
+    )
+    joined = keyed.join(
+        F.broadcast(eff),
+        (keyed[host_col] == F.col("_rhost"))
+        & F.expr("_path rlike regex"),
+        "left",
+    )
+    w = Window.partitionBy("_uid").orderBy(
+        F.col("pattern_len").desc(),
+        # allow < disallow lexicographically — ascending puts allow first
+        F.col("rule").asc(),
+    )
+    best = (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .withColumn(
+            out,
+            F.when(F.col("rule").isNull(), F.lit(True)).otherwise(
+                F.col("rule") == "allow"
+            ),
+        )
+        .withColumn("matched_pattern", F.col("pattern"))
+    )
+    return best.select(
+        *[c for c in urls.columns], F.col(out), "matched_pattern"
+    )

@@ -1,0 +1,149 @@
+"""robots.txt gate (operators/robots.py — RFC 9309 relationally):
+grouping, group selection/hiding, pattern translation, longest-match
+precedence, defaults, and the plan shape."""
+
+from pyspark.sql import functions as F
+
+from datamancer_spark.operators.robots import (
+    parse_robots,
+    robots_effective_rules,
+    robots_url_filter,
+)
+
+POLICY = """# policy file
+User-agent: otherbot
+Disallow: /
+
+User-Agent: alpha
+user-agent: beta
+Allow: /c/
+DISALLOW: /c/private
+Disallow: /nd/
+Allow: /nd/*0$
+disallow: /spam/
+Disallow:
+Crawl-delay: 10
+
+User-agent: *
+Disallow: /u/
+"""
+
+
+def _rules(spark, extra_hosts=()):
+    rows = [("h1.example", POLICY)] + [
+        (h, "User-agent: *\nDisallow: /x/") for h in extra_hosts
+    ]
+    robots = spark.createDataFrame(rows, "host string, robots_txt string")
+    return parse_robots(robots)
+
+
+class TestParse:
+    def test_grouping_and_directives(self, spark):
+        rules = _rules(spark)
+        rows = rules.collect()
+        # consecutive UA lines share one group: alpha AND beta each
+        # carry the full 5-rule set (empty Disallow and Crawl-delay
+        # dropped)
+        per_agent = {}
+        for r in rows:
+            per_agent.setdefault(r["agent"], set()).add(
+                (r["rule"], r["pattern"])
+            )
+        want = {
+            ("allow", "/c/"),
+            ("disallow", "/c/private"),
+            ("disallow", "/nd/"),
+            ("allow", "/nd/*0$"),
+            ("disallow", "/spam/"),
+        }
+        assert per_agent["alpha"] == want
+        assert per_agent["beta"] == want
+        assert per_agent["otherbot"] == {("disallow", "/")}
+        assert per_agent["*"] == {("disallow", "/u/")}
+        # groups are distinct
+        gids = {r["agent"]: r["group_id"] for r in rows}
+        assert gids["alpha"] == gids["beta"] != gids["otherbot"]
+
+    def test_pattern_regex_translation(self, spark):
+        rules = _rules(spark)
+        rx = {
+            r["pattern"]: r["regex"]
+            for r in rules.filter(F.col("agent") == "alpha").collect()
+        }
+        assert rx["/nd/*0$"] == "^/nd/.*0$"
+        assert rx["/c/"] == "^/c/"
+
+
+class TestSelection:
+    def test_exact_group_hides_wildcard(self, spark):
+        rules = _rules(spark)
+        eff = robots_effective_rules(rules, "Alpha")  # case-insensitive
+        pats = {r["pattern"] for r in eff.collect()}
+        assert "/u/" not in pats  # the * group is invisible
+        assert "/c/" in pats
+
+    def test_unknown_agent_falls_back_to_star(self, spark):
+        rules = _rules(spark)
+        eff = robots_effective_rules(rules, "nobody")
+        assert {r["pattern"] for r in eff.collect()} == {"/u/"}
+
+
+class TestGate:
+    def test_all_rfc_behaviors(self, spark):
+        rules = _rules(spark, extra_hosts=("h2.example",))
+        urls = spark.createDataFrame(
+            [
+                (1, "h1.example", "http://h1.example/c/12"),
+                (2, "h1.example", "http://h1.example/c/private/x"),
+                (3, "h1.example", "http://h1.example/nd/17"),
+                (4, "h1.example", "http://h1.example/nd/20"),
+                (5, "h1.example", "http://h1.example/spam/9"),
+                (6, "h1.example", "http://h1.example/u/7"),
+                (7, "h2.example", "http://h2.example/x/1"),
+                (8, "h2.example", "http://h2.example/y"),
+                (9, "h3.example", "http://h3.example/anything"),
+                (10, "h1.example", "http://h1.example"),
+            ],
+            "i long, host string, url string",
+        )
+        out = {
+            r["i"]: (r["robots_allowed"], r["matched_pattern"])
+            for r in robots_url_filter(urls, rules, "alpha").collect()
+        }
+        assert out[1] == (True, "/c/")          # allow prefix
+        assert out[2] == (False, "/c/private")  # longest match
+        assert out[3] == (False, "/nd/")
+        assert out[4] == (True, "/nd/*0$")      # wildcard+$ beats /nd/
+        assert out[5] == (False, "/spam/")
+        assert out[6] == (True, None)           # * group hidden
+        assert out[7] == (False, "/x/")         # fallback to *
+        assert out[8] == (True, None)
+        assert out[9] == (True, None)           # no robots at all
+        assert out[10] == (True, None)          # bare host -> path "/"
+
+    def test_allow_wins_length_tie(self, spark):
+        robots = spark.createDataFrame(
+            [("h.example", "User-agent: *\nAllow: /p/\nDisallow: /p/")],
+            "host string, robots_txt string",
+        )
+        rules = parse_robots(robots)
+        urls = spark.createDataFrame(
+            [(1, "h.example", "http://h.example/p/x")],
+            "i long, host string, url string",
+        )
+        r = robots_url_filter(urls, rules, "bot").collect()[0]
+        assert r["robots_allowed"] is True
+
+    def test_plan_is_broadcast_no_cartesian(self, spark):
+        from datamancer_spark.plans import executed_plan
+
+        rules = _rules(spark)
+        urls = spark.createDataFrame(
+            [(i, "h1.example", f"http://h1.example/c/{i}")
+             for i in range(100)],
+            "i long, host string, url string",
+        )
+        plan = executed_plan(robots_url_filter(urls, rules, "alpha"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
