@@ -1289,6 +1289,16 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(doc.df, shingle_n=3, threshold=0.5)
 
 
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment join (r11, operators/dedup.py
+    ngram_containment_pairs): the asymmetric companion to the Jaccard
+    join — |sh(src) ∩ sh(dst)| / |sh(src)|, the quote/boilerplate/
+    subset-page signal Jaccard's union denominator washes out. One
+    inverted-index pair count serves both directions."""
+    doc = _t(spark, sf_dir, "documents")["documents"]
+    return D.ngram_containment_pairs(doc.df, shingle_n=3, threshold=0.2)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")["documents"]
     return D.simhash_pairs(doc.df, max_hamming=3, bands=4)
@@ -2829,6 +2839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #5: RFC 9309 robots.txt gate (real parse
         # -- in-plan; closed-form outcome twin).
         "robots_crawl_gate": robots_crawl_gate,
+        # -- r11 zero-green #6: directed n-gram containment join
+        # -- (asymmetric near-dup: quotes/subset pages).
+        "containment_pairs": containment_pairs,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -3837,6 +3850,35 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    """
+
+    # Directed containment twin: shared-shingle counts once per
+    # unordered pair, both directions derived; same 32-bit shingle
+    # hashing as the jaccard twin.
+    sql["containment_pairs"] = f"""
+        WITH {_SHINGLES_CTE},
+        ex AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS s
+               FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairbase AS (
+          SELECT i.id_a, i.id_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+        ),
+        directed AS (
+          SELECT id_a AS src_id, id_b AS dst_id,
+                 inter * 1.0 / sz_a AS containment FROM pairbase
+          UNION ALL
+          SELECT id_b, id_a, inter * 1.0 / sz_b FROM pairbase
+        )
+        SELECT src_id, dst_id, prnd(containment, 6) AS containment
+        FROM directed WHERE containment >= 0.2
     """
 
     # HLL accuracy-contract twin: the Spark query emits within-5% booleans,

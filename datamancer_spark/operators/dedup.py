@@ -791,6 +791,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTED n-gram containment join (r11): emit (src_id, dst_id,
+    containment) where containment = |sh(src) ∩ sh(dst)| / |sh(src)| ≥
+    threshold — "src is (mostly) contained in dst". The asymmetric
+    companion to ``ngram_jaccard_pairs``: a short quote inside a long
+    page scores near-zero Jaccard (the union is huge) but containment
+    ≈ 1, which is exactly the quotes/boilerplate/subset-page signal a
+    curation pipeline needs. Same inverted-index plan as the Jaccard
+    join — the shared-shingle count is computed ONCE per unordered
+    pair (id-ordered join) and both directions derive from it
+    relationally, so the directed output costs no extra shuffle. Same
+    portable 32-bit shingle hashing, so the DuckDB twin is exact."""
+    arr = (
+        spread_partitions(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                shingles_from_tokens(F.col("_toks"), shingle_n),
+                lambda s: hash32(s),
+            ).alias("_shs"),
+        )
+    )
+    arr = materialize(arr)
+    sh = arr.select(F.col(id_col), F.explode("_shs").alias("sh"))
+    sizes = arr.select(
+        F.col(id_col), F.size("_shs").cast("long").alias("sz")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        (F.col("inter") / F.col("sz_a")).alias("containment"),
+    )
+    bwd = both.select(
+        F.col("id_b").alias("src_id"),
+        F.col("id_a").alias("dst_id"),
+        (F.col("inter") / F.col("sz_b")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(bwd)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "src_id", "dst_id", prnd("containment", 6).alias("containment")
+        )
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 
 

@@ -298,3 +298,45 @@ def test_hamming_band_pairs_bands8_exact_vs_brute_force(spark):
 
     with pytest.raises(ValueError, match="bands"):
         hamming_band_pairs(sh, "sig", "id", max_hamming=8, bands=8)
+
+
+def test_ngram_containment_directed(spark):
+    """r11 containment join: a short doc embedded in a longer one
+    scores containment 1.0 forward and |A|/|B| backward — the
+    asymmetry Jaccard cannot express (hand-computed shingle sets)."""
+    from datamancer_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "w1 w2 w3 w4 w5"               # 3 trigram shingles
+    longer = short + " w6 w7"               # 5 shingles, superset
+    df = spark.createDataFrame(
+        [(1, short), (2, longer), (3, "x1 x2 x3 x4")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, shingle_n=3, threshold=0.0
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0          # short fully contained
+    assert got[(2, 1)] == 0.6          # 3/5 backward
+    assert (1, 3) not in got and (3, 1) not in got
+    # Jaccard sees the same pair symmetrically at 0.6 — no direction
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, shingle_n=3, threshold=0.0
+        ).collect()
+    }
+    assert jac[(1, 2)] == 0.6
+    # thresholding keeps only the directed subset relation
+    kept = {
+        (r["src_id"], r["dst_id"])
+        for r in ngram_containment_pairs(
+            df, shingle_n=3, threshold=0.8
+        ).collect()
+    }
+    assert kept == {(1, 2)}
