@@ -2750,6 +2750,96 @@ def robots_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_crawl_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production crawl front end as ONE plan (r11): WARC
+    bytes → ingest → robots.txt gate (RFC 9309, agent 'datamancer') →
+    URL quality screen (host blocklist + blocked terms) → text quality
+    gate → exact dedup → MinHash-LSH candidates → exact-Jaccard verify
+    → survivor corpus. Every stage is individually driver-proven
+    (warc_ingest_crawl, robots_crawl_gate, crawl_url_screen,
+    pipeline_from_crawl_lsh); THIS query proves the full seam a real
+    crawl run executes. Survivors stay closed-form on the capstone
+    fixture: robots denies /u/ on hosts ≡ 0 (mod 3) and the URL screen
+    denies host s0, so the keeper of each doc_id%50 cluster class is
+    the MIN class member on an unblocked host, unique pages survive
+    only for doc_id%7 ∈ {1,2,4,5}, robots-allowed near-dups (doc ≡ 10
+    mod 70) enter the fuzzy tier and are dropped there (J = 35/41 ≥
+    0.8 vs their cluster keeper), and spam/404 never ingest past the
+    gates."""
+    from datamancer_spark.operators.dedup import (
+        exact_dedup_keep,
+        minhash_dedup_verified,
+    )
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_corpus_blob,
+    )
+    from datamancer_spark.operators.robots import (
+        parse_robots,
+        robots_url_filter,
+    )
+    from datamancer_spark.operators.scrub import url_quality_filter
+    from datamancer_spark.operators.warc import ingest_warc
+    from datamancer_spark.session import materialize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_corpus_blob)
+    pages = ingest_warc(blobs)
+
+    # robots tier: in-plan per-host policy, real parse, RFC semantics
+    hosts = spark.range(7).select(
+        F.concat(F.lit("s"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.col("id").alias("h"),
+    )
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit(
+                "User-Agent: datamancer\n"
+                "Allow: /c/\n"
+                "Disallow: /nd/\n"
+                "Allow: /nd/*0$\n"
+                "Disallow: /spam/\n"
+            ),
+            F.when(F.col("h") % 3 == 0, F.lit("Disallow: /u/\n")).otherwise(
+                F.lit("")
+            ),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    gated_robots = robots_url_filter(pages, rules, "datamancer").filter(
+        F.col("robots_allowed")
+    )
+
+    # URL screen tier (host blocklist + terms), then text quality
+    screened = url_quality_filter(
+        gated_robots, blocked_hosts=["s0.example"],
+        blocked_path_terms=("spam",),
+    ).filter(F.col("url_pass"))
+    toks = F.split(F.col("text"), " ")
+    gated = screened.filter(
+        (F.size(toks) >= 10)
+        & (F.size(F.array_distinct(toks)) / F.size(toks) >= 0.5)
+    ).withColumn("page_id", F.col("doc_id") * 8 + F.col("rec_idx"))
+
+    # dedup stack: exact keeper, then the production LSH-verified tier
+    kept = materialize(exact_dedup_keep(gated, "text", "page_id"))
+    pairs = minhash_dedup_verified(
+        kept, "text", "page_id",
+        num_hashes=16, bands=16, shingle_n=3, threshold=0.8,
+    )
+    drop = pairs.select(F.col("id_b").alias("page_id")).distinct()
+    surv = kept.join(drop, "page_id", "left_anti")
+    return surv.select(
+        "doc_id",
+        "rec_idx",
+        "url",
+        "host",
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+
+
 def crawl_url_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level page gate under the driver gate (r10,
     operators/scrub.py url_quality_filter): the C4/RefinedWeb-style
@@ -2842,6 +2932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #6: directed n-gram containment join
         # -- (asymmetric near-dup: quotes/subset pages).
         "containment_pairs": containment_pairs,
+        # -- r11 zero-green #7: the COMPLETE production crawl front
+        # -- end in one plan (robots → URL screen → quality → exact
+        # -- dedup → LSH-verified fuzzy), closed-form survivors.
+        "pipeline_crawl_production": pipeline_crawl_production,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -5645,6 +5739,42 @@ def oracle_sql() -> dict[str, str]:
     # geometry — see pipeline_from_crawl_lsh), so the twin is the same
     # closed-form enumeration.
     sql["pipeline_from_crawl_lsh"] = sql["pipeline_from_crawl"]
+
+    # Full production front end: survivors fold the robots gate
+    # (no /u/ on hosts ≡0 mod 3), the URL screen (host s0 blocked),
+    # and the dedup stack into doc_id arithmetic — cluster keeper =
+    # min class member on an unblocked host; unique pages survive for
+    # doc%7 in {1,2,4,5}; robots-allowed near-dups (doc ≡ 10 mod 70)
+    # are dropped by the fuzzy tier (J = 35/41 vs their cluster
+    # keeper); spam fails the text gate, 404s never ingest.
+    sql["pipeline_crawl_production"] = """
+        WITH keepers AS (
+          SELECT min(doc_id) AS doc_id, doc_id % 50 AS c
+          FROM documents WHERE doc_id % 7 <> 0 GROUP BY doc_id % 50
+        ),
+        base_rows AS (
+          SELECT k.doc_id,
+                 CAST(2 AS INT) AS rec_idx,
+                 'http://s' || CAST(k.doc_id % 7 AS VARCHAR)
+                   || '.example/c/' || CAST(k.c AS VARCHAR) AS url,
+                 's' || CAST(k.doc_id % 7 AS VARCHAR) || '.example'
+                   AS host,
+                 CAST(40 AS INT) AS n_words
+          FROM keepers k
+        ),
+        uniq_rows AS (
+          SELECT doc_id,
+                 CAST(3 + CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END
+                      AS INT) AS rec_idx,
+                 'http://s' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/u/' || CAST(doc_id AS VARCHAR) AS url,
+                 's' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                   AS host,
+                 CAST(15 + doc_id % 10 AS INT) AS n_words
+          FROM documents WHERE doc_id % 7 IN (1, 2, 4, 5)
+        )
+        SELECT * FROM base_rows UNION ALL SELECT * FROM uniq_rows
+    """
 
     # URL gate over the same capstone fixture: page layout per doc is
     # (cluster@2, near-dup@3 if %7==3, spam next if %11==5, unique

@@ -414,6 +414,22 @@ def test_lsh_production_geometry_same_survivors(spark, sf_dir):
     assert true_pairs and prod == true_pairs
 
 
+def test_pipeline_crawl_production_budget(spark, sf_dir):
+    """r11 full-front-end pin: robots gate + URL screen + quality +
+    exact dedup + LSH-verified fuzzy in ONE plan holds an 8-exchange
+    budget (measured 7 — the robots rules join and the URL screen are
+    broadcast/codegen, adding no hash exchange over the LSH capstone),
+    with no cartesian/nested-loop anywhere."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import executed_plan
+
+    q = e.queries()["pipeline_crawl_production"](spark, sf_dir)
+    plan = executed_plan(q)
+    assert plan.count("Exchange") <= 8, plan.count("Exchange")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_r10_tail_query_plans(spark, sf_dir):
     """crawl_url_screen stays shuffle-free beyond the fixture id
     spread (the gate is pure codegen over the ingest stage — 1
