@@ -140,9 +140,16 @@ HEADLINE = [
     "mine_bitext_pairs",
     "token_freq_cms",
     # round-11 additions: the production capstone seam (LSH-verified
-    # fuzzy tier in ONE plan) and the Bloom pre-screen's gated probe
+    # fuzzy tier in ONE plan), the Bloom pre-screen's gated probe, the
+    # portable HLL, NFC normalization, the robots gate, the directed
+    # containment join, and the full production front end
     "pipeline_from_crawl_lsh",
     "dedup_bloom_screened",
+    "doc_distinct_hll",
+    "normalize_nfc_text",
+    "robots_crawl_gate",
+    "containment_pairs",
+    "pipeline_crawl_production",
 ]
 
 
