@@ -1468,6 +1468,40 @@ def normalize_nfc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boilerplate_filter_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line boilerplate removal under the driver gate (r11,
+    operators/quality.py boilerplate_line_filter — the content-
+    extraction pass between HTML→text and document scoring). The
+    synthetic docs are single-line, so each gets a crafted multi-line
+    page appended in-plan: a nav row (short, no punctuation), a legal
+    line (marker phrase), an ALL-CAPS banner (uppercase rule), a tiny
+    fragment (min-words rule), and one genuine sentence — the base
+    text (≥10 words) and the genuine sentence survive, everything
+    else drops. The twin replicates every rule's arithmetic over the
+    same constructed text, so the md5-able clean_text pins ordered
+    reassembly too."""
+    from datamancer_spark.operators.quality import boilerplate_line_filter
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    page = doc.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                "\nHome | About | Contact"
+                "\nCopyright 2026 Example Corp. All rights reserved."
+                "\nBREAKING NEWS MENU BAR NAVIGATION HEADER"
+                "\ntiny frag"
+                "\nA genuine closing sentence with enough words to"
+                " clearly survive the filter."
+            ),
+        ),
+    )
+    return boilerplate_line_filter(page).select(
+        "doc_id", "n_lines", "n_kept", "clean_text"
+    )
+
+
 def mine_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (r10, operators/similarity.py
     mine_bitext — the Artetxe & Schwenk ratio criterion): the even-id
@@ -2936,6 +2970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- end in one plan (robots → URL screen → quality → exact
         # -- dedup → LSH-verified fuzzy), closed-form survivors.
         "pipeline_crawl_production": pipeline_crawl_production,
+        # -- r11 zero-green #8: per-line boilerplate removal (content
+        # -- extraction heuristics; ordered reassembly md5-pinned).
+        "boilerplate_filter_doc": boilerplate_filter_doc,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -3944,6 +3981,64 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    """
+
+    # Boilerplate line filter twin: the same per-line rule arithmetic
+    # (min-words / terminal-punct-with-long-line-escape / marker
+    # substrings / uppercase ratio) over the same constructed page;
+    # survivors reassembled in line order via FILTERed string_agg.
+    sql["boilerplate_filter_doc"] = """
+        WITH pages AS (
+          SELECT doc_id,
+                 coalesce(text, '')
+                   || chr(10) || 'Home | About | Contact'
+                   || chr(10) || 'Copyright 2026 Example Corp. All rights reserved.'
+                   || chr(10) || 'BREAKING NEWS MENU BAR NAVIGATION HEADER'
+                   || chr(10) || 'tiny frag'
+                   || chr(10) || 'A genuine closing sentence with enough words to clearly survive the filter.'
+                   AS page
+          FROM documents
+        ),
+        exploded AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   string_split(page, chr(10)),
+                   (x, i) -> {'pos': i - 1, 'line': x})) AS u
+          FROM pages
+        ),
+        lines AS (
+          SELECT doc_id, u.pos AS pos, trim(u.line) AS t, u.line AS line
+          FROM exploded
+          WHERE len(trim(u.line)) > 0
+        ),
+        flagged AS (
+          SELECT doc_id, pos, line,
+                 (len(regexp_split_to_array(t, '\\s+')) < 3
+                  OR (NOT regexp_matches(t, '[.!?]$')
+                      AND len(regexp_split_to_array(t, '\\s+')) < 10)
+                  OR contains(lower(t), 'copyright')
+                  OR contains(lower(t), 'all rights reserved')
+                  OR contains(lower(t), 'terms of use')
+                  OR contains(lower(t), 'privacy policy')
+                  OR contains(lower(t), 'cookie')
+                  OR contains(lower(t), 'javascript')
+                  OR contains(lower(t), 'click here')
+                  OR contains(lower(t), 'share on')
+                  OR contains(lower(t), 'subscribe')
+                  OR (len(regexp_replace(t, '[^A-Za-z]', '', 'g')) >= 10
+                      AND len(regexp_replace(t, '[^A-Z]', '', 'g')) * 1.0
+                          / len(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+                          > 0.6)
+                 ) AS boiler
+          FROM lines
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN boiler THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_kept,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                          FILTER (WHERE NOT boiler), '') AS clean_text
+        FROM flagged GROUP BY doc_id
     """
 
     # Directed containment twin: shared-shingle counts once per

@@ -150,6 +150,7 @@ HEADLINE = [
     "robots_crawl_gate",
     "containment_pairs",
     "pipeline_crawl_production",
+    "boilerplate_filter_doc",
 ]
 
 

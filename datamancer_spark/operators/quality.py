@@ -229,6 +229,94 @@ def line_dedup_global(
     )
 
 
+#: boilerplate marker phrases (checked lowercase, substring): the
+#: C4/trafilatura-style navigation/legal/social cruft list. Explicit
+#: and SQL-replicable — both engines do plain `contains`.
+BOILERPLATE_MARKERS = (
+    "copyright",
+    "all rights reserved",
+    "terms of use",
+    "privacy policy",
+    "cookie",
+    "javascript",
+    "click here",
+    "share on",
+    "subscribe",
+)
+
+
+def boilerplate_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    markers: tuple = BOILERPLATE_MARKERS,
+) -> DataFrame:
+    """Per-LINE boilerplate removal (r11) — the content-extraction
+    pass between HTML→text and document-level quality scoring
+    (trafilatura/C4 heuristics, all Catalyst): a line drops when it
+    (a) has fewer than ``min_words`` words (nav items, buttons),
+    (b) lacks terminal punctuation ([.!?]) with fewer than 10 words
+    (headings, list fragments — C4's 'keep lines that end in
+    punctuation' rule with a long-line escape), (c) contains a marker
+    phrase (legal/social/js cruft, case-insensitive substring), or
+    (d) is ≥60% uppercase over ≥10 ASCII letters (menus, banners).
+    Returns (id, n_lines, n_kept, clean_text) with survivors
+    reassembled in original order — documents losing every line keep
+    an empty clean_text, so the corpus row set is stable. Plan:
+    posexplode → per-line flags (codegen) → per-doc ordered
+    re-aggregation → join back; one doc-keyed shuffle."""
+    lines = (
+        spread_partitions(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn("_t", F.trim(F.col("line")))
+        .filter(F.length("_t") > 0)
+    )
+    n_words = F.size(F.split(F.col("_t"), r"\s+"))
+    lower = F.lower(F.col("_t"))
+    marker_hit = None
+    for m in markers:
+        c = F.contains(lower, F.lit(m))
+        marker_hit = c if marker_hit is None else (marker_hit | c)
+    letters = F.length(F.regexp_replace(F.col("_t"), "[^A-Za-z]", ""))
+    uppers = F.length(F.regexp_replace(F.col("_t"), "[^A-Z]", ""))
+    boiler = (
+        (n_words < min_words)
+        | (~F.col("_t").rlike(r"[.!?]$") & (n_words < 10))
+        | marker_hit
+        | ((letters >= 10) & (uppers / letters > 0.6))
+    )
+    flagged = lines.withColumn("_boiler", boiler)
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((~F.col("_boiler")).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_boiler"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .fillna({"clean_text": "", "n_lines": 0, "n_kept": 0})
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -632,3 +632,63 @@ class TestTfidfCosinePairs:
             df, threshold=0.05, max_doc_freq_frac=0.5
         ).count()
         assert full > 0 and capped == 0
+
+
+class TestBoilerplateLineFilter:
+    def test_each_rule_fires_and_order_preserved(self, spark):
+        """r11 per-line boilerplate removal: one fixture line per rule
+        (nav/short-no-punct, marker phrase, ALL-CAPS banner, tiny
+        fragment) plus two genuine sentences — survivors reassemble in
+        original order."""
+        from datamancer_spark.operators.quality import (
+            boilerplate_line_filter,
+        )
+
+        keep1 = ("This is a genuine first sentence with plenty of "
+                 "words to survive intact.")
+        keep2 = ("Another real sentence follows here with sufficient "
+                 "length and a period.")
+        txt = "\n".join(
+            [
+                keep1,
+                "Home | About | Contact",                        # short, no punct
+                "Copyright 2026 Example Corp. All rights reserved.",  # marker
+                keep2,
+                "BREAKING NEWS MENU BAR NAVIGATION HEADER",      # caps
+                "tiny frag",                                     # min words
+                "Accept our cookie policy to continue browsing "
+                "this site today.",                              # marker
+            ]
+        )
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        r = boilerplate_line_filter(df).collect()[0]
+        assert r["n_lines"] == 7
+        assert r["n_kept"] == 2
+        assert r["clean_text"] == keep1 + "\n" + keep2
+
+    def test_long_unpunctuated_line_survives(self, spark):
+        """The C4 escape: a ≥10-word line without terminal punctuation
+        is prose, not a heading — it must survive."""
+        from datamancer_spark.operators.quality import (
+            boilerplate_line_filter,
+        )
+
+        prose = ("plain lowercase prose with at least ten distinct "
+                 "words but no final punctuation at all")
+        df = spark.createDataFrame(
+            [(1, prose)], "doc_id long, text string"
+        )
+        r = boilerplate_line_filter(df).collect()[0]
+        assert r["n_kept"] == 1 and r["clean_text"] == prose
+
+    def test_all_boiler_doc_keeps_empty_row(self, spark):
+        from datamancer_spark.operators.quality import (
+            boilerplate_line_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Home | Nav"), (2, None)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in boilerplate_line_filter(df).collect()}
+        assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+        assert out[2]["clean_text"] == "" and out[2]["n_lines"] == 0
