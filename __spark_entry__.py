@@ -1468,6 +1468,37 @@ def normalize_nfc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank under the driver gate (r11, operators/components.py
+    pagerank — fixed-iteration power method, the link-graph quality
+    signal crawl curation ranks by). The synthetic link graph is
+    deterministic doc_id arithmetic built in-plan (each doc links to
+    (id·7+1) mod n and (id·13+5) mod n — dangling-free, so the ranks
+    sum to 1 with no redistribution term in play), 10 iterations,
+    per-iteration rounding at 1e-6 so float association order can
+    never drift the comparison (drift ~1e-16 « the rounding step).
+    The DuckDB twin UNROLLS the same 10 iterations as chained CTEs —
+    an iterative distributed algorithm pinned value-exact against a
+    non-iterative engine. n is a bounded driver-side count (one
+    scalar, the mixture_resample convention)."""
+    from datamancer_spark.operators.components import pagerank
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    n = doc.count()
+    edges = doc.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % n).alias("dst"),
+    ).unionByName(
+        doc.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % n).alias("dst"),
+        )
+    )
+    return pagerank(edges, damping=0.85, iters=10, round_decimals=6).select(
+        "node", "rank"
+    )
+
+
 def boilerplate_filter_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-line boilerplate removal under the driver gate (r11,
     operators/quality.py boilerplate_line_filter — the content-
@@ -2973,6 +3004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #8: per-line boilerplate removal (content
         # -- extraction heuristics; ordered reassembly md5-pinned).
         "boilerplate_filter_doc": boilerplate_filter_doc,
+        # -- r11 zero-green #9: PageRank (iterative power method vs a
+        # -- 10-stage unrolled CTE twin).
+        "pagerank_links": pagerank_links,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -3981,6 +4015,46 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    """
+
+    # PageRank twin: the power method's 10 iterations UNROLLED as
+    # chained CTEs over the same doc_id-arithmetic edge list; ranks
+    # round to 1e-6 after every iteration in BOTH engines, so float
+    # association order cannot drift the comparison. Dangling-free by
+    # construction (every doc has out-degree >= 1).
+    _pr_iters = ",\n".join(
+        f"""        pr{k} AS (
+          SELECT nd.node,
+                 round(0.15 / nn.n + 0.85 * coalesce(s.in_rank, 0), 6)
+                   AS rank
+          FROM nodes nd CROSS JOIN ncnt nn
+          LEFT JOIN (
+            SELECT e.v AS node, sum(p.rank / e.deg) AS in_rank
+            FROM edged e JOIN pr{k - 1} p ON p.node = e.u
+            GROUP BY e.v
+          ) s ON s.node = nd.node
+        )"""
+        for k in range(1, 11)
+    )
+    sql["pagerank_links"] = f"""
+        WITH ncnt AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS u, (doc_id * 7 + 1) % (SELECT n FROM ncnt) AS v
+          FROM documents
+          UNION
+          SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM ncnt)
+          FROM documents
+        ),
+        nodes AS (
+          SELECT u AS node FROM edges UNION SELECT v FROM edges
+        ),
+        deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+        edged AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d ON d.u = e.u),
+        pr0 AS (
+          SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN ncnt nn
+        ),
+{_pr_iters}
+        SELECT node, rank FROM pr10
     """
 
     # Boilerplate line filter twin: the same per-line rule arithmetic

@@ -103,3 +103,72 @@ def dedup_keep_canonical(
         .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """PageRank by fixed-iteration power method (r11) — the link-graph
+    quality signal crawl curation ranks and samples by. Directed
+    ``edges``; the node set is src∪dst; ranks start uniform (1/n) and
+    each round every node keeps (1−d)/n plus d · the sum of incoming
+    rank/out-degree, with DANGLING mass (nodes without out-edges)
+    redistributed uniformly — so the ranks sum to 1 every iteration,
+    the standard formulation.
+
+    Plan per round: one broadcast-able join of ranks to the (static)
+    out-degreed edge list, one groupBy(dst) sum, one left join back to
+    the node set, one 1-row dangling-mass crossJoin — all distributed;
+    the driver loop is the documented fixed-count exception (same as
+    ``connected_components``), with localCheckpoint truncating lineage
+    each round. Returns (node, rank).
+
+    ``round_decimals``: round ranks after EVERY iteration. Float sums
+    are association-order dependent at ~1e-16; per-iteration rounding
+    at a much coarser step (e.g. 6 decimals) absorbs that drift so
+    results are bit-stable across engines and partitionings — the
+    differential-gate convention (the gate rounds at 6 and compares at
+    4). None keeps full precision."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = materialize(
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ed = materialize(e.join(deg, "u"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(int(iters)):
+        contrib = (
+            ed.join(ranks, ed.u == ranks.node)
+            .select("v", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        # dangling nodes (no out-edges) leak their mass — collect it as
+        # ONE scalar row and spread uniformly, keeping sum(rank) = 1
+        dangling = (
+            ranks.join(deg, ranks.node == deg.u, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        new_rank = (
+            F.lit(base)
+            + F.lit(damping)
+            * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.col("dm") / n)
+        )
+        if round_decimals is not None:
+            new_rank = F.round(new_rank, round_decimals)
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.v, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("node", new_rank.alias("rank"))
+        )
+        ranks = materialize(ranks)
+    return ranks

@@ -58,3 +58,52 @@ def test_full_near_dup_pipeline(spark):
     pairs = minhash_dedup_verified(docs, threshold=0.4)
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
     assert 0 in kept and 3 in kept and 1 not in kept
+
+
+class TestPageRank:
+    def test_hand_solved_fixed_points(self, spark):
+        """r11 PageRank: 30 iterations converge to the analytically
+        solved fixed points. Star+loop (1,2,3 -> 0, 0 -> 1): leaves
+        keep (1-d)/4; dangling chain (0 -> 1): r1 = 0.6491228…
+        (solve r0 = .075 + .425 r1; r1 = .075 + .85 r0 + .425 r1)."""
+        from datamancer_spark.operators.components import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long"
+        )
+        got = {r["node"]: r["rank"] for r in pagerank(edges, iters=40).collect()}
+        assert abs(got[2] - 0.0375) < 1e-9
+        assert abs(got[3] - 0.0375) < 1e-9
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        assert got[0] > got[1] > got[2]
+
+        dang = spark.createDataFrame([(0, 1)], "src long, dst long")
+        got2 = {r["node"]: r["rank"] for r in pagerank(dang, iters=60).collect()}
+        assert abs(got2[1] - 0.13875 / 0.21375) < 1e-6
+        assert abs(sum(got2.values()) - 1.0) < 1e-9
+
+    def test_rank_sums_to_one_every_iteration(self, spark):
+        from datamancer_spark.operators.components import pagerank
+
+        edges = spark.createDataFrame(
+            [(i, (i * 3 + 1) % 20) for i in range(20)]
+            + [(i, (i * 7 + 2) % 20) for i in range(0, 20, 2)],
+            "src long, dst long",
+        )
+        for it in (1, 3, 7):
+            total = sum(
+                r["rank"] for r in pagerank(edges, iters=it).collect()
+            )
+            assert abs(total - 1.0) < 1e-9, (it, total)
+
+    def test_per_iteration_rounding_is_stable(self, spark):
+        """round_decimals=6 gives identical ranks across partition
+        layouts (the differential-gate convention)."""
+        from datamancer_spark.operators.components import pagerank
+
+        rows = [(i, (i * 5 + 3) % 50) for i in range(50)]
+        a = spark.createDataFrame(rows, "src long, dst long").coalesce(1)
+        b = spark.createDataFrame(rows, "src long, dst long").repartition(16)
+        ra = sorted(map(tuple, pagerank(a, iters=8, round_decimals=6).collect()))
+        rb = sorted(map(tuple, pagerank(b, iters=8, round_decimals=6).collect()))
+        assert ra == rb
