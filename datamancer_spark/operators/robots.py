@@ -65,9 +65,16 @@ def parse_robots(
     case-insensitive), patterns keep their case (paths are
     case-sensitive). Empty patterns drop (an empty Disallow is the
     RFC's 'allow everything' no-op)."""
+    # real-world robots.txt regularly leads with a UTF-8 BOM (U+FEFF),
+    # which would glue onto the first directive key and silently drop
+    # the whole first group; CRLF line ends are handled by the trims
     lines = robots.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "raw"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.col(text_col), "^\ufeff", ""), "\n"
+            )
+        ).alias("ln", "raw"),
     )
     cleaned = lines.select(
         "host",

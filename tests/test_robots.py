@@ -147,3 +147,40 @@ class TestGate:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestRealWorldMess:
+    def test_bom_and_crlf_tolerated(self, spark):
+        """Real robots.txt regularly leads with a UTF-8 BOM and uses
+        CRLF endings; neither may drop directives (a BOM glued to the
+        first 'User-agent' used to silently kill the whole group)."""
+        txt = "﻿User-agent: *\r\nDisallow: /private/\r\n"
+        robots = spark.createDataFrame(
+            [("h.example", txt)], "host string, robots_txt string"
+        )
+        rules = parse_robots(robots)
+        rows = rules.collect()
+        assert len(rows) == 1
+        assert rows[0]["agent"] == "*"
+        assert rows[0]["pattern"] == "/private/"
+        urls = spark.createDataFrame(
+            [(1, "h.example", "http://h.example/private/x"),
+             (2, "h.example", "http://h.example/pub")],
+            "i long, host string, url string",
+        )
+        out = {
+            r["i"]: r["robots_allowed"]
+            for r in robots_url_filter(urls, rules, "bot").collect()
+        }
+        assert out == {1: False, 2: True}
+
+    def test_unknown_directives_and_missing_colons_ignored(self, spark):
+        txt = ("User-agent: *\nCrawl-delay: 5\nSitemap: http://x/s.xml\n"
+               "garbage line without colon\nDisallow: /d/\n")
+        robots = spark.createDataFrame(
+            [("h.example", txt)], "host string, robots_txt string"
+        )
+        rules = parse_robots(robots)
+        assert {(r["rule"], r["pattern"]) for r in rules.collect()} == {
+            ("disallow", "/d/")
+        }
