@@ -151,6 +151,7 @@ HEADLINE = [
     "containment_pairs",
     "pipeline_crawl_production",
     "boilerplate_filter_doc",
+    "pagerank_links",
 ]
 
 
