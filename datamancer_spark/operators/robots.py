@@ -126,6 +126,46 @@ def parse_robots(
     return out
 
 
+def robots_sitemaps(
+    robots: DataFrame,
+    text_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Extract ``Sitemap:`` directives (RFC 9309 §2.2.4 / sitemaps.org)
+    into a (host, sitemap_url) frame — the crawl-discovery companion to
+    the rule parser. Sitemap lines are GROUP-INDEPENDENT per the spec
+    (they apply regardless of user-agent), so this is a flat scan: no
+    group windows, case-insensitive key, comments stripped, absolute
+    URLs kept verbatim (the spec requires absolute URLs; relative
+    values are dropped rather than guessed)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(
+                F.regexp_replace(F.col(text_col), "^\\ufeff", ""), "\n"
+            )
+        ).alias("raw"),
+    )
+    cleaned = lines.select(
+        "host",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    return (
+        cleaned.filter(
+            F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
+            == "sitemap"
+        )
+        .select(
+            "host",
+            F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias(
+                "sitemap_url"
+            ),
+        )
+        .filter(F.col("sitemap_url").rlike(r"^[a-z][a-z0-9+.-]*://"))
+        .distinct()
+    )
+
+
 def robots_effective_rules(
     rules: DataFrame, agent: str
 ) -> DataFrame:

@@ -184,3 +184,30 @@ class TestRealWorldMess:
         assert {(r["rule"], r["pattern"]) for r in rules.collect()} == {
             ("disallow", "/d/")
         }
+
+
+class TestSitemaps:
+    def test_extracts_group_independent_sitemaps(self, spark):
+        """Sitemap: lines are group-independent per the spec — they
+        extract regardless of position, case, comments, or BOM;
+        relative URLs drop (the spec requires absolute)."""
+        from datamancer_spark.operators.robots import robots_sitemaps
+
+        txt = ("﻿# header\n"
+               "Sitemap: https://h.example/sitemap.xml\n"
+               "User-agent: *\n"
+               "Disallow: /x/\n"
+               "sitemap: https://h.example/news.xml  # inline comment\n"
+               "SITEMAP: /relative/dropped.xml\n"
+               "Sitemap: https://h.example/sitemap.xml\n")  # duplicate
+        robots = spark.createDataFrame(
+            [("h.example", txt)], "host string, robots_txt string"
+        )
+        got = {
+            (r["host"], r["sitemap_url"])
+            for r in robots_sitemaps(robots).collect()
+        }
+        assert got == {
+            ("h.example", "https://h.example/sitemap.xml"),
+            ("h.example", "https://h.example/news.xml"),
+        }
