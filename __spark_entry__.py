@@ -1499,6 +1499,24 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes trained AND scored in one relational plan under the
+    driver gate (r11, operators/classify.py naive_bayes_classify): the
+    trainable-model tier the iterative logistic classifier can't offer
+    differentially — NB training is pure counting (per-class token
+    counts, Laplace smoothing, log priors), so the DuckDB twin
+    replicates the ENTIRE train+score composition value-exactly.
+    Labels are the documents' lang column; scores round to 1e-6
+    before the argmax (float-order drift ~1e-15, absorbed), ties to
+    the lexicographically-smallest class."""
+    from datamancer_spark.operators.classify import naive_bayes_classify
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return naive_bayes_classify(doc, "lang").select(
+        "doc_id", "lang", "predicted", "score", "correct"
+    )
+
+
 def boilerplate_filter_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-line boilerplate removal under the driver gate (r11,
     operators/quality.py boilerplate_line_filter — the content-
@@ -3007,6 +3025,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #9: PageRank (iterative power method vs a
         # -- 10-stage unrolled CTE twin).
         "pagerank_links": pagerank_links,
+        # -- r11 zero-green #10: Naive Bayes — the trainable model the
+        # -- twin can replicate end to end (training = counting).
+        "nb_lang_classify": nb_lang_classify,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -4055,6 +4076,72 @@ def oracle_sql() -> dict[str, str]:
         ),
 {_pr_iters}
         SELECT node, rank FROM pr10
+    """
+
+    # Naive Bayes twin: the WHOLE train+score composition replicated —
+    # per-class token counts, Laplace-1 smoothing, log priors, rounded
+    # log-posteriors, argmax with the same tie-break. ln() differs by
+    # <=1 ulp between the JVM and libm; the 1e-6 rounding before the
+    # argmax absorbs it.
+    sql["nb_lang_classify"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                         '\\s+'),
+                   x -> len(x) > 0)) AS tok
+          FROM documents
+        ),
+        doc_toks AS (
+          SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+        ),
+        labeled AS (
+          SELECT t.doc_id, t.tok, d.lang AS cls
+          FROM toks t JOIN documents d USING (doc_id)
+        ),
+        class_tok AS (
+          SELECT cls, tok, count(*) AS n_tc FROM labeled GROUP BY 1, 2
+        ),
+        class_tot AS (
+          SELECT cls, sum(n_tc) AS n_c FROM class_tok GROUP BY 1
+        ),
+        vocab AS (
+          SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM toks
+        ),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        priors AS (
+          SELECT lang AS cls, ln(count(*) / (SELECT n FROM nd)) AS logprior
+          FROM documents GROUP BY lang
+        ),
+        scored AS (
+          SELECT dt.doc_id, p.cls,
+                 p.logprior + sum(dt.cnt * ln(
+                   (coalesce(ct.n_tc, 0) + 1.0)
+                   / (tt.n_c + 1.0 * (SELECT v FROM vocab)))) AS raw
+          FROM doc_toks dt
+          CROSS JOIN priors p
+          LEFT JOIN class_tok ct ON ct.cls = p.cls AND ct.tok = dt.tok
+          JOIN class_tot tt ON tt.cls = p.cls
+          GROUP BY dt.doc_id, p.cls, p.logprior
+        ),
+        prior_only AS (
+          SELECT d.doc_id, p.cls, p.logprior AS raw
+          FROM documents d CROSS JOIN priors p
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM doc_toks)
+        ),
+        allsc AS (
+          SELECT doc_id, cls, round(raw, 6) AS score
+          FROM (SELECT * FROM scored UNION ALL SELECT * FROM prior_only)
+        ),
+        best AS (
+          SELECT doc_id, cls AS predicted, score FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rk
+            FROM allsc) x WHERE rk = 1
+        )
+        SELECT d.doc_id, d.lang, b.predicted, b.score,
+               (d.lang = b.predicted) AS correct
+        FROM documents d JOIN best b USING (doc_id)
     """
 
     # Boilerplate line filter twin: the same per-line rule arithmetic

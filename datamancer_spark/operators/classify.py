@@ -194,3 +194,105 @@ def train_hashed_classifier(
         w, "indices"
     ) else {i: float(v) for i, v in enumerate(w) if v != 0.0}
     return weights, float(model.intercept)
+
+
+def naive_bayes_classify(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored in ONE relational
+    plan (r11) — the trainable classifier that needs no ML library and
+    no driver-side optimization loop, because NB "training" is pure
+    counting: per-class token counts, class totals, priors, Laplace-α
+    smoothing. Every step is a groupBy/join, so the whole train+score
+    composition is differentially checkable against SQL — unlike the
+    logistic tier (train_hashed_classifier), whose iterative solver is
+    rows-only by nature.
+
+    Scores round to 1e-6 BEFORE the argmax (drift from float sum order
+    and 1-ulp log differences is ~1e-15, absorbed), ties break to the
+    lexicographically-smallest class — fully engine-stable. Docs with
+    zero tokens score prior-only. Output: (id, label, predicted,
+    score — the winning class's rounded log-posterior, correct).
+
+    Scale shape: one explode + vocabulary-keyed groupBys; the
+    class-level model frames are tiny and broadcast; the per-(doc,
+    class) score is one aggregation over the doc's tokens × |classes|
+    — |classes| is small by the problem's nature, so the fan-out is a
+    constant factor, never quadratic."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    doc_toks = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    labeled = toks.join(
+        df.select(id_col, F.col(label_col).alias("_cls")), id_col
+    )
+    class_tok = labeled.groupBy("_cls", "tok").agg(
+        F.count(F.lit(1)).alias("n_tc")
+    )
+    class_tot = class_tok.groupBy("_cls").agg(
+        F.sum("n_tc").alias("n_c")
+    )
+    vocab = toks.select("tok").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    priors = (
+        df.groupBy(F.col(label_col).alias("_cls"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_cls"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("_cls", F.log(F.col("n_cls") / F.col("n")).alias("logprior"))
+    )
+    model = (
+        priors.join(class_tot, "_cls")
+        .crossJoin(F.broadcast(vocab))
+    )
+    # per (doc, class): Σ cnt·log((n_tc+α)/(n_c+α·V)); unseen tokens
+    # take the smoothed zero-count arm via the left join's coalesce
+    scored = (
+        doc_toks.crossJoin(F.broadcast(model.select("_cls")))
+        .join(class_tok, ["_cls", "tok"], "left")
+        .join(F.broadcast(model), "_cls")
+        .withColumn(
+            "_lp",
+            F.col("cnt")
+            * F.log(
+                (F.coalesce(F.col("n_tc"), F.lit(0)) + F.lit(alpha))
+                / (F.col("n_c") + F.lit(alpha) * F.col("v"))
+            ),
+        )
+        .groupBy(id_col, "_cls")
+        .agg(
+            (F.first("logprior") + F.sum("_lp")).alias("_raw")
+        )
+    )
+    # zero-token docs never reach `scored`: give them prior-only rows
+    base = df.select(id_col).join(
+        doc_toks.select(id_col).distinct(), id_col, "left_anti"
+    ).crossJoin(F.broadcast(priors)).select(
+        id_col, "_cls", F.col("logprior").alias("_raw")
+    )
+    all_scored = scored.unionByName(base).withColumn(
+        "score", F.round(F.col("_raw"), 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("_cls").asc()
+    )
+    best = (
+        all_scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("_cls").alias("predicted"), "score")
+    )
+    return (
+        df.select(id_col, F.col(label_col))
+        .join(best, id_col)
+        .withColumn("correct", F.col(label_col) == F.col("predicted"))
+    )

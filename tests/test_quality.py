@@ -692,3 +692,71 @@ class TestBoilerplateLineFilter:
         out = {r["doc_id"]: r for r in boilerplate_line_filter(df).collect()}
         assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
         assert out[2]["clean_text"] == "" and out[2]["n_lines"] == 0
+
+
+class TestNaiveBayes:
+    def test_hand_computed_posteriors(self, spark):
+        """r11 relational NB: scores match the textbook arithmetic.
+        Corpus: doc1='spam spam ham' (A), doc2='eggs eggs' (B), and
+        doc3='spam' (labeled B, but A must win: score_A = ln(1/3) +
+        ln((2+1)/(3+3)), score_B = ln(2/3) + ln((0+1)/(2+3)))."""
+        import math
+
+        from datamancer_spark.operators.classify import (
+            naive_bayes_classify,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "spam spam ham", "A"), (2, "eggs eggs", "B"),
+             (3, "spam", "B")],
+            "doc_id long, text string, lang string",
+        )
+        out = {r["doc_id"]: r for r in
+               naive_bayes_classify(df, "lang").collect()}
+        # class counts include doc3's token under B: B = {eggs:2,
+        # spam:1}, tot 3; A = {spam:2, ham:1}, tot 3; V = 3;
+        # priors: A 1/3, B 2/3
+        sa = math.log(1 / 3) + math.log((2 + 1) / (3 + 3))
+        sb = math.log(2 / 3) + math.log((1 + 1) / (3 + 3))
+        want_winner = "A" if round(sa, 6) > round(sb, 6) else "B"
+        r3 = out[3]
+        assert r3["predicted"] == want_winner
+        assert abs(r3["score"] - round(max(sa, sb), 6)) < 1e-9
+        assert r3["correct"] == (want_winner == "B")
+        # training docs classify themselves correctly
+        assert out[1]["predicted"] == "A" and out[1]["correct"]
+        assert out[2]["predicted"] == "B" and out[2]["correct"]
+
+    def test_zero_token_doc_scores_prior_only(self, spark):
+        import math
+
+        from datamancer_spark.operators.classify import (
+            naive_bayes_classify,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a a a", "X"), (2, "b", "Y"), (3, "", "X"),
+             (4, None, "Y")],
+            "doc_id long, text string, lang string",
+        )
+        out = {r["doc_id"]: r for r in
+               naive_bayes_classify(df, "lang").collect()}
+        # empty/NULL docs get argmax-of-priors: X has 2 of 4 docs, tie
+        # with Y -> lexicographic X
+        assert out[3]["predicted"] == "X"
+        assert abs(out[3]["score"] - round(math.log(0.5), 6)) < 1e-9
+        assert out[4]["predicted"] == "X"
+
+    def test_deterministic_across_layouts(self, spark, sf_dir):
+        from datamancer_spark.operators.classify import (
+            naive_bayes_classify,
+        )
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = sorted(map(tuple,
+                       naive_bayes_classify(doc.coalesce(1), "lang")
+                       .collect()))
+        b = sorted(map(tuple,
+                       naive_bayes_classify(doc.repartition(16), "lang")
+                       .collect()))
+        assert a == b
