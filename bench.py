@@ -152,6 +152,7 @@ HEADLINE = [
     "pipeline_crawl_production",
     "boilerplate_filter_doc",
     "pagerank_links",
+    "nb_lang_classify",
 ]
 
 
