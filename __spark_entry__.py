@@ -1812,18 +1812,25 @@ def dedup_bloom_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_build,
         bloom_maybe_contains,
     )
+    from datamancer_spark.session import materialize
 
     doc = _t(spark, sf_dir, "documents")["documents"].df
-    seen = doc.filter(F.col("doc_id") % 4 <= 2)
-    new = doc.filter(F.col("doc_id") % 4 >= 2)
-    bloom = bloom_build(seen, "text", num_bits=2048, num_hashes=4)
-    probed = bloom_maybe_contains(new, bloom, "text", 2048, 4)
-    seen_fp = seen.select(
-        fingerprint(F.col("text")).alias("_sfp")
-    ).distinct()
+    # the fingerprint frame feeds the filter build, the probe, AND the
+    # truth side — pinned once (audited: 6 parquet scans unpinned)
+    fps = materialize(
+        doc.select(
+            "doc_id", "source", fingerprint(F.col("text")).alias("_fp")
+        )
+    )
+    seen = fps.filter(F.col("doc_id") % 4 <= 2)
+    new = fps.filter(F.col("doc_id") % 4 >= 2)
+    bloom = bloom_build(seen, "_fp", num_bits=2048, num_hashes=4,
+                        hashed=True)
+    probed = bloom_maybe_contains(new, bloom, "_fp", 2048, 4,
+                                  hashed=True)
+    seen_fp = seen.select(F.col("_fp").alias("_sfp")).distinct()
     return (
-        probed.withColumn("_fp", fingerprint(F.col("text")))
-        .join(
+        probed.join(
             F.broadcast(seen_fp), F.col("_fp") == F.col("_sfp"), "left"
         )
         .select(

@@ -223,16 +223,28 @@ def naive_bayes_classify(
     class) score is one aggregation over the doc's tokens × |classes|
     — |classes| is small by the problem's nature, so the fan-out is a
     constant factor, never quadratic."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).filter(F.length("tok") > 0)
+    from ..session import materialize
+
+    # the token stream and the (id, label) projection feed MANY
+    # consumers (counts, vocab, priors, the zero-token arm, the final
+    # join) — pinned once, or every consumer re-scans the corpus
+    # (audited: 18 parquet scans unpinned, 1 pinned)
+    labels = materialize(
+        df.select(F.col(id_col), F.col(label_col).alias("_cls"))
+    )
+    toks = materialize(
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        ).filter(F.length("tok") > 0)
+    )
+    # NULL-labeled docs are EXCLUDED from training (they would become a
+    # phantom class) but still scored and joined back (correct = NULL)
+    train = labels.filter(F.col("_cls").isNotNull())
     doc_toks = toks.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    labeled = toks.join(
-        df.select(id_col, F.col(label_col).alias("_cls")), id_col
-    )
+    labeled = toks.join(train, id_col)
     class_tok = labeled.groupBy("_cls", "tok").agg(
         F.count(F.lit(1)).alias("n_tc")
     )
@@ -242,9 +254,9 @@ def naive_bayes_classify(
     vocab = toks.select("tok").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("v")
     )
-    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n_docs = train.agg(F.count(F.lit(1)).cast("double").alias("n"))
     priors = (
-        df.groupBy(F.col(label_col).alias("_cls"))
+        train.groupBy("_cls")
         .agg(F.count(F.lit(1)).cast("double").alias("n_cls"))
         .crossJoin(F.broadcast(n_docs))
         .select("_cls", F.log(F.col("n_cls") / F.col("n")).alias("logprior"))
@@ -255,9 +267,14 @@ def naive_bayes_classify(
     )
     # per (doc, class): Σ cnt·log((n_tc+α)/(n_c+α·V)); unseen tokens
     # take the smoothed zero-count arm via the left join's coalesce
+    # class_tok is vocabulary × |classes| rows — broadcast it so the
+    # corpus-sized (doc, token) frame never shuffles on (class, token);
+    # the only corpus-sized exchange left is the (doc, class) score
+    # aggregation. (A 100-TB corpus with a >broadcast-threshold vocab
+    # drops the hint and takes the sort-merge join — same semantics.)
     scored = (
         doc_toks.crossJoin(F.broadcast(model.select("_cls")))
-        .join(class_tok, ["_cls", "tok"], "left")
+        .join(F.broadcast(class_tok), ["_cls", "tok"], "left")
         .join(F.broadcast(model), "_cls")
         .withColumn(
             "_lp",
@@ -273,7 +290,7 @@ def naive_bayes_classify(
         )
     )
     # zero-token docs never reach `scored`: give them prior-only rows
-    base = df.select(id_col).join(
+    base = labels.select(id_col).join(
         doc_toks.select(id_col).distinct(), id_col, "left_anti"
     ).crossJoin(F.broadcast(priors)).select(
         id_col, "_cls", F.col("logprior").alias("_raw")
@@ -292,7 +309,7 @@ def naive_bayes_classify(
         .select(id_col, F.col("_cls").alias("predicted"), "score")
     )
     return (
-        df.select(id_col, F.col(label_col))
+        labels.select(id_col, F.col("_cls").alias(label_col))
         .join(best, id_col)
         .withColumn("correct", F.col(label_col) == F.col("predicted"))
     )

@@ -134,7 +134,13 @@ def pagerank(
     results are bit-stable across engines and partitionings — the
     differential-gate convention (the gate rounds at 6 and compares at
     4). None keeps full precision."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # a crawl edge list carries NULL endpoints (unresolvable hrefs);
+    # they are not nodes — dropped, not propagated into the node set
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .na.drop()
+        .distinct()
+    )
     nodes = materialize(
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))

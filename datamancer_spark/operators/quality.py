@@ -279,10 +279,9 @@ def boilerplate_line_filter(
     )
     n_words = F.size(F.split(F.col("_t"), r"\s+"))
     lower = F.lower(F.col("_t"))
-    marker_hit = None
+    marker_hit = F.lit(False)  # markers=() disables the marker rule
     for m in markers:
-        c = F.contains(lower, F.lit(m))
-        marker_hit = c if marker_hit is None else (marker_hit | c)
+        marker_hit = marker_hit | F.contains(lower, F.lit(m))
     letters = F.length(F.regexp_replace(F.col("_t"), "[^A-Za-z]", ""))
     uppers = F.length(F.regexp_replace(F.col("_t"), "[^A-Z]", ""))
     boiler = (

@@ -187,7 +187,14 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = registers.agg(
         (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - rank)"))
+            # empty register frame (empty corpus): sum is NULL -> 0,
+            # every register counts as empty -> linear counting gives 0
+            F.coalesce(
+                F.sum(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - rank)")
+                ),
+                F.lit(0).cast("long"),
+            )
             + (F.lit(m) - F.count(F.lit(1)))
             * F.lit(1 << cap).cast("long")
         ).alias("s"),

@@ -107,3 +107,15 @@ class TestPageRank:
         ra = sorted(map(tuple, pagerank(a, iters=8, round_decimals=6).collect()))
         rb = sorted(map(tuple, pagerank(b, iters=8, round_decimals=6).collect()))
         assert ra == rb
+
+
+def test_pagerank_null_edges_dropped(spark):
+    from datamancer_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, None), (None, 1)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert set(got) == {0, 1}
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -468,3 +468,27 @@ def test_warc_ingest_zero_shuffle(spark, sf_dir):
     # (test-only) and the record walk itself; production is one
     assert plan.count("MapInPandas") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nb_all_joins_broadcast(spark, sf_dir):
+    """r11 NB plan pin: every join broadcasts a class- or vocabulary-
+    bounded frame — the corpus-sized (doc, token) stream must never
+    sort-merge on (class, token); no cartesian/nested-loop."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import executed_plan
+
+    plan = executed_plan(e.queries()["nb_lang_classify"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the intentional |classes|-fan-out crossJoins compile to
+    # BroadcastNestedLoopJoin(Cross) with the TINY side built — that is
+    # the wanted plan; what must not appear is BNLJ as a non-equi
+    # fallback (Inner/Left conditions)
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)",
+                         plan):
+        assert m.group(1) == "Cross", plan[:2000]
+    # pinned frames: the corpus parquet is scanned during the two
+    # checkpoint builds, never in the scoring plan
+    assert plan.count("Scan parquet") == 0

@@ -760,3 +760,33 @@ class TestNaiveBayes:
                        naive_bayes_classify(doc.repartition(16), "lang")
                        .collect()))
         assert a == b
+
+
+def test_nb_null_labels_score_but_dont_train(spark):
+    """NULL-labeled docs must not become a phantom class: they are
+    excluded from priors/counts but still scored against the trained
+    classes (correct = NULL)."""
+    from datamancer_spark.operators.classify import naive_bayes_classify
+
+    df = spark.createDataFrame(
+        [(1, "alpha alpha", "A"), (2, "beta beta", "B"),
+         (3, "alpha", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in
+           naive_bayes_classify(df, "lang").collect()}
+    preds = {r["predicted"] for r in out.values()}
+    assert None not in preds  # no phantom NULL class
+    assert out[3]["predicted"] == "A"  # scored against real classes
+    assert out[3]["correct"] is None
+
+
+def test_boilerplate_empty_markers_disable_rule(spark):
+    from datamancer_spark.operators.quality import boilerplate_line_filter
+
+    df = spark.createDataFrame(
+        [(1, "Accept our cookie policy to continue browsing today ok.")],
+        "doc_id long, text string",
+    )
+    r = boilerplate_line_filter(df, markers=()).collect()[0]
+    assert r["n_kept"] == 1  # marker rule off; 10-word punct line stays

@@ -336,3 +336,11 @@ class TestStreamingCms:
         ).collect()[0]["est"]
         # t0 truth: 8 (of 40, i%5==0) + 7 (of 21, i%3==0) + 5 history
         assert est >= 20
+
+
+def test_hll_estimate_empty_corpus_is_zero(spark):
+    from datamancer_spark.operators.sketch import hll_build, hll_estimate
+
+    empty = spark.createDataFrame([], "value string")
+    est = hll_estimate(hll_build(empty, "value")).collect()[0]["est"]
+    assert est == 0.0

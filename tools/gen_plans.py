@@ -84,6 +84,16 @@ COMMENT = {
     "token_freq_cms": "Count-min sketch: one corpus token aggregation (the shuffle every frequency question pays), then vocabulary-sized explode+sum builds the 4x256 counter matrix; estimates are a BROADCAST join of the tiny sketch + min-over-rows — the sketch itself is <=1024 rows, mergeable by union+sum.",
     "mine_bitext_pairs": "Margin bitext mining: two knn_bruteforce passes (each side streams scan→python, the other side broadcast), two tiny per-query averages and two broadcastable joins; the margin rounds half-up to 1e-6 before the threshold so the cut is engine-stable.",
     "warc_ingest_crawl": "Crawl front end: WARC record split + gzip-member walk + HTTP payload decode in ONE Arrow-batched mapInPandas pass (zlib is C-speed; only extracted rows continue); the 2xx-HTML filter and the whole HTML->text chain are Catalyst regexp expressions in the same codegen stage — no joins; the single exchange is the fixture harness's id spread over the one-split gate parquet (production binaryFile sources arrive pre-split, needing none); at 100 TB this is embarrassingly parallel over input splits.",
+    "pipeline_from_crawl_lsh": "The capstone with the PRODUCTION fuzzy tier (r11): ingest + quality + exact dedup as above, then MinHash-LSH candidate generation over DISTINCT signatures (banded self-join, r=1 skips the per-band md5 — the slot IS the key) and exact-Jaccard verification ONLY on the candidate subgraph. ≤8 exchanges (measured 7: +1 distinct-signature exchange over the exact tier); survivor set pinned EQUAL to the exact tier's, candidate superset pinned. The tier whose win is shared-vocabulary mass — see SCALING.md's honest fixture-vs-crawl analysis.",
+    "dedup_bloom_screened": "Bloom pre-screen probe exposed: the fingerprint frame pins ONCE (6 parquet scans -> 0, audited), then 4 position hashes = 4 BROADCAST left joins against the 2048-bit occupied-position set (zero hash exchanges on the probe lineage) + one broadcast fingerprint join for the truth flags; the twin rebuilds every md5 position. At 100 TB the definite-new majority never reaches the exact anti-join.",
+    "doc_distinct_hll": "Portable HLL: ONE fingerprint-keyed groupBy with map-side partial MAX builds all 256 registers (no distinct pass — register update is idempotent); the estimate is a single aggregate over ≤256 rows with the harmonic sum in exact bigint; truth side shares the pinned fingerprint frame. Registers broadcast back as one-row crossJoins.",
+    "normalize_nfc_text": "One Arrow-batched pandas_udf pass (the documented Python exception — no Catalyst unicode normalize exists); everything else (concat, length, md5) rides the same projection. Zero shuffles beyond the scan.",
+    "robots_crawl_gate": "RFC 9309 gate: the rules frame parses relationally (line explode → directive classify → ONE running-sum group window) and BROADCASTS; the page-side join is host-equi + regexp post-filter (BroadcastHashJoin, never nested-loop), then one per-URL best-rule window. Read the exchange count against frame sizes: all but ONE exchange belong to the rule-parse/selection lineage and move ≤(hosts × rules) rows — tiny by the problem's nature; the page corpus shuffles exactly once (the best-rule window hash).",
+    "containment_pairs": "Directed containment: the inverted-shingle-index self-join counts shared shingles ONCE per unordered pair; both directions derive relationally (union of two projections over the same pair frame) — the directed output costs zero extra shuffles over the Jaccard join.",
+    "pipeline_crawl_production": "The COMPLETE front end in one plan: robots gate (broadcast rules + per-URL window) and URL screen (pure codegen) run BEFORE the dedup stack, so the signature/banding tier's input shrinks by the rejected mass — measured: 16× data costs 1.57× wall vs the bare LSH capstone's 4.15× (SCALING.md). Pinned ≤8 exchanges, no cartesian, at the sf0.001 gate scale (measured 7); the sf0.1 number here reads higher because the gate tiers execute inside the corpus checkpoint (this is the post-checkpoint dedup plan) and AQE correctly picks sort-merge over broadcast for the corpus-sized signature legs at that size — a size threshold, not plan drift. Cheap codegen gates first, shuffling tiers last is the ordering argument itself.",
+    "boilerplate_filter_doc": "Per-line boilerplate removal: posexplode → all four rules as codegen'd expressions on the line projection → ONE doc-keyed shuffle for the ordered re-aggregation (array_sort over (pos, line) structs) + a broadcast join back. Linear in corpus lines.",
+    "pagerank_links": "PageRank, 10 fixed iterations: per round ONE broadcast-able rank join to the static out-degreed edge list, one dst-keyed partial-aggregated sum, a 1-row dangling-mass crossJoin, localCheckpoint truncating lineage. Wall is iteration-count × fixed overhead at gate sizes (SCALING.md: flat across 16× nodes); per-iteration 1e-6 rounding makes the result engine- and layout-stable.",
+    "nb_lang_classify": "Relational Naive Bayes: the token stream and label projection pin ONCE (18 parquet scans -> 0, audited); every join is a BROADCAST of a class- or vocabulary-bounded frame (zero sort-merge joins — pinned), so the corpus-sized exchanges are just the doc-token count, the class-token count, the vocab distinct, the (doc, class) score aggregation and the argmax window. The raw exchange count reads high because it includes ~16 BroadcastExchanges of model/scalar frames and 5 single-row scalar exchanges — bytes-wise they are noise. The whole train+score plan is differentially checked.",
 }
 
 
