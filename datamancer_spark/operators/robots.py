@@ -194,10 +194,16 @@ def robots_url_filter(
     """Gate a URL frame against parsed robots rules for ``agent``:
     adds ``out`` (boolean) and ``matched_pattern`` (the winning rule's
     pattern, NULL when no rule matched). Longest-match precedence,
-    Allow wins length ties, no match / no robots for the host =
-    allowed. Plan: one broadcast left join on host, regexp match, one
-    per-URL window over the (few) matching rules — the URL corpus is
-    never shuffled beyond that window's hash."""
+    Allow wins length ties, and equal-length same-type ties break by
+    pattern text so the winner is deterministic (the OUTCOME is already
+    identical in that case; determinism is for the differential gate).
+    No match / no robots for the host = allowed; a NULL or
+    unparseable URL gates as path "/" (host-wide rules still apply —
+    robots has no opinion on a missing path, and silently allowing
+    would bypass a 'Disallow: /'). Schemes match case-insensitively
+    (RFC 3986 §3.1). Plan: one broadcast left join on host, regexp
+    match, one per-URL window over the (few) matching rules — the URL
+    corpus is never shuffled beyond that window's hash."""
     eff = robots_effective_rules(rules, agent).select(
         F.col("host").alias("_rhost"),
         "rule",
@@ -206,7 +212,14 @@ def robots_url_filter(
         "regex",
     )
     path = F.coalesce(
-        F.nullif(F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1), F.lit("")),
+        F.nullif(
+            F.regexp_extract(
+                F.col(url_col),
+                r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$",
+                1,
+            ),
+            F.lit(""),
+        ),
         F.lit("/"),
     )
     keyed = urls.withColumn("_path", path).withColumn(
@@ -222,6 +235,7 @@ def robots_url_filter(
         F.col("pattern_len").desc(),
         # allow < disallow lexicographically — ascending puts allow first
         F.col("rule").asc(),
+        F.col("pattern").asc(),
     )
     best = (
         joined.withColumn("_rk", F.row_number().over(w))

@@ -211,3 +211,68 @@ class TestSitemaps:
             ("h.example", "https://h.example/sitemap.xml"),
             ("h.example", "https://h.example/news.xml"),
         }
+
+
+class TestDeterminismAndEdges:
+    def test_uppercase_scheme_and_null_url(self, spark):
+        from datamancer_spark.operators.robots import (
+            parse_robots,
+            robots_url_filter,
+        )
+
+        robots = spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /x/")],
+            "host string, robots_txt string",
+        )
+        rules = parse_robots(robots)
+        urls = spark.createDataFrame(
+            [(1, "h.example", "HTTP://h.example/x/page"),
+             (2, "h.example", None),
+             (3, "h.example", "not a url at all")],
+            "i long, host string, url string",
+        )
+        out = {r["i"]: r["robots_allowed"]
+               for r in robots_url_filter(urls, rules, "bot").collect()}
+        # scheme case must not bypass the gate (RFC 3986: schemes are
+        # case-insensitive)
+        assert out[1] is False
+        # NULL/unparseable URLs gate as "/": allowed here (no / rule)
+        assert out[2] is True and out[3] is True
+        strict = spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /")],
+            "host string, robots_txt string",
+        )
+        out2 = {
+            r["i"]: r["robots_allowed"]
+            for r in robots_url_filter(
+                urls, parse_robots(strict), "bot"
+            ).collect()
+        }
+        # under Disallow: / even the NULL-url rows must not slip through
+        assert out2 == {1: False, 2: False, 3: False}
+
+    def test_same_length_tie_is_deterministic(self, spark):
+        from datamancer_spark.operators.robots import (
+            parse_robots,
+            robots_url_filter,
+        )
+
+        robots = spark.createDataFrame(
+            [("h.example",
+              "User-agent: *\nDisallow: /ab*\nDisallow: /a*b")],
+            "host string, robots_txt string",
+        )
+        rules = parse_robots(robots)
+        urls = spark.createDataFrame(
+            [(1, "h.example", "http://h.example/ab")],
+            "i long, host string, url string",
+        )
+        rows = [
+            robots_url_filter(urls, rules, "bot").collect()[0][
+                "matched_pattern"
+            ]
+            for _ in range(3)
+        ]
+        # both 4-char disallows match; the reported winner must be the
+        # same (lexicographically smaller) pattern every run
+        assert rows == ["/a*b"] * 3
