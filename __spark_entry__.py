@@ -1499,6 +1499,32 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hits_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities under the driver gate (r11,
+    operators/components.py hits): PageRank's companion link signal
+    over the same deterministic doc_id-arithmetic graph — 5 power
+    iterations (a ← normalize(Eᵀh), h ← normalize(E a),
+    sum-normalization so the twin is sqrt-free), per-iteration 1e-6
+    rounding, and a DuckDB twin that unrolls all TEN stages (two per
+    iteration) as chained CTEs."""
+    from datamancer_spark.operators.components import hits
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    n = doc.count()
+    edges = doc.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % n).alias("dst"),
+    ).unionByName(
+        doc.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % n).alias("dst"),
+        )
+    )
+    return hits(edges, iters=5, round_decimals=6).select(
+        "node", "hub", "auth"
+    )
+
+
 def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes trained AND scored in one relational plan under the
     driver gate (r11, operators/classify.py naive_bayes_classify): the
@@ -3035,6 +3061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #10: Naive Bayes — the trainable model the
         # -- twin can replicate end to end (training = counting).
         "nb_lang_classify": nb_lang_classify,
+        # -- r11 zero-green #11: HITS hubs/authorities (sqrt-free
+        # -- sum-normalized power method vs a 10-stage unrolled twin).
+        "hits_links": hits_links,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -4083,6 +4112,53 @@ def oracle_sql() -> dict[str, str]:
         ),
 {_pr_iters}
         SELECT node, rank FROM pr10
+    """
+
+    # HITS twin: 5 iterations × 2 stages unrolled as chained CTEs over
+    # the same doc_id-arithmetic edges; sum-normalization keeps every
+    # stage sqrt-free, per-stage 1e-6 rounding absorbs float order.
+    _hits_stages = []
+    prev_h = "h0"
+    for k in range(1, 6):
+        _hits_stages.append(f"""        a{k}raw AS MATERIALIZED (
+          SELECT e.v AS node, sum(p.val) AS s
+          FROM edges e JOIN {prev_h} p ON p.node = e.u GROUP BY e.v
+        ),
+        a{k} AS MATERIALIZED (
+          SELECT nd.node,
+                 round(coalesce(r.s, 0) / (SELECT sum(s) FROM a{k}raw), 6)
+                   AS val
+          FROM nodes nd LEFT JOIN a{k}raw r ON r.node = nd.node
+        ),
+        h{k}raw AS MATERIALIZED (
+          SELECT e.u AS node, sum(a.val) AS s
+          FROM edges e JOIN a{k} a ON a.node = e.v GROUP BY e.u
+        ),
+        h{k} AS MATERIALIZED (
+          SELECT nd.node,
+                 round(coalesce(r.s, 0) / (SELECT sum(s) FROM h{k}raw), 6)
+                   AS val
+          FROM nodes nd LEFT JOIN h{k}raw r ON r.node = nd.node
+        )""")
+        prev_h = f"h{k}"
+    sql["hits_links"] = f"""
+        WITH ncnt AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+        edges AS MATERIALIZED (
+          SELECT doc_id AS u, (doc_id * 7 + 1) % (SELECT n FROM ncnt) AS v
+          FROM documents
+          UNION
+          SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM ncnt)
+          FROM documents
+        ),
+        nodes AS MATERIALIZED (
+          SELECT u AS node FROM edges UNION SELECT v FROM edges
+        ),
+        h0 AS MATERIALIZED (
+          SELECT node, 1.0 / nn.n AS val FROM nodes CROSS JOIN ncnt nn
+        ),
+{",".join(_hits_stages)}
+        SELECT h5.node, h5.val AS hub, a5.val AS auth
+        FROM h5 JOIN a5 ON a5.node = h5.node
     """
 
     # Naive Bayes twin: the WHOLE train+score composition replicated —

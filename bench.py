@@ -153,6 +153,7 @@ HEADLINE = [
     "boilerplate_filter_doc",
     "pagerank_links",
     "nb_lang_classify",
+    "hits_links",
 ]
 
 

@@ -178,3 +178,80 @@ def pagerank(
         )
         ranks = materialize(ranks)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) by fixed-iteration power
+    method — PageRank's companion link signal: an AUTHORITY is pointed
+    to by good hubs, a HUB points to good authorities (directories vs
+    destinations; for crawl curation, hub pages are link farms to
+    deprioritize, authority pages are content to keep). Per round:
+    a ← normalize(Eᵀh), then h ← normalize(E a), each normalization a
+    division by the vector's SUM (one 1-row aggregate crossJoined back
+    — sum-normalization converges to the same ranking as L2 and keeps
+    the arithmetic sqrt-free for the differential twin). NULL edge
+    endpoints drop; nodes missing a side score 0 on it. Returns
+    (node, hub, auth).
+
+    Same engine-portability contract as ``pagerank``:
+    ``round_decimals`` rounds both vectors after every iteration, so
+    float association order (~1e-16) cannot move a differential
+    comparison; the twin unrolls the iterations as chained CTEs."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .na.drop()
+        .distinct()
+    )
+    e = materialize(e)
+    nodes = materialize(
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+
+    def _rnd(c):
+        return F.round(c, round_decimals) if round_decimals is not None else c
+
+    hubs = nodes.select("node", F.lit(1.0 / n).alias("hub"))
+    auths = None
+    for _ in range(int(iters)):
+        raw_a = (
+            e.join(hubs, e.u == hubs.node)
+            .groupBy("v")
+            .agg(F.sum("hub").alias("_s"))
+        )
+        a_tot = raw_a.agg(F.sum("_s").alias("_t"))
+        auths = materialize(
+            nodes.join(raw_a, nodes.node == raw_a.v, "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                _rnd(
+                    F.coalesce(F.col("_s"), F.lit(0.0)) / F.col("_t")
+                ).alias("auth"),
+            )
+        )
+        raw_h = (
+            e.join(auths, e.v == auths.node)
+            .groupBy("u")
+            .agg(F.sum("auth").alias("_s"))
+        )
+        h_tot = raw_h.agg(F.sum("_s").alias("_t"))
+        hubs = materialize(
+            nodes.join(raw_h, nodes.node == raw_h.u, "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                _rnd(
+                    F.coalesce(F.col("_s"), F.lit(0.0)) / F.col("_t")
+                ).alias("hub"),
+            )
+        )
+    return hubs.join(auths, "node").select("node", "hub", "auth")

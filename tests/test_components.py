@@ -119,3 +119,36 @@ def test_pagerank_null_edges_dropped(spark):
     got = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
     assert set(got) == {0, 1}
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+class TestHits:
+    def test_hub_and_authority_separation(self, spark):
+        """Classic structure: node 0 points at {1,2,3}, node 4 points
+        at 1 — 0 is the best hub (it finds every authority), 1 the
+        best authority (endorsed by both hubs); pure hubs have zero
+        authority and vice versa."""
+        from datamancer_spark.operators.components import hits
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (4, 1)], "src long, dst long"
+        )
+        got = {r["node"]: (r["hub"], r["auth"])
+               for r in hits(edges, iters=20).collect()}
+        assert got[0][0] > got[4][0] > 0          # hub ordering
+        assert got[0][1] == 0.0 and got[4][1] == 0.0
+        assert got[1][1] > got[2][1] == got[3][1] > 0
+        assert got[1][0] == got[2][0] == got[3][0] == 0.0
+        # sum-normalized: each side sums to 1
+        assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
+        assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9
+
+    def test_rounding_layout_stable_and_nulls_dropped(self, spark):
+        from datamancer_spark.operators.components import hits
+
+        rows = [(i, (i * 3 + 1) % 30) for i in range(30)] + [(0, None)]
+        a = spark.createDataFrame(rows, "src long, dst long").coalesce(1)
+        b = spark.createDataFrame(rows, "src long, dst long").repartition(8)
+        ra = sorted(map(tuple, hits(a, iters=5, round_decimals=6).collect()))
+        rb = sorted(map(tuple, hits(b, iters=5, round_decimals=6).collect()))
+        assert ra == rb
+        assert all(r[0] is not None for r in ra)
