@@ -1499,6 +1499,24 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling under the driver gate
+    (r11, operators/quality.py temperature_resample — the mBERT/XLM
+    p_k ∝ n_k^α rebalance at α = 0.5): weights derive from the
+    corpus's own language counts, so the twin computes the ENTIRE
+    chain in SQL — counts → n^0.5 → normalize → feasible total T →
+    per-language floor thresholds → the same md5-bucket row test.
+    Weight sums are Python-side in sorted-key order vs SQL-side
+    unordered: a ~1e-16 association difference against a 1-per-1e6
+    floor step, the established negligible-boundary risk class."""
+    from datamancer_spark.operators.quality import temperature_resample
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return temperature_resample(doc, "lang", alpha=0.5).select(
+        "doc_id", "lang"
+    )
+
+
 def hits_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities under the driver gate (r11,
     operators/components.py hits): PageRank's companion link signal
@@ -3064,6 +3082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #11: HITS hubs/authorities (sqrt-free
         # -- sum-normalized power method vs a 10-stage unrolled twin).
         "hits_links": hits_links,
+        # -- r11 zero-green #12: temperature-scaled mixture (n^α
+        # -- weights derived in-engine; whole chain twinned in SQL).
+        "temperature_mix_langs": temperature_mix_langs,
         # -- r10 zero-green #2: URL-level page gate (host blocklist +
         # -- blocked path terms) over the crawl front end.
         "crawl_url_screen": crawl_url_screen,
@@ -4112,6 +4133,33 @@ def oracle_sql() -> dict[str, str]:
         ),
 {_pr_iters}
         SELECT node, rank FROM pr10
+    """
+
+    # Temperature mixture twin: the whole weight derivation in SQL —
+    # counts -> pow(n, 0.5) -> normalize -> feasible T -> floor
+    # thresholds -> the md5-bucket test (hash32('0'||id) % 1e6).
+    sql["temperature_mix_langs"] = """
+        WITH counts AS MATERIALIZED (
+          SELECT lang AS k, CAST(count(*) AS BIGINT) AS n
+          FROM documents WHERE lang IS NOT NULL GROUP BY lang
+        ),
+        w AS MATERIALIZED (
+          SELECT k, n, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM counts
+        ),
+        norm AS MATERIALIZED (
+          SELECT k, n, wt / (SELECT sum(wt) FROM w) AS p FROM w
+        ),
+        tt AS MATERIALIZED (SELECT min(n / p) AS t FROM norm),
+        thr AS MATERIALIZED (
+          SELECT k,
+                 CAST(floor(p * (SELECT t FROM tt) / n * 1e6 + 0.5)
+                      AS BIGINT) AS thr
+          FROM norm
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN thr ON thr.k = d.lang
+        WHERE CAST('0x' || substr(md5('0' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 1000000 < thr.thr
     """
 
     # HITS twin: 5 iterations × 2 stages unrolled as chained CTEs over

@@ -154,6 +154,7 @@ HEADLINE = [
     "pagerank_links",
     "nb_lang_classify",
     "hits_links",
+    "temperature_mix_langs",
 ]
 
 

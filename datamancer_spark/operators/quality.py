@@ -546,6 +546,48 @@ def mixture_resample(
     return df.filter(bucket < thr_map[F.col(key_col)])
 
 
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    max_categories: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled mixture resampling (r11) — the standard
+    multilingual rebalance (mBERT/XLM's p_k ∝ n_k^α): target weights
+    derive from the corpus's OWN category counts raised to ``alpha``
+    (< 1 upweights rare categories, 1 reproduces the natural mix), then
+    the ``mixture_resample`` machinery applies them — same feasibility
+    rule (largest T every category can supply), same deterministic
+    md5-bucket row selection. One bounded count pass; the survivor
+    filter is a scan-side map lookup, zero joins. ``max_categories``
+    guards the driver-side count collection against high-cardinality
+    keys (use a pre-bucketed key for domains)."""
+    counts = {
+        r[key_col]: r["_n"]
+        for r in df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .limit(max_categories + 1)
+        .collect()
+    }
+    if len(counts) > max_categories:
+        raise ValueError(
+            f"{key_col} exceeds max_categories={max_categories}: "
+            "temperature weights need the full category list — bucket "
+            "the key first or raise the cap explicitly"
+        )
+    if not counts:
+        return df.filter(F.lit(False))
+    # sorted-key insertion order makes the downstream weight-sum fold
+    # deterministic run to run (collect order is not)
+    weights = {
+        k: float(n) ** float(alpha) for k, n in sorted(counts.items())
+    }
+    return mixture_resample(df, key_col, weights, id_col, seed)
+
+
 def token_topk(
     df: DataFrame,
     group_col: str = "lang",

@@ -790,3 +790,55 @@ def test_boilerplate_empty_markers_disable_rule(spark):
     )
     r = boilerplate_line_filter(df, markers=()).collect()[0]
     assert r["n_kept"] == 1  # marker rule off; 10-word punct line stays
+
+
+class TestTemperatureResample:
+    def test_alpha_upweights_rare(self, spark):
+        """α=0.5 over a 900/100 split: weights 30/10 → the rare class
+        keeps ALL its rows (it is the feasibility bottleneck) and the
+        dominant class downsamples to w_ratio × rare = 300; α=1 keeps
+        everything (natural mix is feasible as-is)."""
+        from datamancer_spark.operators.quality import (
+            temperature_resample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "big" if i < 900 else "small") for i in range(1000)],
+            "doc_id long, lang string",
+        )
+        out = temperature_resample(df, "lang", alpha=0.5)
+        got = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert got["small"] == 100            # bottleneck keeps all
+        # md5-bucket selection at rate 1/3: binomially near 300
+        assert 240 <= got["big"] <= 360, got
+        full = temperature_resample(df, "lang", alpha=1.0)
+        assert full.count() == 1000
+
+    def test_deterministic_and_guarded(self, spark):
+        import pytest as _pt
+
+        from datamancer_spark.operators.quality import (
+            temperature_resample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"k{i % 5}") for i in range(500)],
+            "doc_id long, lang string",
+        )
+        a = sorted(
+            tuple(r)
+            for r in temperature_resample(df.coalesce(1), "lang").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in temperature_resample(
+                df.repartition(16), "lang"
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+        with _pt.raises(ValueError):
+            temperature_resample(df, "doc_id", max_categories=10)
