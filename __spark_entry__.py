@@ -4237,7 +4237,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT cls, sum(n_tc) AS n_c FROM class_tok GROUP BY 1
         ),
         vocab AS (
-          SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM toks
+          -- training vocabulary only (textbook NB): tokens of LABELED
+          -- docs; unlabeled docs are scored, never counted into V
+          SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+          FROM labeled WHERE cls IS NOT NULL
         ),
         nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
         priors AS (

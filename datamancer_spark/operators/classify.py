@@ -207,7 +207,10 @@ def naive_bayes_classify(
     plan (r11) — the trainable classifier that needs no ML library and
     no driver-side optimization loop, because NB "training" is pure
     counting: per-class token counts, class totals, priors, Laplace-α
-    smoothing. Every step is a groupBy/join, so the whole train+score
+    smoothing (V = the TRAINING vocabulary — distinct tokens of labeled
+    docs only, textbook multinomial NB; unlabeled docs are scored but
+    never counted into V). Every step is a groupBy/join, so the whole
+    train+score
     composition is differentially checkable against SQL — unlike the
     logistic tier (train_hashed_classifier), whose iterative solver is
     rows-only by nature.
@@ -251,7 +254,11 @@ def naive_bayes_classify(
     class_tot = class_tok.groupBy("_cls").agg(
         F.sum("n_tc").alias("n_c")
     )
-    vocab = toks.select("tok").distinct().agg(
+    # smoothing vocabulary V = the TRAINING vocabulary (distinct tokens
+    # of labeled docs), the textbook definition — counting unlabeled
+    # docs' tokens too (r11 ADVICE) silently shifted every smoothed
+    # probability whenever scored-only docs carried unseen tokens
+    vocab = labeled.select("tok").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("v")
     )
     n_docs = train.agg(F.count(F.lit(1)).cast("double").alias("n"))

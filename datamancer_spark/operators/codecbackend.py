@@ -98,7 +98,17 @@ class PILImageBackend(ImageDecodeBackend):
             try:
                 img = Image.open(io.BytesIO(bytes(blob)))
                 if img.mode in self._GRAY_MODES:
-                    px = np.asarray(img.convert("L"), dtype=np.uint8)
+                    if img.mode in ("I", "I;16", "I;16B"):
+                        # 16-bit luminance: PIL's convert('L') CLIPS
+                        # values > 255 to 255, but the pure-Python
+                        # reference takes the HIGH BYTE of each 16-bit
+                        # sample (>> 8) — downshift via numpy so both
+                        # backends agree value-for-value, not just on
+                        # shape (r11 ADVICE).
+                        wide = np.asarray(img)
+                        px = (wide >> 8).astype(np.uint8)
+                    else:
+                        px = np.asarray(img.convert("L"), dtype=np.uint8)
                     px = px[:, :, None]
                 else:
                     px = np.asarray(img.convert("RGB"), dtype=np.uint8)

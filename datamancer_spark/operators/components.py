@@ -24,6 +24,28 @@ from pyspark.sql import functions as F
 from ..session import materialize
 
 
+def _check_rounding_resolution(n: int, round_decimals: int | None) -> None:
+    """Guard the per-iteration rounding knob: when the uniform initial
+    rank 1/n itself rounds to 0 (n ≳ 2·10^round_decimals), every
+    subsequent PageRank iteration degenerates to the teleport term and
+    HITS divides by a zero normalization sum (NaN). ``round_decimals``
+    is a differential-gate convention for gate-scale fixtures (round at
+    6, compare at 4) — at production node counts pass None, which keeps
+    full float precision. Raising beats warning: a silent NaN/teleport
+    vector poisons every downstream curation decision."""
+    if round_decimals is None or n <= 0:
+        return
+    if 1.0 / n < 0.5 * 10.0 ** (-round_decimals):
+        raise ValueError(
+            f"round_decimals={round_decimals} rounds the uniform initial "
+            f"rank 1/n (n={n} nodes) to 0, degenerating the power "
+            "iteration (PageRank collapses to the teleport term; HITS "
+            "divides by a zero sum). Per-iteration rounding is only for "
+            "gate-scale differential runs — pass round_decimals=None at "
+            "this node count."
+        )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -147,6 +169,7 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    _check_rounding_resolution(n, round_decimals)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ed = materialize(e.join(deg, "u"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -215,6 +238,7 @@ def hits(
         .distinct()
     )
     n = nodes.count()
+    _check_rounding_resolution(n, round_decimals)
 
     def _rnd(c):
         return F.round(c, round_decimals) if round_decimals is not None else c

@@ -260,7 +260,7 @@ def boilerplate_line_filter(
     (headings, list fragments — C4's 'keep lines that end in
     punctuation' rule with a long-line escape), (c) contains a marker
     phrase (legal/social/js cruft, case-insensitive substring), or
-    (d) is ≥60% uppercase over ≥10 ASCII letters (menus, banners).
+    (d) is >60% uppercase over ≥10 ASCII letters (menus, banners) — strictly greater, exact-60% lines are kept.
     Returns (id, n_lines, n_kept, clean_text) with survivors
     reassembled in original order — documents losing every line keep
     an empty clean_text, so the corpus row set is stable. Plan:

@@ -201,9 +201,19 @@ def robots_url_filter(
     unparseable URL gates as path "/" (host-wide rules still apply —
     robots has no opinion on a missing path, and silently allowing
     would bypass a 'Disallow: /'). Schemes match case-insensitively
-    (RFC 3986 §3.1). Plan: one broadcast left join on host, regexp
-    match, one per-URL window over the (few) matching rules — the URL
-    corpus is never shuffled beyond that window's hash."""
+    (RFC 3986 §3.1).
+
+    Plan: the gate DECISION depends only on (host, path), so the best
+    rule is computed once per DISTINCT (host, path) pair — broadcast
+    left join on host, regexp match, one window over the few matching
+    rules — and joined back to the URL frame null-safely. Keying the
+    window on the pair's DATA VALUES (not ``monotonically_increasing_
+    id``, r11 ADVICE) makes the plan deterministic under stage
+    recomputation: a nondeterministic row id can be reassigned between
+    the join and the window when an executor is lost or AQE re-executes
+    a stage, silently mixing rule sets across different URLs. The
+    distinct also dedups the rule-match fan-out — real crawls re-see
+    the same URL constantly."""
     eff = robots_effective_rules(rules, agent).select(
         F.col("host").alias("_rhost"),
         "rule",
@@ -222,32 +232,47 @@ def robots_url_filter(
         ),
         F.lit("/"),
     )
-    keyed = urls.withColumn("_path", path).withColumn(
-        "_uid", F.monotonically_increasing_id()
-    )
-    joined = keyed.join(
+    keyed = urls.withColumn("_path", path)
+    pairs = keyed.select(
+        F.col(host_col).alias("_phost"), "_path"
+    ).distinct()
+    joined = pairs.join(
         F.broadcast(eff),
-        (keyed[host_col] == F.col("_rhost"))
+        (pairs["_phost"] == F.col("_rhost"))
         & F.expr("_path rlike regex"),
         "left",
     )
-    w = Window.partitionBy("_uid").orderBy(
+    # the distinct's hash partitioning on (_phost, _path) is exactly
+    # the window's partition key — no extra exchange for the window
+    w = Window.partitionBy("_phost", "_path").orderBy(
         F.col("pattern_len").desc(),
         # allow < disallow lexicographically — ascending puts allow first
         F.col("rule").asc(),
         F.col("pattern").asc(),
     )
-    best = (
+    decisions = (
         joined.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .withColumn(
-            out,
-            F.when(F.col("rule").isNull(), F.lit(True)).otherwise(
-                F.col("rule") == "allow"
-            ),
+        .select(
+            "_phost",
+            F.col("_path").alias("_dpath"),
+            F.when(F.col("rule").isNull(), F.lit(True))
+            .otherwise(F.col("rule") == "allow")
+            .alias(out),
+            F.col("pattern").alias("matched_pattern"),
         )
-        .withColumn("matched_pattern", F.col("pattern"))
     )
-    return best.select(
-        *[c for c in urls.columns], F.col(out), "matched_pattern"
+    gated = keyed.join(
+        decisions,
+        keyed[host_col].eqNullSafe(decisions["_phost"])
+        & (keyed["_path"] == decisions["_dpath"]),
+        "left",
+    )
+    return gated.select(
+        *[urls[c] for c in urls.columns],
+        # the decisions frame covers every distinct pair, so the
+        # coalesce only fires if the join-back misses (it cannot);
+        # belt-and-braces for the allowed-by-default contract
+        F.coalesce(F.col(out), F.lit(True)).alias(out),
+        "matched_pattern",
     )

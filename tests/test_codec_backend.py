@@ -159,6 +159,12 @@ class TestImageBackend:
                 return out
 
             def __array__(self, dtype=None, copy=None):
+                if self.mode in ("I", "I;16", "I;16B"):
+                    # 16-bit luminance source: 2-D wide samples, some
+                    # deliberately > 255 so a convert('L') clip would
+                    # be caught by the value assertion below
+                    a = np.arange(self._h * self._w, dtype=np.uint16) * 300
+                    return a.reshape(self._h, self._w)
                 ch = 1 if self.mode == "L" else len(self.mode)
                 a = np.arange(self._h * self._w * ch, dtype=np.uint8)
                 shape = (
@@ -189,6 +195,17 @@ class TestImageBackend:
             assert (w, h) == (5, 4)
             assert ch == blob_ch
             assert px.shape == (4, 5, ch), (ch, px.shape)
+        # r11 ADVICE witness: 16-bit modes must take the HIGH BYTE of
+        # each sample (matching the pure-Python PNG path, which keeps
+        # the high byte of big-endian 16-bit samples) — NOT PIL's
+        # convert('L'), which clips everything > 255 to 255.
+        wide = np.arange(4 * 5, dtype=np.uint16) * 300
+        want_px = (wide >> 8).astype(np.uint8).reshape(4, 5, 1)
+        got_px = out[4][3]
+        assert got_px.dtype == np.uint8
+        assert np.array_equal(got_px, want_px), (
+            "16-bit samples were clipped, not high-byte-downshifted"
+        )
 
 
 class TestAudioBackend:

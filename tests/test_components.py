@@ -152,3 +152,31 @@ class TestHits:
         rb = sorted(map(tuple, hits(b, iters=5, round_decimals=6).collect()))
         assert ra == rb
         assert all(r[0] is not None for r in ra)
+
+
+def test_rounding_guard_rejects_degenerate_resolution(spark):
+    """r11 ADVICE witness: per-iteration rounding at a resolution where
+    1/n itself rounds to 0 must raise loudly, not degenerate (PageRank
+    to the teleport term, HITS to NaN via a zero-sum division)."""
+    import pytest
+
+    from datamancer_spark.operators.components import (
+        _check_rounding_resolution,
+        hits,
+        pagerank,
+    )
+
+    # direct guard arithmetic: 1/n < 0.5e-rd is the degenerate line
+    _check_rounding_resolution(2_000_000, None)  # None is always fine
+    _check_rounding_resolution(1_999_999, 6)  # 1/n just above 0.5e-6
+    with pytest.raises(ValueError, match="round_decimals"):
+        _check_rounding_resolution(2_000_001, 6)
+
+    # end-to-end: a 3-node graph at round_decimals=0 rounds 1/3 -> 0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="round_decimals"):
+        pagerank(edges, iters=2, round_decimals=0)
+    with pytest.raises(ValueError, match="round_decimals"):
+        hits(edges, iters=2, round_decimals=0)

@@ -781,6 +781,31 @@ def test_nb_null_labels_score_but_dont_train(spark):
     assert out[3]["correct"] is None
 
 
+def test_nb_vocab_is_training_vocabulary_only(spark):
+    """r11 ADVICE witness: the smoothing vocabulary V must come from
+    LABELED docs' tokens (textbook NB). Under the old all-corpus vocab,
+    an unlabeled doc carrying unseen tokens inflated V and silently
+    shifted every smoothed probability."""
+    import math
+
+    from datamancer_spark.operators.classify import naive_bayes_classify
+
+    df = spark.createDataFrame(
+        [(1, "a a", "X"), (2, "b", "Y"),
+         # unlabeled doc with three tokens UNSEEN in training: V must
+         # stay 2 ({a, b}), not become 5
+         (3, "zzz qqq www", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in
+           naive_bayes_classify(df, "lang").collect()}
+    # doc1 under X with V=2: ln(1/2) + 2·ln((2+1)/(2+2))
+    want = round(math.log(0.5) + 2 * math.log(3 / 4), 6)
+    assert abs(out[1]["score"] - want) < 1e-9, (
+        "smoothing vocabulary leaked unlabeled docs' tokens"
+    )
+
+
 def test_boilerplate_empty_markers_disable_rule(spark):
     from datamancer_spark.operators.quality import boilerplate_line_filter
 
