@@ -1299,6 +1299,33 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(doc.df, shingle_n=3, threshold=0.2)
 
 
+_CONTAIN_FOOTER = "shared legal footer all rights reserved worldwide"
+
+
+def containment_guarded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-shingle-GUARDED containment join (r12, VERDICT r11 #1:
+    operators/dedup.py ngram_containment_pairs max_doc_freq). The same
+    boilerplate footer is appended to EVERY document in-plan, giving
+    its interior shingles df = |corpus| — exactly the quotes/template
+    configuration where the unguarded posting self-join goes quadratic
+    on real crawls. max_doc_freq prunes those postings BEFORE the pair
+    join while denominators keep the UNPRUNED shingle-set sizes, so
+    the guard's one-sided (underestimate-only) arithmetic is what the
+    twin pins value-exactly: the oracle replicates the df computation,
+    the pruning, and the unpruned sizes."""
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    page = doc.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" " + _CONTAIN_FOOTER),
+        ),
+    )
+    return D.ngram_containment_pairs(
+        page, shingle_n=3, threshold=0.2, max_doc_freq=50
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")["documents"]
     return D.simhash_pairs(doc.df, max_hamming=3, bands=4)
@@ -3066,6 +3093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #6: directed n-gram containment join
         # -- (asymmetric near-dup: quotes/subset pages).
         "containment_pairs": containment_pairs,
+        # -- r12 zero-green: the same join with the hot-shingle guard
+        # -- under a df=|corpus| boilerplate footer (VERDICT r11 #1).
+        "containment_guarded_pairs": containment_guarded_pairs,
         # -- r11 zero-green #7: the COMPLETE production crawl front
         # -- end in one plan (robots → URL screen → quality → exact
         # -- dedup → LSH-verified fuzzy), closed-form survivors.
@@ -4347,6 +4377,56 @@ def oracle_sql() -> dict[str, str]:
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairbase AS (
+          SELECT i.id_a, i.id_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+        ),
+        directed AS (
+          SELECT id_a AS src_id, id_b AS dst_id,
+                 inter * 1.0 / sz_a AS containment FROM pairbase
+          UNION ALL
+          SELECT id_b, id_a, inter * 1.0 / sz_b FROM pairbase
+        )
+        SELECT src_id, dst_id, prnd(containment, 6) AS containment
+        FROM directed WHERE containment >= 0.2
+    """
+
+    # Guarded containment twin (r12): same plan with the appended
+    # footer, a df computation over the postings, pruning at <= 50,
+    # and — the contract under test — sizes from the UNPRUNED set.
+    sql["containment_guarded_pairs"] = f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   lower(trim(coalesce(text, '')
+                              || ' {_CONTAIN_FOOTER}')), '\\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) - 2 <= 0
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 END AS shingles
+          FROM docs
+        ),
+        ex AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS s
+               FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+        freq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+        pruned AS (
+          SELECT ex.doc_id, ex.s FROM ex JOIN freq USING (s)
+          WHERE freq.df <= 50
+        ),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         ),
         pairbase AS (

@@ -797,6 +797,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """DIRECTED n-gram containment join (r11): emit (src_id, dst_id,
     containment) where containment = |sh(src) ∩ sh(dst)| / |sh(src)| ≥
@@ -808,7 +809,22 @@ def ngram_containment_pairs(
     join — the shared-shingle count is computed ONCE per unordered
     pair (id-ordered join) and both directions derive from it
     relationally, so the directed output costs no extra shuffle. Same
-    portable 32-bit shingle hashing, so the DuckDB twin is exact."""
+    portable 32-bit shingle hashing, so the DuckDB twin is exact.
+
+    ``max_doc_freq`` (r12 — the 100-TB guard this operator needs MORE
+    than its siblings): drop shingles present in more than that many
+    docs BEFORE the posting self-join. Containment exists to catch
+    quotes/boilerplate/template text — precisely the shingles shared
+    by millions of non-duplicate pages, where an unguarded posting
+    self-join goes quadratic on the hottest keys. The error is
+    ONE-SIDED and the direction is documented: intersections are
+    counted over the PRUNED postings while denominators |sh(src)|
+    stay the UNPRUNED shingle-set sizes, so measured containment can
+    only UNDERESTIMATE the true value — pruning never manufactures a
+    pair above threshold, it can only miss pairs whose overlap lives
+    entirely in boilerplate shingles (which is the point). Matches
+    ``ngram_jaccard_pairs``' ``max_doc_freq`` (dedup.py) and the LSH
+    band join's ``max_band_freq`` knob."""
     arr = (
         spread_partitions(df)
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
@@ -822,9 +838,19 @@ def ngram_containment_pairs(
     )
     arr = materialize(arr)
     sh = arr.select(F.col(id_col), F.explode("_shs").alias("sh"))
+    # denominators ALWAYS come from the unpruned shingle sets — see the
+    # one-sided-error contract in the docstring
     sizes = arr.select(
         F.col(id_col), F.size("_shs").cast("long").alias("sz")
     )
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(

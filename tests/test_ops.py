@@ -340,3 +340,55 @@ def test_ngram_containment_directed(spark):
         ).collect()
     }
     assert kept == {(1, 2)}
+
+
+def test_ngram_containment_hot_shingle_guard(spark):
+    """VERDICT r11 #1 witness: a boilerplate shingle shared by EVERY doc
+    must not drive the posting self-join quadratic. With ``max_doc_freq``
+    the hot postings prune BEFORE the pair join (bounded fan-out), and
+    the error is one-sided: denominators stay the UNPRUNED shingle-set
+    sizes, so guarded containment only ever underestimates."""
+    from datamancer_spark.operators.dedup import ngram_containment_pairs
+
+    boiler = "all rights reserved worldwide by the company"
+    # 60 docs with fully disjoint real text + the same appended
+    # boilerplate sentence (df = |docs| on its interior shingles —
+    # the quadratic-join configuration in miniature)
+    rows = [
+        (i, f"tok{i}a tok{i}b tok{i}c tok{i}d tok{i}e " + boiler)
+        for i in range(60)
+    ]
+    # plus one genuine subset pair whose overlap is NOT boilerplate
+    rows += [
+        (100, "q1 q2 q3 q4 q5 " + boiler),
+        (101, "q1 q2 q3 q4 q5 q6 q7 " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # unguarded at threshold 0: every pair shares the 5 interior
+    # boilerplate shingles -> all-pairs fan-out (62*61 directed rows)
+    unguarded = ngram_containment_pairs(
+        df, shingle_n=3, threshold=0.0
+    ).collect()
+    assert len(unguarded) == 62 * 61
+
+    # guarded: hot shingles (df=62 > 10) prune; only the genuine
+    # subset pair shares any surviving shingle -> 2 directed rows
+    # TOTAL even at threshold 0 — bounded fan-out, not quadratic
+    guarded = ngram_containment_pairs(
+        df, shingle_n=3, threshold=0.0, max_doc_freq=10
+    ).collect()
+    got = {(r["src_id"], r["dst_id"]): r["containment"] for r in guarded}
+    assert set(got) == {(100, 101), (101, 100)}
+
+    # one-sided arithmetic: doc 100 has 12 tokens -> 10 shingles
+    # unpruned; pruned overlap with 101 = {q1q2q3, q2q3q4, q3q4q5} = 3.
+    # Denominator must be the UNPRUNED 10 (3/10), not the pruned 5
+    # (which would OVERestimate at 0.6); and 0.3 < the unguarded 0.8.
+    assert got[(100, 101)] == 0.3
+    assert got[(101, 100)] == 0.25  # 3 / 12 unpruned shingles
+    unguarded_val = {
+        (r["src_id"], r["dst_id"]): r["containment"] for r in unguarded
+    }[(100, 101)]
+    assert unguarded_val == 0.8
+    assert got[(100, 101)] < unguarded_val
