@@ -2726,6 +2726,35 @@ def warc_ingest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware WARC payload decode under the driver gate (r12,
+    VERDICT r11 #2: operators/warc.py charset_of / decode_payload_text).
+    Six pages per doc cover every decode arm — windows-1252 via HTTP
+    header, iso-8859-1 via <meta> sniff (the WHATWG fold into cp1252),
+    UTF-8 BOM, an unsupported shift_jis label (loud refusal: text NULL,
+    charset column says why), the documented UTF-8 no-declaration
+    default, and UTF-16LE via BOM. The extracted text is md5-pinned
+    byte-for-byte: the twin rebuilds every expected string from chr()
+    codepoints, so ONE wrong byte anywhere in the sniff order, the
+    0x80-0x9F translate map, or the BOM strip fails the hash."""
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_charset_blob,
+    )
+    from datamancer_spark.operators.warc import ingest_warc
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_charset_blob)
+    out = ingest_warc(blobs)
+    return out.select(
+        "doc_id",
+        "rec_idx",
+        "charset",
+        "text",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    )
+
+
 def pipeline_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl→corpus CAPSTONE: ONE composition from WARC bytes to a
     curated survivor corpus — ingest_warc (record walk → HTTP decode →
@@ -3133,6 +3162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 11-tier mix (ADTS-AAC added r10).
         "image_decode_multiformat": image_decode_multiformat,
         "warc_ingest_crawl": warc_ingest_crawl,
+        # -- r12 zero-green: charset-aware WARC payload decode
+        # -- (VERDICT r11 #2) — six arms, md5-pinned text.
+        "warc_charset_decode": warc_charset_decode,
         "image_decode_dims": image_decode_dims,
         "resize_thumbs_rgb": resize_thumbs_rgb,
         "audio_decode_props": audio_decode_props,
@@ -6148,6 +6180,60 @@ def oracle_sql() -> dict[str, str]:
         JOIN (VALUES (0), (1), (2)) t(k) ON t.k <= d.doc_id % 3
         JOIN ws ON ws.m = 5 + (d.doc_id + 2 * t.k) % 11
         WHERE (d.doc_id + t.k) % 5 <> 0
+    """
+
+    # Charset decode twin (r12): expected text rebuilt from chr()
+    # codepoints per decode arm — é=233 ï=239 €=8364 em-dash=8212; the
+    # shift_jis row refuses (NULL text/md5). md5 compares byte-exactly
+    # because DuckDB strings are UTF-8, the same bytes Spark's
+    # encode(text,'UTF-8') hashes.
+    sql["warc_charset_decode"] = """
+        SELECT d.doc_id,
+               CAST(t.k AS INT) AS rec_idx,
+               CASE t.k
+                 WHEN 0 THEN 'windows-1252'
+                 WHEN 1 THEN 'iso-8859-1'
+                 WHEN 2 THEN 'utf-8'
+                 WHEN 3 THEN 'shift_jis'
+                 WHEN 4 THEN 'utf-8'
+                 ELSE 'utf-16le'
+               END AS charset,
+               CASE t.k
+                 WHEN 0 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                      || ' caf' || chr(233) || ' price ' || chr(8364)
+                      || CAST(d.doc_id AS VARCHAR) || ' ' || chr(8212)
+                      || ' dash'
+                 WHEN 1 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                      || ' na' || chr(239) || 've r' || chr(233)
+                      || 'sum' || chr(233)
+                 WHEN 2 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                      || ' r' || chr(233) || 'sum' || chr(233)
+                      || ' ' || chr(8364)
+                 WHEN 3 THEN NULL
+                 WHEN 4 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                      || ' plain ascii words only'
+                 ELSE 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                      || ' wide utf sixteen'
+               END AS text,
+               md5(CASE t.k
+                 WHEN 0 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                      || ' caf' || chr(233) || ' price ' || chr(8364)
+                      || CAST(d.doc_id AS VARCHAR) || ' ' || chr(8212)
+                      || ' dash'
+                 WHEN 1 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                      || ' na' || chr(239) || 've r' || chr(233)
+                      || 'sum' || chr(233)
+                 WHEN 2 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                      || ' r' || chr(233) || 'sum' || chr(233)
+                      || ' ' || chr(8364)
+                 WHEN 3 THEN NULL
+                 WHEN 4 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                      || ' plain ascii words only'
+                 ELSE 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                      || ' wide utf sixteen'
+               END) AS text_md5
+        FROM documents d
+        JOIN (VALUES (0), (1), (2), (3), (4), (5)) t(k) ON true
     """
 
     # the capstone's survivor corpus is CLOSED FORM (see

@@ -364,6 +364,94 @@ def warc_blob(i: int) -> bytes:
     return b"".join(recs)
 
 
+def warc_charset_blob(i: int) -> bytes:
+    """Mixed-charset WARC fixture (r12, VERDICT r11 #2): six 200-HTML
+    responses per id exercising every arm of the charset-aware payload
+    decode (``operators/warc.py charset_of / decode_payload_text``),
+    each with a closed-form expected text the DuckDB twin rebuilds
+    from chr() codepoints:
+
+    rec 0  windows-1252 via HTTP header (0x80 €, 0x97 —, 0xE9 é — the
+           translate map AND the latin-1 passthrough bytes)
+    rec 1  iso-8859-1 via HTML <meta> sniff (WHATWG folds the label
+           into windows-1252; 0xEF ï, 0xE9 é)
+    rec 2  UTF-8 BOM, no declaration anywhere (BOM wins, BOM stripped)
+    rec 3  shift_jis via header — unsupported label: loud refusal,
+           text NULL, charset column carries the label
+    rec 4  no declaration, pure ASCII — the documented UTF-8 default
+    rec 5  UTF-16LE BOM (2-byte code units through F.decode)
+
+    Even ids are per-record gzip members, odd plain WARC (same
+    dispatch coverage as ``warc_blob``)."""
+    import gzip as _gzip
+
+    def record(payload: bytes, uri: str) -> bytes:
+        head = [
+            b"WARC/1.0",
+            b"WARC-Type: response",
+            b"WARC-Target-URI: " + uri.encode(),
+            b"WARC-Date: 2026-01-01T00:00:00Z",
+            b"Content-Type: application/http; msgtype=response",
+            b"Content-Length: " + str(len(payload)).encode(),
+        ]
+        return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    def http(body: bytes, ctype: bytes) -> bytes:
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+            + b"\r\nContent-Length: %d\r\n\r\n" % len(body) + body
+        )
+
+    pages = [
+        http(
+            (
+                f"<html><body><p>Doc {i} café price"
+                f" €{i} — dash</p></body></html>"
+            ).encode("cp1252"),
+            b"text/html; charset=windows-1252",
+        ),
+        http(
+            (
+                '<html><head><meta charset="iso-8859-1"></head>'
+                f"<body><p>Doc {i} naïve résumé</p>"
+                "</body></html>"
+            ).encode("latin-1"),
+            b"text/html",
+        ),
+        http(
+            b"\xef\xbb\xbf"
+            + (
+                f"<html><body><p>Doc {i} résumé €</p>"
+                "</body></html>"
+            ).encode("utf-8"),
+            b"text/html",
+        ),
+        http(
+            f"<html><body><p>Doc {i} opaque bytes</p></body></html>".encode(),
+            b"text/html; charset=shift_jis",
+        ),
+        http(
+            f"<html><body><p>Doc {i} plain ascii words only</p>"
+            "</body></html>".encode(),
+            b"text/html",
+        ),
+        http(
+            b"\xff\xfe"
+            + (
+                f"<html><body><p>Doc {i} wide utf sixteen</p></body></html>"
+            ).encode("utf-16-le"),
+            b"text/html",
+        ),
+    ]
+    recs = [
+        record(p, f"http://cs{i % 5}.example/{i}/{k}")
+        for k, p in enumerate(pages)
+    ]
+    if i % 2 == 0:
+        return b"".join(_gzip.compress(r, mtime=0) for r in recs)
+    return b"".join(recs)
+
+
 def warc_corpus_blob(i: int) -> bytes:
     """WARC fixture for the crawl→corpus CAPSTONE (pipeline_from_crawl):
     every page's fate under quality→exact-dedup→fuzzy-dedup is

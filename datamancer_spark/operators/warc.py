@@ -238,6 +238,110 @@ def warc_records(
     return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
 
 
+# --- charset-aware payload decoding (r12, VERDICT r11 #2) -------------------
+#
+# Real crawls are ~5-15% non-UTF-8 (windows-1252 / latin-1 dominate the
+# tail); decoding everything as UTF-8 turns those pages into mojibake
+# (or nulls) that silently poisons every downstream text tier. Charset
+# resolution follows the WHATWG encoding-sniffing order, all
+# Catalyst-side: BOM > HTTP Content-Type charset param > HTML <meta>
+# sniff over the first 1024 bytes > default. Two documented deviations
+# from the letter of WHATWG: (1) the no-declaration default is UTF-8,
+# not windows-1252 — the modern-web/Common-Crawl reality (UTF-8 is >95%
+# of pages) and the back-compatible choice for undeclared fixtures;
+# (2) the supported set is {utf-8, windows-1252 (+ latin-1/ascii
+# labels, which WHATWG maps to it), utf-16le/be} — the long tail
+# (shift_jis, gb2312, ...) REFUSES loudly (text NULL, charset column
+# carries the label) rather than emitting mojibake, the codec-tier
+# honesty posture.
+#
+# windows-1252 decodes JVM-side with zero Python: ISO-8859-1 is a
+# byte-preserving bijection into U+0000..U+00FF, and cp1252 differs
+# from it ONLY on 0x80-0x9F — a 1:1 char map, i.e. one F.translate.
+# The map is derived from Python's codec tables at import time (the
+# five undefined cp1252 bytes pass through as C1 controls, the WHATWG
+# behavior).
+
+_CP1252_FROM = "".join(chr(c) for c in range(0x80, 0xA0))
+_CP1252_TO = "".join(
+    bytes([c]).decode("cp1252", "ignore") or chr(c)
+    for c in range(0x80, 0xA0)
+)
+
+#: label → decoder family, lowercased WHATWG labels (subset)
+_UTF8_LABELS = ("utf-8", "utf8", "unicode-1-1-utf-8")
+_CP1252_LABELS = (
+    "windows-1252", "cp1252", "x-cp1252", "ansi_x3.4-1968",
+    "iso-8859-1", "iso8859-1", "iso_8859-1", "iso_8859-1:1987",
+    "latin-1", "latin1", "l1", "cp819", "ibm819", "csisolatin1",
+    "us-ascii", "ascii",
+)
+
+_CHARSET_RE = r'charset\s*=\s*["\']?\s*([A-Za-z0-9:._-]+)'
+
+
+def charset_of(payload: Column, http_ctype: Column) -> Column:
+    """Resolved charset label for an HTML payload (lowercase string;
+    never NULL — the default is 'utf-8'). WHATWG sniffing order: BOM,
+    then the HTTP Content-Type charset parameter, then a <meta> charset
+    scan over the first 1024 bytes (decoded byte-preservingly as
+    ISO-8859-1 — the meta tag itself is ASCII in every encoding this
+    supports), then the default."""
+    bom = (
+        F.when(
+            F.substring(payload, 1, 3) == F.lit(b"\xef\xbb\xbf"),
+            F.lit("utf-8"),
+        )
+        .when(
+            F.substring(payload, 1, 2) == F.lit(b"\xff\xfe"),
+            F.lit("utf-16le"),
+        )
+        .when(
+            F.substring(payload, 1, 2) == F.lit(b"\xfe\xff"),
+            F.lit("utf-16be"),
+        )
+    )
+    hdr = F.lower(
+        F.regexp_extract(
+            F.coalesce(http_ctype, F.lit("")), "(?i)" + _CHARSET_RE, 1
+        )
+    )
+    head = F.decode(F.substring(payload, 1, 1024), "ISO-8859-1")
+    meta = F.lower(
+        F.regexp_extract(
+            head, r"(?i)<meta[^>]{0,512}?" + _CHARSET_RE, 1
+        )
+    )
+    return F.coalesce(
+        bom,
+        F.nullif(hdr, F.lit("")),
+        F.nullif(meta, F.lit("")),
+        F.lit("utf-8"),
+    )
+
+
+def decode_payload_text(payload: Column, charset: Column) -> Column:
+    """Decode an HTML payload under a resolved charset label — NULL for
+    unsupported labels (loud refusal; the charset column says why). All
+    JVM-side: UTF-8/UTF-16 via F.decode, windows-1252 (and the latin-1
+    / ascii labels WHATWG folds into it) via the byte-preserving
+    ISO-8859-1 decode + the 0x80-0x9F translate. A leading BOM char is
+    stripped after decode (UTF-8's EF BB BF and UTF-16LE/BE's FF FE /
+    FE FF decode to U+FEFF, which is markup noise downstream)."""
+    latin = F.decode(payload, "ISO-8859-1")
+    decoded = (
+        F.when(charset.isin(*_UTF8_LABELS), F.decode(payload, "UTF-8"))
+        .when(
+            charset.isin(*_CP1252_LABELS),
+            F.translate(latin, _CP1252_FROM, _CP1252_TO),
+        )
+        .when(charset == "utf-16le", F.decode(payload, "UTF-16LE"))
+        .when(charset == "utf-16be", F.decode(payload, "UTF-16BE"))
+        .when(charset == "utf-16", F.decode(payload, "UTF-16"))
+    )
+    return F.regexp_replace(decoded, "^\\ufeff", "")
+
+
 def html_text_col(html: Column) -> Column:
     """HTML → visible text as a pure Catalyst expression chain (JVM
     whole-stage codegen; no Python per document): drop script/style/
@@ -269,15 +373,19 @@ def ingest_warc(
     max_status: int = 299,
 ) -> DataFrame:
     """The crawl→corpus front end: WARC bytes → one text row per kept
-    HTML response — (id, rec_idx, url, host, text). Keeps 2xx HTML
-    responses; host extraction and HTML→text run JVM-side on the
-    already-thin record frame."""
+    HTML response — (id, rec_idx, url, host, charset, text). Keeps 2xx
+    HTML responses; host extraction, charset sniffing (BOM → HTTP
+    header → meta, see ``charset_of``) and HTML→text run JVM-side on
+    the already-thin record frame. ``text`` is NULL when the declared
+    charset is outside the supported set (documented refusal — the
+    ``charset`` column carries the offending label)."""
     recs = warc_records(df, bin_col=bin_col, id_col=id_col)
     kept = recs.filter(
         (F.col("warc_type") == "response")
         & F.col("http_status").between(min_status, max_status)
         & F.col("http_content_type").rlike("(?i)text/html")
     )
+    cs = charset_of(F.col("payload"), F.col("http_content_type"))
     return kept.select(
         F.col(id_col),
         "rec_idx",
@@ -285,8 +393,9 @@ def ingest_warc(
         F.regexp_extract(F.col("target_uri"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1).alias(
             "host"
         ),
+        cs.alias("charset"),
         html_text_col(
-            F.decode(F.col("payload"), "UTF-8")
+            decode_payload_text(F.col("payload"), cs)
         ).alias("text"),
     )
 

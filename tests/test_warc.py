@@ -35,6 +35,7 @@ def expected_rows(i):
                 2 + 2 * k,
                 f"http://h{(i + k) % 7}.example/p/{i}/{k}",
                 f"h{(i + k) % 7}.example",
+                "utf-8",  # fixture declares charset=utf-8 in the header
                 text,
             )
         )
@@ -287,3 +288,49 @@ class TestFuzz:
         n_full = self._walk(full)
         n_cut = self._walk(full[: int(len(full) * frac)])
         assert 0 <= n_cut <= n_full
+
+
+def test_charset_sniffing_priority_and_refusal(spark):
+    """r12 charset decode: BOM > HTTP header > meta sniff > UTF-8
+    default; latin-1 labels fold into windows-1252 (WHATWG); an
+    unsupported label refuses (NULL) instead of emitting mojibake."""
+    from pyspark.sql import functions as F
+
+    from datamancer_spark.operators.warc import (
+        charset_of,
+        decode_payload_text,
+    )
+
+    cp = "caf\u00e9 \u20ac".encode("cp1252")  # e-acute + euro in cp1252
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(cp), "text/html; charset=windows-1252"),
+            # latin-1 label folds into cp1252 per WHATWG (0x80 -> euro)
+            (1, bytearray(cp), "text/html; charset=ISO-8859-1"),
+            # BOM beats a (wrong) header label
+            (2, bytearray(b"\xef\xbb\xbf" + "caf\u00e9".encode("utf-8")),
+             "text/html; charset=shift_jis"),
+            # meta sniff when the header is silent
+            (3, bytearray(b'<meta charset="windows-1252">' + cp),
+             "text/html"),
+            # no declaration anywhere: documented UTF-8 default
+            (4, bytearray(b"plain ascii"), "text/html"),
+            # unsupported label: loud refusal, label preserved
+            (5, bytearray(b"abc"), "text/html; charset=gb2312"),
+        ],
+        "k int, payload binary, ctype string",
+    )
+    cs = charset_of(F.col("payload"), F.col("ctype"))
+    out = df.select(
+        "k",
+        cs.alias("cs"),
+        decode_payload_text(F.col("payload"), cs).alias("text"),
+    ).orderBy("k").collect()
+    got = [(r["cs"], r["text"]) for r in out]
+    assert got[0] == ("windows-1252", "caf\u00e9 \u20ac")
+    assert got[1] == ("iso-8859-1", "caf\u00e9 \u20ac")
+    assert got[2] == ("utf-8", "caf\u00e9")  # BOM wins AND is stripped
+    assert got[3][0] == "windows-1252"  # meta sniff fired
+    assert got[3][1].endswith("caf\u00e9 \u20ac")
+    assert got[4] == ("utf-8", "plain ascii")  # documented default
+    assert got[5] == ("gb2312", None)  # loud refusal, label preserved
