@@ -2940,6 +2940,144 @@ def robots_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SM_NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def sitemap_discovery_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-DISCOVERY seam as ONE plan (r12, VERDICT r11 #3:
+    operators/sitemap.py): robots.txt names the sitemaps
+    (robots_sitemaps), a sitemapindex resolves one level against the
+    fetched-docs frame, urlsets become the (host, url, lastmod,
+    n_sources) frontier, and the frontier gates back through the SAME
+    robots rules (robots_url_filter) — the companion seam to
+    pipeline_crawl_production's fetch side.
+
+    Everything is built in-plan from doc_id arithmetic: 7 hosts; per
+    host an index (→ sm_a.xml even docs WITH lastmod, sm_b.xml odd
+    docs WITHOUT — the optional-field alignment case) plus a direct
+    urlset (an entity-escaped &amp; start URL, and every doc_id%10==0
+    page AGAIN → n_sources=2, lastmod = max(declared, NULL)); hosts
+    ≡0 (mod 3) Disallow /d/. The twin enumerates the closed form."""
+    from datamancer_spark.operators.robots import (
+        parse_robots,
+        robots_sitemaps,
+        robots_url_filter,
+    )
+    from datamancer_spark.operators.sitemap import sitemap_url_frontier
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    hosts = spark.range(7).select(
+        F.col("id").alias("h"),
+        F.concat(F.lit("s"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("host"),
+    )
+    robots = hosts.select(
+        "h",
+        "host",
+        F.concat(
+            F.lit("User-agent: datamancer\nAllow: /\n"),
+            F.when(F.col("h") % 3 == 0, F.lit("Disallow: /d/\n"))
+            .otherwise(F.lit("")),
+            F.lit("Sitemap: http://"), F.col("host"),
+            F.lit("/sitemap_index.xml\n"),
+            F.lit("Sitemap: http://"), F.col("host"),
+            F.lit("/direct.xml\n"),
+        ).alias("robots_txt"),
+    )
+    d = doc.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 7).alias("h"),
+        F.concat(
+            F.lit("s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+    )
+    page_loc = F.concat(
+        F.lit("http://"), F.col("host"), F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    lastmod = F.concat(
+        F.lit("2026-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+    )
+    entry_with = F.concat(
+        F.lit("<url><loc>"), page_loc, F.lit("</loc><lastmod>"),
+        lastmod, F.lit("</lastmod></url>"),
+    )
+    entry_bare = F.concat(
+        F.lit("<url><loc>"), page_loc, F.lit("</loc></url>"),
+    )
+
+    def _urlset(body: "F.Column") -> "F.Column":
+        return F.concat(
+            F.lit(f"<urlset {_SM_NS}>"), body, F.lit("</urlset>")
+        )
+
+    def _grouped(frame, entry):
+        return frame.select("h", entry.alias("e")).groupBy("h").agg(
+            F.concat_ws("", F.array_sort(F.collect_list("e"))).alias("body")
+        )
+
+    sm_a = hosts.join(
+        _grouped(d.filter(F.col("doc_id") % 2 == 0), entry_with), "h", "left"
+    ).select(
+        "host",
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/sm_a.xml"))
+        .alias("sitemap_url"),
+        _urlset(F.coalesce(F.col("body"), F.lit(""))).alias("xml"),
+    )
+    sm_b = hosts.join(
+        _grouped(d.filter(F.col("doc_id") % 2 == 1), entry_bare), "h", "left"
+    ).select(
+        "host",
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/sm_b.xml"))
+        .alias("sitemap_url"),
+        _urlset(F.coalesce(F.col("body"), F.lit(""))).alias("xml"),
+    )
+    start_entry = F.concat(
+        F.lit("<url><loc>http://"), F.col("host"),
+        F.lit("/start?a=1&amp;b=2</loc></url>"),
+    )
+    direct = hosts.join(
+        _grouped(d.filter(F.col("doc_id") % 10 == 0), entry_bare),
+        "h",
+        "left",
+    ).select(
+        "host",
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/direct.xml"))
+        .alias("sitemap_url"),
+        _urlset(
+            F.concat(start_entry, F.coalesce(F.col("body"), F.lit("")))
+        ).alias("xml"),
+    )
+    index = hosts.select(
+        "host",
+        F.concat(
+            F.lit("http://"), F.col("host"), F.lit("/sitemap_index.xml")
+        ).alias("sitemap_url"),
+        F.concat(
+            F.lit(f"<sitemapindex {_SM_NS}>"),
+            F.lit("<sitemap><loc>http://"), F.col("host"),
+            F.lit("/sm_a.xml</loc></sitemap>"),
+            F.lit("<sitemap><loc>http://"), F.col("host"),
+            F.lit("/sm_b.xml</loc></sitemap>"),
+            F.lit("</sitemapindex>"),
+        ).alias("xml"),
+    )
+    fetched = index.unionByName(sm_a).unionByName(sm_b).unionByName(direct)
+    ep = robots_sitemaps(robots)
+    frontier = sitemap_url_frontier(fetched, entry_points=ep)
+    rules = parse_robots(robots)
+    gated = robots_url_filter(frontier, rules, "datamancer")
+    return gated.select(
+        "host",
+        "url",
+        "lastmod",
+        F.col("n_sources").cast("long").alias("n_sources"),
+        "robots_allowed",
+    )
+
+
 def pipeline_crawl_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE production crawl front end as ONE plan (r11): WARC
     bytes → ingest → robots.txt gate (RFC 9309, agent 'datamancer') →
@@ -3119,6 +3257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #5: RFC 9309 robots.txt gate (real parse
         # -- in-plan; closed-form outcome twin).
         "robots_crawl_gate": robots_crawl_gate,
+        # -- r12 zero-green: the discovery seam — robots → sitemaps
+        # -- (index resolved one level) → frontier → robots gate
+        # -- (VERDICT r11 #3).
+        "sitemap_discovery_frontier": sitemap_discovery_frontier,
         # -- r11 zero-green #6: directed n-gram containment join
         # -- (asymmetric near-dup: quotes/subset pages).
         "containment_pairs": containment_pairs,
@@ -6180,6 +6322,38 @@ def oracle_sql() -> dict[str, str]:
         JOIN (VALUES (0), (1), (2)) t(k) ON t.k <= d.doc_id % 3
         JOIN ws ON ws.m = 5 + (d.doc_id + 2 * t.k) % 11
         WHERE (d.doc_id + t.k) % 5 <> 0
+    """
+
+    # Discovery-frontier twin (r12): the fixture is doc_id arithmetic,
+    # so the frontier enumerates in closed form — page URLs per doc
+    # (even: lastmod, odd: none; %10==0 listed twice -> n_sources=2),
+    # one entity-decoded start URL per host; robots denies /d/ on
+    # hosts ≡0 mod 3 (longest match over the Allow: /).
+    sql["sitemap_discovery_frontier"] = """
+        WITH durls AS (
+          SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+                 'http://s' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN '2026-01-'
+                           || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 END AS lastmod,
+                 CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END
+                      AS BIGINT) AS n_sources,
+                 (doc_id % 7) % 3 <> 0 AS robots_allowed
+          FROM documents
+        ),
+        hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+        starts AS (
+          SELECT 's' || CAST(h AS VARCHAR) || '.example' AS host,
+                 'http://s' || CAST(h AS VARCHAR)
+                   || '.example/start?a=1&b=2' AS url,
+                 CAST(NULL AS VARCHAR) AS lastmod,
+                 CAST(1 AS BIGINT) AS n_sources,
+                 TRUE AS robots_allowed
+          FROM hosts
+        )
+        SELECT * FROM durls UNION ALL SELECT * FROM starts
     """
 
     # Charset decode twin (r12): expected text rebuilt from chr()
