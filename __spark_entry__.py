@@ -1526,6 +1526,37 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pagerank_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→GRAPH seam under the driver gate (r12, VERDICT r11
+    #4: operators/warc.py extract_links → components.pagerank): WARC
+    bytes → charset-aware HTML decode → <a href> extraction (quoted +
+    unquoted, entity decode, fragment strip) → URL resolution
+    (absolute / root-relative / protocol-relative arms all live in the
+    fixture) → a page-URL link graph → 10 PageRank iterations — the
+    same crawl-bytes-to-quality-signal path r11 closed for crawl→
+    corpus. The fixture's graph is a fixed 50-node target ring
+    (dangling-free at every scale), so the DuckDB twin enumerates the
+    resolved edges closed-form and unrolls the same 10 iterations as
+    chained CTEs; a wrong byte anywhere in extraction, entity decode,
+    or resolution changes an edge and every downstream rank."""
+    from datamancer_spark.operators.components import pagerank
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_link_blob,
+    )
+    from datamancer_spark.operators.warc import extract_links
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_link_blob)
+    links = extract_links(blobs)
+    edges = links.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    return pagerank(edges, damping=0.85, iters=10, round_decimals=6).select(
+        "node", "rank"
+    )
+
+
 def temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture resampling under the driver gate
     (r11, operators/quality.py temperature_resample — the mBERT/XLM
@@ -3277,6 +3308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #9: PageRank (iterative power method vs a
         # -- 10-stage unrolled CTE twin).
         "pagerank_links": pagerank_links,
+        # -- r12 zero-green: the crawl→graph seam — WARC → href
+        # -- extraction → PageRank (VERDICT r11 #4).
+        "pagerank_crawl_links": pagerank_crawl_links,
         # -- r11 zero-green #10: Naive Bayes — the trainable model the
         # -- twin can replicate end to end (training = counting).
         "nb_lang_classify": nb_lang_classify,
@@ -4330,6 +4364,42 @@ def oracle_sql() -> dict[str, str]:
         nodes AS (
           SELECT u AS node FROM edges UNION SELECT v FROM edges
         ),
+        deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+        edged AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d ON d.u = e.u),
+        pr0 AS (
+          SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN ncnt nn
+        ),
+{_pr_iters}
+        SELECT node, rank FROM pr10
+    """
+
+    # Crawl link-graph PageRank twin (r12): the SAME 10 unrolled
+    # iterations over the closed-form RESOLVED edge set — the fixture's
+    # three href arms (absolute / root-relative / protocol-relative)
+    # all land on http://crawl.example/p/{{j}} URLs over the fixed
+    # 50-target ring, so the edges CTE enumerates them; UNION dedups
+    # coincident targets exactly like the operator's distinct().
+    sql["pagerank_crawl_links"] = f"""
+        WITH edges AS (
+          SELECT 'http://crawl.example/p/' || CAST(doc_id AS VARCHAR) AS u,
+                 'http://crawl.example/p/'
+                   || CAST((doc_id * 7 + 1) % 50 AS VARCHAR) AS v
+          FROM documents
+          UNION
+          SELECT 'http://crawl.example/p/' || CAST(doc_id AS VARCHAR),
+                 'http://crawl.example/p/'
+                   || CAST((doc_id * 13 + 5) % 50 AS VARCHAR)
+          FROM documents
+          UNION
+          SELECT 'http://crawl.example/p/' || CAST(doc_id AS VARCHAR),
+                 'http://crawl.example/p/'
+                   || CAST((doc_id * 3 + 11) % 50 AS VARCHAR)
+          FROM documents
+        ),
+        nodes AS (
+          SELECT u AS node FROM edges UNION SELECT v FROM edges
+        ),
+        ncnt AS (SELECT count(*) AS n FROM nodes),
         deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
         edged AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d ON d.u = e.u),
         pr0 AS (

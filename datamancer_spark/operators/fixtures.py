@@ -452,6 +452,54 @@ def warc_charset_blob(i: int) -> bytes:
     return b"".join(recs)
 
 
+def warc_link_blob(i: int) -> bytes:
+    """WARC fixture for the crawl→GRAPH seam (r12): one 200-HTML page
+    per id at ``http://crawl.example/p/{i}`` whose anchor tags define a
+    closed-form link graph over a FIXED 50-node target ring (targets
+    exist at every scale, every node has out-edges → dangling-free, so
+    the PageRank twin needs no redistribution term):
+
+    * absolute href            → (i*7 + 1) % 50
+    * root-relative href       → (i*13 + 5) % 50
+    * protocol-relative href   → (i*3 + 11) % 50
+    * a mailto: and a pure-fragment anchor (must be dropped; entity
+      decoding inside hrefs is pinned by the extract_links unit test —
+      a query-string target here would be a dangling node)
+
+    Even ids gzip per record, odd plain (the standard dispatch
+    coverage)."""
+    import gzip as _gzip
+
+    j1 = (i * 7 + 1) % 50
+    j2 = (i * 13 + 5) % 50
+    j3 = (i * 3 + 11) % 50
+    body = (
+        f"<html><body><h1>Page {i}</h1>"
+        f'<a href="http://crawl.example/p/{j1}">abs</a>'
+        f"<a href='/p/{j2}'>root</a>"
+        f'<a href="//crawl.example/p/{j3}">proto</a>'
+        '<a href="mailto:x@example.com">mail</a>'
+        '<a href="#top">frag</a>'
+        "</body></html>"
+    ).encode()
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(body)
+        + body
+    )
+    uri = f"http://crawl.example/p/{i}"
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Target-URI: " + uri.encode(),
+        b"WARC-Date: 2026-01-01T00:00:00Z",
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(http)).encode(),
+    ]
+    rec = b"\r\n".join(head) + b"\r\n\r\n" + http + b"\r\n\r\n"
+    return _gzip.compress(rec, mtime=0) if i % 2 == 0 else rec
+
+
 def warc_corpus_blob(i: int) -> bytes:
     """WARC fixture for the crawl→corpus CAPSTONE (pipeline_from_crawl):
     every page's fate under quality→exact-dedup→fuzzy-dedup is

@@ -400,6 +400,115 @@ def ingest_warc(
     )
 
 
+def extract_links(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    min_status: int = 200,
+    max_status: int = 299,
+) -> DataFrame:
+    """The crawl→GRAPH front end (r12, VERDICT r11 #4): WARC bytes →
+    one ``<a href>`` edge row per kept 2xx-HTML response —
+    ``(id, rec_idx, src_url, src_host, dst_url, dst_host)`` — feeding
+    ``components.pagerank`` / ``hits`` from the same bytes the corpus
+    tiers ingest. Entirely Catalyst after the record walk: charset-
+    aware payload decode, three ``regexp_extract_all`` passes for
+    double-quoted / single-quoted / unquoted href values, entity
+    decode (``&amp;`` is ubiquitous in real URLs), fragment strip.
+
+    Resolution arms (minimal RFC 3986 merge, documented bounds):
+    absolute http(s) kept verbatim; protocol-relative ``//host/..``
+    inherits the page scheme; root-relative ``/path`` joins the page's
+    scheme://host; anything else resolves against the page URL's
+    directory. Dot-segments are NOT normalized (``../`` stays literal
+    — a canonicalization pass is the frontier layer's job, same
+    posture as the sitemap parser's scope bounds).
+    ``javascript:``/``mailto:``/``tel:``/``data:`` pseudo-links and
+    pure-fragment anchors drop."""
+    recs = warc_records(df, bin_col=bin_col, id_col=id_col)
+    kept = recs.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(min_status, max_status)
+        & F.col("http_content_type").rlike("(?i)text/html")
+    )
+    cs = charset_of(F.col("payload"), F.col("http_content_type"))
+    html = decode_payload_text(F.col("payload"), cs)
+    hrefs = F.concat(
+        F.regexp_extract_all(
+            html, F.lit(r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"'), 1
+        ),
+        F.regexp_extract_all(
+            html, F.lit(r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)'"), 1
+        ),
+        F.regexp_extract_all(
+            html,
+            F.lit(r'(?is)<a\b[^>]*?href\s*=\s*([^\s"\x27>][^\s>]*)'),
+            1,
+        ),
+    )
+    pages = kept.select(
+        F.col(id_col),
+        "rec_idx",
+        F.col("target_uri").alias("src_url"),
+        F.explode(hrefs).alias("_href"),
+    )
+    # entity-decode (&amp; LAST — see html_text_col), strip fragment
+    href = F.trim(F.col("_href"))
+    for ent, rep in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ]:
+        href = F.replace(href, F.lit(ent), F.lit(rep))
+    href = F.regexp_replace(href, "#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract("src_url", r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    )
+    root = F.regexp_extract(
+        "src_url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", 0
+    )
+    # page directory: the path up to (and incl.) its last '/', else '/'
+    pathdir = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                "src_url",
+                r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+((?:/[^?#]*)?/)",
+                1,
+            ),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    dst = (
+        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(root, href))
+        .otherwise(F.concat(root, pathdir, href))
+    )
+    out = pages.select(
+        F.col(id_col),
+        "rec_idx",
+        "src_url",
+        F.regexp_extract(
+            "src_url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1
+        ).alias("src_host"),
+        href.alias("_h"),
+        dst.alias("dst_url"),
+    ).filter(
+        (F.length("_h") > 0)
+        & ~F.col("_h").rlike(r"(?i)^(javascript|mailto|tel|data):")
+    )
+    return out.select(
+        F.col(id_col),
+        "rec_idx",
+        "src_url",
+        "src_host",
+        "dst_url",
+        F.regexp_extract(
+            "dst_url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1
+        ).alias("dst_host"),
+    )
+
+
 def wet_text(records: DataFrame) -> DataFrame:
     """Text rows from WET conversion records: (id, rec_idx, url, text).
     WET payloads are already-extracted UTF-8 plain text — no HTML pass."""

@@ -334,3 +334,51 @@ def test_charset_sniffing_priority_and_refusal(spark):
     assert got[3][1].endswith("caf\u00e9 \u20ac")
     assert got[4] == ("utf-8", "plain ascii")  # documented default
     assert got[5] == ("gb2312", None)  # loud refusal, label preserved
+
+
+def test_extract_links_resolution_arms(spark):
+    """r12 crawl->graph seam: absolute / protocol-relative /
+    root-relative / path-relative hrefs resolve; quoted and unquoted
+    forms parse; entities decode BEFORE resolution; javascript:/
+    mailto:/fragment anchors drop."""
+    from datamancer_spark.operators.fixtures import synth_blob_frame
+    from datamancer_spark.operators.warc import extract_links
+
+    body = (
+        '<html><body>'
+        '<a href="http://other.example/x?a=1&amp;b=2">abs</a>'
+        "<a href='/root/y'>rooted</a>"
+        '<a href=//proto.example/z>proto-unquoted</a>'
+        '<a href="sub/rel">rel</a>'
+        '<A HREF="UPPER/case">caps</A>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a href="#frag">frag</a>'
+        '</body></html>'
+    ).encode()
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(body) + body
+    )
+    uri = b"http://site.example/dir/page.html"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + uri
+        + b"\r\nWARC-Date: 2026-01-01T00:00:00Z"
+        + b"\r\nContent-Type: application/http; msgtype=response"
+        + b"\r\nContent-Length: " + str(len(http)).encode()
+        + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    df = spark.createDataFrame([(1, bytearray(rec))],
+                               "doc_id long, content binary")
+    rows = extract_links(df).collect()
+    got = sorted(r["dst_url"] for r in rows)
+    assert got == sorted([
+        "http://other.example/x?a=1&b=2",      # entity decoded
+        "http://site.example/root/y",           # root-relative
+        "http://proto.example/z",               # protocol-relative
+        "http://site.example/dir/sub/rel",      # path-relative
+        "http://site.example/dir/UPPER/case",   # unquoted+case attrs
+    ])
+    hosts = {r["dst_host"] for r in rows}
+    assert hosts == {"other.example", "site.example", "proto.example"}
+    assert all(r["src_host"] == "site.example" for r in rows)
