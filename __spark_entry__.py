@@ -1601,6 +1601,57 @@ def hits_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: distinct-character word pool for the BPE trainer gate. Every word
+#: has pairwise-distinct characters, so at every merge stage each
+#: adjacent symbol pair occurs AT MOST ONCE per pretoken — the one
+#: configuration where the twin's single left-to-right string replace
+#: is provably identical to the trainer's greedy scan (a repeated pair
+#: inside one word, e.g. 'abab', would let the replace consume the
+#: separator the next occurrence needs).
+_BPE_POOL = [
+    "bread", "break", "bride", "crane", "crimp",
+    "dog", "dove", "gates", "gusto",
+]
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE TRAINING under the driver gate (r12, VERDICT r11
+    #5: operators/bpe.py train_byte_bpe). Training is counting + argmax
+    per step — the NB/PageRank twin pattern — so the DuckDB twin
+    replicates the ENTIRE 8-step training loop as chained CTEs: pair
+    counting weighted by pretoken frequency, the (max count,
+    lexicographically-smallest) argmax, and the greedy merge rewrite,
+    over the same GPT-2 byte-alphabet symbols (space pretokens carry
+    the 0x120 'Ġ' byte symbol). The corpus is built in-plan from a
+    9-word distinct-character pool (see _BPE_POOL) whose frequencies
+    are doc_id arithmetic; the sample bound exceeds every corpus size,
+    so the hash-ordered sample is the whole corpus and the twin needs
+    no xxhash64. The trainer itself is the documented driver-side
+    exception (vocabulary-sized sequential state, the production-
+    tokenizer recipe); the gate proves its ARITHMETIC differentially.
+    Output: (step, merge_left, merge_right)."""
+    from datamancer_spark.operators.bpe import train_byte_bpe
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    pool = F.array(*[F.lit(w) for w in _BPE_POOL])
+    text = F.concat_ws(
+        " ",
+        F.element_at(pool, (F.col("doc_id") % 5 + 1).cast("int")),
+        F.element_at(
+            pool, (F.floor(F.col("doc_id") / 5) % 5 + 1).cast("int")
+        ),
+        F.element_at(pool, (F.col("doc_id") % 4 + 6).cast("int")),
+    )
+    corpus = doc.select(text.alias("text"))
+    merges = train_byte_bpe(
+        corpus, num_merges=8, sample_rows=2_000_000_000
+    )
+    return spark.createDataFrame(
+        [(k + 1, a, b) for k, (a, b) in enumerate(merges)],
+        "step int, merge_left string, merge_right string",
+    )
+
+
 def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes trained AND scored in one relational plan under the
     driver gate (r11, operators/classify.py naive_bayes_classify): the
@@ -3314,6 +3365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 zero-green #10: Naive Bayes — the trainable model the
         # -- twin can replicate end to end (training = counting).
         "nb_lang_classify": nb_lang_classify,
+        # -- r12 zero-green: byte-level BPE training vs an 8-step
+        # -- unrolled count→argmax→merge twin (VERDICT r11 #5).
+        "bpe_train_merges": bpe_train_merges,
         # -- r11 zero-green #11: HITS hubs/authorities (sqrt-free
         # -- sum-normalized power method vs a 10-stage unrolled twin).
         "hits_links": hits_links,
@@ -4488,6 +4542,81 @@ def oracle_sql() -> dict[str, str]:
     # log-posteriors, argmax with the same tie-break. ln() differs by
     # <=1 ulp between the JVM and libm; the 1e-6 rounding before the
     # argmax absorbs it.
+    # BPE trainer twin (r12): the full 8-step training loop unrolled —
+    # per step: pair counting weighted by pretoken frequency, argmax
+    # (max count, lexicographically-smallest pair — '!' as the symbol
+    # separator sorts below every symbol char, so concat order ==
+    # Python's tuple order), then ONE guarded string replace per
+    # pretoken (exact because the distinct-character pool guarantees
+    # each pair occurs at most once per pretoken; see _BPE_POOL).
+    _bsep = "!"
+    _g = "\u0120"  # GPT-2 byte symbol for 0x20 (space), "G-dot"
+    _pt_rows = []
+    for _j, _w in enumerate(_BPE_POOL[:5]):
+        _pt_rows.append(
+            f"('{_w}', '{_bsep.join(_w)}', "
+            f"(SELECT count(*) FROM documents WHERE doc_id % 5 = {_j}))"
+        )
+    for _j, _w in enumerate(_BPE_POOL[:5]):
+        _pt_rows.append(
+            f"('{_g}{_w}', '{_g}{_bsep}{_bsep.join(_w)}', "
+            f"(SELECT count(*) FROM documents"
+            f" WHERE (doc_id // 5) % 5 = {_j}))"
+        )
+    for _j, _w in enumerate(_BPE_POOL[5:9]):
+        _pt_rows.append(
+            f"('{_g}{_w}', '{_g}{_bsep}{_bsep.join(_w)}', "
+            f"(SELECT count(*) FROM documents WHERE doc_id % 4 = {_j}))"
+        )
+    _bpe_steps = []
+    for _k in range(1, 9):
+        _prev = f"bw{_k - 1}"
+        _bpe_steps.append(f"""        bp{_k} AS MATERIALIZED (
+          SELECT pr, sum(f) AS cnt FROM (
+            SELECT f, unnest(CASE WHEN len(toks) < 2
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(
+                            generate_series(1, len(toks) - 1),
+                            j -> toks[j] || '{_bsep}' || toks[j + 1])
+                     END) AS pr
+            FROM (SELECT f, string_split(syms, '{_bsep}') AS toks
+                  FROM {_prev})
+          ) GROUP BY pr
+        ),
+        bb{_k} AS MATERIALIZED (
+          SELECT pr FROM bp{_k} ORDER BY cnt DESC, pr ASC LIMIT 1
+        ),
+        bw{_k} AS MATERIALIZED (
+          SELECT pt, f,
+                 trim(replace('{_bsep}' || syms || '{_bsep}',
+                              '{_bsep}' || (SELECT pr FROM bb{_k})
+                                || '{_bsep}',
+                              '{_bsep}' || replace(
+                                  (SELECT pr FROM bb{_k}),
+                                  '{_bsep}', '') || '{_bsep}'),
+                      '{_bsep}') AS syms
+          FROM {_prev}
+        )""")
+    _bpe_out = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({_k} AS INT) AS step,
+               string_split((SELECT pr FROM bb{_k}), '{_bsep}')[1]
+                 AS merge_left,
+               string_split((SELECT pr FROM bb{_k}), '{_bsep}')[2]
+                 AS merge_right"""
+        for _k in range(1, 9)
+    )
+    _pt_sql = ",\n            ".join(_pt_rows)
+    _steps_sql = ",\n".join(_bpe_steps)
+    sql["bpe_train_merges"] = f"""
+        WITH bw0 AS MATERIALIZED (
+          SELECT * FROM (VALUES
+            {_pt_sql}
+          ) t(pt, syms, f)
+        ),
+{_steps_sql}
+{_bpe_out}
+    """
+
     sql["nb_lang_classify"] = """
         WITH toks AS (
           SELECT doc_id,

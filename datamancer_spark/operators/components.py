@@ -134,6 +134,8 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     round_decimals: int | None = None,
+    tol: float | None = None,
+    return_rounds: bool = False,
 ) -> DataFrame:
     """PageRank by fixed-iteration power method (r11) — the link-graph
     quality signal crawl curation ranks and samples by. Directed
@@ -155,7 +157,19 @@ def pagerank(
     at a much coarser step (e.g. 6 decimals) absorbs that drift so
     results are bit-stable across engines and partitionings — the
     differential-gate convention (the gate rounds at 6 and compares at
-    4). None keeps full precision."""
+    4). None keeps full precision.
+
+    ``tol`` (r12, VERDICT r11 #8 — the early-stop tier): when set,
+    each round additionally computes max |Δrank| (one distributed agg
+    → one driver scalar, the ``connected_components`` convergence-
+    check convention) and stops as soon as it is ≤ tol; ``iters``
+    becomes the CAP. At scale a fixed count wastes whole rounds after
+    convergence — each a full edge-list join — while web-graph power
+    iteration typically converges long before a conservative cap.
+    With ``round_decimals`` set, tol=0 stops at the exact rounded
+    fixed point, where further iterations provably change nothing.
+    ``return_rounds=True`` returns ``(ranks, rounds_run)`` so callers
+    (and the scaling table) can see the rounds saved."""
     # a crawl edge list carries NULL endpoints (unresolvable hrefs);
     # they are not nodes — dropped, not propagated into the node set
     e = (
@@ -173,7 +187,9 @@ def pagerank(
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ed = materialize(e.join(deg, "u"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = materialize(ranks)
     base = (1.0 - damping) / n
+    rounds_run = 0
     for _ in range(int(iters)):
         contrib = (
             ed.join(ranks, ed.u == ranks.node)
@@ -194,12 +210,31 @@ def pagerank(
         )
         if round_decimals is not None:
             new_rank = F.round(new_rank, round_decimals)
+        prev = ranks
         ranks = (
             nodes.join(contrib, nodes.node == contrib.v, "left")
             .crossJoin(F.broadcast(dangling))
             .select("node", new_rank.alias("rank"))
         )
         ranks = materialize(ranks)
+        rounds_run += 1
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.select(
+                        "node", F.col("rank").alias("_prev")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta <= tol:
+                break
+    if return_rounds:
+        return ranks, rounds_run
     return ranks
 
 
