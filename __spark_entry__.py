@@ -3318,83 +3318,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
         "train_test_split": train_test_split,
-        # -- r10 zero-green: the crawl→corpus capstone (VERDICT
-        # -- r9 #1) — WARC bytes → quality → exact dedup → fuzzy
-        # -- dedup → survivor corpus, closed-form survivor twin.
-        "pipeline_from_crawl": pipeline_from_crawl,
-        # -- r11 zero-green #1: the SAME capstone with the production
-        # -- fuzzy tier (MinHash-LSH candidates → exact-Jaccard
-        # -- verify) — the 100-TB seam as ONE plan (VERDICT r10 #1).
+        # -- the 12 r11 zero-greens accruing their SECOND driver
+        # -- proof (r12 rotation, VERDICT r11 #6), interleaved with
+        # -- the 5 r12 zero-greens next to their seam siblings:
         "pipeline_from_crawl_lsh": pipeline_from_crawl_lsh,
-        # -- r11 zero-green #2: the Bloom pre-screen's md5 position
-        # -- arithmetic under the driver gate (VERDICT r10 #2) —
-        # -- probe flags + no-false-negative contract exposed.
         "dedup_bloom_screened": dedup_bloom_screened,
-        # -- r11 zero-green #3: portable HyperLogLog (persistable,
-        # -- union+max-mergeable register frame; register-exact twin).
         "doc_distinct_hll": doc_distinct_hll,
-        # -- r11 zero-green #4: unicode NFC normalization — Python
-        # -- unicodedata vs DuckDB utf8proc, byte-pinned via md5.
         "normalize_nfc_text": normalize_nfc_text,
-        # -- r11 zero-green #5: RFC 9309 robots.txt gate (real parse
-        # -- in-plan; closed-form outcome twin).
         "robots_crawl_gate": robots_crawl_gate,
-        # -- r12 zero-green: the discovery seam — robots → sitemaps
-        # -- (index resolved one level) → frontier → robots gate
-        # -- (VERDICT r11 #3).
+        # -- r12 zero-green #1: the discovery seam — robots →
+        # -- sitemaps (index resolved one level) → frontier →
+        # -- robots gate (VERDICT r11 #3).
         "sitemap_discovery_frontier": sitemap_discovery_frontier,
-        # -- r11 zero-green #6: directed n-gram containment join
-        # -- (asymmetric near-dup: quotes/subset pages).
         "containment_pairs": containment_pairs,
-        # -- r12 zero-green: the same join with the hot-shingle guard
-        # -- under a df=|corpus| boilerplate footer (VERDICT r11 #1).
+        # -- r12 zero-green #2: the containment join under the
+        # -- hot-shingle guard, df=|corpus| footer (VERDICT r11 #1).
         "containment_guarded_pairs": containment_guarded_pairs,
-        # -- r11 zero-green #7: the COMPLETE production crawl front
-        # -- end in one plan (robots → URL screen → quality → exact
-        # -- dedup → LSH-verified fuzzy), closed-form survivors.
         "pipeline_crawl_production": pipeline_crawl_production,
-        # -- r11 zero-green #8: per-line boilerplate removal (content
-        # -- extraction heuristics; ordered reassembly md5-pinned).
         "boilerplate_filter_doc": boilerplate_filter_doc,
-        # -- r11 zero-green #9: PageRank (iterative power method vs a
-        # -- 10-stage unrolled CTE twin).
         "pagerank_links": pagerank_links,
-        # -- r12 zero-green: the crawl→graph seam — WARC → href
+        # -- r12 zero-green #3: the crawl→graph seam — WARC → href
         # -- extraction → PageRank (VERDICT r11 #4).
         "pagerank_crawl_links": pagerank_crawl_links,
-        # -- r11 zero-green #10: Naive Bayes — the trainable model the
-        # -- twin can replicate end to end (training = counting).
         "nb_lang_classify": nb_lang_classify,
-        # -- r12 zero-green: byte-level BPE training vs an 8-step
+        # -- r12 zero-green #4: byte-level BPE training vs an 8-step
         # -- unrolled count→argmax→merge twin (VERDICT r11 #5).
         "bpe_train_merges": bpe_train_merges,
-        # -- r11 zero-green #11: HITS hubs/authorities (sqrt-free
-        # -- sum-normalized power method vs a 10-stage unrolled twin).
         "hits_links": hits_links,
-        # -- r11 zero-green #12: temperature-scaled mixture (n^α
-        # -- weights derived in-engine; whole chain twinned in SQL).
         "temperature_mix_langs": temperature_mix_langs,
-        # -- r10 zero-green #2: URL-level page gate (host blocklist +
-        # -- blocked path terms) over the crawl front end.
+        # -- r12 zero-green #5: charset-aware WARC payload decode,
+        # -- six arms, md5-pinned text (VERDICT r11 #2).
+        "warc_charset_decode": warc_charset_decode,
+        # -- remaining 17 slots: the STALEST multiply-proven members
+        # -- (last green r3-r4) for third/fourth proofs; the r11
+        # -- window's 2x-proven members rotate out to the queue.
+        "spread_pivot": spread_pivot,
+        "gather_melt": gather_melt,
+        "text_stats": text_stats,
+        "text_langid": text_langid,
+        "semi_join": semi_join_q,
+        "array_ops": array_ops,
+        "text_fingerprint": text_fingerprint,
+        "repetition_quality": repetition_quality,
+        "line_dedup": line_dedup,
+        "contamination_screen": contamination_screen,
+        "stratified_sample_counts": stratified_sample_counts,
+        "dedup_canonical": dedup_canonical,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "knn_lsh": knn_lsh,
+        "q1_pricing_summary": q1_pricing_summary,
+        # ---- outside the window: all >=2x driver-proven, still
+        # ---- verified every round by the local oracle harness
+        "pipeline_from_crawl": pipeline_from_crawl,
         "crawl_url_screen": crawl_url_screen,
-        # -- r10 zero-green #3: product-quantization ADC kNN (packed
-        # -- bigint codes; the memory-scale ANN tier).
         "knn_pq_codes": knn_pq_codes,
-        # -- r10 zero-green #4: margin-based bitext mining (ratio
-        # -- criterion over both kNN directions).
         "mine_bitext_pairs": mine_bitext_pairs,
-        # -- r10 zero-green #5: count-min sketch frequency estimates
-        # -- (mergeable 4x256 counter matrix; one-sided error).
         "token_freq_cms": token_freq_cms,
-        # -- the 11 r9-once-green media/crawl queries accruing
-        # -- their SECOND driver proof (r10 rotation, VERDICT r9
-        # -- #4). media_decode_coverage_mix is re-gated on the
-        # -- 11-tier mix (ADTS-AAC added r10).
         "image_decode_multiformat": image_decode_multiformat,
         "warc_ingest_crawl": warc_ingest_crawl,
-        # -- r12 zero-green: charset-aware WARC payload decode
-        # -- (VERDICT r11 #2) — six arms, md5-pinned text.
-        "warc_charset_decode": warc_charset_decode,
         "image_decode_dims": image_decode_dims,
         "resize_thumbs_rgb": resize_thumbs_rgb,
         "audio_decode_props": audio_decode_props,
@@ -3404,11 +3387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_pairs_b8": image_dhash_pairs_b8,
         "audio_dhash_real_pairs": audio_dhash_real_pairs,
         "curate_audio_mix": curate_audio_mix,
-        # -- no query anywhere is <2x-proven beyond the above, so
-        # -- the remaining 22 slots go to the STALEST 2x-proven
-        # -- members (last green r2-r5) for third proofs; the
-        # -- 3-4x-proven r9 window members rotate out to the
-        # -- all-proven queue.
         "filter_select": filter_select,
         "arrange_head": arrange_head,
         "unique_first": unique_first,
@@ -3431,8 +3409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_status": rollup_status,
         "transmute_math": transmute_math,
         "string_ops": string_ops,
-        # ---- outside the window: all >=2x driver-proven, still
-        # ---- verified every round by the local oracle harness
         "bm25_search_terms": bm25_search_terms,
         "ab_conversion_report": ab_conversion_report,
         "tfidf_similar_docs": tfidf_similar_docs,
@@ -3486,7 +3462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": json_extract_props,
         "date_parts": date_parts,
         "masked_assign": masked_assign,
-        "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_revenue_delta": q6_revenue_delta,
@@ -3499,24 +3474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_signup": asof_signup,
         "quantiles_by_group": quantiles_by_group,
         "grouped_zscore": grouped_zscore,
-        "repetition_quality": repetition_quality,
-        "line_dedup": line_dedup,
-        "contamination_screen": contamination_screen,
         "text_quality": text_quality,
         "tfidf_top_terms": tfidf_top_terms,
-        "stratified_sample_counts": stratified_sample_counts,
-        "dedup_canonical": dedup_canonical,
-        "dedup_jaccard": dedup_jaccard,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding": dedup_embedding,
-        "knn_lsh": knn_lsh,
-        "spread_pivot": spread_pivot,
-        "gather_melt": gather_melt,
-        "text_stats": text_stats,
-        "text_langid": text_langid,
-        "semi_join": semi_join_q,
-        "array_ops": array_ops,
-        "text_fingerprint": text_fingerprint,
     }
 
 

@@ -155,6 +155,15 @@ HEADLINE = [
     "nb_lang_classify",
     "hits_links",
     "temperature_mix_langs",
+    # round-12 additions: the discovery seam (robots → sitemaps →
+    # frontier → robots gate), the hot-shingle-guarded containment
+    # join, the crawl→graph seam (href extraction → PageRank), the
+    # byte-BPE trainer gate, and charset-aware WARC decode
+    "sitemap_discovery_frontier",
+    "containment_guarded_pairs",
+    "pagerank_crawl_links",
+    "bpe_train_merges",
+    "warc_charset_decode",
 ]
 
 
@@ -263,6 +272,22 @@ def main() -> None:
         except Exception as e:
             print(f"bench: block cleanup failed: {e!r}", file=sys.stderr)
 
+    # VERDICT r11 #7: assert the LSH capstone's exchange budget IN THE
+    # BATCH SESSION (not just the isolated pytest pin), so a slow batch
+    # sample is provably contention noise and never plan drift.
+    lsh_exchanges = None
+    try:
+        from datamancer_spark.plans import executed_plan
+
+        plan = executed_plan(qs["pipeline_from_crawl_lsh"](spark, sf_dir))
+        lsh_exchanges = plan.count("Exchange")
+        if lsh_exchanges > 8:
+            errors["pipeline_from_crawl_lsh_plan"] = (
+                f"exchange budget blown in batch: {lsh_exchanges} > 8"
+            )
+    except Exception as e:
+        print(f"bench: lsh plan pin failed: {e!r}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     # round-over-round discipline: per-query delta vs the latest recorded
     # BENCH_r{N}.json so regressions are visible in one glance
@@ -326,6 +351,7 @@ def main() -> None:
                 "sf": sf,
                 "prev_bench": prev_name,
                 "delta_vs_prev": delta,
+                "lsh_capstone_exchanges_in_batch": lsh_exchanges,
             },
             f,
             indent=1,

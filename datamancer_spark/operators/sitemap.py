@@ -120,7 +120,19 @@ def sitemap_url_frontier(
     fetched-docs frame on (host, loc) — fetching is the crawl layer's
     job, resolution is one relational join. A child that is itself an
     index contributes nothing (its ``<sitemap>`` entries are not
-    followed further — documented one-level bound)."""
+    followed further — documented one-level bound).
+
+    The docs frame feeds THREE consumers (root selection, the child
+    resolution join, the nested parse) and the top-level entries feed
+    two (direct URLs, child list) — both are pinned once via
+    ``materialize``, or an expensively-derived fetch frame (e.g. built
+    from a crawl) re-executes per consumer (the r11 NB 18-scans
+    lesson; measured at sf0.1: 36 parquet scans / 185 exchanges
+    unpinned → 0 scans / 21 exchanges pinned, steady-state wall
+    24.8 s → 6.6 s)."""
+    from ..session import materialize
+
+    docs = materialize(docs)
     roots = docs
     if entry_points is not None:
         ep = entry_points.select(
@@ -133,8 +145,10 @@ def sitemap_url_frontier(
             & (docs[url_col] == ep["sitemap_url"]),
             "left_semi",
         )
-    top = sitemap_entries(
-        roots, xml_col=xml_col, url_col=url_col, host_col=host_col
+    top = materialize(
+        sitemap_entries(
+            roots, xml_col=xml_col, url_col=url_col, host_col=host_col
+        )
     )
     direct = top.filter(F.col("kind") == "url")
     children = top.filter(F.col("kind") == "sitemap").select(

@@ -94,6 +94,12 @@ COMMENT = {
     "boilerplate_filter_doc": "Per-line boilerplate removal: posexplode → all four rules as codegen'd expressions on the line projection → ONE doc-keyed shuffle for the ordered re-aggregation (array_sort over (pos, line) structs) + a broadcast join back. Linear in corpus lines.",
     "pagerank_links": "PageRank, 10 fixed iterations: per round ONE broadcast-able rank join to the static out-degreed edge list, one dst-keyed partial-aggregated sum, a 1-row dangling-mass crossJoin, localCheckpoint truncating lineage. Wall is iteration-count × fixed overhead at gate sizes (SCALING.md: flat across 16× nodes); per-iteration 1e-6 rounding makes the result engine- and layout-stable.",
     "nb_lang_classify": "Relational Naive Bayes: the token stream and label projection pin ONCE (18 parquet scans -> 0, audited); every join is a BROADCAST of a class- or vocabulary-bounded frame (zero sort-merge joins — pinned), so the corpus-sized exchanges are just the doc-token count, the class-token count, the vocab distinct, the (doc, class) score aggregation and the argmax window. The raw exchange count reads high because it includes ~16 BroadcastExchanges of model/scalar frames and 5 single-row scalar exchanges — bytes-wise they are noise. The whole train+score plan is differentially checked.",
+    "sitemap_discovery_frontier": "Discovery seam (robots -> sitemaps -> frontier -> robots gate): the fetched-sitemap frame and its top-level entries pin ONCE (unpinned: 36 parquet scans / 185 exchanges; pinned: 0 / 21, wall 24.8 -> 6.6 s steady-state at sf0.1). Parse is a shuffle-free regexp-block explode; child resolution is one semi-join; the frontier dedup one groupBy(host, url); the robots gate windows over DISTINCT (host, path) pairs and joins back null-safely — the r12 deterministic-key form.",
+    "containment_guarded_pairs": "The guarded containment join under a df=|corpus| boilerplate footer: postings prune on document frequency BEFORE the self-join (a corpus-sized explode, a sh-keyed df count, a semi-join, then the pair join over rare postings only). Denominators come narrowly from F.size on the pinned shingle arrays — never a second explode. Emitted pairs stay linear where the unguarded form is quadratic (SCALING.md r12 rows).",
+    "pagerank_crawl_links": "Crawl->graph seam: WARC record walk (one Arrow pass) -> charset decode + three href regexp passes + resolution, all scan-side Catalyst -> distinct edge list -> the pagerank per-round shape (broadcast-able rank join, dst-keyed partial sum, 1-row dangling crossJoin, checkpoint). The audited final plan shows the post-checkpoint tail only — the per-round shape is pagerank_links', plan-pinned there.",
+    "bpe_train_merges": "Byte-BPE training gate: the corpus projection is one scan; the trainer is the documented DRIVER-SIDE exception (vocabulary-sized sequential state over a bounded sample — here the whole gate corpus), so the executed plan is the 8-row local merge table. The differential value is the twin: DuckDB re-runs the full count -> argmax -> merge loop unrolled and must reproduce every merge exactly.",
+    "warc_charset_decode": "Charset-aware ingest: ONE Arrow mapInPandas record walk, then BOM/header/meta sniffing, the cp1252 translate, UTF-16 decodes and the HTML->text chain all evaluate scan-side in whole-stage codegen — one exchange total (the fixture frame's round-robin spread), no joins.",
+
 }
 
 

@@ -1,0 +1,121 @@
+"""Round-12 scaling studies (appended to SCALING.md by hand):
+
+1. Containment join with a corpus-wide HOT SHINGLE present (VERDICT
+   r11 #1 done-criterion): constant-density 1x/4x/16x corpora, every
+   doc carrying the same boilerplate footer (shingle df = |corpus|).
+   Measures guarded (max_doc_freq=50) vs unguarded wall + emitted
+   pair rows — the unguarded posting self-join's pair volume must
+   grow ~quadratically while the guarded stays ~linear.
+
+2. PageRank early stop (VERDICT r11 #8): fixed-10 vs tol-converged
+   rounds/wall on the synthetic 2-out-edge graph.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from datamancer_spark import get_spark, load_tables
+
+FOOTER = " shared legal footer all rights reserved worldwide"
+
+
+def _const_density_docs(spark, copies: int):
+    doc = load_tables(spark, "/root/testdata/sf0.01", ["documents"])[
+        "documents"
+    ].df
+    n = doc.count()
+    copies_df = spark.range(copies).withColumnRenamed("id", "copy")
+    iso = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda w: F.concat(w, F.lit("x"), F.col("copy").cast("string")),
+        ),
+    )
+    big = (
+        doc.crossJoin(copies_df)
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * n)
+        .withColumn(
+            "text",
+            F.when(F.col("copy") == 0, F.coalesce(F.col("text"), F.lit("")))
+            .otherwise(iso),
+        )
+        .drop("copy")
+    )
+    # the HOT SHINGLE: identical footer on EVERY doc across all copies
+    return big.withColumn("text", F.concat(F.col("text"), F.lit(FOOTER)))
+
+
+def containment_study() -> None:
+    from datamancer_spark.operators.dedup import ngram_containment_pairs
+
+    spark = get_spark()
+    print("| corpus | variant | wall (s) | pair rows |")
+    print("|---|---|---|---|")
+    for copies, tag in ((1, "1x"), (4, "4x"), (16, "16x")):
+        docs = _const_density_docs(spark, copies)
+        docs.write.mode("overwrite").parquet("/tmp/r12_contain.parquet")
+        frame = spark.read.parquet("/tmp/r12_contain.parquet")
+        for variant, cap in (("unguarded", None), ("max_doc_freq=50", 50)):
+            t0 = time.time()
+            n = ngram_containment_pairs(
+                frame, shingle_n=3, threshold=0.2, max_doc_freq=cap
+            ).count()
+            print(
+                f"| {tag} | {variant} | {time.time() - t0:.2f} | {n} |",
+                flush=True,
+            )
+
+
+def pagerank_study() -> None:
+    from datamancer_spark.operators.components import pagerank
+
+    spark = get_spark()
+    print("| nodes | form | rounds | wall (s) |")
+    print("|---|---|---|---|")
+    for n in (5_000, 80_000):
+        # ring + 100-hub concentration: the bijective ring alone has a
+        # UNIFORM stationary distribution (in-degree 2 everywhere), so
+        # tol=0 would fire trivially after round 1 — the hub edges make
+        # ranks genuinely non-uniform so convergence takes real rounds
+        edges = spark.range(n).select(
+            F.col("id").alias("src"), ((F.col("id") * 7 + 1) % n).alias("dst")
+        ).unionByName(
+            spark.range(n).select(
+                F.col("id").alias("src"),
+                (F.col("id") % 100).alias("dst"),
+            )
+        )
+        t0 = time.time()
+        pagerank(edges, iters=30).count()
+        print(f"| {n} | fixed-30 | 30 | {time.time() - t0:.2f} |", flush=True)
+        # power iteration error decays ~damping^k (0.85^k), so a 1e-6
+        # target needs ~85 rounds — tol expresses the ACTUAL precision
+        # need instead of a worst-case cap
+        t0 = time.time()
+        _, rounds = pagerank(
+            edges, iters=30, tol=1e-4, return_rounds=True
+        )
+        print(
+            f"| {n} | tol=1e-4, cap 30 | {rounds} "
+            f"| {time.time() - t0:.2f} |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "pagerank" in sys.argv:
+        pagerank_study()
+    else:
+        containment_study()
