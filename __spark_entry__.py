@@ -3025,29 +3025,13 @@ def robots_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SM_NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
 
 
-def sitemap_discovery_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl-DISCOVERY seam as ONE plan (r12, VERDICT r11 #3:
-    operators/sitemap.py): robots.txt names the sitemaps
-    (robots_sitemaps), a sitemapindex resolves one level against the
-    fetched-docs frame, urlsets become the (host, url, lastmod,
-    n_sources) frontier, and the frontier gates back through the SAME
-    robots rules (robots_url_filter) — the companion seam to
-    pipeline_crawl_production's fetch side.
-
-    Everything is built in-plan from doc_id arithmetic: 7 hosts; per
-    host an index (→ sm_a.xml even docs WITH lastmod, sm_b.xml odd
-    docs WITHOUT — the optional-field alignment case) plus a direct
-    urlset (an entity-escaped &amp; start URL, and every doc_id%10==0
-    page AGAIN → n_sources=2, lastmod = max(declared, NULL)); hosts
-    ≡0 (mod 3) Disallow /d/. The twin enumerates the closed form."""
-    from datamancer_spark.operators.robots import (
-        parse_robots,
-        robots_sitemaps,
-        robots_url_filter,
-    )
-    from datamancer_spark.operators.sitemap import sitemap_url_frontier
-
-    doc = _t(spark, sf_dir, "documents")["documents"].df
+def _sitemap_fixture(spark: SparkSession, doc: DataFrame):
+    """(robots, fetched) frames for the discovery-seam gates: 7 hosts,
+    per host a robots.txt naming an index + a direct urlset, the index
+    resolving to sm_a.xml (even docs, WITH lastmod) and sm_b.xml (odd
+    docs, no lastmod); direct.xml carries an entity-escaped start URL
+    plus every doc_id%10==0 page again. All doc_id arithmetic — both
+    twins enumerate the resulting frontier in closed form."""
     hosts = spark.range(7).select(
         F.col("id").alias("h"),
         F.concat(F.lit("s"), F.col("id").cast("string"), F.lit(".example"))
@@ -3147,6 +3131,32 @@ def sitemap_discovery_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xml"),
     )
     fetched = index.unionByName(sm_a).unionByName(sm_b).unionByName(direct)
+    return robots, fetched
+
+
+def sitemap_discovery_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-DISCOVERY seam as ONE plan (r12, VERDICT r11 #3:
+    operators/sitemap.py): robots.txt names the sitemaps
+    (robots_sitemaps), a sitemapindex resolves one level against the
+    fetched-docs frame, urlsets become the (host, url, lastmod,
+    n_sources) frontier, and the frontier gates back through the SAME
+    robots rules (robots_url_filter) — the companion seam to
+    pipeline_crawl_production's fetch side.
+
+    Everything is built in-plan from doc_id arithmetic (see
+    _sitemap_fixture): the optional-lastmod alignment case lives in
+    sm_b, the n_sources=2 overlap in direct.xml, the entity-escaped
+    start URL per host; hosts ≡0 (mod 3) Disallow /d/. The twin
+    enumerates the closed form."""
+    from datamancer_spark.operators.robots import (
+        parse_robots,
+        robots_sitemaps,
+        robots_url_filter,
+    )
+    from datamancer_spark.operators.sitemap import sitemap_url_frontier
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    robots, fetched = _sitemap_fixture(spark, doc)
     ep = robots_sitemaps(robots)
     frontier = sitemap_url_frontier(fetched, entry_points=ep)
     rules = parse_robots(robots)
@@ -3157,6 +3167,73 @@ def sitemap_discovery_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lastmod",
         F.col("n_sources").cast("long").alias("n_sources"),
         "robots_allowed",
+    )
+
+
+def frontier_bloom_tofetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL discovery under the driver gate (r12): the sitemap
+    frontier probes a Bloom filter of already-crawled URLs — the seam
+    a recurring crawl actually runs (discovery emits millions of URLs
+    per cycle, almost all already fetched; the zero-shuffle Bloom
+    probe discards the bulk before any exact anti-join touches the
+    crawled-URL index). Crawled set = every doc_id%3==0 page URL plus
+    all start URLs (arithmetic, so the twin rebuilds the same 2048-bit
+    occupied-position frame from md5). Output per frontier URL:
+    (host, url, maybe_seen, is_crawled, contract_ok) — maybe_seen
+    False ⇒ definitely new (fetch it), contract_ok pins the
+    no-false-negative Bloom contract in BOTH engines; real false
+    positives exist at this occupancy, so the flags are non-trivial."""
+    from datamancer_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+    from datamancer_spark.operators.robots import robots_sitemaps
+    from datamancer_spark.operators.sitemap import sitemap_url_frontier
+    from datamancer_spark.session import materialize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    robots, fetched = _sitemap_fixture(spark, doc)
+    frontier = sitemap_url_frontier(
+        fetched, entry_points=robots_sitemaps(robots)
+    ).select("host", "url")
+    crawled = materialize(
+        doc.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.concat(
+                F.lit("http://s"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example/d/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
+        .unionByName(
+            spark.range(7).select(
+                F.concat(
+                    F.lit("http://s"),
+                    F.col("id").cast("string"),
+                    F.lit(".example/start?a=1&b=2"),
+                ).alias("url")
+            )
+        )
+    )
+    bloom = bloom_build(crawled, "url", num_bits=2048, num_hashes=4)
+    probed = bloom_maybe_contains(frontier, bloom, "url", 2048, 4)
+    crawled_set = crawled.select(F.col("url").alias("_curl")).distinct()
+    return (
+        probed.join(
+            F.broadcast(crawled_set),
+            F.col("url") == F.col("_curl"),
+            "left",
+        )
+        .select(
+            "host",
+            "url",
+            "maybe_seen",
+            F.col("_curl").isNotNull().alias("is_crawled"),
+            (
+                F.col("maybe_seen") | F.col("_curl").isNull()
+            ).alias("contract_ok"),
+        )
     )
 
 
@@ -3248,6 +3325,42 @@ def pipeline_crawl_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         F.size(F.split("text", " ")).alias("n_words"),
     )
+
+
+def canonicalize_frontier_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization under the driver gate (r12,
+    operators/scrub.py normalize_url + resolve_dot_segments — the
+    frontier layer's dedup-key normalizer, closing the dot-segment
+    scope bound extract_links documents). Messy URLs are doc_id
+    arithmetic covering every arm at once: uppercase scheme AND host,
+    a default port to strip (:80/:443 matched to the scheme), a
+    ``b/../`` pop plus a ``./`` drop, a preserved deep trailing slash,
+    a fragment, and a tracking param in both leading and trailing
+    query positions. The dot-segment fold is a single Catalyst
+    F.aggregate (JVM-side, pinned Python-free by pytest); the twin
+    enumerates the canonical closed form."""
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    i = F.col("doc_id")
+    s = i.cast("string")
+    messy = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTP://S")).otherwise(F.lit("https://S")),
+        (i % 7).cast("string"),
+        F.lit(".Example.com"),
+        F.when((i % 3 == 0) & (i % 2 == 0), F.lit(":80"))
+        .when(i % 3 == 0, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/a/b/../d"), s, F.lit("/./x"),
+        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.concat(F.lit("?utm_source=tw&id="), s))
+        .when(i % 4 == 1, F.concat(F.lit("?id="), s, F.lit("&gclid=zz")))
+        .otherwise(F.lit("")),
+        F.lit("#s"), s,
+    )
+    from datamancer_spark.operators.scrub import normalize_url
+
+    return doc.select(
+        "doc_id", messy.alias("url_messy")
+    ).withColumn("url_canon", normalize_url(F.col("url_messy")))
 
 
 def crawl_url_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3349,6 +3462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green #5: charset-aware WARC payload decode,
         # -- six arms, md5-pinned text (VERDICT r11 #2).
         "warc_charset_decode": warc_charset_decode,
+        # -- r12 zero-green #6: URL canonicalization (dot segments,
+        # -- default ports, case, tracking params) — the frontier
+        # -- dedup key.
+        "canonicalize_frontier_urls": canonicalize_frontier_urls,
+        # -- r12 zero-green #7: incremental discovery — the frontier
+        # -- probes the crawled-URL Bloom filter (fetch only the new).
+        "frontier_bloom_tofetch": frontier_bloom_tofetch,
         # -- remaining 17 slots: the STALEST multiply-proven members
         # -- (last green r3-r4) for third/fourth proofs; the r11
         # -- window's 2x-proven members rotate out to the queue.
@@ -3367,10 +3487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
-        "knn_lsh": knn_lsh,
-        "q1_pricing_summary": q1_pricing_summary,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "knn_lsh": knn_lsh,
+        "q1_pricing_summary": q1_pricing_summary,
         "pipeline_from_crawl": pipeline_from_crawl,
         "crawl_url_screen": crawl_url_screen,
         "knn_pq_codes": knn_pq_codes,
@@ -6512,6 +6632,95 @@ def oracle_sql() -> dict[str, str]:
           FROM hosts
         )
         SELECT * FROM durls UNION ALL SELECT * FROM starts
+    """
+
+    # Incremental-discovery twin (r12): the frontier enumerates in
+    # closed form (sitemap twin's arithmetic), the crawled set's
+    # 2048-bit occupied-position frame rebuilds from the same
+    # fingerprint + md5('bl'||i||fp) convention as dedup_bloom_screened.
+    sql["frontier_bloom_tofetch"] = """
+        WITH hostsq AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+        durls AS (
+          SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+                 'http://s' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/d/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        ),
+        starts AS (
+          SELECT 's' || CAST(h AS VARCHAR) || '.example' AS host,
+                 'http://s' || CAST(h AS VARCHAR)
+                   || '.example/start?a=1&b=2' AS url
+          FROM hostsq
+        ),
+        frontier AS (
+          SELECT * FROM durls UNION ALL SELECT * FROM starts
+        ),
+        crawled AS (
+          SELECT 'http://s' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/d/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT url FROM starts
+        ),
+        crawledf AS (
+          SELECT DISTINCT
+                 md5(regexp_replace(lower(trim(coalesce(url, ''))),
+                                    '\\s+', ' ', 'g')) AS fp
+          FROM crawled
+        ),
+        positions AS (
+          SELECT DISTINCT
+                 CAST('0x' || substr(md5('bl' || CAST(g.i AS VARCHAR)
+                                          || s.fp), 1, 15)
+                      AS BIGINT) % 2048 AS pos
+          FROM crawledf s, generate_series(0, 3) g(i)
+        ),
+        probes AS (
+          SELECT f.host, f.url,
+                 CAST('0x' || substr(md5('bl' || CAST(g.i AS VARCHAR)
+                        || md5(regexp_replace(lower(trim(coalesce(f.url, ''))),
+                                              '\\s+', ' ', 'g'))), 1, 15)
+                      AS BIGINT) % 2048 AS pos
+          FROM frontier f, generate_series(0, 3) g(i)
+        ),
+        flags AS (
+          SELECT host, url,
+                 bool_and(pos IN (SELECT pos FROM positions)) AS maybe_seen
+          FROM probes GROUP BY host, url
+        )
+        SELECT fl.host, fl.url, fl.maybe_seen,
+               (fl.url IN (SELECT url FROM crawled)) AS is_crawled,
+               (fl.maybe_seen OR fl.url NOT IN (SELECT url FROM crawled))
+                 AS contract_ok
+        FROM flags fl
+    """
+
+    # URL canonicalization twin (r12): the messy construction AND the
+    # canonical closed form both enumerate from doc_id arithmetic.
+    sql["canonicalize_frontier_urls"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'HTTP://S'
+                    ELSE 'https://S' END
+                 || CAST(doc_id % 7 AS VARCHAR) || '.Example.com'
+                 || CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ':80'
+                         WHEN doc_id % 3 = 0 THEN ':443'
+                         ELSE '' END
+                 || '/a/b/../d' || CAST(doc_id AS VARCHAR) || '/./x'
+                 || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN '?utm_source=tw&id=' || CAST(doc_id AS VARCHAR)
+                         WHEN doc_id % 4 = 1
+                         THEN '?id=' || CAST(doc_id AS VARCHAR) || '&gclid=zz'
+                         ELSE '' END
+                 || '#s' || CAST(doc_id AS VARCHAR) AS url_messy,
+               CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+                 || '://s' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                 || '/a/d' || CAST(doc_id AS VARCHAR) || '/x'
+                 || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                 || CASE WHEN doc_id % 4 IN (0, 1)
+                         THEN '?id=' || CAST(doc_id AS VARCHAR)
+                         ELSE '' END AS url_canon
+        FROM documents
     """
 
     # Charset decode twin (r12): expected text rebuilt from chr()

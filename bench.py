@@ -164,6 +164,8 @@ HEADLINE = [
     "pagerank_crawl_links",
     "bpe_train_merges",
     "warc_charset_decode",
+    "canonicalize_frontier_urls",
+    "frontier_bloom_tofetch",
 ]
 
 

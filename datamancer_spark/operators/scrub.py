@@ -124,17 +124,66 @@ def extract_urls(
     return urls.withColumn("host", host)
 
 
+def resolve_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal as ONE Catalyst
+    ``F.aggregate`` fold over the '/'-split segments (JVM whole-stage
+    codegen, no UDF): ``..`` pops the last output segment, ``.``
+    drops, everything else (including empty segments from ``//``)
+    appends. Leading ``..`` above the root stays at the root, per the
+    RFC. Documented simplification: a path ENDING in ``/..`` or ``/.``
+    loses the RFC's trailing slash (crawl canonicalizers treat the
+    directory and its index as one key anyway); a literal trailing
+    ``/`` is preserved. Empty input stays empty."""
+    inner = F.regexp_replace(path, "^/", "")
+    segs = F.split(inner, "/")
+    folded = F.aggregate(
+        segs,
+        F.lit(""),
+        lambda acc, x: (
+            F.when(x == "..", F.regexp_replace(acc, "(^|/)[^/]*$", ""))
+            .when(x == ".", acc)
+            .when(acc == "", x)
+            .otherwise(F.concat(acc, F.lit("/"), x))
+        ),
+    )
+    return F.when(path == "", F.lit("")).otherwise(
+        F.concat(F.lit("/"), folded)
+    )
+
+
 def normalize_url(url: Column) -> Column:
-    """Canonical URL form for dedup keys: lowercase scheme+host, strip
-    fragment, strip common tracking params (utm_*, fbclid, gclid),
-    drop a trailing ``/`` on bare paths. Conservative: the query-string
-    scrub removes only the known-tracking keys, preserving semantic
-    params."""
+    """Canonical URL form for dedup keys: lowercase scheme+host (scheme
+    matching is case-insensitive per RFC 3986 §3.1 — ``HTTP://`` URLs
+    normalize instead of mangling, r12), strip the default port
+    (``:80`` http / ``:443`` https, r12), strip fragment, resolve
+    ``.``/``..`` dot segments (r12, ``resolve_dot_segments``), strip
+    common tracking params (utm_*, fbclid, gclid), drop a trailing
+    ``/`` on bare paths. Non-http(s) inputs pass through unchanged
+    (extract_urls only emits http/https). Conservative: the
+    query-string scrub removes only the known-tracking keys,
+    preserving semantic params; percent-encoding is NOT normalized
+    (decoding unreserved escapes changes bytes — out of scope,
+    documented)."""
     u = F.regexp_replace(url, r"#.*$", "")  # fragment
-    # lowercase scheme+host only (path case is significant)
-    u = F.concat(
-        F.lower(F.regexp_extract(u, r"^(https?://[^/]*)", 1)),
-        F.regexp_extract(u, r"^https?://[^/]*(.*)$", 1),
+    scheme = F.lower(F.regexp_extract(u, r"(?i)^(https?)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"(?i)^https?://([^/?]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    tail = F.regexp_extract(u, r"(?i)^https?://[^/?]*(.*)$", 1)
+    path = resolve_dot_segments(F.regexp_extract(tail, r"^([^?]*)", 1))
+    u = F.when(
+        scheme == "", u  # unknown scheme: pass through untouched
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.regexp_extract(tail, r"^[^?]*(\?.*)?$", 1),
+        )
     )
     # Split at the FIRST '?' before scrubbing, and scrub tracking keys
     # only inside the query region: the previous whole-URL scrub +

@@ -148,6 +148,36 @@ class TestAdviceR3Fixes:
         r = one(redact_pii(df))
         assert r["n_phone"] == 3 and "212" not in r["text"]
 
+    def test_r12_canonicalization_arms(self, spark):
+        """r12: case-insensitive scheme/host, default-port strip,
+        dot-segment resolution, deep trailing slash preserved,
+        non-http pass-through."""
+        cases = [
+            ("HTTP://EX.com/a", "http://ex.com/a"),
+            ("https://Ex.COM:443/a", "https://ex.com/a"),
+            ("http://ex.com:80/a?id=1", "http://ex.com/a?id=1"),
+            ("http://ex.com:8080/a", "http://ex.com:8080/a"),  # real port
+            ("https://ex.com/a/b/../c/./d", "https://ex.com/a/c/d"),
+            ("https://ex.com/../a", "https://ex.com/a"),  # pop at root
+            ("https://ex.com/a//b", "https://ex.com/a//b"),  # '//' kept
+            ("https://ex.com/a/b/", "https://ex.com/a/b/"),  # deep slash
+            ("https://ex.com/a/..", "https://ex.com"),  # root collapse
+            ("ftp://ex.com/a", "ftp://ex.com/a"),  # pass-through
+        ]
+        df = spark.createDataFrame(cases, "url string, want string")
+        out = df.select(normalize_url(F.col("url")).alias("got"), "want")
+        for r in out.collect():
+            assert r["got"] == r["want"], (r["got"], r["want"])
+
+    def test_dot_segment_fold_is_jvm_side(self, spark):
+        from datamancer_spark.operators.scrub import resolve_dot_segments
+
+        df = spark.createDataFrame([("/a/b/../c",)], "p string")
+        out = df.select(resolve_dot_segments(F.col("p")).alias("got"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
+        assert out.collect()[0]["got"] == "/a/c"
+
     def test_path_ampersand_with_leading_tracking_param(self, spark):
         # ADVICE r3: scrub+re-anchor used to yield "https://x.com/a?b"
         cases = [
