@@ -244,6 +244,8 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     round_decimals: int | None = None,
+    tol: float | None = None,
+    return_rounds: bool = False,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) by fixed-iteration power
     method — PageRank's companion link signal: an AUTHORITY is pointed
@@ -260,7 +262,12 @@ def hits(
     Same engine-portability contract as ``pagerank``:
     ``round_decimals`` rounds both vectors after every iteration, so
     float association order (~1e-16) cannot move a differential
-    comparison; the twin unrolls the iterations as chained CTEs."""
+    comparison; the twin unrolls the iterations as chained CTEs.
+
+    ``tol`` / ``return_rounds`` (r12): same early-stop contract as
+    ``pagerank`` — stop when the hub vector's max |Δ| per round is
+    ≤ tol (one aggregate → one driver scalar); ``iters`` becomes the
+    cap."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .na.drop()
@@ -278,8 +285,9 @@ def hits(
     def _rnd(c):
         return F.round(c, round_decimals) if round_decimals is not None else c
 
-    hubs = nodes.select("node", F.lit(1.0 / n).alias("hub"))
+    hubs = materialize(nodes.select("node", F.lit(1.0 / n).alias("hub")))
     auths = None
+    rounds_run = 0
     for _ in range(int(iters)):
         raw_a = (
             e.join(hubs, e.u == hubs.node)
@@ -303,6 +311,7 @@ def hits(
             .agg(F.sum("auth").alias("_s"))
         )
         h_tot = raw_h.agg(F.sum("_s").alias("_t"))
+        prev_hubs = hubs
         hubs = materialize(
             nodes.join(raw_h, nodes.node == raw_h.u, "left")
             .crossJoin(F.broadcast(h_tot))
@@ -313,4 +322,23 @@ def hits(
                 ).alias("hub"),
             )
         )
-    return hubs.join(auths, "node").select("node", "hub", "auth")
+        rounds_run += 1
+        if tol is not None:
+            delta = (
+                hubs.join(
+                    prev_hubs.select(
+                        "node", F.col("hub").alias("_prev")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.max(F.abs(F.col("hub") - F.col("_prev"))).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta <= tol:
+                break
+    out = hubs.join(auths, "node").select("node", "hub", "auth")
+    if return_rounds:
+        return out, rounds_run
+    return out

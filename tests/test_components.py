@@ -212,3 +212,25 @@ def test_pagerank_early_stop_matches_fixed_at_convergence(spark):
     # the scaling story: a conservative fixed cap wastes (60 - rounds)
     # full edge-join rounds after convergence
     assert rounds <= 30
+
+
+def test_hits_early_stop_matches_fixed_at_convergence(spark):
+    """r12: same early-stop contract as pagerank, on the hub vector."""
+    from datamancer_spark.operators.components import hits
+
+    n = 20
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)]
+        + [(i, i % 4) for i in range(n)],
+        "src long, dst long",
+    )
+    fixed = {
+        (r["node"]): (r["hub"], r["auth"])
+        for r in hits(edges, iters=40, round_decimals=6).collect()
+    }
+    early, rounds = hits(
+        edges, iters=40, round_decimals=6, tol=0.0, return_rounds=True
+    )
+    got = {r["node"]: (r["hub"], r["auth"]) for r in early.collect()}
+    assert got == fixed
+    assert rounds < 40, "early stop never fired"

@@ -969,3 +969,66 @@ def test_streaming_warc_ingest_composes(spark, tmp_path):
     finally:
         q.stop()
     assert got == sorted(sum((expected_rows(i) for i in ids), []))
+
+
+def test_streaming_frontier_bloom_probe(spark, tmp_path):
+    """r12 incremental-discovery seam on a STREAM: discovered URLs
+    arrive as a text-file stream and probe the crawled-URL Bloom
+    in-flight — the probe is k broadcast joins (stateless, zero
+    shuffles), so it runs on streams unchanged; flags must equal the
+    batch run on the same rows, and the no-false-negative contract
+    must hold."""
+    from pyspark.sql import functions as F
+
+    from datamancer_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    crawled = spark.createDataFrame(
+        [(f"http://h{i % 3}.example/p/{i}",) for i in range(0, 60, 2)],
+        "url string",
+    )
+    bloom = bloom_build(crawled, "url", num_bits=512, num_hashes=4)
+
+    d = str(tmp_path / "frontier")
+    os.makedirs(d)
+    urls = [f"http://h{i % 3}.example/p/{i}" for i in range(60)]
+    for k in range(3):  # three stream files
+        with open(os.path.join(d, f"part{k}.txt"), "w") as f:
+            f.write("\n".join(urls[k * 20 : (k + 1) * 20]))
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+        .select(F.col("value").alias("url"))
+    )
+    probed = bloom_maybe_contains(stream, bloom, "url", 512, 4)
+    assert probed.isStreaming
+    q = (
+        probed.writeStream.format("memory")
+        .queryName("frontier_probe")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["url"]: r["maybe_seen"]
+            for r in spark.sql(
+                "SELECT url, maybe_seen FROM frontier_probe"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert len(got) == 60
+    batch = spark.createDataFrame([(u,) for u in urls], "url string")
+    want = {
+        r["url"]: r["maybe_seen"]
+        for r in bloom_maybe_contains(batch, bloom, "url", 512, 4).collect()
+    }
+    assert got == want  # stream == batch, flag for flag
+    # Bloom contract: every crawled URL (even ids) must be maybe_seen
+    for i in range(0, 60, 2):
+        assert got[f"http://h{i % 3}.example/p/{i}"] is True
