@@ -416,16 +416,22 @@ def test_lsh_production_geometry_same_survivors(spark, sf_dir):
 
 def test_pipeline_crawl_production_budget(spark, sf_dir):
     """r11 full-front-end pin: robots gate + URL screen + quality +
-    exact dedup + LSH-verified fuzzy in ONE plan holds an 8-exchange
-    budget (measured 7 — the robots rules join and the URL screen are
-    broadcast/codegen, adding no hash exchange over the LSH capstone),
-    with no cartesian/nested-loop anywhere."""
+    exact dedup + LSH-verified fuzzy in ONE plan holds a 9-exchange
+    budget (r11 measured 7 at an 8 budget; r12's robots determinism
+    rework — the best-rule window keyed on DISTINCT (host, path) data
+    values instead of monotonically_increasing_id — adds the thin
+    pair-distinct exchange and the decision join-back, +2 gross / +1
+    over the old budget. The pairs frame is (host, path) ONLY — bytes-
+    wise noise next to the corpus exchanges — and the determinism
+    under stage recomputation is what a 1000-executor run actually
+    needs; an id-keyed window can silently mix rule sets across URLs
+    on AQE re-execution). No cartesian/nested-loop anywhere."""
     import __spark_entry__ as e
     from datamancer_spark.plans import executed_plan
 
     q = e.queries()["pipeline_crawl_production"](spark, sf_dir)
     plan = executed_plan(q)
-    assert plan.count("Exchange") <= 8, plan.count("Exchange")
+    assert plan.count("Exchange") <= 9, plan.count("Exchange")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
