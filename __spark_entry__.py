@@ -1534,11 +1534,19 @@ def pagerank_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     (absolute / root-relative / protocol-relative arms all live in the
     fixture) → a page-URL link graph → 10 PageRank iterations — the
     same crawl-bytes-to-quality-signal path r11 closed for crawl→
-    corpus. The fixture's graph is a fixed 50-node target ring
-    (dangling-free at every scale), so the DuckDB twin enumerates the
-    resolved edges closed-form and unrolls the same 10 iterations as
-    chained CTEs; a wrong byte anywhere in extraction, entity decode,
-    or resolution changes an edge and every downstream rank."""
+    corpus. The fixture's graph is a sparse arithmetic chain + tree-
+    parent + decade-leader (dangling-free at every scale, max
+    in-degree ~12 so per-node rank sums stay SHORT), and iterations
+    run at FULL precision with only the OUTPUT rounded through the
+    portable floor-form prnd: per-iteration HALF_UP/half-even rounding
+    quantizes iterates onto exact half-boundary rationals where the
+    engines flip apart (measured at sf0.1 on a first-cut
+    hub-concentrated 50-node ring — in-degree ~300 sums landed on
+    boundaries). The twin enumerates the resolved edges closed-form
+    and unrolls the same 10 full-precision iterations; a wrong byte
+    anywhere in extraction, entity decode, or resolution changes an
+    edge and every downstream rank."""
+    from datamancer_spark.functions.rounding import prnd
     from datamancer_spark.operators.components import pagerank
     from datamancer_spark.operators.fixtures import (
         synth_blob_frame,
@@ -1552,9 +1560,8 @@ def pagerank_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = links.select(
         F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
     )
-    return pagerank(edges, damping=0.85, iters=10, round_decimals=6).select(
-        "node", "rank"
-    )
+    ranks = pagerank(edges, damping=0.85, iters=10)
+    return ranks.select("node", prnd("rank", 6).alias("rank"))
 
 
 def temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4507,26 +4514,52 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # Crawl link-graph PageRank twin (r12): the SAME 10 unrolled
-    # iterations over the closed-form RESOLVED edge set — the fixture's
-    # three href arms (absolute / root-relative / protocol-relative)
-    # all land on http://crawl.example/p/{{j}} URLs over the fixed
-    # 50-target ring, so the edges CTE enumerates them; UNION dedups
-    # coincident targets exactly like the operator's distinct().
+    # iterations over the closed-form RESOLVED edge set (chain +
+    # tree-parent + decade-leader; UNION dedups coincident targets
+    # exactly like the operator's distinct()). Iterations run at FULL
+    # precision — per-iteration rounding creates exact half-boundary
+    # rationals where HALF_UP/half-even flip (measured at sf0.1 on the
+    # first-cut hub ring) — and only the output rounds, via the
+    # portable floor-form prnd.
+    _prc_iters = ",\n".join(
+        f"""        prc{k} AS (
+          SELECT nd.node,
+                 -- DOUBLE casts everywhere: DuckDB parses bare 1.0/0.85
+                 -- as exact DECIMALs (1.0-0.85 = exact 0.15, /n = exact
+                 -- 3e-5) while Spark computes IEEE doubles
+                 -- ((1.0-0.85) = 0.15000000000000002) — one ulp apart,
+                 -- enough to flip exact-boundary ranks under prnd
+                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + CAST(0.85 AS DOUBLE) * coalesce(s.in_rank, 0) AS rank
+          FROM nodes nd CROSS JOIN ncnt nn
+          LEFT JOIN (
+            SELECT e.v AS node, sum(p.rank / e.deg) AS in_rank
+            FROM edged e JOIN prc{k - 1} p ON p.node = e.u
+            GROUP BY e.v
+          ) s ON s.node = nd.node
+        )"""
+        for k in range(1, 11)
+    )
     sql["pagerank_crawl_links"] = f"""
         WITH edges AS (
           SELECT 'http://crawl.example/p/' || CAST(doc_id AS VARCHAR) AS u,
-                 'http://crawl.example/p/'
-                   || CAST((doc_id * 7 + 1) % 50 AS VARCHAR) AS v
+                 'http://crawl.example/p/' || CAST(
+                   CASE WHEN doc_id = 0 THEN 1 ELSE doc_id - 1 END
+                   AS VARCHAR) AS v
           FROM documents
           UNION
           SELECT 'http://crawl.example/p/' || CAST(doc_id AS VARCHAR),
-                 'http://crawl.example/p/'
-                   || CAST((doc_id * 13 + 5) % 50 AS VARCHAR)
+                 'http://crawl.example/p/' || CAST(
+                   CASE WHEN doc_id = 0 THEN 1 ELSE doc_id // 2 END
+                   AS VARCHAR)
           FROM documents
           UNION
           SELECT 'http://crawl.example/p/' || CAST(doc_id AS VARCHAR),
-                 'http://crawl.example/p/'
-                   || CAST((doc_id * 3 + 11) % 50 AS VARCHAR)
+                 'http://crawl.example/p/' || CAST(
+                   CASE WHEN doc_id = 0 THEN 2
+                        WHEN doc_id % 10 = 0 THEN doc_id - 10
+                        ELSE doc_id - doc_id % 10 END
+                   AS VARCHAR)
           FROM documents
         ),
         nodes AS (
@@ -4535,11 +4568,12 @@ def oracle_sql() -> dict[str, str]:
         ncnt AS (SELECT count(*) AS n FROM nodes),
         deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
         edged AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d ON d.u = e.u),
-        pr0 AS (
-          SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN ncnt nn
+        prc0 AS (
+          SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+          FROM nodes CROSS JOIN ncnt nn
         ),
-{_pr_iters}
-        SELECT node, rank FROM pr10
+{_prc_iters}
+        SELECT node, prnd(rank, 6) AS rank FROM prc10
     """
 
     # Temperature mixture twin: the whole weight derivation in SQL —

@@ -455,13 +455,19 @@ def warc_charset_blob(i: int) -> bytes:
 def warc_link_blob(i: int) -> bytes:
     """WARC fixture for the crawl→GRAPH seam (r12): one 200-HTML page
     per id at ``http://crawl.example/p/{i}`` whose anchor tags define a
-    closed-form link graph over a FIXED 50-node target ring (targets
-    exist at every scale, every node has out-edges → dangling-free, so
-    the PageRank twin needs no redistribution term):
+    closed-form SPARSE link graph (every target id < i except tiny
+    overrides at i=0, so targets exist at EVERY corpus size; every node
+    has out-edges → dangling-free, so the PageRank twin needs no
+    redistribution term; max in-degree stays ~12, keeping per-node rank
+    sums SHORT — a first cut used a 50-node target ring whose in-degree
+    grew with corpus size, and the resulting 300-term sums landed on
+    exact rounding-boundary rationals where Spark's HALF_UP and
+    DuckDB's half-even rounding flip apart):
 
-    * absolute href            → (i*7 + 1) % 50
-    * root-relative href       → (i*13 + 5) % 50
-    * protocol-relative href   → (i*3 + 11) % 50
+    * absolute href            → i-1 (chain; 1 at i=0)
+    * root-relative href       → i//2 (tree parent; 1 at i=0)
+    * protocol-relative href   → the decade leader i - i%10
+      (i-10 when i is itself a multiple of 10; 2 at i=0)
     * a mailto: and a pure-fragment anchor (must be dropped; entity
       decoding inside hrefs is pinned by the extract_links unit test —
       a query-string target here would be a dangling node)
@@ -470,9 +476,9 @@ def warc_link_blob(i: int) -> bytes:
     coverage)."""
     import gzip as _gzip
 
-    j1 = (i * 7 + 1) % 50
-    j2 = (i * 13 + 5) % 50
-    j3 = (i * 3 + 11) % 50
+    j1 = 1 if i == 0 else i - 1
+    j2 = 1 if i == 0 else i // 2
+    j3 = 2 if i == 0 else (i - 10 if i % 10 == 0 else i - i % 10)
     body = (
         f"<html><body><h1>Page {i}</h1>"
         f'<a href="http://crawl.example/p/{j1}">abs</a>'
