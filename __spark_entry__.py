@@ -2844,6 +2844,33 @@ def warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_charset_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The charset LONG TAIL under the driver gate (r12,
+    operators/warc.py ingest_warc_with_fallback): rows whose label the
+    JVM tier refuses decode through the Python-codec pandas_udf slow
+    arm — shift_jis katakana and meta-sniffed gb2312 hanzi decode
+    byte-exactly (md5-pinned against chr()-codepoint twins), while an
+    unknown label keeps the loud-refusal contract THROUGH the fallback
+    (text NULL). The frame split keeps the fast path whole-stage
+    codegen; only refused rows ever reach Python."""
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_charset_tail_blob,
+    )
+    from datamancer_spark.operators.warc import ingest_warc_with_fallback
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_charset_tail_blob)
+    out = ingest_warc_with_fallback(blobs)
+    return out.select(
+        "doc_id",
+        "rec_idx",
+        "charset",
+        "text",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    )
+
+
 def pipeline_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl→corpus CAPSTONE: ONE composition from WARC bytes to a
     curated survivor corpus — ingest_warc (record walk → HTTP decode →
@@ -3469,6 +3496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green #5: charset-aware WARC payload decode,
         # -- six arms, md5-pinned text (VERDICT r11 #2).
         "warc_charset_decode": warc_charset_decode,
+        # -- r12 zero-green: the charset long tail through the
+        # -- Python-codec fallback tier (shift_jis / gb2312 /
+        # -- unknown-label refusal).
+        "warc_charset_fallback": warc_charset_fallback,
         # -- r12 zero-green #6: URL canonicalization (dot segments,
         # -- default ports, case, tracking params) — the frontier
         # -- dedup key.
@@ -3493,9 +3524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": dedup_canonical,
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
-        "dedup_embedding": dedup_embedding,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "dedup_embedding": dedup_embedding,
         "knn_lsh": knn_lsh,
         "q1_pricing_summary": q1_pricing_summary,
         "pipeline_from_crawl": pipeline_from_crawl,
@@ -6755,6 +6786,36 @@ def oracle_sql() -> dict[str, str]:
                          THEN '?id=' || CAST(doc_id AS VARCHAR)
                          ELSE '' END AS url_canon
         FROM documents
+    """
+
+
+    # Charset long-tail twin (r12): katakana/hanzi from chr()
+    # codepoints; the unknown-label row refuses (NULL) through the
+    # fallback tier too.
+    sql["warc_charset_fallback"] = """
+        SELECT d.doc_id,
+               CAST(t.k AS INT) AS rec_idx,
+               CASE t.k
+                 WHEN 0 THEN 'shift_jis'
+                 WHEN 1 THEN 'gb2312'
+                 ELSE 'x-no-such-charset'
+               END AS charset,
+               CASE t.k
+                 WHEN 0 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR) || ' '
+                      || chr(12459) || chr(12501) || chr(12455)
+                 WHEN 1 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR) || ' '
+                      || chr(20013) || chr(25991)
+                 ELSE NULL
+               END AS text,
+               md5(CASE t.k
+                 WHEN 0 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR) || ' '
+                      || chr(12459) || chr(12501) || chr(12455)
+                 WHEN 1 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR) || ' '
+                      || chr(20013) || chr(25991)
+                 ELSE NULL
+               END) AS text_md5
+        FROM documents d
+        JOIN (VALUES (0), (1), (2)) t(k) ON true
     """
 
     # Charset decode twin (r12): expected text rebuilt from chr()

@@ -166,6 +166,7 @@ HEADLINE = [
     "warc_charset_decode",
     "canonicalize_frontier_urls",
     "frontier_bloom_tofetch",
+    "warc_charset_fallback",
 ]
 
 

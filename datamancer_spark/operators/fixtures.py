@@ -452,6 +452,65 @@ def warc_charset_blob(i: int) -> bytes:
     return b"".join(recs)
 
 
+def warc_charset_tail_blob(i: int) -> bytes:
+    """Charset LONG-TAIL WARC fixture (r12): three 200-HTML responses
+    per id for ``ingest_warc_with_fallback``'s Python-codec slow path —
+
+    rec 0  shift_jis via header, multi-byte katakana body
+    rec 1  gb2312 via HTML <meta> sniff, hanzi body
+    rec 2  an unknown label ('x-no-such-charset') — refusal must
+           survive the fallback tier too (text NULL)
+
+    Even ids gzip per record, odd plain."""
+    import gzip as _gzip
+
+    def record(payload: bytes, uri: str) -> bytes:
+        head = [
+            b"WARC/1.0",
+            b"WARC-Type: response",
+            b"WARC-Target-URI: " + uri.encode(),
+            b"WARC-Date: 2026-01-01T00:00:00Z",
+            b"Content-Type: application/http; msgtype=response",
+            b"Content-Length: " + str(len(payload)).encode(),
+        ]
+        return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    def http(body: bytes, ctype: bytes) -> bytes:
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+            + b"\r\nContent-Length: %d\r\n\r\n" % len(body) + body
+        )
+
+    kata = "カフェ"  # katakana 'kafe'
+    hanzi = "中文"  # 'zhongwen'
+    pages = [
+        http(
+            f"<html><body><p>Doc {i} {kata}</p></body></html>".encode(
+                "shift_jis"
+            ),
+            b"text/html; charset=shift_jis",
+        ),
+        http(
+            (
+                '<html><head><meta charset="gb2312"></head>'
+                f"<body><p>Doc {i} {hanzi}</p></body></html>"
+            ).encode("gb2312"),
+            b"text/html",
+        ),
+        http(
+            f"<html><body><p>Doc {i} opaque</p></body></html>".encode(),
+            b"text/html; charset=x-no-such-charset",
+        ),
+    ]
+    recs = [
+        record(p, f"http://tail{i % 3}.example/{i}/{k}")
+        for k, p in enumerate(pages)
+    ]
+    if i % 2 == 0:
+        return b"".join(_gzip.compress(r, mtime=0) for r in recs)
+    return b"".join(recs)
+
+
 def warc_link_blob(i: int) -> bytes:
     """WARC fixture for the crawl→GRAPH seam (r12): one 200-HTML page
     per id at ``http://crawl.example/p/{i}`` whose anchor tags define a

@@ -400,6 +400,86 @@ def ingest_warc(
     )
 
 
+#: labels the JVM fast path decodes (see decode_payload_text)
+_JVM_LABELS = (
+    set(_UTF8_LABELS)
+    | set(_CP1252_LABELS)
+    | {"utf-16le", "utf-16be", "utf-16"}
+)
+
+
+def ingest_warc_with_fallback(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    min_status: int = 200,
+    max_status: int = 299,
+) -> DataFrame:
+    """``ingest_warc`` plus the charset LONG TAIL (r12): rows whose
+    sniffed charset the JVM tier supports decode fast (zero Python);
+    the rest — shift_jis, gb2312, euc-kr, big5, koi8-r, every label in
+    Python's bundled codec registry — decode through ONE Arrow-batched
+    ``pandas_udf`` that does ONLY the byte decode (HTML→text stays the
+    JVM regexp chain on the returned string). Labels even Python
+    doesn't know keep the loud-refusal contract: text NULL, charset
+    column carries the label.
+
+    Tiering is a FRAME SPLIT on the charset label, not a per-row
+    conditional: the slow arm's UDF only ever sees the refused rows
+    (real crawls: ~5-15%), so the corpus-dominant path stays
+    whole-stage codegen. ``errors='replace'`` degrades malformed bytes
+    to U+FFFD instead of killing tasks (the malformed-input posture of
+    the whole module)."""
+    import pandas as pd  # noqa: F811 (worker-side)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    recs = warc_records(df, bin_col=bin_col, id_col=id_col)
+    kept = recs.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(min_status, max_status)
+        & F.col("http_content_type").rlike("(?i)text/html")
+    ).withColumn(
+        "charset", charset_of(F.col("payload"), F.col("http_content_type"))
+    )
+    base_cols = [
+        F.col(id_col),
+        "rec_idx",
+        F.col("target_uri").alias("url"),
+        F.regexp_extract(
+            "target_uri", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1
+        ).alias("host"),
+        "charset",
+    ]
+    fast = kept.filter(F.col("charset").isin(*_JVM_LABELS)).select(
+        *base_cols,
+        html_text_col(
+            decode_payload_text(F.col("payload"), F.col("charset"))
+        ).alias("text"),
+    )
+
+    @F.pandas_udf("string")
+    def _py_decode(payloads: "pd.Series", charsets: "pd.Series") -> "pd.Series":
+        out = []
+        for blob, cs in zip(payloads, charsets):
+            if blob is None or cs is None:
+                out.append(None)
+                continue
+            try:
+                s = bytes(blob).decode(cs, errors="replace")
+                out.append(s.lstrip("\ufeff"))
+            except LookupError:
+                out.append(None)  # label unknown even to Python: refuse
+        return pd.Series(out, dtype=object)
+
+    slow = kept.filter(~F.col("charset").isin(*_JVM_LABELS)).select(
+        *base_cols,
+        html_text_col(
+            _py_decode(F.col("payload"), F.col("charset"))
+        ).alias("text"),
+    )
+    return fast.unionByName(slow)
+
+
 def extract_links(
     df: DataFrame,
     bin_col: str = "content",

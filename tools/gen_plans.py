@@ -96,10 +96,11 @@ COMMENT = {
     "nb_lang_classify": "Relational Naive Bayes: the token stream and label projection pin ONCE (18 parquet scans -> 0, audited); every join is a BROADCAST of a class- or vocabulary-bounded frame (zero sort-merge joins — pinned), so the corpus-sized exchanges are just the doc-token count, the class-token count, the vocab distinct, the (doc, class) score aggregation and the argmax window. The raw exchange count reads high because it includes ~16 BroadcastExchanges of model/scalar frames and 5 single-row scalar exchanges — bytes-wise they are noise. The whole train+score plan is differentially checked.",
     "sitemap_discovery_frontier": "Discovery seam (robots -> sitemaps -> frontier -> robots gate): the fetched-sitemap frame and its top-level entries pin ONCE (unpinned: 36 parquet scans / 185 exchanges; pinned: 0 / 21, wall 24.8 -> 6.6 s steady-state at sf0.1). Parse is a shuffle-free regexp-block explode; child resolution is one semi-join; the frontier dedup one groupBy(host, url); the robots gate windows over DISTINCT (host, path) pairs and joins back null-safely — the r12 deterministic-key form.",
     "containment_guarded_pairs": "The guarded containment join under a df=|corpus| boilerplate footer: postings prune on document frequency BEFORE the self-join (a corpus-sized explode, a sh-keyed df count, a semi-join, then the pair join over rare postings only). Denominators come narrowly from F.size on the pinned shingle arrays — never a second explode. Emitted pairs stay linear where the unguarded form is quadratic (SCALING.md r12 rows).",
-    "pagerank_crawl_links": "Crawl->graph seam: WARC record walk (one Arrow pass) -> charset decode + three href regexp passes + resolution, all scan-side Catalyst -> distinct edge list -> the pagerank per-round shape (broadcast-able rank join, dst-keyed partial sum, 1-row dangling crossJoin, checkpoint). The audited final plan shows the post-checkpoint tail only — the per-round shape is pagerank_links', plan-pinned there.",
+    "pagerank_crawl_links": "Crawl->graph seam: WARC record walk (one Arrow pass) -> charset decode + three href regexp passes + resolution, all scan-side Catalyst -> distinct edge list -> the pagerank per-round shape (broadcast-able rank join, dst-keyed partial sum, 1-row dangling crossJoin, checkpoint); full-precision iterations, portable prnd only on output (per-iteration rounding manufactures half-boundary rationals — measured r12). The audited final plan shows the post-checkpoint tail only — the per-round shape is pagerank_links', plan-pinned there.",
     "bpe_train_merges": "Byte-BPE training gate: the corpus projection is one scan; the trainer is the documented DRIVER-SIDE exception (vocabulary-sized sequential state over a bounded sample — here the whole gate corpus), so the executed plan is the 8-row local merge table. The differential value is the twin: DuckDB re-runs the full count -> argmax -> merge loop unrolled and must reproduce every merge exactly.",
     "frontier_bloom_tofetch": "Incremental discovery: the sitemap frontier (pinned fetch frame) probes the crawled-URL Bloom as k=4 broadcast LEFT joins of position columns — ZERO additional shuffles on the frontier; the truth join for the gated flags is one more broadcast. At crawl scale the filter is a bounded position frame (<=2048 rows here) that persists as parquet and merges by union+distinct.",
     "canonicalize_frontier_urls": "URL canonicalization: fragment strip, case-folded scheme/host, default-port strip, tracking-param scrub and the RFC 3986 dot-segment fold — ALL scan-side Catalyst string expressions (the fold is one F.aggregate, pinned Python-free); ZERO exchanges, no joins — a pure scan-side projection.",
+    "warc_charset_fallback": "Charset long tail: the frame SPLITS on the sniffed label — supported labels stay on the zero-Python fast arm; only refused rows reach the one pandas_udf byte-decode (HTML->text remains the JVM regexp chain on its output). Union of the two arms; at crawl scale the slow arm sees ~5-15% of rows.",
     "warc_charset_decode": "Charset-aware ingest: ONE Arrow mapInPandas record walk, then BOM/header/meta sniffing, the cp1252 translate, UTF-16 decodes and the HTML->text chain all evaluate scan-side in whole-stage codegen — one exchange total (the fixture frame's round-robin spread), no joins.",
 
 }
