@@ -1564,6 +1564,34 @@ def pagerank_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", prnd("rank", 6).alias("rank"))
 
 
+def anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inlink anchor-text profiles under the driver gate (r12,
+    operators/warc.py extract_anchors): anchor text describes the
+    TARGET page — the classic ranking/labeling signal per-href
+    extraction drops — so whole <a> elements explode with href and
+    body PAIRED, and the profile aggregates per target: inlink count
+    plus the sorted distinct anchor vocabulary. Over the link fixture
+    every page's three inbound anchor kinds ('abs'/'root'/'proto')
+    enumerate from doc_id arithmetic, so the twin rebuilds the edge
+    list and aggregates identically — a wrong pairing, a dropped
+    pseudo-link, or a missed element shifts a count or a vocabulary."""
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_link_blob,
+    )
+    from datamancer_spark.operators.warc import extract_anchors
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_link_blob)
+    links = extract_anchors(blobs)
+    return links.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.array_join(
+            F.array_sort(F.collect_set("anchor_text")), ","
+        ).alias("anchor_kinds"),
+    )
+
+
 def temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture resampling under the driver gate
     (r11, operators/quality.py temperature_resample — the mBERT/XLM
@@ -3487,6 +3515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green #3: the crawl→graph seam — WARC → href
         # -- extraction → PageRank (VERDICT r11 #4).
         "pagerank_crawl_links": pagerank_crawl_links,
+        # -- r12 zero-green: paired inlink anchor-text profiles over
+        # -- the same link fixture.
+        "anchor_text_profile": anchor_text_profile,
         "nb_lang_classify": nb_lang_classify,
         # -- r12 zero-green #4: byte-level BPE training vs an 8-step
         # -- unrolled count→argmax→merge twin (VERDICT r11 #5).
@@ -3523,9 +3554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_counts": stratified_sample_counts,
         "dedup_canonical": dedup_canonical,
         "dedup_jaccard": dedup_jaccard,
-        "dedup_simhash": dedup_simhash,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "knn_lsh": knn_lsh,
         "q1_pricing_summary": q1_pricing_summary,
@@ -6788,6 +6819,40 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+
+
+    # Anchor-profile twin (r12): enumerate the (dst, kind) rows from
+    # the same arithmetic maps (NO dedup — one row per anchor, like
+    # the extractor), then aggregate count + sorted-distinct kinds.
+    sql["anchor_text_profile"] = """
+        WITH e AS (
+          SELECT 'http://crawl.example/p/' || CAST(
+                   CASE WHEN doc_id = 0 THEN 1 ELSE doc_id - 1 END
+                   AS VARCHAR) AS dst, 'abs' AS t
+          FROM documents
+          UNION ALL
+          SELECT 'http://crawl.example/p/' || CAST(
+                   CASE WHEN doc_id = 0 THEN 1 ELSE doc_id // 2 END
+                   AS VARCHAR), 'root'
+          FROM documents
+          UNION ALL
+          SELECT 'http://crawl.example/p/' || CAST(
+                   CASE WHEN doc_id = 0 THEN 2
+                        WHEN doc_id % 10 = 0 THEN doc_id - 10
+                        ELSE doc_id - doc_id % 10 END
+                   AS VARCHAR), 'proto'
+          FROM documents
+        ),
+        counts AS (SELECT dst, count(*) AS c FROM e GROUP BY dst),
+        kinds AS (
+          SELECT dst, string_agg(t, ',' ORDER BY t) AS ks
+          FROM (SELECT DISTINCT dst, t FROM e) GROUP BY dst
+        )
+        SELECT c.dst AS dst_url,
+               CAST(c.c AS BIGINT) AS n_inlinks,
+               k.ks AS anchor_kinds
+        FROM counts c JOIN kinds k USING (dst)
+    """
 
     # Charset long-tail twin (r12): katakana/hanzi from chr()
     # codepoints; the unknown-label row refuses (NULL) through the

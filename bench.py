@@ -167,6 +167,7 @@ HEADLINE = [
     "canonicalize_frontier_urls",
     "frontier_bloom_tofetch",
     "warc_charset_fallback",
+    "anchor_text_profile",
 ]
 
 

@@ -589,6 +589,104 @@ def extract_links(
     )
 
 
+def extract_anchors(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    min_status: int = 200,
+    max_status: int = 299,
+) -> DataFrame:
+    """``extract_links``' companion that KEEPS the anchor text (r12) —
+    ``(id, rec_idx, src_url, dst_url, anchor_text)``. Anchor text
+    describes the TARGET page (the classic inlink-text signal for
+    ranking and for labeling training documents), which per-href
+    extraction drops. One regexp pass explodes whole ``<a>…</a>``
+    elements so the href and its inner text stay PAIRED (the
+    three-pass quoted/unquoted href scan can't pair attributes with
+    bodies); per-element href parsing then handles both quote styles
+    and unquoted values. Inner markup is stripped and entities decode
+    with the html_text_col rules; same URL resolution arms and
+    pseudo-link drops as extract_links."""
+    recs = warc_records(df, bin_col=bin_col, id_col=id_col)
+    kept = recs.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(min_status, max_status)
+        & F.col("http_content_type").rlike("(?i)text/html")
+    )
+    cs = charset_of(F.col("payload"), F.col("http_content_type"))
+    html = decode_payload_text(F.col("payload"), cs)
+    elements = F.regexp_extract_all(
+        html, F.lit(r"(?is)<a\b[^>]*>.*?</a\s*>"), 0
+    )
+    pages = kept.select(
+        F.col(id_col),
+        "rec_idx",
+        F.col("target_uri").alias("src_url"),
+        F.explode(elements).alias("_a"),
+    )
+    href = F.coalesce(
+        F.nullif(
+            F.regexp_extract("_a", r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"', 1),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract("_a", r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)'", 1),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(
+                "_a", r'(?is)<a\b[^>]*?href\s*=\s*([^\s"\x27>][^\s>]*)', 1
+            ),
+            F.lit(""),
+        ),
+    )
+    href = F.trim(href)
+    for ent, rep in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ]:
+        href = F.replace(href, F.lit(ent), F.lit(rep))
+    href = F.regexp_replace(href, "#.*$", "")
+    anchor = html_text_col(
+        F.regexp_extract("_a", r"(?is)<a\b[^>]*>(.*?)</a\s*>", 1)
+    )
+    scheme = F.lower(
+        F.regexp_extract("src_url", r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    )
+    root = F.regexp_extract(
+        "src_url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", 0
+    )
+    pathdir = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                "src_url",
+                r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+((?:/[^?#]*)?/)",
+                1,
+            ),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    dst = (
+        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(root, href))
+        .otherwise(F.concat(root, pathdir, href))
+    )
+    return pages.select(
+        F.col(id_col),
+        "rec_idx",
+        "src_url",
+        href.alias("_h"),
+        dst.alias("dst_url"),
+        anchor.alias("anchor_text"),
+    ).filter(
+        F.col("_h").isNotNull()
+        & (F.length("_h") > 0)
+        & ~F.col("_h").rlike(r"(?i)^(javascript|mailto|tel|data):")
+    ).drop("_h")
+
+
 def wet_text(records: DataFrame) -> DataFrame:
     """Text rows from WET conversion records: (id, rec_idx, url, text).
     WET payloads are already-extracted UTF-8 plain text — no HTML pass."""

@@ -382,3 +382,43 @@ def test_extract_links_resolution_arms(spark):
     hosts = {r["dst_host"] for r in rows}
     assert hosts == {"other.example", "site.example", "proto.example"}
     assert all(r["src_host"] == "site.example" for r in rows)
+
+
+def test_extract_anchors_pairs_href_with_text(spark):
+    """r12 anchor extraction: each href stays PAIRED with its own
+    inner text (markup-stripped, entity-decoded); pseudo-links and
+    href-less anchors drop."""
+    from datamancer_spark.operators.warc import extract_anchors
+
+    body = (
+        "<html><body>"
+        '<a href="/one">First &amp; <b>bold</b></a>'
+        "<a href='//h2.example/two'>Second</a>"
+        '<a href=three>Third one</a>'
+        '<a href="javascript:x()">nope</a>'
+        "<a name=anchor-no-href>skip</a>"
+        "</body></html>"
+    ).encode()
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(body) + body
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://h.example/dir/p.html\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode()
+        + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    df = spark.createDataFrame([(1, bytearray(rec))],
+                               "doc_id long, content binary")
+    got = {
+        r["dst_url"]: r["anchor_text"]
+        for r in extract_anchors(df).collect()
+    }
+    assert got == {
+        "http://h.example/one": "First & bold",
+        "http://h2.example/two": "Second",
+        "http://h.example/dir/three": "Third one",
+    }
