@@ -1687,6 +1687,34 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-BPE ENCODE path under the driver gate (r12, completing
+    bpe_train_merges' trainer gate: operators/bpe.py byte_bpe_encode /
+    byte_bpe_exact_token_count — broadcast ranks, Arrow batches,
+    per-batch pretoken memo). A FIXED 4-merge table over the
+    distinct-character pool makes every pretoken's tokenization
+    hand-computable, so the twin inlines the expected token count per
+    pool word and sums the three per-doc pretokens — a wrong merge
+    order, a broken min-rank scan, or a pretokenizer drift shifts a
+    count. The token-count column is what budget_select / pack_sequences
+    consume, so this is the budgeting seam's differential."""
+    from datamancer_spark.operators.bpe import byte_bpe_exact_token_count
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    pool = F.array(*[F.lit(w) for w in _BPE_POOL])
+    text = F.concat_ws(
+        " ",
+        F.element_at(pool, (F.col("doc_id") % 5 + 1).cast("int")),
+        F.element_at(
+            pool, (F.floor(F.col("doc_id") / 5) % 5 + 1).cast("int")
+        ),
+        F.element_at(pool, (F.col("doc_id") % 4 + 6).cast("int")),
+    )
+    corpus = doc.select("doc_id", text.alias("text"))
+    merges = [("b", "r"), ("br", "e"), ("d", "o"), ("\u0120", "do")]
+    return byte_bpe_exact_token_count(corpus, merges)
+
+
 def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes trained AND scored in one relational plan under the
     driver gate (r11, operators/classify.py naive_bayes_classify): the
@@ -3522,6 +3550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green #4: byte-level BPE training vs an 8-step
         # -- unrolled count→argmax→merge twin (VERDICT r11 #5).
         "bpe_train_merges": bpe_train_merges,
+        # -- r12 zero-green: the byte-BPE ENCODE path under a fixed
+        # -- table (hand-computed per-pretoken counts).
+        "bpe_encode_budget": bpe_encode_budget,
         "hits_links": hits_links,
         "temperature_mix_langs": temperature_mix_langs,
         # -- r12 zero-green #5: charset-aware WARC payload decode,
@@ -3553,9 +3584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_screen": contamination_screen,
         "stratified_sample_counts": stratified_sample_counts,
         "dedup_canonical": dedup_canonical,
-        "dedup_jaccard": dedup_jaccard,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "knn_lsh": knn_lsh,
@@ -6820,6 +6851,24 @@ def oracle_sql() -> dict[str, str]:
     """
 
 
+
+
+    # Encode-budget twin (r12): expected token count per pool pretoken
+    # under the fixed 4-merge table, hand-computed (bare: bread 3,
+    # break 3, bride 4, crane 5, crimp 5; space-prefixed add the G-dot
+    # byte: +1 except dog/dove where (G,do) merges it away).
+    sql["bpe_encode_budget"] = """
+        SELECT doc_id,
+               CAST(
+                 (CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 3
+                       WHEN 2 THEN 4 WHEN 3 THEN 5 ELSE 5 END)
+               + (CASE (doc_id // 5) % 5 WHEN 0 THEN 4 WHEN 1 THEN 4
+                       WHEN 2 THEN 5 WHEN 3 THEN 6 ELSE 6 END)
+               + (CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3
+                       WHEN 2 THEN 6 ELSE 6 END)
+               AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """
 
     # Anchor-profile twin (r12): enumerate the (dst, kind) rows from
     # the same arithmetic maps (NO dedup — one row per anchor, like

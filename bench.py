@@ -168,6 +168,7 @@ HEADLINE = [
     "frontier_bloom_tofetch",
     "warc_charset_fallback",
     "anchor_text_profile",
+    "bpe_encode_budget",
 ]
 
 
