@@ -3052,6 +3052,56 @@ def pipeline_from_crawl_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness budgeting under the driver gate (r12,
+    operators/robots.py robots_crawl_delays — the de facto REP
+    Crawl-delay extension with RFC group semantics): per host, the
+    agent's effective delay joins the host's page count into an
+    estimated serial fetch time — the number a crawl scheduler
+    partitions work by. The fixture exercises the subtle group rule:
+    hosts ≡2 (mod 3) have a datamancer group WITHOUT a delay, so the
+    wildcard group's delay must NOT leak through (absent, not 9)."""
+    from datamancer_spark.operators.robots import robots_crawl_delays
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    hosts = spark.range(7).select(
+        F.col("id").alias("h"),
+        F.concat(F.lit("s"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("host"),
+    )
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: datamancer\nAllow: /\n"),
+            F.when(
+                F.col("h") % 3 != 2,
+                F.concat(
+                    F.lit("Crawl-delay: "),
+                    (F.col("h") % 4 + 1).cast("string"),
+                    F.lit("\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("h") % 2 == 0,
+                F.lit("\nUser-agent: *\nCrawl-delay: 9\n"),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    delays = robots_crawl_delays(robots, "datamancer")
+    pages = doc.select(
+        F.concat(
+            F.lit("s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example"),
+        ).alias("host")
+    ).groupBy("host").agg(F.count(F.lit(1)).alias("n_pages"))
+    return pages.join(delays, "host", "left").select(
+        "host",
+        "crawl_delay",
+        "n_pages",
+        (F.col("n_pages") * F.col("crawl_delay")).alias("est_seconds"),
+    )
+
+
 def robots_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt URL gating under the driver gate (r11,
     operators/robots.py — RFC 9309 relationally, zero UDFs): per-host
@@ -3555,6 +3605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_budget": bpe_encode_budget,
         "hits_links": hits_links,
         "temperature_mix_langs": temperature_mix_langs,
+        # -- r12 zero-green: per-host Crawl-delay politeness budget
+        # -- (REP extension; exact-group-hides-'*' pinned).
+        "crawl_delay_budget": crawl_delay_budget,
         # -- r12 zero-green #5: charset-aware WARC payload decode,
         # -- six arms, md5-pinned text (VERDICT r11 #2).
         "warc_charset_decode": warc_charset_decode,
@@ -3583,9 +3636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": line_dedup,
         "contamination_screen": contamination_screen,
         "stratified_sample_counts": stratified_sample_counts,
-        "dedup_canonical": dedup_canonical,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "dedup_canonical": dedup_canonical,
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
@@ -6727,6 +6780,24 @@ def oracle_sql() -> dict[str, str]:
         JOIN (VALUES (0), (1), (2)) t(k) ON t.k <= d.doc_id % 3
         JOIN ws ON ws.m = 5 + (d.doc_id + 2 * t.k) % 11
         WHERE (d.doc_id + t.k) % 5 <> 0
+    """
+
+
+    # Crawl-delay budget twin (r12): delays and counts are doc_id/host
+    # arithmetic; integer-exact est_seconds cast to DOUBLE.
+    sql["crawl_delay_budget"] = """
+        WITH hp AS (
+          SELECT doc_id % 7 AS h, count(*) AS n
+          FROM documents GROUP BY doc_id % 7
+        )
+        SELECT 's' || CAST(h AS VARCHAR) || '.example' AS host,
+               CASE WHEN h % 3 <> 2
+                    THEN CAST(1 + h % 4 AS DOUBLE) END AS crawl_delay,
+               CAST(n AS BIGINT) AS n_pages,
+               CASE WHEN h % 3 <> 2
+                    THEN CAST((1 + h % 4) * n AS DOUBLE)
+               END AS est_seconds
+        FROM hp
     """
 
     # Discovery-frontier twin (r12): the fixture is doc_id arithmetic,

@@ -169,6 +169,7 @@ HEADLINE = [
     "warc_charset_fallback",
     "anchor_text_profile",
     "bpe_encode_budget",
+    "crawl_delay_budget",
 ]
 
 

@@ -51,20 +51,18 @@ def _regex_col(pat: "F.Column") -> "F.Column":
     )
 
 
-def parse_robots(
+def _parse_directives(
     robots: DataFrame,
     text_col: str = "robots_txt",
     host_col: str = "host",
 ) -> DataFrame:
-    """Parse per-host robots.txt text into a rules frame:
-    ``(host, group_id, agent, rule, pattern, pattern_len, regex)`` —
-    one row per (agent line × rule line) within a group, so group
-    selection is a plain filter/join. Comments (``#…``), blank lines
-    and unknown directives drop; directive keys are case-insensitive
-    and whitespace-tolerant; agents lower-case (product tokens are
-    case-insensitive), patterns keep their case (paths are
-    case-sensitive). Empty patterns drop (an empty Disallow is the
-    RFC's 'allow everything' no-op)."""
+    """Shared directive parse: per-host line explode → comment strip →
+    (key, val) classify → group-id assignment. Keys kept:
+    user-agent / allow / disallow / crawl-delay (the last is the de
+    facto REP extension; including it in the grouping also makes a UA
+    line AFTER a crawl-delay open a fresh group, matching the
+    crawlers that treat delay as a rule line). Returns
+    ``(host, ln, key, val, group_id)``."""
     # real-world robots.txt regularly leads with a UTF-8 BOM (U+FEFF),
     # which would glue onto the first directive key and silently drop
     # the whole first group; CRLF line ends are handled by the trims
@@ -88,12 +86,14 @@ def parse_robots(
             "key"
         ),
         F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("val"),
-    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    ).filter(
+        F.col("key").isin("user-agent", "allow", "disallow", "crawl-delay")
+    )
     w = Window.partitionBy("host").orderBy("ln")
     # a user-agent line OPENS a new group iff the previous directive
     # line was not itself a user-agent line (consecutive UA lines
     # share the group)
-    grouped = parsed.withColumn(
+    return parsed.withColumn(
         "_prev_key", F.lag("key").over(w)
     ).withColumn(
         "_new_group",
@@ -104,12 +104,35 @@ def parse_robots(
                 | (F.col("_prev_key") != "user-agent")
             )
         ).cast("int"),
-    ).withColumn("group_id", F.sum("_new_group").over(w))
-    agents = grouped.filter(F.col("key") == "user-agent").select(
+    ).withColumn("group_id", F.sum("_new_group").over(w)).drop(
+        "_prev_key", "_new_group"
+    )
+
+
+def _group_agents(grouped: DataFrame) -> DataFrame:
+    return grouped.filter(F.col("key") == "user-agent").select(
         "host",
         "group_id",
         F.lower(F.col("val")).alias("agent"),
     )
+
+
+def parse_robots(
+    robots: DataFrame,
+    text_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Parse per-host robots.txt text into a rules frame:
+    ``(host, group_id, agent, rule, pattern, pattern_len, regex)`` —
+    one row per (agent line × rule line) within a group, so group
+    selection is a plain filter/join. Comments (``#…``), blank lines
+    and unknown directives drop; directive keys are case-insensitive
+    and whitespace-tolerant; agents lower-case (product tokens are
+    case-insensitive), patterns keep their case (paths are
+    case-sensitive). Empty patterns drop (an empty Disallow is the
+    RFC's 'allow everything' no-op)."""
+    grouped = _parse_directives(robots, text_col, host_col)
+    agents = _group_agents(grouped)
     rules = grouped.filter(
         F.col("key").isin("allow", "disallow") & (F.length("val") > 0)
     ).select(
@@ -163,6 +186,47 @@ def robots_sitemaps(
         )
         .filter(F.col("sitemap_url").rlike(r"^[a-z][a-z0-9+.-]*://"))
         .distinct()
+    )
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    agent: str,
+    text_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` for the named agent (r12) —
+    ``(host, crawl_delay)`` in seconds, the de facto REP extension
+    every politeness scheduler consumes. Group selection is IDENTICAL
+    to the rules path (the exact-agent group hides the ``*`` group
+    entirely — including its delay: a specific group WITHOUT a delay
+    means no delay, not the wildcard's). Multiple delay lines in the
+    selected groups keep the MAX (conservative); unparseable values
+    drop. Hosts without an applicable delay are absent (the politeness
+    join is left)."""
+    grouped = _parse_directives(robots, text_col, host_col)
+    agents = _group_agents(grouped)
+    delays = grouped.filter(
+        (F.col("key") == "crawl-delay")
+        & F.col("val").rlike(r"^\d+(\.\d+)?$")
+    ).select(
+        "host", "group_id", F.col("val").cast("double").alias("delay")
+    )
+    joined = agents.join(delays, ["host", "group_id"])
+    agent_lc = agent.lower()
+    exact = joined.filter(F.col("agent") == agent_lc)
+    # the exact group hides '*' even when the exact group has NO
+    # delay: fallback applies only to hosts with no exact-agent GROUP
+    hosts_with_exact_group = agents.filter(
+        F.col("agent") == agent_lc
+    ).select("host").distinct()
+    fallback = joined.filter(F.col("agent") == "*").join(
+        hosts_with_exact_group, "host", "left_anti"
+    )
+    return (
+        exact.unionByName(fallback)
+        .groupBy("host")
+        .agg(F.max("delay").alias("crawl_delay"))
     )
 
 

@@ -276,3 +276,36 @@ class TestDeterminismAndEdges:
         # both 4-char disallows match; the reported winner must be the
         # same (lexicographically smaller) pattern every run
         assert rows == ["/a*b"] * 3
+
+
+def test_crawl_delay_group_semantics(spark):
+    """r12 Crawl-delay: exact group's delay wins; an exact group
+    WITHOUT a delay hides the '*' delay too; '*' applies only when no
+    exact group exists; max of multiple lines; junk values drop."""
+    from datamancer_spark.operators.robots import robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            # exact group with delay + hidden '*' delay
+            ("a.example",
+             "User-agent: datamancer\nCrawl-delay: 2\nAllow: /\n"
+             "\nUser-agent: *\nCrawl-delay: 9\n"),
+            # exact group WITHOUT delay: '*' must NOT leak through
+            ("b.example",
+             "User-agent: datamancer\nAllow: /\n"
+             "\nUser-agent: *\nCrawl-delay: 9\n"),
+            # no exact group: '*' applies
+            ("c.example", "User-agent: *\nCrawl-delay: 4\n"),
+            # two delay lines in the exact group: max wins; junk drops
+            ("d.example",
+             "User-agent: datamancer\nCrawl-delay: 1\n"
+             "Crawl-delay: 3\nCrawl-delay: soon\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in robots_crawl_delays(robots, "datamancer").collect()
+    }
+    assert got == {"a.example": 2.0, "c.example": 4.0, "d.example": 3.0}
+    assert "b.example" not in got  # hidden, not inherited
