@@ -1592,6 +1592,24 @@ def anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def epoch_expand_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch UP-sampling under the driver gate (r12,
+    operators/quality.py epoch_expand — the repeat half of data
+    mixing): zh rows are seen 2.5 times (2 copies + a deterministic
+    hash-selected half pass), fr 1.25, de drops (epoch 0), en/es keep
+    their single base copy. The twin replicates the whole-copies +
+    md5-bucket fractional arithmetic and generates the copy index
+    range per row — row counts, epoch indices and the exact fractional
+    row subset all pin."""
+    from datamancer_spark.operators.quality import epoch_expand
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    out = epoch_expand(
+        doc, "lang", {"zh": 2.5, "fr": 1.25, "de": 0.0}, seed=0
+    )
+    return out.select("doc_id", "lang", "epoch")
+
+
 def temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture resampling under the driver gate
     (r11, operators/quality.py temperature_resample — the mBERT/XLM
@@ -3605,6 +3623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_budget": bpe_encode_budget,
         "hits_links": hits_links,
         "temperature_mix_langs": temperature_mix_langs,
+        # -- r12 zero-green: fractional-epoch UP-sampling (the repeat
+        # -- half of data mixing).
+        "epoch_expand_langs": epoch_expand_langs,
         # -- r12 zero-green: per-host Crawl-delay politeness budget
         # -- (REP extension; exact-group-hides-'*' pinned).
         "crawl_delay_budget": crawl_delay_budget,
@@ -3635,9 +3656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality": repetition_quality,
         "line_dedup": line_dedup,
         "contamination_screen": contamination_screen,
-        "stratified_sample_counts": stratified_sample_counts,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "stratified_sample_counts": stratified_sample_counts,
         "dedup_canonical": dedup_canonical,
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
@@ -6782,6 +6803,29 @@ def oracle_sql() -> dict[str, str]:
         WHERE (d.doc_id + t.k) % 5 <> 0
     """
 
+
+
+    # Epoch-expansion twin (r12): whole copies + the md5-bucket
+    # fractional pass (same '0'||id convention as mixture_resample),
+    # copy indices via a guarded generate_series.
+    sql["epoch_expand_langs"] = """
+        WITH base AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'zh' THEN 2 WHEN 'fr' THEN 1
+                      WHEN 'de' THEN 0 ELSE 1 END
+                 + CASE WHEN
+                     CAST('0x' || substr(md5('0' || CAST(doc_id AS VARCHAR)),
+                                         1, 8) AS BIGINT) % 1000000
+                     < CASE lang WHEN 'zh' THEN 500000
+                            WHEN 'fr' THEN 250000 ELSE 0 END
+                   THEN 1 ELSE 0 END AS nc
+          FROM documents
+        )
+        SELECT doc_id, lang, CAST(u.e AS INT) AS epoch
+        FROM base,
+             unnest(CASE WHEN nc < 1 THEN CAST([] AS BIGINT[])
+                         ELSE generate_series(0, nc - 1) END) AS u(e)
+    """
 
     # Crawl-delay budget twin (r12): delays and counts are doc_id/host
     # arithmetic; integer-exact est_seconds cast to DOUBLE.

@@ -170,6 +170,7 @@ HEADLINE = [
     "anchor_text_profile",
     "bpe_encode_budget",
     "crawl_delay_budget",
+    "epoch_expand_langs",
 ]
 
 

@@ -546,6 +546,62 @@ def mixture_resample(
     return df.filter(bucket < thr_map[F.col(key_col)])
 
 
+def epoch_expand(
+    df: DataFrame,
+    key_col: str,
+    epochs: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out: str = "epoch",
+) -> DataFrame:
+    """Data-mixing UP-sampling (r12) — the repeat half the
+    down-sampling resamplers can't express: a training mix that says
+    'see the rare language 2.3 times per epoch of the corpus' needs
+    rows REPEATED, fractionally. Each category-k row emits
+    ``floor(e_k)`` copies plus one more iff its md5 bucket falls below
+    ``frac(e_k)·1e6`` — the ``mixture_resample`` selection convention,
+    so the fractional extra pass is the SAME deterministic row subset
+    every run/engine/layout (resumable training depends on that; an
+    RNG-based repeat is not reproducible under task retry). ``out``
+    carries the 0-based copy index, so downstream shuffling/packing
+    can interleave epochs. Keys absent from ``epochs`` keep ONE copy
+    (epoch 0) — up-sampling must not silently drop the base corpus.
+
+    Plan: a literal map lookup + ``sequence``/``explode`` next to the
+    scan — zero joins, zero aggregates, no driver loops; output size
+    is exactly Σ n_k·e_k (rounded per the hash test)."""
+    whole = {k: int(float(e)) for k, e in epochs.items()}
+    frac_thr = {
+        k: int((float(e) - int(float(e))) * 1e6 + 0.5)
+        for k, e in epochs.items()
+    }
+    whole_map = F.create_map(
+        *[F.lit(x) for k, v in sorted(whole.items()) for x in (k, v)]
+    )
+    frac_map = F.create_map(
+        *[F.lit(x) for k, v in sorted(frac_thr.items()) for x in (k, v)]
+    )
+    bucket = (
+        hash32(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
+        % 1_000_000
+    )
+    n_copies = (
+        F.coalesce(whole_map[F.col(key_col)], F.lit(1))
+        + F.when(
+            bucket < F.coalesce(frac_map[F.col(key_col)], F.lit(0)), 1
+        ).otherwise(0)
+    )
+    # posexplode over array_repeat: an n_copies of 0 yields an EMPTY
+    # array and the row vanishes (F.sequence(0, n-1) would infer a
+    # NEGATIVE step at n=0 and emit phantom copies)
+    return df.select(
+        "*",
+        F.posexplode(F.array_repeat(F.lit(1), n_copies)).alias(
+            out, "_one"
+        ),
+    ).drop("_one")
+
+
 def temperature_resample(
     df: DataFrame,
     key_col: str,

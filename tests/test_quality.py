@@ -867,3 +867,49 @@ class TestTemperatureResample:
         assert a == b and len(a) > 0
         with _pt.raises(ValueError):
             temperature_resample(df, "doc_id", max_categories=10)
+
+
+def test_epoch_expand_fractional_and_zero(spark):
+    """r12 up-sampling: floor(e) copies + a deterministic hash-selected
+    fractional pass; e=0 drops; absent keys keep exactly one copy;
+    epoch index is 0-based and dense per row."""
+    from datamancer_spark.operators.quality import epoch_expand, hash32
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "rare" if i % 3 == 0 else ("junk" if i % 3 == 1 else "en"))
+         for i in range(300)],
+        "doc_id long, lang string",
+    )
+    out = epoch_expand(df, "lang", {"rare": 2.5, "junk": 0.0}, seed=7)
+    rows = out.groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in rows}
+    assert "junk" not in got            # e=0 drops entirely
+    assert got["en"] == 100             # absent key: one copy
+    assert 200 <= got["rare"] <= 300    # 2 + ~50% extra
+    # the fractional pass is exactly the hash test, row for row
+    picked = {
+        r["doc_id"]
+        for r in df.filter("lang = 'rare'")
+        .withColumn(
+            "_b",
+            hash32(F.concat(F.lit("7"), F.col("doc_id").cast("string")))
+            % 1_000_000,
+        )
+        .filter(F.col("_b") < 500000)
+        .collect()
+    }
+    per_doc = {
+        r["doc_id"]: r["count"]
+        for r in out.filter("lang = 'rare'").groupBy("doc_id").count().collect()
+    }
+    for d, c in per_doc.items():
+        assert c == (3 if d in picked else 2), (d, c)
+    # epoch indices are dense 0..n-1 per row
+    idx = sorted(
+        r["epoch"]
+        for r in out.filter("lang = 'rare'").filter(
+            F.col("doc_id") == min(per_doc)
+        ).collect()
+    )
+    assert idx == list(range(len(idx)))
