@@ -570,6 +570,12 @@ def epoch_expand(
     Plan: a literal map lookup + ``sequence``/``explode`` next to the
     scan — zero joins, zero aggregates, no driver loops; output size
     is exactly Σ n_k·e_k (rounded per the hash test)."""
+    bad = {k: e for k, e in epochs.items() if float(e) < 0}
+    if bad:
+        raise ValueError(
+            f"negative epoch counts are meaningless: {bad} — use 0 to "
+            "drop a category, mixture_resample to downsample"
+        )
     whole = {k: int(float(e)) for k, e in epochs.items()}
     frac_thr = {
         k: int((float(e) - int(float(e))) * 1e6 + 0.5)

@@ -323,21 +323,44 @@ def charset_of(payload: Column, http_ctype: Column) -> Column:
 def decode_payload_text(payload: Column, charset: Column) -> Column:
     """Decode an HTML payload under a resolved charset label — NULL for
     unsupported labels (loud refusal; the charset column says why). All
-    JVM-side: UTF-8/UTF-16 via F.decode, windows-1252 (and the latin-1
-    / ascii labels WHATWG folds into it) via the byte-preserving
-    ISO-8859-1 decode + the 0x80-0x9F translate. A leading BOM char is
-    stripped after decode (UTF-8's EF BB BF and UTF-16LE/BE's FF FE /
-    FE FF decode to U+FEFF, which is markup noise downstream)."""
+    JVM-side, and the dominant arms NEVER RAISE (the malformed-input
+    posture of the whole module — real crawl pages lie about their
+    charset constantly):
+
+    * UTF-8 decodes via ``make_valid_utf8`` over the byte-preserving
+      binary→string cast — invalid sequences become U+FFFD, matching
+      Python's ``errors='replace'``. (Spark 4's ``F.decode(…, 'UTF-8')``
+      THROWS MALFORMED_CHARACTER_CODING on bad bytes by default — one
+      mojibake page would kill the task; found by the r12 edge test.)
+    * windows-1252 / latin-1 / ascii labels translate from ISO-8859-1,
+      a total byte bijection — cannot fail.
+    * UTF-16LE/BE/generic keep ``F.decode`` behind an even-length
+      guard (odd payloads — the common truncation — refuse to NULL).
+      Residual: an even-length payload with broken surrogate pairs
+      still raises in this JVM-only tier; crawls that must never raise
+      route through ``ingest_warc_with_fallback``, whose Python arm
+      decodes UTF-16 with replacement.
+
+    A leading BOM char is stripped after decode (U+FEFF is markup
+    noise downstream)."""
     latin = F.decode(payload, "ISO-8859-1")
+    even = F.length(payload) % 2 == 0
     decoded = (
-        F.when(charset.isin(*_UTF8_LABELS), F.decode(payload, "UTF-8"))
+        F.when(
+            charset.isin(*_UTF8_LABELS),
+            F.make_valid_utf8(payload.cast("string")),
+        )
         .when(
             charset.isin(*_CP1252_LABELS),
             F.translate(latin, _CP1252_FROM, _CP1252_TO),
         )
-        .when(charset == "utf-16le", F.decode(payload, "UTF-16LE"))
-        .when(charset == "utf-16be", F.decode(payload, "UTF-16BE"))
-        .when(charset == "utf-16", F.decode(payload, "UTF-16"))
+        .when(
+            (charset == "utf-16le") & even, F.decode(payload, "UTF-16LE")
+        )
+        .when(
+            (charset == "utf-16be") & even, F.decode(payload, "UTF-16BE")
+        )
+        .when((charset == "utf-16") & even, F.decode(payload, "UTF-16"))
     )
     return F.regexp_replace(decoded, "^\\ufeff", "")
 
@@ -400,12 +423,11 @@ def ingest_warc(
     )
 
 
-#: labels the JVM fast path decodes (see decode_payload_text)
-_JVM_LABELS = (
-    set(_UTF8_LABELS)
-    | set(_CP1252_LABELS)
-    | {"utf-16le", "utf-16be", "utf-16"}
-)
+#: labels the fallback tier's JVM fast arm decodes. UTF-16 is
+#: deliberately EXCLUDED here: the JVM utf-16 decode can still raise on
+#: broken surrogate pairs, so the never-raise fallback pipeline sends
+#: those (rare) pages through the Python arm's errors='replace' decode.
+_JVM_LABELS = set(_UTF8_LABELS) | set(_CP1252_LABELS)
 
 
 def ingest_warc_with_fallback(

@@ -422,3 +422,73 @@ def test_extract_anchors_pairs_href_with_text(spark):
         "http://h2.example/two": "Second",
         "http://h.example/dir/three": "Third one",
     }
+
+
+def test_charset_of_short_and_empty_payloads(spark):
+    """Edge hardening: payloads shorter than the BOM probes (0-2
+    bytes) must sniff safely (default utf-8), and NULL payloads must
+    not crash the charset chain."""
+    from pyspark.sql import functions as F
+
+    from datamancer_spark.operators.warc import (
+        charset_of,
+        decode_payload_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(b""), "text/html"),
+            (1, bytearray(b"\xef"), "text/html"),
+            (2, bytearray(b"\xff"), "text/html"),
+            (3, bytearray(b"ab"), "text/html"),
+            (4, None, "text/html; charset=windows-1252"),
+        ],
+        "k int, payload binary, ctype string",
+    )
+    cs = charset_of(F.col("payload"), F.col("ctype"))
+    out = df.select(
+        "k", cs.alias("cs"),
+        decode_payload_text(F.col("payload"), cs).alias("t"),
+    ).orderBy("k").collect()
+    got = [(r["cs"], r["t"]) for r in out]
+    assert got[0] == ("utf-8", "")
+    # lone 0xEF / 0xFF: not BOMs, and INVALID UTF-8 — must decode to
+    # U+FFFD, never raise (Spark's F.decode throws
+    # MALFORMED_CHARACTER_CODING here; the r12 edge test that found it)
+    assert got[1] == ("utf-8", "\ufffd")
+    assert got[2] == ("utf-8", "\ufffd")
+    assert got[3] == ("utf-8", "ab")
+    assert got[4][0] == "windows-1252" and got[4][1] is None
+
+
+def test_decode_never_raises_on_lying_charsets(spark):
+    """The never-raise posture under adversarial bytes: a page that
+    DECLARES utf-8 but carries invalid bytes decodes with U+FFFD; an
+    odd-length utf-16 payload (truncation) refuses to NULL instead of
+    killing the task; the fallback tier decodes even a surrogate-broken
+    utf-16 page via Python's replacement."""
+    from pyspark.sql import functions as F
+
+    from datamancer_spark.operators.warc import (
+        charset_of,
+        decode_payload_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(b"ok \xff\xfe bad"),
+             "text/html; charset=utf-8"),
+            (1, bytearray(b"\xff\xfeA\x00B"),  # BOM + odd tail byte
+             "text/html"),
+        ],
+        "k int, payload binary, ctype string",
+    )
+    cs = charset_of(F.col("payload"), F.col("ctype"))
+    out = df.select(
+        "k", cs.alias("cs"),
+        decode_payload_text(F.col("payload"), cs).alias("t"),
+    ).orderBy("k").collect()
+    assert out[0]["cs"] == "utf-8"
+    assert out[0]["t"] == "ok \ufffd\ufffd bad"  # replaced, not raised
+    assert out[1]["cs"] == "utf-16le"
+    assert out[1]["t"] is None  # odd length: refuse, don't raise
