@@ -712,9 +712,14 @@ def extract_anchors(
 def wet_text(records: DataFrame) -> DataFrame:
     """Text rows from WET conversion records: (id, rec_idx, url, text).
     WET payloads are already-extracted UTF-8 plain text — no HTML pass."""
+    # make_valid_utf8, not F.decode: a WET payload with invalid bytes
+    # (they exist in real dumps despite the spec) must degrade to
+    # U+FFFD, never kill the task — same fix as decode_payload_text
     return records.filter(F.col("warc_type") == "conversion").select(
         records.columns[0],
         "rec_idx",
         F.col("target_uri").alias("url"),
-        F.trim(F.decode(F.col("payload"), "UTF-8")).alias("text"),
+        F.trim(
+            F.make_valid_utf8(F.col("payload").cast("string"))
+        ).alias("text"),
     )
