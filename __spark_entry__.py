@@ -1101,6 +1101,42 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling under the driver gate (r12,
+    functions/text.py script_counts / dominant_script — the
+    writing-system routing key a multilingual pipeline partitions by,
+    upstream of the marker-based lang heuristics which only work on
+    space-delimited Latin scripts). Non-Latin text is mixed in in-plan
+    by doc_id arithmetic (Han / Cyrillic / Katakana suffixes), and the
+    twin re-computes the SAME length-difference counting over the same
+    explicit code-point ranges in RE2 — a genuine cross-engine
+    differential of the regex character classes themselves."""
+    from datamancer_spark.functions.text import (
+        dominant_script,
+        script_counts,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    i = F.col("doc_id")
+    mixed = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(i % 4 == 0, F.lit(" \u4e2d\u6587\u5b57"))
+        .when(i % 4 == 1, F.lit(" \u043a\u0438\u0440\u0438\u043b"))
+        .when(i % 4 == 2, F.lit(" \u30ab\u30ca"))
+        .otherwise(F.lit("")),
+    )
+    page = doc.select("doc_id", mixed.alias("text"))
+    counts = script_counts(F.col("text"))
+    return page.select(
+        "doc_id",
+        counts["latin"].alias("n_latin"),
+        counts["han"].alias("n_han"),
+        counts["kana"].alias("n_kana"),
+        counts["cyrillic"].alias("n_cyrillic"),
+        dominant_script(F.col("text")).alias("dominant"),
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scores materialized as columns first: each marker-count expression
     # evaluates once, instead of being re-expanded inside every CASE
@@ -3626,6 +3662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green: fractional-epoch UP-sampling (the repeat
         # -- half of data mixing).
         "epoch_expand_langs": epoch_expand_langs,
+        # -- r12 zero-green: unicode script profiling (cross-engine
+        # -- regex character-class differential).
+        "script_mix_profile": script_mix_profile,
         # -- r12 zero-green: per-host Crawl-delay politeness budget
         # -- (REP extension; exact-group-hides-'*' pinned).
         "crawl_delay_budget": crawl_delay_budget,
@@ -3655,9 +3694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "repetition_quality": repetition_quality,
         "line_dedup": line_dedup,
-        "contamination_screen": contamination_screen,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "contamination_screen": contamination_screen,
         "stratified_sample_counts": stratified_sample_counts,
         "dedup_canonical": dedup_canonical,
         "dedup_jaccard": dedup_jaccard,
@@ -6804,6 +6843,42 @@ def oracle_sql() -> dict[str, str]:
     """
 
 
+
+
+    # Script-profile twin (r12): the same length-difference counting
+    # over the same explicit code-point ranges, RE2-escaped; dominant
+    # via a sorted (-count, name) struct list (max count, alphabetical
+    # tie-break), 'none' when nothing matches.
+    sql["script_mix_profile"] = """
+        WITH mixed AS (
+          SELECT doc_id,
+                 coalesce(text, '')
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN ' ' || chr(20013) || chr(25991) || chr(23383)
+                         WHEN doc_id % 4 = 1
+                         THEN ' ' || chr(1082) || chr(1080) || chr(1088)
+                              || chr(1080) || chr(1083)
+                         WHEN doc_id % 4 = 2
+                         THEN ' ' || chr(12459) || chr(12490)
+                         ELSE '' END AS t
+          FROM documents
+        ),
+        counted AS (
+          SELECT doc_id,
+                 CAST(len(t) - len(regexp_replace(t, '[A-Za-z\\x{00c0}-\\x{024f}]', '', 'g')) AS BIGINT) AS n_latin,
+                 CAST(len(t) - len(regexp_replace(t, '[\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}]', '', 'g')) AS BIGINT) AS n_han,
+                 CAST(len(t) - len(regexp_replace(t, '[\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}]', '', 'g')) AS BIGINT) AS n_kana,
+                 CAST(len(t) - len(regexp_replace(t, '[\\x{ac00}-\\x{d7af}\\x{1100}-\\x{11ff}]', '', 'g')) AS BIGINT) AS n_hangul,
+                 CAST(len(t) - len(regexp_replace(t, '[\\x{0400}-\\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+                 CAST(len(t) - len(regexp_replace(t, '[\\x{0600}-\\x{06ff}\\x{0750}-\\x{077f}]', '', 'g')) AS BIGINT) AS n_arabic,
+                 CAST(len(t) - len(regexp_replace(t, '[\\x{0900}-\\x{097f}]', '', 'g')) AS BIGINT) AS n_devanagari
+          FROM mixed
+        )
+        SELECT doc_id, n_latin, n_han, n_kana, n_cyrillic,
+               CASE WHEN n_latin = 0 AND n_han = 0 AND n_kana = 0 AND n_hangul = 0 AND n_cyrillic = 0 AND n_arabic = 0 AND n_devanagari = 0 THEN 'none'
+                    ELSE list_sort([{'k': -n_arabic, 'n': 'arabic'}, {'k': -n_cyrillic, 'n': 'cyrillic'}, {'k': -n_devanagari, 'n': 'devanagari'}, {'k': -n_han, 'n': 'han'}, {'k': -n_hangul, 'n': 'hangul'}, {'k': -n_kana, 'n': 'kana'}, {'k': -n_latin, 'n': 'latin'}])[1].n END AS dominant
+        FROM counted
+    """
 
     # Epoch-expansion twin (r12): whole copies + the md5-bucket
     # fractional pass (same '0'||id convention as mixture_resample),

@@ -171,6 +171,7 @@ HEADLINE = [
     "bpe_encode_budget",
     "crawl_delay_budget",
     "epoch_expand_langs",
+    "script_mix_profile",
 ]
 
 

@@ -171,3 +171,55 @@ def fingerprint(text: Column) -> Column:
         F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " "
     )
     return F.md5(canon)
+
+
+#: Unicode script classes for corpus routing — EXPLICIT code-point
+#: ranges (not \p{Script=...} names) so Java regex (Spark) and RE2
+#: (the DuckDB oracle) agree character for character. Coverage is the
+#: routing set a multilingual pipeline actually branches on; anything
+#: else lands in "other".
+SCRIPT_RANGES: dict[str, str] = {
+    # basic latin letters + Latin-1 supplement + Extended-A/B
+    "latin": "A-Za-z\u00c0-\u024f",
+    # CJK unified ideographs (+ext A) — Han
+    "han": "\u4e00-\u9fff\u3400-\u4dbf",
+    # hiragana + katakana (+phonetic extensions)
+    "kana": "\u3040-\u30ff\u31f0-\u31ff",
+    "hangul": "\uac00-\ud7af\u1100-\u11ff",
+    "cyrillic": "\u0400-\u04ff",
+    "arabic": "\u0600-\u06ff\u0750-\u077f",
+    "devanagari": "\u0900-\u097f",
+}
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts (r12): length-difference counting —
+    ``len(s) − len(regexp_replace(s, '[class]', ''))`` — which both
+    Spark and DuckDB compute identically over explicit ranges (their
+    length() functions both count code points). One column per script
+    in ``SCRIPT_RANGES``."""
+    out = {}
+    for name, ranges in SCRIPT_RANGES.items():
+        out[name] = (
+            F.length(text)
+            - F.length(F.regexp_replace(text, f"[{ranges}]", ""))
+        ).cast("long")
+    return out
+
+
+def dominant_script(text: Column) -> Column:
+    """argmax over ``script_counts`` with a deterministic tie-break
+    (alphabetical script name; 'none' when no class matches at all) —
+    the per-document routing key a multilingual pipeline partitions
+    by."""
+    counts = script_counts(text)
+    best = F.lit("none")
+    best_n = F.lit(0).cast("long")
+    # iterate REVERSE-alphabetically with strictly-greater updates:
+    # the final winner is the max count, alphabetically-first on ties
+    for name in sorted(counts, reverse=True):
+        c = counts[name]
+        take = (c > best_n) | ((c == best_n) & (c > 0))
+        best = F.when(take, F.lit(name)).otherwise(best)
+        best_n = F.when(take, c).otherwise(best_n)
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(best)

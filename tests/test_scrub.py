@@ -370,3 +370,40 @@ class TestUnicodeNormalize:
         )
         with _pt.raises(ValueError):
             unicode_normalize(F.col("t"), "NFX")
+
+
+def test_script_counts_and_dominant(spark):
+    """r12 script profiling: length-difference counts per explicit
+    range; dominant = max count with alphabetical tie-break, 'none'
+    for no-script text."""
+    from datamancer_spark.functions.text import (
+        dominant_script,
+        script_counts,
+    )
+
+    rows = [
+        (1, "hello world"),                       # latin only
+        (2, "中文 latin 中"),         # han 3, latin 5
+        (3, "カナカナ"),          # kana 4
+        (4, "ab бв"),                   # latin 2 cyrillic 2 tie
+        (5, "1234 !?"),                           # none
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, text string")
+    counts = script_counts(F.col("text"))
+    out = df.select(
+        "k",
+        counts["latin"].alias("lat"),
+        counts["han"].alias("han"),
+        counts["kana"].alias("kana"),
+        counts["cyrillic"].alias("cyr"),
+        dominant_script(F.col("text")).alias("dom"),
+    ).collect()
+    got = {r["k"]: (r["lat"], r["han"], r["kana"], r["cyr"], r["dom"])
+           for r in out}
+    assert got[1] == (10, 0, 0, 0, "latin")
+    assert got[2] == (5, 3, 0, 0, "latin")
+    assert got[3] == (0, 0, 4, 0, "kana")
+    assert got[4] == (2, 0, 0, 2, "cyrillic")  # alphabetical tie-break
+    assert got[5] == (0, 0, 0, 0, "none")
+    assert got[6] == (None, None, None, None, None)

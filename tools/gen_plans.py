@@ -100,6 +100,7 @@ COMMENT = {
     "bpe_train_merges": "Byte-BPE training gate: the corpus projection is one scan; the trainer is the documented DRIVER-SIDE exception (vocabulary-sized sequential state over a bounded sample — here the whole gate corpus), so the executed plan is the 8-row local merge table. The differential value is the twin: DuckDB re-runs the full count -> argmax -> merge loop unrolled and must reproduce every merge exactly.",
     "frontier_bloom_tofetch": "Incremental discovery: the sitemap frontier (pinned fetch frame) probes the crawled-URL Bloom as k=4 broadcast LEFT joins of position columns — ZERO additional shuffles on the frontier; the truth join for the gated flags is one more broadcast. At crawl scale the filter is a bounded position frame (<=2048 rows here) that persists as parquet and merges by union+distinct.",
     "canonicalize_frontier_urls": "URL canonicalization: fragment strip, case-folded scheme/host, default-port strip, tracking-param scrub and the RFC 3986 dot-segment fold — ALL scan-side Catalyst string expressions (the fold is one F.aggregate, pinned Python-free); ZERO exchanges, no joins — a pure scan-side projection.",
+    "script_mix_profile": "Zero-shuffle projection: seven per-script regexp length-difference counts + the dominant-script fold evaluate next to the scan in whole-stage codegen; no joins, no aggregates.",
     "epoch_expand_langs": "Fractional-epoch up-sampling: literal map lookup + array_repeat/posexplode NEXT TO THE SCAN — zero joins, zero aggregates, zero driver loops; output is exactly sum(n_k * e_k) rows with deterministic hash-selected fractional passes.",
     "crawl_delay_budget": "Politeness budget: the robots directive parse (tiny frames, one group window), effective-delay selection via one anti-join, and ONE partial-aggregated host count over the corpus; the join of delays to counts is broadcast-able.",
     "bpe_encode_budget": "Byte-BPE distributed apply: ONE Arrow mapInPandas pass with broadcast ranks + per-batch pretoken memo (Zipf hit rate) — no shuffle at all beyond the bench round-robin; the budgeting column feeds budget_select/pack_sequences.",
