@@ -1137,6 +1137,89 @@ def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction under the driver gate (r12 addition,
+    operators/scrub.py redact_pii — previously pytest-only because the
+    synthetic corpus carries no PII). Synthetic PII is injected in-plan
+    by doc_id arithmetic (every doc gets an email; phone / SSN / IPv4 /
+    CCN spans land on doc_id mod classes), then the production redactor
+    runs: k regexp_count + k chained regexp_replace in dict order, all
+    codegen'd next to the scan — zero shuffles, zero Python. The twin
+    re-runs the SAME RE2-safe patterns as a chained count-then-replace
+    CTE ladder in DuckDB (RE2) — a genuine cross-engine differential of
+    the redaction regexes themselves, md5-pinning the redacted text so
+    every replaced byte is checked, not just the counts."""
+    from datamancer_spark.operators.scrub import redact_pii
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    i = F.col("doc_id")
+    pad4 = F.lpad((i % 10000).cast("string"), 4, "0")
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), i.cast("string"), F.lit("@example.com"),
+        F.when(i % 3 == 0, F.concat(F.lit(" call 415-555-"), pad4))
+        .otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(F.lit(" ssn 123-45-"), pad4))
+        .otherwise(F.lit("")),
+        F.when(
+            i % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (i % 256).cast("string"),
+                F.lit("."),
+                ((i * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit(" card 4111 1111 1111 1111"))
+        .otherwise(F.lit("")),
+    )
+    page = doc.select("doc_id", injected.alias("text"))
+    red = redact_pii(page, text_col="text")
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_ccn",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("text")).alias("red_md5"),
+    )
+
+
+def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection under the driver gate (r12 addition,
+    operators/quality.py dsir_importance_weights + dsir_resample —
+    hashed-ngram importance resampling per Xie et al. 2023, the
+    standard pretraining-data selection step). Target distribution =
+    the corpus's lang='en' slice; features = md5-bucketed unigrams +
+    bigrams (256 buckets); selection = Gumbel-top-100 on the EXACT
+    integer key (per-bucket log-ratios half-up rounded to 1e-6 once,
+    then pure BIGINT sums — engine-portable ordering, doc_id breaks
+    ties). The twin recomputes the identical chain in DuckDB: same
+    md5 buckets, same add-1 smoothing, same micro-integer rounding,
+    same Gumbel inverse-CDF — a genuine cross-engine differential of
+    the whole selection pipeline including ln()."""
+    from datamancer_spark.operators.quality import (
+        dsir_importance_weights,
+        dsir_resample,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    w = dsir_importance_weights(
+        doc.withColumn("_tgt", F.col("lang") == "en"),
+        target_col="_tgt",
+        n_buckets=256,
+    )
+    sel = dsir_resample(w, k=100)
+    return sel.select(
+        "doc_id",
+        "n_feats",
+        "logw_micros",
+        "dsir_logw",
+        "sel",
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scores materialized as columns first: each marker-count expression
     # evaluates once, instead of being re-expanded inside every CASE
@@ -3682,7 +3765,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green #7: incremental discovery — the frontier
         # -- probes the crawled-URL Bloom filter (fetch only the new).
         "frontier_bloom_tofetch": frontier_bloom_tofetch,
-        # -- remaining 17 slots: the STALEST multiply-proven members
+        # -- r12 zero-green: PII redaction (synthetic in-plan spans;
+        # -- md5-pinned redacted bytes; RE2-safe pattern differential).
+        "pii_redact_docs": pii_redact_docs,
+        # -- r12 zero-green: DSIR importance resampling (hashed-ngram
+        # -- target/raw log-ratios; exact-integer Gumbel-top-k).
+        "dsir_select_en": dsir_select_en,
+        # -- remaining slots: the STALEST multiply-proven members
         # -- (last green r3-r4) for third/fourth proofs; the r11
         # -- window's 2x-proven members rotate out to the queue.
         "spread_pivot": spread_pivot,
@@ -3692,10 +3781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": semi_join_q,
         "array_ops": array_ops,
         "text_fingerprint": text_fingerprint,
-        "repetition_quality": repetition_quality,
-        "line_dedup": line_dedup,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "repetition_quality": repetition_quality,
+        "line_dedup": line_dedup,
         "contamination_screen": contamination_screen,
         "stratified_sample_counts": stratified_sample_counts,
         "dedup_canonical": dedup_canonical,
@@ -6878,6 +6967,158 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_latin = 0 AND n_han = 0 AND n_kana = 0 AND n_hangul = 0 AND n_cyrillic = 0 AND n_arabic = 0 AND n_devanagari = 0 THEN 'none'
                     ELSE list_sort([{'k': -n_arabic, 'n': 'arabic'}, {'k': -n_cyrillic, 'n': 'cyrillic'}, {'k': -n_devanagari, 'n': 'devanagari'}, {'k': -n_han, 'n': 'han'}, {'k': -n_hangul, 'n': 'hangul'}, {'k': -n_kana, 'n': 'kana'}, {'k': -n_latin, 'n': 'latin'}])[1].n END AS dominant
         FROM counted
+    """
+
+    # PII-redaction twin (r12): the same injection arithmetic, then the
+    # SAME RE2-safe patterns as a chained count-then-replace CTE ladder
+    # (each count runs on the text AFTER the earlier patterns replaced,
+    # mirroring redact_pii's dict-order semantics); md5 pins the final
+    # redacted bytes. Java regex (Spark) vs RE2 (DuckDB) — the patterns
+    # are written to the common subset (no lookarounds/backrefs).
+    sql["pii_redact_docs"] = """
+        WITH injected AS (
+          SELECT doc_id,
+                 coalesce(text, '')
+                 || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' call 415-555-'
+                              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' ssn 123-45-'
+                              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' card 4111 1111 1111 1111'
+                         ELSE '' END AS t0
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t0,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_email,
+                 regexp_replace(t0,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+          FROM injected
+        ),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(t1,
+                   '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_ssn,
+                 regexp_replace(t1, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b',
+                   '<SSN>', 'g') AS t2
+          FROM s1
+        ),
+        s3 AS (
+          SELECT doc_id, n_email, n_ssn,
+                 CAST(len(regexp_extract_all(t2,
+                   '\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,4}\\b'))
+                   AS BIGINT) AS n_ccn,
+                 regexp_replace(t2,
+                   '\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,4}\\b',
+                   '<CCN>', 'g') AS t3
+          FROM s2
+        ),
+        s4 AS (
+          SELECT doc_id, n_email, n_ssn, n_ccn,
+                 CAST(len(regexp_extract_all(t3,
+                   '\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b'))
+                   AS BIGINT) AS n_ipv4,
+                 regexp_replace(t3,
+                   '\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b',
+                   '<IP>', 'g') AS t4
+          FROM s3
+        ),
+        s5 AS (
+          SELECT doc_id, n_email, n_ssn, n_ccn, n_ipv4,
+                 CAST(len(regexp_extract_all(t4,
+                   '(?:\\+[0-9]{1,2}[ .\\-]?)?\\(?\\b[0-9]{3}\\)?[ .\\-]?[0-9]{3}[ .\\-]?[0-9]{4}\\b'))
+                   AS BIGINT) AS n_phone,
+                 regexp_replace(t4,
+                   '(?:\\+[0-9]{1,2}[ .\\-]?)?\\(?\\b[0-9]{3}\\)?[ .\\-]?[0-9]{3}[ .\\-]?[0-9]{4}\\b',
+                   '<PHONE>', 'g') AS t5
+          FROM s4
+        )
+        SELECT doc_id, n_email, n_ssn, n_ccn, n_ipv4, n_phone,
+               md5(t5) AS red_md5
+        FROM s5
+    """
+
+    # DSIR twin (r12): identical md5 buckets ('0'||gram, 15 hex digits),
+    # add-1 smoothing, per-bucket half-up micro-integer rounding of the
+    # ln ratio, exact BIGINT doc sums, and the same deterministic Gumbel
+    # key ('1'||id uniform -> -ln(-ln(u)), micro-rounded) for top-100.
+    sql["dsir_select_en"] = """
+        WITH d AS (
+          SELECT doc_id, lang = 'en' AS is_t,
+                 list_filter(
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                   x -> len(x) > 0) AS toks
+          FROM documents
+        ),
+        uni AS (
+          SELECT doc_id, is_t, unnest(toks) AS g FROM d
+        ),
+        bi AS (
+          SELECT doc_id, is_t, toks[i] || ' ' || toks[i + 1] AS g
+          FROM d, unnest(
+            CASE WHEN len(toks) < 2 THEN CAST([] AS BIGINT[])
+                 ELSE generate_series(1, len(toks) - 1) END) AS t(i)
+        ),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        bucketed AS (
+          SELECT doc_id, is_t,
+                 CAST('0x' || substr(md5('0' || g), 1, 15) AS BIGINT) % 256
+                   AS b
+          FROM grams
+        ),
+        docb AS (
+          SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS c
+          FROM bucketed GROUP BY doc_id, is_t, b
+        ),
+        bucket AS (
+          SELECT b,
+                 sum(CASE WHEN is_t THEN c ELSE 0 END) AS ct,
+                 sum(c) AS cr
+          FROM docb GROUP BY b
+        ),
+        tot AS (SELECT sum(ct) AS tt, sum(cr) AS rt FROM bucket),
+        scores AS (
+          SELECT b,
+                 CAST(floor((ln((ct + 1.0) / (tt + 256.0))
+                             - ln((cr + 1.0) / (rt + 256.0)))
+                            * 1000000.0 + 0.5) AS BIGINT) AS s
+          FROM bucket, tot
+        ),
+        docw AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_feats,
+                 CAST(sum(c * s) AS BIGINT) AS logw_micros
+          FROM docb JOIN scores USING (b) GROUP BY doc_id
+        ),
+        keyed AS (
+          SELECT doc_id, n_feats, logw_micros,
+                 logw_micros
+                 + CAST(floor(-ln(-ln(
+                     (CAST('0x' || substr(md5('1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 1000000 + 0.5) / 1000000.0))
+                     * 1000000.0 + 0.5) AS BIGINT) AS key
+          FROM docw
+        ),
+        top AS (
+          SELECT doc_id FROM keyed ORDER BY key DESC, doc_id LIMIT 100
+        )
+        SELECT k.doc_id, k.n_feats, k.logw_micros,
+               k.logw_micros / 1000000.0 AS dsir_logw,
+               t.doc_id IS NOT NULL AS sel
+        FROM keyed k LEFT JOIN top t ON k.doc_id = t.doc_id
     """
 
     # Epoch-expansion twin (r12): whole copies + the md5-bucket

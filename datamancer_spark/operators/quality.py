@@ -608,6 +608,166 @@ def epoch_expand(
     ).drop("_one")
 
 
+def dsir_importance_weights(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    use_bigrams: bool = True,
+    smooth: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — the hashed-ngram variant): score each
+    document by how much more likely its bag of hashed n-gram features
+    is under the TARGET distribution (rows where ``target_col`` is
+    true — e.g. curated/wiki-like pages) than under the RAW corpus
+    distribution. log w(x) = Σ_b c_b(x)·(ln p̂_t(b) − ln p̂_r(b)) with
+    add-``smooth`` estimates over ``n_buckets`` hashed buckets of
+    unigrams (+ bigrams when ``use_bigrams``).
+
+    Output: (id, n_feats BIGINT, logw_micros BIGINT, dsir_logw DOUBLE).
+    ``logw_micros`` is the EXACT integer form (each per-bucket log-ratio
+    is half-up rounded to 1e-6 once, then summed as BIGINTs) — summation
+    order can't perturb it, so downstream top-k selection compares
+    integers, never floats; ``dsir_logw`` = logw_micros/1e6 for humans.
+
+    Plan (100 TB shape): one explode builds the gram stream (narrow),
+    one shuffle reduces it to per-(doc, bucket) counts, and the bucket
+    score table is BOUNDED BY ``n_buckets`` rows — it broadcasts back
+    onto the per-doc counts regardless of corpus size (the 1-row totals
+    frame broadcasts onto it first). Total: two shuffles (doc-bucket
+    agg, final per-doc agg), zero Python, zero collects. Buckets are
+    ``portable_hash`` (md5-derived) so the DuckDB twin reproduces them
+    bit-for-bit."""
+    from .dedup import portable_hash
+
+    d = spread_partitions(df).select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("_is_t"),
+        F.filter(
+            tokens(F.col(text_col)), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+    grams = F.col("_toks")
+    if use_bigrams:
+        k = F.size("_toks") - 1
+        bigrams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 2)),
+            )
+        )
+        grams = F.concat(grams, bigrams)
+    g = d.select(
+        F.col(id_col),
+        F.col("_is_t"),
+        F.explode(grams).alias("_g"),
+    ).select(
+        F.col(id_col),
+        F.col("_is_t"),
+        (portable_hash(F.col("_g")) % n_buckets).alias("_b"),
+    )
+    # docb feeds BOTH the bucket score table and the final per-doc sum;
+    # without a lineage cut each consumer re-runs the corpus-wide gram
+    # explode (the plan's dominant cost). Post-reduction it is at most
+    # docs x n_buckets rows — the checkpoint-beats-recompute case (same
+    # call the fuzzy-verify candidate frames use).
+    docb = materialize(
+        g.groupBy(id_col, "_is_t", "_b").agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+    )
+    bucket = docb.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_t"), F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_ct"),
+        F.sum("_c").cast("long").alias("_cr"),
+    )
+    totals = bucket.agg(
+        F.sum("_ct").alias("_t_tot"), F.sum("_cr").alias("_r_tot")
+    )
+    sb = float(smooth) * n_buckets
+    scores = bucket.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.floor(
+            (
+                F.log((F.col("_ct") + smooth) / (F.col("_t_tot") + sb))
+                - F.log((F.col("_cr") + smooth) / (F.col("_r_tot") + sb))
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("_s"),
+    )
+    return (
+        docb.join(F.broadcast(scores), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_feats"),
+            F.sum(F.col("_c") * F.col("_s")).cast("long").alias(
+                "logw_micros"
+            ),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "logw_micros",
+            (F.col("logw_micros") / F.lit(1e6)).alias("dsir_logw"),
+        )
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 1,
+    out: str = "sel",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling over DSIR weights — the
+    selection half of DSIR: sampling k docs ∝ w(x) without replacement
+    is exactly taking the top k of log w(x) + Gumbel noise. The noise
+    is DETERMINISTIC (inverse-CDF of an md5-derived uniform on the doc
+    id, −ln(−ln(u))), half-up rounded to 1e-6 and added to the exact
+    ``logw_micros`` integer — the whole selection key is a BIGINT, so
+    ties and ordering are engine-portable (doc id breaks exact ties).
+
+    Plan: the top-k runs as TakeOrderedAndProject (per-partition
+    partial top-k merged on the driver — NOT a global sort), and the k
+    selected ids broadcast back as a left-join flag. k is a curation
+    budget (thousands), never corpus-sized."""
+    from .dedup import portable_hash
+
+    u = (
+        portable_hash(F.col(id_col).cast("string"), seed=seed) % 1_000_000
+        + 0.5
+    ) / 1e6
+    gm = F.floor(-F.log(-F.log(u)) * 1e6 + 0.5).cast("long")
+    # keyed feeds both the top-k and the flag join — cut lineage so the
+    # upstream weight computation (two shuffles over the gram stream)
+    # runs once, not twice
+    keyed = materialize(
+        weights.withColumn("_key", F.col("logw_micros") + gm)
+    )
+    top = (
+        keyed.select(id_col, "_key")
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("_sel_id"))
+    )
+    return (
+        keyed.join(
+            F.broadcast(top),
+            keyed[id_col] == F.col("_sel_id"),
+            "left",
+        )
+        .withColumn(out, F.col("_sel_id").isNotNull())
+        .drop("_sel_id", "_key")
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     key_col: str,

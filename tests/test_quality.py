@@ -913,3 +913,68 @@ def test_epoch_expand_fractional_and_zero(spark):
         ).collect()
     )
     assert idx == list(range(len(idx)))
+
+
+# -- DSIR importance resampling (r12) ----------------------------------------
+
+
+def _dsir_corpus(spark):
+    # target-y docs share the marker vocabulary; off-target docs don't.
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "wiki clean prose reference article", True))
+        else:
+            rows.append((i, "spam casino pills click banner now", False))
+    # held-out unlabeled docs, one of each flavor
+    rows.append((100, "wiki clean prose reference article", False))
+    rows.append((101, "spam casino pills click banner now", False))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, tgt boolean"
+    )
+
+
+def test_dsir_weights_separate_target_from_raw(spark):
+    from datamancer_spark.operators.quality import dsir_importance_weights
+
+    df = _dsir_corpus(spark)
+    w = by_id(dsir_importance_weights(df, target_col="tgt"))
+    # a target-vocabulary doc must outscore an off-target doc, and the
+    # UNLABELED twins inherit the same separation (weights depend only
+    # on text, not on the label)
+    assert w[0]["dsir_logw"] > w[1]["dsir_logw"]
+    assert w[100]["dsir_logw"] > w[101]["dsir_logw"]
+    # identical text => identical weight (pure function of features)
+    assert w[0]["logw_micros"] == w[100]["logw_micros"]
+    # exact-integer contract: dsir_logw is logw_micros / 1e6
+    for r in w.values():
+        assert r["dsir_logw"] == pytest.approx(r["logw_micros"] / 1e6)
+    # n_feats = unigrams + bigrams: 5+4 for the 5-token target text,
+    # 6+5 for the 6-token off-target text
+    assert w[0]["n_feats"] == 9 and w[100]["n_feats"] == 9
+    assert w[1]["n_feats"] == 11 and w[101]["n_feats"] == 11
+
+
+def test_dsir_resample_selects_k_weighted(spark):
+    from datamancer_spark.operators.quality import (
+        dsir_importance_weights,
+        dsir_resample,
+    )
+
+    df = _dsir_corpus(spark)
+    w = dsir_importance_weights(df, target_col="tgt")
+    out = dsir_resample(w, k=10)
+    rows = by_id(out)
+    assert sum(1 for r in rows.values() if r["sel"]) == 10
+    # Gumbel-perturbed top-k still overwhelmingly prefers the target
+    # flavor given this separation (logw gap >> Gumbel spread here)
+    picked = [i for i, r in rows.items() if r["sel"]]
+    target_ids = {i for i in range(40) if i % 2 == 0} | {100}
+    assert sum(1 for i in picked if i in target_ids) >= 8
+    # deterministic: a second run picks the identical set
+    again = {i for i, r in by_id(dsir_resample(w, k=10)).items() if r["sel"]}
+    assert set(picked) == again
+    # k larger than the corpus selects everything
+    assert all(
+        r["sel"] for r in by_id(dsir_resample(w, k=1000)).values()
+    )
