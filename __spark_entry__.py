@@ -1220,6 +1220,45 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_cap_registrable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) capping under the driver gate (r12,
+    operators/scrub.py registrable_domain + operators/sampling.py
+    cap_per_key): subdomains of one registrant collapse to a single
+    cap key (www0/www1/www2.bbc.co.uk → bbc.co.uk) while distinct
+    registrants under a shared public suffix stay apart (a0.co.uk ≠
+    a1.co.uk) — the per-domain budget step that stops one over-crawled
+    registrant from dominating a 100 TB mixture. The host fixture is
+    doc_id arithmetic spanning the tricky shapes: multi-label public
+    suffixes, plain .com, deeper subdomain chains on .com.au, IPv4
+    literals and single-label hosts. The twin re-derives eTLD+1 with
+    the same label slicing + suffix membership and the same portable
+    md5 cap order."""
+    from datamancer_spark.operators.sampling import cap_per_key
+    from datamancer_spark.operators.scrub import registrable_domain
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    i = F.col("doc_id")
+    host = (
+        F.when(i % 6 == 0, F.concat(F.lit("www"), (i % 3).cast("string"), F.lit(".bbc.co.uk")))
+        .when(i % 6 == 1, F.concat(F.lit("news.site"), (i % 10).cast("string"), F.lit(".com")))
+        .when(i % 6 == 2, F.concat(F.lit("a"), (i % 4).cast("string"), F.lit(".co.uk")))
+        .when(i % 6 == 3, F.concat(F.lit("10.0."), (i % 9).cast("string"), F.lit(".1")))
+        .when(i % 6 == 4, F.lit("localhost"))
+        .otherwise(F.concat(F.lit("cdn.eu.shop"), (i % 5).cast("string"), F.lit(".com.au")))
+    )
+    pages = doc.select("doc_id", host.alias("host"))
+    keyed = pages.withColumn(
+        "reg_dom", registrable_domain(F.col("host"))
+    )
+    capped = cap_per_key(keyed, "reg_dom", 15, "doc_id", out="rnk")
+    return capped.select(
+        "doc_id",
+        "host",
+        "reg_dom",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scores materialized as columns first: each marker-count expression
     # evaluates once, instead of being re-expanded inside every CASE
@@ -3771,6 +3810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green: DSIR importance resampling (hashed-ngram
         # -- target/raw log-ratios; exact-integer Gumbel-top-k).
         "dsir_select_en": dsir_select_en,
+        # -- r12 zero-green: eTLD+1 extraction + per-registrable-domain
+        # -- caps (subdomains collapse; co.uk registrants stay apart).
+        "domain_cap_registrable": domain_cap_registrable,
         # -- remaining slots: the STALEST multiply-proven members
         # -- (last green r3-r4) for third/fourth proofs; the r11
         # -- window's 2x-proven members rotate out to the queue.
@@ -3780,9 +3822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "semi_join": semi_join_q,
         "array_ops": array_ops,
-        "text_fingerprint": text_fingerprint,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "text_fingerprint": text_fingerprint,
         "repetition_quality": repetition_quality,
         "line_dedup": line_dedup,
         "contamination_screen": contamination_screen,
@@ -7049,6 +7091,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_email, n_ssn, n_ccn, n_ipv4, n_phone,
                md5(t5) AS red_md5
         FROM s5
+    """
+
+    # Registrable-domain cap twin (r12): same host fixture arithmetic,
+    # same eTLD+1 rule (≤2 labels / IPv4 pass through; last-2-labels in
+    # the multi-suffix set -> last 3 labels; else last 2), same portable
+    # md5('0_'||id) cap order, keep rank <= 15.
+    sql["domain_cap_registrable"] = """
+        WITH pages AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 6 = 0 THEN 'www' || CAST(doc_id % 3 AS VARCHAR) || '.bbc.co.uk'
+                   WHEN doc_id % 6 = 1 THEN 'news.site' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+                   WHEN doc_id % 6 = 2 THEN 'a' || CAST(doc_id % 4 AS VARCHAR) || '.co.uk'
+                   WHEN doc_id % 6 = 3 THEN '10.0.' || CAST(doc_id % 9 AS VARCHAR) || '.1'
+                   WHEN doc_id % 6 = 4 THEN 'localhost'
+                   ELSE 'cdn.eu.shop' || CAST(doc_id % 5 AS VARCHAR) || '.com.au'
+                 END AS host
+          FROM documents
+        ),
+        keyed AS (
+          SELECT doc_id, host,
+                 CASE
+                   WHEN len(string_split(host, '.')) <= 2 THEN host
+                   WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN host
+                   WHEN array_to_string(string_split(host, '.')[len(string_split(host, '.')) - 1 : len(string_split(host, '.'))], '.') IN (
+                     'co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
+                     'com.au','net.au','org.au','edu.au','gov.au',
+                     'co.jp','ne.jp','or.jp','ac.jp','go.jp',
+                     'com.br','net.br','org.br','gov.br',
+                     'com.cn','net.cn','org.cn','gov.cn',
+                     'com.mx','org.mx','co.in','net.in','org.in','gov.in',
+                     'co.kr','or.kr','com.tw','org.tw','com.sg','com.hk',
+                     'co.za','org.za','com.ar','com.tr','co.nz','net.nz',
+                     'org.nz','com.my','co.id','co.th','com.vn','com.ph',
+                     'co.il','org.il','com.eg','com.sa','com.ua','com.pk')
+                   THEN array_to_string(string_split(host, '.')[len(string_split(host, '.')) - 2 : len(string_split(host, '.'))], '.')
+                   ELSE array_to_string(string_split(host, '.')[len(string_split(host, '.')) - 1 : len(string_split(host, '.'))], '.')
+                 END AS reg_dom
+          FROM pages
+        ),
+        ranked AS (
+          SELECT doc_id, host, reg_dom,
+                 CAST(row_number() OVER (
+                   PARTITION BY reg_dom
+                   ORDER BY md5('0_' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS BIGINT) AS rnk
+          FROM keyed
+        )
+        SELECT doc_id, host, reg_dom, rnk FROM ranked WHERE rnk <= 15
     """
 
     # DSIR twin (r12): identical md5 buckets ('0'||gram, 15 hex digits),

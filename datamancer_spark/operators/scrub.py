@@ -199,6 +199,55 @@ def normalize_url(url: Column) -> Column:
     return F.regexp_replace(u, r"^(https?://[^/?]+)/$", r"$1")
 
 
+# Pragmatic multi-label public-suffix subset (the full Mozilla PSL is
+# ~9k rules and a moving target; crawl curation needs the COMMON
+# two-label registries so "a.co.uk" and "b.co.uk" don't collapse into
+# one "co.uk" domain). Callers with the full PSL pass their own list.
+DEFAULT_MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx", "co.in", "net.in", "org.in", "gov.in",
+    "co.kr", "or.kr", "com.tw", "org.tw", "com.sg", "com.hk",
+    "co.za", "org.za", "com.ar", "com.tr", "co.nz", "net.nz",
+    "org.nz", "com.my", "co.id", "co.th", "com.vn", "com.ph",
+    "co.il", "org.il", "com.eg", "com.sa", "com.ua", "com.pk",
+)
+
+
+def registrable_domain(
+    host: Column,
+    multi_suffixes: tuple[str, ...] = DEFAULT_MULTI_SUFFIXES,
+) -> Column:
+    """eTLD+1 (registrable domain) from a lowercase host — the key
+    per-domain crawl policies aggregate on (caps, reputation, robots
+    budgets): subdomains of one registrant collapse ("news.bbc.co.uk"
+    and "www.bbc.co.uk" → "bbc.co.uk") while distinct registrants under
+    a shared public suffix stay apart ("a.co.uk" ≠ "b.co.uk").
+
+    Rule: if the last TWO labels form a known multi-label public suffix
+    the registrable domain is the last THREE labels, else the last TWO;
+    hosts with ≤2 labels, empty/NULL hosts and IPv4-literal hosts pass
+    through unchanged. Pure Catalyst (split + slice + isin against the
+    literal suffix set) — codegen'd, broadcast-free, no UDF. Three-label
+    suffixes (act.edu.au-style) are out of scope of the embedded subset;
+    callers needing full PSL fidelity supply ``multi_suffixes``."""
+    h = F.lower(F.coalesce(host, F.lit("")))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+    is_ip = h.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+    return (
+        F.when(n <= 2, h)
+        .when(is_ip, h)
+        .when(last2.isin(*multi_suffixes), last3)
+        .otherwise(last2)
+    )
+
+
 def url_dedup_key(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -407,3 +407,37 @@ def test_script_counts_and_dominant(spark):
     assert got[4] == (2, 0, 0, 2, "cyrillic")  # alphabetical tie-break
     assert got[5] == (0, 0, 0, 0, "none")
     assert got[6] == (None, None, None, None, None)
+
+
+def test_registrable_domain_etld_plus_one(spark):
+    from datamancer_spark.operators.scrub import registrable_domain
+
+    rows = [
+        (1, "www.bbc.co.uk"),        # multi-label suffix -> last 3
+        (2, "news.bbc.co.uk"),       # same registrant, other subdomain
+        (3, "a.co.uk"),              # bare registrant on multi suffix
+        (4, "b.co.uk"),              # distinct registrant, same suffix
+        (5, "deep.cdn.eu.shop.com.au"),  # long chain -> shop.com.au
+        (6, "news.example.com"),     # plain TLD -> last 2
+        (7, "example.com"),          # already registrable
+        (8, "localhost"),            # single label passes through
+        (9, "10.0.5.1"),             # IPv4 literal passes through
+        (10, "WWW.Example.COM"),     # case-folds
+        (11, None),                  # NULL -> empty
+        (12, ""),                    # empty stays empty
+    ]
+    df = spark.createDataFrame(rows, "k long, host string")
+    got = {
+        r["k"]: r["d"]
+        for r in df.select(
+            "k", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got[1] == "bbc.co.uk" and got[2] == "bbc.co.uk"
+    assert got[3] == "a.co.uk" and got[4] == "b.co.uk"
+    assert got[5] == "shop.com.au"
+    assert got[6] == "example.com" and got[7] == "example.com"
+    assert got[8] == "localhost"
+    assert got[9] == "10.0.5.1"
+    assert got[10] == "example.com"
+    assert got[11] == "" and got[12] == ""

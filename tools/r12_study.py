@@ -76,6 +76,87 @@ def containment_study() -> None:
             )
 
 
+def selection_study() -> None:
+    """DSIR / PII-redact / registrable-domain-cap growth at 1x/4x/16x
+    of sf0.1 documents (constant-density vocabulary isomorphism, no hot
+    footer — these operators are not pair-forming, the question is
+    whether the explode/shuffle/window stages stay ~linear)."""
+    from datamancer_spark.operators.quality import (
+        dsir_importance_weights,
+        dsir_resample,
+    )
+    from datamancer_spark.operators.sampling import cap_per_key
+    from datamancer_spark.operators.scrub import (
+        redact_pii,
+        registrable_domain,
+    )
+
+    spark = get_spark()
+    doc0 = load_tables(spark, "/root/testdata/sf0.1", ["documents"])[
+        "documents"
+    ].df
+    n = doc0.count()
+    print("| corpus | operator | wall (s) | rows |")
+    print("|---|---|---|---|")
+    for copies, tag in ((1, "1x"), (4, "4x"), (16, "16x")):
+        copies_df = spark.range(copies).withColumnRenamed("id", "copy")
+        iso = F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda w: F.concat(
+                    w, F.lit("x"), F.col("copy").cast("string")
+                ),
+            ),
+        )
+        big = (
+            doc0.crossJoin(copies_df)
+            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * n)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("copy") == 0,
+                    F.coalesce(F.col("text"), F.lit("")),
+                ).otherwise(iso),
+            )
+            .drop("copy")
+        )
+        big.write.mode("overwrite").parquet("/tmp/r12_sel.parquet")
+        frame = spark.read.parquet("/tmp/r12_sel.parquet")
+
+        t0 = time.time()
+        w = dsir_importance_weights(
+            frame.withColumn("_tgt", F.col("lang") == "en"),
+            target_col="_tgt",
+            n_buckets=256,
+        )
+        rows = dsir_resample(w, k=100).count()
+        print(f"| {tag} | dsir_select (k=100) | {time.time() - t0:.2f} | {rows} |", flush=True)
+
+        t0 = time.time()
+        rows = (
+            redact_pii(frame.select("doc_id", "text"), text_col="text")
+            .agg(F.sum("n_email") + F.sum("n_phone"))
+            .collect()[0][0]
+        )
+        print(f"| {tag} | pii_redact (Σ spans) | {time.time() - t0:.2f} | {rows} |", flush=True)
+
+        t0 = time.time()
+        i = F.col("doc_id")
+        hosts = frame.select(
+            "doc_id",
+            F.concat(
+                F.lit("sub"),
+                (i % 17).cast("string"),
+                F.lit(".dom"),
+                (i % 1000).cast("string"),
+                F.lit(".co.uk"),
+            ).alias("host"),
+        ).withColumn("reg_dom", registrable_domain(F.col("host")))
+        rows = cap_per_key(hosts, "reg_dom", 15, "doc_id").count()
+        print(f"| {tag} | domain_cap (15/dom) | {time.time() - t0:.2f} | {rows} |", flush=True)
+
+
 def pagerank_study() -> None:
     from datamancer_spark.operators.components import pagerank
 
@@ -117,5 +198,7 @@ if __name__ == "__main__":
 
     if "pagerank" in sys.argv:
         pagerank_study()
+    elif "selection" in sys.argv:
+        selection_study()
     else:
         containment_study()
