@@ -1768,6 +1768,26 @@ def epoch_expand_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "epoch")
 
 
+def epoch_shard_plan_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle/shard plan under the driver gate
+    (r12, operators/quality.py epoch_shuffle_plan): the trainer read
+    order — every epoch copy of every surviving row gets a shard
+    (md5 hash of epoch‖id mod 8) and a position (rank of that hash
+    within its epoch+shard), so two engines, two cluster layouts, or a
+    resume-after-preemption all read bytes in the SAME order. The twin
+    extends the epoch-expansion twin with the identical portable hash
+    and window rank — any drift in the expansion subset, the hash, or
+    the tie-break shows up as a position mismatch."""
+    from datamancer_spark.operators.quality import epoch_shuffle_plan
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    out = epoch_shuffle_plan(
+        doc, "lang", {"zh": 2.5, "fr": 1.25, "de": 0.0},
+        n_shards=8, seed=0,
+    )
+    return out.select("doc_id", "lang", "epoch", "shard", "pos")
+
+
 def temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture resampling under the driver gate
     (r11, operators/quality.py temperature_resample — the mBERT/XLM
@@ -3813,6 +3833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green: eTLD+1 extraction + per-registrable-domain
         # -- caps (subdomains collapse; co.uk registrants stay apart).
         "domain_cap_registrable": domain_cap_registrable,
+        # -- r12 zero-green: deterministic epoch shuffle/shard plan
+        # -- (portable-hash read order; per-epoch+shard window rank).
+        "epoch_shard_plan_langs": epoch_shard_plan_langs,
         # -- remaining slots: the STALEST multiply-proven members
         # -- (last green r3-r4) for third/fourth proofs; the r11
         # -- window's 2x-proven members rotate out to the queue.
@@ -3821,9 +3844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_langid": text_langid,
         "semi_join": semi_join_q,
-        "array_ops": array_ops,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "array_ops": array_ops,
         "text_fingerprint": text_fingerprint,
         "repetition_quality": repetition_quality,
         "line_dedup": line_dedup,
@@ -7091,6 +7114,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_email, n_ssn, n_ccn, n_ipv4, n_phone,
                md5(t5) AS red_md5
         FROM s5
+    """
+
+    # Epoch shuffle/shard twin (r12): the epoch-expansion twin plus the
+    # portable order hash md5('1' || epoch || '_' || id) -> shard mod 8
+    # and the per-(epoch, shard) rank with doc_id tie-break.
+    sql["epoch_shard_plan_langs"] = """
+        WITH base AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'zh' THEN 2 WHEN 'fr' THEN 1
+                      WHEN 'de' THEN 0 ELSE 1 END
+                 + CASE WHEN
+                     CAST('0x' || substr(md5('0' || CAST(doc_id AS VARCHAR)),
+                                         1, 8) AS BIGINT) % 1000000
+                     < CASE lang WHEN 'zh' THEN 500000
+                            WHEN 'fr' THEN 250000 ELSE 0 END
+                   THEN 1 ELSE 0 END AS nc
+          FROM documents
+        ),
+        expanded AS (
+          SELECT doc_id, lang, CAST(u.e AS INT) AS epoch
+          FROM base,
+               unnest(CASE WHEN nc < 1 THEN CAST([] AS BIGINT[])
+                           ELSE generate_series(0, nc - 1) END) AS u(e)
+        ),
+        keyed AS (
+          SELECT doc_id, lang, epoch,
+                 CAST('0x' || substr(md5('1' || CAST(epoch AS VARCHAR)
+                        || '_' || CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS ok
+          FROM expanded
+        )
+        SELECT doc_id, lang, epoch,
+               CAST(ok % 8 AS INT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY epoch, ok % 8 ORDER BY ok, doc_id
+               ) AS BIGINT) AS pos
+        FROM keyed
     """
 
     # Registrable-domain cap twin (r12): same host fixture arithmetic,

@@ -172,6 +172,12 @@ HEADLINE = [
     "crawl_delay_budget",
     "epoch_expand_langs",
     "script_mix_profile",
+    # late-r12 additions: the selection/scrub tier (PII redaction gate,
+    # DSIR importance resampling, eTLD+1 domain caps)
+    "pii_redact_docs",
+    "dsir_select_en",
+    "domain_cap_registrable",
+    "epoch_shard_plan_langs",
 ]
 
 

@@ -608,6 +608,59 @@ def epoch_expand(
     ).drop("_one")
 
 
+def epoch_shuffle_plan(
+    df: DataFrame,
+    key_col: str,
+    epochs: dict[str, float],
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic multi-epoch shuffle + sharding plan — the read
+    order a trainer consumes: every (row, epoch-copy) from
+    ``epoch_expand`` gets a SHARD (which worker/file reads it) and a
+    POSITION (where in that shard's stream it appears), both pure
+    functions of (id, epoch, seed). Reproducibility is the point:
+    resume-from-step, elastic re-sharding and cross-run ablations all
+    need byte-identical order with no RNG state to snapshot — and each
+    epoch's permutation is DIFFERENT (the hash mixes the epoch index)
+    while remaining portable across engines/layouts/retries.
+
+    Plan: epoch_expand's zero-join explode, then one hash-partitioned
+    window per (epoch, shard) to materialize positions. Shard sizes are
+    ~corpus/n_shards by hash uniformity, so the per-partition sort is
+    bounded by shard size, never corpus size — size ``n_shards`` so a
+    shard fits an executor (at 100 TB that's n_shards in the tens of
+    thousands, each window sort a few GB). No global sort anywhere."""
+    if n_shards < 1:
+        raise ValueError(
+            f"epoch_shuffle_plan: n_shards must be >= 1, got {n_shards}"
+        )
+    from .dedup import portable_hash
+
+    expanded = epoch_expand(
+        df, key_col, epochs, id_col=id_col, seed=seed, out="epoch"
+    )
+    okey = portable_hash(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit("_"),
+            F.col(id_col).cast("string"),
+        ),
+        seed=seed + 1,
+    )
+    keyed = expanded.withColumn("_ok", okey).withColumn(
+        "shard", (F.col("_ok") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("_ok"), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_ok")
+    )
+
+
 def dsir_importance_weights(
     df: DataFrame,
     target_col: str,

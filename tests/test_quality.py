@@ -978,3 +978,46 @@ def test_dsir_resample_selects_k_weighted(spark):
     assert all(
         r["sel"] for r in by_id(dsir_resample(w, k=1000)).values()
     )
+
+
+# -- epoch shuffle/shard plan (r12) -------------------------------------------
+
+
+def test_epoch_shuffle_plan_order_contract(spark):
+    from datamancer_spark.operators.quality import epoch_shuffle_plan
+
+    df = spark.createDataFrame(
+        [(i, "en", f"doc {i}") for i in range(60)],
+        "doc_id long, lang string, text string",
+    )
+    out = epoch_shuffle_plan(df, "lang", {"en": 2.0}, n_shards=4).collect()
+    rows = [(r["epoch"], r["shard"], r["pos"], r["doc_id"]) for r in out]
+    # two full epochs, every row present in each
+    assert len(rows) == 120
+    assert {e for e, *_ in rows} == {0, 1}
+    # positions are dense 1..n within every (epoch, shard)
+    from collections import defaultdict
+
+    by_es = defaultdict(list)
+    for e, s, p, i in rows:
+        by_es[(e, s)].append(p)
+    for ps in by_es.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # the two epochs order the same docs DIFFERENTLY (hash mixes epoch)
+    order0 = [i for e, s, p, i in sorted(rows) if e == 0]
+    order1 = [i for e, s, p, i in sorted(rows) if e == 1]
+    assert sorted(order0) == sorted(order1)
+    assert order0 != order1
+    # deterministic across runs
+    again = [
+        (r["epoch"], r["shard"], r["pos"], r["doc_id"])
+        for r in epoch_shuffle_plan(
+            df, "lang", {"en": 2.0}, n_shards=4
+        ).collect()
+    ]
+    assert sorted(rows) == sorted(again)
+    # degenerate single shard still yields a total order per epoch
+    one = epoch_shuffle_plan(df, "lang", {"en": 1.0}, n_shards=1).collect()
+    assert sorted(r["pos"] for r in one) == list(range(1, 61))
+    with pytest.raises(ValueError):
+        epoch_shuffle_plan(df, "lang", {"en": 1.0}, n_shards=0)

@@ -1032,3 +1032,55 @@ def test_streaming_frontier_bloom_probe(spark, tmp_path):
     # Bloom contract: every crawled URL (even ids) must be maybe_seen
     for i in range(0, 60, 2):
         assert got[f"http://h{i % 3}.example/p/{i}"] is True
+
+
+def test_streaming_pii_redact_equals_batch(spark, tmp_path):
+    """redact_pii is a pure projection (chained regexp_count/replace),
+    so it must run on a file stream UNCHANGED and emit byte-identical
+    redactions and span counts to the batch pass over the same rows —
+    the shape a streaming crawl ingest applies it in."""
+    import json
+    import os
+
+    from datamancer_spark.operators.scrub import redact_pii
+
+    rows = [
+        {"doc_id": 1, "text": "mail me at bob@example.com today"},
+        {"doc_id": 2, "text": "call 415-555-0123 or 415-555-0199"},
+        {"doc_id": 3, "text": "ssn 123-45-6789 ip 10.0.0.1"},
+        {"doc_id": 4, "text": "card 4111 1111 1111 1111 thanks"},
+        {"doc_id": 5, "text": "no pii here at all"},
+    ]
+    d = str(tmp_path / "pii_in")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+    stream = spark.readStream.schema("doc_id long, text string").json(d)
+    red_s = redact_pii(stream, text_col="text")
+    assert red_s.isStreaming
+    q = (
+        red_s.writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("select * from pii_stream").collect()
+    )
+
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows],
+        "doc_id long, text string",
+    )
+    want = sorted(tuple(r) for r in redact_pii(batch, text_col="text").collect())
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    # spot-pin the redactions themselves
+    assert "<EMAIL>" in by_id[1][-1] and by_id[1][1] == 1   # n_email
+    assert by_id[2][-1].count("<PHONE>") == 2
+    assert "<SSN>" in by_id[3][-1] and "<IP>" in by_id[3][-1]
+    assert "<CCN>" in by_id[4][-1]
+    assert by_id[5][-1] == "no pii here at all"
