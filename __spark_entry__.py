@@ -3298,6 +3298,59 @@ def crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def frontier_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness fetch scheduling under the driver gate (r12,
+    operators/robots.py politeness_schedule): the discovery seam's
+    last step — a frontier of URLs joins the hosts' effective
+    Crawl-delay (parsed by the real robots parser from the same
+    strict-group fixture as crawl_delay_budget, including the
+    exact-group-hides-'*' arm where the default delay applies) and
+    each URL gets a deterministic per-host fetch rank plus its serial
+    ETA. The twin recomputes the group-semantics delay in closed form
+    and the identical portable-hash rank/ETA arithmetic."""
+    from datamancer_spark.operators.robots import (
+        politeness_schedule,
+        robots_crawl_delays,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    hosts = spark.range(7).select(
+        F.col("id").alias("h"),
+        F.concat(F.lit("s"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("host"),
+    )
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: datamancer\nAllow: /\n"),
+            F.when(
+                F.col("h") % 3 != 2,
+                F.concat(
+                    F.lit("Crawl-delay: "),
+                    (F.col("h") % 4 + 1).cast("string"),
+                    F.lit("\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("h") % 2 == 0,
+                F.lit("\nUser-agent: *\nCrawl-delay: 9\n"),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    delays = robots_crawl_delays(robots, "datamancer")
+    frontier = doc.select(
+        F.concat(
+            F.lit("s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        F.concat(
+            F.lit("http://s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return politeness_schedule(frontier, delays, default_delay=1.0)
+
+
 def robots_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt URL gating under the driver gate (r11,
     operators/robots.py — RFC 9309 relationally, zero UDFs): per-host
@@ -3663,6 +3716,60 @@ def pipeline_crawl_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor funnel over the crawl→corpus capstone (r12) —
+    the ops diagnostic a 100 TB ingest run watches: how many pages came
+    out of the WARC walk, how many passed the quality gate, how many
+    texts remained after exact dedup, how many after the fuzzy tier.
+    ONE row out; the ingest+quality counts come from a single
+    conditional aggregate over ONE pinned decode pass (no per-stage
+    re-scan — the WARC mapInPandas walk is the expensive stage and runs
+    exactly once), and the dedup counts ride the same pinned lineages
+    the capstone uses. The twin derives every count in closed form from
+    the fixture arithmetic (cluster/near-dup/spam/unique page fates are
+    doc_id mod classes), so a single page leaking through any gate
+    shifts a count."""
+    from datamancer_spark.operators.dedup import (
+        exact_dedup_keep,
+        ngram_jaccard_pairs,
+    )
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_corpus_blob,
+    )
+    from datamancer_spark.operators.warc import ingest_warc
+    from datamancer_spark.session import materialize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_corpus_blob)
+    pages = materialize(ingest_warc(blobs))
+    toks = F.split(F.col("text"), " ")
+    q_ok = (F.size(toks) >= 10) & (
+        F.size(F.array_distinct(toks)) / F.size(toks) >= 0.5
+    )
+    ing = pages.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ingested"),
+        F.sum(q_ok.cast("long")).cast("long").alias("n_quality_ok"),
+    )
+    gated = pages.filter(q_ok).withColumn(
+        "page_id", F.col("doc_id") * 8 + F.col("rec_idx")
+    )
+    kept = materialize(exact_dedup_keep(gated, "text", "page_id"))
+    n_exact = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_after_exact")
+    )
+    pairs = ngram_jaccard_pairs(
+        kept, "text", "page_id", shingle_n=3, threshold=0.8
+    )
+    drop = pairs.select(F.col("id_b").alias("page_id")).distinct()
+    n_fuzzy = kept.join(drop, "page_id", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after_fuzzy")
+    )
+    return ing.crossJoin(F.broadcast(n_exact)).crossJoin(
+        F.broadcast(n_fuzzy)
+    )
+
+
 def canonicalize_frontier_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization under the driver gate (r12,
     operators/scrub.py normalize_url + resolve_dot_segments — the
@@ -3836,16 +3943,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green: deterministic epoch shuffle/shard plan
         # -- (portable-hash read order; per-epoch+shard window rank).
         "epoch_shard_plan_langs": epoch_shard_plan_langs,
+        # -- r12 zero-green: per-stage survivor funnel over the crawl
+        # -- capstone (one pinned decode pass; closed-form count twin).
+        "crawl_funnel_report": crawl_funnel_report,
+        # -- r12 zero-green: politeness fetch schedule (Crawl-delay ×
+        # -- portable-hash per-host rank -> serial ETA).
+        "frontier_fetch_schedule": frontier_fetch_schedule,
         # -- remaining slots: the STALEST multiply-proven members
         # -- (last green r3-r4) for third/fourth proofs; the r11
         # -- window's 2x-proven members rotate out to the queue.
         "spread_pivot": spread_pivot,
         "gather_melt": gather_melt,
         "text_stats": text_stats,
-        "text_langid": text_langid,
-        "semi_join": semi_join_q,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "text_langid": text_langid,
+        "semi_join": semi_join_q,
         "array_ops": array_ops,
         "text_fingerprint": text_fingerprint,
         "repetition_quality": repetition_quality,
@@ -7114,6 +7227,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_email, n_ssn, n_ccn, n_ipv4, n_phone,
                md5(t5) AS red_md5
         FROM s5
+    """
+
+    # Fetch-schedule twin (r12): strict-group delay in closed form
+    # (exact datamancer group always present; no delay line for hosts
+    # ≡2 mod 3 -> the '*' delay must NOT apply -> default 1.0), same
+    # portable md5('0'||url) rank order, eta = (rank-1) * delay.
+    sql["frontier_fetch_schedule"] = """
+        WITH frontier AS (
+          SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+                 'http://s' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 doc_id % 7 AS h
+          FROM documents
+        ),
+        ranked AS (
+          SELECT host, url,
+                 CASE WHEN h % 3 <> 2 THEN CAST(1 + h % 4 AS DOUBLE)
+                      ELSE 1.0 END AS eff,
+                 CAST(row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY CAST('0x' || substr(md5('0' || url), 1, 15)
+                              AS BIGINT), url
+                 ) AS BIGINT) AS fetch_rank
+          FROM frontier
+        )
+        SELECT host, url, fetch_rank,
+               (fetch_rank - 1) * eff AS eta_sec
+        FROM ranked
+    """
+
+    # Crawl-funnel twin (r12): every stage count in closed form from
+    # the capstone fixture arithmetic — per doc: cluster page + unique
+    # page always ingest, a near-dup iff id%7=3, a spam page iff
+    # id%11=5 (404s never ingest); spam alone fails quality; exact
+    # dedup keeps one cluster page per id%50 class plus every (all
+    # distinct) near-dup and unique; the fuzzy tier drops exactly the
+    # near-dups (J = 35/41 >= 0.8 vs their cluster keeper).
+    sql["crawl_funnel_report"] = """
+        WITH s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(coalesce(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS nd,
+                 CAST(coalesce(sum(CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS spam,
+                 CAST(count(DISTINCT doc_id % 50) AS BIGINT) AS ncls
+          FROM documents
+        )
+        SELECT 2 * n + nd + spam AS n_ingested,
+               2 * n + nd AS n_quality_ok,
+               ncls + nd + n AS n_after_exact,
+               ncls + n AS n_after_fuzzy
+        FROM s
     """
 
     # Epoch shuffle/shard twin (r12): the epoch-expansion twin plus the

@@ -178,6 +178,8 @@ HEADLINE = [
     "dsir_select_en",
     "domain_cap_registrable",
     "epoch_shard_plan_langs",
+    "crawl_funnel_report",
+    "frontier_fetch_schedule",
 ]
 
 

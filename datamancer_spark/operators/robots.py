@@ -340,3 +340,44 @@ def robots_url_filter(
         F.coalesce(F.col(out), F.lit(True)).alias(out),
         "matched_pattern",
     )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    default_delay: float = 1.0,
+    url_col: str = "url",
+    host_col: str = "host",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-host fetch schedule under Crawl-delay budgets (r12) — the
+    step that turns a discovered frontier plus ``robots_crawl_delays``
+    output into WHEN each URL may be fetched: within a host, URLs rank
+    by a deterministic portable-hash shuffle (lexical order would
+    hammer one path prefix; RNG order would not survive retries or
+    engine swaps) and ``eta_sec`` = (rank − 1) × the host's effective
+    delay (``default_delay`` where robots set none). The per-host
+    serial ETA is the quantity a scheduler balances shards by — a host
+    with 10k pages at Crawl-delay 10 is a 28-hour tail no matter how
+    many workers exist.
+
+    Plan: the delays frame is host-cardinality and BROADCASTS onto the
+    frontier; ranking is ONE hash-partitioned window per host (no
+    global sort; AQE skew-split covers mega-hosts). eta stays exact
+    across engines: rank is an integer and delay a small literal-
+    derived double, so the product has one IEEE rounding both sides."""
+    from .dedup import portable_hash
+
+    okey = portable_hash(F.col(url_col), seed=seed)
+    w = Window.partitionBy(host_col).orderBy(okey, F.col(url_col))
+    eff = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    return (
+        frontier.join(F.broadcast(delays), host_col, "left")
+        .withColumn("fetch_rank", F.row_number().over(w).cast("long"))
+        .select(
+            host_col,
+            url_col,
+            "fetch_rank",
+            ((F.col("fetch_rank") - 1) * eff).alias("eta_sec"),
+        )
+    )

@@ -309,3 +309,52 @@ def test_crawl_delay_group_semantics(spark):
     }
     assert got == {"a.example": 2.0, "c.example": 4.0, "d.example": 3.0}
     assert "b.example" not in got  # hidden, not inherited
+
+
+def test_politeness_schedule_delay_and_order(spark):
+    from datamancer_spark.operators.robots import (
+        politeness_schedule,
+        robots_crawl_delays,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.example", "User-agent: bot\nCrawl-delay: 5\n"),
+            # exact group WITHOUT a delay: '*' delay must not leak in,
+            # so the schedule falls back to default_delay
+            (
+                "nodelay.example",
+                "User-agent: bot\nAllow: /\n\nUser-agent: *\nCrawl-delay: 9\n",
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    delays = robots_crawl_delays(robots, "bot")
+    frontier = spark.createDataFrame(
+        [
+            (h, f"http://{h}/p/{i}")
+            for h in ("slow.example", "nodelay.example", "unknown.example")
+            for i in range(4)
+        ],
+        "host string, url string",
+    )
+    out = politeness_schedule(frontier, delays, default_delay=2.0)
+    rows = {(r["host"], r["url"]): r for r in out.collect()}
+    assert len(rows) == 12
+    by_host = {}
+    for (h, _), r in rows.items():
+        by_host.setdefault(h, []).append(r)
+    for h, rs in by_host.items():
+        # dense per-host ranks and exact eta = (rank-1) * delay
+        assert sorted(r["fetch_rank"] for r in rs) == [1, 2, 3, 4]
+        d = {"slow.example": 5.0}.get(h, 2.0)
+        for r in rs:
+            assert r["eta_sec"] == (r["fetch_rank"] - 1) * d
+    # deterministic order across runs
+    again = {
+        (r["host"], r["url"]): r["fetch_rank"]
+        for r in politeness_schedule(
+            frontier, delays, default_delay=2.0
+        ).collect()
+    }
+    assert again == {k: r["fetch_rank"] for k, r in rows.items()}
