@@ -3716,6 +3716,24 @@ def pipeline_crawl_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA power iteration under the driver gate (r12,
+    operators/similarity.py pca_power_scores): mean-center, 4 rounds of
+    v ← Xᵀ(Xv) with L1 normalization and per-iteration portable
+    rounding (the PageRank convention), then every vector's PC1
+    projection. The twin replays the SAME iteration relationally in
+    DuckDB — mean vector, all four iterates and the final projection —
+    so a drift in centering, a normalization slip, or a
+    rounding-convention mismatch shifts scores corpus-wide. The
+    iterate is bounded driver-side state (64 floats); each round is
+    ONE distributed aggregate over the corpus."""
+    from datamancer_spark.operators.similarity import pca_power_scores
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    out = pca_power_scores(emb, iters=4)
+    return out.select("vec_id", "label", "pc1")
+
+
 def crawl_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage survivor funnel over the crawl→corpus capstone (r12) —
     the ops diagnostic a 100 TB ingest run watches: how many pages came
@@ -3949,14 +3967,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green: politeness fetch schedule (Crawl-delay ×
         # -- portable-hash per-host rank -> serial ETA).
         "frontier_fetch_schedule": frontier_fetch_schedule,
+        # -- r12 zero-green: PCA power iteration (relational 4-round
+        # -- twin; bounded driver iterate; PC1 projections).
+        "embedding_pca_scores": embedding_pca_scores,
         # -- remaining slots: the STALEST multiply-proven members
         # -- (last green r3-r4) for third/fourth proofs; the r11
         # -- window's 2x-proven members rotate out to the queue.
         "spread_pivot": spread_pivot,
         "gather_melt": gather_melt,
-        "text_stats": text_stats,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "text_stats": text_stats,
         "text_langid": text_langid,
         "semi_join": semi_join_q,
         "array_ops": array_ops,
@@ -7227,6 +7248,90 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_email, n_ssn, n_ccn, n_ipv4, n_phone,
                md5(t5) AS red_md5
         FROM s5
+    """
+
+    # PCA twin (r12): the power iteration replayed relationally —
+    # element-indexed mean (rounded 1e-6 portable floor), v0 = 1/64
+    # exactly, four rounds of dot -> y -> L1 -> rounded iterate, final
+    # projection rounded 1e-4. Casts to DOUBLE before arithmetic
+    # (float->double is exact) so both engines run the same IEEE ops;
+    # cross-row sum order differs by ~1e-15, absorbed by the rounding.
+    sql["embedding_pca_scores"] = """
+        WITH e AS (
+          SELECT vec_id, label, embedding AS x FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
+        ),
+        dims AS (SELECT i FROM generate_series(1, 64) t(i)),
+        m AS (
+          SELECT i, floor(avg(CAST(x[i] AS DOUBLE)) * 1000000.0 + 0.5)
+                    / 1000000.0 AS mv
+          FROM e, dims GROUP BY i
+        ),
+        v0 AS (SELECT i, CAST(0.015625 AS DOUBLE) AS val FROM dims),
+        d1 AS (
+          SELECT vec_id,
+                 sum((CAST(x[m.i] AS DOUBLE) - m.mv) * v0.val) AS dot
+          FROM e, m JOIN v0 ON m.i = v0.i GROUP BY vec_id
+        ),
+        y1 AS (
+          SELECT m.i, sum((CAST(x[m.i] AS DOUBLE) - m.mv) * d1.dot) AS y
+          FROM e JOIN d1 USING (vec_id), m GROUP BY m.i
+        ),
+        n1 AS (SELECT sum(abs(y)) AS s FROM y1),
+        v1 AS (
+          SELECT i, floor((y / s) * 1000000.0 + 0.5) / 1000000.0 AS val
+          FROM y1, n1
+        ),
+        d2 AS (
+          SELECT vec_id,
+                 sum((CAST(x[m.i] AS DOUBLE) - m.mv) * v1.val) AS dot
+          FROM e, m JOIN v1 ON m.i = v1.i GROUP BY vec_id
+        ),
+        y2 AS (
+          SELECT m.i, sum((CAST(x[m.i] AS DOUBLE) - m.mv) * d2.dot) AS y
+          FROM e JOIN d2 USING (vec_id), m GROUP BY m.i
+        ),
+        n2 AS (SELECT sum(abs(y)) AS s FROM y2),
+        v2 AS (
+          SELECT i, floor((y / s) * 1000000.0 + 0.5) / 1000000.0 AS val
+          FROM y2, n2
+        ),
+        d3 AS (
+          SELECT vec_id,
+                 sum((CAST(x[m.i] AS DOUBLE) - m.mv) * v2.val) AS dot
+          FROM e, m JOIN v2 ON m.i = v2.i GROUP BY vec_id
+        ),
+        y3 AS (
+          SELECT m.i, sum((CAST(x[m.i] AS DOUBLE) - m.mv) * d3.dot) AS y
+          FROM e JOIN d3 USING (vec_id), m GROUP BY m.i
+        ),
+        n3 AS (SELECT sum(abs(y)) AS s FROM y3),
+        v3 AS (
+          SELECT i, floor((y / s) * 1000000.0 + 0.5) / 1000000.0 AS val
+          FROM y3, n3
+        ),
+        d4 AS (
+          SELECT vec_id,
+                 sum((CAST(x[m.i] AS DOUBLE) - m.mv) * v3.val) AS dot
+          FROM e, m JOIN v3 ON m.i = v3.i GROUP BY vec_id
+        ),
+        y4 AS (
+          SELECT m.i, sum((CAST(x[m.i] AS DOUBLE) - m.mv) * d4.dot) AS y
+          FROM e JOIN d4 USING (vec_id), m GROUP BY m.i
+        ),
+        n4 AS (SELECT sum(abs(y)) AS s FROM y4),
+        v4 AS (
+          SELECT i, floor((y / s) * 1000000.0 + 0.5) / 1000000.0 AS val
+          FROM y4, n4
+        ),
+        proj AS (
+          SELECT vec_id,
+                 sum((CAST(x[m.i] AS DOUBLE) - m.mv) * v4.val) AS dot
+          FROM e, m JOIN v4 ON m.i = v4.i GROUP BY vec_id
+        )
+        SELECT e.vec_id, e.label,
+               floor(p.dot * 10000.0 + 0.5) / 10000.0 AS pc1
+        FROM e JOIN proj p USING (vec_id)
     """
 
     # Fetch-schedule twin (r12): strict-group delay in closed form

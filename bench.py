@@ -180,6 +180,7 @@ HEADLINE = [
     "epoch_shard_plan_langs",
     "crawl_funnel_report",
     "frontier_fetch_schedule",
+    "embedding_pca_scores",
 ]
 
 

@@ -910,3 +910,90 @@ def hashed_embedding(
         emb, lambda x: F.when(nrm == 0, 0.0).otherwise(x / nrm)
     )
     return g.select(F.col(id_col), unit.alias("embedding"))
+
+
+def pca_power_scores(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 4,
+    round_decimals: int = 6,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Top principal component by power iteration + per-vector PC1
+    scores — the embedding-curation primitive behind whitening,
+    dominant-direction removal (the "all embeddings share one huge
+    component" pathology of contrastive encoders) and 1-D stratified
+    sampling. Mean-centers, runs ``iters`` rounds of v ← Xᵀ(Xv) with
+    L1 normalization, and returns (id, pc1) projections.
+
+    Engine portability is the PageRank convention: the mean vector and
+    every post-normalization iterate are rounded to ``round_decimals``
+    with the portable floor(x·10ⁿ+½) form, so ~1e-15 float-association
+    drift (partial-agg order, list-sum order) can't surface; L1
+    normalization (no sqrt) keeps every op to +,×,÷,|·|.
+
+    Plan per iteration: ONE distributed aggregate — a dot-product
+    projection (codegen'd 64-term chain) followed by d partial sums —
+    nothing shuffles but the d-value result row. The iterate itself is
+    DRIVER-SIDE BOUNDED STATE (d floats, like mixture_resample's
+    count map — never corpus-sized); the corpus is scanned once per
+    iteration and never joined. At 100 TB: iters × one-pass map-reduce
+    aggregates, embarrassingly parallel, zero shuffles beyond each
+    aggregate's final reduce."""
+    import math
+
+    def rnd(x: float, n: int) -> float:
+        scale = float(10**n)
+        return math.floor(x * scale + 0.5) / scale
+
+    d = emb.select(F.size(F.col(vec_col)).alias("d")).filter(
+        F.col("d") > 0
+    ).first()
+    if d is None:
+        raise ValueError("pca_power_scores: no non-empty vectors")
+    dim = d["d"]
+    x = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
+        "*",
+        *[
+            F.element_at(F.col(vec_col), k + 1).cast("double").alias(f"_x{k}")
+            for k in range(dim)
+        ],
+    )
+    mean_row = x.agg(
+        *[F.avg(f"_x{k}").alias(f"m{k}") for k in range(dim)]
+    ).first()
+    m = [rnd(float(mean_row[f"m{k}"]), round_decimals) for k in range(dim)]
+
+    v = [1.0 / dim] * dim
+    for _ in range(iters):
+        dot = None
+        for k in range(dim):
+            term = (F.col(f"_x{k}") - F.lit(m[k])) * F.lit(v[k])
+            dot = term if dot is None else dot + term
+        y_row = x.select(
+            *[F.col(f"_x{k}") for k in range(dim)], dot.alias("_dot")
+        ).agg(
+            *[
+                F.sum((F.col(f"_x{k}") - F.lit(m[k])) * F.col("_dot")).alias(
+                    f"y{k}"
+                )
+                for k in range(dim)
+            ]
+        ).first()
+        y = [float(y_row[f"y{k}"]) for k in range(dim)]
+        s = 0.0
+        for yk in y:
+            s += abs(yk)
+        if s == 0.0:  # degenerate corpus (all rows equal the mean)
+            break
+        v = [rnd(yk / s, round_decimals) for yk in y]
+
+    dot = None
+    for k in range(dim):
+        term = (F.col(f"_x{k}") - F.lit(m[k])) * F.lit(v[k])
+        dot = term if dot is None else dot + term
+    keep = [c for c in emb.columns]
+    return x.select(*keep, prnd(dot, score_decimals).alias("pc1"))

@@ -615,3 +615,45 @@ class TestBitextMining:
         srcs = [r["src_id"] for r in rows]
         assert len(srcs) == len(set(srcs))
         assert all(r["margin"] >= 1.0 for r in rows)
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """A corpus whose variance is overwhelmingly along one axis must
+    yield PC1 scores ~proportional to that axis's coordinate; the
+    orthogonal jitter axis must not leak in."""
+    import math
+
+    from datamancer_spark.operators.similarity import pca_power_scores
+
+    rows = []
+    for i in range(200):
+        big = float(i - 100)            # dominant direction: dim 3
+        small = float((i * 7) % 5) / 50  # tiny variance: dim 10
+        vec = [0.0] * 16
+        vec[3] = big
+        vec[10] = small
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["pc1"] for r in pca_power_scores(df).collect()}
+    # scores correlate (up to sign) with the planted coordinate
+    xs = [float(i - 100) for i in range(200)]
+    ys = [out[i] for i in range(200)]
+    mx = sum(xs) / len(xs)
+    my = sum(ys) / len(ys)
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    vx = math.sqrt(sum((a - mx) ** 2 for a in xs))
+    vy = math.sqrt(sum((b - my) ** 2 for b in ys))
+    assert abs(cov / (vx * vy)) > 0.9999
+    # deterministic across runs
+    again = {r["vec_id"]: r["pc1"] for r in pca_power_scores(df).collect()}
+    assert out == again
+    # NULL and wrong-length vectors are excluded, not poisoning
+    df2 = df.union(
+        spark.createDataFrame(
+            [(900, None), (901, [1.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    out2 = {r["vec_id"]: r["pc1"] for r in pca_power_scores(df2).collect()}
+    assert 900 not in out2 and 901 not in out2
+    assert out2 == out
