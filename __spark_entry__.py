@@ -1623,6 +1623,46 @@ def doc_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regs.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(truth))
 
 
+def hll_merge_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot HLL merge under the driver gate (r12,
+    operators/sketch.py hll_merge): the reason these sketches are data
+    — two crawl snapshots (even/odd doc ids) build registers
+    INDEPENDENTLY, merge with union+max, and the merged file must be
+    byte-identical to a single build over the union (max is
+    associative), with the same estimate. The twin rebuilds the
+    register file from ALL fingerprints directly — so a merge that
+    lost a register, kept a stale rank, or double-counted shows up as
+    a register/rank/estimate mismatch. est and est_merged ride the
+    output together to pin merge == rebuild inside the gate itself."""
+    from datamancer_spark.functions.text import fingerprint
+    from datamancer_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+    from datamancer_spark.session import materialize
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    fps = materialize(
+        doc.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        )
+    )
+    snap_a = hll_build(fps.filter(F.col("doc_id") % 2 == 0), "fp", p=8)
+    snap_b = hll_build(fps.filter(F.col("doc_id") % 2 == 1), "fp", p=8)
+    merged = materialize(hll_merge(snap_a, snap_b))
+    full = hll_build(fps, "fp", p=8)
+    est_m = hll_estimate(merged, p=8).select(
+        F.round(F.col("est"), 2).alias("est_merged")
+    )
+    est_f = hll_estimate(full, p=8).select(
+        F.round(F.col("est"), 2).alias("est")
+    )
+    return merged.crossJoin(F.broadcast(est_m)).crossJoin(
+        F.broadcast(est_f)
+    )
+
+
 def normalize_nfc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization under the driver gate (r11,
     functions/text.py unicode_normalize): the canonicalization step
@@ -3970,13 +4010,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green: PCA power iteration (relational 4-round
         # -- twin; bounded driver iterate; PC1 projections).
         "embedding_pca_scores": embedding_pca_scores,
+        # -- r12 zero-green: cross-snapshot HLL merge (union+max ==
+        # -- single build; twin rebuilds the register file).
+        "hll_merge_snapshots": hll_merge_snapshots,
         # -- remaining slots: the STALEST multiply-proven members
         # -- (last green r3-r4) for third/fourth proofs; the r11
         # -- window's 2x-proven members rotate out to the queue.
         "spread_pivot": spread_pivot,
-        "gather_melt": gather_melt,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "gather_melt": gather_melt,
         "text_stats": text_stats,
         "text_langid": text_langid,
         "semi_join": semi_join_q,
@@ -7248,6 +7291,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_email, n_ssn, n_ccn, n_ipv4, n_phone,
                md5(t5) AS red_md5
         FROM s5
+    """
+
+    # HLL-merge twin (r12): max is associative, so the merged register
+    # file must equal a single build over the union — the twin rebuilds
+    # it straight from all fingerprints (same md5 split as the
+    # doc_distinct_hll twin) and emits the one estimate twice.
+    sql["hll_merge_snapshots"] = """
+        WITH fps AS (
+          SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                                    '\\s+', ' ', 'g')) AS fp
+          FROM documents
+        ),
+        h AS (
+          SELECT CAST('0x' || substr(md5('hll' || fp), 1, 15)
+                      AS BIGINT) AS h
+          FROM fps
+        ),
+        regs AS (
+          SELECT h % 256 AS register,
+                 CAST(max(CASE WHEN h // 256 = 0 THEN 53
+                          ELSE 53 - len(bin(h // 256)) END) AS INT)
+                   AS rank
+          FROM h GROUP BY h % 256
+        ),
+        agg AS (
+          SELECT sum(1::BIGINT << (53 - rank))
+                   + (256 - count(*)) * (1::BIGINT << 53) AS s,
+                 CAST(256 - count(*) AS BIGINT) AS v
+          FROM regs
+        ),
+        raw AS (
+          SELECT (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0
+                   * 9007199254740992.0 / s AS raw, v
+          FROM agg
+        ),
+        est AS (
+          SELECT round(CASE WHEN raw <= 2.5 * 256 AND v > 0
+                            THEN 256.0 * ln(256.0 / v)
+                            ELSE raw END, 2) AS est
+          FROM raw
+        )
+        SELECT r.register, r.rank, e.est AS est_merged, e.est
+        FROM regs r CROSS JOIN est e
     """
 
     # PCA twin (r12): the power iteration replayed relationally —

@@ -181,6 +181,7 @@ HEADLINE = [
     "crawl_funnel_report",
     "frontier_fetch_schedule",
     "embedding_pca_scores",
+    "hll_merge_snapshots",
 ]
 
 
