@@ -1519,6 +1519,23 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_lsh(emb, queries_df, k=5, num_planes=4)
 
 
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall evaluation under the driver gate (r12,
+    operators/similarity.py ann_recall): the LSH tier's per-query
+    recall@5 against exact brute-force ground truth — the number a
+    production ANN rollout is judged by. Both tiers are themselves
+    driver-proven (knn_brute, knn_lsh); this gate proves the EVAL:
+    the twin recomputes brute and bucketed results wholesale (nested
+    CTEs over the same md5-derived hyperplanes) and must agree on
+    every per-query hit count — including queries whose bucket came
+    back empty, which stay in the report at recall 0."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    brute = S.knn_bruteforce(emb, queries_df, k=5)
+    approx = S.knn_lsh(emb, queries_df, k=5, num_planes=4)
+    return S.ann_recall(brute, approx)
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN exercising the PRODUCTION path: a precomputed
     codebook (here a deterministic md5-derived matrix; offline-trained
@@ -4013,12 +4030,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 zero-green: cross-snapshot HLL merge (union+max ==
         # -- single build; twin rebuilds the register file).
         "hll_merge_snapshots": hll_merge_snapshots,
+        # -- r12 zero-green: ANN recall eval (LSH vs brute ground
+        # -- truth; empty-bucket queries stay at recall 0).
+        "ann_recall_lsh": ann_recall_lsh,
         # -- remaining slots: the STALEST multiply-proven members
         # -- (last green r3-r4) for third/fourth proofs; the r11
         # -- window's 2x-proven members rotate out to the queue.
-        "spread_pivot": spread_pivot,
         # ---- outside the window: all >=2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "spread_pivot": spread_pivot,
         "gather_melt": gather_melt,
         "text_stats": text_stats,
         "text_langid": text_langid,
@@ -7291,6 +7311,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_email, n_ssn, n_ccn, n_ipv4, n_phone,
                md5(t5) AS red_md5
         FROM s5
+    """
+
+    # ANN-recall twin (r12): COMPOSES the already-proven brute and LSH
+    # twins as nested CTE bodies (same md5 hyperplanes, same tie-break),
+    # then per-query hit counting; recall = n_hit/n_true rounded with
+    # the portable floor form. Queries with an empty approx set stay at
+    # recall 0 via the left joins.
+    sql["ann_recall_lsh"] = f"""
+        WITH brute AS ({sql["knn_brute"]}),
+        approx AS ({sql["knn_lsh"]}),
+        hits AS (
+          SELECT b.query_id,
+                 CAST(count(*) AS BIGINT) AS n_true,
+                 CAST(count(a.neighbor_id) AS BIGINT) AS n_hit
+          FROM brute b LEFT JOIN approx a
+            ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+          GROUP BY b.query_id
+        ),
+        ap AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+          FROM approx GROUP BY query_id
+        )
+        SELECT h.query_id, h.n_true,
+               CAST(coalesce(ap.n_approx, 0) AS BIGINT) AS n_approx,
+               h.n_hit,
+               floor((h.n_hit * 1.0 / h.n_true) * 10000.0 + 0.5) / 10000.0
+                 AS recall
+        FROM hits h LEFT JOIN ap USING (query_id)
     """
 
     # HLL-merge twin (r12): max is associative, so the merged register

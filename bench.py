@@ -182,6 +182,7 @@ HEADLINE = [
     "frontier_fetch_schedule",
     "embedding_pca_scores",
     "hll_merge_snapshots",
+    "ann_recall_lsh",
 ]
 
 

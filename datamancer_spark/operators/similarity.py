@@ -997,3 +997,58 @@ def pca_power_scores(
         dot = term if dot is None else dot + term
     keep = [c for c in emb.columns]
     return x.select(*keep, prnd(dot, score_decimals).alias("pc1"))
+
+
+def ann_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Recall report for an approximate kNN tier against exact ground
+    truth — the eval every ANN deployment runs before trusting a
+    bucketed/quantized index at scale: per query, how many of the true
+    top-k did the approximate tier return. Input: two (query, neighbor)
+    frames (extra columns ignored); output one row per TRUTH query:
+    (query, n_true, n_approx, n_hit, recall). Queries the approximate
+    tier returned nothing for (empty LSH bucket, unlucky probe set)
+    stay in the report with recall 0 — silently dropping them is how
+    recall numbers lie.
+
+    Plan: two key-keyed aggregates and one equi-join on (query,
+    neighbor) — truth is |queries|×k rows, tiny by construction, so
+    AQE broadcasts freely; nothing corpus-sized moves."""
+    t = truth.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    )
+    a = approx.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    )
+    hits = (
+        t.join(a.withColumn("_hit", F.lit(1)), ["_q", "_n"], "left")
+        .groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    ap = a.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    return (
+        hits.join(ap, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_true",
+            F.coalesce(F.col("n_approx"), F.lit(0))
+            .cast("long")
+            .alias("n_approx"),
+            "n_hit",
+            prnd(F.col("n_hit") / F.col("n_true"), round_decimals).alias(
+                "recall"
+            ),
+        )
+    )

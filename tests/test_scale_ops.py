@@ -657,3 +657,22 @@ def test_pca_power_recovers_planted_direction(spark):
     out2 = {r["vec_id"]: r["pc1"] for r in pca_power_scores(df2).collect()}
     assert 900 not in out2 and 901 not in out2
     assert out2 == out
+
+
+def test_ann_recall_semantics(spark):
+    from datamancer_spark.operators.similarity import ann_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: perfect; q2: half right + one spurious; q3: nothing
+        [(1, 10), (1, 11), (2, 20), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in ann_recall(truth, approx).collect()}
+    assert set(out) == {1, 2, 3}  # empty-approx queries stay in
+    assert out[1]["recall"] == 1.0 and out[1]["n_hit"] == 2
+    assert out[2]["recall"] == 0.5 and out[2]["n_approx"] == 2
+    assert out[3]["recall"] == 0.0 and out[3]["n_approx"] == 0
