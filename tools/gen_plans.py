@@ -107,7 +107,15 @@ COMMENT = {
     "anchor_text_profile": "Paired anchor extraction: ONE element-level regexp explode keeps href and inner text together (three per-attribute passes cannot pair them); per-element href/entity/resolution work is scan-side Catalyst; the profile is one partial-aggregated groupBy(dst_url).",
     "warc_charset_fallback": "Charset long tail: the frame SPLITS on the sniffed label — supported labels stay on the zero-Python fast arm; only refused rows reach the one pandas_udf byte-decode (HTML->text remains the JVM regexp chain on its output). Union of the two arms; at crawl scale the slow arm sees ~5-15% of rows.",
     "warc_charset_decode": "Charset-aware ingest: ONE Arrow mapInPandas record walk, then BOM/header/meta sniffing, the cp1252 translate, UTF-16 decodes and the HTML->text chain all evaluate scan-side in whole-stage codegen — one exchange total (the fixture frame's round-robin spread), no joins.",
-
+    "pii_redact_docs": "PII redaction: k regexp_count + k chained regexp_replace + the md5 pin, ALL scan-side in whole-stage codegen — zero exchanges, zero joins, zero Python; the gate's span injection is plain doc_id arithmetic on the same projection.",
+    "dsir_select_en": "DSIR: gram explode -> ONE (doc,bucket) partial-agg shuffle (checkpointed — feeds both the 256-row score table and the final doc sum without re-exploding); score table broadcasts at every scale; Gumbel-top-k is TakeOrderedAndProject + a broadcast flag join, never a global sort.",
+    "domain_cap_registrable": "eTLD+1 cap: label slicing + suffix membership are scan-side Catalyst; the only shuffle is the per-registrable-domain cap window (hash-partitioned, AQE skew-split applies); output bounded by domains x cap regardless of corpus size.",
+    "epoch_shard_plan_langs": "Epoch shuffle plan: epoch_expand's zero-join posexplode next to the scan, then ONE (epoch, shard) window materializes positions — shard sizes ~corpus/n_shards by hash uniformity, so the per-partition sort is bounded by shard size, never corpus size.",
+    "crawl_funnel_report": "Funnel: the WARC decode pass pins ONCE; ingest+quality counts come from a single conditional aggregate over it (no per-stage re-scan); exact/fuzzy counts ride the capstone's pinned dedup lineages; the report assembles via 1-row broadcast crossJoins.",
+    "frontier_fetch_schedule": "Fetch schedule: the robots delay parse stays host-sized and BROADCASTS onto the frontier; ranking is one per-host hash-partitioned window; eta is scan-side arithmetic — one corpus shuffle total.",
+    "embedding_pca_scores": "PCA power iteration: per round ONE distributed aggregate (64-term dot projection + 64 partial sums, map-side combined); the iterate is bounded driver state (64 floats); the corpus is scanned per round and never joined; final projection is a scan-side 64-term chain.",
+    "hll_merge_snapshots": "HLL merge: fingerprints pin once; each snapshot build is one register-keyed partial-max shuffle over <=256 rows out; merge is union + groupBy-max over 512 register rows; estimates broadcast back as 1-row crossJoins.",
+    "ann_recall_lsh": "ANN recall eval: both tiers reuse their proven shapes (brute mapInPandas scan, LSH bucket equi-join); truth is |queries|xk rows so the hit join and the per-query aggregates all broadcast/partial-agg — nothing corpus-sized moves after the tiers run.",
 }
 
 
