@@ -157,6 +157,79 @@ def selection_study() -> None:
         print(f"| {tag} | domain_cap (15/dom) | {time.time() - t0:.2f} | {rows} |", flush=True)
 
 
+def late_ops_study() -> None:
+    """PCA / epoch-shard-plan / fetch-schedule growth at 1x/4x/16x of
+    sf0.1 (constant-density copies; embeddings get id offsets + a tiny
+    first-component nudge so copies are near- but not exact dups)."""
+    from datamancer_spark.operators.quality import epoch_shuffle_plan
+    from datamancer_spark.operators.robots import politeness_schedule
+    from datamancer_spark.operators.similarity import pca_power_scores
+
+    spark = get_spark()
+    doc0 = load_tables(spark, "/root/testdata/sf0.1", ["documents"])[
+        "documents"
+    ].df
+    emb0 = load_tables(spark, "/root/testdata/sf0.1", ["embeddings"])[
+        "embeddings"
+    ].df
+    nd = doc0.count()
+    ne = emb0.count()
+    print("| corpus | operator | wall (s) | rows |")
+    print("|---|---|---|---|")
+    for copies, tag in ((1, "1x"), (4, "4x"), (16, "16x")):
+        copies_df = spark.range(copies).withColumnRenamed("id", "copy")
+        big_emb = (
+            emb0.crossJoin(copies_df)
+            .withColumn("vec_id", F.col("vec_id") + F.col("copy") * ne)
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: (
+                        x
+                        + F.when(
+                            i == 0, F.col("copy") * F.lit(0.01)
+                        ).otherwise(0.0)
+                    ).cast("float"),
+                ),
+            )
+            .drop("copy")
+        )
+        big_emb.write.mode("overwrite").parquet("/tmp/r12_late_emb.parquet")
+        eframe = spark.read.parquet("/tmp/r12_late_emb.parquet")
+        big_doc = (
+            doc0.crossJoin(copies_df)
+            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * nd)
+            .drop("copy")
+        )
+        big_doc.write.mode("overwrite").parquet("/tmp/r12_late_doc.parquet")
+        dframe = spark.read.parquet("/tmp/r12_late_doc.parquet")
+
+        t0 = time.time()
+        rows = pca_power_scores(eframe, iters=4).count()
+        print(f"| {tag} | pca_power (4 iters) | {time.time() - t0:.2f} | {rows} |", flush=True)
+
+        t0 = time.time()
+        rows = epoch_shuffle_plan(
+            dframe, "lang", {"zh": 2.5, "fr": 1.25, "de": 0.0},
+            n_shards=8,
+        ).count()
+        print(f"| {tag} | epoch_shuffle_plan | {time.time() - t0:.2f} | {rows} |", flush=True)
+
+        t0 = time.time()
+        i = F.col("doc_id")
+        frontier = dframe.select(
+            F.concat(F.lit("s"), (i % 997).cast("string"), F.lit(".example")).alias("host"),
+            F.concat(F.lit("http://s"), (i % 997).cast("string"), F.lit(".example/p/"), i.cast("string")).alias("url"),
+        )
+        delays = spark.range(997).select(
+            F.concat(F.lit("s"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+            (F.col("id") % 5 + 1).cast("double").alias("crawl_delay"),
+        )
+        rows = politeness_schedule(frontier, delays).count()
+        print(f"| {tag} | politeness_schedule | {time.time() - t0:.2f} | {rows} |", flush=True)
+
+
 def pagerank_study() -> None:
     from datamancer_spark.operators.components import pagerank
 
@@ -200,5 +273,7 @@ if __name__ == "__main__":
         pagerank_study()
     elif "selection" in sys.argv:
         selection_study()
+    elif "late" in sys.argv:
+        late_ops_study()
     else:
         containment_study()
