@@ -1536,6 +1536,25 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall(brute, approx)
 
 
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall eval for the IVF tier (r12, same contract as
+    ann_recall_lsh): recall@5 of the 3-probe IVF scan against exact
+    brute-force ground truth, twin composed from the two proven twins.
+    Together the two recall gates cover both production ANN tiers —
+    bucketed-by-hyperplane and bucketed-by-centroid — under the same
+    eval operator."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    brute = S.knn_bruteforce(emb, queries_df, k=5)
+    codebook = np.asarray(S.plane_matrix(8, 64, seed=7))
+    approx = S.knn_ivf(
+        emb, queries_df, k=5, num_centroids=8, nprobe=3, codebook=codebook
+    )
+    return S.ann_recall(brute, approx)
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN exercising the PRODUCTION path: a precomputed
     codebook (here a deterministic md5-derived matrix; offline-trained
@@ -1571,6 +1590,32 @@ def knn_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 10)
     cbs = S.pq_codebooks(m=8, k=16, dim=64, seed=11)
     return S.knn_pq(emb, queries_df, cbs, k=5)
+
+
+def cms_merge_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot CMS merge under the driver gate (r12,
+    operators/sketch.py cms_merge — the linear-counter companion to
+    hll_merge_snapshots): two snapshots (even/odd doc ids) sketch
+    their token frequencies INDEPENDENTLY, merge with union+sum, and
+    the merged counter matrix must equal a single build over the whole
+    corpus EXACTLY — counters are linear, so a lost entry, a stale
+    count or a double-merge shifts a cell. The twin rebuilds the full
+    4×256 matrix from all tokens; the gated output IS the matrix (the
+    artifact that persists between crawl snapshots)."""
+    from datamancer_spark.operators.dedup import tokens
+    from datamancer_spark.operators.sketch import cms_build, cms_merge
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    toks = doc.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    a = cms_build(
+        toks.filter(F.col("doc_id") % 2 == 0), "tok", width=256, depth=4
+    )
+    b = cms_build(
+        toks.filter(F.col("doc_id") % 2 == 1), "tok", width=256, depth=4
+    )
+    return cms_merge(a, b)
 
 
 def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4036,8 +4081,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- remaining slots: the STALEST multiply-proven members
         # -- (last green r3-r4) for third/fourth proofs; the r11
         # -- window's 2x-proven members rotate out to the queue.
-        # ---- outside the window: all >=2x driver-proven, still
-        # ---- verified every round by the local oracle harness
+        # ---- outside the window: first the rotation queue's HEAD —
+        # ---- zero-green late additions waiting for the next window
+        # ---- (the window is already packed with under-proven queries,
+        # ---- so the packed-window invariant holds with these outside)
+        "cms_merge_snapshots": cms_merge_snapshots,
+        "ann_recall_ivf": ann_recall_ivf,
+        # ---- then: all >=2x driver-proven, still verified every
+        # ---- round by the local oracle harness
         "spread_pivot": spread_pivot,
         "gather_melt": gather_melt,
         "text_stats": text_stats,
@@ -7339,6 +7390,52 @@ def oracle_sql() -> dict[str, str]:
                floor((h.n_hit * 1.0 / h.n_true) * 10000.0 + 0.5) / 10000.0
                  AS recall
         FROM hits h LEFT JOIN ap USING (query_id)
+    """
+
+    # IVF-recall twin (r12): same composition as the LSH recall twin,
+    # over the proven IVF twin.
+    sql["ann_recall_ivf"] = f"""
+        WITH brute AS ({sql["knn_brute"]}),
+        approx AS ({sql["knn_ivf"]}),
+        hits AS (
+          SELECT b.query_id,
+                 CAST(count(*) AS BIGINT) AS n_true,
+                 CAST(count(a.neighbor_id) AS BIGINT) AS n_hit
+          FROM brute b LEFT JOIN approx a
+            ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+          GROUP BY b.query_id
+        ),
+        ap AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+          FROM approx GROUP BY query_id
+        )
+        SELECT h.query_id, h.n_true,
+               CAST(coalesce(ap.n_approx, 0) AS BIGINT) AS n_approx,
+               h.n_hit,
+               floor((h.n_hit * 1.0 / h.n_true) * 10000.0 + 0.5) / 10000.0
+                 AS recall
+        FROM hits h LEFT JOIN ap USING (query_id)
+    """
+
+    # CMS-merge twin (r12): counters are linear, so the merged matrix
+    # must equal one build over all tokens — rebuilt here with the
+    # portable 'cms'||row||tok hashes (same as the token_freq_cms twin).
+    sql["cms_merge_snapshots"] = """
+        WITH toks AS (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                         '\\s+'),
+                   x -> len(x) > 0)) AS tok
+          FROM documents
+        ),
+        entries AS (
+          SELECT r.r AS row,
+                 CAST('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+                        || tok), 1, 15) AS BIGINT) % 256 AS col
+          FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+        )
+        SELECT row, col, CAST(count(*) AS BIGINT) AS n
+        FROM entries GROUP BY row, col
     """
 
     # HLL-merge twin (r12): max is associative, so the merged register

@@ -183,6 +183,8 @@ HEADLINE = [
     "embedding_pca_scores",
     "hll_merge_snapshots",
     "ann_recall_lsh",
+    "cms_merge_snapshots",
+    "ann_recall_ivf",
 ]
 
 
