@@ -685,6 +685,11 @@ def dsir_importance_weights(
     order can't perturb it, so downstream top-k selection compares
     integers, never floats; ``dsir_logw`` = logw_micros/1e6 for humans.
 
+    Documents with NO features (NULL/empty/whitespace-only text) are
+    ABSENT from the output — they carry no evidence either way, and
+    the DuckDB twin drops them identically; join the output back to
+    the corpus with a left join if neutral-weight rows are needed.
+
     Plan (100 TB shape): one explode builds the gram stream (narrow),
     one shuffle reduces it to per-(doc, bucket) counts, and the bucket
     score table is BOUNDED BY ``n_buckets`` rows — it broadcasts back

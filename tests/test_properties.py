@@ -377,3 +377,93 @@ class TestPerceptualHashProperties:
         rng = np.random.default_rng(seed)
         x = rng.uniform(-1, 1, size=n)
         assert audio_dhash64(x) == audio_dhash64(x * gain)
+
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+            whitelist_characters="@.-_() +",
+            max_codepoint=0x2FF,
+        ),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=TEXTS)
+@SETTINGS
+def test_redact_pii_idempotent(spark, texts):
+    """Redaction is a fixed point: placeholders contain no digits or
+    '@', so a second pass over already-redacted text changes nothing
+    and counts zero new spans — the property that makes re-running a
+    scrub stage on partially-scrubbed data safe."""
+    from datamancer_spark.operators.scrub import redact_pii
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = redact_pii(df, text_col="text").select("doc_id", "text")
+    twice = redact_pii(once, text_col="text")
+    rows = twice.collect()
+    assert {(r["doc_id"], r["text"]) for r in rows} == {
+        (r["doc_id"], r["text"]) for r in once.collect()
+    }
+    for r in rows:
+        assert r["n_email"] == 0 and r["n_phone"] == 0
+        assert r["n_ssn"] == 0 and r["n_ccn"] == 0 and r["n_ipv4"] == 0
+
+
+HOSTS = st.lists(
+    st.one_of(
+        # label.label(.label)* hosts from a small alphabet
+        st.lists(
+            st.text(alphabet="abcXYZ09", min_size=1, max_size=6),
+            min_size=1,
+            max_size=5,
+        ).map(".".join),
+        st.just("a.co.uk"),
+        st.just("x.y.com.au"),
+        st.just("10.0.0.1"),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(hosts=HOSTS)
+@SETTINGS
+def test_registrable_domain_invariants(spark, hosts):
+    """For any host: the registrable domain is a dot-suffix of the
+    lowercased host, has at most 3 labels (embedded-PSL rule depth),
+    and the map is idempotent (a registrable domain maps to itself)."""
+    from datamancer_spark.operators.scrub import registrable_domain
+
+    df = spark.createDataFrame(
+        list(enumerate(hosts)), "k long, host string"
+    )
+    got = {
+        r["k"]: r["d"]
+        for r in df.select(
+            "k", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    for k, host in enumerate(hosts):
+        d = got[k]
+        low = host.lower()
+        assert low.endswith(d)
+        assert d == low or low[-len(d) - 1] == "."
+        assert d.count(".") <= max(low.count("."), 2)
+    # idempotence: re-extracting from the extracted domain is a no-op
+    df2 = spark.createDataFrame(
+        [(k, d) for k, d in got.items()], "k long, host string"
+    )
+    again = {
+        r["k"]: r["d"]
+        for r in df2.select(
+            "k", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert again == got
