@@ -230,6 +230,85 @@ def late_ops_study() -> None:
         print(f"| {tag} | politeness_schedule | {time.time() - t0:.2f} | {rows} |", flush=True)
 
 
+def bucketing_study() -> None:
+    """Co-located (bucketed) join vs plain shuffle join at 1x/4x/16x of
+    sf0.1 lineitem ⋈ orders on orderkey, broadcast disabled (to measure
+    the shuffle path bucketing replaces — at real scale neither side
+    broadcasts). Reports the one-time bucketed WRITE cost too: bucketing
+    pays its sort once at ingest and every subsequent join on the key is
+    exchange-free, which is the repeated-100TB-join economics."""
+    import shutil
+    import tempfile
+
+    from datamancer_spark import DamFrame
+    from datamancer_spark.io import write_parquet
+    from datamancer_spark.plans import executed_plan
+
+    spark = get_spark()
+    li0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    o0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    nkey = o0.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tmp = tempfile.mkdtemp(prefix="bkt_")
+    print("| corpus | variant | join wall (s) | exchanges | write (s) |")
+    print("|---|---|---|---|---|")
+    try:
+        for copies, tag in ((1, "1x"), (4, "4x"), (16, "16x")):
+            cdf = spark.range(copies).withColumnRenamed("id", "copy")
+            li = (
+                li0.crossJoin(cdf)
+                .withColumn(
+                    "l_orderkey",
+                    F.col("l_orderkey") + F.col("copy") * nkey,
+                )
+                .drop("copy")
+            )
+            o = (
+                o0.crossJoin(cdf)
+                .withColumn(
+                    "o_orderkey",
+                    F.col("o_orderkey") + F.col("copy") * nkey,
+                )
+                .drop("copy")
+            )
+            li.write.mode("overwrite").parquet(f"{tmp}/{tag}_li")
+            o.write.mode("overwrite").parquet(f"{tmp}/{tag}_o")
+
+            pl = spark.read.parquet(f"{tmp}/{tag}_li")
+            po = spark.read.parquet(f"{tmp}/{tag}_o")
+            j = po.join(pl, po.o_orderkey == pl.l_orderkey)
+            t0 = time.time()
+            j.groupBy().agg(F.count(F.lit(1))).collect()
+            wall = time.time() - t0
+            ex = executed_plan(j).count("Exchange")
+            print(f"| {tag} | plain parquet | {wall:.2f} | {ex} | — |", flush=True)
+
+            t0 = time.time()
+            write_parquet(
+                DamFrame(pl), f"{tmp}/{tag}_bl",
+                bucket_by=(16, ["l_orderkey"]), table_name=f"st_li_{tag}",
+            )
+            write_parquet(
+                DamFrame(po), f"{tmp}/{tag}_bo",
+                bucket_by=(16, ["o_orderkey"]), table_name=f"st_o_{tag}",
+            )
+            wwall = time.time() - t0
+            bl = spark.table(f"st_li_{tag}")
+            bo = spark.table(f"st_o_{tag}")
+            jb = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+            t0 = time.time()
+            jb.groupBy().agg(F.count(F.lit(1))).collect()
+            wall = time.time() - t0
+            ex = executed_plan(jb).count("Exchange")
+            print(f"| {tag} | bucketed (16) | {wall:.2f} | {ex} | {wwall:.2f} |", flush=True)
+            spark.sql(f"DROP TABLE IF EXISTS st_li_{tag}")
+            spark.sql(f"DROP TABLE IF EXISTS st_o_{tag}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def pagerank_study() -> None:
     from datamancer_spark.operators.components import pagerank
 
@@ -275,5 +354,7 @@ if __name__ == "__main__":
         selection_study()
     elif "late" in sys.argv:
         late_ops_study()
+    elif "bucketing" in sys.argv:
+        bucketing_study()
     else:
         containment_study()
