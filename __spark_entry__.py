@@ -1536,6 +1536,43 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall(brute, approx)
 
 
+def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random-projection distortion under the driver gate (r12,
+    operators/similarity.py jl_project): every (query, candidate)
+    cosine is computed in BOTH the full 64-d space and the 8-d
+    projected space, with the absolute error alongside — the measured
+    (not assumed) distortion that justifies running first-pass dedup /
+    ANN shortlists on an 8× smaller sketch at 100 TB. The twin inlines
+    the same md5-derived projection rows (the knn_lsh convention) and
+    recomputes both cosines and the error — a projection-component
+    slip, a normalization error or a matrix mismatch shifts every
+    pair."""
+    from datamancer_spark.functions.vector import cosine
+    from datamancer_spark.operators.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df.filter(
+        F.col("vec_id") < 200
+    )
+    proj = jl_project(emb, out_dim=8)
+    q = proj.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("jl").alias("qj"),
+    )
+    pairs = proj.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cf = prnd(cosine(F.col("qv"), F.col("embedding")), 4)
+    cj = prnd(cosine(F.col("qj"), F.col("jl")), 4)
+    return pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        cf.alias("cos_full"),
+        cj.alias("cos_jl"),
+        prnd(F.abs(cf - cj), 4).alias("abs_err"),
+    )
+
+
 def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall eval for the IVF tier (r12, same contract as
     ann_recall_lsh): recall@5 of the 3-probe IVF scan against exact
@@ -4087,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- so the packed-window invariant holds with these outside)
         "cms_merge_snapshots": cms_merge_snapshots,
         "ann_recall_ivf": ann_recall_ivf,
+        "jl_distortion_report": jl_distortion_report,
         # ---- then: all >=2x driver-proven, still verified every
         # ---- round by the local oracle harness
         "spread_pivot": spread_pivot,
@@ -7390,6 +7428,45 @@ def oracle_sql() -> dict[str, str]:
                floor((h.n_hit * 1.0 / h.n_true) * 10000.0 + 0.5) / 10000.0
                  AS recall
         FROM hits h LEFT JOIN ap USING (query_id)
+    """
+
+    # JL-distortion twin (r12): the 8 projection rows are md5-derived
+    # constants (similarity.plane_matrix, seed 42) inlined verbatim —
+    # the knn_lsh convention; both cosines and the error recompute in
+    # DuckDB with the portable floor rounding.
+    from datamancer_spark.operators.similarity import (
+        plane_matrix as _pm_jl,
+    )
+
+    _Mjl = _pm_jl(8, 64, seed=42)
+    _jl_list = "[" + ", ".join(
+        "list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(float(x)) for x in _Mjl[j])
+        + "])"
+        for j in range(8)
+    ) + "]"
+    sql["jl_distortion_report"] = f"""
+        WITH e AS (
+          SELECT vec_id, embedding, {_jl_list} AS jl
+          FROM embeddings WHERE vec_id < 200
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv, jl AS qj
+          FROM e WHERE vec_id < 5
+        ),
+        pairs AS (
+          SELECT q.query_id, e.vec_id AS cand_id,
+                 floor(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                   * 10000.0 + 0.5) / 10000.0 AS cos_full,
+                 floor(list_cosine_similarity(e.jl, q.qj)
+                   * 10000.0 + 0.5) / 10000.0 AS cos_jl
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, cand_id, cos_full, cos_jl,
+               floor(abs(cos_full - cos_jl) * 10000.0 + 0.5) / 10000.0
+                 AS abs_err
+        FROM pairs
     """
 
     # IVF-recall twin (r12): same composition as the LSH recall twin,

@@ -185,6 +185,7 @@ HEADLINE = [
     "ann_recall_lsh",
     "cms_merge_snapshots",
     "ann_recall_ivf",
+    "jl_distortion_report",
 ]
 
 

@@ -1052,3 +1052,54 @@ def ann_recall(
             ),
         )
     )
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    out_col: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: map each vector onto
+    ``out_dim`` md5-derived dense random directions (``plane_matrix``,
+    the LSH hyperplane generator — deterministic, seedable, no stored
+    model object) — the dimensionality-reduction lever that makes
+    100 TB ANN/dedup affordable: an 8-d sketch of a 64-d embedding is
+    an 8× I/O and memory cut on every downstream distance computation,
+    with cosine distortion bounded by the JL lemma (measured, not
+    assumed — see the distortion gate). Cosines need no JL scaling
+    constant (it cancels in the ratio).
+
+    Pure Catalyst: each output component is one ``F.aggregate``
+    zip-multiply fold — a narrow scan-side projection, zero shuffles,
+    zero Python, composable with every array-input operator
+    downstream."""
+    # derive input dim from the data (bounded first() like pca_power)
+    d = df.select(F.size(F.col(vec_col)).alias("d")).filter(
+        F.col("d") > 0
+    ).first()
+    if d is None:
+        raise ValueError("jl_project: no non-empty vectors")
+    dim = d["d"]
+    M = plane_matrix(out_dim, dim, seed=seed)
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in M[j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"_jl{j}")
+        for j in range(out_dim)
+    ]
+    keep = list(df.columns)
+    return df.select(*keep, *comps).select(
+        *keep,
+        F.array(*[F.col(f"_jl{j}") for j in range(out_dim)]).alias(
+            out_col
+        ),
+    )

@@ -676,3 +676,47 @@ def test_ann_recall_semantics(spark):
     assert out[1]["recall"] == 1.0 and out[1]["n_hit"] == 2
     assert out[2]["recall"] == 0.5 and out[2]["n_approx"] == 2
     assert out[3]["recall"] == 0.0 and out[3]["n_approx"] == 0
+
+
+def test_jl_projection_preserves_cosine_structure(spark):
+    """JL contract on structured data: vectors pointing the same way
+    keep high projected cosine, orthogonal-ish vectors stay far —
+    and the projection is deterministic and shape-correct."""
+    import math
+    import random
+
+    from datamancer_spark.functions.vector import cosine
+    from datamancer_spark.operators.similarity import jl_project
+
+    rng = random.Random(7)
+    base_a = [rng.uniform(-1, 1) for _ in range(64)]
+    base_b = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = []
+    for i in range(30):
+        # cluster A: small jitters of base_a; cluster B: of base_b
+        base = base_a if i % 2 == 0 else base_b
+        rows.append(
+            (i, [x + rng.uniform(-0.05, 0.05) for x in base])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    proj = jl_project(df, out_dim=8)
+    out = proj.select("vec_id", "jl").collect()
+    assert all(len(r["jl"]) == 8 for r in out)
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (
+            math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        )
+
+    jl = {r["vec_id"]: list(r["jl"]) for r in out}
+    within = [cos(jl[0], jl[i]) for i in range(2, 30, 2)]
+    across = [cos(jl[0], jl[i]) for i in range(1, 30, 2)]
+    # same-cluster projected cosines dominate cross-cluster ones
+    assert min(within) > max(across)
+    # deterministic
+    again = {
+        r["vec_id"]: list(r["jl"])
+        for r in jl_project(df, out_dim=8).select("vec_id", "jl").collect()
+    }
+    assert again == jl
