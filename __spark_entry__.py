@@ -1592,6 +1592,28 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall(brute, approx)
 
 
+def ann_recall_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall eval for the JL sketch-then-verify kNN tier (r12,
+    operators/similarity.py knn_jl_rerank): shortlist 4k candidates by
+    8-d sketch cosine, rerank exactly in 64-d, take top 5 — then
+    recall@5 against brute ground truth. Both ranking stages order by
+    portably-rounded cosine with id tie-breaks, so the twin (full
+    relational replay: inlined projection rows → sketch shortlist →
+    exact rerank → the recall composition) must agree on every hit
+    count. Completes the ANN tier trio: hyperplane-bucketed,
+    centroid-bucketed, and sketch-reranked, all evaluated under ONE
+    operator."""
+    from datamancer_spark.operators.similarity import knn_jl_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"].df
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    brute = S.knn_bruteforce(emb, queries_df, k=5)
+    approx = knn_jl_rerank(
+        emb, queries_df, k=5, out_dim=8, shortlist_factor=4
+    )
+    return S.ann_recall(brute, approx)
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN exercising the PRODUCTION path: a precomputed
     codebook (here a deterministic md5-derived matrix; offline-trained
@@ -4125,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_merge_snapshots": cms_merge_snapshots,
         "ann_recall_ivf": ann_recall_ivf,
         "jl_distortion_report": jl_distortion_report,
+        "ann_recall_jl": ann_recall_jl,
         # ---- then: all >=2x driver-proven, still verified every
         # ---- round by the local oracle harness
         "spread_pivot": spread_pivot,
@@ -7467,6 +7490,68 @@ def oracle_sql() -> dict[str, str]:
                floor(abs(cos_full - cos_jl) * 10000.0 + 0.5) / 10000.0
                  AS abs_err
         FROM pairs
+    """
+
+    # JL-rerank recall twin (r12): full relational replay of the
+    # sketch-then-verify tier (same inlined rows, both rank stages on
+    # 1e-6-rounded cosine with id tie-breaks), then the recall
+    # composition against the proven brute twin.
+    _jl_knn = f"""
+        WITH e AS (
+          SELECT vec_id, embedding, {_jl_list} AS jl FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv, jl AS qj
+          FROM e WHERE vec_id < 10
+        ),
+        sk AS (
+          SELECT q.query_id, e.vec_id AS cand_id, e.embedding AS cv,
+                 q.qv,
+                 floor(list_cosine_similarity(e.jl, q.qj)
+                   * 1000000.0 + 0.5) / 1000000.0 AS s
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        ),
+        short AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY s DESC, cand_id ASC
+            ) AS sr FROM sk
+          ) t WHERE sr <= 20
+        ),
+        rer AS (
+          SELECT query_id, cand_id AS neighbor_id,
+                 floor(list_cosine_similarity(
+                   CAST(cv AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                   * 1000000.0 + 0.5) / 1000000.0 AS cos
+          FROM short
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+          ) AS rank FROM rer
+        ) t WHERE rank <= 5
+    """
+    sql["ann_recall_jl"] = f"""
+        WITH brute AS ({sql["knn_brute"]}),
+        approx AS ({_jl_knn}),
+        hits AS (
+          SELECT b.query_id,
+                 CAST(count(*) AS BIGINT) AS n_true,
+                 CAST(count(a.neighbor_id) AS BIGINT) AS n_hit
+          FROM brute b LEFT JOIN approx a
+            ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+          GROUP BY b.query_id
+        ),
+        ap AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+          FROM approx GROUP BY query_id
+        )
+        SELECT h.query_id, h.n_true,
+               CAST(coalesce(ap.n_approx, 0) AS BIGINT) AS n_approx,
+               h.n_hit,
+               floor((h.n_hit * 1.0 / h.n_true) * 10000.0 + 0.5) / 10000.0
+                 AS recall
+        FROM hits h LEFT JOIN ap USING (query_id)
     """
 
     # IVF-recall twin (r12): same composition as the LSH recall twin,

@@ -186,6 +186,7 @@ HEADLINE = [
     "cms_merge_snapshots",
     "ann_recall_ivf",
     "jl_distortion_report",
+    "ann_recall_jl",
 ]
 
 

@@ -1103,3 +1103,75 @@ def jl_project(
             out_col
         ),
     )
+
+
+def knn_jl_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    out_dim: int = 8,
+    shortlist_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage ANN: shortlist in the ``out_dim``-d JL sketch space
+    (cosine over 8 doubles instead of 64 — the cheap scan), then exact
+    full-space rerank of only ``shortlist_factor × k`` candidates per
+    query. The economics at 100 TB: the corpus-wide pass touches the
+    8× smaller sketch, and the expensive full-width cosine runs on a
+    bounded per-query shortlist — the classic sketch-then-verify
+    shape, fully relational (broadcast queries, window top-n per
+    query, no Python).
+
+    Both ranking stages order by PORTABLY ROUNDED cosine (1e-6, id
+    tie-break), so shortlists and final ranks are identical across
+    engines — the property the differential twin checks. Output:
+    (query_id, neighbor_id, cos, rank) — same contract as the other
+    kNN tiers, so ``ann_recall`` evaluates it unchanged."""
+    from ..functions.vector import cosine
+
+    cp = jl_project(
+        corpus, out_dim=out_dim, vec_col=vec_col, id_col=id_col,
+        seed=seed,
+    ).select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        F.col("jl").alias("_cj"),
+    )
+    qp = jl_project(
+        queries, out_dim=out_dim, vec_col=vec_col, id_col=id_col,
+        seed=seed,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("jl").alias("_qj"),
+    )
+    pairs = cp.crossJoin(F.broadcast(qp))
+    if exclude_self:
+        pairs = pairs.filter(F.col("_cid") != F.col("query_id"))
+    sk = prnd(cosine(F.col("_qj"), F.col("_cj")), 6)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("_sk").desc(), F.col("_cid").asc()
+    )
+    short = (
+        pairs.withColumn("_sk", sk)
+        .withColumn("_srank", F.row_number().over(w1))
+        .filter(F.col("_srank") <= shortlist_factor * k)
+    )
+    ex = prnd(cosine(F.col("_qv"), F.col("_cv")), 6)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("_cid").asc()
+    )
+    return (
+        short.withColumn("cos", ex)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_cid").alias("neighbor_id"),
+            "cos",
+            "rank",
+        )
+    )
