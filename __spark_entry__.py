@@ -1536,6 +1536,38 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall(brute, approx)
 
 
+def split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/test split under the driver gate (r12):
+    rows are split by their CONTENT-CLUSTER key (the canonical text
+    fingerprint), not by row id — so exact duplicates can never
+    straddle train and test, the eval-contamination failure mode a
+    row-keyed split silently commits at corpus scale. Pure
+    composition: functions.text.fingerprint → sampling.hash_split on
+    the fingerprint. The guard rides the output: n_split_variants is
+    the per-fingerprint distinct-split count via one window — 1 for
+    every row, by construction, in BOTH engines (the twin recomputes
+    the fingerprint, the md5-bucket split and the window). For
+    NEAR-dup-safe splits, feed connected-component cluster ids from
+    the minhash pair tier as the key instead — the same seam."""
+    from datamancer_spark.functions.text import fingerprint
+    from datamancer_spark.operators.sampling import hash_split
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    keyed = doc.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    split = hash_split(keyed, "fp", {"train": 0.75, "test": 0.25})
+    w = Window.partitionBy("fp")
+    return split.select(
+        "doc_id",
+        "fp",
+        "split",
+        F.size(F.collect_set("split").over(w)).cast("long").alias(
+            "n_split_variants"
+        ),
+    )
+
+
 def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random-projection distortion under the driver gate (r12,
     operators/similarity.py jl_project): every (query, candidate)
@@ -4148,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf": ann_recall_ivf,
         "jl_distortion_report": jl_distortion_report,
         "ann_recall_jl": ann_recall_jl,
+        "split_dedup_aware": split_dedup_aware,
         # ---- then: all >=2x driver-proven, still verified every
         # ---- round by the local oracle harness
         "spread_pivot": spread_pivot,
@@ -7451,6 +7484,28 @@ def oracle_sql() -> dict[str, str]:
                floor((h.n_hit * 1.0 / h.n_true) * 10000.0 + 0.5) / 10000.0
                  AS recall
         FROM hits h LEFT JOIN ap USING (query_id)
+    """
+
+    # Dedup-aware split twin (r12): fingerprint -> md5-bucket split ->
+    # per-fingerprint distinct-split window (1 everywhere).
+    sql["split_dedup_aware"] = """
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                                    '\\s+', ' ', 'g')) AS fp
+          FROM documents
+        ),
+        split AS (
+          SELECT doc_id, fp,
+                 CASE WHEN CAST('0x' || substr(md5(fp), 1, 8) AS BIGINT)
+                           % 1000000 < 750000
+                      THEN 'train' ELSE 'test' END AS split
+          FROM keyed
+        )
+        SELECT doc_id, fp, split,
+               CAST(count(DISTINCT split) OVER (PARTITION BY fp)
+                    AS BIGINT) AS n_split_variants
+        FROM split
     """
 
     # JL-distortion twin (r12): the 8 projection rows are md5-derived

@@ -187,6 +187,7 @@ HEADLINE = [
     "ann_recall_ivf",
     "jl_distortion_report",
     "ann_recall_jl",
+    "split_dedup_aware",
 ]
 
 
