@@ -1025,8 +1025,15 @@ def ann_recall(
     a = approx.select(
         F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
     )
+    # both frames are |queries| x k by the kNN contract, but they
+    # often arrive from mapInPandas lineages with no size stats — AQE
+    # then defaults the joins to sort-merge; broadcast explicitly
     hits = (
-        t.join(a.withColumn("_hit", F.lit(1)), ["_q", "_n"], "left")
+        t.join(
+            F.broadcast(a.withColumn("_hit", F.lit(1))),
+            ["_q", "_n"],
+            "left",
+        )
         .groupBy("_q")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_true"),
@@ -1039,7 +1046,7 @@ def ann_recall(
         F.count(F.lit(1)).cast("long").alias("n_approx")
     )
     return (
-        hits.join(ap, "_q", "left")
+        hits.join(F.broadcast(ap), "_q", "left")
         .select(
             F.col("_q").alias(query_col),
             "n_true",

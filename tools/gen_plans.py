@@ -116,6 +116,11 @@ COMMENT = {
     "embedding_pca_scores": "PCA power iteration: per round ONE distributed aggregate (64-term dot projection + 64 partial sums, map-side combined); the iterate is bounded driver state (64 floats); the corpus is scanned per round and never joined; final projection is a scan-side 64-term chain.",
     "hll_merge_snapshots": "HLL merge: fingerprints pin once; each snapshot build is one register-keyed partial-max shuffle over <=256 rows out; merge is union + groupBy-max over 512 register rows; estimates broadcast back as 1-row crossJoins.",
     "ann_recall_lsh": "ANN recall eval: both tiers reuse their proven shapes (brute mapInPandas scan, LSH bucket equi-join); truth is |queries|xk rows so the hit join and the per-query aggregates all broadcast/partial-agg — nothing corpus-sized moves after the tiers run.",
+    "cms_merge_snapshots": "CMS merge: each snapshot build is one counter-keyed partial-sum shuffle over <=1024 rows out; merge is union + groupBy-sum — counter linearity makes the merged matrix equal a full rebuild exactly.",
+    "ann_recall_ivf": "IVF recall eval: the centroid-bucketed tier under the same bounded recall composition — corpus scans stay in the proven IVF shape; everything after is queries x k sized.",
+    "jl_distortion_report": "JL distortion: the 8 projection components are scan-side zip-multiply folds; the 200-vector candidate frame crossJoins only the 5-query broadcast — both cosines and the error evaluate in whole-stage codegen.",
+    "ann_recall_jl": "JL sketch-then-verify kNN: the corpus-wide pass computes 8-term sketch cosines (codegen), the per-query window keeps a bounded 4k shortlist, and the exact 64-d rerank touches only the shortlist; recall composition is queries x k sized.",
+    "split_dedup_aware": "Dedup-aware split: fingerprint + md5-bucket split are scan-side; the leakage-guard window shuffles once on the fingerprint (duplicate groups are tiny; AQE skew-split covers pathological clusters).",
 }
 
 
