@@ -1568,6 +1568,45 @@ def split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_neardup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-aware train/test split under the driver gate (r12) —
+    the strong form of the leakage guard: cluster ids come from
+    connected components over the LSH-verified near-dup pair graph
+    (J ≥ 0.5), so near-duplicates — not just byte-identical
+    duplicates — can never straddle train and test. One composition:
+    minhash_dedup_verified → connected_components (distributed pointer
+    jumping) → hash_split on the cluster root; singleton docs cluster
+    as themselves. The twin replays the pair graph + a recursive-CTE
+    closure + the same md5-bucket split, and the per-cluster
+    distinct-split guard rides the output in both engines."""
+    from datamancer_spark.operators.components import (
+        connected_components,
+    )
+    from datamancer_spark.operators.sampling import hash_split
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    pairs = D.minhash_dedup_verified(doc, threshold=0.5)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    clustered = doc.select("doc_id").join(
+        cc, doc.doc_id == cc.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("long")
+        .alias("cluster"),
+    )
+    split = hash_split(clustered, "cluster", {"train": 0.75, "test": 0.25})
+    w = Window.partitionBy("cluster")
+    return split.select(
+        "doc_id",
+        "cluster",
+        "split",
+        F.size(F.collect_set("split").over(w)).cast("long").alias(
+            "n_split_variants"
+        ),
+    )
+
+
 def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random-projection distortion under the driver gate (r12,
     operators/similarity.py jl_project): every (query, candidate)
@@ -4181,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_distortion_report": jl_distortion_report,
         "ann_recall_jl": ann_recall_jl,
         "split_dedup_aware": split_dedup_aware,
+        "split_neardup_aware": split_neardup_aware,
         # ---- then: all >=2x driver-proven, still verified every
         # ---- round by the local oracle harness
         "spread_pivot": spread_pivot,
@@ -7484,6 +7524,44 @@ def oracle_sql() -> dict[str, str]:
                floor((h.n_hit * 1.0 / h.n_true) * 10000.0 + 0.5) / 10000.0
                  AS recall
         FROM hits h LEFT JOIN ap USING (query_id)
+    """
+
+    # Near-dup-aware split twin (r12): the shared verified-pair CTE
+    # chain -> recursive-CTE closure -> cluster root (min reachable id,
+    # self for singletons) -> the same md5-bucket split + per-cluster
+    # distinct-split guard.
+    sql["split_neardup_aware"] = f"""
+        WITH RECURSIVE {_verified_ctes},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        root AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster
+          FROM reach GROUP BY a
+        ),
+        clustered AS (
+          SELECT d.doc_id,
+                 CAST(coalesce(r.cluster, d.doc_id) AS BIGINT) AS cluster
+          FROM documents d LEFT JOIN root r ON r.doc_id = d.doc_id
+        ),
+        labeled AS (
+          SELECT doc_id, cluster,
+                 CASE WHEN CAST('0x' || substr(
+                          md5(CAST(cluster AS VARCHAR)), 1, 8) AS BIGINT)
+                          % 1000000 < 750000
+                      THEN 'train' ELSE 'test' END AS split
+          FROM clustered
+        )
+        SELECT doc_id, cluster, split,
+               CAST(count(DISTINCT split) OVER (PARTITION BY cluster)
+                    AS BIGINT) AS n_split_variants
+        FROM labeled
     """
 
     # Dedup-aware split twin (r12): fingerprint -> md5-bucket split ->

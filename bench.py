@@ -188,6 +188,7 @@ HEADLINE = [
     "jl_distortion_report",
     "ann_recall_jl",
     "split_dedup_aware",
+    "split_neardup_aware",
 ]
 
 

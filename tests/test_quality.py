@@ -1048,3 +1048,44 @@ def test_dedup_aware_split_no_leakage(spark):
     for r in leaky:
         by_fp2.setdefault(r["fp"], set()).add(r["split"])
     assert any(len(s) > 1 for s in by_fp2.values())
+
+
+def test_neardup_aware_split_clusters_stay_together(spark):
+    """Near-duplicates (not byte-identical) must land on one side:
+    crafted docs share 0.8+ Jaccard within families; every family's
+    component gets exactly one split label."""
+    from datamancer_spark.operators.components import (
+        connected_components,
+    )
+    from datamancer_spark.operators.dedup import minhash_dedup_verified
+    from datamancer_spark.operators.sampling import hash_split
+
+    rows = []
+    for fam in range(12):
+        base = [f"f{fam}tok{j}" for j in range(30)]
+        for m in range(3):
+            toks = list(base)
+            toks[m] = f"v{fam}_{m}"          # one-token variants
+            rows.append((fam * 10 + m, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dedup_verified(df, threshold=0.5)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    clustered = df.select("doc_id").join(
+        cc, df.doc_id == cc.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+    )
+    out = hash_split(
+        clustered, "cluster", {"train": 0.75, "test": 0.25}
+    ).collect()
+    by_fam = {}
+    for r in out:
+        by_fam.setdefault(r["doc_id"] // 10, set()).add(r["split"])
+    # every family stays atomic, and the members really did cluster
+    assert all(len(s) == 1 for s in by_fam.values())
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r["doc_id"])
+    fams = [sorted(v) for v in by_cluster.values() if len(v) > 1]
+    assert len(fams) == 12 and all(len(f) == 3 for f in fams)
