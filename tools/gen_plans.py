@@ -121,6 +121,7 @@ COMMENT = {
     "jl_distortion_report": "JL distortion: the 8 projection components are scan-side zip-multiply folds; the 200-vector candidate frame crossJoins only the 5-query broadcast — both cosines and the error evaluate in whole-stage codegen.",
     "ann_recall_jl": "JL sketch-then-verify kNN: the corpus-wide pass computes 8-term sketch cosines (codegen), the per-query window keeps a bounded 4k shortlist, and the exact 64-d rerank touches only the shortlist; recall composition is queries x k sized.",
     "split_dedup_aware": "Dedup-aware split: fingerprint + md5-bucket split are scan-side; the leakage-guard window shuffles once on the fingerprint (duplicate groups are tiny; AQE skew-split covers pathological clusters).",
+    "split_neardup_aware": "Near-dup-aware split: the verified-pair tier keeps its proven banded shape; components run the documented pointer-jumping driver loop with per-round checkpoints; the split + guard window add one cluster-keyed shuffle over the labeled corpus.",
 }
 
 
