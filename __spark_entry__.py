@@ -7506,17 +7506,19 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_recall_lsh"] = f"""
         WITH brute AS ({sql["knn_brute"]}),
         approx AS ({sql["knn_lsh"]}),
+        bd AS (SELECT DISTINCT query_id, neighbor_id FROM brute),
+        ad AS (SELECT DISTINCT query_id, neighbor_id FROM approx),
         hits AS (
           SELECT b.query_id,
                  CAST(count(*) AS BIGINT) AS n_true,
                  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit
-          FROM brute b LEFT JOIN approx a
+          FROM bd b LEFT JOIN ad a
             ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
           GROUP BY b.query_id
         ),
         ap AS (
           SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
-          FROM approx GROUP BY query_id
+          FROM ad GROUP BY query_id
         )
         SELECT h.query_id, h.n_true,
                CAST(coalesce(ap.n_approx, 0) AS BIGINT) AS n_approx,
@@ -7667,17 +7669,19 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_recall_jl"] = f"""
         WITH brute AS ({sql["knn_brute"]}),
         approx AS ({_jl_knn}),
+        bd AS (SELECT DISTINCT query_id, neighbor_id FROM brute),
+        ad AS (SELECT DISTINCT query_id, neighbor_id FROM approx),
         hits AS (
           SELECT b.query_id,
                  CAST(count(*) AS BIGINT) AS n_true,
                  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit
-          FROM brute b LEFT JOIN approx a
+          FROM bd b LEFT JOIN ad a
             ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
           GROUP BY b.query_id
         ),
         ap AS (
           SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
-          FROM approx GROUP BY query_id
+          FROM ad GROUP BY query_id
         )
         SELECT h.query_id, h.n_true,
                CAST(coalesce(ap.n_approx, 0) AS BIGINT) AS n_approx,
@@ -7692,17 +7696,19 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_recall_ivf"] = f"""
         WITH brute AS ({sql["knn_brute"]}),
         approx AS ({sql["knn_ivf"]}),
+        bd AS (SELECT DISTINCT query_id, neighbor_id FROM brute),
+        ad AS (SELECT DISTINCT query_id, neighbor_id FROM approx),
         hits AS (
           SELECT b.query_id,
                  CAST(count(*) AS BIGINT) AS n_true,
                  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit
-          FROM brute b LEFT JOIN approx a
+          FROM bd b LEFT JOIN ad a
             ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
           GROUP BY b.query_id
         ),
         ap AS (
           SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
-          FROM approx GROUP BY query_id
+          FROM ad GROUP BY query_id
         )
         SELECT h.query_id, h.n_true,
                CAST(coalesce(ap.n_approx, 0) AS BIGINT) AS n_approx,

@@ -912,6 +912,33 @@ def hashed_embedding(
     return g.select(F.col(id_col), unit.alias("embedding"))
 
 
+def _derive_dim(df: DataFrame, vec_col: str, op: str) -> int:
+    """Deterministic vector-dimension derivation (ADVICE r12): a
+    ``.first()`` on a distributed frame is plan/partition-order
+    dependent, so on a mixed-dimension corpus the chosen dim — and
+    therefore WHICH rows silently survive a size filter — would vary
+    run to run. Instead aggregate min/max of size over non-null
+    vectors and REFUSE a mixed corpus loudly; callers that genuinely
+    hold ragged vectors must pass an explicit ``dim`` (and accept the
+    documented drop of non-conforming rows)."""
+    row = df.filter(F.col(vec_col).isNotNull()).agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if row is None or row["lo"] is None:
+        raise ValueError(f"{op}: no non-null vectors in '{vec_col}'")
+    lo, hi = int(row["lo"]), int(row["hi"])
+    if lo <= 0:
+        raise ValueError(f"{op}: empty vectors present in '{vec_col}'")
+    if lo != hi:
+        raise ValueError(
+            f"{op}: mixed vector sizes in '{vec_col}' ({lo}..{hi}); "
+            "pass an explicit dim= to select one (rows of any other "
+            "size are dropped)"
+        )
+    return lo
+
+
 def pca_power_scores(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -919,6 +946,7 @@ def pca_power_scores(
     iters: int = 4,
     round_decimals: int = 6,
     score_decimals: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top principal component by power iteration + per-vector PC1
     scores — the embedding-curation primitive behind whitening,
@@ -947,12 +975,10 @@ def pca_power_scores(
         scale = float(10**n)
         return math.floor(x * scale + 0.5) / scale
 
-    d = emb.select(F.size(F.col(vec_col)).alias("d")).filter(
-        F.col("d") > 0
-    ).first()
-    if d is None:
-        raise ValueError("pca_power_scores: no non-empty vectors")
-    dim = d["d"]
+    if dim is None:
+        dim = _derive_dim(emb, vec_col, "pca_power_scores")
+    # rows whose vector is NULL or not dim-sized are dropped (only
+    # reachable with an explicit dim=; _derive_dim refuses mixed sizes)
     x = emb.filter(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
     ).select(
@@ -1019,12 +1045,16 @@ def ann_recall(
     Plan: two key-keyed aggregates and one equi-join on (query,
     neighbor) — truth is |queries|×k rows, tiny by construction, so
     AQE broadcasts freely; nothing corpus-sized moves."""
+    # Enforce the eval's own contract (ADVICE r12): a duplicated
+    # (query, neighbor) row in EITHER input would fan the left join out
+    # and inflate n_true/n_hit — recall could exceed 1. The kNN tiers
+    # all emit distinct pairs, but the eval must not depend on that.
     t = truth.select(
         F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
-    )
+    ).distinct()
     a = approx.select(
         F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
-    )
+    ).distinct()
     # both frames are |queries| x k by the kNN contract, but they
     # often arrive from mapInPandas lineages with no size stats — AQE
     # then defaults the joins to sort-merge; broadcast explicitly
@@ -1068,6 +1098,7 @@ def jl_project(
     id_col: str = "vec_id",
     seed: int = 42,
     out_col: str = "jl",
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson–Lindenstrauss random projection: map each vector onto
     ``out_dim`` md5-derived dense random directions (``plane_matrix``,
@@ -1083,13 +1114,15 @@ def jl_project(
     zip-multiply fold — a narrow scan-side projection, zero shuffles,
     zero Python, composable with every array-input operator
     downstream."""
-    # derive input dim from the data (bounded first() like pca_power)
-    d = df.select(F.size(F.col(vec_col)).alias("d")).filter(
-        F.col("d") > 0
-    ).first()
-    if d is None:
-        raise ValueError("jl_project: no non-empty vectors")
-    dim = d["d"]
+    if dim is None:
+        dim = _derive_dim(df, vec_col, "jl_project")
+    else:
+        # explicit dim on a possibly-ragged corpus: drop non-conforming
+        # rows (zip_with against the dim-sized plane rows would NULL-pad
+        # them into silent garbage sketches otherwise)
+        df = df.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        )
     M = plane_matrix(out_dim, dim, seed=seed)
     comps = [
         F.aggregate(
@@ -1139,12 +1172,17 @@ def knn_jl_rerank(
     kNN tiers, so ``ann_recall`` evaluates it unchanged."""
     from ..functions.vector import cosine
 
+    # The corpus-wide pass must touch ONLY the out_dim-d sketch (ADVICE
+    # r12): carrying the full-width vectors through the crossJoin and
+    # the shortlist window shuffle would move 64-d payloads corpus-wide
+    # and void the 8× I/O win the sketch exists for. So: sketch-only
+    # shortlist, then join the full vectors back for just the
+    # shortlist_factor×k rerank rows per query.
     cp = jl_project(
         corpus, out_dim=out_dim, vec_col=vec_col, id_col=id_col,
         seed=seed,
     ).select(
         F.col(id_col).alias("_cid"),
-        F.col(vec_col).alias("_cv"),
         F.col("jl").alias("_cj"),
     )
     qp = jl_project(
@@ -1152,7 +1190,6 @@ def knn_jl_rerank(
         seed=seed,
     ).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
         F.col("jl").alias("_qj"),
     )
     pairs = cp.crossJoin(F.broadcast(qp))
@@ -1166,6 +1203,19 @@ def knn_jl_rerank(
         pairs.withColumn("_sk", sk)
         .withColumn("_srank", F.row_number().over(w1))
         .filter(F.col("_srank") <= shortlist_factor * k)
+        .select("query_id", "_cid")
+    )
+    # full vectors rejoin the BOUNDED shortlist (|queries|×sf×k rows):
+    # broadcast the shortlist against the corpus so the wide vectors
+    # are read once, shuffle-free, for only the surviving candidates.
+    cv = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    short = cv.join(F.broadcast(short), "_cid").join(
+        F.broadcast(qv), "query_id"
     )
     ex = prnd(cosine(F.col("_qv"), F.col("_cv")), 6)
     w2 = Window.partitionBy("query_id").orderBy(

@@ -647,14 +647,23 @@ def test_pca_power_recovers_planted_direction(spark):
     # deterministic across runs
     again = {r["vec_id"]: r["pc1"] for r in pca_power_scores(df).collect()}
     assert out == again
-    # NULL and wrong-length vectors are excluded, not poisoning
+    # r13 (ADVICE r12): a mixed-dimension corpus without an explicit
+    # dim= must REFUSE loudly (silent, plan-order-dependent row loss was
+    # the defect); with dim= passed, NULL and wrong-length vectors are
+    # excluded per the documented drop contract.
+    import pytest as _pytest
+
     df2 = df.union(
         spark.createDataFrame(
             [(900, None), (901, [1.0, 2.0])],
             "vec_id long, embedding array<float>",
         )
     )
-    out2 = {r["vec_id"]: r["pc1"] for r in pca_power_scores(df2).collect()}
+    with _pytest.raises(ValueError, match="mixed vector sizes"):
+        pca_power_scores(df2).collect()
+    out2 = {
+        r["vec_id"]: r["pc1"] for r in pca_power_scores(df2, dim=16).collect()
+    }
     assert 900 not in out2 and 901 not in out2
     assert out2 == out
 
@@ -676,6 +685,17 @@ def test_ann_recall_semantics(spark):
     assert out[1]["recall"] == 1.0 and out[1]["n_hit"] == 2
     assert out[2]["recall"] == 0.5 and out[2]["n_approx"] == 2
     assert out[3]["recall"] == 0.0 and out[3]["n_approx"] == 0
+    # r13 (ADVICE r12): duplicated (query, neighbor) rows in either
+    # input must not fan the join out — recall stays <= 1 and counts
+    # match the distinct-pair semantics exactly.
+    dup_truth = truth.union(truth)
+    dup_approx = approx.union(approx).union(approx)
+    out_d = {
+        r["query_id"]: r
+        for r in ann_recall(dup_truth, dup_approx).collect()
+    }
+    for q in (1, 2, 3):
+        assert out_d[q] == out[q], f"dup rows changed query {q}"
 
 
 def test_jl_projection_preserves_cosine_structure(spark):
