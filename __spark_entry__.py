@@ -4085,6 +4085,62 @@ def crawl_url_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CSV round-trip gate (VERDICT r12 missing #1): readCsv is the
+# reference's PRIMARY scan (io.nim:686-784) but every other catalog
+# query scans parquet, so the CSV surface had only pytest coverage.
+# This query puts it under the adversarial driver signal: write_csv an
+# orders slice whose text column embeds separators, doubled quotes and
+# a comment-lookalike leading '#', with NaN/NULL price arms; read_csv
+# it back; aggregate. The DuckDB twin read_csv's THE SAME Spark-written
+# part files (multi-file glob, per-file headers, RFC 4180 doubled-quote
+# escapes, "NaN" doubles, empty-string NULLs) — any dialect divergence
+# between the engines, or any write-side quoting corruption that parses
+# differently, breaks the value hash. The comment-SKIP arm itself stays
+# pytest-only (DuckDB 1.0 read_csv has no comment parameter); here the
+# leading-'#' text proves quoting PROTECTS '#' content from the
+# comment-stripper. Fixed staging path: the gate write (eager, inside
+# the query call) always precedes the oracle read within a run, and
+# only this query touches the directory.
+_CSV_GATE_DIR = "/root/repo/spark-warehouse/_csv_roundtrip_gate"
+
+
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_csv → read_csv round-trip, aggregated; the oracle parses
+    the same files with DuckDB's reader (ref io.nim:686-784 readCsv +
+    io.nim:807-826 writeCsv)."""
+    from datamancer_spark.io import read_csv, write_csv
+
+    ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = ord_.filter(F.col("o_orderkey") % 20 < 3).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        # force the quoter: every value holds the separator AND a
+        # doubled-quote escape AND a leading '#' (comment lookalike)
+        F.concat(F.lit('#x,"q" '), F.col("o_orderpriority")).alias("txt"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(float("nan")))
+        .when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    write_csv(DamFrame(src), _CSV_GATE_DIR)
+    back = read_csv(spark, _CSV_GATE_DIR).df
+    finite = F.col("price").isNotNull() & ~F.isnan("price")
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.when(F.isnan("price"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nan"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        prnd(F.sum(F.when(finite, F.col("price"))), 2).alias("sum_price"),
+        F.sum(F.conv(F.substring(F.md5("txt"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("txt_sig"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -4124,112 +4180,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
         "train_test_split": train_test_split,
-        # -- the 12 r11 zero-greens accruing their SECOND driver
-        # -- proof (r12 rotation, VERDICT r11 #6), interleaved with
-        # -- the 5 r12 zero-greens next to their seam siblings:
-        "pipeline_from_crawl_lsh": pipeline_from_crawl_lsh,
-        "dedup_bloom_screened": dedup_bloom_screened,
-        "doc_distinct_hll": doc_distinct_hll,
-        "normalize_nfc_text": normalize_nfc_text,
-        "robots_crawl_gate": robots_crawl_gate,
-        # -- r12 zero-green #1: the discovery seam — robots →
-        # -- sitemaps (index resolved one level) → frontier →
-        # -- robots gate (VERDICT r11 #3).
+        # -- r13 rotation (VERDICT r12 #1): the 22 one-green r12
+        # -- members accruing their SECOND driver proof, then the 6
+        # -- zero-green late-r12 additions getting their FIRST, then
+        # -- the new CSV round-trip gate (zero-green by definition):
         "sitemap_discovery_frontier": sitemap_discovery_frontier,
-        "containment_pairs": containment_pairs,
-        # -- r12 zero-green #2: the containment join under the
-        # -- hot-shingle guard, df=|corpus| footer (VERDICT r11 #1).
         "containment_guarded_pairs": containment_guarded_pairs,
-        "pipeline_crawl_production": pipeline_crawl_production,
-        "boilerplate_filter_doc": boilerplate_filter_doc,
-        "pagerank_links": pagerank_links,
-        # -- r12 zero-green #3: the crawl→graph seam — WARC → href
-        # -- extraction → PageRank (VERDICT r11 #4).
         "pagerank_crawl_links": pagerank_crawl_links,
-        # -- r12 zero-green: paired inlink anchor-text profiles over
-        # -- the same link fixture.
         "anchor_text_profile": anchor_text_profile,
-        "nb_lang_classify": nb_lang_classify,
-        # -- r12 zero-green #4: byte-level BPE training vs an 8-step
-        # -- unrolled count→argmax→merge twin (VERDICT r11 #5).
         "bpe_train_merges": bpe_train_merges,
-        # -- r12 zero-green: the byte-BPE ENCODE path under a fixed
-        # -- table (hand-computed per-pretoken counts).
         "bpe_encode_budget": bpe_encode_budget,
-        "hits_links": hits_links,
-        "temperature_mix_langs": temperature_mix_langs,
-        # -- r12 zero-green: fractional-epoch UP-sampling (the repeat
-        # -- half of data mixing).
         "epoch_expand_langs": epoch_expand_langs,
-        # -- r12 zero-green: unicode script profiling (cross-engine
-        # -- regex character-class differential).
         "script_mix_profile": script_mix_profile,
-        # -- r12 zero-green: per-host Crawl-delay politeness budget
-        # -- (REP extension; exact-group-hides-'*' pinned).
         "crawl_delay_budget": crawl_delay_budget,
-        # -- r12 zero-green #5: charset-aware WARC payload decode,
-        # -- six arms, md5-pinned text (VERDICT r11 #2).
         "warc_charset_decode": warc_charset_decode,
-        # -- r12 zero-green: the charset long tail through the
-        # -- Python-codec fallback tier (shift_jis / gb2312 /
-        # -- unknown-label refusal).
         "warc_charset_fallback": warc_charset_fallback,
-        # -- r12 zero-green #6: URL canonicalization (dot segments,
-        # -- default ports, case, tracking params) — the frontier
-        # -- dedup key.
         "canonicalize_frontier_urls": canonicalize_frontier_urls,
-        # -- r12 zero-green #7: incremental discovery — the frontier
-        # -- probes the crawled-URL Bloom filter (fetch only the new).
         "frontier_bloom_tofetch": frontier_bloom_tofetch,
-        # -- r12 zero-green: PII redaction (synthetic in-plan spans;
-        # -- md5-pinned redacted bytes; RE2-safe pattern differential).
         "pii_redact_docs": pii_redact_docs,
-        # -- r12 zero-green: DSIR importance resampling (hashed-ngram
-        # -- target/raw log-ratios; exact-integer Gumbel-top-k).
         "dsir_select_en": dsir_select_en,
-        # -- r12 zero-green: eTLD+1 extraction + per-registrable-domain
-        # -- caps (subdomains collapse; co.uk registrants stay apart).
         "domain_cap_registrable": domain_cap_registrable,
-        # -- r12 zero-green: deterministic epoch shuffle/shard plan
-        # -- (portable-hash read order; per-epoch+shard window rank).
         "epoch_shard_plan_langs": epoch_shard_plan_langs,
-        # -- r12 zero-green: per-stage survivor funnel over the crawl
-        # -- capstone (one pinned decode pass; closed-form count twin).
         "crawl_funnel_report": crawl_funnel_report,
-        # -- r12 zero-green: politeness fetch schedule (Crawl-delay ×
-        # -- portable-hash per-host rank -> serial ETA).
         "frontier_fetch_schedule": frontier_fetch_schedule,
-        # -- r12 zero-green: PCA power iteration (relational 4-round
-        # -- twin; bounded driver iterate; PC1 projections).
         "embedding_pca_scores": embedding_pca_scores,
-        # -- r12 zero-green: cross-snapshot HLL merge (union+max ==
-        # -- single build; twin rebuilds the register file).
         "hll_merge_snapshots": hll_merge_snapshots,
-        # -- r12 zero-green: ANN recall eval (LSH vs brute ground
-        # -- truth; empty-bucket queries stay at recall 0).
         "ann_recall_lsh": ann_recall_lsh,
-        # -- remaining slots: the STALEST multiply-proven members
-        # -- (last green r3-r4) for third/fourth proofs; the r11
-        # -- window's 2x-proven members rotate out to the queue.
-        # ---- outside the window: first the rotation queue's HEAD —
-        # ---- zero-green late additions waiting for the next window
-        # ---- (the window is already packed with under-proven queries,
-        # ---- so the packed-window invariant holds with these outside)
         "cms_merge_snapshots": cms_merge_snapshots,
         "ann_recall_ivf": ann_recall_ivf,
         "jl_distortion_report": jl_distortion_report,
         "ann_recall_jl": ann_recall_jl,
         "split_dedup_aware": split_dedup_aware,
         "split_neardup_aware": split_neardup_aware,
-        # ---- then: all >=2x driver-proven, still verified every
-        # ---- round by the local oracle harness
-        "spread_pivot": spread_pivot,
+        # -- NEW r13: the CSV surface's first driver-oracle gate
+        # -- (write_csv -> read_csv vs DuckDB read_csv of the same
+        # -- part files; VERDICT r12 missing #1).
+        "csv_roundtrip_agg": csv_roundtrip_agg,
+        # -- remaining slots: the STALEST multiply-proven members
+        # -- (last green r3-r4) for third proofs.
+        "array_ops": array_ops,
         "gather_melt": gather_melt,
+        "semi_join": semi_join_q,
+        "spread_pivot": spread_pivot,
+        "text_fingerprint": text_fingerprint,
+        # ---- outside the window: all >= 2x driver-proven, still
+        # ---- verified every round by the local oracle harness
+        "pipeline_from_crawl_lsh": pipeline_from_crawl_lsh,
+        "dedup_bloom_screened": dedup_bloom_screened,
+        "doc_distinct_hll": doc_distinct_hll,
+        "normalize_nfc_text": normalize_nfc_text,
+        "robots_crawl_gate": robots_crawl_gate,
+        "containment_pairs": containment_pairs,
+        "pipeline_crawl_production": pipeline_crawl_production,
+        "boilerplate_filter_doc": boilerplate_filter_doc,
+        "pagerank_links": pagerank_links,
+        "nb_lang_classify": nb_lang_classify,
+        "hits_links": hits_links,
+        "temperature_mix_langs": temperature_mix_langs,
         "text_stats": text_stats,
         "text_langid": text_langid,
-        "semi_join": semi_join_q,
-        "array_ops": array_ops,
-        "text_fingerprint": text_fingerprint,
         "repetition_quality": repetition_quality,
         "line_dedup": line_dedup,
         "contamination_screen": contamination_screen,
@@ -8553,6 +8562,33 @@ def oracle_sql() -> dict[str, str]:
                            THEN '/u/' ELSE NULL END
                END AS matched_pattern
         FROM pages p
+    """
+
+    # CSV round-trip twin (r13): DuckDB parses THE SAME part files the
+    # Spark query just wrote (the write is eager inside the query call,
+    # so the files exist before any oracle runs). Cross-engine dialect
+    # parity under test: multi-file glob with per-file headers, RFC 4180
+    # doubled-quote escapes, "NaN" doubles, empty-string NULLs. txt_sig
+    # sums a 32-bit md5 prefix per text value — one corrupted byte in
+    # any quoted field flips the hash.
+    sql["csv_roundtrip_agg"] = f"""
+        WITH back AS (
+          SELECT * FROM read_csv(
+            '{_CSV_GATE_DIR}/part-*.csv', header=true)
+        )
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(sum(CASE WHEN isnan(price) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nan,
+               CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               prnd(sum(CASE WHEN price IS NOT NULL AND NOT isnan(price)
+                             THEN price END), 2) AS sum_price,
+               CAST(sum(CAST('0x' || substr(md5(txt), 1, 8) AS BIGINT))
+                    AS BIGINT) AS txt_sig
+        FROM back
+        GROUP BY status
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

@@ -189,6 +189,9 @@ HEADLINE = [
     "ann_recall_jl",
     "split_dedup_aware",
     "split_neardup_aware",
+    # round-13 additions: the CSV round-trip gate (write_csv ->
+    # read_csv -> aggregate; the sink+source pair under the clock)
+    "csv_roundtrip_agg",
 ]
 
 
@@ -238,6 +241,13 @@ def main() -> None:
         spark.range(64).repartition(8).mapInPandas(
             lambda it: (pdf for pdf in it), "id long"
         ).count()
+        # r13 (VERDICT r12 #6): warm the MEDIA/CODEC tier too — its
+        # first execution pays Python-side codec import + numpy JIT-ish
+        # warmup that landed 3-7x inflation on whichever media query the
+        # batch reached first (r12: image_decode_dims 5.0s in-batch vs
+        # 0.85s isolated). One image and one audio decode pass, untimed.
+        qs["image_decode_dims"](spark, sf_dir).count()
+        qs["audio_decode_props"](spark, sf_dir).count()
     except Exception as e:  # warmup is best-effort; never kill the bench
         print(f"bench: warmup failed: {e!r}", file=sys.stderr)
 

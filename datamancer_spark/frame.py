@@ -639,7 +639,15 @@ class DamFrame:
         groupBy(rest).pivot(names).agg(first(values)). At scale, pass the
         distinct pivot values via ``pivot(values=...)`` upstream if known to
         skip the distinct-collect job; here we let Spark collect them (it
-        caps at spark.sql.pivotMaxValues)."""
+        caps at spark.sql.pivotMaxValues).
+
+        DOCUMENTED DIVERGENCE (like the epsilon-equality note): the
+        reference ignores its ``valuesFill`` parameter and default-
+        initializes missing cells to the column dtype's native default —
+        0 / 0.0 / "" (dataframe.nim:2273-2275). Here missing cells stay
+        NULL (SQL's honest missing marker) unless ``fill=`` is passed;
+        ``fill=0`` reproduces the reference's numeric behavior exactly
+        (pinned by tests/test_frame_verbs.py::test_spread_fill_parity)."""
         rest = [
             c for c in self._df.columns if c not in (names_from, values_from)
         ]

@@ -325,3 +325,29 @@ def test_grouped_mutate_uses_window_and_falls_back_for_distinct(spark):
     got = {(r["k"], r["v"], r["nd"]) for r in nd.df.collect()}
     assert ("a", 1, 2) in got and ("b", 3, 1) in got
     assert (None, 4, 1) in got  # null-safe join keeps NULL-key rows
+
+
+def test_spread_fill_parity(spark):
+    """Pin the documented spread-fill divergence (VERDICT r12 #7): the
+    reference default-initializes missing pivot cells to the dtype's
+    native default (dataframe.nim:2273-2275 — valuesFill is ignored),
+    while DamFrame.spread leaves them NULL unless fill= is passed.
+    fill=0 must reproduce the reference's sparse runnableExample
+    (dataframe.nim:2287-2297: class C has an extra row, A/B backfill 0)."""
+    from datamancer_spark.frame import DamFrame
+
+    df = spark.createDataFrame(
+        [("r0", "A", 1), ("r1", "A", 8), ("r2", "A", 0),
+         ("r0", "B", 3), ("r1", "B", 4),
+         ("r0", "C", 0), ("r1", "C", 5), ("r2", "C", 7), ("r3", "C", 2)],
+        "rid string, Class string, Num int",
+    )
+    wide = DamFrame(df).spread("Class", "Num", fill=0)
+    got = {r["rid"]: (r["A"], r["B"], r["C"]) for r in wide.collect()}
+    # reference semantics: missing (r2,B), (r3,A), (r3,B) become 0
+    assert got["r2"] == (0, 0, 7)
+    assert got["r3"] == (0, 0, 2)
+    # and the default (no fill) keeps SQL NULLs — the documented divergence
+    wide_null = DamFrame(df).spread("Class", "Num")
+    gotn = {r["rid"]: (r["A"], r["B"], r["C"]) for r in wide_null.collect()}
+    assert gotn["r3"] == (None, None, 2)

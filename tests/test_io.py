@@ -429,3 +429,54 @@ class TestParquetBloomAndCompaction:
         with _pt.raises(FileNotFoundError):
             compact_parquet(spark, str(tmp_path / "void"),
                             str(tmp_path / "o"))
+
+
+class TestUrlIngestion:
+    """read_csv URL arm (VERDICT r12 #5): the fetched payload must land
+    in the WAREHOUSE filesystem — executor-visible shared storage on a
+    real cluster — not a driver-local tempfile path that remote
+    executors could never open."""
+
+    def _serve_once(self, payload: bytes):
+        import http.server
+        import threading
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                self.send_response(200)
+                self.send_header("Content-Type", "text/csv")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    def test_url_read_stages_into_warehouse(self, spark):
+        body = b"a,b\n1,x\n2,y\n3,z\n"
+        srv = self._serve_once(body)
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/t.csv"
+            out = read_csv(spark, url)
+            rows = sorted(tuple(r) for r in out.collect())
+            assert rows == [(1, "x"), (2, "y"), (3, "z")]
+            # the staged copy lives under the warehouse dir (shared
+            # storage on a cluster), content-addressed by URL
+            import glob
+            import hashlib
+
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            wh = wh.removeprefix("file:")
+            digest = hashlib.md5(url.encode()).hexdigest()[:16]
+            hits = glob.glob(f"{wh.rstrip('/')}/_staged_urls/{digest}.csv")
+            assert hits, "fetched CSV not staged into the warehouse FS"
+            assert open(hits[0], "rb").read() == body
+            # repeat read reuses the staged copy (idempotent overwrite)
+            again = sorted(tuple(r) for r in read_csv(spark, url).collect())
+            assert again == rows
+        finally:
+            srv.shutdown()
