@@ -56,7 +56,11 @@ def connected_components(
 
     ``pairs`` is an undirected edge list; isolated nodes don't appear
     (join your full id set afterwards with fill = own id)."""
-    edges = (
+    # materialize (r13): the edge list is joined EVERY round, and the
+    # caller's pairs lineage is typically the expensive part (e.g.
+    # minhash_dedup_verified — banded LSH + verify); without the
+    # checkpoint each propagation round re-executes it from the scan
+    edges = materialize(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
@@ -171,8 +175,14 @@ def pagerank(
     ``return_rounds=True`` returns ``(ranks, rounds_run)`` so callers
     (and the scaling table) can see the rounds saved."""
     # a crawl edge list carries NULL endpoints (unresolvable hrefs);
-    # they are not nodes — dropped, not propagated into the node set
-    e = (
+    # they are not nodes — dropped, not propagated into the node set.
+    # Materialize the edge list FIRST (r13): everything below — the
+    # node set, the out-degree frame, the degreed edges (a self-join
+    # shape that embeds e twice) — re-evaluates e's lineage otherwise,
+    # and a crawl caller's lineage is WARC parse + HTML link extraction
+    # (measured 7.5s/pass at sf0.1: the unmaterialized seam paid it
+    # ~3x, 33s -> 17s with this one checkpoint).
+    e = materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .na.drop()
         .distinct()
