@@ -462,21 +462,50 @@ def write_parquet(
     table_name: str | None = None,
     bloom_filter_cols: Sequence[str] | None = None,
     bloom_filter_ndv: int | None = None,
+    cluster_by: Sequence[str] | None = None,
+    cluster_files: int | None = None,
 ) -> None:
-    """Parquet sink with the three scale levers: ``partition_by`` for
+    """Parquet sink with the four scale levers: ``partition_by`` for
     partition-pruned scans, ``bucket_by`` (requires ``table_name``) for
-    shuffle-free co-located joins on the bucket keys, and
+    shuffle-free co-located joins on the bucket keys,
     ``bloom_filter_cols`` (r11) for per-column parquet BLOOM FILTERS —
     the point-lookup lever: an equality predicate on a bloom-filtered
     column skips whole row groups whose filter says definitely-absent,
     which min/max stats cannot do for high-cardinality unsorted ids
-    (fingerprints, doc ids) at 100 TB. ``bloom_filter_ndv`` sizes the
-    filter (expected distinct values per row group; parquet-mr default
+    (fingerprints, doc ids) at 100 TB — and ``cluster_by`` (r13) for
+    RANGE CLUSTERING: repartitionByRange + sortWithinPartitions on the
+    given keys, so every file/row group covers a narrow, disjoint key
+    range and parquet min/max statistics turn range predicates into
+    whole-row-group skips (the data-skipping lever behind Delta's
+    OPTIMIZE ... ZORDER; for a single key or a prefix-ordered key list
+    the lexicographic sort here IS the optimal layout — true
+    bit-interleaved Z-order only wins when queries filter on later
+    keys without the earlier ones). An unclustered write leaves every
+    row group spanning ~the full key range, making min/max useless;
+    tests/test_io.py pins the skip-fraction difference via pyarrow
+    row-group metadata. ``bloom_filter_ndv`` sizes the bloom filter
+    (expected distinct values per row group; parquet-mr default
     otherwise). Columns are validated against the schema eagerly.
     Verification note: pyarrow (16.x) does not expose bloom offsets in
     its metadata API, so tests pin the behavior via the written-bytes
     delta and roundtrip equality."""
-    w = frame.df.write.mode("overwrite")
+    df = frame.df
+    if cluster_by:
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster_by not in schema: {missing}")
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in cluster_by]
+        # cluster_files sizes the layout (files ~= disjoint key ranges);
+        # without it AQE may coalesce a small write into one file whose
+        # single row group spans the whole range — no skipping possible
+        if cluster_files is not None:
+            df = df.repartitionByRange(int(cluster_files), *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        df = df.sortWithinPartitions(*cluster_by)
+    w = df.write.mode("overwrite")
     if bloom_filter_cols:
         missing = [c for c in bloom_filter_cols
                    if c not in frame.df.columns]

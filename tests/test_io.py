@@ -480,3 +480,69 @@ class TestUrlIngestion:
             assert again == rows
         finally:
             srv.shutdown()
+
+
+class TestClusterBy:
+    """write_parquet(cluster_by=...) (r13): range clustering must make
+    parquet min/max row-group stats selective for range predicates —
+    the data-skipping lever. Pinned via pyarrow row-group metadata:
+    after a clustered write, only ~the selectivity fraction of row
+    groups can overlap a narrow key range; an unclustered multi-file
+    write leaves (nearly) every row group overlapping it."""
+
+    def _overlap_fraction(self, path, lo, hi):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        total = overlapping = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # ts is column 0
+                total += 1
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    overlapping += 1  # no stats = unskippable
+                    continue
+                if not (st.max < lo or st.min > hi):
+                    overlapping += 1
+        assert total >= 8, f"need multi-row-group layout, got {total}"
+        return overlapping / total
+
+    def test_range_clustered_write_skips_row_groups(self, spark, tmp_path):
+        from datamancer_spark.frame import DamFrame
+        from datamancer_spark.io import write_parquet
+
+        # keys arrive hash-scattered (the realistic ingest order)
+        df = spark.range(200_000).selectExpr(
+            "cast(hash(id) % 100000 as long) as ts",
+            "id as payload",
+        ).repartition(16)
+        plain = str(tmp_path / "plain")
+        clustered = str(tmp_path / "clustered")
+        write_parquet(DamFrame(df), plain)
+        write_parquet(
+            DamFrame(df), clustered, cluster_by=["ts"], cluster_files=16
+        )
+        lo, hi = 10_000, 15_000  # ~5% of the key range
+        f_plain = self._overlap_fraction(plain, lo, hi)
+        f_clustered = self._overlap_fraction(clustered, lo, hi)
+        # unclustered: every row group spans ~the full range
+        assert f_plain > 0.9, f_plain
+        # clustered: only the range's neighborhood overlaps
+        assert f_clustered < 0.35, f_clustered
+        # and the data round-trips identically
+        a = spark.read.parquet(plain).agg({"payload": "sum"}).collect()
+        b = spark.read.parquet(clustered).agg({"payload": "sum"}).collect()
+        assert a == b
+
+    def test_cluster_by_unknown_column_raises(self, spark, tmp_path):
+        import pytest as _pt
+
+        from datamancer_spark.frame import DamFrame
+        from datamancer_spark.io import write_parquet
+
+        d = DamFrame(spark.range(10).selectExpr("id as x"))
+        with _pt.raises(ValueError, match="cluster_by"):
+            write_parquet(d, str(tmp_path / "o"), cluster_by=["nope"])

@@ -122,6 +122,7 @@ COMMENT = {
     "ann_recall_jl": "JL sketch-then-verify kNN: the corpus-wide pass computes 8-term sketch cosines (codegen), the per-query window keeps a bounded 4k shortlist, and the exact 64-d rerank touches only the shortlist; recall composition is queries x k sized.",
     "split_dedup_aware": "Dedup-aware split: fingerprint + md5-bucket split are scan-side; the leakage-guard window shuffles once on the fingerprint (duplicate groups are tiny; AQE skew-split covers pathological clusters).",
     "split_neardup_aware": "Near-dup-aware split: the verified-pair tier keeps its proven banded shape; components run the documented pointer-jumping driver loop with per-round checkpoints; the split + guard window add one cluster-keyed shuffle over the labeled corpus.",
+    "csv_roundtrip_agg": "CSV round-trip gate: the write is a distributed CSV sink (eager, part files); the audited plan is the re-read — a splittable csv scan with the quote/escape/NaN options in the scan node, one partial-aggregated groupBy(status); md5 text signatures evaluate scan-side in whole-stage codegen.",
 }
 
 
