@@ -4141,6 +4141,90 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming replay gates (r13): the Structured Streaming tier was
+# pytest-only — these run the REAL streaming engine (file stream source
+# → event-time watermark → stateful aggregation → AvailableNow replay
+# into a memory sink) and hand the FINAL STATE to the driver oracle.
+# Complete-mode state over a fully-replayed bounded source provably
+# equals the batch aggregate over the same data (no row is late
+# relative to the final watermark), so a DuckDB twin of the batch form
+# differentially checks the whole streaming path. Late-data DROP
+# semantics (rows behind the watermark) stay pytest territory
+# (tests/test_streaming.py) — a replayed static source can't exercise
+# them. Cents-exact integer sums keep streaming's incremental
+# accumulation order invisible to the value hash.
+
+
+def streaming_hourly_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events through the streaming engine: watermarked tumbling 1-hour
+    windowed aggregation, replayed to completion; final state == the
+    batch hourly aggregate (events_hourly's shape, cents-exact)."""
+    import hashlib
+
+    from datamancer_spark.streaming import (
+        read_parquet_stream,
+        replay_available_now,
+    )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = read_parquet_stream(spark, f"{sf_dir}/events.parquet", schema)
+    # watermarks require TIMESTAMP (LTZ); the session tz is pinned UTC,
+    # so the NTZ→LTZ cast is value-stable and reversible on output
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).alias("_cents"),
+        )
+    )
+    out = agg.select(
+        F.col("window.start").cast("timestamp_ntz").alias("bucket"),
+        "event_type",
+        "n",
+        F.col("_cents").cast("long").alias("value_cents"),
+    )
+    qn = "hourly_replay_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return replay_available_now(out, qn)
+
+
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents through the streaming engine: exact-dedup state
+    (canonical fingerprint → min keeper id + duplicate count) built
+    incrementally by the streaming aggregation, replayed to completion;
+    final state == batch exact_dedup — the same fingerprint expression
+    runs over both execution modes, which is the point of the
+    Spark-first design (one expression layer, two engines)."""
+    import hashlib
+
+    from datamancer_spark.operators.dedup import fingerprint
+    from datamancer_spark.streaming import (
+        read_parquet_stream,
+        replay_available_now,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    src = read_parquet_stream(spark, f"{sf_dir}/documents.parquet", schema)
+    agg = (
+        src.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+    qn = "dedup_replay_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return replay_available_now(agg, qn)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -4216,15 +4300,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (write_csv -> read_csv vs DuckDB read_csv of the same
         # -- part files; VERDICT r12 missing #1).
         "csv_roundtrip_agg": csv_roundtrip_agg,
+        # -- NEW r13: the streaming tier's first driver-oracle gates
+        # -- (file stream source -> watermark -> stateful agg ->
+        # -- AvailableNow replay; final state == batch twin).
+        "streaming_hourly_replay": streaming_hourly_replay,
+        "streaming_dedup_replay": streaming_dedup_replay,
         # -- remaining slots: the STALEST multiply-proven members
         # -- (last green r3-r4) for third proofs.
         "array_ops": array_ops,
         "gather_melt": gather_melt,
         "semi_join": semi_join_q,
-        "spread_pivot": spread_pivot,
-        "text_fingerprint": text_fingerprint,
         # ---- outside the window: all >= 2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "spread_pivot": spread_pivot,
+        "text_fingerprint": text_fingerprint,
         "pipeline_from_crawl_lsh": pipeline_from_crawl_lsh,
         "dedup_bloom_screened": dedup_bloom_screened,
         "doc_distinct_hll": doc_distinct_hll,
@@ -8589,6 +8678,25 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS txt_sig
         FROM back
         GROUP BY status
+    """
+
+    # Streaming replay twins (r13): the replayed complete-mode state
+    # must equal the BATCH aggregate over the same table — the twin IS
+    # the batch form. Cents via the portable floor form; the dedup twin
+    # is byte-identical to dedup_exact's (same fingerprint expression
+    # through a different execution engine).
+    sql["streaming_hourly_replay"] = """
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM events GROUP BY 1, 2
+    """
+    sql["streaming_dedup_replay"] = """
+        SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY 1
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

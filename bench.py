@@ -190,8 +190,11 @@ HEADLINE = [
     "split_dedup_aware",
     "split_neardup_aware",
     # round-13 additions: the CSV round-trip gate (write_csv ->
-    # read_csv -> aggregate; the sink+source pair under the clock)
+    # read_csv -> aggregate; the sink+source pair under the clock) and
+    # the streaming replay gates (the real streaming engine end-to-end)
     "csv_roundtrip_agg",
+    "streaming_hourly_replay",
+    "streaming_dedup_replay",
 ]
 
 

@@ -587,3 +587,62 @@ def streaming_media_screen(
     )
     kept = out.filter(novel if emit == "survivors" else ~novel)
     return kept.drop("_dh", *hit_cols, *[f"_bv{b}" for b in range(bands)])
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """Parquet file-source stream. Spark's FileStreamSource requires a
+    DIRECTORY (or glob) — a bare single-file path fails with "basePath
+    must be a directory" because the inferred basePath IS the file. A
+    one-character character-class glob (``[e]vents.parquet``) matches
+    exactly the same file while forcing glob resolution, so basePath
+    becomes the parent directory; works identically for directory
+    datasets at scale (pass them through untouched)."""
+    import os as _os
+
+    if _os.path.isfile(path):
+        d, base = _os.path.split(path)
+        path = f"{d}/[{base[0]}]{base[1:]}"
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def replay_available_now(
+    result: DataFrame, query_name: str, timeout_sec: float = 300.0
+) -> DataFrame:
+    """Run a streaming frame to COMPLETION over everything currently
+    available (``Trigger.AvailableNow``) into an in-memory sink and
+    return the final state as a batch DataFrame — the bounded-replay
+    harness that lets the STREAMING tier run under the batch
+    differential oracle: for aggregations, the final complete-mode
+    state over a fully-replayed source provably equals the batch
+    aggregate over the same data (watermarks drop nothing when every
+    row is on time relative to the final watermark), so a DuckDB twin
+    of the batch form checks the whole streaming path — source,
+    watermark plumbing, stateful operator, sink.
+
+    Rerun-safe: an active query with the same name is stopped and the
+    memory table is replaced (the driver/harness may invoke a gate
+    twice per session). Failures propagate (a silently-empty memory
+    table would pass a rows-only check)."""
+    spark = result.sparkSession
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(int(timeout_sec))
+    if q.exception() is not None:
+        raise q.exception()
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(
+            f"streaming replay '{query_name}' still active after "
+            f"{timeout_sec}s"
+        )
+    return spark.table(query_name)

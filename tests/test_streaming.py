@@ -1084,3 +1084,85 @@ def test_streaming_pii_redact_equals_batch(spark, tmp_path):
     assert "<SSN>" in by_id[3][-1] and "<IP>" in by_id[3][-1]
     assert "<CCN>" in by_id[4][-1]
     assert by_id[5][-1] == "no pii here at all"
+
+
+class TestReplayHarness:
+    """r13 replay gates: the AvailableNow → memory-sink harness that
+    puts the streaming tier under the batch differential oracle."""
+
+    def test_parquet_stream_single_file(self, spark):
+        from datamancer_spark.streaming import read_parquet_stream
+
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        s = read_parquet_stream(
+            spark, "/root/testdata/sf0.001/events.parquet", schema
+        )
+        assert s.isStreaming and s.schema["ts"].dataType.typeName() == (
+            "timestamp_ntz"
+        )
+
+    def test_replay_equals_batch_and_reruns(self, spark):
+        from pyspark.sql import functions as F
+
+        from datamancer_spark.streaming import (
+            read_parquet_stream,
+            replay_available_now,
+        )
+
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        src = read_parquet_stream(
+            spark, "/root/testdata/sf0.001/events.parquet", schema
+        )
+        agg = src.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        got = {
+            r["event_type"]: r["n"]
+            for r in replay_available_now(agg, "replay_pytest").collect()
+        }
+        want = {
+            r["event_type"]: r["n"]
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/events.parquet"
+            )
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want and len(got) >= 3
+        # rerun with the same query name replaces the sink cleanly
+        again = {
+            r["event_type"]: r["n"]
+            for r in replay_available_now(agg, "replay_pytest").collect()
+        }
+        assert again == want
+
+    def test_replay_failure_propagates(self, spark):
+        import pytest as _pt
+        from pyspark.sql import functions as F
+
+        from datamancer_spark.streaming import (
+            read_parquet_stream,
+            replay_available_now,
+        )
+
+        # a runtime failure inside the stream must surface from the
+        # harness, not return a silently-empty table
+        bad = (
+            read_parquet_stream(
+                spark,
+                "/root/testdata/sf0.001/events.parquet",
+                "event_id long, ts timestamp_ntz",
+            )
+            .select(F.assert_true(F.col("ts").isNull()).alias("boom"))
+            .groupBy("boom")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        with _pt.raises(Exception):
+            replay_available_now(bad, "replay_bad", timeout_sec=60)
