@@ -4141,6 +4141,114 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H widening (r13): q8 + q17 adapted to this schema (no partsupp /
+# p_container / l_commitdate in the driver testdata, so q2/q9/q11/q12/
+# q16/q20/q21 are unexpressible here; q8's share predicate and q17's
+# container arm are adapted the way q19 adapted its brand/size windows).
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), adapted: within region ASIA
+    and part type ECONOMY, NATION_3-supplied revenue share per order
+    year. Two nation roles (customer side fixes the region, supplier
+    side names the share nation) — the classic snowflake double-join.
+    All five dimension sides broadcast; the only exchange is the final
+    per-year aggregation. Cents-exact volumes so the share division is
+    a ratio of exact integers in both engines."""
+    t = _t(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "nation",
+        "region", "part",
+    )
+    li, o, c = t["lineitem"].df, t["orders"].df, t["customer"].df
+    s, n, r, p = (
+        t["supplier"].df, t["nation"].df, t["region"].df, t["part"].df
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_regionkey").alias("c_rk"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01"))
+        )
+    )
+    return (
+        j.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("_c"),
+            F.when(F.col("supp_nation") == "NATION_3", cents)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("_sc"),
+        )
+        .groupBy("o_year")
+        .agg(
+            prnd(F.sum("_sc") / F.sum("_c"), 4).alias("mkt_share"),
+            F.sum("_c").cast("long").alias("volume_cents"),
+        )
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: average
+    yearly revenue lost if Brand#23 small parts (p_size < 15) below
+    20% of their part's average order quantity were no longer taken.
+    The correlated scalar subquery decorrelates into one per-part
+    aggregate + a join (Catalyst's own strategy, written explicitly);
+    the THRESHOLD COMPARE IS EXACT-INTEGER — quantities are integral,
+    so l_qty < 0.2·avg(qty) is evaluated as 5·cnt·l_qty < sum(qty)
+    over longs, eliminating the float-boundary flip a sum-order-
+    dependent avg could hit in either engine. The /7.0 is the
+    testdata's seven order years."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"].df, t["part"].df
+    th = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("_qsum"),
+        F.count(F.lit(1)).alias("_qcnt"),
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * 100 + F.lit(0.5)
+    ).cast("long")
+    j = (
+        li.join(
+            F.broadcast(
+                p.filter(
+                    (F.col("p_brand") == "Brand#23")
+                    & (F.col("p_size") < 15)
+                )
+            ),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(th, "l_partkey")
+        .filter(
+            F.lit(5) * F.col("_qcnt") * F.col("l_quantity").cast("long")
+            < F.col("_qsum")
+        )
+    )
+    return j.agg(
+        prnd(F.sum(cents) / 700.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
 # Streaming replay gates (r13): the Structured Streaming tier was
 # pytest-only — these run the REAL streaming engine (file stream source
 # → event-time watermark → stateful aggregation → AvailableNow replay
@@ -4305,13 +4413,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- AvailableNow replay; final state == batch twin).
         "streaming_hourly_replay": streaming_hourly_replay,
         "streaming_dedup_replay": streaming_dedup_replay,
-        # -- remaining slots: the STALEST multiply-proven members
-        # -- (last green r3-r4) for third proofs.
-        "array_ops": array_ops,
-        "gather_melt": gather_melt,
+        # -- NEW r13: the TPC-H widening pair (snowflake double-nation
+        # -- share join; decorrelated scalar-subquery threshold).
+        "q8_market_share": q8_market_share,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        # -- remaining slot: the stalest multiply-proven member for a
+        # -- third proof.
         "semi_join": semi_join_q,
         # ---- outside the window: all >= 2x driver-proven, still
         # ---- verified every round by the local oracle harness
+        "array_ops": array_ops,
+        "gather_melt": gather_melt,
         "spread_pivot": spread_pivot,
         "text_fingerprint": text_fingerprint,
         "pipeline_from_crawl_lsh": pipeline_from_crawl_lsh,
@@ -8685,6 +8797,49 @@ def oracle_sql() -> dict[str, str]:
     # the batch form. Cents via the portable floor form; the dedup twin
     # is byte-identical to dedup_exact's (same fingerprint expression
     # through a different execution engine).
+    # TPC-H widening twins (r13): q8's share is a ratio of exact cent
+    # sums; q17's threshold is the exact-integer form (5*cnt*qty < qsum)
+    # in BOTH engines, so no avg association-order boundary exists.
+    sql["q8_market_share"] = """
+        WITH vol AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT) AS c,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+            AND r_name = 'ASIA'
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01'
+        )
+        SELECT o_year,
+               prnd(sum(CASE WHEN supp_nation = 'NATION_3' THEN c
+                             ELSE 0 END) * 1.0 / sum(c), 4) AS mkt_share,
+               CAST(sum(c) AS BIGINT) AS volume_cents
+        FROM vol GROUP BY o_year
+    """
+    sql["q17_small_qty_revenue"] = """
+        WITH th AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum,
+                 CAST(count(*) AS BIGINT) AS qcnt
+          FROM lineitem GROUP BY 1
+        )
+        SELECT prnd(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) / 700.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part ON l.l_partkey = p_partkey
+          AND p_brand = 'Brand#23' AND p_size < 15
+        JOIN th ON th.l_partkey = l.l_partkey
+        WHERE 5 * th.qcnt * CAST(l.l_quantity AS BIGINT) < th.qsum
+    """
     sql["streaming_hourly_replay"] = """
         SELECT date_trunc('hour', ts) AS bucket, event_type,
                CAST(count(*) AS BIGINT) AS n,

@@ -195,6 +195,10 @@ HEADLINE = [
     "csv_roundtrip_agg",
     "streaming_hourly_replay",
     "streaming_dedup_replay",
+    # TPC-H widening: the snowflake double-nation share join and the
+    # decorrelated scalar-subquery threshold
+    "q8_market_share",
+    "q17_small_qty_revenue",
 ]
 
 
