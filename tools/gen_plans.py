@@ -119,7 +119,7 @@ COMMENT = {
     "cms_merge_snapshots": "CMS merge: each snapshot build is one counter-keyed partial-sum shuffle over <=1024 rows out; merge is union + groupBy-sum — counter linearity makes the merged matrix equal a full rebuild exactly.",
     "ann_recall_ivf": "IVF recall eval: the centroid-bucketed tier under the same bounded recall composition — corpus scans stay in the proven IVF shape; everything after is queries x k sized.",
     "jl_distortion_report": "JL distortion: the 8 projection components are scan-side zip-multiply folds; the 200-vector candidate frame crossJoins only the 5-query broadcast — both cosines and the error evaluate in whole-stage codegen.",
-    "ann_recall_jl": "JL sketch-then-verify kNN: the corpus-wide pass computes 8-term sketch cosines (codegen), the per-query window keeps a bounded 4k shortlist, and the exact 64-d rerank touches only the shortlist; recall composition is queries x k sized.",
+    "ann_recall_jl": "JL sketch-then-verify kNN (r13 shape): the corpus-wide pass now moves ONLY (id, 8-d sketch) — the full 64-d vectors rejoin via two extra bounded scans + broadcast joins on just the shortlist_factor*k rerank rows, and the recall eval dedups both inputs; the exchange/scan count rises vs r12 (7->13 / 5->9) but every added stage is shortlist- or queries-sized, while the REMOVED cost was corpus-wide 64-d payload movement through the crossJoin and shortlist window — the 8x shuffled-bytes cut that matters at 100 TB.",
     "split_dedup_aware": "Dedup-aware split: fingerprint + md5-bucket split are scan-side; the leakage-guard window shuffles once on the fingerprint (duplicate groups are tiny; AQE skew-split covers pathological clusters).",
     "split_neardup_aware": "Near-dup-aware split: the verified-pair tier keeps its proven banded shape; components run the documented pointer-jumping driver loop with per-round checkpoints; the split + guard window add one cluster-keyed shuffle over the labeled corpus.",
     "q8_market_share": "TPC-H Q8 adapted: five dimension sides broadcast (part filter, customer, both nation roles, region, supplier); the lineitem x orders fact-fact join shuffles on orderkey — the correct 100 TB posture (neither side broadcasts); one final per-year aggregation exchange; cents-exact share ratio.",
