@@ -237,26 +237,43 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    spark = get_spark(app_name="datamancer-bench")
     qs = entrymod.queries()
 
-    # warm the JVM, parquet footers, AND the Python/Arrow worker pool
-    # once (not timed) so per-query numbers measure operators, not
-    # first-call worker spin-up
-    try:
-        qs["q6_revenue_delta"](spark, sf_dir).count()
-        spark.range(64).repartition(8).mapInPandas(
-            lambda it: (pdf for pdf in it), "id long"
-        ).count()
-        # r13 (VERDICT r12 #6): warm the MEDIA/CODEC tier too — its
-        # first execution pays Python-side codec import + numpy JIT-ish
-        # warmup that landed 3-7x inflation on whichever media query the
-        # batch reached first (r12: image_decode_dims 5.0s in-batch vs
-        # 0.85s isolated). One image and one audio decode pass, untimed.
-        qs["image_decode_dims"](spark, sf_dir).count()
-        qs["audio_decode_props"](spark, sf_dir).count()
-    except Exception as e:  # warmup is best-effort; never kill the bench
-        print(f"bench: warmup failed: {e!r}", file=sys.stderr)
+    def fresh_session(first: bool):
+        """One warmed session per ~60-query tier (r13, VERDICT r12 #6
+        'split the batch into per-tier sessions'): a single JVM that
+        executes the whole 183-query batch (~400 plan runs with
+        best-of) accumulates listener/UI/codegen-cache state that was
+        measured to inflate LATE-batch queries 1.5-3x over their
+        isolated best-ofs with no code change (same-day same-code batch
+        totals drifted 195s -> 277s as the catalog grew). Recycling the
+        session bounds that aging; each new session re-pays one warmup
+        (untimed) instead of every subsequent query paying drag.
+
+        Warmup covers the JVM, parquet footers, the Python/Arrow worker
+        pool, and the MEDIA/CODEC tier — whose first execution pays
+        codec import + numpy warmup that landed 3-7x inflation on
+        whichever media query the batch reached first (r12:
+        image_decode_dims 5.0s in-batch vs 0.85s isolated)."""
+        from pyspark.sql import SparkSession
+
+        if not first:
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                active.stop()
+        s = get_spark(app_name="datamancer-bench")
+        try:
+            qs["q6_revenue_delta"](s, sf_dir).count()
+            s.range(64).repartition(8).mapInPandas(
+                lambda it: (pdf for pdf in it), "id long"
+            ).count()
+            qs["image_decode_dims"](s, sf_dir).count()
+            qs["audio_decode_props"](s, sf_dir).count()
+        except Exception as e:  # warmup is best-effort
+            print(f"bench: warmup failed: {e!r}", file=sys.stderr)
+        return s
+
+    spark = fresh_session(first=True)
 
     # best-of-2 per query: the first execution of a plan pays one-off JIT /
     # codegen / Arrow-worker costs that are not operator cost (measured up
@@ -267,7 +284,9 @@ def main() -> None:
     # (a round-2 sessionize type error previously zeroed the entire bench).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi and qi % 60 == 0:
+            spark = fresh_session(first=False)
         fn = qs.get(name)
         if fn is None:
             errors[name] = "missing from queries()"
