@@ -267,8 +267,12 @@ def main() -> None:
             s.range(64).repartition(8).mapInPandas(
                 lambda it: (pdf for pdf in it), "id long"
             ).count()
-            qs["image_decode_dims"](s, sf_dir).count()
-            qs["audio_decode_props"](s, sf_dir).count()
+            # coverage-mix exercises EVERY decoder family (PNG/JPEG/
+            # BMP/TIFF/WebP + WAV/FLAC/MP3/Vorbis) — warming only one
+            # image + one WAV pass left the other codecs' first-import
+            # cost on whichever mixed-media query ran first
+            qs["media_decode_coverage_mix"](s, sf_dir).count()
+            qs["curate_audio_mix"](s, sf_dir).count()
         except Exception as e:  # warmup is best-effort
             print(f"bench: warmup failed: {e!r}", file=sys.stderr)
         return s
