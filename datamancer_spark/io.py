@@ -214,9 +214,26 @@ def write_csv(
     )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DamFrame:
-    """Columnar (de)serialization — replaces toH5/fromH5 (serialize.nim)."""
-    return DamFrame(spark.read.parquet(path))
+def read_parquet(
+    spark: SparkSession,
+    *paths: str,
+    merge_schema: bool = False,
+) -> DamFrame:
+    """Columnar (de)serialization — replaces toH5/fromH5 (serialize.nim).
+
+    ``merge_schema=True`` (r13) reconciles files written under EVOLVED
+    schemas — the standing reality of any long-lived 100 TB dataset
+    (columns added over months of ingest): the union schema is read,
+    files missing a column yield NULLs for it, and the per-file footer
+    reconciliation is distributed (Spark's mergeSchema), not a driver
+    loop. Off by default because schema merging reads every footer up
+    front — on a petabyte directory that is an extra planning pass the
+    common fixed-schema case shouldn't pay. Multiple ``paths`` read as
+    one dataset (snapshot directories, month partitions)."""
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    return DamFrame(r.parquet(*paths))
 
 
 def read_jsonl(

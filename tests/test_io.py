@@ -546,3 +546,26 @@ class TestClusterBy:
         d = DamFrame(spark.range(10).selectExpr("id as x"))
         with _pt.raises(ValueError, match="cluster_by"):
             write_parquet(d, str(tmp_path / "o"), cluster_by=["nope"])
+
+
+class TestSchemaEvolution:
+    """read_parquet(merge_schema=True) (r13): files written under
+    evolved schemas reconcile to the union schema, with NULLs for
+    columns a file predates — the long-lived-dataset reality."""
+
+    def test_merge_schema_unions_columns(self, spark, tmp_path):
+        from datamancer_spark.io import read_parquet
+
+        v1 = str(tmp_path / "snap=1")
+        v2 = str(tmp_path / "snap=2")
+        spark.range(3).selectExpr("id", "id * 2 as a").write.parquet(v1)
+        spark.range(3, 6).selectExpr(
+            "id", "id * 2 as a", "id * 3 as b"  # b added later
+        ).write.parquet(v2)
+        out = read_parquet(spark, v1, v2, merge_schema=True)
+        assert set(out.columns) == {"id", "a", "b"}
+        rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+        assert rows[1] == (2, None)  # pre-evolution file: b is NULL
+        assert rows[4] == (8, 12)
+        # default path (no merge) stays single-pass and keeps working
+        assert read_parquet(spark, v1).count_rows() == 3
