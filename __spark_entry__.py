@@ -4134,7 +4134,18 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_null"),
-        prnd(F.sum(F.when(finite, F.col("price"))), 2).alias("sum_price"),
+        # cents-exact money sum (ADVICE r13): a raw double SUM rounded
+        # to 2dp exposes Spark-vs-DuckDB accumulation order at a .xx5
+        # boundary; per-row floor(price*100+0.5) as BIGINT makes the
+        # sum order-invariant, the repo-wide money convention.
+        F.sum(
+            F.when(
+                finite,
+                F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("sum_price_cents"),
         F.sum(F.conv(F.substring(F.md5("txt"), 1, 8), 16, 10).cast("long"))
         .cast("long")
         .alias("txt_sig"),
@@ -4152,9 +4163,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     and part type ECONOMY, NATION_3-supplied revenue share per order
     year. Two nation roles (customer side fixes the region, supplier
     side names the share nation) — the classic snowflake double-join.
-    All five dimension sides broadcast; the only exchange is the final
-    per-year aggregation. Cents-exact volumes so the share division is
-    a ratio of exact integers in both engines."""
+    Broadcast hints go ONLY on the truly fixed-size dims (filtered
+    part, nation×2, region); customer and supplier scale linearly with
+    SF, so force-broadcasting them would OOM the build side at the
+    100 TB posture (ADVICE r13) — AQE picks their join strategy from
+    runtime sizes instead. Cents-exact volumes so the share division
+    is a ratio of exact integers in both engines."""
     t = _t(
         spark, sf_dir,
         "lineitem", "orders", "customer", "supplier", "nation",
@@ -4180,11 +4194,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
                 li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
               F.col("c_rk") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
         .filter(
             (F.col("o_orderdate") >= F.lit("1995-01-01"))
@@ -8784,8 +8798,9 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_nan,
                CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_null,
-               prnd(sum(CASE WHEN price IS NOT NULL AND NOT isnan(price)
-                             THEN price END), 2) AS sum_price,
+               CAST(sum(CASE WHEN price IS NOT NULL AND NOT isnan(price)
+                             THEN CAST(floor(price * 100 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS sum_price_cents,
                CAST(sum(CAST('0x' || substr(md5(txt), 1, 8) AS BIGINT))
                     AS BIGINT) AS txt_sig
         FROM back

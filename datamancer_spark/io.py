@@ -21,15 +21,17 @@ from .frame import DamFrame
 def _stage_url_to_warehouse(spark: SparkSession, url: str) -> str:
     """Fetch ``url`` on the driver and copy it into the session's
     warehouse filesystem (``spark.sql.warehouse.dir``) so every executor
-    can scan it. Content-addressed by the URL's md5, so repeat reads of
-    the same URL reuse the staged copy instead of re-uploading."""
+    can scan it. Content-addressed by the URL's md5, and repeat reads of
+    the same URL really do reuse the staged copy (ADVICE r13): the
+    fetch is skipped entirely when the destination already exists, so
+    N reads of one URL cost one download + one upload, not N. Callers
+    that need to pick up changed remote content delete the staged file
+    (or use a fresh URL — e.g. a versioned path), matching the
+    immutable-ingest convention of shared warehouse storage."""
     import hashlib
     import tempfile
     import urllib.request
 
-    fd, local = tempfile.mkstemp(suffix=".csv")
-    os.close(fd)
-    urllib.request.urlretrieve(url, local)  # noqa: S310
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     warehouse = spark.conf.get(
@@ -39,6 +41,11 @@ def _stage_url_to_warehouse(spark: SparkSession, url: str) -> str:
     dst = f"{warehouse.rstrip('/')}/_staged_urls/{digest}.csv"
     dst_path = jvm.org.apache.hadoop.fs.Path(dst)
     fs = dst_path.getFileSystem(conf)
+    if fs.exists(dst_path):
+        return dst
+    fd, local = tempfile.mkstemp(suffix=".csv")
+    os.close(fd)
+    urllib.request.urlretrieve(url, local)  # noqa: S310
     fs.copyFromLocalFile(
         True,  # delete the tempfile after the copy
         True,  # overwrite a half-written previous attempt

@@ -1178,16 +1178,31 @@ def knn_jl_rerank(
     # and void the 8× I/O win the sketch exists for. So: sketch-only
     # shortlist, then join the full vectors back for just the
     # shortlist_factor×k rerank rows per query.
+    # Derive the full-space dim ONCE from the corpus and feed it to
+    # both projections (ADVICE r13): letting each jl_project call run
+    # its own _derive_dim min/max aggregate costs an extra corpus-wide
+    # pass per invocation, and independent per-side derivation would
+    # silently accept a corpus/queries dim mismatch — whose sketches
+    # are incomparable (different plane matrices). The queries-side
+    # check is queries-sized, so the only corpus-wide cost is the one
+    # unavoidable derivation.
+    dim = _derive_dim(corpus, vec_col, "knn_jl_rerank(corpus)")
+    qdim = _derive_dim(queries, vec_col, "knn_jl_rerank(queries)")
+    if qdim != dim:
+        raise ValueError(
+            f"knn_jl_rerank: corpus dim {dim} != queries dim {qdim}; "
+            "their JL sketches would be incomparable"
+        )
     cp = jl_project(
         corpus, out_dim=out_dim, vec_col=vec_col, id_col=id_col,
-        seed=seed,
+        seed=seed, dim=dim,
     ).select(
         F.col(id_col).alias("_cid"),
         F.col("jl").alias("_cj"),
     )
     qp = jl_project(
         queries, out_dim=out_dim, vec_col=vec_col, id_col=id_col,
-        seed=seed,
+        seed=seed, dim=dim,
     ).select(
         F.col(id_col).alias("query_id"),
         F.col("jl").alias("_qj"),

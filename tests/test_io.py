@@ -441,8 +441,11 @@ class TestUrlIngestion:
         import http.server
         import threading
 
+        hits = {"n": 0}
+
         class H(http.server.BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
+                hits["n"] += 1
                 self.send_response(200)
                 self.send_header("Content-Type", "text/csv")
                 self.send_header("Content-Length", str(len(payload)))
@@ -453,6 +456,7 @@ class TestUrlIngestion:
                 pass
 
         srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+        srv.request_count = hits
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         return srv
 
@@ -475,9 +479,15 @@ class TestUrlIngestion:
             hits = glob.glob(f"{wh.rstrip('/')}/_staged_urls/{digest}.csv")
             assert hits, "fetched CSV not staged into the warehouse FS"
             assert open(hits[0], "rb").read() == body
-            # repeat read reuses the staged copy (idempotent overwrite)
+            # repeat read reuses the staged copy WITHOUT re-fetching
+            # (ADVICE r13): the second read_csv must not hit the origin
+            assert srv.request_count["n"] == 1
             again = sorted(tuple(r) for r in read_csv(spark, url).collect())
             assert again == rows
+            assert srv.request_count["n"] == 1, (
+                "repeat URL read re-downloaded instead of reusing the "
+                "staged warehouse copy"
+            )
         finally:
             srv.shutdown()
 

@@ -122,7 +122,7 @@ COMMENT = {
     "ann_recall_jl": "JL sketch-then-verify kNN (r13 shape): the corpus-wide pass now moves ONLY (id, 8-d sketch) — the full 64-d vectors rejoin via two extra bounded scans + broadcast joins on just the shortlist_factor*k rerank rows, and the recall eval dedups both inputs; the exchange/scan count rises vs r12 (7->13 / 5->9) but every added stage is shortlist- or queries-sized, while the REMOVED cost was corpus-wide 64-d payload movement through the crossJoin and shortlist window — the 8x shuffled-bytes cut that matters at 100 TB.",
     "split_dedup_aware": "Dedup-aware split: fingerprint + md5-bucket split are scan-side; the leakage-guard window shuffles once on the fingerprint (duplicate groups are tiny; AQE skew-split covers pathological clusters).",
     "split_neardup_aware": "Near-dup-aware split: the verified-pair tier keeps its proven banded shape; components run the documented pointer-jumping driver loop with per-round checkpoints; the split + guard window add one cluster-keyed shuffle over the labeled corpus.",
-    "q8_market_share": "TPC-H Q8 adapted: five dimension sides broadcast (part filter, customer, both nation roles, region, supplier); the lineitem x orders fact-fact join shuffles on orderkey — the correct 100 TB posture (neither side broadcasts); one final per-year aggregation exchange; cents-exact share ratio.",
+    "q8_market_share": "TPC-H Q8 adapted: broadcast hints only on the fixed-size dims (part filter, both nation roles, region); customer and supplier scale with SF, so AQE picks their join strategy from runtime sizes (ADVICE r13 — force-broadcasting an SF-scaled side OOMs at 100 TB); the lineitem x orders fact-fact join shuffles on orderkey; one final per-year aggregation exchange; cents-exact share ratio.",
     "q17_small_qty_revenue": "TPC-H Q17 adapted: the correlated scalar subquery decorrelates into ONE per-part aggregate joined back on partkey; the brand/size part filter broadcasts; the threshold compare is exact-integer (5*cnt*qty < qsum) so no float boundary exists in either engine.",
     "streaming_hourly_replay": "Structured Streaming end-to-end: file stream source -> event-time watermark -> tumbling-window stateful aggregation -> AvailableNow replay to a memory sink; the audited artifact is the FINAL STATE equaling the batch hourly aggregate (cents-exact) under the DuckDB twin — the streaming path itself is micro-batch jobs, not one Catalyst plan.",
     "streaming_dedup_replay": "Streaming exact-dedup state: the SAME fingerprint expression as batch exact_dedup, built incrementally by the streaming aggregation; final complete-mode state == the batch groupBy — one expression layer, two execution engines.",
