@@ -4152,6 +4152,62 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JSONL gate (r14): same write→read→aggregate shape as the CSV gate,
+# over the OTHER interchange format training corpora actually ship in.
+# Dialect parity under test: Spark's JSON writer omits null fields
+# (ignoreNullFields) — DuckDB must surface the missing key as NULL;
+# backslash/quote/newline escapes inside strings; raw-UTF-8 multibyte
+# text (accents, CJK, emoji) byte-stable through both parsers; txt_sig
+# md5-sums every text value so one corrupted byte anywhere flips the
+# hash. Fixed staging path, same eager-write-then-oracle-read contract
+# as _CSV_GATE_DIR.
+_JSONL_GATE_DIR = "/root/repo/spark-warehouse/_jsonl_roundtrip_gate"
+
+
+def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_jsonl → read_jsonl round-trip, aggregated; the oracle
+    parses the same newline-delimited part files with DuckDB's
+    read_json (ref io.nim:686-784 readCsv is the reference's only text
+    ingestion surface — JSONL is the beyond-reference corpus format,
+    SURVEY §2.1)."""
+    from datamancer_spark.io import read_jsonl, write_jsonl
+
+    ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = ord_.filter(F.col("o_orderkey") % 20 < 3).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        # force the escaper: backslash, doubled quote, literal newline,
+        # Latin-1 accent, CJK, and a 4-byte emoji in EVERY value
+        F.concat(
+            F.lit('q"\\ é中\U0001f600\nnl '), F.col("o_orderpriority")
+        ).alias("txt"),
+        # null arm (written as a MISSING key by Spark's JSON sink)
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    write_jsonl(DamFrame(src), _JSONL_GATE_DIR)
+    back = read_jsonl(spark, _JSONL_GATE_DIR).df
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.sum(
+            F.when(
+                F.col("price").isNotNull(),
+                F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("sum_price_cents"),
+        F.sum(F.conv(F.substring(F.md5("txt"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("txt_sig"),
+    )
+
+
 # TPC-H widening (r13): q8 + q17 adapted to this schema (no partsupp /
 # p_container / l_commitdate in the driver testdata, so q2/q9/q11/q12/
 # q16/q20/q21 are unexpressible here; q8's share predicate and q17's
@@ -4315,6 +4371,54 @@ def streaming_hourly_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_available_now(out, qn)
 
 
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events through the streaming engine's SESSION windows (gap-based
+    ``session_window``, the stateful merge operator — unlike tumbling,
+    window extents are data-dependent and sessions MERGE as late rows
+    arrive), replayed to completion. Final state == the batch gap-island
+    sessionization: session_start = first event, session_end = last
+    event + gap, sessions split when the inter-event gap is >= 30 min —
+    the oracle twin computes the same islands with lag() in DuckDB, so
+    the gate pins the merge semantics themselves, not just row counts.
+    Cents-exact values; µs-precision boundaries survive the NTZ→LTZ→NTZ
+    round-trip under the UTC-pinned session."""
+    import hashlib
+
+    from datamancer_spark.streaming import (
+        read_parquet_stream,
+        replay_available_now,
+    )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = read_parquet_stream(spark, f"{sf_dir}/events.parquet", schema)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents).cast("long").alias("value_cents"),
+        )
+    )
+    out = agg.select(
+        F.col("session_window.start")
+        .cast("timestamp_ntz")
+        .alias("session_start"),
+        F.col("session_window.end")
+        .cast("timestamp_ntz")
+        .alias("session_end"),
+        "user_id",
+        "n_events",
+        "value_cents",
+    )
+    qn = "session_replay_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return replay_available_now(out, qn)
+
+
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents through the streaming engine: exact-dedup state
     (canonical fingerprint → min keeper id + duplicate count) built
@@ -4422,11 +4526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (write_csv -> read_csv vs DuckDB read_csv of the same
         # -- part files; VERDICT r12 missing #1).
         "csv_roundtrip_agg": csv_roundtrip_agg,
+        "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
         # -- NEW r13: the streaming tier's first driver-oracle gates
         # -- (file stream source -> watermark -> stateful agg ->
         # -- AvailableNow replay; final state == batch twin).
         "streaming_hourly_replay": streaming_hourly_replay,
         "streaming_dedup_replay": streaming_dedup_replay,
+        "streaming_session_replay": streaming_session_replay,
         # -- NEW r13: the TPC-H widening pair (snowflake double-nation
         # -- share join; decorrelated scalar-subquery threshold).
         "q8_market_share": q8_market_share,
@@ -8807,6 +8913,32 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY status
     """
 
+    # JSONL round-trip twin (r14): DuckDB's read_json over the same
+    # part files Spark just wrote. Explicit columns= keeps the read
+    # single-pass (no inference) and pins the cross-engine types;
+    # missing keys (Spark's null-field omission) surface as NULL.
+    sql["jsonl_roundtrip_agg"] = f"""
+        WITH back AS (
+          SELECT * FROM read_json(
+            '{_JSONL_GATE_DIR}/part-*.json',
+            format='newline_delimited',
+            columns={{'k': 'BIGINT', 'status': 'VARCHAR',
+                      'txt': 'VARCHAR', 'price': 'DOUBLE'}})
+        )
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(sum(CASE WHEN price IS NOT NULL
+                             THEN CAST(floor(price * 100 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS sum_price_cents,
+               CAST(sum(CAST('0x' || substr(md5(txt), 1, 8) AS BIGINT))
+                    AS BIGINT) AS txt_sig
+        FROM back
+        GROUP BY status
+    """
+
     # Streaming replay twins (r13): the replayed complete-mode state
     # must equal the BATCH aggregate over the same table — the twin IS
     # the batch form. Cents via the portable floor form; the dedup twin
@@ -8867,6 +8999,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(doc_id) AS BIGINT) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY 1
+    """
+    # session-window replay twin (r14): gap-island sessionization via
+    # lag() — start = first event, end = last event + gap, split when
+    # the inter-event gap >= 30 min (session_window's half-open merge
+    # rule). Pins Spark's stateful session-merge semantics exactly.
+    sql["streaming_session_replay"] = """
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts,
+                                   event_id ROWS UNBOUNDED PRECEDING)
+                    AS sid
+          FROM e
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(c) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, sid
     """
 
     return {k: _expand_prnd(v) for k, v in sql.items()}

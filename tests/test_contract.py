@@ -68,6 +68,10 @@ def test_no_risky_duckdb_output_types(request):
         e.queries()["csv_roundtrip_agg"](
             request.getfixturevalue("spark"), sf_dir
         )
+    if not os.path.exists(e._JSONL_GATE_DIR):
+        e.queries()["jsonl_roundtrip_agg"](
+            request.getfixturevalue("spark"), sf_dir
+        )
     bad = {}
     for name, sql in e.oracle_sql().items():
         flagged = risky_oracle_types(con, sql)
