@@ -4208,6 +4208,58 @@ def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus integrity tier (r14): manifests + snapshot deltas — the ops
+# layer for 100 TB corpora (verify a copy without a central re-read;
+# compute tomorrow's incremental refresh from today's snapshot).
+
+
+def corpus_manifest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard integrity manifest over documents (operators/
+    manifest.py shard_manifest): portable-hash shard assignment, counts,
+    and an order-invariant BIT_XOR content signature — the twin rebuilds
+    every signature bit for bit, so the gate pins the whole checksum
+    convention, not just row counts. One scan + one 32-row groupBy."""
+    from datamancer_spark.operators.manifest import shard_manifest
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    return shard_manifest(
+        doc, "doc_id", ["text", "lang", "source"], n_shards=32
+    )
+
+
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta report (operators/manifest.py snapshot_diff): two
+    deterministic snapshots of documents — old drops doc_id%7==0, new
+    drops doc_id%5==0 and rewrites text for doc_id%11==0 — full-outer
+    joined on the key, rows classified added/removed/changed/unchanged,
+    aggregated per (status, lang) with a BIT_XOR key signature so the
+    gate pins WHICH keys landed in each class, not just how many. The
+    incremental-refresh primitive: at 100 TB, reprocessing the
+    'added'+'changed' slice instead of the corpus is the whole game."""
+    from datamancer_spark.operators.manifest import snapshot_diff
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    old = doc.filter(F.col("doc_id") % 7 != 0)
+    new = doc.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+    d = snapshot_diff(
+        old, new, "doc_id", ["text", "lang", "source"],
+        carry_cols=["lang"],
+    )
+    key_sig = F.conv(
+        F.substring(F.md5(F.col("key").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return d.groupBy("status", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.bit_xor(key_sig).cast("long").alias("key_sig"),
+    )
+
+
 # TPC-H widening (r13): q8 + q17 adapted to this schema (no partsupp /
 # p_container / l_commitdate in the driver testdata, so q2/q9/q11/q12/
 # q16/q20/q21 are unexpressible here; q8's share predicate and q17's
@@ -4527,6 +4579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- part files; VERDICT r12 missing #1).
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
+        "corpus_manifest_shards": corpus_manifest_shards,
+        "snapshot_diff_docs": snapshot_diff_docs,
         # -- NEW r13: the streaming tier's first driver-oracle gates
         # -- (file stream source -> watermark -> stateful agg ->
         # -- AvailableNow replay; final state == batch twin).
@@ -8937,6 +8991,77 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS txt_sig
         FROM back
         GROUP BY status
+    """
+
+    # Corpus integrity twins (r14): the manifest twin rebuilds every
+    # shard assignment and BIT_XOR content signature from the portable
+    # md5 convention; the snapshot twin recomputes both snapshots and
+    # the full-outer classification. chr(31)/chr(2) mirror the
+    # row_signature separator/NULL-tag bytes exactly.
+    sql["corpus_manifest_shards"] = """
+        WITH r AS (
+          SELECT CAST('0x' || substr(md5('shard' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32
+                 AS shard,
+                 doc_id,
+                 CAST('0x' || substr(md5('sig' || concat_ws(chr(31),
+                   chr(2) || 'V' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN text IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || text END,
+                   CASE WHEN lang IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || lang END,
+                   CASE WHEN source IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || source END)), 1, 15)
+                 AS BIGINT) AS sig
+          FROM documents
+        )
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+               CAST(bit_xor(sig) AS BIGINT) AS content_sig,
+               CAST(min(doc_id) AS BIGINT) AS min_key,
+               CAST(max(doc_id) AS BIGINT) AS max_key
+        FROM r GROUP BY shard
+    """
+    sql["snapshot_diff_docs"] = """
+        WITH o AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(md5('snap' || concat_ws(chr(31),
+                   CASE WHEN text IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || text END,
+                   CASE WHEN lang IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || lang END,
+                   CASE WHEN source IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || source END)), 1, 15)
+                 AS BIGINT) AS sig
+          FROM documents WHERE doc_id % 7 <> 0
+        ), n AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(md5('snap' || concat_ws(chr(31),
+                   CASE WHEN text IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' ||
+                          CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                               ELSE text END END,
+                   CASE WHEN lang IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || lang END,
+                   CASE WHEN source IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || source END)), 1, 15)
+                 AS BIGINT) AS sig
+          FROM documents WHERE doc_id % 5 <> 0
+        ), j AS (
+          SELECT coalesce(o.doc_id, n.doc_id) AS k,
+                 coalesce(n.lang, o.lang) AS lang,
+                 CASE WHEN o.sig IS NULL THEN 'added'
+                      WHEN n.sig IS NULL THEN 'removed'
+                      WHEN o.sig = n.sig THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        )
+        SELECT status, lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(bit_xor(CAST('0x' || substr(md5(
+                 CAST(k AS VARCHAR)), 1, 15) AS BIGINT)) AS BIGINT)
+               AS key_sig
+        FROM j GROUP BY status, lang
     """
 
     # Streaming replay twins (r13): the replayed complete-mode state

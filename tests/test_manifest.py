@@ -1,0 +1,130 @@
+"""Corpus integrity tier (operators/manifest.py): manifests must be
+partitioning-invariant, diffs must localize damage to exactly the
+touched shard, and snapshot deltas must classify every key correctly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamancer_spark.operators.manifest import (
+    manifest_diff,
+    shard_manifest,
+    snapshot_diff,
+)
+
+COLS = ["text", "lang", "source"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def _manifest_rows(df):
+    return sorted(
+        tuple(r)
+        for r in shard_manifest(df, "doc_id", COLS, n_shards=16).collect()
+    )
+
+
+class TestShardManifest:
+    def test_partitioning_and_order_invariant(self, docs):
+        """The checksum's load-bearing property: the SAME corpus under a
+        different partitioning and row order yields the IDENTICAL
+        manifest (a positional checksum would flap here)."""
+        base = _manifest_rows(docs)
+        scrambled = docs.orderBy(F.reverse(F.col("text"))).repartition(7)
+        assert _manifest_rows(scrambled) == base
+
+    def test_every_row_counted_once(self, docs):
+        m = shard_manifest(docs, "doc_id", COLS, n_shards=16)
+        agg = m.agg(F.sum("n_rows"), F.sum("n_keys")).first()
+        n = docs.count()
+        assert (agg[0], agg[1]) == (n, n)
+
+    def test_single_row_change_flips_exactly_one_shard(self, docs):
+        """Damage localization: flip one document's text; the diff must
+        flag exactly the shard that owns that key and call every other
+        shard equal."""
+        victim = docs.select(F.min("doc_id")).first()[0]
+        mutated = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == victim, F.lit("corrupted!")
+            ).otherwise(F.col("text")),
+        )
+        a = shard_manifest(docs, "doc_id", COLS, n_shards=16)
+        b = shard_manifest(mutated, "doc_id", COLS, n_shards=16)
+        d = manifest_diff(a, b)
+        by_status = {
+            r["status"]: r["cnt"]
+            for r in d.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert by_status.get("changed", 0) == 1
+        assert by_status.get("equal", 0) == 15
+        # the changed shard keeps its row count (content-only damage)
+        ch = d.filter(F.col("status") == "changed").first()
+        assert ch["n_rows_a"] == ch["n_rows_b"]
+
+    def test_lost_shard_reported_one_sided(self, docs):
+        a = shard_manifest(docs, "doc_id", COLS, n_shards=16)
+        b = a.filter(F.col("shard") != 3)
+        d = manifest_diff(a, b)
+        only_a = [r["shard"] for r in d.filter(F.col("status") == "only_a").collect()]
+        assert only_a == [3]
+
+    def test_null_content_distinct_from_empty_and_literal(self, spark):
+        """The NULL tag must separate NULL, '', and the tag lookalike —
+        all three rows land in the checksum distinctly."""
+        sigs = {
+            shard_manifest(
+                spark.createDataFrame([r], "doc_id long, text string"),
+                "doc_id",
+                ["text"],
+                n_shards=1,
+            ).first()["content_sig"]
+            for r in [(9, None), (9, ""), (9, "\x02NULL")]
+        }
+        assert len(sigs) == 3
+
+
+class TestSnapshotDiff:
+    def test_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "c2"), (4, "d")], "k long, text string"
+        )
+        d = snapshot_diff(old, new, "k", ["text"])
+        got = {r["key"]: r["status"] for r in d.collect()}
+        assert got == {
+            1: "removed",
+            2: "unchanged",
+            3: "changed",
+            4: "added",
+        }
+
+    def test_carry_cols_fall_back_to_old_side(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", "en"), (2, "b", "de")], "k long, text string, lang string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b", "de"), (5, "e", "fr")], "k long, text string, lang string"
+        )
+        d = snapshot_diff(old, new, "k", ["text"], carry_cols=["lang"])
+        got = {r["key"]: (r["status"], r["lang"]) for r in d.collect()}
+        assert got[1] == ("removed", "en")  # old-side fallback
+        assert got[5] == ("added", "fr")
+
+    def test_identity_diff_all_unchanged(self, docs):
+        d = snapshot_diff(docs, docs, "doc_id", COLS)
+        n = docs.count()
+        counts = {
+            r["status"]: r["cnt"]
+            for r in d.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert counts == {"unchanged": n}
