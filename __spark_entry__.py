@@ -4260,6 +4260,35 @@ def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kcore_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the crawl link graph (operators/components.py k_core):
+    symmetrize the extracted edge list, then 3 pinned peel rounds
+    dropping nodes with undirected degree < 3 — the dense-subgraph
+    lens on the same WARC→links→graph seam pagerank_crawl_links gates.
+    Link farms and mutual-promotion rings concentrate in deep cores
+    while organic tree-ish link structure peels away; crawl curation
+    uses core membership as a spam prior. Pinned rounds (not fixpoint)
+    make the peel closed-form unrollable for the twin, which rebuilds
+    the symmetrized graph and replays the identical 3 rounds; the
+    library's fixpoint mode (rounds=None, early-stop on unchanged edge
+    count) is the production surface, pytest-pinned against this one.
+    Output: surviving (node, degree-inside-core)."""
+    from datamancer_spark.operators.components import k_core
+    from datamancer_spark.operators.fixtures import (
+        synth_blob_frame,
+        warc_link_blob,
+    )
+    from datamancer_spark.operators.warc import extract_links
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    blobs = synth_blob_frame(doc.select("doc_id"), warc_link_blob)
+    links = extract_links(blobs)
+    edges = links.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    return k_core(edges, k=3, rounds=3)
+
+
 # TPC-H widening (r13): q8 + q17 adapted to this schema (no partsupp /
 # p_container / l_commitdate in the driver testdata, so q2/q9/q11/q12/
 # q16/q20/q21 are unexpressible here; q8's share predicate and q17's
@@ -4581,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
         "corpus_manifest_shards": corpus_manifest_shards,
         "snapshot_diff_docs": snapshot_diff_docs,
+        "kcore_crawl_links": kcore_crawl_links,
         # -- NEW r13: the streaming tier's first driver-oracle gates
         # -- (file stream source -> watermark -> stateful agg ->
         # -- AvailableNow replay; final state == batch twin).
@@ -5666,6 +5696,64 @@ def oracle_sql() -> dict[str, str]:
         )"""
         for k in range(1, 11)
     )
+    # k-core twin (r14): same closed-form edge enumeration as the
+    # pagerank twin, symmetrized, then the 3 peel rounds unrolled as
+    # chained CTEs (keep_i = degree>=3 nodes, und_i = edges among them).
+    sql["kcore_crawl_links"] = f"""
+        WITH edges AS (
+          SELECT 'http://crawl.example/p/' || CAST(doc_id AS VARCHAR) AS u,
+                 'http://crawl.example/p/' || CAST(
+                   CASE WHEN doc_id = 0 THEN 1 ELSE doc_id - 1 END
+                   AS VARCHAR) AS v
+          FROM documents
+          UNION
+          SELECT 'http://crawl.example/p/' || CAST(doc_id AS VARCHAR),
+                 'http://crawl.example/p/' || CAST(
+                   CASE WHEN doc_id = 0 THEN 1 ELSE doc_id // 2 END
+                   AS VARCHAR)
+          FROM documents
+          UNION
+          SELECT 'http://crawl.example/p/' || CAST(doc_id AS VARCHAR),
+                 'http://crawl.example/p/' || CAST(
+                   CASE WHEN doc_id = 0 THEN 2
+                        WHEN doc_id % 10 = 0 THEN doc_id - 10
+                        ELSE doc_id - doc_id % 10 END
+                   AS VARCHAR)
+          FROM documents
+        ),
+        und0 AS (
+          SELECT u, v FROM edges WHERE u <> v
+          UNION
+          SELECT v, u FROM edges WHERE u <> v
+        ),
+        keep1 AS (
+          SELECT u FROM und0 GROUP BY u HAVING count(*) >= 3
+        ),
+        und1 AS (
+          SELECT e.u, e.v FROM und0 e
+          WHERE e.u IN (SELECT u FROM keep1)
+            AND e.v IN (SELECT u FROM keep1)
+        ),
+        keep2 AS (
+          SELECT u FROM und1 GROUP BY u HAVING count(*) >= 3
+        ),
+        und2 AS (
+          SELECT e.u, e.v FROM und1 e
+          WHERE e.u IN (SELECT u FROM keep2)
+            AND e.v IN (SELECT u FROM keep2)
+        ),
+        keep3 AS (
+          SELECT u FROM und2 GROUP BY u HAVING count(*) >= 3
+        ),
+        und3 AS (
+          SELECT e.u, e.v FROM und2 e
+          WHERE e.u IN (SELECT u FROM keep3)
+            AND e.v IN (SELECT u FROM keep3)
+        )
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM und3 GROUP BY u
+    """
+
     sql["pagerank_crawl_links"] = f"""
         WITH edges AS (
           SELECT 'http://crawl.example/p/' || CAST(doc_id AS VARCHAR) AS u,

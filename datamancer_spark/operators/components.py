@@ -352,3 +352,71 @@ def hits(
     if return_rounds:
         return out, rounds_run
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    return_rounds: bool = False,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: symmetrize the edge
+    list, then repeatedly drop every node whose UNDIRECTED degree is
+    < k (and the edges touching it) until nothing changes. The
+    surviving subgraph is the k-core — for crawl curation, the dense
+    part of the link graph where link farms and mutual-promotion rings
+    live (a spam cluster of m pages linking each other sits in the
+    (m-1)-core; organic content's tree-ish links peel away in 1-2
+    rounds). Returns (node, degree): survivors with their degree
+    INSIDE the core.
+
+    ``rounds=None`` peels to the fixpoint (early-stop on unchanged
+    edge count — one driver scalar per round, the documented iterative
+    exception, same as ``connected_components``); a pinned ``rounds``
+    makes the computation closed-form unrollable for the differential
+    twin. Per round: one degree aggregation + two semi-join-shaped
+    prunes, all shuffle-partitioned on node id; the edge list only
+    shrinks, and every intermediate is materialized so lineage never
+    re-executes the peel history (the r13 graph-op lesson)."""
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .na.drop()
+    )
+    und = materialize(und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct())
+    n_edges = und.count()
+    rounds_run = 0
+    cap = int(rounds) if rounds is not None else int(max_rounds)
+    while rounds_run < cap:
+        keep = (
+            und.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("u")
+        )
+        pruned = materialize(
+            und.join(keep, "u", "left_semi")
+            .join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+            .select("u", "v")
+        )
+        rounds_run += 1
+        n_pruned = pruned.count()
+        und = pruned
+        if rounds is None and n_pruned == n_edges:
+            break
+        n_edges = n_pruned
+    out = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("u").alias("node"), "degree")
+    )
+    if return_rounds:
+        return out, rounds_run
+    return out

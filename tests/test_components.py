@@ -234,3 +234,75 @@ def test_hits_early_stop_matches_fixed_at_convergence(spark):
     got = {r["node"]: (r["hub"], r["auth"]) for r in early.collect()}
     assert got == fixed
     assert rounds < 40, "early stop never fired"
+
+
+class TestKCore:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_triangle_survives_tail_peels(self, spark):
+        """Triangle {a,b,c} + tail c-d-e at k=2: e peels round 1 (deg 1),
+        d peels round 2 (its only remaining neighbor left), triangle
+        stays with in-core degree 2 each."""
+        from datamancer_spark.operators.components import k_core
+
+        e = self._edges(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        )
+        got = {r["node"]: r["degree"] for r in k_core(e, k=2).collect()}
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_k3_empty_on_tree(self, spark):
+        """A tree has no 3-core: leaves always have degree 1, so every
+        peel order empties it completely."""
+        from datamancer_spark.operators.components import k_core
+
+        e = self._edges(
+            spark, [("r", "a"), ("r", "b"), ("a", "c"), ("a", "d")]
+        )
+        assert k_core(e, k=3).count() == 0
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        """Symmetrization: reversed + duplicated + self-loop edges
+        collapse to the same undirected simple graph."""
+        from datamancer_spark.operators.components import k_core
+
+        clean = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        noisy = self._edges(
+            spark,
+            [
+                ("a", "b"), ("b", "a"), ("a", "b"),
+                ("c", "b"), ("c", "a"), ("a", "a"),
+            ],
+        )
+        want = sorted(
+            tuple(r) for r in k_core(clean, k=2).collect()
+        )
+        got = sorted(tuple(r) for r in k_core(noisy, k=2).collect())
+        assert got == want == [("a", 2), ("b", 2), ("c", 2)]
+
+    def test_pinned_rounds_reach_fixpoint_on_gate_graph(self, spark, sf_dir):
+        """The gate pins rounds=3; the production surface is the
+        fixpoint. On the crawl-fixture graph both must agree (the gate
+        would otherwise certify a prefix of the peel, not the core)."""
+        from datamancer_spark.operators.components import k_core
+        from datamancer_spark.operators.fixtures import (
+            synth_blob_frame,
+            warc_link_blob,
+        )
+        from datamancer_spark.operators.warc import extract_links
+        from pyspark.sql import functions as F
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        blobs = synth_blob_frame(doc.select("doc_id"), warc_link_blob)
+        edges = extract_links(blobs).select(
+            F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+        )
+        pinned = sorted(
+            tuple(r) for r in k_core(edges, k=3, rounds=3).collect()
+        )
+        fixed, rounds_run = k_core(edges, k=3, return_rounds=True)
+        fixed = sorted(tuple(r) for r in fixed.collect())
+        assert pinned == fixed
+        assert rounds_run <= 3 + 1  # fixpoint confirms within one extra round
