@@ -4260,6 +4260,70 @@ def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mojibake_snippet() -> str:
+    """Deterministic mojibake injection arm shared by the Spark query
+    and the DuckDB twin: built FROM the operator's own MOJIBAKE_MAP
+    (3-char curly-punctuation clusters, 2-char accents, degree sign,
+    the nbsp artifact) so the gate and the repair table can't drift."""
+    from datamancer_spark.operators.scrub import MOJIBAKE_MAP
+
+    b = {fixed: broken for broken, fixed in MOJIBAKE_MAP}
+    return (
+        " Caf" + b["é"] + " " + b["—"] + " it" + b["’"]
+        + "s " + b["“"] + "fine" + b["”"] + " 25"
+        + b["°"] + b[" "] + "C"
+    )
+
+
+def mojibake_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 double-encoding screen + repair (operators/scrub.py
+    mojibake_hits / fix_mojibake — the ftfy-shaped hygiene pass every
+    web corpus needs): documents with a deterministically injected
+    mojibake arm (doc_id%9==0 gets the snippet; the synthetic corpus is
+    clean, same convention as the PII gate) are screened corpus-wide by
+    a literal-alternation count, repaired by the JVM-side replace
+    chain, re-screened (n_residual pins that repair actually clears the
+    detector), and signature-hashed (fixed_sig pins every repaired BYTE
+    corpus-wide, including the untouched docs). Pure codegen both
+    sides — no regex backtracking, no Python in the data path."""
+    from datamancer_spark.operators.scrub import (
+        fix_mojibake,
+        mojibake_hits,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    injected = doc.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(_mojibake_snippet())),
+        ).otherwise(F.col("text")),
+    )
+    hits = mojibake_hits(F.col("text"))
+    fixed = fix_mojibake(F.col("text"))
+    sig = F.conv(
+        F.substring(F.md5(F.coalesce(fixed, F.lit(""))), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        injected.select(
+            "lang",
+            hits.alias("_h"),
+            mojibake_hits(fixed).alias("_r"),
+            sig.alias("_s"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_h") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("_h").cast("long").alias("total_hits"),
+            F.sum("_r").cast("long").alias("n_residual"),
+            F.bit_xor("_s").cast("long").alias("fixed_sig"),
+        )
+    )
+
+
 def kcore_crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the crawl link graph (operators/components.py k_core):
     symmetrize the extracted edge list, then 3 pinned peel rounds
@@ -4611,6 +4675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest_shards": corpus_manifest_shards,
         "snapshot_diff_docs": snapshot_diff_docs,
         "kcore_crawl_links": kcore_crawl_links,
+        "mojibake_screen": mojibake_screen,
         # -- NEW r13: the streaming tier's first driver-oracle gates
         # -- (file stream source -> watermark -> stateful agg ->
         # -- AvailableNow replay; final state == batch twin).
@@ -9079,6 +9144,47 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS txt_sig
         FROM back
         GROUP BY status
+    """
+
+    # Mojibake twin (r14): replace chain + literal-alternation count
+    # generated FROM the operator's MOJIBAKE_MAP (single source of
+    # truth — the SQL below embeds the identical unicode literals the
+    # Spark expressions use, so a map edit regenerates both sides).
+    from datamancer_spark.operators.scrub import (
+        MOJIBAKE_MAP,
+        MOJIBAKE_PATTERN,
+    )
+
+    _rep = "txt"
+    for _b, _f in MOJIBAKE_MAP:
+        _rep = "replace({}, '{}', '{}')".format(
+            _rep, _b.replace("'", "''"), _f.replace("'", "''")
+        )
+    _snip = _mojibake_snippet().replace("'", "''")
+    _pat = MOJIBAKE_PATTERN.replace("'", "''")
+    sql["mojibake_screen"] = f"""
+        WITH d AS (
+          SELECT lang,
+                 CASE WHEN doc_id % 9 = 0 THEN text || '{_snip}'
+                      ELSE text END AS txt
+          FROM documents
+        ), h AS (
+          SELECT lang,
+                 len(regexp_extract_all(coalesce(txt, ''),
+                                        '{_pat}')) AS _h,
+                 len(regexp_extract_all(coalesce({_rep}, ''),
+                                        '{_pat}')) AS _r,
+                 CAST('0x' || substr(md5(coalesce({_rep}, '')), 1, 15)
+                      AS BIGINT) AS _s
+          FROM d
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN _h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               CAST(sum(_h) AS BIGINT) AS total_hits,
+               CAST(sum(_r) AS BIGINT) AS n_residual,
+               CAST(bit_xor(_s) AS BIGINT) AS fixed_sig
+        FROM h GROUP BY lang
     """
 
     # Corpus integrity twins (r14): the manifest twin rebuilds every

@@ -350,3 +350,108 @@ def url_quality_filter(
     if joined_flag is not None:
         out = out.drop("_bl_hit")
     return out.withColumn("url_pass", F.col("url_reasons") == F.lit(""))
+
+
+# -- mojibake (UTF-8 double-encoding) ----------------------------------------
+
+
+def _cp1252ish(b: bytes) -> str:
+    """Decode bytes the way browsers (WHATWG windows-1252) do: cp1252
+    with the five undefined slots (81 8D 8F 90 9D) falling back to the
+    C1 controls — the exact transform that MANUFACTURES mojibake when
+    UTF-8 bytes pass through it, so the broken forms below are derived,
+    not hand-typed (and the source file carries no raw control bytes)."""
+    out = []
+    for x in b:
+        try:
+            out.append(bytes([x]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(x))
+    return "".join(out)
+
+
+#: high-frequency Western-text chars whose UTF-8 bytes, read as
+#: windows-1252, yield the classic artifacts ('\u00e9' -> 'A-tilde (c)',
+#: curly quote -> 'a-circumflex euro tm'). Precision-first subset: each
+#: broken form is unambiguous in organic prose, no broken form is a
+#: prefix of another (3-char forms lead with U+00E2, 2-char with
+#: U+00C3/U+00C2), and none contains a regex metacharacter -- so the
+#: detection alternation is order-independent and ports verbatim to RE2.
+_MOJIBAKE_CHARS = (
+    "\u2019\u201c\u201d\u2013\u2014\u2026"  # curly quotes, dashes, ellipsis
+    "\u00e9\u00e8\u00e1\u00e0\u00e4\u00f6\u00fc\u00f1\u00e7"
+    "\u00f3\u00fa\u00ed\u00ef\u00df"        # Western accents
+    "\u00b0\u00ab\u00bb\u00a0"               # degree, guillemets, nbsp
+)
+
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    (_cp1252ish(ch.encode("utf-8")), ch) for ch in _MOJIBAKE_CHARS
+]
+
+#: literal alternation over the broken sequences (metacharacter- and
+#: prefix-freedom asserted so a future entry can't silently break the
+#: leftmost-first == leftmost-longest equivalence both engines rely on)
+MOJIBAKE_PATTERN = "|".join(b for b, _ in MOJIBAKE_MAP)
+assert not any(
+    _re.search(r"[\\.^$|?*+()\[\]{}]", b) for b, _ in MOJIBAKE_MAP
+)
+assert not any(
+    i != j and b2.startswith(b1)
+    for i, (b1, _) in enumerate(MOJIBAKE_MAP)
+    for j, (b2, _) in enumerate(MOJIBAKE_MAP)
+)
+
+
+def mojibake_hits(text: Column) -> Column:
+    """Count of double-encoding artifacts in ``text`` (non-overlapping,
+    leftmost-first over the literal alternation — identical in Java
+    regex and RE2 because no alternative is a prefix of another).
+    NULL-safe: NULL text scores 0. Pure codegen — the screen runs
+    corpus-wide next to the scan."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit(MOJIBAKE_PATTERN), F.lit(0)
+        )
+    ).cast("long")
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair the mapped double-encodings via a chain of LITERAL
+    replaces (no regex engine in the loop). Single-pass confluent: no
+    replacement output contains a broken form's lead char (U+00E2/
+    U+00C3/U+00C2), so later entries never re-match an earlier repair.
+    Doubly-double-encoded text (it exists in the wild) needs a second
+    pass or ``fix_mojibake_full``."""
+    out = text
+    for broken, fixed in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(broken), F.lit(fixed))
+    return out
+
+
+def fix_mojibake_full(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Byte-level mojibake repair (the ftfy-style general case): where
+    the text cp1252-encodes cleanly AND the bytes decode as valid UTF-8
+    AND that shrinks the string, the UTF-8 reading is the original.
+    Arrow-batched mapInPandas — the slow path by design; run AFTER
+    ``mojibake_hits`` has filtered to the (tiny) suspicious slice,
+    never corpus-wide."""
+
+    def _repair(batches):
+        for pdf in batches:
+            def one(s):
+                if s is None:
+                    return s
+                try:
+                    b = s.encode("cp1252")
+                except UnicodeEncodeError:
+                    return s
+                try:
+                    d = b.decode("utf-8")
+                except UnicodeDecodeError:
+                    return s
+                return d if len(d) < len(s) else s
+
+            pdf[text_col] = pdf[text_col].map(one)
+            yield pdf
+
+    return df.mapInPandas(_repair, df.schema)

@@ -441,3 +441,86 @@ def test_registrable_domain_etld_plus_one(spark):
     assert got[9] == "10.0.5.1"
     assert got[10] == "example.com"
     assert got[11] == "" and got[12] == ""
+
+
+class TestMojibake:
+    def test_map_derivation_round_trips(self):
+        """Every (broken, fixed) pair must satisfy the defining
+        property: fixed.encode('utf-8') read as windows-1252 (C1
+        fallback) IS broken."""
+        from datamancer_spark.operators.scrub import (
+            MOJIBAKE_MAP,
+            _cp1252ish,
+        )
+
+        for broken, fixed in MOJIBAKE_MAP:
+            assert _cp1252ish(fixed.encode("utf-8")) == broken
+
+    def test_hits_and_fix(self, spark):
+        from datamancer_spark.operators.scrub import (
+            MOJIBAKE_MAP,
+            fix_mojibake,
+            mojibake_hits,
+        )
+        from pyspark.sql import functions as F
+
+        b = {f: k for k, f in MOJIBAKE_MAP}
+        rows = [
+            (1, "Caf" + b["é"] + " cr" + b["è"] + "me"),  # 2 artifacts
+            (2, "it" + b["’"] + "s fine"),                 # 1 artifact
+            (3, "plain ascii"),                            # clean
+            (4, None),                                     # NULL-safe
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r["id"]: (r["h"], r["fixed"])
+            for r in df.select(
+                "id",
+                mojibake_hits(F.col("text")).alias("h"),
+                fix_mojibake(F.col("text")).alias("fixed"),
+            ).collect()
+        }
+        assert got[1] == (2, "Café crème")
+        assert got[2] == (1, "it’s fine")
+        assert got[3] == (0, "plain ascii")
+        assert got[4][0] == 0 and got[4][1] is None
+
+    def test_fix_clears_detector_on_every_mapped_form(self, spark):
+        from datamancer_spark.operators.scrub import (
+            MOJIBAKE_MAP,
+            fix_mojibake,
+            mojibake_hits,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(i, f"x{b}y") for i, (b, _) in enumerate(MOJIBAKE_MAP)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        residual = df.select(
+            mojibake_hits(fix_mojibake(F.col("text"))).alias("r")
+        ).agg(F.sum("r")).first()[0]
+        assert residual == 0
+
+    def test_full_repair_handles_unmapped_chars(self, spark):
+        """The byte-level path must fix artifacts OUTSIDE the mapping
+        table (e.g. CJK through the double-encode wringer) and leave
+        clean text and lone high-bytes untouched."""
+        from datamancer_spark.operators.scrub import (
+            _cp1252ish,
+            fix_mojibake_full,
+        )
+
+        broken_cjk = _cp1252ish("中文".encode("utf-8"))
+        rows = [
+            (1, broken_cjk),
+            (2, "already fine 中文"),
+            (3, "résumé"),          # organic accents, NOT mojibake
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r["id"]: r["text"] for r in fix_mojibake_full(df).collect()
+        }
+        assert got[1] == "中文"
+        assert got[2] == "already fine 中文"
+        assert got[3] == "résumé"
+        assert got[4] is None
