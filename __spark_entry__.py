@@ -4260,6 +4260,65 @@ def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hist_merge_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot HISTOGRAM merge under the driver gate — the
+    sketch triad's distribution member next to HLL (distinct) and CMS
+    (frequency), operators/sketch.py hist_build/hist_merge/hist_cdf:
+    two event snapshots (even/odd event ids) build fixed-bin value
+    histograms independently, merge with union+sum, and the merged
+    sketch must equal a single build over everything (linearity —
+    n_merged and n_rebuilt ride the output together, the same in-gate
+    merge==rebuild pin as the HLL gate). The CDF annotation + p50/p90/
+    p99 bin flags pin the quantile-reading surface; the twin rebuilds
+    bins, cumulative counts, and flags from the raw values in SQL."""
+    from datamancer_spark.operators.sketch import (
+        hist_build,
+        hist_cdf,
+        hist_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    snap_a = hist_build(
+        ev.filter(F.col("event_id") % 2 == 0), "value", 0.0, 500.0, 50
+    )
+    snap_b = hist_build(
+        ev.filter(F.col("event_id") % 2 == 1), "value", 0.0, 500.0, 50
+    )
+    merged = hist_merge(snap_a, snap_b)
+    rebuilt = hist_build(ev, "value", 0.0, 500.0, 50).select(
+        "bin", F.col("n").alias("n_rebuilt")
+    )
+    cdf = hist_cdf(merged)
+    total = F.max("cum_n").over(Window.partitionBy())
+    flag = lambda p: (  # noqa: E731 — tiny local twin-matched predicate
+        (F.col("cum_n") >= p * total)
+        & ((F.col("cum_n") - F.col("n")) < p * total)
+    ).cast("long")
+    return (
+        cdf.join(rebuilt, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_merged"),
+            F.coalesce(F.col("n_rebuilt"), F.lit(0))
+            .cast("long")
+            .alias("n_rebuilt"),
+            "cum_n",
+            prnd(F.col("cum_frac"), 6).alias("cum_frac"),
+            "n",
+        )
+        .select(
+            "bin",
+            "n_merged",
+            "n_rebuilt",
+            "cum_n",
+            "cum_frac",
+            flag(F.lit(0.5)).alias("is_p50"),
+            flag(F.lit(0.9)).alias("is_p90"),
+            flag(F.lit(0.99)).alias("is_p99"),
+        )
+    )
+
+
 def _mojibake_snippet() -> str:
     """Deterministic mojibake injection arm shared by the Spark query
     and the DuckDB twin: built FROM the operator's own MOJIBAKE_MAP
@@ -4676,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_docs": snapshot_diff_docs,
         "kcore_crawl_links": kcore_crawl_links,
         "mojibake_screen": mojibake_screen,
+        "hist_merge_snapshots": hist_merge_snapshots,
         # -- NEW r13: the streaming tier's first driver-oracle gates
         # -- (file stream source -> watermark -> stateful agg ->
         # -- AvailableNow replay; final state == batch twin).
@@ -9144,6 +9204,43 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS txt_sig
         FROM back
         GROUP BY status
+    """
+
+    # Histogram twin (r14): bins, cumulative counts, and quantile
+    # flags rebuilt from the raw values — the merge==rebuild pin is
+    # n_merged == n_rebuilt == this twin's n for every bin. The bin
+    # expression repeats the Spark op order exactly ((v-lo)/(hi-lo)*n,
+    # floor, clamp) so IEEE rounding can't diverge.
+    sql["hist_merge_snapshots"] = """
+        WITH b AS (
+          SELECT CASE WHEN value < 0.0 THEN CAST(-1 AS BIGINT)
+                      WHEN value >= 500.0 THEN CAST(50 AS BIGINT)
+                      ELSE least(CAST(floor((value - 0.0) / (500.0 - 0.0)
+                                            * 50) AS BIGINT),
+                                 CAST(49 AS BIGINT)) END AS bin
+          FROM events WHERE value IS NOT NULL
+        ), h AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin
+        ), c AS (
+          SELECT bin, n,
+                 CAST(sum(n) OVER (ORDER BY bin
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_n,
+                 CAST(sum(n) OVER () AS BIGINT) AS total
+          FROM h
+        )
+        SELECT bin, n AS n_merged, n AS n_rebuilt, cum_n,
+               prnd(CAST(cum_n AS DOUBLE) / total, 6) AS cum_frac,
+               CAST(CASE WHEN cum_n >= 0.5 * total
+                          AND cum_n - n < 0.5 * total
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_p50,
+               CAST(CASE WHEN cum_n >= 0.9 * total
+                          AND cum_n - n < 0.9 * total
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_p90,
+               CAST(CASE WHEN cum_n >= 0.99 * total
+                          AND cum_n - n < 0.99 * total
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_p99
+        FROM c
     """
 
     # Mojibake twin (r14): replace chain + literal-alternation count

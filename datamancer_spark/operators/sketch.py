@@ -215,3 +215,81 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         .otherwise(raw)
         .alias("est")
     )
+
+
+# -- fixed-bin histogram sketch ----------------------------------------------
+# The third mergeable sketch next to HLL (how many distinct?) and CMS
+# (how often does THIS occur?): the HISTOGRAM answers "how is the value
+# DISTRIBUTED?" — quantiles, drift between snapshots, SLA tails. Like
+# CMS it is linear (counter vectors add), so per-snapshot histograms
+# merge with union+sum and merge == rebuild exactly; unlike Spark's
+# approx_percentile sketch its state is a plain (bin, n) DataFrame that
+# persists as parquet and re-verifies in any engine. Fixed equal-width
+# bins trade adaptivity for exact mergeability — the right trade when
+# the domain is known (scores, latencies, prices); at 100 TB the build
+# is one scan + one ≤(n_bins+2)-row groupBy, map-side-combined to
+# almost nothing before the shuffle.
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """(bin, n) over equal-width bins of [lo, hi): bin -1 catches
+    v < lo, bin ``n_bins`` catches v >= hi (the boundary itself rolls
+    over — half-open like every bin), NULLs are skipped. The bin
+    expression is plain IEEE arithmetic (floor((v-lo)/(hi-lo)*n)), so
+    any engine reproduces the exact same assignment."""
+    if not hi > lo:
+        raise ValueError(f"hist_build: need hi > lo, got [{lo}, {hi})")
+    v = F.col(value_col).cast("double")
+    raw = F.floor(
+        (v - F.lit(float(lo)))
+        / (F.lit(float(hi)) - F.lit(float(lo)))
+        * F.lit(int(n_bins))
+    ).cast("long")
+    b = (
+        F.when(v < lo, F.lit(-1).cast("long"))
+        .when(v >= hi, F.lit(int(n_bins)).cast("long"))
+        .otherwise(F.least(raw, F.lit(int(n_bins) - 1)))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + per-bin sum — histograms are linear, so merging K
+    snapshot sketches equals rebuilding over the unioned data."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def hist_cdf(hist: DataFrame) -> DataFrame:
+    """Annotate a (bin, n) histogram with cumulative counts and the
+    cumulative fraction — the quantile-reading surface (the p-quantile
+    lives in the first bin whose cum fraction reaches p). The window
+    runs over the ≤(n_bins+2)-row sketch, not the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy()
+    return hist.select(
+        "bin",
+        "n",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        (F.sum("n").over(w) / F.sum("n").over(total)).alias("cum_frac"),
+    )

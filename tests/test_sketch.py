@@ -344,3 +344,61 @@ def test_hll_estimate_empty_corpus_is_zero(spark):
     empty = spark.createDataFrame([], "value string")
     est = hll_estimate(hll_build(empty, "value")).collect()[0]["est"]
     assert est == 0.0
+
+
+class TestHistogram:
+    def test_merge_equals_rebuild(self, spark, sf_dir):
+        from datamancer_spark.operators.sketch import hist_build, hist_merge
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        parts = [
+            hist_build(ev.filter(F.col("event_id") % 3 == i),
+                       "value", 0.0, 500.0, 32)
+            for i in range(3)
+        ]
+        merged = sorted(tuple(r) for r in hist_merge(*parts).collect())
+        rebuilt = sorted(
+            tuple(r)
+            for r in hist_build(ev, "value", 0.0, 500.0, 32).collect()
+        )
+        assert merged == rebuilt
+
+    def test_bin_edges_and_overflow(self, spark):
+        from datamancer_spark.operators.sketch import hist_build
+
+        df = spark.createDataFrame(
+            [(-0.1,), (0.0,), (9.99,), (10.0,), (99.9,), (100.0,),
+             (250.0,), (None,)],
+            "value double",
+        )
+        got = {
+            r["bin"]: r["n"]
+            for r in hist_build(df, "value", 0.0, 100.0, 10).collect()
+        }
+        # -0.1 underflows; 0.0 and 9.99 share bin 0; 10.0 opens bin 1;
+        # 99.9 is the last real bin; 100.0 and 250.0 overflow; NULL gone
+        assert got == {-1: 1, 0: 2, 1: 1, 9: 1, 10: 2}
+
+    def test_cdf_monotone_and_total(self, spark, sf_dir):
+        from datamancer_spark.operators.sketch import hist_build, hist_cdf
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        rows = (
+            hist_cdf(hist_build(ev, "value", 0.0, 500.0, 16))
+            .orderBy("bin")
+            .collect()
+        )
+        cums = [r["cum_n"] for r in rows]
+        assert cums == sorted(cums)
+        assert abs(rows[-1]["cum_frac"] - 1.0) < 1e-12
+        assert rows[-1]["cum_n"] == sum(r["n"] for r in rows)
+
+    def test_rejects_empty_range(self, spark):
+        import pytest as _pytest
+
+        from datamancer_spark.operators.sketch import hist_build
+
+        df = spark.createDataFrame([(1.0,)], "value double")
+        with _pytest.raises(ValueError):
+            hist_build(df, "value", 5.0, 5.0, 10)
