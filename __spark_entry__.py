@@ -4694,10 +4694,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
         "train_test_split": train_test_split,
-        # -- r13 rotation (VERDICT r12 #1): the 22 one-green r12
-        # -- members accruing their SECOND driver proof, then the 6
-        # -- zero-green late-r12 additions getting their FIRST, then
-        # -- the new CSV round-trip gate (zero-green by definition):
+        # -- r14 rotation: the 11 r13 one-green members accruing their
+        # -- SECOND driver proof (after this round the proof tail is
+        # -- empty-or-new), then the 7 zero-green r14 additions
+        # -- (JSONL gate, integrity tier, k-core, mojibake, histogram
+        # -- sketch, streaming session replay) getting their FIRST:
+        "cms_merge_snapshots": cms_merge_snapshots,
+        "ann_recall_ivf": ann_recall_ivf,
+        "jl_distortion_report": jl_distortion_report,
+        "ann_recall_jl": ann_recall_jl,
+        "split_dedup_aware": split_dedup_aware,
+        "split_neardup_aware": split_neardup_aware,
+        "csv_roundtrip_agg": csv_roundtrip_agg,
+        "streaming_hourly_replay": streaming_hourly_replay,
+        "streaming_dedup_replay": streaming_dedup_replay,
+        "q8_market_share": q8_market_share,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
+        "corpus_manifest_shards": corpus_manifest_shards,
+        "snapshot_diff_docs": snapshot_diff_docs,
+        "kcore_crawl_links": kcore_crawl_links,
+        "mojibake_screen": mojibake_screen,
+        "hist_merge_snapshots": hist_merge_snapshots,
+        "streaming_session_replay": streaming_session_replay,
+        # -- window padding (all >= 2x driver-green; the packed-window
+        # -- invariant is satisfied because no under-proven query sits
+        # -- outside the first 50):
         "sitemap_discovery_frontier": sitemap_discovery_frontier,
         "containment_guarded_pairs": containment_guarded_pairs,
         "pagerank_crawl_links": pagerank_crawl_links,
@@ -4714,40 +4736,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": pii_redact_docs,
         "dsir_select_en": dsir_select_en,
         "domain_cap_registrable": domain_cap_registrable,
+        # ---- past the driver window (>= 2x driver-green, still under
+        # ---- the full-catalog local harness + pytest every round)
         "epoch_shard_plan_langs": epoch_shard_plan_langs,
         "crawl_funnel_report": crawl_funnel_report,
         "frontier_fetch_schedule": frontier_fetch_schedule,
         "embedding_pca_scores": embedding_pca_scores,
         "hll_merge_snapshots": hll_merge_snapshots,
         "ann_recall_lsh": ann_recall_lsh,
-        "cms_merge_snapshots": cms_merge_snapshots,
-        "ann_recall_ivf": ann_recall_ivf,
-        "jl_distortion_report": jl_distortion_report,
-        "ann_recall_jl": ann_recall_jl,
-        "split_dedup_aware": split_dedup_aware,
-        "split_neardup_aware": split_neardup_aware,
-        # -- NEW r13: the CSV surface's first driver-oracle gate
-        # -- (write_csv -> read_csv vs DuckDB read_csv of the same
-        # -- part files; VERDICT r12 missing #1).
-        "csv_roundtrip_agg": csv_roundtrip_agg,
-        "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
-        "corpus_manifest_shards": corpus_manifest_shards,
-        "snapshot_diff_docs": snapshot_diff_docs,
-        "kcore_crawl_links": kcore_crawl_links,
-        "mojibake_screen": mojibake_screen,
-        "hist_merge_snapshots": hist_merge_snapshots,
-        # -- NEW r13: the streaming tier's first driver-oracle gates
-        # -- (file stream source -> watermark -> stateful agg ->
-        # -- AvailableNow replay; final state == batch twin).
-        "streaming_hourly_replay": streaming_hourly_replay,
-        "streaming_dedup_replay": streaming_dedup_replay,
-        "streaming_session_replay": streaming_session_replay,
-        # -- NEW r13: the TPC-H widening pair (snowflake double-nation
-        # -- share join; decorrelated scalar-subquery threshold).
-        "q8_market_share": q8_market_share,
-        "q17_small_qty_revenue": q17_small_qty_revenue,
-        # -- remaining slot: the stalest multiply-proven member for a
-        # -- third proof.
         "semi_join": semi_join_q,
         # ---- outside the window: all >= 2x driver-proven, still
         # ---- verified every round by the local oracle harness

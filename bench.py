@@ -199,6 +199,16 @@ HEADLINE = [
     # decorrelated scalar-subquery threshold
     "q8_market_share",
     "q17_small_qty_revenue",
+    # round-14 additions: JSONL gate, the corpus-integrity tier
+    # (manifests + snapshot deltas), k-core peel, mojibake hygiene,
+    # the histogram sketch, and streaming session windows
+    "jsonl_roundtrip_agg",
+    "corpus_manifest_shards",
+    "snapshot_diff_docs",
+    "kcore_crawl_links",
+    "mojibake_screen",
+    "hist_merge_snapshots",
+    "streaming_session_replay",
 ]
 
 
