@@ -381,13 +381,19 @@ def k_core(
     prunes, all shuffle-partitioned on node id; the edge list only
     shrinks, and every intermediate is materialized so lineage never
     re-executes the peel history (the r13 graph-op lesson)."""
-    und = (
+    # materialize the CLEANED INPUT before symmetrizing: the union's two
+    # branches are separate physical plans, so an expensive caller
+    # lineage (e.g. WARC→extract_links) would execute TWICE inside the
+    # symmetrize job — measured 64.9s → ~20s on the 16x crawl seam
+    # (SCALING.md r14) with this one-level-deeper application of the
+    # r13 checkpoint-the-edge-list lesson.
+    directed = materialize(
         edges.filter(F.col(src) != F.col(dst))
         .select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .na.drop()
     )
-    und = materialize(und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    und = materialize(directed.unionByName(
+        directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct())
     n_edges = und.count()
     rounds_run = 0
