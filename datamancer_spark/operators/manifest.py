@@ -30,9 +30,13 @@ serialize.nim:8-52 HDF5 round-trip assumes a single trusted file);
 this tier is beyond-reference scale infrastructure, same category as
 the dedup/ANN tiers.
 
-Plan shapes: shard_manifest is one scan + one n_shards-sized groupBy
-(map-side combine does almost all the work — the shuffle moves
-n_shards*cores rows); snapshot_diff is one full outer join on the key,
+Plan shapes: shard_manifest is one scan + one n_shards-sized groupBy;
+the counts and BIT_XOR signature partial-aggregate map-side to
+n_shards*cores rows, while the exact n_keys (count DISTINCT — the
+duplicate-key detector) adds one key-sized exchange of (shard, key)
+pairs, map-side-deduped, ~16 bytes/row — small next to the corpus but
+not free; pass it up by reading n_rows alone when keys are trusted
+unique. snapshot_diff is one full outer join on the key,
 shuffle-partitioned on both sides, no driver collection anywhere.
 """
 

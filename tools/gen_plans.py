@@ -128,7 +128,7 @@ COMMENT = {
     "streaming_dedup_replay": "Streaming exact-dedup state: the SAME fingerprint expression as batch exact_dedup, built incrementally by the streaming aggregation; final complete-mode state == the batch groupBy — one expression layer, two execution engines.",
     "csv_roundtrip_agg": "CSV round-trip gate: the write is a distributed CSV sink (eager, part files); the audited plan is the re-read — a splittable csv scan with the quote/escape/NaN options in the scan node, one partial-aggregated groupBy(status); md5 text signatures evaluate scan-side in whole-stage codegen.",
     "jsonl_roundtrip_agg": "JSONL round-trip gate (r14): distributed JSON sink then a splittable newline-delimited JSON scan with the explicit schema pushed into the reader (single-pass, per-field pruning); one partial-aggregated groupBy(status) — same shape as the CSV gate over the other corpus interchange format.",
-    "corpus_manifest_shards": "Integrity manifest (r14): shard id + row signature are scan-side md5 projections; ONE 32-row groupBy with map-side combine (BIT_XOR and counts partial-aggregate to almost nothing before the exchange) — verifying a 100 TB copy costs one parallel scan per side.",
+    "corpus_manifest_shards": "Integrity manifest (r14): shard id + row signature are scan-side md5 projections; counts + BIT_XOR partial-aggregate to a 32-row frame, and the second exchange is the exact n_keys count-distinct (map-side-deduped (shard, key) pairs, ~16 B/row — the duplicate-key detector's honest cost) — verifying a 100 TB copy is still one parallel scan per side.",
     "snapshot_diff_docs": "Snapshot delta (r14): both snapshot filters evaluate next to the scan; ONE full-outer equi-join on the key (both sides shuffle-partition on it), then a tiny (status, lang) rollup — the added/changed slice that feeds incremental reprocessing never collects.",
     "kcore_crawl_links": "k-core peel (r14): symmetrized distinct edge list materialized once (the r13 graph-op lesson), then 3 rounds of degree-aggregate + two left-semi prunes, all shuffle-partitioned on node id; the edge list only shrinks round over round, and the final degree rollup runs on the surviving core.",
     "mojibake_screen": "Mojibake screen (r14): detection count, literal-replace repair chain, residual re-screen, and the md5 signature are ALL scan-side codegen projections (no regex backtracking, no Python); the only exchange is the per-lang rollup — the whole hygiene pass rides the scan at 100 TB.",
