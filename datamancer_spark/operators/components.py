@@ -399,7 +399,12 @@ def k_core(
     rounds_run = 0
     cap = int(rounds) if rounds is not None else int(max_rounds)
     while rounds_run < cap:
-        keep = (
+        # materialized per round: the degree aggregate feeds BOTH
+        # endpoint prunes, and Spark does not reuse the exchange across
+        # the two semi-join build sides (plan-verified: 2x HashAggregate
+        # without this) — one node-list checkpoint per round beats
+        # re-aggregating the edge list twice
+        keep = materialize(
             und.groupBy("u")
             .agg(F.count(F.lit(1)).alias("_deg"))
             .filter(F.col("_deg") >= k)
