@@ -467,3 +467,130 @@ def test_registrable_domain_invariants(spark, hosts):
         ).collect()
     }
     assert again == got
+
+
+# -- r14 property laws: manifest signatures + mojibake repair ----------------
+
+TEXTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=20,
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=TEXTS)
+@SETTINGS
+def test_manifest_invariant_under_permutation_and_partitioning(
+    spark, texts
+):
+    """shard_manifest's defining law: the manifest is a function of the
+    row MULTISET — any reordering/repartitioning of the same rows gives
+    the identical manifest (random texts incl. NULLs, separators,
+    unicode)."""
+    from datamancer_spark.operators.manifest import shard_manifest
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = rows_set(shard_manifest(df, "doc_id", ["text"], n_shards=4))
+    jumbled = spark.createDataFrame(
+        list(reversed(rows)), "doc_id long, text string"
+    ).repartition(3)
+    assert (
+        rows_set(shard_manifest(jumbled, "doc_id", ["text"], n_shards=4))
+        == base
+    )
+
+
+@given(texts=TEXTS)
+@SETTINGS
+def test_manifest_detects_any_single_cell_change(spark, texts):
+    """Flipping one cell's content must change its shard's signature
+    (append a char — works for NULL→'X' too via the type tag)."""
+    from datamancer_spark.operators.manifest import (
+        manifest_diff,
+        shard_manifest,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mutated = df.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("X")),
+        ).otherwise(F.col("text")),
+    )
+    a = shard_manifest(df, "doc_id", ["text"], n_shards=4)
+    b = shard_manifest(mutated, "doc_id", ["text"], n_shards=4)
+    changed = (
+        manifest_diff(a, b).filter(F.col("status") == "changed").count()
+    )
+    assert changed == 1
+
+
+def test_row_signature_separator_injection(spark):
+    """("a\\x1fb") must not collide with ("a","b") — the type-prefix
+    tag breaks the separator-injection ambiguity plain joins have."""
+    from datamancer_spark.operators.manifest import row_signature
+
+    one = spark.createDataFrame(
+        [("a\x1fb",)], "x string"
+    ).select(row_signature(F.col("x")).alias("s"))
+    two = spark.createDataFrame([("a", "b")], "x string, y string").select(
+        row_signature(F.col("x"), F.col("y")).alias("s")
+    )
+    assert one.first()["s"] != two.first()["s"]
+
+
+MOJI_TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=MOJI_TEXTS)
+@SETTINGS
+def test_fix_mojibake_idempotent(spark, texts):
+    """fix ∘ fix == fix on arbitrary text: the replace chain's outputs
+    never re-match any broken form (confluence), so a second pass is a
+    no-op even on text that was never mojibake."""
+    from datamancer_spark.operators.scrub import fix_mojibake
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    once = df.select("id", fix_mojibake(F.col("text")).alias("t"))
+    twice = once.select("id", fix_mojibake(F.col("t")).alias("t"))
+    assert rows_set(once) == rows_set(twice)
+
+
+@given(texts=MOJI_TEXTS)
+@SETTINGS
+def test_mojibake_repair_never_increases_hits(spark, texts):
+    """Monotone repair law: the detector count after fix_mojibake is
+    <= before, on any input (repair can only remove artifacts)."""
+    from datamancer_spark.operators.scrub import (
+        fix_mojibake,
+        mojibake_hits,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    bad = df.select(
+        mojibake_hits(F.col("text")).alias("before"),
+        mojibake_hits(fix_mojibake(F.col("text"))).alias("after"),
+    ).filter(F.col("after") > F.col("before"))
+    assert bad.count() == 0
