@@ -4319,6 +4319,33 @@ def hist_merge_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """manifest_diff under the driver gate (operators/manifest.py): the
+    'is this copy still that corpus?' verification itself — manifest A
+    over documents, manifest B over a deterministically damaged copy
+    (text rewritten where doc_id%97==0, rows dropped where
+    doc_id%131==0), diffed shard-by-shard. The twin rebuilds BOTH
+    manifests and the comparison, so a diff that misses damage (stale
+    signature, wrong join side) or cries wolf on an equal shard
+    mismatches. Everything is two parallel scans + a 32-row join."""
+    from datamancer_spark.operators.manifest import (
+        manifest_diff,
+        shard_manifest,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    damaged = doc.filter(F.col("doc_id") % 131 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.col("text"), F.lit(" tampered")),
+        ).otherwise(F.col("text")),
+    )
+    a = shard_manifest(doc, "doc_id", ["text", "lang", "source"], 32)
+    b = shard_manifest(damaged, "doc_id", ["text", "lang", "source"], 32)
+    return manifest_diff(a, b)
+
+
 def _mojibake_snippet() -> str:
     """Deterministic mojibake injection arm shared by the Spark query
     and the DuckDB twin: built FROM the operator's own MOJIBAKE_MAP
@@ -4716,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_crawl_links": kcore_crawl_links,
         "mojibake_screen": mojibake_screen,
         "hist_merge_snapshots": hist_merge_snapshots,
+        "manifest_diff_report": manifest_diff_report,
         "streaming_session_replay": streaming_session_replay,
         # -- window padding (all >= 2x driver-green; the packed-window
         # -- invariant is satisfied because no under-proven query sits
@@ -9237,6 +9265,56 @@ def oracle_sql() -> dict[str, str]:
                           AND cum_n - n < 0.99 * total
                      THEN 1 ELSE 0 END AS BIGINT) AS is_p99
         FROM c
+    """
+
+    # manifest_diff twin (r14): both manifests rebuilt in SQL from the
+    # same portable conventions, then the shard-by-shard comparison.
+    sql["manifest_diff_report"] = """
+        WITH ma AS (
+          SELECT CAST('0x' || substr(md5('shard' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32
+                 AS shard,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(bit_xor(CAST('0x' || substr(md5('sig' || concat_ws(chr(31),
+                   chr(2) || 'V' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN text IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || text END,
+                   CASE WHEN lang IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || lang END,
+                   CASE WHEN source IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || source END)), 1, 15)
+                 AS BIGINT)) AS BIGINT) AS content_sig
+          FROM documents GROUP BY shard
+        ), mb AS (
+          SELECT CAST('0x' || substr(md5('shard' ||
+                   CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32
+                 AS shard,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(bit_xor(CAST('0x' || substr(md5('sig' || concat_ws(chr(31),
+                   chr(2) || 'V' || CAST(d.doc_id AS VARCHAR),
+                   CASE WHEN d.text IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || d.text END,
+                   CASE WHEN d.lang IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || d.lang END,
+                   CASE WHEN d.source IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || d.source END)), 1, 15)
+                 AS BIGINT)) AS BIGINT) AS content_sig
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 97 = 0 THEN text || ' tampered'
+                            ELSE text END AS text,
+                       lang, source
+                FROM documents WHERE doc_id % 131 <> 0) d
+          GROUP BY shard
+        )
+        SELECT coalesce(ma.shard, mb.shard) AS shard,
+               ma.n_rows AS n_rows_a, mb.n_rows AS n_rows_b,
+               ma.content_sig AS sig_a, mb.content_sig AS sig_b,
+               CASE WHEN ma.content_sig IS NULL THEN 'only_b'
+                    WHEN mb.content_sig IS NULL THEN 'only_a'
+                    WHEN ma.content_sig = mb.content_sig
+                         AND ma.n_rows = mb.n_rows THEN 'equal'
+                    ELSE 'changed' END AS status
+        FROM ma FULL OUTER JOIN mb ON ma.shard = mb.shard
     """
 
     # Mojibake twin (r14): replace chain + literal-alternation count

@@ -209,6 +209,7 @@ HEADLINE = [
     "mojibake_screen",
     "hist_merge_snapshots",
     "streaming_session_replay",
+    "manifest_diff_report",
 ]
 
 
