@@ -4650,6 +4650,49 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_available_now(out, qn)
 
 
+def streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events through the streaming engine's SLIDING windows (1-hour
+    window, 15-minute slide — each event belongs to 4 overlapping
+    windows), replayed to completion; completes the driver-gated
+    windowed-aggregation trio (tumbling r13, session r14, sliding
+    r14). The twin rebuilds window membership with exact INTEGER
+    microsecond arithmetic ((us // slide_us − k) · slide_us for
+    k ∈ 0..3, keep if the event falls inside) — the same assignment
+    Spark's window() computes — so a boundary event landing in the
+    wrong window set flips counts in both engines differently and the
+    hash catches it. Cents-exact values."""
+    import hashlib
+
+    from datamancer_spark.streaming import (
+        read_parquet_stream,
+        replay_available_now,
+    )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = read_parquet_stream(spark, f"{sf_dir}/events.parquet", schema)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("value_cents"),
+        )
+    )
+    out = agg.select(
+        F.col("window.start").cast("timestamp_ntz").alias("bucket"),
+        "event_type",
+        "n",
+        "value_cents",
+    )
+    qn = "sliding_replay_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return replay_available_now(out, qn)
+
+
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents through the streaming engine: exact-dedup state
     (canonical fingerprint → min keeper id + duplicate count) built
@@ -4744,6 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_screen": mojibake_screen,
         "hist_merge_snapshots": hist_merge_snapshots,
         "manifest_diff_report": manifest_diff_report,
+        "streaming_sliding_replay": streaming_sliding_replay,
         "streaming_session_replay": streaming_session_replay,
         # -- window padding (all >= 2x driver-green; the packed-window
         # -- invariant is satisfied because no under-proven query sits
@@ -9490,6 +9534,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY 1
     """
+    # sliding-window replay twin (r14): window membership rebuilt with
+    # exact integer microsecond arithmetic — each event joins the 4
+    # overlapping (1h, 15min-slide) windows whose start satisfies
+    # start <= ts < start + 1h on the slide grid.
+    sql["streaming_sliding_replay"] = """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                 epoch_us(ts) AS us
+          FROM events
+        ), w AS (
+          SELECT event_type, c,
+                 make_timestamp((us // 900000000 - k.k) * 900000000)
+                   AS bucket
+          FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k
+          WHERE us < (us // 900000000 - k.k) * 900000000 + 3600000000
+            AND us >= (us // 900000000 - k.k) * 900000000
+        )
+        SELECT bucket, event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS value_cents
+        FROM w GROUP BY bucket, event_type
+    """
+
     # session-window replay twin (r14): gap-island sessionization via
     # lag() — start = first event, end = last event + gap, split when
     # the inter-event gap >= 30 min (session_window's half-open merge

@@ -210,6 +210,7 @@ HEADLINE = [
     "hist_merge_snapshots",
     "streaming_session_replay",
     "manifest_diff_report",
+    "streaming_sliding_replay",
 ]
 
 

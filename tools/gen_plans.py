@@ -135,6 +135,7 @@ COMMENT = {
     "hist_merge_snapshots": "Histogram sketch (r14): bin assignment is scan-side IEEE arithmetic; each snapshot build partial-aggregates to <=52 rows before its exchange; merge is union+sum over sketch-sized frames, and the CDF window runs over 52 rows, not the corpus.",
     "streaming_session_replay": "Streaming session windows (r14): file stream source -> watermark -> session_window stateful merge -> AvailableNow replay; the audited artifact is the final state equaling the batch lag()-island sessionization — gap-merge semantics pinned cross-engine, not just row counts.",
     "manifest_diff_report": "Copy verification end-to-end (r14): two shard manifests (clean + deterministically damaged) built by parallel scans, diffed via a 32-row full-outer join — the whole 'is this copy still that corpus?' check; nothing data-sized moves after the two manifest aggregations.",
+    "streaming_sliding_replay": "Streaming sliding windows (r14): 1h window / 15min slide (each event in 4 overlapping windows) replayed to completion; the twin rebuilds window membership with exact integer microsecond arithmetic — completes the driver-gated windowed trio (tumbling/session/sliding).",
 }
 
 
