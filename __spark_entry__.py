@@ -4346,6 +4346,95 @@ def manifest_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_diff(a, b)
 
 
+def manifest_incremental_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental manifest maintenance under the driver gate
+    (operators/manifest.py manifest_apply_delta): XOR's self-inverse
+    property means sig(new) = sig(old) XOR sig(removed) XOR sig(added)
+    per shard — so after an incremental corpus refresh the integrity
+    manifest updates from the DELTA rows alone, no corpus rescan. The
+    gate applies the delta between the snapshot_diff_docs arms (old
+    drops %7, new drops %5 and rewrites %11) to the old manifest and
+    emits it NEXT TO a full rebuild over the new snapshot — equal
+    column pairs pin apply == rebuild in-gate, and the twin's rebuilt
+    values must match the INCREMENTALLY computed ones."""
+    from datamancer_spark.operators.manifest import (
+        manifest_apply_delta,
+        shard_manifest,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    cols = ["text", "lang", "source"]
+    old = doc.filter(F.col("doc_id") % 7 != 0)
+    new = doc.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+    # delta row sets, derived arithmetically: removed = old rows gone
+    # from new (dropped %5) PLUS the old versions of changed (%11)
+    # rows; added = rows new-only (%7, re-admitted) PLUS the new
+    # versions of changed rows
+    removed = old.filter(
+        (F.col("doc_id") % 5 == 0)
+        | ((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 5 != 0))
+    )
+    added = new.filter(
+        (F.col("doc_id") % 7 == 0)
+        | ((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0))
+    )
+    inc = manifest_apply_delta(
+        shard_manifest(old, "doc_id", cols, 32),
+        removed,
+        added,
+        "doc_id",
+        cols,
+        32,
+    )
+    rebuilt = shard_manifest(new, "doc_id", cols, 32).select(
+        "shard",
+        F.col("n_rows").alias("n_rows_rebuilt"),
+        F.col("content_sig").alias("sig_rebuilt"),
+    )
+    return inc.join(rebuilt, "shard", "full_outer").select(
+        "shard",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("content_sig").cast("long").alias("content_sig"),
+        F.col("n_rows_rebuilt").cast("long").alias("n_rows_rebuilt"),
+        F.col("sig_rebuilt").cast("long").alias("sig_rebuilt"),
+    )
+
+
+def hist_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distribution drift between two corpus snapshots
+    (operators/sketch.py hist_build_by + hist_drift): document-length
+    histograms for even vs odd doc ids, compared by TOTAL VARIATION
+    DISTANCE with an exact-integer numerator (sum |n_a*N_b - n_b*N_a|
+    as decimal — no float accumulation order until the final division,
+    which is what lets the twin hash-match a drift SCORE). The ops
+    answer the monitoring question every refresh raises: did a
+    source's length mix shift? Everything after the two histogram
+    scans is sketch-sized."""
+    from datamancer_spark.operators.sketch import hist_build_by, hist_drift
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    a = hist_build_by(
+        doc.filter(F.col("doc_id") % 2 == 0), "n_chars", ["lang"],
+        0.0, 600.0, 40,
+    )
+    b = hist_build_by(
+        doc.filter(F.col("doc_id") % 2 == 1), "n_chars", ["lang"],
+        0.0, 600.0, 40,
+    )
+    d = hist_drift(a, b, ["lang"])
+    return d.select(
+        "lang", "n_a", "n_b", prnd(F.col("tvd"), 6).alias("tvd")
+    )
+
+
 def _mojibake_snippet() -> str:
     """Deterministic mojibake injection arm shared by the Spark query
     and the DuckDB twin: built FROM the operator's own MOJIBAKE_MAP
@@ -4788,6 +4877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_merge_snapshots": hist_merge_snapshots,
         "manifest_diff_report": manifest_diff_report,
         "streaming_sliding_replay": streaming_sliding_replay,
+        "manifest_incremental_update": manifest_incremental_update,
+        "hist_drift_langs": hist_drift_langs,
         "streaming_session_replay": streaming_session_replay,
         # -- window padding (all >= 2x driver-green; the packed-window
         # -- invariant is satisfied because no under-proven query sits
@@ -9359,6 +9450,73 @@ def oracle_sql() -> dict[str, str]:
                          AND ma.n_rows = mb.n_rows THEN 'equal'
                     ELSE 'changed' END AS status
         FROM ma FULL OUTER JOIN mb ON ma.shard = mb.shard
+    """
+
+    # Incremental-manifest twin (r14): the rebuilt manifest of the NEW
+    # snapshot fills BOTH column pairs — Spark's incremental path must
+    # land on exactly these values or the hash flags it (the in-gate
+    # pair comparison shows WHERE).
+    sql["manifest_incremental_update"] = """
+        WITH nw AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                      ELSE text END AS text,
+                 lang, source
+          FROM documents WHERE doc_id % 5 <> 0
+        ), m AS (
+          SELECT CAST('0x' || substr(md5('shard' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32
+                 AS shard,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(bit_xor(CAST('0x' || substr(md5('sig' || concat_ws(chr(31),
+                   chr(2) || 'V' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN text IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || text END,
+                   CASE WHEN lang IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || lang END,
+                   CASE WHEN source IS NULL THEN chr(2) || 'N'
+                        ELSE chr(2) || 'V' || source END)), 1, 15)
+               AS BIGINT)) AS BIGINT) AS content_sig
+          FROM nw GROUP BY shard
+        )
+        SELECT shard, n_rows, content_sig,
+               n_rows AS n_rows_rebuilt, content_sig AS sig_rebuilt
+        FROM m
+    """
+
+    # Histogram-drift twin (r14): per-lang even/odd length histograms
+    # and the exact-integer TVD numerator in HUGEINT (the twin's
+    # equivalent of Spark's decimal(38,0) — int64 cross products
+    # overflow at real corpus counts).
+    sql["hist_drift_langs"] = """
+        WITH d AS (
+          SELECT lang, doc_id % 2 AS par,
+                 CASE WHEN n_chars < 0.0 THEN CAST(-1 AS BIGINT)
+                      WHEN n_chars >= 600.0 THEN CAST(40 AS BIGINT)
+                      ELSE least(CAST(floor((n_chars - 0.0) /
+                                 (600.0 - 0.0) * 40) AS BIGINT),
+                                 CAST(39 AS BIGINT)) END AS bin
+          FROM documents WHERE n_chars IS NOT NULL
+        ), h AS (
+          SELECT lang, bin,
+                 CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nb
+          FROM d GROUP BY lang, bin
+        ), t AS (
+          SELECT lang, bin, na, nb,
+                 CAST(sum(na) OVER (PARTITION BY lang) AS BIGINT) AS ta,
+                 CAST(sum(nb) OVER (PARTITION BY lang) AS BIGINT) AS tb
+          FROM h
+        )
+        SELECT lang,
+               CAST(max(ta) AS BIGINT) AS n_a,
+               CAST(max(tb) AS BIGINT) AS n_b,
+               prnd(CAST(sum(abs(CAST(na AS HUGEINT) * tb
+                                 - CAST(nb AS HUGEINT) * ta)) AS DOUBLE)
+                    / (2.0 * max(ta) * max(tb)), 6) AS tvd
+        FROM t GROUP BY lang
     """
 
     # Mojibake twin (r14): replace chain + literal-alternation count

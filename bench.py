@@ -211,6 +211,8 @@ HEADLINE = [
     "streaming_session_replay",
     "manifest_diff_report",
     "streaming_sliding_replay",
+    "manifest_incremental_update",
+    "hist_drift_langs",
 ]
 
 

@@ -7,15 +7,16 @@ dominate operations: "is THIS copy still exactly THAT corpus?" and
 answerable WITHOUT a single-point-of-comparison re-read:
 
 - ``shard_manifest`` reduces the corpus to a tiny per-shard frame of
-  counts and ORDER-INVARIANT content checksums (a sum of per-row
+  counts and ORDER-INVARIANT content checksums (a BIT_XOR of per-row
   60-bit md5 hashes). Order invariance is the load-bearing property:
   Spark gives no row-order guarantee across partitions/AQE re-plans,
   so any positional checksum would flap run to run, while a commutative
-  sum is stable under ANY partitioning — two manifests built on
+  XOR is stable under ANY partitioning — two manifests built on
   different clusters with different parallelism agree iff the row
-  multisets agree per shard. Shard assignment uses the repo's portable
-  md5 hash, so a DuckDB twin (or any other engine) rebuilds the exact
-  manifest for differential verification.
+  multisets agree per shard (XOR is also self-inverse, which is what
+  makes ``manifest_apply_delta`` possible). Shard assignment uses the
+  repo's portable md5 hash, so a DuckDB twin (or any other engine)
+  rebuilds the exact manifest for differential verification.
 - ``manifest_diff`` compares two manifests shard-by-shard: a corrupted
   or lost row flips exactly its shard's signature, so re-validation
   after an incident touches 1/n_shards of the data, not all of it.
@@ -46,6 +47,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import portable_hash
+
 
 def row_signature(*cols: Column, seed: int = 0) -> Column:
     """Portable per-row 60-bit hash over the type-tagged concatenation
@@ -181,3 +183,57 @@ def snapshot_diff(
             for c in carry
         ],
     )
+
+
+def manifest_apply_delta(
+    manifest: DataFrame,
+    removed: DataFrame,
+    added: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    n_shards: int = 32,
+) -> DataFrame:
+    """Incrementally update a ``shard_manifest`` from a row DELTA — no
+    corpus rescan. This is why the signature is XOR and not a hash of
+    hashes: XOR is its own inverse, so removing a row is the SAME
+    operation as adding it, and
+
+        sig(new) = sig(old) XOR sig(removed rows) XOR sig(added rows)
+
+    holds per shard exactly. At 100 TB the difference is scanning the
+    (tiny) delta instead of the corpus to keep the integrity manifest
+    current after every incremental refresh. A row listed in
+    ``removed`` that was never in the corpus corrupts the signature by
+    construction (XOR can't check membership) — the manifest would then
+    MISMATCH a rebuild, which is the detection, not a silent pass.
+
+    Returns (shard, n_rows, content_sig): n_keys/min/max are not
+    XOR-updatable (distinct counts and extremes don't invert), so the
+    incremental form carries the multiset-integrity columns only;
+    ``shard_manifest`` remains the full-rescan surface when those are
+    needed."""
+    rm = shard_manifest(removed, key_col, content_cols, n_shards).select(
+        "shard",
+        F.col("n_rows").alias("_rm_n"),
+        F.col("content_sig").alias("_rm_sig"),
+    )
+    ad = shard_manifest(added, key_col, content_cols, n_shards).select(
+        "shard",
+        F.col("n_rows").alias("_ad_n"),
+        F.col("content_sig").alias("_ad_sig"),
+    )
+    base = manifest.select("shard", "n_rows", "content_sig")
+    j = base.join(rm, "shard", "full_outer").join(ad, "shard", "full_outer")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    out = j.select(
+        "shard",
+        (z("n_rows") - z("_rm_n") + z("_ad_n")).cast("long").alias("n_rows"),
+        z("content_sig")
+        .bitwiseXOR(z("_rm_sig"))
+        .bitwiseXOR(z("_ad_sig"))
+        .cast("long")
+        .alias("content_sig"),
+    )
+    # an all-zero shard (every row removed, nothing added) vanishes from
+    # a rebuild; drop it here too so apply == rebuild exactly
+    return out.filter((F.col("n_rows") != 0) | (F.col("content_sig") != 0))

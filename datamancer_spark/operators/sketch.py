@@ -293,3 +293,98 @@ def hist_cdf(hist: DataFrame) -> DataFrame:
         F.sum("n").over(w).cast("long").alias("cum_n"),
         (F.sum("n").over(w) / F.sum("n").over(total)).alias("cum_frac"),
     )
+
+
+def hist_build_by(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-group fixed-bin histograms: (group_cols..., bin, n) — one
+    scan, one groupBy over (groups x bins) rows. The grouped form of
+    ``hist_build`` for per-language / per-source / per-shard
+    distribution monitoring."""
+    if not hi > lo:
+        raise ValueError(f"hist_build_by: need hi > lo, got [{lo}, {hi})")
+    v = F.col(value_col).cast("double")
+    raw = F.floor(
+        (v - F.lit(float(lo)))
+        / (F.lit(float(hi)) - F.lit(float(lo)))
+        * F.lit(int(n_bins))
+    ).cast("long")
+    b = (
+        F.when(v < lo, F.lit(-1).cast("long"))
+        .when(v >= hi, F.lit(int(n_bins)).cast("long"))
+        .otherwise(F.least(raw, F.lit(int(n_bins) - 1)))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def hist_drift(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group TOTAL VARIATION DISTANCE between two ``hist_build_by``
+    outputs — the distribution-drift monitor between corpus snapshots
+    (training-mix shift, a source going bad, a filter regressing).
+    TVD = max event-probability difference = 1/2 * sum |p_a - p_b|,
+    computed here as an EXACT integer numerator
+    sum |n_a*N_b - n_b*N_a| over 2*N_a*N_b, so no float accumulation
+    order exists until the final division — the property that lets a
+    differential twin hash-match the drift score. Inputs are
+    sketch-sized, so every stage here is tiny regardless of corpus
+    size; drift over 100 TB costs the two histogram scans."""
+    an = a.select(*group_cols, "bin", F.col("n").alias("_na"))
+    bn = b.select(*group_cols, "bin", F.col("n").alias("_nb"))
+    j = an.join(bn, [*group_cols, "bin"], "full_outer").select(
+        *group_cols,
+        "bin",
+        F.coalesce(F.col("_na"), F.lit(0)).cast("long").alias("_na"),
+        F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("_nb"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
+    tot = j.select(
+        *group_cols,
+        "bin",
+        "_na",
+        "_nb",
+        F.sum("_na").over(w).cast("long").alias("_ta"),
+        F.sum("_nb").over(w).cast("long").alias("_tb"),
+    )
+    # decimal(38,0) numerator: at 100 TB per-group counts reach ~1e12,
+    # so the cross products (~1e24) overflow int64 — Spark wraps
+    # silently where DuckDB errors; the twin uses HUGEINT for the same
+    # reason. Exact until the single final division.
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.col("_na").cast(dec) * F.col("_tb").cast(dec)
+        - F.col("_nb").cast(dec) * F.col("_ta").cast(dec)
+    )
+    return (
+        tot.groupBy(*group_cols)
+        .agg(
+            F.max("_ta").cast("long").alias("n_a"),
+            F.max("_tb").cast("long").alias("n_b"),
+            F.sum(num).alias("_num"),
+        )
+        .select(
+            *group_cols,
+            "n_a",
+            "n_b",
+            (
+                F.col("_num").cast("double")
+                / (F.lit(2.0) * F.col("n_a") * F.col("n_b"))
+            ).alias("tvd"),
+        )
+    )

@@ -128,3 +128,82 @@ class TestSnapshotDiff:
             .collect()
         }
         assert counts == {"unchanged": n}
+
+
+class TestApplyDelta:
+    def _manifest(self, df):
+        return shard_manifest(df, "doc_id", COLS, n_shards=16)
+
+    def test_apply_equals_rebuild(self, docs, spark):
+        from datamancer_spark.operators.manifest import (
+            manifest_apply_delta,
+        )
+        from pyspark.sql import functions as F
+
+        old = docs.filter(F.col("doc_id") % 3 != 0)
+        new = docs.filter(F.col("doc_id") % 4 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 6 == 1,
+                F.concat(F.col("text"), F.lit(" edited")),
+            ).otherwise(F.col("text")),
+        )
+        removed = old.exceptAll(new)
+        added = new.exceptAll(old)
+        inc = manifest_apply_delta(
+            self._manifest(old), removed, added, "doc_id", COLS, 16
+        )
+        rebuilt = self._manifest(new).select(
+            "shard", "n_rows", "content_sig"
+        )
+        assert sorted(tuple(r) for r in inc.collect()) == sorted(
+            tuple(r) for r in rebuilt.collect()
+        )
+
+    def test_empty_delta_is_identity(self, docs, spark):
+        from datamancer_spark.operators.manifest import (
+            manifest_apply_delta,
+        )
+
+        empty = docs.limit(0)
+        inc = manifest_apply_delta(
+            self._manifest(docs), empty, empty, "doc_id", COLS, 16
+        )
+        base = self._manifest(docs).select("shard", "n_rows", "content_sig")
+        assert sorted(tuple(r) for r in inc.collect()) == sorted(
+            tuple(r) for r in base.collect()
+        )
+
+    def test_phantom_removal_detected_by_rebuild_mismatch(self, docs, spark):
+        """XOR can't check membership: removing a row that was never in
+        the corpus corrupts the signature — and the corruption is the
+        detection, because the manifest then mismatches a rebuild."""
+        from datamancer_spark.operators.manifest import (
+            manifest_apply_delta,
+            manifest_diff,
+        )
+        from pyspark.sql import functions as F
+
+        phantom = docs.limit(1).withColumn("doc_id", F.lit(10**12))
+        inc = manifest_apply_delta(
+            self._manifest(docs), phantom, docs.limit(0),
+            "doc_id", COLS, 16,
+        )
+        rebuilt = self._manifest(docs)
+        d = manifest_diff(rebuilt, inc)
+        assert d.filter(F.col("status") != "equal").count() >= 1
+
+    def test_drop_all_rows_of_a_shard_vanishes_it(self, spark):
+        from datamancer_spark.operators.manifest import (
+            manifest_apply_delta,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}", "en", "s") for i in range(40)],
+            "doc_id long, text string, lang string, source string",
+        )
+        m = shard_manifest(df, "doc_id", COLS, n_shards=4)
+        inc = manifest_apply_delta(
+            m, df, df.limit(0), "doc_id", COLS, 4
+        )
+        assert inc.count() == 0

@@ -402,3 +402,54 @@ class TestHistogram:
         df = spark.createDataFrame([(1.0,)], "value double")
         with _pytest.raises(ValueError):
             hist_build(df, "value", 5.0, 5.0, 10)
+
+
+class TestHistDrift:
+    def test_identical_distributions_zero_drift(self, spark, sf_dir):
+        from datamancer_spark.operators.sketch import (
+            hist_build_by,
+            hist_drift,
+        )
+
+        doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        h = hist_build_by(doc, "n_chars", ["lang"], 0.0, 600.0, 16)
+        d = hist_drift(h, h, ["lang"])
+        assert all(r["tvd"] == 0.0 for r in d.collect())
+
+    def test_disjoint_distributions_full_drift(self, spark):
+        from datamancer_spark.operators.sketch import (
+            hist_build_by,
+            hist_drift,
+        )
+
+        lo = spark.createDataFrame(
+            [("en", float(v)) for v in range(10)], "lang string, v double"
+        )
+        hi = spark.createDataFrame(
+            [("en", float(v)) for v in range(50, 60)],
+            "lang string, v double",
+        )
+        a = hist_build_by(lo, "v", ["lang"], 0.0, 100.0, 10)
+        b = hist_build_by(hi, "v", ["lang"], 0.0, 100.0, 10)
+        row = hist_drift(a, b, ["lang"]).first()
+        assert row["tvd"] == 1.0
+
+    def test_known_half_overlap(self, spark):
+        """a = 4 rows in bin0; b = 2 rows bin0 + 2 rows bin5 →
+        TVD = (|1 - 1/2| + |0 - 1/2|)/2 = 1/2."""
+        from datamancer_spark.operators.sketch import (
+            hist_build_by,
+            hist_drift,
+        )
+
+        a = spark.createDataFrame(
+            [("x", 1.0)] * 4, "g string, v double"
+        )
+        b = spark.createDataFrame(
+            [("x", 1.0)] * 2 + [("x", 55.0)] * 2, "g string, v double"
+        )
+        ha = hist_build_by(a, "v", ["g"], 0.0, 100.0, 10)
+        hb = hist_build_by(b, "v", ["g"], 0.0, 100.0, 10)
+        row = hist_drift(ha, hb, ["g"]).first()
+        assert row["tvd"] == 0.5
+        assert (row["n_a"], row["n_b"]) == (4, 4)

@@ -136,6 +136,8 @@ COMMENT = {
     "streaming_session_replay": "Streaming session windows (r14): file stream source -> watermark -> session_window stateful merge -> AvailableNow replay; the audited artifact is the final state equaling the batch lag()-island sessionization — gap-merge semantics pinned cross-engine, not just row counts.",
     "manifest_diff_report": "Copy verification end-to-end (r14): two shard manifests (clean + deterministically damaged) built by parallel scans, diffed via a 32-row full-outer join — the whole 'is this copy still that corpus?' check; nothing data-sized moves after the two manifest aggregations.",
     "streaming_sliding_replay": "Streaming sliding windows (r14): 1h window / 15min slide (each event in 4 overlapping windows) replayed to completion; the twin rebuilds window membership with exact integer microsecond arithmetic — completes the driver-gated windowed trio (tumbling/session/sliding).",
+    "manifest_incremental_update": "Incremental manifest maintenance (r14): XOR self-inverse means sig(new) = sig(old) XOR sig(removed) XOR sig(added) — the manifest updates from DELTA-sized scans (old manifest + two delta manifests + 32-row joins); the full rebuild rides the gate only to pin apply == rebuild.",
+    "hist_drift_langs": "Distribution drift (r14): two per-lang histogram scans, then TVD with an exact decimal(38,0) integer numerator (int64 cross products overflow at real corpus counts) — everything after the scans is sketch-sized.",
 }
 
 
