@@ -4187,7 +4187,15 @@ def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price"),
     )
     write_jsonl(DamFrame(src), _JSONL_GATE_DIR)
-    back = read_jsonl(spark, _JSONL_GATE_DIR).df
+    # explicit DDL schema = single-pass scan with per-field pruning
+    # (read_jsonl's own at-scale advice; inference would be a second
+    # full pass over the part files) — the DuckDB twin pins the same
+    # columns, and the inference path keeps its pytest coverage
+    back = read_jsonl(
+        spark,
+        _JSONL_GATE_DIR,
+        schema="k long, status string, txt string, price double",
+    ).df
     return back.groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("k").cast("long").alias("sum_k"),
@@ -9513,9 +9521,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang,
                CAST(max(ta) AS BIGINT) AS n_a,
                CAST(max(tb) AS BIGINT) AS n_b,
-               prnd(CAST(sum(abs(CAST(na AS HUGEINT) * tb
+               prnd(CASE WHEN max(ta) = 0 OR max(tb) = 0 THEN 1.0
+                    ELSE CAST(sum(abs(CAST(na AS HUGEINT) * tb
                                  - CAST(nb AS HUGEINT) * ta)) AS DOUBLE)
-                    / (2.0 * max(ta) * max(tb)), 6) AS tvd
+                    / (2.0 * max(ta) * max(tb)) END, 6) AS tvd
         FROM t GROUP BY lang
     """
 

@@ -46,12 +46,25 @@ def _stage_url_to_warehouse(spark: SparkSession, url: str) -> str:
     fd, local = tempfile.mkstemp(suffix=".csv")
     os.close(fd)
     urllib.request.urlretrieve(url, local)  # noqa: S310
+    # upload to a session-unique temp name, then RENAME into place:
+    # copyFromLocalFile is not atomic, so a crash (or a concurrent
+    # session) mid-copy would otherwise leave a truncated dst that the
+    # exists() short-circuit above then reuses forever. FS rename is
+    # atomic on HDFS/local; a lost race just means the other session's
+    # complete copy (same content-addressed bytes) already won.
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{dst}._staging_{os.getpid()}_{os.path.basename(local)}"
+    )
     fs.copyFromLocalFile(
         True,  # delete the tempfile after the copy
-        True,  # overwrite a half-written previous attempt
+        True,  # overwrite a stale temp from a crashed same-pid attempt
         jvm.org.apache.hadoop.fs.Path("file://" + local),
-        dst_path,
+        tmp,
     )
+    if not fs.rename(tmp, dst_path):
+        fs.delete(tmp, False)
+        if not fs.exists(dst_path):
+            raise IOError(f"staging rename failed for {url} -> {dst}")
     return dst
 
 

@@ -421,8 +421,23 @@ def k_core(
         n_pruned = pruned.count()
         und = pruned
         if rounds is None and n_pruned == n_edges:
+            converged = True
             break
         n_edges = n_pruned
+    else:
+        converged = rounds is not None
+    if rounds is None and not converged:
+        # peel depth is O(n) on path-like graphs (each round only
+        # removes the endpoints), NOT logarithmic like pointer-jumping
+        # components — a silently returned 50-round prefix would label
+        # interior chain nodes as core members. Raising beats warning
+        # (the _check_rounding_resolution convention): the caller
+        # raises max_rounds or pins rounds= explicitly.
+        raise ValueError(
+            f"k_core: no fixpoint within max_rounds={max_rounds} "
+            f"({n_pruned} edges still peeling); raise max_rounds or "
+            "pass rounds= to accept a pinned-prefix peel"
+        )
     out = (
         und.groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))

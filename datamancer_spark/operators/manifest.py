@@ -111,26 +111,45 @@ def manifest_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     per shard present in either, with a ``status`` of 'equal',
     'changed', 'only_a', or 'only_b'. Both inputs are n_shards-sized,
     so the join broadcasts; verifying a 100 TB copy costs two manifest
-    scans (one per side, each parallel) and this tiny join."""
+    scans (one per side, each parallel) and this tiny join.
+
+    Equality covers EVERY manifest column both sides carry: n_rows +
+    content_sig alone leave XOR's even-multiplicity blind spot open
+    (swap 2 copies of row R for 2 copies of row S — sig XORs to the
+    same value and n_rows is unchanged, but n_keys/min/max move), so
+    n_keys/min_key/max_key join the check whenever present (full
+    ``shard_manifest`` outputs have them; ``manifest_apply_delta``'s
+    incremental form legitimately doesn't — distinct counts and
+    extremes don't XOR-invert)."""
+    extra = [
+        c
+        for c in ("n_keys", "min_key", "max_key")
+        if c in a.columns and c in b.columns
+    ]
     an = a.select(
         F.col("shard"),
         F.col("n_rows").alias("n_rows_a"),
         F.col("content_sig").alias("sig_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in extra],
     )
     bn = b.select(
         F.col("shard"),
         F.col("n_rows").alias("n_rows_b"),
         F.col("content_sig").alias("sig_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in extra],
     )
     j = an.join(bn, "shard", "full_outer")
+    equal = (F.col("sig_a") == F.col("sig_b")) & (
+        F.col("n_rows_a") == F.col("n_rows_b")
+    )
+    for c in extra:
+        # eqNullSafe: a NULL extreme (can't happen for real keys, but
+        # the check must not silently pass on one) compares as a value
+        equal = equal & F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
     status = (
         F.when(F.col("sig_a").isNull(), F.lit("only_b"))
         .when(F.col("sig_b").isNull(), F.lit("only_a"))
-        .when(
-            (F.col("sig_a") == F.col("sig_b"))
-            & (F.col("n_rows_a") == F.col("n_rows_b")),
-            F.lit("equal"),
-        )
+        .when(equal, F.lit("equal"))
         .otherwise(F.lit("changed"))
     )
     return j.select(

@@ -415,16 +415,22 @@ def mojibake_hits(text: Column) -> Column:
     ).cast("long")
 
 
-def fix_mojibake(text: Column) -> Column:
+def fix_mojibake(text: Column, passes: int = 1) -> Column:
     """Repair the mapped double-encodings via a chain of LITERAL
-    replaces (no regex engine in the loop). Single-pass confluent: no
-    replacement output contains a broken form's lead char (U+00E2/
-    U+00C3/U+00C2), so later entries never re-match an earlier repair.
-    Doubly-double-encoded text (it exists in the wild) needs a second
-    pass or ``fix_mojibake_full``."""
+    replaces (no regex engine in the loop). Each pass repairs ONE
+    encoding layer — that is the honest semantics of any single-layer
+    repair: fixing the outer layer of nested/juxtaposed mojibake
+    EXPOSES the inner one (e.g. 'Â' + 'Â°' → first pass yields 'Â°',
+    a broken form again), so fix∘fix ≠ fix in general. Every
+    replacement maps ≥2 chars to 1, so iterating strictly shrinks the
+    string and reaches a detector-clean fixpoint in ≤ len(text)
+    passes; pass ``passes=2..3`` to cover the doubly/triply-encoded
+    text seen in the wild as one expression tree, or route the
+    (screened, tiny) suspicious slice through ``fix_mojibake_full``."""
     out = text
-    for broken, fixed in MOJIBAKE_MAP:
-        out = F.replace(out, F.lit(broken), F.lit(fixed))
+    for _ in range(int(passes)):
+        for broken, fixed in MOJIBAKE_MAP:
+            out = F.replace(out, F.lit(broken), F.lit(fixed))
     return out
 
 

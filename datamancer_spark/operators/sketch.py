@@ -231,20 +231,13 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
 # almost nothing before the shuffle.
 
 
-def hist_build(
-    df: DataFrame,
-    value_col: str,
-    lo: float,
-    hi: float,
-    n_bins: int = 64,
-) -> DataFrame:
-    """(bin, n) over equal-width bins of [lo, hi): bin -1 catches
-    v < lo, bin ``n_bins`` catches v >= hi (the boundary itself rolls
-    over — half-open like every bin), NULLs are skipped. The bin
-    expression is plain IEEE arithmetic (floor((v-lo)/(hi-lo)*n)), so
-    any engine reproduces the exact same assignment."""
-    if not hi > lo:
-        raise ValueError(f"hist_build: need hi > lo, got [{lo}, {hi})")
+def _hist_bin(value_col: str, lo: float, hi: float, n_bins: int):
+    """THE bin-assignment expression — one definition, shared by the
+    grouped and ungrouped builders, because the 'exact same assignment
+    any engine reproduces' guarantee only holds if there is exactly one
+    copy of this arithmetic to keep in sync with the twins: bin -1
+    catches v < lo, bin ``n_bins`` catches v >= hi (half-open like
+    every bin), plain IEEE floor((v-lo)/(hi-lo)*n) in between."""
     v = F.col(value_col).cast("double")
     raw = F.floor(
         (v - F.lit(float(lo)))
@@ -256,12 +249,19 @@ def hist_build(
         .when(v >= hi, F.lit(int(n_bins)).cast("long"))
         .otherwise(F.least(raw, F.lit(int(n_bins) - 1)))
     )
-    return (
-        df.filter(v.isNotNull())
-        .select(b.alias("bin"))
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    return v, b
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """(bin, n) over equal-width bins of [lo, hi) — exactly
+    ``hist_build_by`` with no group columns; NULLs are skipped."""
+    return hist_build_by(df, value_col, [], lo, hi, n_bins)
 
 
 def hist_merge(*sketches: DataFrame) -> DataFrame:
@@ -309,17 +309,7 @@ def hist_build_by(
     distribution monitoring."""
     if not hi > lo:
         raise ValueError(f"hist_build_by: need hi > lo, got [{lo}, {hi})")
-    v = F.col(value_col).cast("double")
-    raw = F.floor(
-        (v - F.lit(float(lo)))
-        / (F.lit(float(hi)) - F.lit(float(lo)))
-        * F.lit(int(n_bins))
-    ).cast("long")
-    b = (
-        F.when(v < lo, F.lit(-1).cast("long"))
-        .when(v >= hi, F.lit(int(n_bins)).cast("long"))
-        .otherwise(F.least(raw, F.lit(int(n_bins) - 1)))
-    )
+    v, b = _hist_bin(value_col, lo, hi, n_bins)
     return (
         df.filter(v.isNotNull())
         .select(*group_cols, b.alias("bin"))
@@ -382,9 +372,18 @@ def hist_drift(
             *group_cols,
             "n_a",
             "n_b",
-            (
+            # a group present in only ONE snapshot is total drift by
+            # definition (TVD = 1) — the naive division is by zero
+            # there and Spark yields NULL, which a `tvd > threshold`
+            # alert filter silently drops: the monitor would miss
+            # exactly the disappeared-source case it exists to catch
+            F.when(
+                (F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(1.0)
+            )
+            .otherwise(
                 F.col("_num").cast("double")
                 / (F.lit(2.0) * F.col("n_a") * F.col("n_b"))
-            ).alias("tvd"),
+            )
+            .alias("tvd"),
         )
     )

@@ -306,3 +306,21 @@ class TestKCore:
         fixed = sorted(tuple(r) for r in fixed.collect())
         assert pinned == fixed
         assert rounds_run <= 3 + 1  # fixpoint confirms within one extra round
+
+    def test_fixpoint_raises_past_max_rounds(self, spark):
+        """Peel depth is O(n) on path graphs (each round removes only
+        the endpoints) — review r14: a silently returned round-capped
+        prefix would label interior chain nodes as core members, so
+        non-convergence raises instead (the raising-beats-warning
+        convention)."""
+        import pytest as _pytest
+
+        from datamancer_spark.operators.components import k_core
+
+        path = self._edges(
+            spark, [(str(i), str(i + 1)) for i in range(12)]
+        )
+        with _pytest.raises(ValueError, match="max_rounds"):
+            k_core(path, k=2, max_rounds=2)
+        # the same graph converges fine with enough rounds (empty core)
+        assert k_core(path, k=2, max_rounds=10).count() == 0

@@ -465,6 +465,26 @@ class TestUrlIngestion:
         srv = self._serve_once(body)
         try:
             url = f"http://127.0.0.1:{srv.server_address[1]}/t.csv"
+            # the staged path is content-addressed by URL, and the URL
+            # contains an OS-recycled ephemeral port — purge any staged
+            # copy a PREVIOUS pytest run left for this port, or the
+            # exists() short-circuit serves it and the first read makes
+            # 0 origin requests (flaky across runs)
+            import hashlib as _hashlib
+            import shutil
+
+            wh0 = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            stale = (
+                f"{wh0.rstrip('/')}/_staged_urls/"
+                f"{_hashlib.md5(url.encode()).hexdigest()[:16]}.csv"
+            )
+            shutil.rmtree(stale, ignore_errors=True)
+            import os as _os
+
+            if _os.path.exists(stale):
+                _os.remove(stale)
             out = read_csv(spark, url)
             rows = sorted(tuple(r) for r in out.collect())
             assert rows == [(1, "x"), (2, "y"), (3, "z")]

@@ -207,3 +207,28 @@ class TestApplyDelta:
             m, df, df.limit(0), "doc_id", COLS, 4
         )
         assert inc.count() == 0
+
+
+class TestDiffMultiplicityBlindSpot:
+    def test_even_multiplicity_swap_is_changed_not_equal(self, spark):
+        """Review r14: XOR cancels even multiplicities — swapping 2
+        copies of row R for 2 copies of row S keeps content_sig AND
+        n_rows identical, so a sig+count-only diff calls the shard
+        'equal'. n_keys/min/max joined the equality check to close
+        exactly this."""
+        base = [(1, "x", "en", "s")] * 1 + [(7, "r", "en", "s")] * 2
+        swap = [(1, "x", "en", "s")] * 1 + [(9, "q", "en", "s")] * 2
+        schema = "doc_id long, text string, lang string, source string"
+        a = shard_manifest(
+            spark.createDataFrame(base, schema), "doc_id", COLS, 1
+        )
+        b = shard_manifest(
+            spark.createDataFrame(swap, schema), "doc_id", COLS, 1
+        )
+        # precondition of the blind spot: counts equal; sigs may or may
+        # not collide (XOR of R,R vs S,S both cancel to the unpaired
+        # row's sig) — assert the diff flags the shard regardless
+        d = manifest_diff(a, b).first()
+        assert d["n_rows_a"] == d["n_rows_b"]
+        assert d["sig_a"] == d["sig_b"]  # the XOR blind spot, live
+        assert d["status"] == "changed"  # ...and closed

@@ -562,18 +562,33 @@ MOJI_TEXTS = st.lists(
 
 @given(texts=MOJI_TEXTS)
 @SETTINGS
-def test_fix_mojibake_idempotent(spark, texts):
-    """fix ∘ fix == fix on arbitrary text: the replace chain's outputs
-    never re-match any broken form (confluence), so a second pass is a
-    no-op even on text that was never mojibake."""
-    from datamancer_spark.operators.scrub import fix_mojibake
+def test_fix_mojibake_converges_to_clean_fixpoint(spark, texts):
+    """The TRUE repair law (fix∘fix == fix is false by design: fixing
+    the outer layer of juxtaposed mojibake like 'Â'+'Â°' exposes an
+    inner broken form): every replacement maps ≥2 chars to 1, so
+    iterating fix_mojibake strictly shrinks the text and reaches a
+    fixpoint — and at the fixpoint the detector is CLEAN (a remaining
+    broken form would have been replaced)."""
+    from datamancer_spark.operators.scrub import (
+        fix_mojibake,
+        mojibake_hits,
+    )
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "id long, text string"
     )
-    once = df.select("id", fix_mojibake(F.col("text")).alias("t"))
-    twice = once.select("id", fix_mojibake(F.col("t")).alias("t"))
-    assert rows_set(once) == rows_set(twice)
+    cur = df.select("id", F.col("text").alias("t"))
+    for _ in range(max(len(t or "") for t in texts) + 1):
+        nxt = cur.select("id", fix_mojibake(F.col("t")).alias("t"))
+        if rows_set(nxt) == rows_set(cur):
+            break
+        cur = nxt
+    residual = (
+        cur.select(mojibake_hits(F.col("t")).alias("h"))
+        .agg(F.sum("h"))
+        .first()[0]
+    )
+    assert residual == 0
 
 
 @given(texts=MOJI_TEXTS)

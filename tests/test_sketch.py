@@ -453,3 +453,22 @@ class TestHistDrift:
         row = hist_drift(ha, hb, ["g"]).first()
         assert row["tvd"] == 0.5
         assert (row["n_a"], row["n_b"]) == (4, 4)
+
+    def test_one_sided_group_is_full_drift_not_null(self, spark):
+        """Review r14: a group present in only ONE snapshot is total
+        drift (TVD=1) — the naive division yields NULL, which a
+        tvd > threshold alert silently drops."""
+        from datamancer_spark.operators.sketch import (
+            hist_build_by,
+            hist_drift,
+        )
+
+        a = spark.createDataFrame(
+            [("en", 1.0), ("de", 2.0)], "g string, v double"
+        )
+        b = spark.createDataFrame([("en", 1.0)], "g string, v double")
+        ha = hist_build_by(a, "v", ["g"], 0.0, 10.0, 5)
+        hb = hist_build_by(b, "v", ["g"], 0.0, 10.0, 5)
+        got = {r["g"]: r["tvd"] for r in hist_drift(ha, hb, ["g"]).collect()}
+        assert got["de"] == 1.0
+        assert got["en"] == 0.0
