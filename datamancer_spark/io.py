@@ -43,6 +43,22 @@ def _stage_url_to_warehouse(spark: SparkSession, url: str) -> str:
     fs = dst_path.getFileSystem(conf)
     if fs.exists(dst_path):
         return dst
+    # best-effort sweep of orphaned staging temps (ADVICE r14): a crash
+    # between copyFromLocalFile and rename leaves <dst>._staging_* files
+    # that nothing else ever deletes. Only siblings older than a TTL go
+    # (a concurrent healthy session's in-flight temp is seconds old);
+    # failures are swallowed — the sweep is hygiene, not correctness.
+    try:
+        import time
+
+        stale_before = int(time.time() * 1000) - 60 * 60 * 1000  # 1h
+        for st in fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{dst}._staging_*")
+        ) or []:
+            if st.getModificationTime() < stale_before:
+                fs.delete(st.getPath(), False)
+    except Exception:  # noqa: BLE001 — cleanup must never block staging
+        pass
     fd, local = tempfile.mkstemp(suffix=".csv")
     os.close(fd)
     urllib.request.urlretrieve(url, local)  # noqa: S310

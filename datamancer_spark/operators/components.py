@@ -397,6 +397,15 @@ def k_core(
     ).distinct())
     n_edges = und.count()
     rounds_run = 0
+    # validate the fixpoint budget BEFORE the loop (ADVICE r14): with
+    # rounds=None and max_rounds<1 the body never runs, so the
+    # non-convergence raise below would hit an unbound n_pruned
+    # (NameError instead of the intended diagnostic)
+    if rounds is None and int(max_rounds) < 1:
+        raise ValueError(
+            f"k_core: max_rounds must be >= 1 when peeling to the "
+            f"fixpoint (got {max_rounds})"
+        )
     cap = int(rounds) if rounds is not None else int(max_rounds)
     while rounds_run < cap:
         # materialized per round: the degree aggregate feeds BOTH

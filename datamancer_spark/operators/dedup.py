@@ -45,9 +45,12 @@ def spread_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
 # -- portable hashing --------------------------------------------------------
 
 
-def portable_hash(col: Column, seed: int = 0) -> Column:
+def portable_hash(col: Column, seed: int | str = 0) -> Column:
     """Deterministic 60-bit positive hash, identical in Spark and DuckDB:
-    BIGINT of the first 15 hex digits of md5(seed || value).
+    BIGINT of the first 15 hex digits of md5(seed || value). ``seed`` is
+    stringified into the hash preimage, so int and str seeds are both
+    first-class (manifest callers pass domain-separation strings like
+    "sig"/"shard" — ADVICE r14 widened the annotation to match).
     DuckDB twin: CAST('0x' || substr(md5(seed || v), 1, 15) AS BIGINT)."""
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(str(seed)), col)), 1, 15), 16, 10

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from .dedup import portable_hash
 
 
-def row_signature(*cols: Column, seed: int = 0) -> Column:
+def row_signature(*cols: Column, seed: int | str = 0) -> Column:
     """Portable per-row 60-bit hash over the type-tagged concatenation
     of ``cols``: NULL encodes as ``chr(2)+'N'`` and a value v as
     ``chr(2)+'V'+v`` — the value arm ALWAYS carries the V prefix, so no

@@ -260,18 +260,35 @@ def hist_build(
     n_bins: int = 64,
 ) -> DataFrame:
     """(bin, n) over equal-width bins of [lo, hi) — exactly
-    ``hist_build_by`` with no group columns; NULLs are skipped."""
+    ``hist_build_by`` with no group columns; NULLs are skipped. NaN
+    values are NOT null and route to the overflow bin (bin = n_bins):
+    Spark orders NaN above every real number, so ``NaN >= hi`` — the
+    same verdict DuckDB reaches, which is what keeps the twin
+    hash-stable (ADVICE r14: documented, deliberately not filtered —
+    a NaN burst IS a data-quality event the overflow bin should
+    surface, not silently drop)."""
     return hist_build_by(df, value_col, [], lo, hi, n_bins)
 
 
 def hist_merge(*sketches: DataFrame) -> DataFrame:
-    """Union + per-bin sum — histograms are linear, so merging K
-    snapshot sketches equals rebuilding over the unioned data."""
+    """Union + per-(group, bin) sum — histograms are linear, so merging
+    K snapshot sketches equals rebuilding over the unioned data. Group
+    columns are derived from the sketch schema (everything except the
+    count column ``n``), so ``hist_build_by`` outputs merge per group
+    instead of silently collapsing all groups into one histogram
+    (ADVICE r14); plain ``hist_build`` outputs reduce to the original
+    groupBy("bin")."""
     it = iter(sketches)
     out = next(it)
+    key_cols = [c for c in out.columns if c != "n"]
+    if "bin" not in key_cols:
+        raise ValueError(
+            f"hist_merge: expected a histogram sketch with a 'bin' "
+            f"column, got {out.columns}"
+        )
     for s in it:
         out = out.unionByName(s)
-    return out.groupBy("bin").agg(
+    return out.groupBy(*key_cols).agg(
         F.sum("n").cast("long").alias("n")
     )
 
@@ -306,7 +323,9 @@ def hist_build_by(
     """Per-group fixed-bin histograms: (group_cols..., bin, n) — one
     scan, one groupBy over (groups x bins) rows. The grouped form of
     ``hist_build`` for per-language / per-source / per-shard
-    distribution monitoring."""
+    distribution monitoring. NULLs are skipped; NaNs land in the
+    overflow bin (see ``hist_build`` — Spark and DuckDB both order
+    NaN >= hi)."""
     if not hi > lo:
         raise ValueError(f"hist_build_by: need hi > lo, got [{lo}, {hi})")
     v, b = _hist_bin(value_col, lo, hi, n_bins)

@@ -324,3 +324,16 @@ class TestKCore:
             k_core(path, k=2, max_rounds=2)
         # the same graph converges fine with enough rounds (empty core)
         assert k_core(path, k=2, max_rounds=10).count() == 0
+
+
+def test_k_core_rejects_nonpositive_max_rounds(spark):
+    """ADVICE r14: rounds=None with max_rounds<1 used to skip the loop
+    and NameError on the non-convergence diagnostic; now it raises the
+    intended ValueError up front."""
+    import pytest as _pytest
+
+    from datamancer_spark.operators.components import k_core
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with _pytest.raises(ValueError, match="max_rounds must be >= 1"):
+        k_core(edges, k=1, rounds=None, max_rounds=0)

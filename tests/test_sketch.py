@@ -472,3 +472,40 @@ class TestHistDrift:
         got = {r["g"]: r["tvd"] for r in hist_drift(ha, hb, ["g"]).collect()}
         assert got["de"] == 1.0
         assert got["en"] == 0.0
+
+
+class TestHistMergeGrouped:
+    def test_grouped_merge_preserves_groups(self, spark):
+        """ADVICE r14: hist_merge on hist_build_by outputs must merge
+        PER GROUP (group columns derived from the sketch schema), not
+        collapse every group into one histogram."""
+        from datamancer_spark.operators.sketch import (
+            hist_build_by,
+            hist_merge,
+        )
+
+        a = spark.createDataFrame(
+            [("en", 1.0), ("en", 1.5), ("de", 8.0)], "g string, v double"
+        )
+        b = spark.createDataFrame(
+            [("en", 1.2), ("de", 8.5), ("fr", 4.0)], "g string, v double"
+        )
+        ha = hist_build_by(a, "v", ["g"], 0.0, 10.0, 10)
+        hb = hist_build_by(b, "v", ["g"], 0.0, 10.0, 10)
+        merged = hist_merge(ha, hb)
+        assert set(merged.columns) == {"g", "bin", "n"}
+        rebuilt = hist_build_by(a.unionByName(b), "v", ["g"], 0.0, 10.0, 10)
+        got = {(r["g"], r["bin"]): r["n"] for r in merged.collect()}
+        want = {(r["g"], r["bin"]): r["n"] for r in rebuilt.collect()}
+        assert got == want
+        # three distinct groups survive the merge
+        assert {g for g, _ in got} == {"en", "de", "fr"}
+
+    def test_merge_rejects_sketch_without_bin(self, spark):
+        from datamancer_spark.operators.sketch import hist_merge
+
+        bogus = spark.createDataFrame([(1, 2)], "x int, n long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bin"):
+            hist_merge(bogus)
