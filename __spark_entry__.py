@@ -2432,6 +2432,43 @@ def dedup_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_dedup_against(new, seen).select("doc_id", "source")
 
 
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash index LIFECYCLE under the driver gate (r15,
+    VERDICT r14 #5 — the production incremental-dedup path,
+    operators/dedup.py build_minhash_index / fuzzy_dedup_against_index):
+    the history snapshot (even doc_ids) is reduced ONCE to its index —
+    (id, sig, hashed shingles, sz), a zero-shuffle projection — and the
+    next snapshot is screened against THAT, never re-reading or
+    re-tokenizing history text. The new snapshot is the odd docs plus
+    deterministic near-dup injections (every doc_id%10==0 history doc
+    re-appears at id+1000000 with ' mirror copy' appended — Jaccard
+    (T-2)/T on a T-token doc, so real drops exist by construction).
+    Survivors = new docs with no band-confirmed exact-Jaccard >= 0.5
+    match in the index. The twin rebuilds the same screen DIRECTLY
+    (LSH vs history CTEs) — index probe == direct screen is exactly
+    the equivalence the index contract promises (also pinned in
+    pytest, test_scale_ops.py)."""
+    from datamancer_spark.operators.dedup import (
+        build_minhash_index,
+        fuzzy_dedup_against_index,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    hist = doc.filter(F.col("doc_id") % 2 == 0)
+    injected = hist.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mirror copy")).alias("text"),
+        "lang",
+        "source",
+        F.length(F.concat(F.col("text"), F.lit(" mirror copy")))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    new = doc.filter(F.col("doc_id") % 2 == 1).unionByName(injected)
+    index = build_minhash_index(hist)
+    return fuzzy_dedup_against_index(new, index).select("doc_id", "source")
+
+
 def dedup_bloom_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom pre-screen under the driver gate (VERDICT r10 #2,
     operators/dedup.py bloom_build / bloom_maybe_contains): the
@@ -4327,6 +4364,86 @@ def hist_merge_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable RANK sketch under the driver gate (r15, VERDICT r14
+    #6) — the fourth sketch-family member (distinct=HLL, frequency=CMS,
+    distribution=histogram, rank=this), removing hist_build's a-priori
+    [lo, hi) prerequisite for unknown-range 100 TB columns.
+    operators/sketch.py rank_sketch_*: a deterministic hash-threshold
+    Bernoulli sample (row enters iff its portable 60-bit KEY hash <
+    2^(60-rate)), chosen over KLL/GK because coin-flip compaction can't
+    be rebuilt by a differential twin — see the module rationale.
+    The gate builds sketches over two lineitem snapshots at DIFFERENT
+    rates (even orders at 2^-5, odd at 2^-6), merges (downsampling to
+    the coarser rate), and pins merge == rebuild via count + BIT_XOR
+    signature equality riding every output row; p25/50/75/90/99
+    estimates from the merged sketch are then scored against the TRUE
+    rank of each estimated value with the 4·sqrt(N·2^r) error bound
+    emitted as booleans. The twin replicates sketch membership, the
+    quantile extraction, and the bound in SQL."""
+    from datamancer_spark.operators.sketch import (
+        rank_sketch_build,
+        rank_sketch_merge,
+        rank_sketch_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"].df
+    keys = ["l_orderkey", "l_linenumber"]
+    sk_a = rank_sketch_build(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        "l_extendedprice",
+        keys,
+        rate_exp=5,
+    )
+    sk_b = rank_sketch_build(
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        "l_extendedprice",
+        keys,
+        rate_exp=6,
+    )
+    merged = rank_sketch_merge(sk_a, sk_b)
+    rebuilt = rank_sketch_build(li, "l_extendedprice", keys, rate_exp=6)
+    sig = lambda s, tag: s.agg(  # noqa: E731 — 1-row sketch signature
+        F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+        F.expr("bit_xor(h)").alias(f"x_{tag}"),
+    )
+    merge_ok = (
+        sig(merged, "m")
+        .crossJoin(sig(rebuilt, "r"))
+        .select(
+            (
+                (F.col("n_m") == F.col("n_r"))
+                & (F.col("x_m") == F.col("x_r"))
+            ).alias("merge_ok")
+        )
+    )
+    qv = rank_sketch_quantiles(merged, [0.25, 0.5, 0.75, 0.9, 0.99])
+    tot = li.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    exact = (
+        li.join(
+            F.broadcast(qv),
+            F.col("l_extendedprice") <= F.col("value_est"),
+        )
+        .groupBy("p", "value_est", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rank"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(merge_ok))
+        .select(
+            "p",
+            prnd(F.col("value_est"), 2).alias("value_est"),
+            "m",
+            "exact_rank",
+            (
+                F.abs(F.col("exact_rank") - F.col("p") * F.col("n_total"))
+                <= F.lit(4.0) * F.sqrt(F.col("n_total") * F.lit(64.0))
+            ).alias("rank_ok"),
+            "merge_ok",
+        )
+    )
+
+
 def manifest_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """manifest_diff under the driver gate (operators/manifest.py): the
     'is this copy still that corpus?' verification itself — manifest A
@@ -4888,6 +5005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_incremental_update": manifest_incremental_update,
         "hist_drift_langs": hist_drift_langs,
         "streaming_session_replay": streaming_session_replay,
+        # -- r15 zero-greens getting their FIRST driver green:
+        "quantile_sketch_merge": quantile_sketch_merge,
+        "dedup_index_probe": dedup_index_probe,
         # -- window padding (all >= 2x driver-green; the packed-window
         # -- invariant is satisfied because no under-proven query sits
         # -- outside the first 50):
@@ -7276,6 +7396,87 @@ def oracle_sql() -> dict[str, str]:
         WHERE d.doc_id NOT IN (SELECT nid FROM flagged)
     """
 
+    # Index-probe twin (r15): the SAME screen rebuilt DIRECTLY (LSH vs
+    # history) over a corpus CTE carrying the even/odd split plus the
+    # mirror-copy injections — index probe == direct screen is the
+    # index contract itself. Shingle/signature/band CTEs mirror
+    # dedup_fuzzy_incremental's proven constants.
+    sql["dedup_index_probe"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text, source, 1 AS is_seen
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, text, source, 0 AS is_seen
+          FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' mirror copy', source,
+                 0 AS is_seen
+          FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        ),
+        docs AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                       '\\s+') AS toks
+          FROM corpus
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) - 2 <= 0
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' '
+                                  || toks[i+2]))
+                 END AS shingles
+          FROM docs
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(shingles,
+                   s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id, [{sig_items}] AS sig FROM hashed
+        ),
+        banded AS (
+          SELECT s.doc_id, c.is_seen, b.band AS band,
+                 md5(array_to_string(list_transform(generate_series(1, 4),
+                       r -> sig[(b.band * 4) + r]::VARCHAR), ',')) AS bhash
+          FROM sig s JOIN corpus c USING (doc_id),
+               (SELECT unnest(generate_series(0, 3)) AS band) b
+        ),
+        cands AS (
+          SELECT DISTINCT n.doc_id AS nid, s.doc_id AS sid
+          FROM banded n JOIN banded s
+            ON n.band = s.band AND n.bhash = s.bhash
+          WHERE n.is_seen = 0 AND s.is_seen = 1
+        ),
+        ex AS (
+          SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u
+          WHERE doc_id IN (SELECT nid FROM cands UNION SELECT sid FROM cands)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+        inter AS (
+          SELECT c.nid, c.sid, count(*) AS inter
+          FROM cands c
+          JOIN ex a ON a.doc_id = c.nid
+          JOIN ex b ON b.doc_id = c.sid AND a.h = b.h
+          GROUP BY 1, 2
+        ),
+        flagged AS (
+          SELECT DISTINCT i.nid FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.nid
+          JOIN sizes sb ON sb.doc_id = i.sid
+          WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+        )
+        SELECT c.doc_id, c.source
+        FROM corpus c
+        WHERE c.is_seen = 0
+          AND c.doc_id NOT IN (SELECT nid FROM flagged)
+    """
+
     _embcols = ",\n                 ".join(
         f"sum(CASE WHEN h % 64 = {j} THEN "
         f"(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) "
@@ -9408,6 +9609,60 @@ def oracle_sql() -> dict[str, str]:
                           AND cum_n - n < 0.99 * total
                      THEN 1 ELSE 0 END AS BIGINT) AS is_p99
         FROM c
+    """
+
+    # rank-sketch twin (r15): sketch membership is the portable md5 row
+    # hash under seed 'rank' (row_signature tagging, chr(2)/chr(31)
+    # bytes) tested against literal 2^55 / 2^54 thresholds; the merged
+    # arm applies BOTH per-snapshot rates then the coarser downsample,
+    # the rebuilt arm the coarser rate directly — count + BIT_XOR
+    # equality is the merge==rebuild pin. Quantiles come off the sorted
+    # sample at ceil(p*m), then the true rank of each estimate is
+    # scored against the 4*sqrt(N*64) bound.
+    sql["quantile_sketch_merge"] = """
+        WITH base AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_orderkey,
+                 CAST('0x' || substr(md5('rank' || concat_ws(chr(31),
+                   chr(2) || 'V' || CAST(l_orderkey AS VARCHAR),
+                   chr(2) || 'V' || CAST(l_linenumber AS VARCHAR))),
+                   1, 15) AS BIGINT) AS h
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), ma AS (
+          SELECT v, h FROM base
+          WHERE ((l_orderkey % 2 = 0 AND h < 36028797018963968)
+                 OR (l_orderkey % 2 = 1 AND h < 18014398509481984))
+            AND h < 18014398509481984
+        ), rb AS (
+          SELECT v, h FROM base WHERE h < 18014398509481984
+        ), mok AS (
+          SELECT ((SELECT count(*) FROM ma) = (SELECT count(*) FROM rb)
+                  AND (SELECT bit_xor(h) FROM ma)
+                      = (SELECT bit_xor(h) FROM rb)) AS merge_ok
+        ), rk AS (
+          SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM ma
+        ), ps AS (
+          SELECT CAST(x AS DOUBLE) AS p
+          FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        ), qv AS (
+          SELECT p, min(v) AS value_est, max(m) AS m
+          FROM rk JOIN ps
+            ON rn >= greatest(CAST(ceil(p * m) AS BIGINT),
+                              CAST(1 AS BIGINT))
+          GROUP BY p
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total FROM base
+        ), er AS (
+          SELECT p, value_est, m, CAST(count(*) AS BIGINT) AS exact_rank
+          FROM base JOIN qv ON base.v <= qv.value_est
+          GROUP BY p, value_est, m
+        )
+        SELECT p, prnd(value_est, 2) AS value_est, m, exact_rank,
+               (abs(exact_rank - p * n_total)
+                <= 4.0 * sqrt(n_total * 64.0)) AS rank_ok,
+               merge_ok
+        FROM er, tot, mok
     """
 
     # manifest_diff twin (r14): both manifests rebuilt in SQL from the

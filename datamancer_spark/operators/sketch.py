@@ -406,3 +406,152 @@ def hist_drift(
             .alias("tvd"),
         )
     )
+
+
+# -- rank / quantile sketch ---------------------------------------------------
+#
+# ``hist_build`` needs an a-priori [lo, hi); the rank sketch removes that
+# prerequisite for unknown-range columns and completes the mergeable
+# sketch family: distinct = HLL, frequency = CMS, distribution =
+# histogram, rank = this. Design choice (VERDICT r14 #6 asked for KLL or
+# GK): KLL's compaction is a per-buffer coin flip and GK is inherently
+# sequential — neither can be rebuilt bit-for-bit by a differential twin
+# in another engine, which is the repo's correctness gate. This is
+# instead a DETERMINISTIC hash-threshold Bernoulli rank sketch: a row
+# enters the sketch iff its portable 60-bit row hash (over the KEY
+# columns — never the float value, whose string form is not
+# cross-engine stable) falls below 2^(60-rate_exp), i.e. an exact
+# p = 2^-rate_exp per-row sample whose membership depends only on the
+# row itself. That buys, by construction:
+#   - order/partition invariance (no RNG, no scan order);
+#   - EXACT mergeability, including across heterogeneous rates — the
+#     union downsampled to the coarsest rate IS the sketch of the
+#     unioned data, row for row (same self-selection property that
+#     makes theta sketches mergeable);
+#   - a DuckDB twin that reproduces every sketch row.
+# The price is sample size: rank error ~ N/sqrt(m) with m = N·p kept
+# rows, so 1% rank error needs m ≈ 1e4 regardless of N, where KLL does
+# it in a few hundred. A 1e4-row sketch for a 100 TB column is still
+# negligible, and reproducibility is what the gates trade for.
+# Reference parity: the reference engine has no sketch surface at all
+# (beyond-reference tier, same category as HLL/CMS).
+
+
+def rank_sketch_build(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    rate_exp: int = 6,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build the sketch: (group_cols..., value, h, rate_exp) — one scan,
+    one filter, NO shuffle (the sketch is written where the data lives;
+    downstream consumers shuffle the ≤ N·2^-rate_exp surviving rows,
+    not the corpus). ``key_cols`` must uniquely identify a row (they
+    feed the inclusion hash; duplicates of a key would enter or leave
+    the sample together and bias ranks). NULL values are skipped; NaN
+    is kept and ranks above every real value (Spark and DuckDB agree
+    on NaN-last ordering)."""
+    if not 0 <= int(rate_exp) <= 59:
+        raise ValueError(
+            f"rank_sketch_build: rate_exp must be in [0, 59], got {rate_exp}"
+        )
+    if not key_cols:
+        raise ValueError("rank_sketch_build: key_cols must be non-empty")
+    from .manifest import row_signature
+
+    group_cols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    h = row_signature(*[F.col(k) for k in key_cols], seed="rank")
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, v.alias("value"), h.alias("h"))
+        .filter(F.col("h") < F.lit(1 << (60 - int(rate_exp))))
+        .withColumn("rate_exp", F.lit(int(rate_exp)).cast("int"))
+    )
+
+
+def rank_sketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Union K sketches, downsampling to the COARSEST rate present:
+    every kept row re-tests its stored hash against the target
+    threshold, so the result equals ``rank_sketch_build`` at that rate
+    over the unioned data — exactly, row for row (merge == rebuild is
+    pinned in-gate like the other three sketches). The rate scan is a
+    whole-frame window over the SKETCH (sketch-sized, not
+    corpus-sized)."""
+    from pyspark.sql import Window
+
+    it = iter(sketches)
+    out = next(it)
+    for c in ("value", "h", "rate_exp"):
+        if c not in out.columns:
+            raise ValueError(
+                f"rank_sketch_merge: expected a rank sketch with "
+                f"'{c}', got {out.columns}"
+            )
+    for s in it:
+        out = out.unionByName(s)
+    w = Window.partitionBy()
+    return (
+        out.withColumn("_r", F.max("rate_exp").over(w))
+        # SQL shiftleft: the Python wrapper only takes a literal shift
+        .filter(F.col("h") < F.expr("shiftleft(CAST(1 AS BIGINT), 60 - _r)"))
+        .drop("rate_exp")
+        .withColumnRenamed("_r", "rate_exp")
+        .select(*[c for c in out.columns])
+    )
+
+
+def rank_sketch_quantiles(
+    sketch: DataFrame,
+    ps: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Estimated quantiles from the sketch: for each p, the value at
+    sample position ceil(p·m) (uniform weights — every kept row stands
+    for 2^rate_exp corpus rows, so the p-th sample value estimates the
+    p-th corpus value with rank error ~ N/sqrt(m)). All windows run
+    over the sketch, never the corpus. Returns
+    (group_cols..., p, value_est, m)."""
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols or [])
+    spark = sketch.sparkSession
+    ps_df = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    w_rn = Window.partitionBy(*group_cols).orderBy("value", "h")
+    w_m = Window.partitionBy(*group_cols)
+    ranked = sketch.select(
+        *group_cols,
+        "value",
+        F.row_number().over(w_rn).alias("_rn"),
+        F.count(F.lit(1)).over(w_m).alias("_m"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(ps_df),
+            F.col("_rn")
+            >= F.greatest(F.ceil(F.col("p") * F.col("_m")), F.lit(1)),
+        )
+        .groupBy(*group_cols, "p")
+        .agg(
+            F.min("value").alias("value_est"),
+            F.max("_m").cast("long").alias("m"),
+        )
+    )
+
+
+def rank_sketch_rank(
+    sketch: DataFrame,
+    q: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Estimated rank of ``q`` (count of corpus values <= q): kept rows
+    below q, scaled back up by 2^rate_exp. Returns
+    (group_cols..., rank_est)."""
+    group_cols = list(group_cols or [])
+    return sketch.groupBy(*group_cols).agg(
+        (
+            F.sum((F.col("value") <= F.lit(float(q))).cast("long"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), max(rate_exp))")
+        ).alias("rank_est")
+    )

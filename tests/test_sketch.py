@@ -509,3 +509,111 @@ class TestHistMergeGrouped:
 
         with _pytest.raises(ValueError, match="bin"):
             hist_merge(bogus)
+
+
+class TestRankSketch:
+    """Deterministic hash-threshold Bernoulli rank sketch (r15) — the
+    mergeable quantile member of the sketch family (VERDICT r14 #6)."""
+
+    def _docs(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def test_merge_equals_rebuild_heterogeneous_rates(self, spark, sf_dir):
+        from datamancer_spark.operators.sketch import (
+            rank_sketch_build,
+            rank_sketch_merge,
+        )
+
+        li = self._docs(spark, sf_dir)
+        a = li.filter(F.col("l_orderkey") % 2 == 0)
+        b = li.filter(F.col("l_orderkey") % 2 == 1)
+        keys = ["l_orderkey", "l_linenumber"]
+        sa = rank_sketch_build(a, "l_extendedprice", keys, rate_exp=4)
+        sb = rank_sketch_build(b, "l_extendedprice", keys, rate_exp=6)
+        merged = rank_sketch_merge(sa, sb)
+        rebuilt = rank_sketch_build(li, "l_extendedprice", keys, rate_exp=6)
+        got = sorted(
+            (r["value"], r["h"], r["rate_exp"]) for r in merged.collect()
+        )
+        want = sorted(
+            (r["value"], r["h"], r["rate_exp"]) for r in rebuilt.collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_partition_invariance(self, spark, sf_dir):
+        from datamancer_spark.operators.sketch import rank_sketch_build
+
+        li = self._docs(spark, sf_dir)
+        keys = ["l_orderkey", "l_linenumber"]
+        s1 = rank_sketch_build(li, "l_extendedprice", keys, rate_exp=5)
+        s2 = rank_sketch_build(
+            li.repartition(7, "l_partkey"), "l_extendedprice", keys, rate_exp=5
+        )
+        assert sorted(map(tuple, s1.collect())) == sorted(
+            map(tuple, s2.collect())
+        )
+
+    def test_quantiles_within_rank_bound(self, spark, sf_dir):
+        from datamancer_spark.operators.sketch import (
+            rank_sketch_build,
+            rank_sketch_quantiles,
+        )
+
+        li = self._docs(spark, sf_dir)
+        n = li.count()
+        keys = ["l_orderkey", "l_linenumber"]
+        sk = rank_sketch_build(li, "l_extendedprice", keys, rate_exp=5)
+        est = {
+            r["p"]: r["value_est"]
+            for r in rank_sketch_quantiles(sk, [0.25, 0.5, 0.9]).collect()
+        }
+        bound = 4.0 * (n * 32) ** 0.5
+        for p, v in est.items():
+            exact_rank = li.filter(F.col("l_extendedprice") <= v).count()
+            assert abs(exact_rank - p * n) <= bound, (p, exact_rank, p * n)
+
+    def test_rank_estimate_scales_by_rate(self, spark, sf_dir):
+        from datamancer_spark.operators.sketch import (
+            rank_sketch_build,
+            rank_sketch_rank,
+        )
+
+        li = self._docs(spark, sf_dir)
+        keys = ["l_orderkey", "l_linenumber"]
+        sk = rank_sketch_build(li, "l_extendedprice", keys, rate_exp=5)
+        med = li.approxQuantile("l_extendedprice", [0.5], 0.01)[0]
+        n = li.count()
+        got = rank_sketch_rank(sk, med).first()["rank_est"]
+        assert abs(got - 0.5 * n) <= 4.0 * (n * 32) ** 0.5
+
+    def test_grouped_build_and_quantiles(self, spark):
+        from datamancer_spark.operators.sketch import (
+            rank_sketch_build,
+            rank_sketch_quantiles,
+        )
+
+        rows = [("a", i, float(i)) for i in range(2000)] + [
+            ("b", i, float(2 * i)) for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "g string, k long, v double")
+        sk = rank_sketch_build(df, "v", ["g", "k"], 3, group_cols=["g"])
+        q = rank_sketch_quantiles(sk, [0.5], group_cols=["g"])
+        got = {r["g"]: r["value_est"] for r in q.collect()}
+        assert abs(got["a"] - 1000) < 350
+        assert abs(got["b"] - 2000) < 700
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from datamancer_spark.operators.sketch import (
+            rank_sketch_build,
+            rank_sketch_merge,
+        )
+
+        df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        with _pytest.raises(ValueError, match="rate_exp"):
+            rank_sketch_build(df, "v", ["k"], rate_exp=60)
+        with _pytest.raises(ValueError, match="key_cols"):
+            rank_sketch_build(df, "v", [], rate_exp=5)
+        with _pytest.raises(ValueError, match="rank sketch"):
+            rank_sketch_merge(df)
