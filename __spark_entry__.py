@@ -4907,6 +4907,100 @@ def streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_available_now(out, qn)
 
 
+def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA DROP semantics under the driver gate (r15, VERDICT r14
+    #2 — the one streaming behavior class no replay gate could reach:
+    a fully-replayed single-batch source never exercises lateness, and
+    complete mode drops nothing by design). The source is the events
+    table split into two files (even event_ids, then odd) admitted ONE
+    PER TRIGGER (AvailableNow honors maxFilesPerTrigger; admission is
+    oldest-mtime-first, pinned by os.utime), so the watermark advances
+    to max(ts of batch 1) − 317 min between batches and batch-2 rows
+    whose 1-hour window closed before that really are dropped before
+    the state update; APPEND mode then emits exactly the windows the
+    final watermark closed.
+
+    THREE batches, because of a semantics detail this gate exists to
+    pin (measured on a controlled replay, not assumed): the engine's
+    late-row filter uses the watermark that ran the LAST EVICTION —
+    the previous batch's operating watermark — not the current one, so
+    a late row whose window is still in state MERGES (batch 2 here:
+    filter wm is still the initial 1970 epoch), and only rows for
+    windows already closed by an earlier batch's eviction are dropped
+    (batch 3, filtered against wm(batch 2) = max ts of batch 1 −
+    delay). That is exactly Spark's documented one-sided guarantee —
+    "too-late data is not guaranteed to be dropped until the window
+    was finalized" — made precise. The twin applies the measured
+    rules analytically: batches 1-2 fully kept, batch-3 rows kept iff
+    window_end > max_ts(batch 1) − 317 min, windows emitted iff
+    window_end ≤ global max − 317 min. 317 minutes is deliberately
+    not hour-aligned, keeping hour-aligned window ends off the
+    watermark boundary in both engines. Fixture staging (driver-side,
+    once per sf_dir) only SPLITS the source file three ways by
+    event_id % 3; all semantics run in the streaming engine."""
+    import hashlib
+    import os
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datamancer_spark.streaming import (
+        read_parquet_stream,
+        replay_available_now,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/root/repo/spark-warehouse/_late_drop_gate_{tag}"
+    paths = [f"{d}/batch{i}.parquet" for i in (1, 2, 3)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        import pyarrow as pa
+
+        rem = pc.cast(
+            pc.subtract(
+                t.column("event_id"),
+                pc.multiply(
+                    pc.divide(t.column("event_id"), pa.scalar(3)),
+                    pa.scalar(3),
+                ),
+            ),
+            pa.int64(),
+        )
+        for i, p in enumerate(paths):
+            pq.write_table(t.filter(pc.equal(rem, i)), p)
+    # mtimes pin admission order every call (and keep the trio inside
+    # any maxFileAge horizon, which is relative to the newest file)
+    now = time.time()
+    for i, p in enumerate(paths):
+        os.utime(p, (now - 180 + 60 * i, now - 180 + 60 * i))
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = read_parquet_stream(
+        spark, d, schema, options={"maxFilesPerTrigger": "1"}
+    )
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = (
+        src.withWatermark("ts", "317 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("value_cents"),
+        )
+    )
+    out = agg.select(
+        F.col("window.start").cast("timestamp_ntz").alias("bucket"),
+        "event_type",
+        "n",
+        "value_cents",
+    )
+    return replay_available_now(out, "late_drop_" + tag, output_mode="append")
+
+
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents through the streaming engine: exact-dedup state
     (canonical fingerprint → min keeper id + duplicate count) built
@@ -5008,6 +5102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r15 zero-greens getting their FIRST driver green:
         "quantile_sketch_merge": quantile_sketch_merge,
         "dedup_index_probe": dedup_index_probe,
+        "streaming_late_drop": streaming_late_drop,
         # -- window padding (all >= 2x driver-green; the packed-window
         # -- invariant is satisfied because no under-proven query sits
         # -- outside the first 50):
@@ -9609,6 +9704,40 @@ def oracle_sql() -> dict[str, str]:
                           AND cum_n - n < 0.99 * total
                      THEN 1 ELSE 0 END AS BIGINT) AS is_p99
         FROM c
+    """
+
+    # late-drop twin (r15): the measured 3-batch semantics applied
+    # analytically — the late filter runs against the watermark that
+    # did the LAST eviction (previous batch's operating wm), so
+    # batches 1-2 are fully kept, batch-3 rows survive iff their
+    # window outlives wm(batch 2) = max ts(batch 1) - 317 min, and
+    # append mode emits exactly the windows the final watermark
+    # (global max - 317 min) closed. Both watermarks are exact µs
+    # values; 317 min keeps hour-aligned window ends off boundaries.
+    sql["streaming_late_drop"] = """
+        WITH b12 AS (
+          SELECT * FROM events WHERE event_id % 3 IN (0, 1)
+        ), b3 AS (
+          SELECT * FROM events WHERE event_id % 3 = 2
+        ), wm1 AS (
+          SELECT max(ts) - INTERVAL 317 MINUTE AS w
+          FROM events WHERE event_id % 3 = 0
+        ), wmf AS (
+          SELECT max(ts) - INTERVAL 317 MINUTE AS w FROM events
+        ), kept AS (
+          SELECT * FROM b12
+          UNION ALL
+          SELECT b3.* FROM b3, wm1
+          WHERE date_trunc('hour', b3.ts) + INTERVAL 1 HOUR > wm1.w
+        ), agg AS (
+          SELECT date_trunc('hour', ts) AS bucket, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS value_cents
+          FROM kept GROUP BY 1, 2
+        )
+        SELECT a.* FROM agg a, wmf
+        WHERE a.bucket + INTERVAL 1 HOUR <= wmf.w
     """
 
     # rank-sketch twin (r15): sketch membership is the portable md5 row

@@ -590,7 +590,10 @@ def streaming_media_screen(
 
 
 def read_parquet_stream(
-    spark: SparkSession, path: str, schema: StructType | str
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Parquet file-source stream. Spark's FileStreamSource requires a
     DIRECTORY (or glob) — a bare single-file path fails with "basePath
@@ -598,17 +601,30 @@ def read_parquet_stream(
     one-character character-class glob (``[e]vents.parquet``) matches
     exactly the same file while forcing glob resolution, so basePath
     becomes the parent directory; works identically for directory
-    datasets at scale (pass them through untouched)."""
+    datasets at scale (pass them through untouched).
+
+    ``options`` (r15): file-source options, notably
+    ``maxFilesPerTrigger`` — AvailableNow honors source admission
+    limits, so one-file-per-trigger turns a multi-file directory into
+    a DETERMINISTIC multi-batch replay (files admitted oldest
+    modification time first), which is what lets a gate advance the
+    watermark between batches and exercise real late-data drops."""
     import os as _os
 
     if _os.path.isfile(path):
         d, base = _os.path.split(path)
         path = f"{d}/[{base[0]}]{base[1:]}"
-    return spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
 
 
 def replay_available_now(
-    result: DataFrame, query_name: str, timeout_sec: float = 300.0
+    result: DataFrame,
+    query_name: str,
+    timeout_sec: float = 300.0,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Run a streaming frame to COMPLETION over everything currently
     available (``Trigger.AvailableNow``) into an in-memory sink and
@@ -624,7 +640,14 @@ def replay_available_now(
     Rerun-safe: an active query with the same name is stopped and the
     memory table is replaced (the driver/harness may invoke a gate
     twice per session). Failures propagate (a silently-empty memory
-    table would pass a rows-only check)."""
+    table would pass a rows-only check).
+
+    ``output_mode`` (r15): "complete" replays everything into final
+    state — watermarks drop nothing there, which is exactly why the
+    LATE-DATA path needs "append": emitted rows are only the windows
+    the advancing watermark closed, and late rows really are dropped
+    before the state update. The memory sink accumulates each batch's
+    appended rows, so the returned table is the union of emissions."""
     spark = result.sparkSession
     for q in spark.streams.active:
         if q.name == query_name:
@@ -632,7 +655,7 @@ def replay_available_now(
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

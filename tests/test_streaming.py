@@ -1166,3 +1166,92 @@ class TestReplayHarness:
         )
         with _pt.raises(Exception):
             replay_available_now(bad, "replay_bad", timeout_sec=60)
+
+
+class TestLateDropSemantics:
+    def test_three_batch_late_filter_uses_previous_watermark(
+        self, spark, tmp_path
+    ):
+        """The measured semantics streaming_late_drop's twin encodes
+        (r15): the late filter runs against the watermark that did the
+        LAST eviction. Batch 2's late row (window still in state)
+        MERGES and emits with its window; batch 3's row for an
+        already-evicted window is DROPPED; unclosed tail windows never
+        emit in append mode."""
+        import datetime as dt
+        import os
+        import time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from datamancer_spark.streaming import (
+            read_parquet_stream,
+            replay_available_now,
+        )
+
+        def T(h, m=0):
+            return dt.datetime(2024, 1, 1, h, m)
+
+        batches = [
+            [(1, T(10, 5)), (2, T(15, 5)), (3, T(20, 0))],
+            # new max 21:30; 15:10 is late vs wm 19:00 but its window
+            # is still in state -> must merge
+            [(4, T(21, 30)), (5, T(15, 10))],
+            # 10:10's window [10,11) was evicted at the end of batch 2
+            # (wm 19:00) -> must drop; 23:30 stays unclosed
+            [(6, T(23, 30)), (7, T(10, 10))],
+        ]
+        d = str(tmp_path / "late3")
+        os.makedirs(d)
+        now = time.time()
+        for i, rows in enumerate(batches):
+            t = pa.table(
+                {
+                    "id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                }
+            )
+            p = f"{d}/f{i}.parquet"
+            pq.write_table(t, p)
+            os.utime(p, (now - 180 + 60 * i, now - 180 + 60 * i))
+        src = read_parquet_stream(
+            spark,
+            d,
+            "id long, ts timestamp_ntz",
+            options={"maxFilesPerTrigger": "1"},
+        )
+        agg = (
+            src.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.col("id").cast("string"))
+                    ),
+                ).alias("ids"),
+            )
+        )
+        out = agg.select(
+            F.col("window.start").cast("timestamp_ntz").alias("w"),
+            "n",
+            "ids",
+        )
+        res = {
+            r["w"].hour: (r["n"], r["ids"])
+            for r in replay_available_now(
+                out, "late3_sem", output_mode="append"
+            ).collect()
+        }
+        # late-but-window-open row 5 merged; evicted-window row 7
+        # dropped; unclosed 23:00 window absent
+        assert res[15] == (2, "2,5")
+        assert res[10] == (1, "1")
+        assert res[20] == (1, "3")
+        assert res[21] == (1, "4")
+        assert 23 not in res
