@@ -5072,22 +5072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_langs": mixture_resample_langs,
         "pack_sequences_bins": pack_sequences_bins,
         "train_test_split": train_test_split,
-        # -- r14 rotation: the 11 r13 one-green members accruing their
-        # -- SECOND driver proof (after this round the proof tail is
-        # -- empty-or-new), then the 7 zero-green r14 additions
-        # -- (JSONL gate, integrity tier, k-core, mojibake, histogram
-        # -- sketch, streaming session replay) getting their FIRST:
-        "cms_merge_snapshots": cms_merge_snapshots,
-        "ann_recall_ivf": ann_recall_ivf,
-        "jl_distortion_report": jl_distortion_report,
-        "ann_recall_jl": ann_recall_jl,
-        "split_dedup_aware": split_dedup_aware,
-        "split_neardup_aware": split_neardup_aware,
-        "csv_roundtrip_agg": csv_roundtrip_agg,
-        "streaming_hourly_replay": streaming_hourly_replay,
-        "streaming_dedup_replay": streaming_dedup_replay,
-        "q8_market_share": q8_market_share,
-        "q17_small_qty_revenue": q17_small_qty_revenue,
+        # -- r15 rotation: the 11 r14 additions accruing their SECOND
+        # -- driver proof (the r13 tail fully retired in r14 — its 11
+        # -- members all reached >= 2 greens and rotated out), then the
+        # -- r15 zero-greens getting their FIRST:
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
         "corpus_manifest_shards": corpus_manifest_shards,
         "snapshot_diff_docs": snapshot_diff_docs,
@@ -5122,12 +5110,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": pii_redact_docs,
         "dsir_select_en": dsir_select_en,
         "domain_cap_registrable": domain_cap_registrable,
-        # ---- past the driver window (>= 2x driver-green, still under
-        # ---- the full-catalog local harness + pytest every round)
         "epoch_shard_plan_langs": epoch_shard_plan_langs,
         "crawl_funnel_report": crawl_funnel_report,
         "frontier_fetch_schedule": frontier_fetch_schedule,
         "embedding_pca_scores": embedding_pca_scores,
+        # ---- past the driver window (>= 2x driver-green, still under
+        # ---- the full-catalog local harness + pytest every round)
+        "cms_merge_snapshots": cms_merge_snapshots,
+        "ann_recall_ivf": ann_recall_ivf,
+        "jl_distortion_report": jl_distortion_report,
+        "ann_recall_jl": ann_recall_jl,
+        "split_dedup_aware": split_dedup_aware,
+        "split_neardup_aware": split_neardup_aware,
+        "csv_roundtrip_agg": csv_roundtrip_agg,
+        "streaming_hourly_replay": streaming_hourly_replay,
+        "streaming_dedup_replay": streaming_dedup_replay,
+        "q8_market_share": q8_market_share,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
         "hll_merge_snapshots": hll_merge_snapshots,
         "ann_recall_lsh": ann_recall_lsh,
         "semi_join": semi_join_q,
