@@ -4444,6 +4444,90 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED rank sketches across snapshots (r15): per-language
+    p50/p90 document-length quantiles estimated from rank sketches of
+    two corpus snapshots (the %7/%5 snapshot convention), joined into a
+    per-(lang, p) drift report — the unknown-range companion to
+    hist_drift_langs (no a-priori [lo, hi); the sketch adapts to
+    whatever the length distribution is). Exercises the group_cols path
+    of operators/sketch.py rank_sketch_build/_quantiles: windows
+    partition by lang, sketches stay sketch-sized, the corpus is
+    scanned once per snapshot. A language missing from one snapshot's
+    sample surfaces with sentinel -1 and both_present=false instead of
+    silently dropping (the hist_drift NULL-division lesson)."""
+    from datamancer_spark.operators.sketch import (
+        rank_sketch_build,
+        rank_sketch_quantiles,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    old = doc.filter(F.col("doc_id") % 7 != 0)
+    new = doc.filter(F.col("doc_id") % 5 != 0)
+    ps = [0.5, 0.9]
+
+    def qs_of(snap: DataFrame, tag: str) -> DataFrame:
+        sk = rank_sketch_build(
+            snap, "n_chars", ["doc_id"], rate_exp=2, group_cols=["lang"]
+        )
+        return rank_sketch_quantiles(sk, ps, ["lang"]).select(
+            "lang",
+            "p",
+            F.col("value_est").alias(f"q_{tag}"),
+            F.col("m").alias(f"m_{tag}"),
+        )
+
+    qo, qn = qs_of(old, "old"), qs_of(new, "new")
+    both = F.col("_qo").isNotNull() & F.col("_qn").isNotNull()
+    return (
+        qo.withColumnRenamed("q_old", "_qo")
+        .join(
+            qn.withColumnRenamed("q_new", "_qn"), ["lang", "p"], "full_outer"
+        )
+        .select(
+            "lang",
+            "p",
+            F.coalesce(F.col("_qo"), F.lit(-1.0)).alias("q_old"),
+            F.coalesce(F.col("_qn"), F.lit(-1.0)).alias("q_new"),
+            F.coalesce(F.col("m_old"), F.lit(0)).cast("long").alias("m_old"),
+            F.coalesce(F.col("m_new"), F.lit(0)).cast("long").alias("m_new"),
+            both.alias("both_present"),
+            F.when(both, F.col("_qn") - F.col("_qo"))
+            .otherwise(F.lit(0.0))
+            .alias("shift"),
+        )
+    )
+
+
+def skew_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted distinct-count under the driver gate (r15,
+    operators/skew.py salted_distinct_count): distinct users per
+    event_type — the classic hot-key distinct, where a handful of
+    event_type values each funnel the full user set through one
+    reducer's hash-set state at 100 TB. The salted two-stage rewrite
+    (salt = portable hash of the VALUE, so per-bucket distinct sets
+    are disjoint and their counts add exactly) runs NEXT TO the
+    direct COUNT(DISTINCT); salted_ok = equality rides every row, and
+    the twin replicates bucket assignment, both stages, and the
+    comparison."""
+    from datamancer_spark.operators.skew import salted_distinct_count
+
+    ev = _t(spark, sf_dir, "events")["events"].df
+    salted = salted_distinct_count(ev, ["event_type"], "user_id", 32)
+    direct = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_direct")
+    )
+    return (
+        salted.join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_distinct",
+            "n_direct",
+            (F.col("n_distinct") == F.col("n_direct")).alias("salted_ok"),
+        )
+    )
+
+
 def manifest_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """manifest_diff under the driver gate (operators/manifest.py): the
     'is this copy still that corpus?' verification itself — manifest A
@@ -5091,6 +5175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_merge": quantile_sketch_merge,
         "dedup_index_probe": dedup_index_probe,
         "streaming_late_drop": streaming_late_drop,
+        "quantile_drift_langs": quantile_drift_langs,
+        "skew_distinct_salted": skew_distinct_salted,
         # -- window padding (all >= 2x driver-green; the packed-window
         # -- invariant is satisfied because no under-proven query sits
         # -- outside the first 50):
@@ -9791,6 +9877,84 @@ def oracle_sql() -> dict[str, str]:
                 <= 4.0 * sqrt(n_total * 64.0)) AS rank_ok,
                merge_ok
         FROM er, tot, mok
+    """
+
+    # grouped rank-sketch drift twin (r15): per-lang sketch membership
+    # under the 2^-2 rate (h < 2^58), per-lang sorted-sample quantiles
+    # at ceil(p*m), full-outer drift join with the -1/0 sentinels.
+    _rsk_quant = """
+          SELECT lang, p, min(v) AS q, max(m) AS m
+          FROM (
+            SELECT lang, v, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY v, h)
+                     AS rn,
+                   CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS m
+            FROM {sk}
+          ) r JOIN ps ON rn >= greatest(CAST(ceil(p * m) AS BIGINT),
+                                        CAST(1 AS BIGINT))
+          GROUP BY lang, p
+    """
+    sql["quantile_drift_langs"] = f"""
+        WITH ps AS (
+          SELECT CAST(x AS DOUBLE) AS p
+          FROM (VALUES (0.5), (0.9)) t(x)
+        ), sko AS (
+          SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+                 CAST('0x' || substr(md5('rank' ||
+                   (chr(2) || 'V' || CAST(doc_id AS VARCHAR))), 1, 15)
+                   AS BIGINT) AS h
+          FROM documents
+          WHERE doc_id % 7 <> 0 AND n_chars IS NOT NULL
+        ), skn AS (
+          SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+                 CAST('0x' || substr(md5('rank' ||
+                   (chr(2) || 'V' || CAST(doc_id AS VARCHAR))), 1, 15)
+                   AS BIGINT) AS h
+          FROM documents
+          WHERE doc_id % 5 <> 0 AND n_chars IS NOT NULL
+        ), so AS (
+          SELECT * FROM sko WHERE h < 288230376151711744
+        ), sn AS (
+          SELECT * FROM skn WHERE h < 288230376151711744
+        ), qo AS ({_rsk_quant.format(sk="so")}
+        ), qn AS ({_rsk_quant.format(sk="sn")}
+        )
+        SELECT coalesce(qo.lang, qn.lang) AS lang,
+               coalesce(qo.p, qn.p) AS p,
+               coalesce(qo.q, -1.0) AS q_old,
+               coalesce(qn.q, -1.0) AS q_new,
+               CAST(coalesce(qo.m, 0) AS BIGINT) AS m_old,
+               CAST(coalesce(qn.m, 0) AS BIGINT) AS m_new,
+               (qo.q IS NOT NULL AND qn.q IS NOT NULL) AS both_present,
+               CASE WHEN qo.q IS NOT NULL AND qn.q IS NOT NULL
+                    THEN qn.q - qo.q ELSE 0.0 END AS shift
+        FROM qo FULL OUTER JOIN qn
+          ON qo.lang = qn.lang AND qo.p = qn.p
+    """
+
+    # salted distinct-count twin (r15): portable-hash bucket assignment,
+    # per-(key, salt) distinct partials, summed, compared to the direct
+    # COUNT(DISTINCT) — the twin rebuilds both arms and the equality.
+    sql["skew_distinct_salted"] = """
+        WITH s1 AS (
+          SELECT event_type,
+                 CAST('0x' || substr(md5('salt' ||
+                   CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 32
+                   AS salt,
+                 count(DISTINCT user_id) AS part
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY 1, 2
+        ), s2 AS (
+          SELECT event_type, CAST(sum(part) AS BIGINT) AS n_distinct
+          FROM s1 GROUP BY 1
+        ), d AS (
+          SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_direct
+          FROM events GROUP BY 1
+        )
+        SELECT s2.event_type, n_distinct, n_direct,
+               (n_distinct = n_direct) AS salted_ok
+        FROM s2 JOIN d USING (event_type)
     """
 
     # manifest_diff twin (r14): both manifests rebuilt in SQL from the

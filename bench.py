@@ -218,6 +218,8 @@ HEADLINE = [
     "quantile_sketch_merge",
     "dedup_index_probe",
     "streaming_late_drop",
+    "quantile_drift_langs",
+    "skew_distinct_salted",
 ]
 
 

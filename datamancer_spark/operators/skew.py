@@ -68,6 +68,41 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(*finals)
 
 
+def salted_distinct_count(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """COUNT(DISTINCT value) per key, salted LOSSLESSLY — the case
+    ``salted_agg`` refuses ("not algebraic") actually has an exact
+    two-stage rewrite when the salt is a hash of the VALUE being
+    counted: every distinct value lands in exactly one (key, salt)
+    bucket, so the per-bucket distinct counts are counts of DISJOINT
+    sets and ADD exactly (r15). This is the 100 TB shape for "distinct
+    users per hot key": a plain COUNT(DISTINCT) ships every occurrence
+    of a hot key's values to ONE reducer whose hash-set state is the
+    key's full cardinality; salting spreads that state over
+    ``salt_buckets`` reducers and the combine stage sums
+    ``salt_buckets`` longs per key. The salt is the repo's portable
+    md5 hash, so a differential twin replicates bucket assignment.
+    NULL values are excluded, matching SQL COUNT(DISTINCT)."""
+    from .dedup import portable_hash
+
+    salt = (
+        portable_hash(F.col(value_col).cast("string"), seed="salt")
+        % salt_buckets
+    )
+    stage1 = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, salt.alias("_salt"))
+        .agg(F.count_distinct(F.col(value_col)).alias("_part"))
+    )
+    return stage1.groupBy(*keys).agg(
+        F.sum("_part").cast("long").alias("n_distinct")
+    )
+
+
 def key_skew_profile(
     df: DataFrame,
     key_col: str,

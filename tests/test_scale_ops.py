@@ -740,3 +740,29 @@ def test_jl_projection_preserves_cosine_structure(spark):
         for r in jl_project(df, out_dim=8).select("vec_id", "jl").collect()
     }
     assert again == jl
+
+
+class TestSaltedDistinct:
+    def test_salted_equals_direct_and_skips_nulls(self, spark):
+        """r15: salt derived from the VALUE makes per-bucket distinct
+        sets disjoint, so the two-stage count is exact — including
+        NULL exclusion (SQL COUNT(DISTINCT) semantics)."""
+        from pyspark.sql import functions as F
+
+        from datamancer_spark.operators.skew import salted_distinct_count
+
+        rows = [("a", i % 7) for i in range(100)] + [
+            ("b", i % 13) for i in range(100)
+        ] + [("a", None), ("b", None)]
+        df = spark.createDataFrame(rows, "k string, v int")
+        got = {
+            r["k"]: r["n_distinct"]
+            for r in salted_distinct_count(df, ["k"], "v", 8).collect()
+        }
+        want = {
+            r["k"]: r["n"]
+            for r in df.groupBy("k")
+            .agg(F.count_distinct("v").alias("n"))
+            .collect()
+        }
+        assert got == want == {"a": 7, "b": 13}
