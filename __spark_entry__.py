@@ -4364,6 +4364,60 @@ def hist_merge_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AVRO_GATE_DIR = "/root/repo/spark-warehouse/_avro_roundtrip_gate"
+
+
+def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_avro → read_avro round-trip, aggregated (r15 — Avro OCF
+    was the one common interchange format with no source/sink;
+    operators/avrocodec.py implements the public Avro spec since the
+    spark-avro module jar is absent here). Same slice + aggregate
+    shape as csv_roundtrip_agg: NULL vs NaN doubles survive distinctly
+    (union branch vs NaN bit pattern), unicode text, negative keys,
+    cents-exact money. The twin aggregates the SAME slice from the
+    source table directly — DuckDB has no Avro reader, so byte-level
+    interchange fidelity is pinned by tests/test_avro.py's independent
+    reference codec in BOTH directions (engine reader on reference
+    bytes, engine writer under the reference decoder) and this gate
+    pins the distributed sink+source path end to end."""
+    from datamancer_spark.io import read_avro, write_avro
+
+    ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = ord_.filter(F.col("o_orderkey") % 20 < 3).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.concat(F.lit("é✓ "), F.col("o_orderpriority")).alias("txt"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(float("nan")))
+        .when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    write_avro(DamFrame(src), _AVRO_GATE_DIR)
+    back = read_avro(
+        spark, _AVRO_GATE_DIR, schema="k long, status string, txt string, price double"
+    ).df
+    finite = F.col("price").isNotNull() & ~F.isnan("price")
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.when(F.isnan("price"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nan"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.sum(
+            F.when(
+                finite,
+                F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("price_cents"),
+        F.sum(F.length("txt")).cast("long").alias("txt_chars"),
+    )
+
+
 def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable RANK sketch under the driver gate (r15, VERDICT r14
     #6) — the fourth sketch-family member (distinct=HLL, frequency=CMS,
@@ -5177,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_drop": streaming_late_drop,
         "quantile_drift_langs": quantile_drift_langs,
         "skew_distinct_salted": skew_distinct_salted,
+        "avro_roundtrip_agg": avro_roundtrip_agg,
         # -- window padding (all >= 2x driver-green; the packed-window
         # -- invariant is satisfied because no under-proven query sits
         # -- outside the first 50):
@@ -9789,6 +9844,35 @@ def oracle_sql() -> dict[str, str]:
                           AND cum_n - n < 0.99 * total
                      THEN 1 ELSE 0 END AS BIGINT) AS is_p99
         FROM c
+    """
+
+    # avro round-trip twin (r15): DuckDB has no Avro reader, so the
+    # twin aggregates the SAME slice straight from orders — engine-
+    # side interchange fidelity is pinned by the two-sided reference
+    # codec in tests/test_avro.py; this comparison pins the
+    # distributed sink+source path's values.
+    sql["avro_roundtrip_agg"] = """
+        WITH src AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS k,
+                 o_orderstatus AS status,
+                 'é✓ ' || o_orderpriority AS txt,
+                 CASE WHEN o_orderkey % 7 = 0 THEN CAST('nan' AS DOUBLE)
+                      WHEN o_orderkey % 5 = 0 THEN NULL
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 20 < 3
+        )
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(sum(CASE WHEN isnan(price) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nan,
+               CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(sum(CASE WHEN price IS NOT NULL AND NOT isnan(price)
+                        THEN CAST(floor(price * 100 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS price_cents,
+               CAST(sum(length(txt)) AS BIGINT) AS txt_chars
+        FROM src GROUP BY status
     """
 
     # late-drop twin (r15): the measured 3-batch semantics applied

@@ -220,6 +220,7 @@ HEADLINE = [
     "streaming_late_drop",
     "quantile_drift_langs",
     "skew_distinct_salted",
+    "avro_roundtrip_agg",
 ]
 
 

@@ -317,6 +317,130 @@ def write_jsonl(frame: DamFrame, path: str) -> None:
     frame.df.write.mode("overwrite").json(path)
 
 
+def read_avro(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DamFrame:
+    """Avro OCF source (r15 — the last common interchange format the
+    engine lacked; Spark's own avro reader is an external module absent
+    here, so operators/avrocodec.py implements the PUBLIC Avro spec).
+    Plan shape: a ``binaryFile`` scan of ``*.avro`` part files feeding
+    one Arrow-batched ``mapInPandas`` decode — files are the split
+    unit, the standard layout for Avro corpora (thousands of part
+    files at 100 TB), so the decode parallelizes file-per-task with
+    zero shuffles.
+
+    ``schema``: DDL string; when None the driver peeks ONE file's
+    header for the embedded schema (a single-file driver read,
+    documented cost — pass the schema in production to keep ingestion
+    driver-light, the read_jsonl rule)."""
+    from .operators.avrocodec import (
+        decode_ocf,
+        fields_from_schema_json,
+        spark_ddl_of,
+    )
+
+    glob_path = f"{path.rstrip('/')}/*.avro"
+    bf = spark.read.format("binaryFile").load(glob_path)
+    if schema is None:
+        head = bf.select("content").head()
+        if head is None:
+            raise ValueError(f"read_avro: no .avro files under {path}")
+        fields, _ = decode_ocf(bytes(head["content"]))
+        ddl = spark_ddl_of(fields)
+    else:
+        ddl = schema
+        fields = None
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from .operators.avrocodec import decode_ocf as _dec
+
+        for pdf in it:
+            for blob in pdf["content"]:
+                fs, rows = _dec(bytes(blob))
+                cols = {}
+                for j, (name, typ, _nl) in enumerate(fs):
+                    vals = [r[j] for r in rows]
+                    if typ == "long":
+                        cols[name] = pd.array(vals, dtype="Int64")
+                    elif typ == "double":
+                        # explicit data+mask: pd.array(Float64) folds
+                        # NaN into NA, destroying the NaN≠NULL
+                        # distinction the engine preserves everywhere
+                        mask = np.fromiter(
+                            (v is None for v in vals), bool, len(vals)
+                        )
+                        data = np.fromiter(
+                            (0.0 if v is None else v for v in vals),
+                            np.float64,
+                            len(vals),
+                        )
+                        cols[name] = pd.arrays.FloatingArray(data, mask)
+                    elif typ == "boolean":
+                        cols[name] = pd.array(vals, dtype="boolean")
+                    else:
+                        cols[name] = pd.Series(vals, dtype="object")
+                yield pd.DataFrame(cols)
+
+    return DamFrame(bf.select("content").mapInPandas(batches, ddl))
+
+
+def write_avro(
+    frame: DamFrame,
+    path: str,
+    codec: str = "deflate",
+    block_rows: int = 4096,
+) -> None:
+    """Avro OCF sink: one part file per partition, written from the
+    executors in parallel (no single-writer coalesce — the write_csv
+    rule). ``codec``: 'deflate' (RAW RFC-1951, the spec's required
+    form) or 'null'. Supported column types are long/double/string/
+    boolean (+ nullability); anything else raises with a cast hint
+    rather than silently coercing bytes other Avro readers would see.
+
+    Executors write with plain file I/O, so ``path`` must be on a
+    filesystem all executors share (local/NFS/fuse mounts — true of
+    this deployment and the common shared-warehouse case); an object-
+    store deployment would route these bytes through its FS client
+    instead. Empty partitions write nothing; partition 0 always writes
+    (possibly header-only) so an empty frame still round-trips its
+    schema."""
+    import glob as _glob
+
+    from .operators.avrocodec import encode_ocf, fields_from_spark_schema
+
+    df = frame.df
+    fields = fields_from_spark_schema(df.schema)
+    os.makedirs(path, exist_ok=True)
+    for old in _glob.glob(os.path.join(path, "*.avro")):
+        os.remove(old)
+
+    def write_part(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        first = next(iter(rows), None)
+        if first is None and pid != 0:
+            return
+        import itertools
+
+        it = itertools.chain([first], rows) if first is not None else iter(())
+        blob = encode_ocf(
+            (tuple(r[n] for n, _t, _nl in fields) for r in it),
+            fields,
+            codec=codec,
+            block_rows=block_rows,
+        )
+        tmp = os.path.join(path, f".part-{pid:05d}.avro.tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(path, f"part-{pid:05d}.avro"))
+
+    df.foreachPartition(write_part)
+
+
 def read_orc(spark: SparkSession, path: str) -> DamFrame:
     """ORC source (Spark-native vectorized reader) — same columnar role
     as parquet for warehouses standardized on ORC; predicate pushdown
