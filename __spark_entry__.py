@@ -4556,14 +4556,15 @@ def quantile_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def skew_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted distinct-count under the driver gate (r15,
     operators/skew.py salted_distinct_count): distinct users per
-    event_type — the classic hot-key distinct, where a handful of
-    event_type values each funnel the full user set through one
-    reducer's hash-set state at 100 TB. The salted two-stage rewrite
-    (salt = portable hash of the VALUE, so per-bucket distinct sets
-    are disjoint and their counts add exactly) runs NEXT TO the
-    direct COUNT(DISTINCT); salted_ok = equality rides every row, and
-    the twin replicates bucket assignment, both stages, and the
-    comparison."""
+    event_type via explicit disjoint salt buckets (salt = portable
+    hash of the VALUE, so per-bucket distinct sets are disjoint and
+    their counts add exactly), run NEXT TO the direct COUNT(DISTINCT)
+    with salted_ok = equality riding every row. The disjoint-bucket
+    addition is the same argument Catalyst's own distinct-aggregate
+    rewrite relies on (its first exchange on (keys, value) is maximal
+    salting — plan shapes pinned in test_plans.py); this gate proves
+    that argument cross-engine instead of asserting it, and the twin
+    replicates bucket assignment, both stages, and the comparison."""
     from datamancer_spark.operators.skew import salted_distinct_count
 
     ev = _t(spark, sf_dir, "events")["events"].df
@@ -5139,6 +5140,63 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_available_now(out, "late_drop_" + tag, output_mode="append")
 
 
+def streaming_quantile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank sketch built IN-FLIGHT (r15): the hash-threshold membership
+    test is a stateless row predicate, so the sketch builds on a stream
+    with ZERO streaming state — every arriving row either enters the
+    sketch or doesn't, independent of everything else (contrast the
+    sketch-family streaming gates that need stateful aggregation). The
+    gate replays events through rank_sketch_build on the stream (append
+    mode, no watermark needed), then pins stream-built == batch-built
+    by count + BIT_XOR signature riding every row, and reads p25-p90
+    quantiles off the streamed sketch; the twin rebuilds membership and
+    quantiles analytically. This is the 100 TB ingest shape: the
+    quantile monitor rides the ingest stream for free and the sketch
+    parquet is mergeable across days (quantile_sketch_merge)."""
+    import hashlib
+
+    from datamancer_spark.operators.sketch import (
+        rank_sketch_build,
+        rank_sketch_quantiles,
+    )
+    from datamancer_spark.streaming import (
+        read_parquet_stream,
+        replay_available_now,
+    )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = read_parquet_stream(spark, f"{sf_dir}/events.parquet", schema)
+    sk_stream = rank_sketch_build(src, "value", ["event_id"], rate_exp=4)
+    qn = "quantile_replay_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    streamed = replay_available_now(sk_stream, qn, output_mode="append")
+    ev = _t(spark, sf_dir, "events")["events"].df
+    batch = rank_sketch_build(ev, "value", ["event_id"], rate_exp=4)
+    sig = lambda s, tag: s.agg(  # noqa: E731 — 1-row sketch signature
+        F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+        F.expr("bit_xor(h)").alias(f"x_{tag}"),
+    )
+    ok = (
+        sig(streamed, "s")
+        .crossJoin(sig(batch, "b"))
+        .select(
+            (
+                (F.col("n_s") == F.col("n_b"))
+                & (F.col("x_s") == F.col("x_b"))
+            ).alias("stream_ok")
+        )
+    )
+    qv = rank_sketch_quantiles(streamed, [0.25, 0.5, 0.75, 0.9])
+    return qv.crossJoin(F.broadcast(ok)).select(
+        "p",
+        prnd(F.col("value_est"), 6).alias("value_est"),
+        "m",
+        "stream_ok",
+    )
+
+
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents through the streaming engine: exact-dedup state
     (canonical fingerprint → min keeper id + duplicate count) built
@@ -5232,6 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_drift_langs": quantile_drift_langs,
         "skew_distinct_salted": skew_distinct_salted,
         "avro_roundtrip_agg": avro_roundtrip_agg,
+        "streaming_quantile_replay": streaming_quantile_replay,
         # -- window padding (all >= 2x driver-green; the packed-window
         # -- invariant is satisfied because no under-proven query sits
         # -- outside the first 50):
@@ -9873,6 +9932,36 @@ def oracle_sql() -> dict[str, str]:
                         END) AS BIGINT) AS price_cents,
                CAST(sum(length(txt)) AS BIGINT) AS txt_chars
         FROM src GROUP BY status
+    """
+
+    # streaming rank-sketch twin (r15): a fully-replayed stateless
+    # filter equals the batch filter, so the twin rebuilds sketch
+    # membership (portable event_id hash < 2^56) and the sorted-sample
+    # quantiles; stream_ok is pinned true (stream == batch is the
+    # replay premise the Spark side actually tests).
+    sql["streaming_quantile_replay"] = """
+        WITH sk AS (
+          SELECT CAST(value AS DOUBLE) AS v,
+                 CAST('0x' || substr(md5('rank' ||
+                   (chr(2) || 'V' || CAST(event_id AS VARCHAR))), 1, 15)
+                   AS BIGINT) AS h
+          FROM events WHERE value IS NOT NULL
+        ), s AS (
+          SELECT * FROM sk WHERE h < 72057594037927936
+        ), rk AS (
+          SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM s
+        ), ps AS (
+          SELECT CAST(x AS DOUBLE) AS p
+          FROM (VALUES (0.25), (0.5), (0.75), (0.9)) t(x)
+        )
+        SELECT p, prnd(min(v), 6) AS value_est, max(m) AS m,
+               TRUE AS stream_ok
+        FROM rk JOIN ps
+          ON rn >= greatest(CAST(ceil(p * m) AS BIGINT),
+                            CAST(1 AS BIGINT))
+        GROUP BY p
     """
 
     # late-drop twin (r15): the measured 3-batch semantics applied

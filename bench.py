@@ -221,6 +221,7 @@ HEADLINE = [
     "quantile_drift_langs",
     "skew_distinct_salted",
     "avro_roundtrip_agg",
+    "streaming_quantile_replay",
 ]
 
 

@@ -74,19 +74,25 @@ def salted_distinct_count(
     value_col: str,
     salt_buckets: int = 32,
 ) -> DataFrame:
-    """COUNT(DISTINCT value) per key, salted LOSSLESSLY — the case
-    ``salted_agg`` refuses ("not algebraic") actually has an exact
-    two-stage rewrite when the salt is a hash of the VALUE being
-    counted: every distinct value lands in exactly one (key, salt)
-    bucket, so the per-bucket distinct counts are counts of DISJOINT
-    sets and ADD exactly (r15). This is the 100 TB shape for "distinct
-    users per hot key": a plain COUNT(DISTINCT) ships every occurrence
-    of a hot key's values to ONE reducer whose hash-set state is the
-    key's full cardinality; salting spreads that state over
-    ``salt_buckets`` reducers and the combine stage sums
-    ``salt_buckets`` longs per key. The salt is the repo's portable
-    md5 hash, so a differential twin replicates bucket assignment.
-    NULL values are excluded, matching SQL COUNT(DISTINCT)."""
+    """COUNT(DISTINCT value) per key via EXPLICIT disjoint salt
+    buckets: the salt is a hash of the VALUE being counted, so every
+    distinct value lands in exactly one (key, salt) bucket and the
+    per-bucket distinct counts ADD exactly (r15).
+
+    Honest plan note (measured, pinned in test_plans.py): Spark's
+    native ``count_distinct`` already plans the skew-safe shape — its
+    first exchange partitions on (keys, value), which IS maximal
+    salting, at 2 exchanges total; this explicit form pays a third
+    exchange for the named bucket level. Use the native aggregate in
+    the hot path. What this form buys: (a) the bucket assignment is
+    the repo's PORTABLE md5 hash, so a differential twin in another
+    engine rebuilds every per-bucket partial — cross-engine
+    verifiability Catalyst's internal rewrite doesn't expose; (b) the
+    per-(key, bucket) partial frame is a materializable audit surface
+    (which buckets carry a hot key's cardinality). The disjointness
+    argument is the same one Catalyst's rewrite relies on — the gate
+    proves it against DuckDB rather than asserting it. NULL values
+    are excluded, matching SQL COUNT(DISTINCT)."""
     from .dedup import portable_hash
 
     salt = (

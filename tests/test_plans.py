@@ -498,3 +498,49 @@ def test_nb_all_joins_broadcast(spark, sf_dir):
     # pinned frames: the corpus parquet is scanned during the two
     # checkpoint builds, never in the scoring plan
     assert plan.count("Scan parquet") == 0
+
+
+def test_rank_sketch_build_is_shuffle_free(spark, lineitem):
+    """r15: the rank sketch writes where the data lives — scan +
+    filter + project, ZERO exchanges; downstream consumers shuffle the
+    2^-rate survivors, never the corpus."""
+    from datamancer_spark.operators.sketch import rank_sketch_build
+    from datamancer_spark.plans import shuffle_count
+
+    sk = rank_sketch_build(
+        lineitem, "l_extendedprice", ["l_orderkey", "l_linenumber"], 5
+    )
+    assert shuffle_count(sk) == 0
+
+
+def test_salted_distinct_exchange_shapes(spark, sf_dir):
+    """r15: pin BOTH measured shapes — the explicit salted form is
+    exactly 3 exchanges ((keys, salt, value) spread, (keys, salt)
+    partials, keys combine) and Spark's native count_distinct is 2
+    (its first exchange on (keys, value) IS maximal salting). The
+    operator's docstring directs hot paths to the native form; this
+    test keeps that claim measured, not asserted."""
+    from datamancer_spark.operators.skew import salted_distinct_count
+    from datamancer_spark.plans import shuffle_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = salted_distinct_count(ev, ["event_type"], "user_id", 32)
+    assert shuffle_count(q) == 3
+    native = ev.groupBy("event_type").agg(F.count_distinct("user_id"))
+    assert shuffle_count(native) == 2
+
+
+def test_read_avro_is_shuffle_free(spark, tmp_path):
+    """r15: Avro ingestion is scan + per-file Arrow decode — zero
+    exchanges; files are the split unit."""
+    from datamancer_spark.frame import DamFrame
+    from datamancer_spark.io import read_avro, write_avro
+    from datamancer_spark.plans import shuffle_count
+
+    d = str(tmp_path / "plan_avro")
+    src = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    write_avro(DamFrame(src), d)
+    back = read_avro(spark, d, schema="k long, v double")
+    assert shuffle_count(back.df) == 0
