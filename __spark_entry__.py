@@ -5089,7 +5089,14 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay_available_now,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # content-address the staged split by the SOURCE file's identity
+    # (size + mtime), not just sf_dir: the driver regenerates testdata
+    # between rounds, and a stale split would silently diverge from
+    # the twin, which reads the live table
+    src_stat = os.stat(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(
+        f"{sf_dir}:{src_stat.st_size}:{src_stat.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     d = f"/root/repo/spark-warehouse/_late_drop_gate_{tag}"
     paths = [f"{d}/batch{i}.parquet" for i in (1, 2, 3)]
     if not all(os.path.exists(p) for p in paths):

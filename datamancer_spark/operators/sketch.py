@@ -1,5 +1,11 @@
-"""Mergeable one-pass sketches: count-min (frequency) and a PORTABLE
-HyperLogLog (cardinality, r11).
+"""Mergeable one-pass sketches — the full family as of r15:
+distinct = HyperLogLog, frequency = count-min, distribution =
+fixed-bin histogram, rank/quantile = the hash-threshold Bernoulli
+rank sketch (each section documents its own design). All four are
+PORTABLE (sketches are DataFrames built from the repo's md5 hash
+conventions, so another engine rebuilds them bit for bit) and all
+four merge across snapshots with merge == rebuild pinned in their
+driver gates.
 
 Spark's native ``approx_count_distinct`` is an HLL too, but its
 registers are engine-private: they can't be persisted as data, merged
