@@ -497,7 +497,10 @@ def rank_sketch_merge(*sketches: DataFrame) -> DataFrame:
             )
     for s in it:
         out = out.unionByName(s)
-    w = Window.partitionBy()
+    # pmod(h, 1) is always 0 but NOT foldable — keeps the partition
+    # spec so WindowExec skips its single-partition warning (the
+    # key_skew_profile convention); the frame is sketch-sized anyway
+    w = Window.partitionBy(F.pmod(F.col("h"), F.lit(1)))
     return (
         out.withColumn("_r", F.max("rate_exp").over(w))
         # SQL shiftleft: the Python wrapper only takes a literal shift
@@ -524,8 +527,15 @@ def rank_sketch_quantiles(
     group_cols = list(group_cols or [])
     spark = sketch.sparkSession
     ps_df = spark.createDataFrame([(float(p),) for p in ps], "p double")
-    w_rn = Window.partitionBy(*group_cols).orderBy("value", "h")
-    w_m = Window.partitionBy(*group_cols)
+    # ungrouped: partition by the non-foldable constant pmod(h, 1)
+    # (always 0) so the sketch-sized window keeps a partition spec
+    parts = (
+        [F.col(c) for c in group_cols]
+        if group_cols
+        else [F.pmod(F.col("h"), F.lit(1))]
+    )
+    w_rn = Window.partitionBy(*parts).orderBy("value", "h")
+    w_m = Window.partitionBy(*parts)
     ranked = sketch.select(
         *group_cols,
         "value",
