@@ -333,11 +333,7 @@ def read_avro(
     header for the embedded schema (a single-file driver read,
     documented cost — pass the schema in production to keep ingestion
     driver-light, the read_jsonl rule)."""
-    from .operators.avrocodec import (
-        decode_ocf,
-        fields_from_schema_json,
-        spark_ddl_of,
-    )
+    from .operators.avrocodec import decode_ocf, spark_ddl_of
 
     glob_path = f"{path.rstrip('/')}/*.avro"
     bf = spark.read.format("binaryFile").load(glob_path)
@@ -414,7 +410,11 @@ def write_avro(
     df = frame.df
     fields = fields_from_spark_schema(df.schema)
     os.makedirs(path, exist_ok=True)
-    for old in _glob.glob(os.path.join(path, "*.avro")):
+    # overwrite semantics: clear prior part files AND any .tmp left by
+    # a crashed writer (the rename never published them)
+    for old in _glob.glob(os.path.join(path, "*.avro")) + _glob.glob(
+        os.path.join(path, ".part-*.avro.tmp")
+    ):
         os.remove(old)
 
     def write_part(rows):
