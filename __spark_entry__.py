@@ -4364,6 +4364,58 @@ def hist_merge_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join under the driver gate (r15): both fact
+    tables written with ``write_parquet(bucket_by=)`` on the join key
+    (8 buckets each side), then joined WITHOUT any exchange — the
+    layout lever that makes repeated 100 TB fact-fact joins affordable
+    (the shuffle both sides would otherwise pay on every join is paid
+    ONCE at write time). The MERGE hint forces the sort-merge path so
+    the gate measures the bucketed join, not a broadcast that only
+    wins at test scale; test_plans.py pins the zero-exchange plan
+    shape, and this gate pins the VALUES the bucketed scan+join
+    produce (a bucket-assignment bug — wrong modulus, wrong key —
+    would route rows to the wrong bucket pair and drop join matches
+    silently; the twin's plain join catches exactly that). Tables are
+    REwritten every call, so regenerated testdata can never leave the
+    gate on stale buckets."""
+    import hashlib
+
+    from datamancer_spark.io import write_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = "/root/repo/spark-warehouse"
+    o_t, l_t = f"bk_gate_orders_{tag}", f"bk_gate_lineitem_{tag}"
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_parquet(
+        DamFrame(ords),
+        f"{wh}/{o_t}",
+        bucket_by=(8, ["o_orderkey"]),
+        table_name=o_t,
+    )
+    write_parquet(
+        DamFrame(li),
+        f"{wh}/{l_t}",
+        bucket_by=(8, ["l_orderkey"]),
+        table_name=l_t,
+    )
+    a, b = spark.table(o_t), spark.table(l_t)
+    j = a.hint("MERGE").join(b, a["o_orderkey"] == b["l_orderkey"])
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("revenue_cents"),
+    )
+
+
 _AVRO_GATE_DIR = "/root/repo/spark-warehouse/_avro_roundtrip_gate"
 
 
@@ -5298,6 +5350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_distinct_salted": skew_distinct_salted,
         "avro_roundtrip_agg": avro_roundtrip_agg,
         "streaming_quantile_replay": streaming_quantile_replay,
+        "bucketed_join_agg": bucketed_join_agg,
         # -- window padding (all >= 2x driver-green; the packed-window
         # -- invariant is satisfied because no under-proven query sits
         # -- outside the first 50):
@@ -9910,6 +9963,19 @@ def oracle_sql() -> dict[str, str]:
                           AND cum_n - n < 0.99 * total
                      THEN 1 ELSE 0 END AS BIGINT) AS is_p99
         FROM c
+    """
+
+    # bucketed-join twin (r15): a plain join+agg — the Spark side's
+    # value must be layout-invariant, so the bucketed scan+join path
+    # is graded against the same join computed without any bucketing.
+    sql["bucketed_join_agg"] = """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus
     """
 
     # avro round-trip twin (r15): DuckDB has no Avro reader, so the

@@ -361,6 +361,40 @@ def read_avro(
                     vals = [r[j] for r in rows]
                     if typ == "long":
                         cols[name] = pd.array(vals, dtype="Int64")
+                    elif typ == "int":
+                        cols[name] = pd.array(vals, dtype="Int32")
+                    elif typ in (
+                        "timestamp-micros",
+                        "local-timestamp-micros",
+                    ):
+                        # raw epoch-µs wire ints -> datetime64[us];
+                        # None -> NaT
+                        cols[name] = pd.to_datetime(
+                            pd.array(vals, dtype="Int64"), unit="us"
+                        )
+                    elif typ == "date":
+                        import datetime as _dt
+
+                        epoch = _dt.date(1970, 1, 1)
+                        cols[name] = pd.Series(
+                            [
+                                None
+                                if v is None
+                                else epoch + _dt.timedelta(days=v)
+                                for v in vals
+                            ],
+                            dtype="object",
+                        )
+                    elif typ == "float":
+                        mask = np.fromiter(
+                            (v is None for v in vals), bool, len(vals)
+                        )
+                        data = np.fromiter(
+                            (0.0 if v is None else v for v in vals),
+                            np.float32,
+                            len(vals),
+                        )
+                        cols[name] = pd.arrays.FloatingArray(data, mask)
                     elif typ == "double":
                         # explicit data+mask: pd.array(Float64) folds
                         # NaN into NA, destroying the NaN≠NULL

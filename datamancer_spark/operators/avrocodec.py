@@ -42,23 +42,52 @@ import struct
 import zlib
 
 _MAGIC = b"Obj\x01"
-_SUPPORTED = {"long", "double", "string", "boolean"}
-# Spark SQL type name -> avro primitive
+# wire-type tokens: avro primitives plus the three temporal LOGICAL
+# types real event pipelines need (each rides a primitive wire type:
+# timestamp-micros / local-timestamp-micros on long, date on int)
+_SUPPORTED = {
+    "long",
+    "int",
+    "double",
+    "float",
+    "string",
+    "bytes",
+    "boolean",
+    "timestamp-micros",
+    "local-timestamp-micros",
+    "date",
+}
+_LOGICAL_BASE = {
+    "timestamp-micros": "long",
+    "local-timestamp-micros": "long",
+    "date": "int",
+}
+# Spark SQL type name -> wire token
 _SPARK_TO_AVRO = {
     "long": "long",
-    "integer": "long",
-    "short": "long",
-    "byte": "long",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
     "double": "double",
-    "float": "double",
+    "float": "float",
     "string": "string",
+    "binary": "bytes",
     "boolean": "boolean",
+    "timestamp": "timestamp-micros",
+    "timestamp_ntz": "local-timestamp-micros",
+    "date": "date",
 }
 _AVRO_TO_SPARK = {
     "long": "long",
+    "int": "int",
     "double": "double",
+    "float": "float",
     "string": "string",
+    "bytes": "binary",
     "boolean": "boolean",
+    "timestamp-micros": "timestamp",
+    "local-timestamp-micros": "timestamp_ntz",
+    "date": "date",
 }
 
 
@@ -100,16 +129,38 @@ def _enc_value(buf: bytearray, v, typ: str, nullable: bool) -> None:
         _enc_long(buf, 1)
     elif v is None:
         raise ValueError("avro: NULL in a non-nullable field")
-    if typ == "long":
+    if typ in ("long", "int"):
         _enc_long(buf, int(v))
     elif typ == "double":
         buf += struct.pack("<d", float(v))
+    elif typ == "float":
+        buf += struct.pack("<f", float(v))
     elif typ == "string":
         raw = str(v).encode("utf-8")
         _enc_long(buf, len(raw))
         buf += raw
+    elif typ == "bytes":
+        raw = bytes(v)
+        _enc_long(buf, len(raw))
+        buf += raw
     elif typ == "boolean":
         buf.append(1 if v else 0)
+    elif typ in ("timestamp-micros", "local-timestamp-micros"):
+        # accept naive datetimes (Spark rows under the UTC-pinned
+        # session) or raw epoch-µs ints
+        if not isinstance(v, int):
+            import datetime as _dt
+
+            v = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+                microseconds=1
+            )
+        _enc_long(buf, int(v))
+    elif typ == "date":
+        if not isinstance(v, int):
+            import datetime as _dt
+
+            v = (v - _dt.date(1970, 1, 1)).days
+        _enc_long(buf, int(v))
     else:  # pragma: no cover — schema validated upstream
         raise ValueError(f"avro: unsupported type {typ}")
 
@@ -121,13 +172,21 @@ def _dec_value(mv: memoryview, pos: int, typ: str, nullable: bool):
             return None, pos
         if branch != 1:
             raise ValueError(f"avro: union branch {branch} out of range")
-    if typ == "long":
+    # temporal logical types decode to their RAW wire ints (epoch µs /
+    # days); the reader layer converts to datetime/date frames
+    if typ in ("long", "int", "timestamp-micros",
+               "local-timestamp-micros", "date"):
         return _dec_long(mv, pos)
     if typ == "double":
         return struct.unpack_from("<d", mv, pos)[0], pos + 8
+    if typ == "float":
+        return struct.unpack_from("<f", mv, pos)[0], pos + 4
     if typ == "string":
         ln, pos = _dec_long(mv, pos)
         return str(mv[pos : pos + ln], "utf-8"), pos + ln
+    if typ == "bytes":
+        ln, pos = _dec_long(mv, pos)
+        return bytes(mv[pos : pos + ln]), pos + ln
     if typ == "boolean":
         return mv[pos] != 0, pos + 1
     raise ValueError(f"avro: unsupported type {typ}")
@@ -152,13 +211,24 @@ def fields_from_spark_schema(schema) -> list[tuple[str, str, bool]]:
     return out
 
 
+def _type_doc(t: str):
+    """Wire token -> schema JSON type node (logical types annotate
+    their base primitive, the spec's representation)."""
+    if t in _LOGICAL_BASE:
+        return {"type": _LOGICAL_BASE[t], "logicalType": t}
+    return t
+
+
 def schema_json(fields: list[tuple[str, str, bool]], name: str = "row") -> str:
     return json.dumps(
         {
             "type": "record",
             "name": name,
             "fields": [
-                {"name": n, "type": ["null", t] if nl else t}
+                {
+                    "name": n,
+                    "type": ["null", _type_doc(t)] if nl else _type_doc(t),
+                }
                 for n, t, nl in fields
             ],
         },
@@ -179,10 +249,18 @@ def fields_from_schema_json(doc: str) -> list[tuple[str, str, bool]]:
                 raise ValueError(f"avro: unsupported union {t!r}")
             nullable = True
             t = t[0] if t[1] == "null" else t[1]
+        if isinstance(t, dict):
+            lt = t.get("logicalType")
+            if lt in _LOGICAL_BASE and t.get("type") == _LOGICAL_BASE[lt]:
+                t = lt
+            else:
+                # unknown logical types fall back to their base
+                # primitive (the spec's required reader behavior)
+                t = t.get("type")
         if not isinstance(t, str) or t not in _SUPPORTED:
             raise ValueError(
-                f"avro: unsupported field type {t!r} (flat "
-                f"long/double/string/boolean records only)"
+                f"avro: unsupported field type {t!r} (flat records over "
+                f"{sorted(_SUPPORTED)} only)"
             )
         out.append((f["name"], t, nullable))
     return out

@@ -51,12 +51,19 @@ def _write_datum(out: io.BytesIO, v, typ) -> None:
         other = [t for t in typ if t != "null"][0]
         out.write(zz_encode(typ.index(other)))
         _write_datum(out, v, other)
-    elif typ == "long":
+    elif isinstance(typ, dict):  # logical type: encode the base wire
+        _write_datum(out, v, typ["type"])
+    elif typ in ("long", "int"):
         out.write(zz_encode(int(v)))
     elif typ == "double":
         out.write(struct.pack("<d", float(v)))
+    elif typ == "float":
+        out.write(struct.pack("<f", float(v)))
     elif typ == "string":
         b = str(v).encode("utf-8")
+        out.write(zz_encode(len(b)) + b)
+    elif typ == "bytes":
+        b = bytes(v)
         out.write(zz_encode(len(b)) + b)
     elif typ == "boolean":
         out.write(b"\x01" if v else b"\x00")
@@ -70,13 +77,20 @@ def _read_datum(stream: io.BytesIO, typ):
         if branch == "null":
             return None
         return _read_datum(stream, branch)
-    if typ == "long":
+    if isinstance(typ, dict):  # logical type: raw base-wire value
+        return _read_datum(stream, typ["type"])
+    if typ in ("long", "int"):
         return zz_read(stream)
     if typ == "double":
         return struct.unpack("<d", stream.read(8))[0]
+    if typ == "float":
+        return struct.unpack("<f", stream.read(4))[0]
     if typ == "string":
         n = zz_read(stream)
         return stream.read(n).decode("utf-8")
+    if typ == "bytes":
+        n = zz_read(stream)
+        return stream.read(n)
     if typ == "boolean":
         return stream.read(1) == b"\x01"
     raise ValueError(f"ref decoder: type {typ!r}")

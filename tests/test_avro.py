@@ -172,3 +172,114 @@ class TestEngineRoundtripOnTestdata:
             spark, d, schema="k long, status string, price double"
         ).df
         assert back2.count() == a[0]
+
+
+class TestExtendedTypes:
+    """r15 extension: int/float/bytes wire types and the temporal
+    logical types (timestamp-micros, local-timestamp-micros, date) —
+    validated both ways against the reference codec at the raw-wire
+    level (the ref codec works in epoch-µs/day ints on purpose)."""
+
+    SCHEMA2 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "f", "type": ["null", "float"]},
+            {"name": "b", "type": "bytes"},
+            {
+                "name": "ts",
+                "type": [
+                    "null",
+                    {"type": "long", "logicalType": "local-timestamp-micros"},
+                ],
+            },
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        ],
+    }
+
+    def test_engine_reader_on_reference_bytes(self, spark, tmp_path):
+        import datetime as dt
+
+        d = str(tmp_path / "ext_ref")
+        os.makedirs(d)
+        us = lambda *a: int(  # noqa: E731
+            (dt.datetime(*a) - dt.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        )
+        rows = [
+            {"i": -5, "f": 1.5, "b": b"\x00\xffraw",
+             "ts": us(2024, 3, 1, 12, 30, 15), "d": 19_783},
+            {"i": 2**31 - 1, "f": None, "b": b"",
+             "ts": None, "d": 0},
+        ]
+        ref_write_ocf(f"{d}/p.avro", self.SCHEMA2, rows, "deflate")
+        got = sorted(read_avro(spark, d).df.collect(), key=lambda r: r["i"])
+        r0 = [g for g in got if g["i"] == -5][0]
+        assert r0["f"] == 1.5 and r0["b"] == b"\x00\xffraw"
+        assert r0["ts"] == dt.datetime(2024, 3, 1, 12, 30, 15)
+        assert r0["d"] == dt.date(1970, 1, 1) + dt.timedelta(days=19_783)
+        r1 = [g for g in got if g["i"] == 2**31 - 1][0]
+        assert r1["f"] is None and r1["b"] == b"" and r1["ts"] is None
+        assert r1["d"] == dt.date(1970, 1, 1)
+        # schema arrives typed: int stays int, date stays date
+        types = dict(read_avro(spark, d).df.dtypes)
+        assert types == {
+            "i": "int", "f": "float", "b": "binary",
+            "ts": "timestamp_ntz", "d": "date",
+        }
+
+    def test_engine_writer_under_reference_decoder(self, spark, tmp_path):
+        import datetime as dt
+
+        d = str(tmp_path / "ext_eng")
+        src = spark.createDataFrame(
+            [
+                (1, 2.5, b"\x01\x02", dt.datetime(2024, 1, 2, 3, 4, 5,
+                                                  678901),
+                 dt.date(2023, 12, 31)),
+                (2, None, b"", None, dt.date(1970, 1, 1)),
+            ],
+            "i int, f float, b binary, ts timestamp_ntz, d date",
+        )
+        write_avro(DamFrame(src), d, codec="null")
+        rows = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".avro"):
+                schema, rs = ref_read_ocf(os.path.join(d, f))
+                rows += rs
+        rows.sort(key=lambda r: r["i"])
+        assert rows[0]["f"] == 2.5 and rows[0]["b"] == b"\x01\x02"
+        want_us = int(
+            (dt.datetime(2024, 1, 2, 3, 4, 5, 678901)
+             - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+        # total_seconds float rounding: compare via exact integer form
+        want_us = (
+            dt.datetime(2024, 1, 2, 3, 4, 5, 678901)
+            - dt.datetime(1970, 1, 1)
+        ) // dt.timedelta(microseconds=1)
+        assert rows[0]["ts"] == want_us
+        assert rows[0]["d"] == (dt.date(2023, 12, 31)
+                                - dt.date(1970, 1, 1)).days
+        assert rows[1]["f"] is None and rows[1]["ts"] is None
+        assert rows[1]["d"] == 0
+
+    def test_engine_roundtrip_events_slice(self, spark, sf_dir, tmp_path):
+        d = str(tmp_path / "ext_events")
+        src = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "ts", "event_type")
+            .filter(F.col("event_id") % 17 == 0)
+        )
+        write_avro(DamFrame(src), d)
+        back = read_avro(spark, d).df
+        a = src.agg(
+            F.count(F.lit(1)),
+            F.sum(F.unix_micros(F.col("ts").cast("timestamp"))),
+        ).first()
+        b = back.agg(
+            F.count(F.lit(1)),
+            F.sum(F.unix_micros(F.col("ts").cast("timestamp"))),
+        ).first()
+        assert tuple(a) == tuple(b) and a[0] > 0
