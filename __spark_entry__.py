@@ -4605,6 +4605,97 @@ def quantile_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED rank sketch under the driver gate (r15): token-weighted
+    document-length quantiles — "below what length does half the
+    corpus's TOKEN MASS live?", the budget/packing question the row
+    quantile can't answer (a few long docs carry most tokens). Weights
+    = whitespace token counts (the repo's shared tokenization), values
+    = n_chars; two disjoint snapshots (even/odd doc_ids) sketch at
+    DIFFERENT rates (2^-1 / 2^-2), merge downsamples to the coarser,
+    and merge == rebuild is pinned by count + BIT_XOR + total-weight
+    equality riding every row. p50/p90 estimates are scored against
+    the TRUE token mass below each estimate with the
+    4·sqrt(2^r·W·w_max) bound as booleans (variance scales with weight
+    dispersion — the documented price of Bernoulli-by-key membership,
+    sketch.py rank_sketch_build). The twin rebuilds weights, sketch
+    membership, the weighted-cumulative quantile rule, and both
+    booleans in SQL."""
+    from datamancer_spark.operators.dedup import tokens
+    from datamancer_spark.operators.sketch import (
+        rank_sketch_build,
+        rank_sketch_merge,
+        rank_sketch_quantiles,
+    )
+
+    doc = _t(spark, sf_dir, "documents")["documents"].df
+    wdoc = doc.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("_v"),
+        F.size(tokens(F.col("text"))).cast("long").alias("_w"),
+    )
+    sk_a = rank_sketch_build(
+        wdoc.filter(F.col("doc_id") % 2 == 0),
+        "_v",
+        ["doc_id"],
+        rate_exp=1,
+        weight_col="_w",
+    )
+    sk_b = rank_sketch_build(
+        wdoc.filter(F.col("doc_id") % 2 == 1),
+        "_v",
+        ["doc_id"],
+        rate_exp=2,
+        weight_col="_w",
+    )
+    merged = rank_sketch_merge(sk_a, sk_b)
+    rebuilt = rank_sketch_build(
+        wdoc, "_v", ["doc_id"], rate_exp=2, weight_col="_w"
+    )
+    sig = lambda s, t: s.agg(  # noqa: E731 — 1-row sketch signature
+        F.count(F.lit(1)).cast("long").alias(f"n_{t}"),
+        F.expr("bit_xor(h)").alias(f"x_{t}"),
+        F.sum("w").cast("long").alias(f"w_{t}"),
+    )
+    merge_ok = (
+        sig(merged, "m")
+        .crossJoin(sig(rebuilt, "r"))
+        .select(
+            (
+                (F.col("n_m") == F.col("n_r"))
+                & (F.col("x_m") == F.col("x_r"))
+                & (F.col("w_m") == F.col("w_r"))
+            ).alias("merge_ok")
+        )
+    )
+    qv = rank_sketch_quantiles(merged, [0.5, 0.9])
+    tot = wdoc.agg(
+        F.sum("_w").cast("long").alias("_W"),
+        F.max("_w").cast("long").alias("_wmax"),
+    )
+    exact = (
+        wdoc.join(F.broadcast(qv), F.col("_v") <= F.col("value_est"))
+        .groupBy("p", "value_est", "m")
+        .agg(F.sum("_w").cast("long").alias("w_below"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(merge_ok))
+        .select(
+            "p",
+            "value_est",
+            "m",
+            "w_below",
+            (
+                F.abs(F.col("w_below") - F.col("p") * F.col("_W"))
+                <= F.lit(4.0)
+                * F.sqrt(F.lit(4.0) * F.col("_W") * F.col("_wmax"))
+            ).alias("rank_ok"),
+            "merge_ok",
+        )
+    )
+
+
 def skew_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted distinct-count under the driver gate (r15,
     operators/skew.py salted_distinct_count): distinct users per
@@ -5351,6 +5442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip_agg": avro_roundtrip_agg,
         "streaming_quantile_replay": streaming_quantile_replay,
         "bucketed_join_agg": bucketed_join_agg,
+        "quantile_weighted_tokens": quantile_weighted_tokens,
         # -- window padding (all >= 2x driver-green; the packed-window
         # -- invariant is satisfied because no under-proven query sits
         # -- outside the first 50):
@@ -10176,6 +10268,65 @@ def oracle_sql() -> dict[str, str]:
                     THEN qn.q - qo.q ELSE 0.0 END AS shift
         FROM qo FULL OUTER JOIN qn
           ON qo.lang = qn.lang AND qo.p = qn.p
+    """
+
+    # weighted rank-sketch twin (r15): token weights from the shared
+    # tokenization CTE, sketch membership under 2^59 / 2^58 thresholds
+    # with the coarser downsample, weighted-cumulative quantile rule,
+    # and the count+BIT_XOR+total-weight merge==rebuild pin.
+    sql["quantile_weighted_tokens"] = """
+        WITH wdoc AS (
+          SELECT doc_id, CAST(n_chars AS DOUBLE) AS v,
+                 CAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                         '\\s+'),
+                   x -> len(x) > 0)) AS BIGINT) AS w,
+                 CAST('0x' || substr(md5('rank' ||
+                   (chr(2) || 'V' || CAST(doc_id AS VARCHAR))), 1, 15)
+                   AS BIGINT) AS h
+          FROM documents WHERE n_chars IS NOT NULL
+        ), ma AS (
+          SELECT v, w, h FROM wdoc
+          WHERE ((doc_id % 2 = 0 AND h < 576460752303423488)
+                 OR (doc_id % 2 = 1 AND h < 288230376151711744))
+            AND h < 288230376151711744
+        ), rb AS (
+          SELECT v, w, h FROM wdoc WHERE h < 288230376151711744
+        ), mok AS (
+          SELECT ((SELECT count(*) FROM ma) = (SELECT count(*) FROM rb)
+                  AND (SELECT bit_xor(h) FROM ma)
+                      = (SELECT bit_xor(h) FROM rb)
+                  AND (SELECT sum(w) FROM ma) = (SELECT sum(w) FROM rb))
+                 AS merge_ok
+        ), rk AS (
+          SELECT v,
+                 CAST(sum(w) OVER (ORDER BY v, h
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cw,
+                 CAST(sum(w) OVER () AS BIGINT) AS m
+          FROM ma
+        ), ps AS (
+          SELECT CAST(x AS DOUBLE) AS p
+          FROM (VALUES (0.5), (0.9)) t(x)
+        ), qv AS (
+          SELECT p, min(v) AS value_est, max(m) AS m
+          FROM rk JOIN ps ON cw >= p * m
+          GROUP BY p
+        ), tot AS (
+          SELECT CAST(sum(w) AS BIGINT) AS W,
+                 CAST(max(w) AS BIGINT) AS wmax
+          FROM wdoc
+        ), er AS (
+          SELECT p, value_est, m,
+                 CAST(sum(wdoc.w) AS BIGINT) AS w_below
+          FROM wdoc JOIN qv ON wdoc.v <= qv.value_est
+          GROUP BY p, value_est, m
+        )
+        SELECT p, value_est, m, w_below,
+               (abs(w_below - p * W) <= 4.0 * sqrt(4.0 * W * wmax))
+                 AS rank_ok,
+               merge_ok
+        FROM er, tot, mok
     """
 
     # salted distinct-count twin (r15): portable-hash bucket assignment,

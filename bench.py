@@ -222,6 +222,8 @@ HEADLINE = [
     "skew_distinct_salted",
     "avro_roundtrip_agg",
     "streaming_quantile_replay",
+    "bucketed_join_agg",
+    "quantile_weighted_tokens",
 ]
 
 

@@ -449,15 +449,26 @@ def rank_sketch_build(
     key_cols: list[str],
     rate_exp: int = 6,
     group_cols: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Build the sketch: (group_cols..., value, h, rate_exp) — one scan,
-    one filter, NO shuffle (the sketch is written where the data lives;
-    downstream consumers shuffle the ≤ N·2^-rate_exp surviving rows,
-    not the corpus). ``key_cols`` must uniquely identify a row (they
-    feed the inclusion hash; duplicates of a key would enter or leave
-    the sample together and bias ranks). NULL values are skipped; NaN
-    is kept and ranks above every real value (Spark and DuckDB agree
-    on NaN-last ordering)."""
+    """Build the sketch: (group_cols..., value, h[, w], rate_exp) — one
+    scan, one filter, NO shuffle (the sketch is written where the data
+    lives; downstream consumers shuffle the ≤ N·2^-rate_exp surviving
+    rows, not the corpus). ``key_cols`` must uniquely identify a row
+    (they feed the inclusion hash; duplicates of a key would enter or
+    leave the sample together and bias ranks). NULL values are skipped;
+    NaN is kept and ranks above every real value (Spark and DuckDB
+    agree on NaN-last ordering).
+
+    ``weight_col`` (r15): per-row long weights ride the sketch as
+    ``w``, turning rank/quantile estimates WEIGHTED — e.g. doc-length
+    quantiles weighted by token count answer "what fraction of TOKENS
+    lives in docs shorter than X", the curation question the row
+    quantile can't. Inclusion stays Bernoulli-by-key (unbiased:
+    E[Σ kept w]/p = true Σw); variance scales with weight dispersion
+    (sd ≤ sqrt(2^rate · W · w_max) for the below-threshold mass), the
+    documented price of keeping membership deterministic and
+    mergeable. NULL-weight rows are skipped like NULL values."""
     if not 0 <= int(rate_exp) <= 59:
         raise ValueError(
             f"rank_sketch_build: rate_exp must be in [0, 59], got {rate_exp}"
@@ -469,9 +480,13 @@ def rank_sketch_build(
     group_cols = list(group_cols or [])
     v = F.col(value_col).cast("double")
     h = row_signature(*[F.col(k) for k in key_cols], seed="rank")
+    d = df.filter(v.isNotNull())
+    cols = [*group_cols, v.alias("value"), h.alias("h")]
+    if weight_col is not None:
+        d = d.filter(F.col(weight_col).isNotNull())
+        cols.append(F.col(weight_col).cast("long").alias("w"))
     return (
-        df.filter(v.isNotNull())
-        .select(*group_cols, v.alias("value"), h.alias("h"))
+        d.select(*cols)
         .filter(F.col("h") < F.lit(1 << (60 - int(rate_exp))))
         .withColumn("rate_exp", F.lit(int(rate_exp)).cast("int"))
     )
@@ -521,7 +536,12 @@ def rank_sketch_quantiles(
     for 2^rate_exp corpus rows, so the p-th sample value estimates the
     p-th corpus value with rank error ~ N/sqrt(m)). All windows run
     over the sketch, never the corpus. Returns
-    (group_cols..., p, value_est, m)."""
+    (group_cols..., p, value_est, m).
+
+    WEIGHTED sketches (built with ``weight_col``, carrying ``w``):
+    the p-quantile is the smallest value whose cumulative sample
+    weight reaches p · (total sample weight) — ``m`` then reports the
+    total sample WEIGHT, not the row count."""
     from pyspark.sql import Window
 
     group_cols = list(group_cols or [])
@@ -534,20 +554,30 @@ def rank_sketch_quantiles(
         if group_cols
         else [F.pmod(F.col("h"), F.lit(1))]
     )
-    w_rn = Window.partitionBy(*parts).orderBy("value", "h")
+    w_ord = Window.partitionBy(*parts).orderBy("value", "h")
     w_m = Window.partitionBy(*parts)
-    ranked = sketch.select(
-        *group_cols,
-        "value",
-        F.row_number().over(w_rn).alias("_rn"),
-        F.count(F.lit(1)).over(w_m).alias("_m"),
-    )
-    return (
-        ranked.join(
-            F.broadcast(ps_df),
-            F.col("_rn")
-            >= F.greatest(F.ceil(F.col("p") * F.col("_m")), F.lit(1)),
+    if "w" in sketch.columns:
+        ranked = sketch.select(
+            *group_cols,
+            "value",
+            F.sum("w")
+            .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_cw"),
+            F.sum("w").over(w_m).alias("_m"),
         )
+        cond = F.col("_cw") >= F.col("p") * F.col("_m")
+    else:
+        ranked = sketch.select(
+            *group_cols,
+            "value",
+            F.row_number().over(w_ord).alias("_cw"),
+            F.count(F.lit(1)).over(w_m).alias("_m"),
+        )
+        cond = F.col("_cw") >= F.greatest(
+            F.ceil(F.col("p") * F.col("_m")), F.lit(1)
+        )
+    return (
+        ranked.join(F.broadcast(ps_df), cond)
         .groupBy(*group_cols, "p")
         .agg(
             F.min("value").alias("value_est"),
@@ -561,13 +591,21 @@ def rank_sketch_rank(
     q: float,
     group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Estimated rank of ``q`` (count of corpus values <= q): kept rows
-    below q, scaled back up by 2^rate_exp. Returns
-    (group_cols..., rank_est)."""
+    """Estimated rank of ``q`` (count — or, on weighted sketches, total
+    WEIGHT — of corpus values <= q): kept mass below q, scaled back up
+    by 2^rate_exp. Returns (group_cols..., rank_est)."""
     group_cols = list(group_cols or [])
+    below = (
+        F.sum(
+            F.when(F.col("value") <= F.lit(float(q)), F.col("w")).otherwise(
+                F.lit(0)
+            )
+        )
+        if "w" in sketch.columns
+        else F.sum((F.col("value") <= F.lit(float(q))).cast("long"))
+    )
     return sketch.groupBy(*group_cols).agg(
-        (
-            F.sum((F.col("value") <= F.lit(float(q))).cast("long"))
-            * F.expr("shiftleft(CAST(1 AS BIGINT), max(rate_exp))")
-        ).alias("rank_est")
+        (below * F.expr("shiftleft(CAST(1 AS BIGINT), max(rate_exp))")).alias(
+            "rank_est"
+        )
     )

@@ -617,3 +617,71 @@ class TestRankSketch:
             rank_sketch_build(df, "v", [], rate_exp=5)
         with _pytest.raises(ValueError, match="rank sketch"):
             rank_sketch_merge(df)
+
+
+class TestWeightedRankSketch:
+    def test_weighted_quantile_exact_at_rate_zero(self, spark):
+        """rate_exp=0 keeps every row, so the weighted sketch quantile
+        IS the exact weighted quantile — pins the cum-weight rule."""
+        from datamancer_spark.operators.sketch import (
+            rank_sketch_build,
+            rank_sketch_quantiles,
+        )
+
+        # values 1..4 with weights 1,1,6,2 (W=10): p50 -> first value
+        # whose cum weight >= 5 is 3; p90 -> cum >= 9 is 4
+        rows = [(1, 1.0, 1), (2, 2.0, 1), (3, 3.0, 6), (4, 4.0, 2)]
+        df = spark.createDataFrame(rows, "k long, v double, w long")
+        sk = rank_sketch_build(df, "v", ["k"], 0, weight_col="w")
+        got = {
+            r["p"]: (r["value_est"], r["m"])
+            for r in rank_sketch_quantiles(sk, [0.5, 0.9]).collect()
+        }
+        assert got[0.5] == (3.0, 10)
+        assert got[0.9] == (4.0, 10)
+
+    def test_weighted_merge_equals_rebuild(self, spark, sf_dir):
+        from datamancer_spark.operators.sketch import (
+            rank_sketch_build,
+            rank_sketch_merge,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        keys = ["l_orderkey", "l_linenumber"]
+        a = li.filter(F.col("l_orderkey") % 2 == 0)
+        b = li.filter(F.col("l_orderkey") % 2 == 1)
+        sa = rank_sketch_build(
+            a, "l_extendedprice", keys, 4, weight_col="l_quantity"
+        )
+        sb = rank_sketch_build(
+            b, "l_extendedprice", keys, 6, weight_col="l_quantity"
+        )
+        merged = rank_sketch_merge(sa, sb)
+        rebuilt = rank_sketch_build(
+            li, "l_extendedprice", keys, 6, weight_col="l_quantity"
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
+
+    def test_weighted_rank_estimate_within_bound(self, spark, sf_dir):
+        from datamancer_spark.operators.sketch import (
+            rank_sketch_build,
+            rank_sketch_rank,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        keys = ["l_orderkey", "l_linenumber"]
+        sk = rank_sketch_build(
+            li, "l_extendedprice", keys, 4, weight_col="l_quantity"
+        )
+        med = li.approxQuantile("l_extendedprice", [0.5], 0.01)[0]
+        est = rank_sketch_rank(sk, med).first()["rank_est"]
+        truth = li.filter(F.col("l_extendedprice") <= med).agg(
+            F.sum("l_quantity")
+        ).first()[0]
+        stats = li.agg(
+            F.sum("l_quantity"), F.max("l_quantity")
+        ).first()
+        bound = 4.0 * (16 * float(stats[0]) * float(stats[1])) ** 0.5
+        assert abs(float(est) - float(truth)) <= bound
