@@ -39,6 +39,8 @@ RECORD_QUERIES = [
     "skew_distinct_salted",
     "avro_roundtrip_agg",
     "streaming_quantile_replay",
+    "bucketed_join_agg",
+    "quantile_weighted_tokens",
 ]
 
 
