@@ -4509,6 +4509,11 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = rank_sketch_merge(sk_a, sk_b)
     rebuilt = rank_sketch_build(li, "l_extendedprice", keys, rate_exp=6)
+    # the truth population is the NON-NULL prices (the sketch and the
+    # twin's base CTE both filter NULLs) — count(*) over raw lineitem
+    # would diverge from the twin on any regenerated testdata carrying
+    # NULL prices (review r15)
+    li = li.filter(F.col("l_extendedprice").isNotNull())
     sig = lambda s, tag: s.agg(  # noqa: E731 — 1-row sketch signature
         F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
         F.expr("bit_xor(h)").alias(f"x_{tag}"),
@@ -4629,11 +4634,16 @@ def quantile_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     doc = _t(spark, sf_dir, "documents")["documents"].df
+    # NULL-length rows leave the population HERE, so the sketch, the
+    # truth join, AND the W/w_max totals all see the same rows the
+    # twin's WHERE n_chars IS NOT NULL sees (review r15 — computing
+    # totals over the unfiltered frame diverges on regenerated
+    # testdata with NULL n_chars)
     wdoc = doc.select(
         "doc_id",
         F.col("n_chars").cast("double").alias("_v"),
         F.size(tokens(F.col("text"))).cast("long").alias("_w"),
-    )
+    ).filter(F.col("_v").isNotNull())
     sk_a = rank_sketch_build(
         wdoc.filter(F.col("doc_id") % 2 == 0),
         "_v",
@@ -5193,16 +5203,17 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATE-DATA DROP semantics under the driver gate (r15, VERDICT r14
     #2 — the one streaming behavior class no replay gate could reach:
     a fully-replayed single-batch source never exercises lateness, and
-    complete mode drops nothing by design). The source is the events
-    table split into two files (even event_ids, then odd) admitted ONE
-    PER TRIGGER (AvailableNow honors maxFilesPerTrigger; admission is
+    complete mode drops nothing by design). Files are admitted ONE PER
+    TRIGGER (AvailableNow honors maxFilesPerTrigger; admission is
     oldest-mtime-first, pinned by os.utime), so the watermark advances
-    to max(ts of batch 1) − 317 min between batches and batch-2 rows
-    whose 1-hour window closed before that really are dropped before
-    the state update; APPEND mode then emits exactly the windows the
-    final watermark closed.
+    between batches and rows whose 1-hour window closed before the
+    eviction watermark really are dropped before the state update;
+    APPEND mode then emits exactly the windows the final watermark
+    closed.
 
-    THREE batches, because of a semantics detail this gate exists to
+    The source is the events table split into THREE mtime-ordered
+    files (event_id % 3) admitted one per trigger — three batches,
+    because of a semantics detail this gate exists to
     pin (measured on a controlled replay, not assumed): the engine's
     late-row filter uses the watermark that ran the LAST EVICTION —
     the previous batch's operating watermark — not the current one, so
@@ -5241,6 +5252,23 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}:{src_stat.st_size}:{src_stat.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     d = f"/root/repo/spark-warehouse/_late_drop_gate_{tag}"
+    # content-addressed tags mint a NEW dir per testdata regeneration;
+    # sweep stale siblings (>48h by dir mtime — current-scale dirs are
+    # recreated cheaply if swept) so the warehouse doesn't accumulate
+    # event-table copies forever (review r15, the _staging_ lesson)
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    for old in _glob.glob("/root/repo/spark-warehouse/_late_drop_gate_*"):
+        try:
+            if (
+                old != d
+                and os.path.getmtime(old) < _time.time() - 48 * 3600
+            ):
+                _shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     paths = [f"{d}/batch{i}.parquet" for i in (1, 2, 3)]
     if not all(os.path.exists(p) for p in paths):
         os.makedirs(d, exist_ok=True)

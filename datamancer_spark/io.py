@@ -41,13 +41,14 @@ def _stage_url_to_warehouse(spark: SparkSession, url: str) -> str:
     dst = f"{warehouse.rstrip('/')}/_staged_urls/{digest}.csv"
     dst_path = jvm.org.apache.hadoop.fs.Path(dst)
     fs = dst_path.getFileSystem(conf)
-    if fs.exists(dst_path):
-        return dst
     # best-effort sweep of orphaned staging temps (ADVICE r14): a crash
     # between copyFromLocalFile and rename leaves <dst>._staging_* files
-    # that nothing else ever deletes. Only siblings older than a TTL go
-    # (a concurrent healthy session's in-flight temp is seconds old);
-    # failures are swallowed — the sweep is hygiene, not correctness.
+    # that nothing else ever deletes. Runs BEFORE the exists()
+    # short-circuit (review r15: a sweep gated behind it never fires in
+    # the common case where another session completed the stage). Only
+    # siblings older than a TTL go (a concurrent healthy session's
+    # in-flight temp is seconds old); failures are swallowed — the
+    # sweep is hygiene, not correctness.
     try:
         import time
 
@@ -59,6 +60,8 @@ def _stage_url_to_warehouse(spark: SparkSession, url: str) -> str:
                 fs.delete(st.getPath(), False)
     except Exception:  # noqa: BLE001 — cleanup must never block staging
         pass
+    if fs.exists(dst_path):
+        return dst
     fd, local = tempfile.mkstemp(suffix=".csv")
     os.close(fd)
     urllib.request.urlretrieve(url, local)  # noqa: S310
@@ -426,9 +429,14 @@ def write_avro(
     """Avro OCF sink: one part file per partition, written from the
     executors in parallel (no single-writer coalesce — the write_csv
     rule). ``codec``: 'deflate' (RAW RFC-1951, the spec's required
-    form) or 'null'. Supported column types are long/double/string/
-    boolean (+ nullability); anything else raises with a cast hint
-    rather than silently coercing bytes other Avro readers would see.
+    form) or 'null'. Supported column types: long/int/short/byte,
+    double/float, string, binary, boolean, timestamp (→
+    timestamp-micros), timestamp_ntz (→ local-timestamp-micros), and
+    date — each optionally nullable; anything else raises with a cast
+    hint rather than silently coercing bytes other Avro readers would
+    see. TimestampType columns convert to epoch-µs IN-PLAN
+    (``unix_micros``, instant-correct under any executor OS timezone);
+    NTZ wall-clock values encode their naive micros by definition.
 
     Executors write with plain file I/O, so ``path`` must be on a
     filesystem all executors share (local/NFS/fuse mounts — true of
@@ -441,8 +449,23 @@ def write_avro(
 
     from .operators.avrocodec import encode_ocf, fields_from_spark_schema
 
+    from pyspark.sql import functions as F
+
     df = frame.df
     fields = fields_from_spark_schema(df.schema)
+    # TimestampType → epoch-µs on the JVM side: the Python Row path
+    # materializes timestamps via the executor's OS timezone, which
+    # would silently shift instants on non-UTC hosts (review r15);
+    # unix_micros is instant-based and timezone-independent
+    if any(f.dataType.typeName() == "timestamp" for f in df.schema.fields):
+        df = df.select(
+            *[
+                F.unix_micros(F.col(f.name)).alias(f.name)
+                if f.dataType.typeName() == "timestamp"
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
     os.makedirs(path, exist_ok=True)
     # overwrite semantics: clear prior part files AND any .tmp left by
     # a crashed writer (the rename never published them)

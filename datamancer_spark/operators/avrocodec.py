@@ -146,14 +146,22 @@ def _enc_value(buf: bytearray, v, typ: str, nullable: bool) -> None:
     elif typ == "boolean":
         buf.append(1 if v else 0)
     elif typ in ("timestamp-micros", "local-timestamp-micros"):
-        # accept naive datetimes (Spark rows under the UTC-pinned
-        # session) or raw epoch-µs ints
+        # raw epoch-µs ints (the write path converts TimestampType
+        # in-plan via unix_micros — instant-correct regardless of the
+        # executor OS timezone); naive datetimes are accepted for NTZ
+        # wall-clock values, where naive-as-epoch IS the definition.
+        # An AWARE datetime converts via its own offset.
         if not isinstance(v, int):
             import datetime as _dt
 
-            v = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
-                microseconds=1
-            )
+            if v.tzinfo is not None:
+                v = (
+                    v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                ) // _dt.timedelta(microseconds=1)
+            else:
+                v = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+                    microseconds=1
+                )
         _enc_long(buf, int(v))
     elif typ == "date":
         if not isinstance(v, int):
@@ -358,12 +366,22 @@ def decode_ocf(blob: bytes):
         raise ValueError(f"avro: codec {codec!r} not supported")
     fields = fields_from_schema_json(meta["avro.schema"].decode())
     sync = bytes(mv[pos : pos + 16])
+    if len(sync) != 16:
+        # a file cut inside the header would otherwise decode as a
+        # VALID empty file (the block loop never runs) — exactly the
+        # silent-prefix failure this decoder promises not to have
+        raise ValueError("avro: truncated header (short sync marker)")
     pos += 16
     rows: list[tuple] = []
     total = len(blob)
     while pos < total:
         n, pos = _dec_long(mv, pos)
         size, pos = _dec_long(mv, pos)
+        if pos + size + 16 > total:
+            raise ValueError(
+                f"avro: truncated block (need {size} data + 16 sync "
+                f"bytes at offset {pos}, file has {total})"
+            )
         data = mv[pos : pos + size]
         pos += size
         if bytes(mv[pos : pos + 16]) != sync:

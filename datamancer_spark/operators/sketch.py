@@ -541,7 +541,16 @@ def rank_sketch_quantiles(
     WEIGHTED sketches (built with ``weight_col``, carrying ``w``):
     the p-quantile is the smallest value whose cumulative sample
     weight reaches p · (total sample weight) — ``m`` then reports the
-    total sample WEIGHT, not the row count."""
+    total sample WEIGHT, not the row count.
+
+    MIXED-RATE sketches (a raw unionByName of different-rate sketches
+    that skipped ``rank_sketch_merge``) are handled correctly too
+    (review r15): selection runs on each row's EFFECTIVE corpus mass
+    (w · 2^rate_exp) rather than raw position, so a rate-2 row counts
+    16× a rate-6 row instead of being silently under-represented. For
+    uniform-rate sketches the 2^rate factor cancels and the selection
+    is exactly the classic ceil(p·m) rule — bit-identical to the
+    differential twins."""
     from pyspark.sql import Window
 
     group_cols = list(group_cols or [])
@@ -556,28 +565,24 @@ def rank_sketch_quantiles(
     )
     w_ord = Window.partitionBy(*parts).orderBy("value", "h")
     w_m = Window.partitionBy(*parts)
-    if "w" in sketch.columns:
-        ranked = sketch.select(
-            *group_cols,
-            "value",
-            F.sum("w")
-            .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-            .alias("_cw"),
-            F.sum("w").over(w_m).alias("_m"),
-        )
-        cond = F.col("_cw") >= F.col("p") * F.col("_m")
-    else:
-        ranked = sketch.select(
-            *group_cols,
-            "value",
-            F.row_number().over(w_ord).alias("_cw"),
-            F.count(F.lit(1)).over(w_m).alias("_m"),
-        )
-        cond = F.col("_cw") >= F.greatest(
-            F.ceil(F.col("p") * F.col("_m")), F.lit(1)
-        )
+    base_w = F.col("w") if "w" in sketch.columns else F.lit(1).cast("long")
+    eff = base_w * F.expr("shiftleft(CAST(1 AS BIGINT), rate_exp)")
+    ranked = sketch.select(
+        *group_cols,
+        "value",
+        F.sum(eff)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_sel"),
+        F.sum(eff).over(w_m).alias("_seltot"),
+        # reported m keeps its documented meaning: sample row count
+        # (unweighted) / total sample weight (weighted)
+        F.sum(base_w).over(w_m).alias("_m"),
+    )
     return (
-        ranked.join(F.broadcast(ps_df), cond)
+        ranked.join(
+            F.broadcast(ps_df),
+            F.col("_sel") >= F.col("p") * F.col("_seltot"),
+        )
         .groupBy(*group_cols, "p")
         .agg(
             F.min("value").alias("value_est"),
@@ -592,20 +597,20 @@ def rank_sketch_rank(
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Estimated rank of ``q`` (count — or, on weighted sketches, total
-    WEIGHT — of corpus values <= q): kept mass below q, scaled back up
-    by 2^rate_exp. Returns (group_cols..., rank_est)."""
+    WEIGHT — of corpus values <= q): each kept row contributes its own
+    effective mass (w · 2^rate_exp — per-ROW, so a mixed-rate union
+    that skipped ``rank_sketch_merge`` is scaled correctly instead of
+    uniformly by max(rate); review r15). Returns
+    (group_cols..., rank_est)."""
     group_cols = list(group_cols or [])
-    below = (
+    base_w = F.col("w") if "w" in sketch.columns else F.lit(1).cast("long")
+    eff = base_w * F.expr("shiftleft(CAST(1 AS BIGINT), rate_exp)")
+    return sketch.groupBy(*group_cols).agg(
         F.sum(
-            F.when(F.col("value") <= F.lit(float(q)), F.col("w")).otherwise(
-                F.lit(0)
+            F.when(F.col("value") <= F.lit(float(q)), eff).otherwise(
+                F.lit(0).cast("long")
             )
         )
-        if "w" in sketch.columns
-        else F.sum((F.col("value") <= F.lit(float(q))).cast("long"))
-    )
-    return sketch.groupBy(*group_cols).agg(
-        (below * F.expr("shiftleft(CAST(1 AS BIGINT), max(rate_exp))")).alias(
-            "rank_est"
-        )
+        .cast("long")
+        .alias("rank_est")
     )

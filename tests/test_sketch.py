@@ -685,3 +685,43 @@ class TestWeightedRankSketch:
         ).first()
         bound = 4.0 * (16 * float(stats[0]) * float(stats[1])) ** 0.5
         assert abs(float(est) - float(truth)) <= bound
+
+
+def test_rank_sketch_mixed_rate_union_scales_per_row(spark):
+    """Review r15: a raw unionByName of different-rate sketches (that
+    skipped rank_sketch_merge) must scale each row by ITS OWN
+    2^rate_exp — uniform max-rate scaling over-counted fine-rate rows
+    16x. Rate 0 keeps everything, so exact expectations exist."""
+    from datamancer_spark.operators.sketch import (
+        rank_sketch_build,
+        rank_sketch_quantiles,
+        rank_sketch_rank,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    )
+    b = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 200)], "k long, v double"
+    )
+    sa = rank_sketch_build(a, "v", ["k"], 0)  # every row, mass 1
+    sb = rank_sketch_build(b, "v", ["k"], 2)  # ~1/4 rows, mass 4 each
+    mixed = sa.unionByName(sb)
+    # rank at 99.5: all of a (100 rows * 2^0) and none of b
+    got = rank_sketch_rank(mixed, 99.5).first()["rank_est"]
+    assert got == 100
+    # total effective mass = 100 + 4 * |kept from b|; p=0.25 boundary
+    # sits inside a's run because a carries exactly 100 of ~200 mass
+    nb = sb.count()
+    q = {
+        r["p"]: r["value_est"]
+        for r in rank_sketch_quantiles(mixed, [0.25]).collect()
+    }
+    total = 100 + 4 * nb
+    # cum mass inside a's [0,100) run is (value+1)*1, so the exact
+    # 0.25-quantile is the first v with v+1 >= total/4
+    import math
+
+    want = float(math.ceil(total * 0.25) - 1)
+    assert q[0.25] == want, (q[0.25], want, total)
