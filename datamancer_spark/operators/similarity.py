@@ -961,14 +961,23 @@ def pca_power_scores(
     drift (partial-agg order, list-sum order) can't surface; L1
     normalization (no sqrt) keeps every op to +,×,÷,|·|.
 
-    Plan per iteration: ONE distributed aggregate — a dot-product
-    projection (codegen'd 64-term chain) followed by d partial sums —
-    nothing shuffles but the d-value result row. The iterate itself is
-    DRIVER-SIDE BOUNDED STATE (d floats, like mixture_resample's
-    count map — never corpus-sized); the corpus is scanned once per
-    iteration and never joined. At 100 TB: iters × one-pass map-reduce
-    aggregates, embarrassingly parallel, zero shuffles beyond each
-    aggregate's final reduce."""
+    Plan per iteration: ONE distributed aggregate — a per-row dot
+    fold over the vector column, then posexplode + a d-group partial
+    aggregation — nothing shuffles but d rows per partition. The
+    iterate itself is DRIVER-SIDE BOUNDED STATE (d floats, like
+    mixture_resample's count map — never corpus-sized); the corpus is
+    scanned once per iteration and never joined. At 100 TB: iters ×
+    one-pass map-reduce aggregates, embarrassingly parallel, zero
+    shuffles beyond each aggregate's partial→final reduce.
+
+    r15-opt note: the aggregates fold over the ARRAY column instead of
+    projecting d separate ``element_at`` columns — the 64-wide column
+    plans paid a multi-second whole-stage-codegen compile PER ROUND
+    (fresh literals each iteration force a recompile; measured 6-7s on
+    the first aggregate at d=64), while the array fold's generated
+    code is tiny and round-invariant. The dot product folds k=1..d
+    sequentially, the exact order of the previous chained sum, so
+    every rounded iterate and score is unchanged."""
     import math
 
     def rnd(x: float, n: int) -> float:
@@ -981,35 +990,52 @@ def pca_power_scores(
     # reachable with an explicit dim=; _derive_dim refuses mixed sizes)
     x = emb.filter(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
-    ).select(
-        "*",
-        *[
-            F.element_at(F.col(vec_col), k + 1).cast("double").alias(f"_x{k}")
-            for k in range(dim)
-        ],
     )
-    mean_row = x.agg(
-        *[F.avg(f"_x{k}").alias(f"m{k}") for k in range(dim)]
-    ).first()
-    m = [rnd(float(mean_row[f"m{k}"]), round_decimals) for k in range(dim)]
+    vec = F.col(vec_col)
+
+    mean_rows = (
+        x.select(F.posexplode(vec).alias("_pos", "_val"))
+        .groupBy("_pos")
+        .agg(F.avg(F.col("_val").cast("double")).alias("_m"))
+        .collect()
+    )
+    m = [0.0] * dim
+    for r in mean_rows:
+        m[r["_pos"]] = rnd(float(r["_m"]), round_decimals)
+
+    def dot_fold(m_arr, v_arr):
+        # sequential k=1..d left fold — bitwise the same addition
+        # order as a chained (x_k - m_k)*v_k sum
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, k: acc
+            + (F.element_at(vec, k).cast("double") - F.element_at(m_arr, k))
+            * F.element_at(v_arr, k),
+        )
 
     v = [1.0 / dim] * dim
     for _ in range(iters):
-        dot = None
-        for k in range(dim):
-            term = (F.col(f"_x{k}") - F.lit(m[k])) * F.lit(v[k])
-            dot = term if dot is None else dot + term
-        y_row = x.select(
-            *[F.col(f"_x{k}") for k in range(dim)], dot.alias("_dot")
-        ).agg(
-            *[
-                F.sum((F.col(f"_x{k}") - F.lit(m[k])) * F.col("_dot")).alias(
-                    f"y{k}"
-                )
-                for k in range(dim)
-            ]
-        ).first()
-        y = [float(y_row[f"y{k}"]) for k in range(dim)]
+        m_arr = F.array(*[F.lit(mk) for mk in m])
+        v_arr = F.array(*[F.lit(vk) for vk in v])
+        y_rows = (
+            x.select(dot_fold(m_arr, v_arr).alias("_dot"), vec.alias("_vec"))
+            .select(F.posexplode(F.col("_vec")).alias("_pos", "_val"), "_dot")
+            .groupBy("_pos")
+            .agg(
+                F.sum(
+                    (
+                        F.col("_val").cast("double")
+                        - F.element_at(m_arr, F.col("_pos") + 1)
+                    )
+                    * F.col("_dot")
+                ).alias("_y")
+            )
+            .collect()
+        )
+        y = [0.0] * dim
+        for r in y_rows:
+            y[r["_pos"]] = float(r["_y"])
         s = 0.0
         for yk in y:
             s += abs(yk)
@@ -1017,12 +1043,10 @@ def pca_power_scores(
             break
         v = [rnd(yk / s, round_decimals) for yk in y]
 
-    dot = None
-    for k in range(dim):
-        term = (F.col(f"_x{k}") - F.lit(m[k])) * F.lit(v[k])
-        dot = term if dot is None else dot + term
+    m_arr = F.array(*[F.lit(mk) for mk in m])
+    v_arr = F.array(*[F.lit(vk) for vk in v])
     keep = [c for c in emb.columns]
-    return x.select(*keep, prnd(dot, score_decimals).alias("pc1"))
+    return x.select(*keep, prnd(dot_fold(m_arr, v_arr), score_decimals).alias("pc1"))
 
 
 def ann_recall(

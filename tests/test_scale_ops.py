@@ -668,6 +668,55 @@ def test_pca_power_recovers_planted_direction(spark):
     assert out2 == out
 
 
+def test_pca_power_fold_matches_numpy_replay(spark):
+    """r15-opt witness for the array-fold rewrite: the Spark iterates
+    and final scores equal an independent NumPy replay of the same
+    algorithm (mean-center, v <- X^T(Xv), L1 norm, portable rounding
+    at every step) — pinning that the fold changed the PLAN, not the
+    arithmetic. Also pins the empty-with-dim= edge: the old 64-column
+    form crashed on float(None); the fold returns an empty frame."""
+    import math
+
+    from datamancer_spark.operators.similarity import pca_power_scores
+
+    def rnd(x, n):
+        s = float(10**n)
+        return math.floor(x * s + 0.5) / s
+
+    rows = []
+    for i in range(60):
+        vec = [float(((i * (k + 3)) % 17) - 8) / 4 for k in range(8)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["pc1"] for r in pca_power_scores(df, iters=4).collect()}
+
+    xs = [r[1] for r in rows]
+    d = 8
+    m = [rnd(sum(v[k] for v in xs) / len(xs), 6) for k in range(d)]
+    v = [1.0 / d] * d
+    for _ in range(4):
+        dots = []
+        for x in xs:
+            acc = 0.0
+            for k in range(d):
+                acc = acc + (x[k] - m[k]) * v[k]
+            dots.append(acc)
+        y = [
+            sum((x[k] - m[k]) * dt for x, dt in zip(xs, dots))
+            for k in range(d)
+        ]
+        s = sum(abs(yk) for yk in y)
+        v = [rnd(yk / s, 6) for yk in y]
+    for i, x in enumerate(xs):
+        acc = 0.0
+        for k in range(d):
+            acc = acc + (x[k] - m[k]) * v[k]
+        assert got[i] == rnd(acc, 4), (i, got[i], rnd(acc, 4))
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert pca_power_scores(empty, dim=8).count() == 0
+
+
 def test_ann_recall_semantics(spark):
     from datamancer_spark.operators.similarity import ann_recall
 
