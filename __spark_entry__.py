@@ -4160,7 +4160,7 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     io.nim:807-826 writeCsv)."""
     from datamancer_spark.io import read_csv, write_csv
 
-    ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ord_ = _t(spark, sf_dir, "orders")["orders"].df
     src = ord_.filter(F.col("o_orderkey") % 20 < 3).select(
         F.col("o_orderkey").cast("long").alias("k"),
         F.col("o_orderstatus").alias("status"),
@@ -4222,7 +4222,7 @@ def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2.1)."""
     from datamancer_spark.io import read_jsonl, write_jsonl
 
-    ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ord_ = _t(spark, sf_dir, "orders")["orders"].df
     src = ord_.filter(F.col("o_orderkey") % 20 < 3).select(
         F.col("o_orderkey").cast("long").alias("k"),
         F.col("o_orderstatus").alias("status"),
@@ -4399,10 +4399,9 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     wh = "/root/repo/spark-warehouse"
     o_t, l_t = f"bk_gate_orders_{tag}", f"bk_gate_lineitem_{tag}"
-    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_orderstatus"
-    )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    ords = t["orders"].df.select("o_orderkey", "o_orderstatus")
+    li = t["lineitem"].df.select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     write_parquet(
@@ -4447,7 +4446,7 @@ def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the distributed sink+source path end to end."""
     from datamancer_spark.io import read_avro, write_avro
 
-    ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ord_ = _t(spark, sf_dir, "orders")["orders"].df
     src = ord_.filter(F.col("o_orderkey") % 20 < 3).select(
         F.col("o_orderkey").cast("long").alias("k"),
         F.col("o_orderstatus").alias("status"),

@@ -806,6 +806,31 @@ def compact_parquet(
     )
 
 
+# Session-scoped table-handle cache (r15-opt): ``spark.read.parquet``
+# pays driver-side FileIndex + footer-schema work through py4j on EVERY
+# call (measured 0.1-0.7 s per call even on a 1 KB file), and every
+# query constructor calls ``load_tables`` — across a bench run that is
+# hundreds of redundant metadata reads. The cache holds the LAZY
+# DataFrame handle per (session, path); no data or results are cached
+# — every execution still scans the parquet files. File identity
+# (size + mtime_ns) invalidates the entry when the driver regenerates
+# testdata; weak session keys drop entries when a session is replaced.
+_TABLE_CACHE = None  # weakref.WeakKeyDictionary[SparkSession, dict]
+
+
+def _session_cache(spark: SparkSession) -> dict:
+    global _TABLE_CACHE
+    if _TABLE_CACHE is None:
+        import weakref
+
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
+    cache = _TABLE_CACHE.get(spark)
+    if cache is None:
+        cache = {"defaults": False, "tables": {}}
+        _TABLE_CACHE[spark] = cache
+    return cache
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None) -> dict[str, DamFrame]:
     """Load the driver's TPC-H-ish parquet tables from an sf directory."""
     names = names or [
@@ -817,22 +842,36 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = 
 
     from .session import ensure_session_defaults
 
+    cache = _session_cache(spark)
     # Defensive: the caller's session may not be ours (the verification
     # driver builds its own); these confs are required for correct reads.
-    ensure_session_defaults(spark)
+    # Once per session — the defaults are runtime-settable and nothing
+    # in-repo unsets them mid-session.
+    if not cache["defaults"]:
+        ensure_session_defaults(spark)
+        cache["defaults"] = True
 
     out: dict[str, DamFrame] = {}
     for n in names:
         p = os.path.join(sf_dir, f"{n}.parquet")
-        if os.path.exists(p):
-            df = spark.read.parquet(p)
-            # TIMESTAMP(NANOS) parquet columns arrive as long ns-since-epoch
-            # (session.py nanosAsLong); normalize to microsecond timestamps,
-            # the precision DuckDB/Spark agree on. Integer division keeps
-            # exactness (doubles can't hold ns epochs > 2^53).
-            if n == "events" and isinstance(df.schema["ts"].dataType, LongType):
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            out[n] = df
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue
+        sig = (st.st_size, st.st_mtime_ns)
+        hit = cache["tables"].get(p)
+        if hit is not None and hit[0] == sig:
+            out[n] = hit[1]
+            continue
+        df = spark.read.parquet(p)
+        # TIMESTAMP(NANOS) parquet columns arrive as long ns-since-epoch
+        # (session.py nanosAsLong); normalize to microsecond timestamps,
+        # the precision DuckDB/Spark agree on. Integer division keeps
+        # exactness (doubles can't hold ns epochs > 2^53).
+        if n == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        cache["tables"][p] = (sig, df)
+        out[n] = df
     return {k: DamFrame(v) for k, v in out.items()}
 
 

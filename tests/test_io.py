@@ -599,3 +599,61 @@ class TestSchemaEvolution:
         assert rows[4] == (8, 12)
         # default path (no merge) stays single-pass and keeps working
         assert read_parquet(spark, v1).count_rows() == 3
+
+
+class TestLoadTablesCache:
+    """r15-opt witness: load_tables caches the LAZY per-session table
+    handle (spark.read.parquet pays driver-side FileIndex + footer
+    work per call), keyed by file identity so regenerated testdata
+    invalidates — no data or results are ever cached."""
+
+    def test_handle_reused_and_invalidated(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from datamancer_spark.io import load_tables
+
+        d = str(tmp_path / "sf")
+        os.makedirs(d)
+        spark.range(5).selectExpr(
+            "id as o_orderkey", "'O' as o_orderstatus"
+        ).coalesce(1).write.parquet(str(tmp_path / "_stage"))
+        src = next(
+            p for p in os.listdir(str(tmp_path / "_stage"))
+            if p.endswith(".parquet")
+        )
+        shutil.copy(
+            str(tmp_path / "_stage" / src), f"{d}/orders.parquet"
+        )
+
+        a = load_tables(spark, d, ["orders"])["orders"].df
+        b = load_tables(spark, d, ["orders"])["orders"].df
+        assert a is b  # same lazy handle within the session
+        assert b.count() == 5
+
+        # regenerated file (different identity) -> fresh handle + data
+        spark.range(7).selectExpr(
+            "id as o_orderkey", "'F' as o_orderstatus"
+        ).coalesce(1).write.parquet(str(tmp_path / "_stage2"))
+        src2 = next(
+            p for p in os.listdir(str(tmp_path / "_stage2"))
+            if p.endswith(".parquet")
+        )
+        shutil.copy(
+            str(tmp_path / "_stage2" / src2), f"{d}/orders.parquet"
+        )
+        os.utime(f"{d}/orders.parquet", ns=(1, 1))  # force mtime change
+        c = load_tables(spark, d, ["orders"])["orders"].df
+        assert c is not b
+        assert c.count() == 7
+
+    def test_events_ts_normalization_survives_cache(self, spark):
+        from pyspark.sql.types import LongType
+
+        from datamancer_spark.io import load_tables
+
+        for _ in range(2):  # second call is the cache hit
+            ev = load_tables(
+                spark, "/root/testdata/sf0.001", ["events"]
+            )["events"].df
+            assert not isinstance(ev.schema["ts"].dataType, LongType)
