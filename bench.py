@@ -360,6 +360,31 @@ def main() -> None:
 
     spark = fresh_session(first=True)
 
+    # Host-noise self-calibration (r16, VERDICT r15 #2): time the
+    # UNTOUCHED control query (dedup_jaccard — no code change since
+    # r11; quiet-window baseline 1.61 s at sf0.1) once before and once
+    # after the timed batch, and emit both readings as "control_sec"
+    # in the JSON line. This sandbox suffers external load bursts
+    # (same-code batch totals 19-30% apart, BASELINE.md host-drift
+    # evidence); a control reading far above baseline marks the window
+    # contaminated, so PERF regressions can be triaged mechanically.
+    # ADDITIONS ONLY: the control runs are extra executions outside
+    # `timings` — dedup_jaccard's own timed entry is measured in the
+    # main loop exactly as before, and no timing code changed.
+    def _control_run(s) -> float | None:
+        fn = qs.get("dedup_jaccard")
+        if fn is None:
+            return None
+        try:
+            t0 = time.time()
+            fn(s, sf_dir).write.format("noop").mode("overwrite").save()
+            return round(time.time() - t0, 2)
+        except Exception as e:
+            print(f"bench: control run failed: {e!r}", file=sys.stderr)
+            return None
+
+    control_first = _control_run(spark)
+
     # best-of-2 per query: the first execution of a plan pays one-off JIT /
     # codegen / Arrow-worker costs that are not operator cost (measured up
     # to 3x inflation on the Pandas-UDF tier); the min is the steady-state
@@ -434,6 +459,8 @@ def main() -> None:
     except Exception as e:
         print(f"bench: lsh plan pin failed: {e!r}", file=sys.stderr)
 
+    control_last = _control_run(spark)
+
     total = round(sum(timings.values()), 3)
     # round-over-round discipline: per-query delta vs the latest recorded
     # BENCH_r{N}.json so regressions are visible in one glance
@@ -455,6 +482,11 @@ def main() -> None:
             "queries": {k: round(v, 2) for k, v in shown.items()},
             "sf": sf,
         }
+        if control_first is not None or control_last is not None:
+            # [before-batch, after-batch] wall of the untouched control
+            # query; compare to the 1.61 s quiet baseline to read how
+            # contaminated this window was
+            c["control_sec"] = [control_first, control_last]
         if folded:
             # the cheapest queries fold into one aggregate so the line
             # fits; their per-query times live in BENCH_LOCAL.json
@@ -498,6 +530,7 @@ def main() -> None:
                 "prev_bench": prev_name,
                 "delta_vs_prev": delta,
                 "lsh_capstone_exchanges_in_batch": lsh_exchanges,
+                "control_sec": [control_first, control_last],
             },
             f,
             indent=1,
