@@ -196,6 +196,19 @@ def pagerank(
     _check_rounding_resolution(n, round_decimals)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ed = materialize(e.join(deg, "u"))
+    # r16: the dangling node SET (nodes with no out-edges) is STATIC
+    # across rounds — only its MASS (the ranks of those nodes) changes.
+    # Derive the set once instead of re-running the edge-list degree
+    # aggregate + anti-join inside every round, and when the set is
+    # EMPTY (a dangling-free graph — both declared pagerank fixtures)
+    # skip the whole per-round dangling subtree (semi-join + aggregate
+    # + broadcast crossJoin): dm is exactly 0.0 every round there, and
+    # x + 0.0 == x bit-exact for the non-negative rank sums, so the
+    # iterates are bit-identical with or without the skipped term.
+    dangling_nodes = materialize(
+        nodes.join(deg, nodes.node == deg.u, "left_anti").select("node")
+    )
+    has_dangling = dangling_nodes.limit(1).count() > 0
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     ranks = materialize(ranks)
     base = (1.0 - damping) / n
@@ -207,25 +220,30 @@ def pagerank(
             .groupBy("v")
             .agg(F.sum("c").alias("in_rank"))
         )
-        # dangling nodes (no out-edges) leak their mass — collect it as
-        # ONE scalar row and spread uniformly, keeping sum(rank) = 1
-        dangling = (
-            ranks.join(deg, ranks.node == deg.u, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
-        new_rank = (
-            F.lit(base)
-            + F.lit(damping)
-            * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.col("dm") / n)
-        )
+        in_term = F.coalesce(F.col("in_rank"), F.lit(0.0))
+        if has_dangling:
+            # dangling nodes leak their mass — collect it as ONE scalar
+            # row and spread uniformly, keeping sum(rank) = 1. The semi
+            # join against the materialized static set replaces the old
+            # per-round anti-join against a freshly aggregated degree
+            # frame (same node set, one edge-list aggregation total
+            # instead of one per round).
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            )
+            new_rank = F.lit(base) + F.lit(damping) * (
+                in_term + F.col("dm") / n
+            )
+        else:
+            new_rank = F.lit(base) + F.lit(damping) * in_term
         if round_decimals is not None:
             new_rank = F.round(new_rank, round_decimals)
         prev = ranks
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.v, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select("node", new_rank.alias("rank"))
-        )
+        ranks = nodes.join(contrib, nodes.node == contrib.v, "left")
+        if has_dangling:
+            ranks = ranks.crossJoin(F.broadcast(dangling))
+        ranks = ranks.select("node", new_rank.alias("rank"))
         ranks = materialize(ranks)
         rounds_run += 1
         if tol is not None:
