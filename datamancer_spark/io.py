@@ -845,11 +845,20 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = 
     cache = _session_cache(spark)
     # Defensive: the caller's session may not be ours (the verification
     # driver builds its own); these confs are required for correct reads.
-    # Once per session — the defaults are runtime-settable and nothing
-    # in-repo unsets them mid-session.
+    # Once per session — plus a one-conf sentinel check on every later
+    # call (ADVICE r15): the threat model is a foreign driver session,
+    # and if that driver mutates a required conf mid-session the cached
+    # "defaults applied" flag would otherwise go stale. One conf.get is
+    # ~1 ms of py4j; re-assert everything only when it drifted.
     if not cache["defaults"]:
         ensure_session_defaults(spark)
         cache["defaults"] = True
+    else:
+        try:
+            if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+                ensure_session_defaults(spark)
+        except Exception:
+            ensure_session_defaults(spark)
 
     out: dict[str, DamFrame] = {}
     for n in names:
@@ -858,7 +867,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = 
             st = os.stat(p)
         except OSError:
             continue
-        sig = (st.st_size, st.st_mtime_ns)
+        sig: tuple = (st.st_size, st.st_mtime_ns)
+        if os.path.isdir(p):
+            # Directory datasets (Spark-written {name}.parquet dirs):
+            # in-place rewrites change MEMBER files without necessarily
+            # touching the directory's own size/mtime (ADVICE r15), so
+            # fold the members' stats into the signature. Driver
+            # testdata tables are single files and never take this
+            # branch; it exists so a stale FileIndex can't be served
+            # for directory inputs.
+            try:
+                members = []
+                for m in sorted(os.listdir(p)):
+                    ms = os.stat(os.path.join(p, m))
+                    members.append((m, ms.st_size, ms.st_mtime_ns))
+                sig = sig + (tuple(members),)
+            except OSError:
+                pass
         hit = cache["tables"].get(p)
         if hit is not None and hit[0] == sig:
             out[n] = hit[1]

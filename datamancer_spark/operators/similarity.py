@@ -1044,7 +1044,13 @@ def pca_power_scores(
 
     def dot_fold(m_arr, v_arr):
         # sequential k=1..d left fold — bitwise the same addition
-        # order as a chained (x_k - m_k)*v_k sum
+        # order as a chained (x_k - m_k)*v_k sum. Scope (ADVICE r15):
+        # the bitwise claim covers only this PER-ROW fold; the
+        # cross-row avg/sum combine order (posexplode + groupBy) is
+        # not order-pinned in either the fold or the 64-column form —
+        # that drift is absorbed by round_decimals, and the actual
+        # equivalence pin is the NumPy value-replay test
+        # (test_scale_ops.py::test_pca_power_fold_matches_numpy_replay).
         return F.aggregate(
             F.sequence(F.lit(1), F.lit(dim)),
             F.lit(0.0),

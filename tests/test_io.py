@@ -657,3 +657,67 @@ class TestLoadTablesCache:
                 spark, "/root/testdata/sf0.001", ["events"]
             )["events"].df
             assert not isinstance(ev.schema["ts"].dataType, LongType)
+
+    def test_sentinel_conf_reasserted_on_cache_hit(self, spark):
+        """r16 (ADVICE r15): a foreign driver mutating a required conf
+        mid-session is healed on the next load_tables call — the cached
+        defaults flag alone no longer suppresses re-assertion."""
+        from datamancer_spark.io import load_tables
+
+        load_tables(spark, "/root/testdata/sf0.001", ["orders"])
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            load_tables(spark, "/root/testdata/sf0.001", ["orders"])
+            assert (
+                spark.conf.get("spark.sql.session.timeZone") == "UTC"
+            )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def test_directory_dataset_inplace_rewrite_invalidates(
+        self, spark, tmp_path
+    ):
+        """r16 (ADVICE r15): for a Spark-written DIRECTORY dataset the
+        signature folds member-file stats in, so an in-place rewrite
+        that leaves the directory inode's own stats unchanged still
+        yields a fresh handle."""
+        import os
+        import shutil
+
+        from datamancer_spark.io import load_tables
+
+        d = str(tmp_path / "sf")
+        os.makedirs(d)
+        tbl = f"{d}/orders.parquet"  # a DIRECTORY this time
+        spark.range(5).selectExpr(
+            "id as o_orderkey"
+        ).coalesce(1).write.parquet(tbl)
+        a = load_tables(spark, d, ["orders"])["orders"].df
+        assert a.count() == 5
+
+        # rewrite the member file in place; pin the directory's own
+        # stats so only the member signature can catch the change
+        dstat = os.stat(tbl)
+        spark.range(9).selectExpr(
+            "id as o_orderkey"
+        ).coalesce(1).write.parquet(str(tmp_path / "_stage"))
+        src = next(
+            p
+            for p in os.listdir(str(tmp_path / "_stage"))
+            if p.endswith(".parquet")
+        )
+        member = next(
+            p for p in os.listdir(tbl) if p.endswith(".parquet")
+        )
+        shutil.copyfile(
+            str(tmp_path / "_stage" / src), f"{tbl}/{member}"
+        )
+        # drop Hadoop LocalFS checksum sidecars invalidated by the
+        # in-place copy (an object-store rewrite has no sidecars)
+        for p in os.listdir(tbl):
+            if p.endswith(".crc"):
+                os.remove(f"{tbl}/{p}")
+        os.utime(tbl, ns=(dstat.st_atime_ns, dstat.st_mtime_ns))
+        b = load_tables(spark, d, ["orders"])["orders"].df
+        assert b is not a
+        assert b.count() == 9
