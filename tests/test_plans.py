@@ -544,3 +544,37 @@ def test_read_avro_is_shuffle_free(spark, tmp_path):
     write_avro(DamFrame(src), d)
     back = read_avro(spark, d, schema="k long, v double")
     assert shuffle_count(back.df) == 0
+
+
+def test_nb_classify_pins_class_token_counts(spark, sf_dir):
+    """r16 (VERDICT r15 #4): naive_bayes_classify materializes the
+    model-sized (class, token) count table, so its three consumers
+    (scored broadcast, class totals, vocabulary) never re-run the
+    corpus-token join+aggregate — the checkpointed table appears as an
+    ExistingRDD scan and the exchange count drops (35 -> 28 formatted
+    entries at r16; pin a safe ceiling, not the exact number)."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import executed_plan
+
+    plan = executed_plan(e.nb_lang_classify(spark, sf_dir))
+    assert "ExistingRDD" in plan  # the pinned class_tok table
+    assert plan.count("Exchange") <= 30
+
+
+def test_ann_recall_pins_approx_candidates(spark, sf_dir):
+    """r16 (VERDICT r15 #3): ann_recall materializes the deduplicated
+    |queries|x k candidate list once; without the pin the ENTIRE
+    approximate-kNN pipeline executed twice (hit join + n_approx
+    aggregate subtrees, 0 ReusedExchange). The recall plan must read
+    the pinned list (ExistingRDD), not re-embed the JL pipeline's
+    parquet scans twice."""
+    import __spark_entry__ as e
+    from datamancer_spark.plans import executed_plan
+
+    plan = executed_plan(e.ann_recall_jl(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    # before the pin the recall plan embedded the approx pipeline's
+    # parquet scans TWICE on top of the truth side's; after, the
+    # approx side reads the pinned list and the only parquet scan
+    # left is the truth (brute-force) side's single pass
+    assert plan.count("Scan parquet") <= 1
